@@ -1,0 +1,18 @@
+"""Query-surface registry.
+
+Every operator/query the engine claims (SURVEY.md §2) registers here as a
+``QuerySpec``: a PySpark callable plus (where SQL-expressible) an ANSI-SQL
+oracle that DuckDB can run on the same parquet tables. The driver's
+correctness gate runs both sides and hash-compares; ``tests/test_queries.py``
+runs the identical comparison locally at sf0.001 before the driver does.
+"""
+
+from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every plan module so their @register decorators run."""
+    import icebergsql_spark.plans.tpch  # noqa: F401
+    import icebergsql_spark.plans.relational  # noqa: F401
+    import icebergsql_spark.plans.pipeline  # noqa: F401
+    import icebergsql_spark.plans.managed  # noqa: F401
