@@ -67,6 +67,11 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for name in tables:
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+            # reader rejects; read it as bigint nanos and convert downstream
+            # with tz-free arithmetic (see plans/relational.py events query).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df.createOrReplaceTempView(name)
         out[name] = df
