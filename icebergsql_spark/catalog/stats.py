@@ -1,0 +1,97 @@
+"""Per-file column statistics from parquet footers.
+
+Re-expresses the reference's ParquetMetrics (/root/reference/src/main/scala/
+org/apache/spark/sql/iceberg/utils/ParquetMetrics.scala:38-117): row count,
+per-column value/null counts and min/max bounds read from the footer; a
+column whose row groups are missing stats is dropped from the stats map
+(ParquetMetrics.scala discards incomplete columns the same way).
+
+The reference computes these per write-task on executors and ships them to
+the driver inside TaskCommitMessage (IcebergFileCommitProtocol.scala:127-144).
+Here collection happens after the Spark write: driver-side with a thread pool
+for small file counts, or distributed over the cluster via
+``spark.sparkContext.parallelize`` when the file list is large — the same
+executor-side placement as the reference, which is what keeps commit cost
+bounded at 100 TB (footers only, never data pages).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from concurrent.futures import ThreadPoolExecutor
+
+from icebergsql_spark.catalog.metadata import ColStats
+
+DISTRIBUTE_THRESHOLD = 256  # files; above this, stat collection fans out
+
+
+def _normalize_stat_value(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
+    """(record_count, byte_size, {column: ColStats}) for one parquet file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    n_rows = meta.num_rows
+    agg: dict[str, ColStats] = {}
+    complete: dict[str, bool] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (match reference's flat stats)
+                continue
+            cur = agg.setdefault(name, ColStats(null_count=0, value_count=0))
+            cur.value_count += group.num_rows
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no min/max")
+                mn, mx = _normalize_stat_value(st.min), _normalize_stat_value(st.max)
+            except Exception:
+                # unreadable/absent stats (e.g. decimal physical types some
+                # pyarrow builds can't decode) → drop bounds for this column
+                complete[name] = False
+                continue
+            complete.setdefault(name, True)
+            if cur.min is None or mn < cur.min:
+                cur.min = mn
+            if cur.max is None or mx > cur.max:
+                cur.max = mx
+            cur.null_count += st.null_count if st.null_count is not None else 0
+    out = {}
+    for name, st in agg.items():
+        if complete.get(name):
+            out[name] = st
+        # else: drop bounds entirely (reference behavior for partial stats)
+    return n_rows, os.path.getsize(path), out
+
+
+def collect_stats(
+    paths: list[str], spark=None
+) -> dict[str, tuple[int, int, dict[str, ColStats]]]:
+    """Stats for many files; distributed via Spark when the list is large."""
+    if spark is not None and len(paths) > DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        n_parts = min(len(paths), 64)
+
+        def part(it):
+            for p in it:
+                yield (p, file_stats(p))
+
+        return dict(sc.parallelize(paths, n_parts).mapPartitions(part).collect())
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return dict(zip(paths, ex.map(file_stats, paths)))

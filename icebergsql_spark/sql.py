@@ -1,0 +1,229 @@
+"""SQL compat front door: the reference's parser surface over PySpark.
+
+Re-expresses SparkIceParser (/root/reference/src/main/scala/org/apache/spark/
+sql/iceberg/parsing/IceParser.scala:33-114) as a Python pre-rewriter — SURVEY
+§7's planned design, since Catalyst parsers can't be injected from Python:
+
+  - ``as of '<ts>' <query>``  — statement prefix applying time travel to
+    every managed table referenced in the query. The reference stashes the
+    epoch in a ThreadLocal read at scan time (IceParser.scala:108-114 +
+    utils/TableUtils.scala:105-132); we resolve it directly per-table at view
+    registration, which also fixes the reference's thread-affinity fragility
+    (SURVEY §7 'hard parts'). Accepts ``'yyyy-MM-dd HH:mm:ss.S'`` or raw
+    epoch millis (utils/utils.scala:114-122 convertToEpoch parity).
+  - `` `t$snapshots` `` — 6-column legacy snapshot view
+    (IceParser.scala:91-106 + TableUtils.scala:48-103). The reference's
+    mini-parser only supports SELECT */cols over it; registering it as a temp
+    view makes ANY query shape work.
+  - ``CREATE TABLE ... OPTIONS (addTableManagement 'true', columnDependencies
+    '...') PARTITIONED BY (...)`` [+ AS SELECT] — managed table DDL
+    (CreateIcebergTable.scala:28-68).
+  - ``INSERT INTO / INSERT OVERWRITE [PARTITION (...)]`` on managed tables
+    (InsertIntoIcebergTable.scala:81-330), honoring
+    ``spark.sql.sources.partitionOverwriteMode`` for dynamic overwrite.
+  - anything else: managed tables are registered as (possibly time-traveled,
+    manifest-pruned) temp views and the statement is delegated to Spark SQL,
+    so the full Spark relational surface applies.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from icebergsql_spark.table import Catalog, ManagedTable
+
+_AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
+_SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
+_CREATE_RE = re.compile(
+    r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
+    r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
+    r"(?:options\s*\((?P<opts>.*?)\))?\s*"
+    r"(?:partitioned\s+by\s*\((?P<parts>[^)]*)\))?\s*"
+    r"(?:as\s+(?P<ctas>select\b.*))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?(?P<name>[`\w.]+)\s*"
+    r"(?:partition\s*\((?P<spec>[^)]*)\))?\s*(?P<select>select\b.*|values\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHERE_RE = re.compile(
+    r"\bwhere\b(?P<pred>.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|\bhaving\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def convert_to_epoch_millis(text: str) -> int:
+    """'yyyy-MM-dd HH:mm:ss.S' | ISO | raw millis → epoch ms (UTC)."""
+    s = text.strip()
+    if s.isdigit():
+        return int(s)
+    dt = _dt.datetime.fromisoformat(s.replace(" ", "T"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _parse_options(opts: str) -> dict[str, str]:
+    out = {}
+    for m in re.finditer(r"(\w+)\s*=?\s*(?:'([^']*)'|\"([^\"]*)\")", opts or ""):
+        out[m.group(1)] = m.group(2) if m.group(2) is not None else m.group(3)
+    return out
+
+
+def _is_simple_single_table_select(text: str, table: str) -> bool:
+    low = text.lower()
+    if low.count("select") != 1 or low.count("from") != 1 or "join" in low:
+        return False
+    return re.search(
+        rf"\bfrom\s+`?{re.escape(table)}`?(?:\s+(?:as\s+)?\w+)?\s+where\b",
+        text,
+        re.IGNORECASE,
+    ) is not None
+
+
+def _parse_partition_spec(spec: str) -> dict[str, str]:
+    out = {}
+    for m in re.finditer(r"(\w+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^,\s]+))", spec or ""):
+        out[m.group(1)] = next(v for v in m.groups()[1:] if v is not None)
+    return out
+
+
+class Engine:
+    """``Engine(spark, warehouse).sql(text)`` — the engine's front door."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, warehouse)
+
+    # ------------------------------------------------------------ helpers --
+
+    def _referenced_managed(self, text: str) -> list[str]:
+        names = []
+        for name in self.catalog.list_tables():
+            if re.search(rf"(?<![\w$`]){re.escape(name)}(?![\w$])", text, re.IGNORECASE):
+                names.append(name)
+        return names
+
+    def _register_views(self, text: str, as_of_millis: int | None) -> str:
+        """Register every referenced managed table as a temp view (time-
+        traveled when as_of is set, manifest-pruned when a WHERE clause is
+        extractable) and rewrite `$snapshots` references."""
+        for m in set(_SNAPSHOTS_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.snapshots_df().createOrReplaceTempView(f"{m}__snapshots")
+        text = _SNAPSHOTS_RE.sub(lambda mo: f"{mo.group(1)}__snapshots", text)
+
+        referenced = self._referenced_managed(text)
+        where = None
+        # Prune only for provably-simple shapes: ONE select over ONE table
+        # (no joins/subqueries), so the extracted WHERE is guaranteed to
+        # scope the managed table. Anything fancier scans unpruned — Spark's
+        # own parquet pushdown still applies.
+        if len(referenced) == 1 and _is_simple_single_table_select(text, referenced[0]):
+            wm = _WHERE_RE.search(text)
+            if wm:
+                where = wm.group("pred").strip() or None
+        for name in referenced:
+            tbl = self.catalog.load_table(name)
+            # lenient predicate parse: unknown constructs degrade to
+            # always-true, so pruning is best-effort and always sound (the
+            # real WHERE still runs in Spark SQL)
+            # Soundness of pruning with an extracted WHERE: any column name in
+            # the predicate that actually belongs to another table either is
+            # qualified (no stats key match) or doesn't exist in this table's
+            # stats — both cases degrade to "cannot prune". The real WHERE
+            # still executes in Spark SQL regardless.
+            scan = tbl.scan(where=where, as_of_millis=as_of_millis)
+            scan.dataframe(apply_where=False).createOrReplaceTempView(name)
+        return text
+
+    # ---------------------------------------------------------------- sql --
+
+    def sql(self, text: str) -> DataFrame:
+        text = text.strip().rstrip(";")
+
+        as_of_millis = None
+        m = _AS_OF_RE.match(text)
+        if m:
+            as_of_millis = convert_to_epoch_millis(m.group(1))
+            text = m.group(2)
+
+        cm = _CREATE_RE.match(text)
+        if cm:
+            opts = _parse_options(cm.group("opts"))
+            if opts.get("addTableManagement", "").lower() == "true":
+                return self._create_managed(cm, opts)
+            return self.spark.sql(text)
+
+        im = _INSERT_RE.match(text)
+        if im:
+            name = im.group("name").strip("`")
+            if self.catalog.table_exists(name):
+                return self._insert_managed(im, name)
+            return self.spark.sql(text)
+
+        text = self._register_views(text, as_of_millis)
+        return self.spark.sql(text)
+
+    # ------------------------------------------------------------ actions --
+
+    def _create_managed(self, cm: re.Match, opts: dict[str, str]) -> DataFrame:
+        name = cm.group("name").strip("`")
+        fmt = cm.group("fmt").lower()
+        if fmt not in ("parquet",):
+            raise ValueError(f"managed tables support USING parquet, got {fmt}")
+        parts = [p.strip().strip("`") for p in (cm.group("parts") or "").split(",") if p.strip()]
+        properties = {k: v for k, v in opts.items() if k != "addTableManagement"}
+        ctas = cm.group("ctas")
+        if ctas:
+            ctas = self._register_views(ctas, None)
+        if cm.group("cols"):
+            schema: T.StructType | str = cm.group("cols")
+        elif ctas:
+            schema = self.spark.sql(ctas).schema
+        else:
+            raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+        tbl = self.catalog.create_table(
+            name, schema, partition_cols=parts, properties=properties
+        )
+        if ctas:
+            tbl.insert(self.spark.sql(ctas))
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    def _insert_managed(self, im: re.Match, name: str) -> DataFrame:
+        tbl = self.catalog.load_table(name)
+        select_text = self._register_views(im.group("select"), None)
+        src = self.spark.sql(select_text)
+        overwrite = im.group("mode").lower() == "overwrite"
+        spec = _parse_partition_spec(im.group("spec"))
+        dynamic = (
+            overwrite
+            and not spec
+            and self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            ).lower()
+            == "dynamic"
+        )
+        # positional insert: source columns map to table schema order, minus
+        # statically-pinned partition columns (Spark INSERT semantics)
+        schema = tbl.schema
+        target_cols = [f.name for f in schema.fields if f.name not in spec]
+        if len(src.columns) == len(target_cols):
+            src = src.toDF(*target_cols)
+        tbl.insert(
+            src,
+            overwrite=overwrite,
+            static_partition=spec or None,
+            dynamic=dynamic,
+        )
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    # ------------------------------------------------- python-level access --
+
+    def table(self, name: str) -> ManagedTable:
+        return self.catalog.load_table(name)

@@ -1,0 +1,167 @@
+"""SQL front-door tests: the reference's README walkthrough, in SQL.
+
+Exercises the legacy surface of /root/reference/README.md:104-362 through
+Engine.sql: managed CREATE TABLE with OPTIONS, INSERT INTO / OVERWRITE
+[PARTITION], `as of` prefix time travel, and the `t$snapshots` view."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from icebergsql_spark.sql import Engine, convert_to_epoch_millis
+from tests.store_sales_fixture import build_store_sales_df
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("warehouse")))
+    build_store_sales_df(spark).createOrReplaceTempView("store_sales_src")
+    return eng
+
+
+ALL_COLS = (
+    "ss_sold_time_sk, ss_item_sk, ss_customer_sk, ss_cdemo_sk, ss_hdemo_sk, "
+    "ss_addr_sk, ss_store_sk, ss_promo_sk, ss_quantity, ss_wholesale_cost, "
+    "ss_list_price, ss_sales_price, ss_ext_sales_price, ss_sold_month, "
+    "ss_sold_day"
+)
+
+
+def test_epoch_conversion():
+    # reference accepts 'yyyy-MM-dd HH:mm:ss.S' strings and raw millis
+    # (utils/utils.scala:114-122)
+    assert convert_to_epoch_millis("1000") == 1000
+    ms = convert_to_epoch_millis("2019-09-15 20:32:24.062")
+    expect = int(
+        dt.datetime(2019, 9, 15, 20, 32, 24, 62000, tzinfo=dt.timezone.utc).timestamp()
+        * 1000
+    )
+    assert ms == expect
+
+
+def test_readme_walkthrough(engine, spark):
+    # managed CREATE TABLE with OPTIONS (README.md:104-122)
+    engine.sql("""
+        CREATE TABLE store_sales_out (
+          ss_sold_time_sk int, ss_item_sk int, ss_customer_sk int,
+          ss_cdemo_sk int, ss_hdemo_sk int, ss_addr_sk int, ss_store_sk int,
+          ss_promo_sk int, ss_quantity int, ss_wholesale_cost decimal(7,2),
+          ss_list_price decimal(7,2), ss_sales_price decimal(7,2),
+          ss_ext_sales_price decimal(7,2), ss_sold_month string,
+          ss_sold_day string, ss_sold_date_sk string
+        ) USING parquet
+        OPTIONS (
+          addTableManagement 'true',
+          columnDependencies 'ss_sold_date_sk=ss_sold_month:truncate[2], ss_sold_date_sk=ss_sold_day:truncate[4]'
+        )
+        PARTITIONED BY (ss_sold_date_sk)
+    """)
+    assert engine.catalog.table_exists("store_sales_out")
+
+    # INSERT INTO ... SELECT (README.md:124-136)
+    engine.sql(
+        f"INSERT INTO store_sales_out SELECT {ALL_COLS}, ss_sold_date_sk "
+        "FROM store_sales_src"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM store_sales_out").collect()[0].n == 2109
+
+    # filtered count with file pruning (README.md:160-180)
+    n = engine.sql(
+        "SELECT count(*) AS n FROM store_sales_out WHERE ss_sold_date_sk='0906245'"
+    ).collect()[0].n
+    assert n == 236
+
+    # $snapshots legacy view (README.md:138-147)
+    snaps = engine.sql("SELECT * FROM `store_sales_out$snapshots`").collect()
+    assert len(snaps) == 1 and snaps[0].numAddedFiles == 30
+    first_ts = snaps[0].timeMillis
+
+    # second insert → 4218 (README.md:182-210)
+    engine.sql(
+        f"INSERT INTO store_sales_out SELECT {ALL_COLS}, ss_sold_date_sk "
+        "FROM store_sales_src"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM store_sales_out").collect()[0].n == 4218
+
+    # `as of` prefix time travel (README.md:212-224): raw-millis form
+    n = engine.sql(
+        f"as of '{first_ts}' SELECT count(*) AS n FROM store_sales_out"
+    ).collect()[0].n
+    assert n == 2109
+
+    # formatted-timestamp form ('yyyy-MM-dd HH:mm:ss.S', UTC)
+    ts_text = dt.datetime.fromtimestamp(first_ts / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )[:-3]
+    n = engine.sql(
+        f"as of '{ts_text}' SELECT count(*) AS n FROM store_sales_out"
+    ).collect()[0].n
+    assert n == 2109
+
+    # full INSERT OVERWRITE (README.md:226-257)
+    engine.sql(
+        f"INSERT OVERWRITE store_sales_out SELECT {ALL_COLS}, ss_sold_date_sk "
+        "FROM store_sales_src"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM store_sales_out").collect()[0].n == 2109
+
+    # single-partition overwrite, count unchanged (README.md:259-296)
+    engine.sql(
+        "INSERT OVERWRITE store_sales_out PARTITION (ss_sold_date_sk='0906245') "
+        f"SELECT {ALL_COLS} FROM store_sales_src WHERE ss_sold_date_sk='0906245'"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM store_sales_out").collect()[0].n == 2109
+
+    # static partition overwrite with source predicate (README.md:298-337)
+    engine.sql(
+        "INSERT OVERWRITE store_sales_out PARTITION (ss_sold_date_sk='0905245') "
+        f"SELECT {ALL_COLS} FROM store_sales_src "
+        "WHERE ss_sold_date_sk='0905245' AND ss_item_sk < 5000"
+    )
+    assert engine.sql("SELECT count(*) AS n FROM store_sales_out").collect()[0].n == 1877
+
+    # time travel still valid (README.md:339-351)
+    n = engine.sql(
+        f"as of '{first_ts}' SELECT count(*) AS n FROM store_sales_out"
+    ).collect()[0].n
+    assert n == 2109
+
+    # NullScan through SQL: engine prunes to zero files (README.md:353-362)
+    tbl = engine.table("store_sales_out")
+    scan = tbl.scan(where="ss_item_sk > 5000 AND ss_sold_date_sk = '0905245'")
+    assert scan.files_scanned == 0
+    n = engine.sql(
+        "SELECT count(*) AS n FROM store_sales_out "
+        "WHERE ss_item_sk > 5000 AND ss_sold_date_sk='0905245'"
+    ).collect()[0].n
+    assert n == 0
+
+    # snapshot history intact: 5 snapshots (2 inserts + 3 overwrites)
+    assert engine.sql(
+        "SELECT count(*) AS n FROM `store_sales_out$snapshots`"
+    ).collect()[0].n == 5
+
+
+def test_ctas_managed(engine, spark):
+    engine.sql("""
+        CREATE TABLE sales_summary USING parquet
+        OPTIONS (addTableManagement 'true')
+        PARTITIONED BY (ss_sold_date_sk)
+        AS SELECT ss_item_sk, ss_quantity, ss_sold_date_sk FROM store_sales_src
+    """)
+    assert engine.sql("SELECT count(*) AS n FROM sales_summary").collect()[0].n == 2109
+
+
+def test_join_with_managed_table(engine, spark):
+    # managed table joined against a temp view — delegated to Spark SQL,
+    # mirrors the reference's join regression (BasicCreateAndInsertTest.
+    # scala:192-201)
+    out = engine.sql("""
+        SELECT s.ss_sold_date_sk, count(*) AS n
+        FROM store_sales_out s
+        JOIN store_sales_src r ON s.ss_item_sk = r.ss_item_sk
+        GROUP BY s.ss_sold_date_sk ORDER BY s.ss_sold_date_sk
+    """).collect()
+    assert len(out) == 6
