@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Beyond-reference surface (BASELINE.json north star). Every operator is a
+composition of built-in DataFrame ops (explode → hash → group/join), so the
+heavy lifting is shuffle-based and scales horizontally:
+
+  - exact/normalized dedup: md5-fingerprint groupBy — one shuffle on the
+    fingerprint, the classic first pass over a 100 TB corpus.
+  - MinHash: explode shingles, k independent min(md5(seed:shingle)) partial
+    aggregates — map-side combine collapses each doc's shingles before the
+    shuffle, so shuffle volume is O(docs·k), not O(tokens).
+  - LSH: band the signature, hash bands, self-join on band hash — candidate
+    generation without the quadratic all-pairs join; exact Jaccard verifies
+    candidates only.
+  - SimHash: per-bit majority vote over token hashes (explode + conditional
+    sums), one aggregate pass.
+  - embedding near-dup: all-pairs cosine via a self-join; at scale, gate the
+    join with the sign-bit LSH buckets from operators/similarity.py.
+
+Portability: md5 + ascii + substr are the only hash primitives, chosen
+because they are bit-identical in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 6
+LSH_BANDS = 3  # 2 rows per band
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """doc_id → exploded distinct word n-gram shingles (JVM array ops)."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {n - 1}, 1)),"
+                        f" i -> array_join(slice(split(trim({text_col}), ' '), i, {n}), ' '))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level dedup accounting: total / distinct-exact / distinct-
+    normalized. The normalized key lowercases and collapses whitespace."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_exact"),
+        F.countDistinct(F.md5(normalized)).alias("n_normalized"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 1, k: int = MINHASH_K, text_col: str = "text"
+) -> DataFrame:
+    """doc_id → k minhash values (hex md5 minima over shingles).
+
+    k seeded hash functions h_j(s) = md5('<j>:' || s); the signature is the
+    per-seed minimum — P[sig_j(A)=sig_j(B)] = Jaccard(A,B).
+    """
+    sh = word_shingles(df, n=n, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n: int = 1,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) from banded minhash signatures."""
+    sigs = minhash_signatures(df, n=n, k=k, text_col=text_col)
+    rows = k // bands
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    pairs = None
+    for b in range(bands):
+        left = banded.select(F.col("doc_id").alias("a"), F.col(f"band_{b}").alias("bv"))
+        right = banded.select(F.col("doc_id").alias("b"), F.col(f"band_{b}").alias("bv"))
+        p = left.join(right, "bv").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over all pairs (or candidate pairs): returns
+    (a, b, jaccard) with jaccard >= threshold. The shingle equi-join computes
+    |A∩B| without materializing the cross product."""
+    sh = word_shingles(df, n=n, text_col=text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _hex_bit(hash_col, j: int):
+    """Deterministic bit j of a token: parity of the ascii code of the j-th
+    hex char of md5(token) — portable to any SQL engine with ascii/substr."""
+    return F.ascii(F.substring(hash_col, j + 1, 1)) % 2
+
+
+def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the token multiset: per-bit majority vote.
+    One explode + one aggregate — shuffle keyed by doc_id."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    votes = [
+        F.sum(_hex_bit(F.col("h"), j) * 2 - 1).alias(f"v_{j}") for j in range(16)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v_{j}") > 0, 2**j).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def cosine_expr(a: str, b: str, dims: int) -> F.Column:
+    """Cosine of two double-array columns with a FIXED sequential fold, so
+    the float result is bit-identical across engines/partitionings."""
+    dot = F.expr(
+        f"aggregate(transform(sequence(1, {dims}),"
+        f" i -> cast(element_at({a}, i) as double) * cast(element_at({b}, i) as double)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    na = F.expr(
+        f"aggregate(transform(sequence(1, {dims}),"
+        f" i -> cast(element_at({a}, i) as double) * cast(element_at({a}, i) as double)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    nb = F.expr(
+        f"aggregate(transform(sequence(1, {dims}),"
+        f" i -> cast(element_at({b}, i) as double) * cast(element_at({b}, i) as double)),"
+        " cast(0 as double), (acc, x) -> acc + x)"
+    )
+    return dot / F.sqrt(na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine near-dup (a < b, cos >= threshold). Quadratic — at
+    100 TB gate with similarity.signbit_lsh buckets first; kept exact here
+    as the verification baseline."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_expr("va", "vb", dims))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )

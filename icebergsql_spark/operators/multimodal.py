@@ -1,0 +1,79 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Beyond-reference surface (BASELINE.json north star). Images/audio/video are
+carried as ``binary`` columns with a metadata struct; decode / feature-
+extract run as Arrow-batched ``mapInPandas`` operators so the Python stage
+streams batches instead of rows. The actual media decoding is STUBBED (no
+image/audio libraries in this container — ``decode_image`` raises
+NotImplementedError by design); the Spark-side plumbing — schema, batch
+iteration, UDF signatures, partitioning — is real and tested, and a
+deterministic fake feature extractor stands in for the codec so the
+pipeline shape can be verified end-to-end.
+
+Scale notes: mapInPandas keeps data in Arrow record batches (no per-row
+pickling); feature extraction is a narrow map — no shuffle — so it scales
+with executors. Batch size is controlled by
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = (
+    "doc_id bigint, payload binary, media_type string, byte_len int"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, byte_len int, "
+    "first_byte int, checksum_mod int"
+)
+
+
+def to_blob_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a text corpus as a multimodal blob table: payload = utf-8 bytes
+    (standing in for image/audio bytes), plus typed metadata columns."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("int").alias("byte_len"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload → pixel array. STUB: the container has no
+    imaging libraries; a real deployment plugs Pillow/libvips in here."""
+    raise NotImplementedError(
+        "image decoding is stubbed in this environment; plug in PIL/libvips"
+    )
+
+
+def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a codec: cheap byte-level features."""
+    payloads = pdf["payload"]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": payloads.map(len).astype("int32"),
+            "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                "int32"
+            ),
+            "checksum_mod": payloads.map(lambda b: sum(b[:64]) % 997).astype("int32"),
+        }
+    )
+
+
+def extract_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _fake_features(pdf)
+
+    return blobs.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference surface (BASELINE.json north star): brute-force cosine
+top-k as the exact baseline, and a sign-bit (random-projection-style) LSH
+bucketing as the scale path — bucket on the signs of the leading dimensions,
+search only the query's bucket. At 100 TB the bucket column becomes the
+table's partition/cluster key so a query touches one partition instead of
+the full corpus (an IVF-style layout); the brute-force path stays as the
+per-bucket scorer.
+
+All vector math runs JVM-side through higher-order array expressions with a
+fixed sequential fold (see dedup.cosine_expr) — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators.dedup import cosine_expr
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector.
+
+    The query vector rides along via a broadcast cross join (1 row), so the
+    scan is a single narrow pass: score + TakeOrderedAndProject.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", cosine_expr(vec_col, "qv", dims))
+        .select(id_col, F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def signbit_bucket(vec_col: str, n_bits: int = 6) -> F.Column:
+    """LSH bucket id from the signs of the first n_bits dimensions —
+    axis-aligned random projection (dims are i.i.d., so leading dims are as
+    good as random hyperplanes and need no shared random state)."""
+    bit_terms = [
+        F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, 2**i).otherwise(0)
+        for i in range(n_bits)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def signbit_lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_bits: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-bit bucket.
+
+    With b bits the candidate set is ~n/2^b of the corpus; recall follows
+    from sign agreement correlating with cosine. The bucket predicate is a
+    plain integer equality → partition-prunable when the table is laid out
+    by bucket.
+    """
+    bucketed = df.withColumn("bucket", signbit_bucket(vec_col, n_bits))
+    q = (
+        bucketed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("qv"), F.col("bucket").alias("qb"))
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col(id_col) != query_id))
+        .withColumn("cos", cosine_expr(vec_col, "qv", dims))
+        .select(id_col, F.col("bucket"), F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bucket_histogram(
+    df: DataFrame, n_bits: int = 6, vec_col: str = "embedding"
+) -> DataFrame:
+    """Bucket occupancy histogram — the skew diagnostic you check before
+    trusting an LSH layout at scale."""
+    return (
+        df.withColumn("bucket", signbit_bucket(vec_col, n_bits))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )

@@ -1,1 +1,394 @@
-"""Placeholder — filled in by subsequent milestones."""
+"""LLM-data-pipeline operators as oracle-checked gate queries.
+
+Wires operators/{text,dedup,similarity,multimodal} into the driver contract.
+Each oracle is an exact DuckDB mirror built on primitives that are
+bit-identical across engines (md5, ascii, substr, integer→double division,
+fixed-order float folds), so even the hash-based operators (minhash, LSH,
+simhash) hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators import dedup, multimodal, similarity, text
+from icebergsql_spark.plans.registry import load_tables, register
+
+# ------------------------------------------------------------ text analysis --
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS token_count,
+               len(list_distinct({_TOKS})) AS distinct_tokens,
+               length(text) AS char_len,
+               (length(text) - len({_TOKS}) + 1) / len({_TOKS}) AS avg_token_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens, distinct tokens, avg token len.",
+    tags=("pipeline", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.with_token_stats(docs).select(
+        "doc_id",
+        "token_count",
+        "distinct_tokens",
+        F.col("char_len").cast("bigint").alias("char_len"),
+        "avg_token_len",
+    ).orderBy("doc_id")
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+
+
+def _lang_case_sql() -> str:
+    langs = list(text.LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs[i + 1 :]
+        ) or "TRUE"
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+                 {_lang_score_sql('en')} AS score_en,
+                 {_lang_score_sql('de')} AS score_de,
+                 {_lang_score_sql('es')} AS score_es,
+                 {_lang_score_sql('fr')} AS score_fr,
+                 {_lang_score_sql('zh')} AS score_zh
+          FROM documents
+        )
+        SELECT doc_id, lang, score_en, score_de, score_es, score_fr, score_zh,
+               {_lang_case_sql()} AS predicted_lang
+        FROM scored
+        ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: marker-word counts + deterministic argmax.",
+    tags=("pipeline", "text"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.with_lang_scores(docs).select(
+        "doc_id", "lang", "score_en", "score_de", "score_es", "score_fr",
+        "score_zh", "predicted_lang",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(CASE WHEN len({_TOKS}) BETWEEN 20 AND 200 THEN 40 ELSE 10 END
+                  + CASE WHEN (length(text) - len({_TOKS}) + 1) / len({_TOKS})
+                         BETWEEN 3 AND 8 THEN 30 ELSE 5 END
+                  + round(len(list_distinct({_TOKS})) / len({_TOKS}) * 30, 2)
+                 AS DOUBLE) AS quality_score,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Quality scoring (length/diversity bands) + md5 fingerprint.",
+    tags=("pipeline", "text"),
+)
+def text_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        text.with_fingerprint(text.with_quality_score(docs))
+        .select("doc_id", "quality_score", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------------- dedup --
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_exact,
+               COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                 AS n_normalized
+        FROM documents
+    """,
+    doc="Exact + normalized dedup accounting over the corpus.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup_stats(docs)
+
+
+_WORDS_CTE = """
+        words AS (
+          SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS w
+          FROM docs
+        )"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{j}:' || w)) AS sig_{j}" for j in range(dedup.MINHASH_K)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        {_WORDS_CTE}
+        SELECT doc_id, {_SIG_COLS}
+        FROM words GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures (k=6 seeded md5 minima over the word set).",
+    tags=("pipeline", "dedup"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_signatures(docs).orderBy("doc_id")
+
+
+_BANDS_SQL = ", ".join(
+    f"md5(sig_{2 * b} || sig_{2 * b + 1}) AS b{b}" for b in range(dedup.LSH_BANDS)
+)
+_CAND_UNION = " UNION ".join(
+    f"SELECT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y "
+    f"ON x.b{b} = y.b{b} AND x.doc_id < y.doc_id"
+    for b in range(dedup.LSH_BANDS)
+)
+
+
+@register(
+    "dedup_lsh_neardup_pairs",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        {_WORDS_CTE},
+        sigs AS (SELECT doc_id, {_SIG_COLS} FROM words GROUP BY doc_id),
+        bands AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+        cand AS ({_CAND_UNION}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM words GROUP BY doc_id),
+        common AS (
+          SELECT wa.doc_id AS a, wb.doc_id AS b, COUNT(*) AS c
+          FROM words wa JOIN words wb ON wa.w = wb.w AND wa.doc_id < wb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT common.a, common.b,
+               round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN cand ON common.a = cand.a AND common.b = cand.b
+        JOIN sizes sa ON sa.doc_id = common.a
+        JOIN sizes sb ON sb.doc_id = common.b
+        WHERE c / (sa.sz + sb.sz - c) >= 0.8
+        ORDER BY common.a, common.b
+    """,
+    doc="MinHash-LSH near-dup pipeline: band buckets → candidate pairs → "
+    "exact word-set Jaccard >= 0.8 verification.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    cand = dedup.lsh_candidate_pairs(docs)
+    return (
+        dedup.jaccard_pairs(docs, n=1, threshold=0.8, candidates=cand)
+        .orderBy("a", "b")
+    )
+
+
+_VOTE_COLS = ", ".join(
+    f"sum(CASE WHEN ascii(substr(md5(tok), {j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END)"
+    f" AS v_{j}"
+    for j in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(16)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        votes AS (SELECT doc_id, {_VOTE_COLS} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_SUM} AS INTEGER) AS simhash
+        FROM votes ORDER BY doc_id
+    """,
+    doc="16-bit SimHash: per-bit majority vote over token hashes.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash16(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(
+              generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)),
+              i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+            ))) AS shingle
+          FROM docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT common.a, common.b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = common.a
+        JOIN sizes sb ON sb.doc_id = common.b
+        WHERE c / (sa.sz + sb.sz - c) >= 0.2
+        ORDER BY common.a, common.b
+    """,
+    doc="Exact 3-gram shingle-set Jaccard pairs (>= 0.2) via shingle join.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 150
+    )
+    return dedup.jaccard_pairs(docs, n=3, threshold=0.2).orderBy("a", "b")
+
+
+# -------------------------------------------------------- embeddings / ANN --
+
+_COS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+"""
+
+
+@register(
+    "emb_neardup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS a, b.vec_id AS b, round({_COS}, 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.45
+        ORDER BY a, b
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs baseline).",
+    tags=("pipeline", "embedding"),
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup.embedding_neardup_pairs(emb, threshold=0.45).orderBy("a", "b")
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+        SELECT b.vec_id, round({_COS}, 4) AS cos
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 7) a
+        CROSS JOIN embeddings b
+        WHERE b.vec_id != 7
+        ORDER BY {_COS} DESC, b.vec_id
+        LIMIT 10
+    """,
+    doc="Exact top-10 cosine neighbors of vector 7 (brute-force baseline).",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.brute_force_topk(emb, query_id=7, k=10)
+
+
+_BUCKET = "(" + " + ".join(
+    f"CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END"
+    for i in range(6)
+) + ")"
+
+
+@register(
+    "ann_signbit_lsh_topk",
+    oracle=f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 CAST({_BUCKET.format(t='embeddings')} AS INTEGER) AS bucket
+          FROM embeddings
+        )
+        SELECT b.vec_id, b.bucket, round({_COS}, 4) AS cos
+        FROM (SELECT embedding, bucket FROM bucketed WHERE vec_id = 7) a
+        CROSS JOIN bucketed b
+        WHERE b.bucket = a.bucket AND b.vec_id != 7
+        ORDER BY {_COS} DESC, b.vec_id
+        LIMIT 5
+    """,
+    doc="Sign-bit LSH ANN: 6-bit bucket on leading-dim signs; search only "
+    "the query's bucket (the 100 TB partition-pruned layout).",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_signbit_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.signbit_lsh_topk(emb, query_id=7, k=5)
+
+
+@register(
+    "ann_bucket_histogram",
+    oracle=f"""
+        SELECT CAST({_BUCKET.format(t='embeddings')} AS INTEGER) AS bucket,
+               COUNT(*) AS n
+        FROM embeddings
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="LSH bucket occupancy histogram (skew diagnostic for the layout).",
+    tags=("pipeline", "embedding"),
+)
+def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.bucket_histogram(emb)
+
+
+# -------------------------------------------------------------- multimodal --
+
+
+@register(
+    "multimodal_blob_features",
+    oracle="""
+        SELECT doc_id,
+               'application/octet-stream' AS media_type,
+               CAST(length(text) AS INTEGER) AS byte_len,
+               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+               CAST(list_sum(list_transform(
+                      generate_series(1, least(64, length(text))),
+                      i -> ascii(substr(text, i, 1)))) % 997 AS INTEGER)
+                 AS checksum_mod
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Multimodal plumbing: text→binary payload table, Arrow-batched "
+    "mapInPandas feature extraction (decode step stubbed; see "
+    "operators/multimodal.py).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    blobs = multimodal.to_blob_table(docs)
+    return multimodal.extract_features(blobs).orderBy("doc_id")
