@@ -1,0 +1,167 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §1.1: 'streams — none'); this module
+is beyond-reference surface for the training-data-pipeline north star:
+event-time windowed aggregation with watermarks (late-data handling) and
+custom stateful sessionization via ``applyInPandasWithState``.
+
+Scale notes: windowed aggregation state is bounded by the watermark horizon;
+sessionization state is per-user and evicted on gap timeout. Both are
+shuffle-partitioned by key, so a 1000-executor cluster shards state
+horizontally. The batch twins of these queries (plans/relational.py
+events_json_time_bucket) let the DuckDB oracle cover the same semantics the
+stream computes incrementally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+# ts arrives as bigint nanos (parquet TIMESTAMP(NANOS) read with
+# spark.sql.legacy.parquet.nanosAsLong — same convention as the batch path)
+
+
+def read_event_stream(spark, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """bigint nanos → timestamp event_time column (micros precision)."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event counts per type with a late-data watermark.
+
+    State is dropped once the watermark passes a window's end, so memory is
+    bounded by (watermark horizon / window) × key cardinality.
+    """
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min session gap
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, n_events int"
+)
+STATE_SCHEMA = "open_start bigint, open_end bigint, open_count int"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Assemble gap-based sessions for one user.
+
+    Emits every session CLOSED by the data seen so far; the trailing open
+    session is carried in state (a production stream would also flush it on
+    gap timeout via ProcessingTimeTimeout — elided here).
+
+    Ordering contract: micro-batches must arrive per-key in approximate
+    event-time order (what a log-backed source delivers per partition);
+    events are sorted within a batch, and an event older than the open
+    session's span would belong to an already-emitted session (late data —
+    a watermark-buffered variant would hold a reorder buffer in state).
+    """
+    (user_id,) = key
+    ts_sorted: list[int] = []
+    for pdf in batches:
+        ts_sorted.extend(int(t) for t in pdf["ts"])
+    ts_sorted.sort()
+
+    if state.exists:
+        open_start, open_end, open_count = state.get
+    else:
+        open_start = open_end = open_count = None
+
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_sorted:
+        if open_start is None:
+            open_start, open_end, open_count = t, t, 1
+        elif t - open_end <= SESSION_GAP_NS:
+            open_end, open_count = t, open_count + 1
+        else:
+            closed.append((open_start, open_end, open_count))
+            open_start, open_end, open_count = t, t, 1
+    if open_start is not None:
+        state.update((open_start, open_end, open_count))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize(stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization (30 min) via applyInPandasWithState —
+    the custom stateful operator Spark's built-ins don't provide directly."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_sessions(events: DataFrame) -> DataFrame:
+    """Batch twin of ``sessionize`` (windowed lag + cumulative session ids) —
+    used to cross-check the streaming operator's output."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    with_gap = events.withColumn(
+        "new_session",
+        (F.col("ts") - F.lag("ts").over(w) > SESSION_GAP_NS).cast("int"),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(0))).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return with_gap.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )

@@ -1,0 +1,120 @@
+"""Streaming operator tests: file-source stream → memory sink, availableNow.
+
+The streaming results are cross-checked against their batch twins computed
+from the same events parquet — the streaming analogue of the duckdb-oracle
+strategy."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebergsql_spark.streaming import ops
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events split into time-range parquet files with ascending mtimes, so
+    the file source delivers micro-batches in event-time order — the
+    ordering contract a log-backed source (Kafka per-partition) provides,
+    which gap-sessionization relies on (see ops.sessionize docstring)."""
+    import os
+    import time
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.repartitionByRange(8, F.col("ts")).write.mode("overwrite").parquet(out)
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = time.time() - len(parts) * 60
+    for i, fn in enumerate(parts):
+        os.utime(os.path.join(out, fn), (base + i * 60, base + i * 60))
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _run_stream(spark, df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = ops.read_event_stream(spark, events_dir)
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final watermark = max(event_time) - 2h, so assert against the batch
+    # twin restricted to closed windows
+    result = _run_stream(spark, ops.windowed_counts(stream), "win_counts")
+
+    batch = ops.with_event_time(spark.read.parquet(events_dir))
+    expected = (
+        batch.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    max_time = batch.agg(F.max("event_time")).collect()[0][0]
+    import datetime as dt
+
+    horizon = max_time - dt.timedelta(hours=2)
+    expected_closed = expected.filter(F.col("window_end") <= horizon)
+
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in expected_closed.collect()}
+    assert want, "test needs at least one closed window"
+    assert got == want
+
+
+def test_sessionize_matches_batch_twin(spark, events_dir):
+    stream = ops.read_event_stream(spark, events_dir)
+    result = _run_stream(spark, ops.sessionize(stream), "sessions")
+
+    events = spark.read.parquet(events_dir)
+    batch = ops.batch_sessions(events)
+    # the stream emits sessions closed by observed data; each user's LAST
+    # session stays open in state — exclude it from the expectation
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("session_start"))
+    expected = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert want, "test needs at least one closed session"
+    assert got == want
+
+
+def test_stream_is_incremental(spark, events_dir):
+    """The file source must process in multiple triggers (maxFilesPerTrigger)
+    — guards against accidentally collapsing to a single batch."""
+    stream = ops.read_event_stream(spark, events_dir)
+    q = (
+        ops.windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("inc_check")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
