@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebergsql_spark.operators.dedup import cosine_expr
+from icebergsql_spark.operators.dedup import dot_expr, with_double_vec_and_norm
 
 
 def brute_force_topk(
@@ -33,11 +33,14 @@ def brute_force_topk(
     The query vector rides along via a broadcast cross join (1 row), so the
     scan is a single narrow pass: score + TakeOrderedAndProject.
     """
-    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qv"))
+    base = with_double_vec_and_norm(df, vec_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
     return (
-        df.filter(F.col(id_col) != query_id)
+        base.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos", cosine_expr(vec_col, "qv", dims))
+        .withColumn("cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn")))
         .select(id_col, F.round("cos", 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
@@ -74,15 +77,16 @@ def signbit_lsh_topk(
     plain integer equality → partition-prunable when the table is laid out
     by bucket.
     """
-    bucketed = df.withColumn("bucket", signbit_bucket(vec_col, n_bits))
-    q = (
-        bucketed.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("qv"), F.col("bucket").alias("qb"))
+    bucketed = with_double_vec_and_norm(df, vec_col).withColumn(
+        "bucket", signbit_bucket(vec_col, n_bits)
+    )
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
     )
     return (
         bucketed.crossJoin(F.broadcast(q))
         .filter((F.col("bucket") == F.col("qb")) & (F.col(id_col) != query_id))
-        .withColumn("cos", cosine_expr(vec_col, "qv", dims))
+        .withColumn("cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn")))
         .select(id_col, F.col("bucket"), F.round("cos", 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)

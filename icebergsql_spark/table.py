@@ -65,6 +65,38 @@ class TableValidationError(ValueError):
     pass
 
 
+_ATOMIC_OK = (
+    T.BooleanType, T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.CharType, T.VarcharType,
+    T.DateType, T.TimestampType, T.TimestampNTZType, T.DecimalType,
+    T.BinaryType,
+)
+
+
+def validate_schema_types(dtype: T.DataType, path: str = "") -> None:
+    """Reject types outside the reference's supported set — mirrors
+    TypeConversions.scala:37-100 (/root/reference/src/main/scala/org/apache/
+    spark/sql/iceberg/utils/TypeConversions.scala): Atomic, Map, Array, or
+    Struct, arbitrarily nested; CalendarInterval / UDT / Null raise."""
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            validate_schema_types(f.dataType, f"{path}.{f.name}" if path else f.name)
+        return
+    if isinstance(dtype, T.ArrayType):
+        validate_schema_types(dtype.elementType, f"{path}[]")
+        return
+    if isinstance(dtype, T.MapType):
+        validate_schema_types(dtype.keyType, f"{path}<key>")
+        validate_schema_types(dtype.valueType, f"{path}<value>")
+        return
+    if isinstance(dtype, _ATOMIC_OK):
+        return
+    raise TableValidationError(
+        f"unsupported column type {dtype.simpleString()} at {path or '<root>'}; "
+        "columns must be Atomic, Map, Array, or Struct type"
+    )
+
+
 class Catalog:
     """Warehouse-directory catalog: one subdirectory per managed table.
 
@@ -114,6 +146,7 @@ class Catalog:
             raise TableValidationError(f"table {name!r} already exists")
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
+        validate_schema_types(schema)
         cols = [f.name for f in schema.fields]
         if not partition_cols:
             raise TableValidationError(
