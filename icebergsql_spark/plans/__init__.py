@@ -14,5 +14,6 @@ def load_all() -> None:
     """Import every plan module so their @register decorators run."""
     import icebergsql_spark.plans.tpch  # noqa: F401
     import icebergsql_spark.plans.relational  # noqa: F401
+    import icebergsql_spark.plans.relational2  # noqa: F401
     import icebergsql_spark.plans.pipeline  # noqa: F401
     import icebergsql_spark.plans.managed  # noqa: F401

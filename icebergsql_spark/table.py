@@ -218,6 +218,7 @@ class ManagedTable:
         static_partition: dict[str, str] | None = None,
         dynamic: bool = False,
         if_partition_not_exists: bool = False,
+        distribute_by: list[str] | None = None,
     ) -> Snapshot:
         """Append or overwrite, producing a new snapshot.
 
@@ -232,6 +233,12 @@ class ManagedTable:
         are replaced. ``dynamic`` implements dynamic partition overwrite
         (only partitions the source actually writes are replaced —
         partitionOverwriteMode=dynamic, :218-233).
+
+        ``distribute_by`` hash-repartitions the source on the given columns
+        before the write (Iceberg's ``write.distribution-mode=hash``): one
+        shuffle that co-locates each output partition's rows into one task,
+        so a 1000-task source writing 100 partitions produces 100 files, not
+        100 × 1000.
         """
         self.refresh()
         schema = self.schema
@@ -278,6 +285,8 @@ class ManagedTable:
         out_dir = os.path.join(self.meta.data_dir, commit_id)
         part_cols = self.meta.partition_cols
         write_df = df
+        if distribute_by:
+            write_df = write_df.repartition(*[F.col(c) for c in distribute_by])
         for pc in part_cols:
             write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
         (

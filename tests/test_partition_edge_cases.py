@@ -1,0 +1,64 @@
+"""Partition-value edge cases: NULL partitions, special characters, and the
+files metadata view (test introspection per SURVEY §2.A #25 — replaces the
+reference's reflection-based filesScanned helper, utils/utils.scala:43-69).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icebergsql_spark.table import Catalog
+
+
+def test_null_and_special_partition_values(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh"))
+    tbl = catalog.create_table(
+        "edge", "id int, k string", partition_cols=["k"]
+    )
+    rows = [(1, "plain"), (2, None), (3, "a b/c=d:e"), (4, "plain")]
+    tbl.insert(spark.createDataFrame(rows, "id int, k string"))
+
+    got = {(r["id"], r["k"]) for r in tbl.to_df().collect()}
+    assert got == set(rows)
+
+    # partition map round-trips the decoded values
+    parts = {f.partition["k"] for f in tbl.meta.current_snapshot().live_files()}
+    assert parts == {"plain", None, "a b/c=d:e"}
+
+    # pruning on the special-char partition value
+    scan = tbl.scan(where="k = 'a b/c=d:e'")
+    assert scan.files_scanned == 1
+    assert [r["id"] for r in scan.dataframe().collect()] == [3]
+
+    # IS NULL pruning hits only the null partition
+    null_scan = tbl.scan(where="k IS NULL")
+    assert null_scan.files_scanned == 1
+    assert [r["id"] for r in null_scan.dataframe().collect()] == [2]
+
+    # IS NOT NULL excludes it
+    nn = tbl.scan(where="k IS NOT NULL")
+    assert {r["id"] for r in nn.dataframe().collect()} == {1, 3, 4}
+
+
+def test_files_metadata_view(spark, tmp_path):
+    catalog = Catalog(spark, str(tmp_path / "wh2"))
+    tbl = catalog.create_table("f", "id int, k string", partition_cols=["k"])
+    tbl.insert(spark.createDataFrame([(i, f"p{i % 2}") for i in range(10)], "id int, k string"))
+    files = tbl.files_df().collect()
+    assert sum(f["record_count"] for f in files) == 10
+    assert all(f["file_size"] > 0 for f in files)
+    # dataframe inputFiles ⊆ files view paths
+    scan_paths = {f["file_path"] for f in files}
+    input_files = {p.replace("file://", "") for p in tbl.to_df().inputFiles()}
+    assert input_files <= scan_paths
+
+
+def test_insert_distribution(spark, tmp_path):
+    """distribute_by controls files-per-partition (write.distribution-mode
+    parity: one shuffle to co-locate rows before the write)."""
+    catalog = Catalog(spark, str(tmp_path / "wh3"))
+    tbl = catalog.create_table("d", "id int, k string", partition_cols=["k"])
+    df = spark.createDataFrame([(i, f"p{i % 3}") for i in range(3000)], "id int, k string")
+    snap = tbl.insert(df.repartition(24), distribute_by=["k"])
+    # hash distribution by partition key → exactly one file per partition
+    assert snap.num_added_files == 3
