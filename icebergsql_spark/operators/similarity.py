@@ -93,6 +93,48 @@ def signbit_lsh_topk(
     )
 
 
+def brute_force_topk_blas(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path top-k: per-partition numpy matmul via Arrow-batched
+    mapInPandas.
+
+    The JVM higher-order-function fold (brute_force_topk) is exact and
+    oracle-matchable but evaluates lambdas per element; at 10^8+ vectors the
+    winning layout is a blocked GEMV: each Arrow batch becomes one
+    (batch × dims) @ (dims,) matmul. Results differ from the sequential fold
+    only in float summation order (~1e-15), so this variant is validated
+    against the exact operator by rank (see tests) rather than value hash.
+    """
+    import numpy as np
+
+    q_rows = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    q = np.asarray(q_rows[0][0], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cos = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "cos": cos})
+
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .mapInPandas(score, schema="vec_id bigint, cos double")
+        .select("vec_id", F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def bucket_histogram(
     df: DataFrame, n_bits: int = 6, vec_col: str = "embedding"
 ) -> DataFrame:

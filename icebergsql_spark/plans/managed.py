@@ -102,6 +102,41 @@ def managed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_sql_scenario",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="SQL front door end-to-end: managed CTAS via Engine.sql, then a "
+    "WHERE-pruned SELECT through the same SQL surface.",
+    tags=("managed", "sql"),
+)
+def managed_sql_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-sqlwh-"))
+    _lineitem_with_year(spark, sf_dir).createOrReplaceTempView("lineitem_src")
+    eng.sql(
+        "CREATE TABLE li_sql USING parquet "
+        "OPTIONS (addTableManagement 'true') "
+        "PARTITIONED BY (l_shipyear) "
+        "AS SELECT * FROM lineitem_src"
+    )
+    return eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price "
+        "FROM li_sql WHERE l_shipyear = 1996 "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+
+
+@register(
     "managed_partition_overwrite",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear, COUNT(*) AS n

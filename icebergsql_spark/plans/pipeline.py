@@ -366,6 +366,19 @@ def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucket_histogram(emb)
 
 
+@register(
+    "ann_bruteforce_topk_blas",
+    oracle=None,  # float summation order differs from the sequential fold →
+    # validated by rank against ann_bruteforce_topk in tests (rows-only here)
+    doc="Scale-path ANN: blocked numpy GEMV over Arrow batches (mapInPandas);"
+    " same top-k as the exact fold, validated by rank in tests.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_bruteforce_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.brute_force_topk_blas(emb, query_id=7, k=10)
+
+
 # -------------------------------------------------------------- multimodal --
 
 

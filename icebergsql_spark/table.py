@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 
 from icebergsql_spark.catalog.metadata import (
     ColStats,
+    CommitConflict,
     DataFile,
     Manifest,
     Snapshot,
@@ -396,7 +397,38 @@ class ManagedTable:
         )
         self.meta.snapshots.append(snap)
         self.meta.current_snapshot_id = snap.snapshot_id
-        self.meta.commit()
+        try:
+            self.meta.commit()
+        except CommitConflict:
+            # Optimistic retry for APPENDS (the reference's commit is
+            # retry-able the same way, SparkTableOperations.scala:91-149):
+            # the written data files are untouched; rebase the new manifest
+            # onto the current metadata and re-commit. Overwrites cannot be
+            # rebased blindly — their delete set was computed against a
+            # stale snapshot — so they surface the conflict to the caller.
+            if op != "append":
+                raise
+            for _ in range(5):
+                self.refresh()
+                parent = self.meta.current_snapshot()
+                existing_ids = {s.snapshot_id for s in self.meta.snapshots}
+                while snap.snapshot_id in existing_ids:
+                    snap.snapshot_id += 1
+                snap.parent_id = parent.snapshot_id if parent else None
+                snap.manifest_paths = (
+                    (parent.manifest_paths if parent else []) + manifest_paths[-1:]
+                )
+                if parent is not None and snap.timestamp_ms <= parent.timestamp_ms:
+                    snap.timestamp_ms = parent.timestamp_ms + 1
+                self.meta.snapshots.append(snap)
+                self.meta.current_snapshot_id = snap.snapshot_id
+                try:
+                    self.meta.commit()
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                raise
         return snap
 
     # ------------------------------------------------------------ reads --

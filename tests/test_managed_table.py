@@ -181,3 +181,37 @@ def test_commit_conflict(spark, catalog, src):
     stale.snapshots = list(stale.snapshots)
     with pytest.raises(CommitConflict):
         stale.commit()
+
+
+def test_append_commit_retry_rebases(spark, catalog, src):
+    """A racing append rebases onto the winner's snapshot instead of failing
+    (the reference's optimistic retry, SparkTableOperations.scala:91-149)."""
+    tbl_a = catalog.create_table(
+        "race", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]
+    )
+    tbl_a.insert(src.limit(30))
+    tbl_b = catalog.load_table("race")
+
+    # freeze A's view of the metadata for ONE refresh (the race window),
+    # while B commits underneath
+    real_refresh = tbl_a.refresh
+    state = {"stale_calls": 1}
+
+    def fake_refresh():
+        if state["stale_calls"] > 0:
+            state["stale_calls"] -= 1
+            return tbl_a
+        return real_refresh()
+
+    tbl_a.refresh = fake_refresh
+    tbl_b.insert(src.limit(20))  # the winner
+    snap = tbl_a.insert(src.limit(10))  # stale base → conflict → rebase
+    tbl_a.refresh = real_refresh
+
+    tbl_a.refresh()
+    assert tbl_a.meta.current_snapshot_id == snap.snapshot_id
+    assert len(tbl_a.meta.snapshots) == 3
+    assert tbl_a.to_df().count() == 60
+    # the rebased snapshot chains onto the winner, not the stale parent
+    ids = {s.snapshot_id: s for s in tbl_a.meta.snapshots}
+    assert ids[snap.snapshot_id].parent_id == tbl_b.meta.current_snapshot_id

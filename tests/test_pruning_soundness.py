@@ -1,0 +1,54 @@
+"""Property test: file pruning NEVER changes results.
+
+For any predicate, scan(where=p) ≡ full-scan → filter(p). This is the
+invariant that makes manifest/stats pruning safe to apply everywhere
+(IceTableScanExec's contract in the reference — pruning only skips files
+that provably contain no matching rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icebergsql_spark.table import Catalog
+from tests.store_sales_fixture import COLUMN_DEPENDENCIES, SCHEMA_DDL, build_store_sales_df
+
+PREDICATES = [
+    "ss_sold_date_sk = '0906245'",
+    "ss_sold_date_sk != '0906245'",
+    "ss_sold_date_sk IN ('0905245', '0907245')",
+    "ss_item_sk < 5000",
+    "ss_item_sk >= 5000 AND ss_sold_date_sk = '0908245'",
+    "ss_item_sk BETWEEN 4000 AND 6000",
+    "ss_sold_month = '09' AND ss_sold_day = '0910'",
+    "ss_sold_date_sk = '0906245' OR ss_item_sk > 17000",
+    "NOT ss_sold_date_sk = '0905245'",
+    "NOT (ss_item_sk < 17990)",
+    "ss_quantity IS NOT NULL",
+    "ss_sold_date_sk IS NULL",
+    "ss_sold_date_sk > '0907'",
+    "ss_item_sk = 123456",  # matches nothing
+    "ss_wholesale_cost < 10.5",  # decimal col without footer bounds
+]
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    catalog = Catalog(spark, str(tmp_path_factory.mktemp("wh_sound")))
+    tbl = catalog.create_table(
+        "sound", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"],
+        properties={"columnDependencies": COLUMN_DEPENDENCIES},
+    )
+    tbl.insert(build_store_sales_df(spark))
+    return tbl
+
+
+@pytest.mark.parametrize("pred", PREDICATES)
+def test_pruned_scan_equals_filtered_full_scan(spark, table, pred):
+    full = table.scan()  # no predicate → all files
+    expected = sorted(
+        tuple(r) for r in full.dataframe().filter(pred).collect()
+    )
+    scan = table.scan(where=pred)
+    got = sorted(tuple(r) for r in scan.dataframe().collect())
+    assert got == expected
+    assert scan.files_scanned <= full.files_scanned
