@@ -47,6 +47,54 @@ BENCH_QUERIES = [
 ]
 
 
+def managed_overhead(spark, sf_dir: str) -> dict[str, float]:
+    """The BASELINE gate measurement: the same aggregation on (a) raw
+    parquet and (b) a managed-table scan, plus the one-time managed write.
+    The managed scan must stay within 2× of stock (BASELINE.md) — it reads
+    an explicit pruned file list but the execution plan is the same parquet
+    scan + hash aggregate."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from icebergsql_spark.table import Catalog
+
+    def agg(df):
+        return (
+            df.filter(F.year("l_shipdate") == 1996)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("q"),
+            )
+        )
+
+    out: dict[str, float] = {}
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t0 = time.time()
+    agg(raw).write.format("noop").mode("overwrite").save()
+    out["stock_scan_agg"] = round(time.time() - t0, 3)
+
+    catalog = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-bench-wh-"))
+    li = raw.withColumn("l_shipyear", F.year("l_shipdate"))
+    ddl = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz, "
+        "l_shipyear int"
+    )
+    tbl = catalog.create_table("bench_li", ddl, partition_cols=["l_shipyear"])
+    t0 = time.time()
+    tbl.insert(li)
+    out["managed_insert"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    scan = tbl.scan(where="l_shipyear = 1996")
+    agg(scan.dataframe(apply_where=False)).write.format("noop").mode("overwrite").save()
+    out["managed_scan_agg"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -64,6 +112,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    timings.update(managed_overhead(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
