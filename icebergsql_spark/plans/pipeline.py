@@ -367,6 +367,88 @@ def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_heavy_hitters",
+    oracle="""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+    doc="Corpus heavy hitters: top-20 tokens by frequency (explode + "
+    "map-side partial count + top-k).",
+    tags=("pipeline", "text"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang, source,
+                 len({_TOKS}) AS token_count,
+                 CASE WHEN len({_TOKS}) BETWEEN 20 AND 200 THEN 40 ELSE 10 END
+                   + CASE WHEN (length(text) - len({_TOKS}) + 1) / len({_TOKS})
+                          BETWEEN 3 AND 8 THEN 30 ELSE 5 END
+                   + round(len(list_distinct({_TOKS})) / len({_TOKS}) * 30, 2)
+                   AS quality_score,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+        ),
+        deduped AS (
+          SELECT * FROM scored
+          WHERE doc_id = (SELECT min(s2.doc_id) FROM scored s2 WHERE s2.fp = scored.fp)
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+               CAST(round(CAST(SUM(CAST(quality_score AS DECIMAL(12,2))) AS DOUBLE)
+                          / COUNT(*), 4) AS DOUBLE) AS avg_quality
+        FROM deduped
+        WHERE quality_score >= 60
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Composed training-data pipeline: quality score → normalized-text "
+    "dedup (keep lowest doc_id) → quality filter → per-language stats.",
+    tags=("pipeline", "composed"),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = text.with_fingerprint(text.with_quality_score(docs))
+    w = W.partitionBy("fingerprint")
+    deduped = (
+        scored.withColumn("min_doc", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_doc"))
+    )
+    return (
+        deduped.filter(F.col("quality_score") >= 60)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_count").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "ann_bruteforce_topk_blas",
     oracle=None,  # float summation order differs from the sequential fold →
     # validated by rank against ann_bruteforce_topk in tests (rows-only here)

@@ -1,0 +1,49 @@
+"""Streaming ingestion into managed tables.
+
+Bridges Structured Streaming and the snapshot layer: each micro-batch is
+appended as ONE snapshot via ``foreachBatch``, giving a commit history that
+mirrors the trigger sequence (and therefore batch-granular time travel /
+replay). Idempotence note: foreachBatch delivers (batch_id, df) at-least-
+once on recovery; the writer records the last committed batch_id in the
+snapshot summary and skips batches it has already committed — the standard
+exactly-once-per-batch recipe for transactional sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from icebergsql_spark.table import ManagedTable
+
+
+class ManagedTableWriter:
+    def __init__(self, table: ManagedTable, distribute_by: list[str] | None = None):
+        self.table = table
+        self.distribute_by = distribute_by
+
+    def _last_batch_id(self) -> int:
+        self.table.refresh()
+        snap = self.table.meta.current_snapshot()
+        if snap is None:
+            return -1
+        return int(snap.summary.get("streaming-batch-id", -1))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return  # replayed batch after recovery — already committed
+        snap = self.table.insert(batch_df, distribute_by=self.distribute_by)
+        snap.summary["streaming-batch-id"] = str(batch_id)
+        # summary mutation lands in the already-committed metadata on the
+        # NEXT commit; persist it now so recovery sees it
+        self.table.meta.commit()
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger_kwargs):
+        """Start the streaming write (availableNow by default)."""
+        if not trigger_kwargs:
+            trigger_kwargs = {"availableNow": True}
+        return (
+            stream.writeStream.foreachBatch(self)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
