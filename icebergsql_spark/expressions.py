@@ -113,7 +113,7 @@ def and_all(preds: list[Pred]) -> Pred:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,) |
-        (?P<op><=|>=|<>|!=|=|<|>) |
+        (?P<op><=>|<=|>=|<>|!=|=|<|>) |
         (?P<str>'(?:[^']|'')*') |
         (?P<num>-?\d+\.\d+|-?\d+) |
         (?P<word>[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`)
@@ -202,6 +202,8 @@ class _Parser:
             left = And(left, self.factor())
         return left
 
+    FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
     def factor(self) -> Pred:
         k, v = self.peek()
         if k == "not":
@@ -218,6 +220,16 @@ class _Parser:
         if k == "false":
             self.next()
             return AlwaysFalse()
+        if k in ("num", "str", "date", "timestamp"):
+            # literal-on-left comparison: flip operands (the reference's
+            # operand flip, ExpressionConversions.scala:47-58)
+            lit = self._literal()
+            op_kind, op = self.next()
+            if op_kind != "op":
+                raise ValueError(f"expected comparison after literal, got {op!r}")
+            op = {"<>": "!=", "<=>": "="}.get(op, op)
+            col = self._column()
+            return Comparison(self.FLIP.get(op, op), col, lit)
         return self.predicate()
 
     def _column(self) -> str:
@@ -235,9 +247,11 @@ class _Parser:
         col = self._column()
         k, v = self.next()
         if k == "op":
-            op = {"<>": "!="}.get(v, v)
-            # literal-on-left flip is handled by always requiring col first;
-            # flipped forms appear rarely in our SQL surface
+            # <=> (null-safe eq) maps to plain EQ for pruning, like the
+            # reference (ExpressionConversions.scala:33-40); sound because
+            # NULL <=> v matches only all-null files, which EQ pruning keeps
+            # conservative via the null-count path
+            op = {"<>": "!=", "<=>": "="}.get(v, v)
             return Comparison(op, col, self._literal())
         if k == "between":
             lo = self._literal()

@@ -170,6 +170,20 @@ def test_validations(spark, catalog, src):
         tbl.insert(src, overwrite=True, static_partition={"ss_item_sk": "1"})
 
 
+def test_append_reuses_parent_manifests(spark, catalog, src):
+    """Appends must reference the parent's manifest files unchanged (commit
+    cost O(new files), the Iceberg manifest-reuse model)."""
+    tbl = catalog.create_table(
+        "reuse", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]
+    )
+    s1 = tbl.insert(src.limit(100))
+    s2 = tbl.insert(src.limit(50))
+    s3 = tbl.insert(src.limit(20))
+    m1, m2, m3 = (set(s.manifest_paths) for s in (s1, s2, s3))
+    assert m1 < m2 < m3  # strictly growing by ONE new manifest each
+    assert len(m2 - m1) == 1 and len(m3 - m2) == 1
+
+
 def test_commit_conflict(spark, catalog, src):
     tbl = catalog.create_table(
         "conflict", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]

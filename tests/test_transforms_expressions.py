@@ -110,6 +110,15 @@ class TestPredicateParser:
         assert parse_predicate("x IS NULL") == IsNull("x")
         assert parse_predicate("NOT x > 5") == Not(Comparison(">", "x", 5))
 
+    def test_literal_on_left_flip(self):
+        # reference's operand flip (ExpressionConversions.scala:47-58)
+        assert parse_predicate("5 < x") == Comparison(">", "x", 5)
+        assert parse_predicate("5 >= x") == Comparison("<=", "x", 5)
+        assert parse_predicate("'a' = s") == Comparison("=", "s", "a")
+
+    def test_null_safe_eq(self):
+        assert parse_predicate("x <=> 5") == Comparison("=", "x", 5)
+
     def test_strict_vs_lenient(self):
         with pytest.raises(ValueError):
             parse_predicate("name LIKE 'foo%'")
