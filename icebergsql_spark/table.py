@@ -398,6 +398,27 @@ class ManagedTable:
         self.meta.snapshots.append(snap)
         self.meta.current_snapshot_id = snap.snapshot_id
         try:
+            self._commit_with_retry(snap, op, manifest_paths)
+        except Exception:
+            # cleanup-on-failure: a commit that cannot land leaves no
+            # orphaned data files (mirrors the reference's cleanup,
+            # SparkTableOperations.scala:120-149). All of this insert's
+            # files live under one data/<commit-id>/ directory.
+            if added:
+                import shutil
+
+                commit_dir = os.path.join(
+                    self.meta.data_dir,
+                    os.path.relpath(added[0].path, self.meta.data_dir).split(os.sep)[0],
+                )
+                shutil.rmtree(commit_dir, ignore_errors=True)
+            raise
+        return snap
+
+    def _commit_with_retry(
+        self, snap: Snapshot, op: str, manifest_paths: list[str]
+    ) -> None:
+        try:
             self.meta.commit()
         except CommitConflict:
             # Optimistic retry for APPENDS (the reference's commit is
@@ -429,7 +450,6 @@ class ManagedTable:
                     continue
             else:
                 raise
-        return snap
 
     # ------------------------------------------------------------ reads --
 

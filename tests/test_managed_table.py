@@ -197,6 +197,38 @@ def test_commit_conflict(spark, catalog, src):
         stale.commit()
 
 
+def test_overwrite_conflict_cleans_up_written_files(spark, catalog, src):
+    """A conflicted OVERWRITE surfaces the error AND removes the files it
+    wrote (cleanup-on-failure, SparkTableOperations.scala:120-149)."""
+    import os
+
+    tbl_a = catalog.create_table(
+        "race_ow", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]
+    )
+    tbl_a.insert(src.limit(30))
+    tbl_b = catalog.load_table("race_ow")
+
+    real_refresh = tbl_a.refresh
+    state = {"stale": 1}
+
+    def fake_refresh():
+        if state["stale"]:
+            state["stale"] -= 1
+            return tbl_a
+        return real_refresh()
+
+    tbl_a.refresh = fake_refresh
+    tbl_b.insert(src.limit(20))
+    data_dirs_before = set(os.listdir(tbl_a.meta.data_dir))
+    with pytest.raises(CommitConflict):
+        tbl_a.insert(src.limit(10), overwrite=True)
+    tbl_a.refresh = real_refresh
+    # the failed overwrite's data directory was removed
+    assert set(os.listdir(tbl_a.meta.data_dir)) == data_dirs_before
+    tbl_a.refresh()
+    assert tbl_a.to_df().count() == 50  # both appends intact, no overwrite
+
+
 def test_append_commit_retry_rebases(spark, catalog, src):
     """A racing append rebases onto the winner's snapshot instead of failing
     (the reference's optimistic retry, SparkTableOperations.scala:91-149)."""
