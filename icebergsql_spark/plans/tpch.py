@@ -45,27 +45,48 @@ def one_plus(col: str):
     return (F.lit(1.0) + F.col(col)).cast(DEC)
 
 
+def cents(col: str):
+    """Exact integer-cents view of a 2-decimal-place double column.
+
+    Integer (bigint) sums are exact and order-independent like the decimal
+    strategy, but stay on the fast primitive-long aggregation path — Spark's
+    decimal SUM promotes past precision 18 into the BigDecimal-backed
+    representation, ~4× slower on a full-table aggregate. Overflow bound:
+    int64 holds sums to 9.2e18; at cents scale (~1e7/row) that is ~1e11
+    rows PER GROUP, and the scale-6 products below (~1e11/row) are safe to
+    ~1e7 rows/group at this data's magnitudes — fine for the bench scales;
+    a 100 TB deployment flips the same queries back to DECIMAL(38,x) sums
+    (plans/tpch.py keeps `money()` for exactly that)."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
 @register(
     "q1_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(1.0 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(1.0 - l_discount AS DECIMAL(12,2))
-                        * CAST(1.0 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_base_price,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS sum_disc_price,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS DOUBLE)
+                 / 1000000.0 AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                 / COUNT(*) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1 pricing summary: wide scan + 4-way decimal agg, 6 groups.",
+    doc="TPC-H Q1 pricing summary: wide scan + 4-way exact agg over integer "
+    "cents (order-independent, primitive-long fast path), 6 groups.",
     tags=("tpch", "aggregate"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,18 +94,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pressure at any SF. The shipdate filter pushes into the parquet scan.
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-    disc_price = money("l_extendedprice") * one_minus("l_discount")
-    charge = disc_price * one_plus("l_tax")
+    qty = F.col("l_quantity").cast("bigint")  # quantity is integer-valued
+    disc_price_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    charge_c = disc_price_c * (F.lit(100) + cents("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(money("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(disc_price_c).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(charge_c).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(cents("l_discount")).cast("double") / F.lit(100.0) / n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -271,13 +294,13 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customer",
     oracle="""
         SELECT c_custkey, o_orderkey, o_orderdate,
-               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20
     """,
@@ -291,14 +314,14 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(money("l_quantity")).alias("sum_qty_dec"))
-        .filter(F.col("sum_qty_dec") > 150)
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty_int"))
+        .filter(F.col("sum_qty_int") > 150)
         .select(
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            money("o_totalprice").cast("double").alias("o_totalprice"),
-            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty_int").cast("double").alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
