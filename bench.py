@@ -101,8 +101,18 @@ def main() -> None:
     load_all()
     spark = get_spark(app_name="icebergsql-bench")
 
-    # warm the JVM + parquet footers with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM (codegen, parquet reader, shuffle machinery) with a
+    # realistic throwaway query so the first timed query isn't paying JIT
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -391,11 +391,26 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
         F.col("c_custkey").alias("custkey")
     )
+    # one pass instead of four set-op jobs: per-side (count, distinct-key
+    # set) then a single full-outer join of the key sets derives UNION
+    # DISTINCT / INTERSECT / EXCEPT; UNION ALL is the two base counts
+    n_big, n_auto = big.count(), auto.count()
+    da = big.distinct().withColumn("in_a", F.lit(1))
+    db = auto.distinct().withColumn("in_b", F.lit(1))
+    j = da.join(db, "custkey", "full").agg(
+        F.count(F.lit(1)).alias("union_distinct"),
+        F.count(F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)).alias(
+            "intersect"
+        ),
+        F.count(F.when(F.col("in_a").isNotNull() & F.col("in_b").isNull(), 1)).alias(
+            "except_"
+        ),
+    ).collect()[0]
     rows = [
-        ("union_all", big.unionAll(auto).count()),
-        ("union_distinct", big.union(auto).distinct().count()),
-        ("intersect", big.intersect(auto).count()),
-        ("except", big.subtract(auto).count()),  # subtract == EXCEPT DISTINCT
+        ("union_all", n_big + n_auto),
+        ("union_distinct", j["union_distinct"]),
+        ("intersect", j["intersect"]),
+        ("except", j["except_"]),
     ]
     return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
 
