@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from icebergsql_spark.plans.registry import load_tables, register
 from icebergsql_spark.plans.tpch import money, one_minus
 
+TS = "timestamp_ntz"
+
 
 @register(
     "not_in_null_semantics",
@@ -129,6 +131,64 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, prios)
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile ≡ "
+    "DuckDB quantile_cont — both linear interpolation on the sorted set).",
+    tags=("aggregate", "percentile"),
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "fn_date_arithmetic",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS quarter_out,
+               date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+        FROM orders
+        WHERE o_orderkey < 100
+        ORDER BY o_orderkey
+    """,
+    doc="Date arithmetic: interval add, month add, datediff, last_day.",
+    tags=("scalar-fn", "date"),
+)
+def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("quarter_out"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast(TS)
+        ).cast("bigint").alias("days_since_epoch_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    ).orderBy("o_orderkey")
 
 
 @register(
