@@ -53,6 +53,30 @@ def test_files_metadata_view(spark, tmp_path):
     assert input_files <= scan_paths
 
 
+def test_empty_insert_and_empty_overwrite(spark, tmp_path):
+    """INSERT of 0 rows commits an empty append; OVERWRITE with an empty
+    source becomes a pure delete snapshot; scans keep working."""
+    catalog = Catalog(spark, str(tmp_path / "wh_empty"))
+    tbl = catalog.create_table("e", "id int, k string", partition_cols=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string")
+    empty = df.filter("id > 100")
+
+    s0 = tbl.insert(empty)
+    assert (s0.num_added_files, s0.num_deleted_files) == (0, 0)
+    assert tbl.to_df().count() == 0
+
+    tbl.insert(df)
+    assert tbl.to_df().count() == 2
+
+    s2 = tbl.insert(empty, overwrite=True)
+    assert s2.operation == "delete"
+    assert s2.num_deleted_files == 2 and s2.num_added_files == 0
+    assert tbl.to_df().count() == 0
+    # history intact: time travel back to the populated snapshot
+    populated = tbl.meta.snapshots[-2]
+    assert tbl.to_df(as_of_millis=populated.timestamp_ms).count() == 2
+
+
 def test_insert_distribution(spark, tmp_path):
     """distribute_by controls files-per-partition (write.distribution-mode
     parity: one shuffle to co-locate rows before the write)."""
