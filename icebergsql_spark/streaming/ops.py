@@ -145,6 +145,22 @@ def sessionize(stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    stream: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate keys within the watermark
+    horizon (`dropDuplicatesWithinWatermark`), so state is bounded — the
+    streaming twin of the batch exact-dedup operator (operators/dedup.py).
+    Typical keys: event_id for at-least-once source dedup, or a content
+    fingerprint for payload dedup."""
+    keys = keys or ["event_id"]
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def batch_sessions(events: DataFrame) -> DataFrame:
     """Batch twin of ``sessionize`` (windowed lag + cumulative session ids) —
     used to cross-check the streaming operator's output."""

@@ -138,6 +138,13 @@ def test_readme_walkthrough(engine, spark):
     ).collect()[0].n
     assert n == 0
 
+    # pruning is visible through the SQL path: the registered view's scan
+    # reads only the matching partition's files
+    df = engine.sql(
+        "SELECT ss_item_sk FROM store_sales_out WHERE ss_sold_date_sk='0906245'"
+    )
+    assert len(df.inputFiles()) == 5
+
     # snapshot history intact: 5 snapshots (2 inserts + 3 overwrites)
     assert engine.sql(
         "SELECT count(*) AS n FROM `store_sales_out$snapshots`"

@@ -104,6 +104,25 @@ def test_sessionize_matches_batch_twin(spark, events_dir):
     assert got == want
 
 
+def test_dedup_stream_drops_duplicates(spark, events_dir, tmp_path):
+    """Duplicate events (an at-least-once redelivery) are dropped within the
+    watermark; output matches batch distinct-by-key."""
+    import shutil
+
+    dup_dir = str(tmp_path / "dup_events")
+    ev = spark.read.parquet(events_dir)
+    # duplicate ~10% of events, same event_id/ts (redelivery semantics)
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    ev.unionAll(dups).repartitionByRange(4, F.col("ts")).write.parquet(dup_dir)
+
+    stream = ops.read_event_stream(spark, dup_dir)
+    result = _run_stream(spark, ops.dedup_stream(stream), "dedup_out")
+    n_unique = ev.select("event_id").distinct().count()
+    assert result.select("event_id").distinct().count() == n_unique
+    assert result.count() == n_unique
+    shutil.rmtree(dup_dir, ignore_errors=True)
+
+
 def test_stream_is_incremental(spark, events_dir):
     """The file source must process in multiple triggers (maxFilesPerTrigger)
     — guards against accidentally collapsing to a single batch."""
