@@ -135,6 +135,68 @@ def brute_force_topk_blas(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest of
+    n_cells centroids (here: the first n_cells stored vectors — a
+    deterministic stand-in for k-means centroids, which would be refreshed
+    offline at scale). Adds a ``cell`` column.
+
+    At 100 TB the cell becomes the table's partition key, so a query probes
+    one (or a few) cells — the standard IVF-flat layout. Assignment is a
+    broadcast cross join against n_cells centroids + a rank-1 filter.
+    """
+    from pyspark.sql import Window as W
+
+    base = with_double_vec_and_norm(df, vec_col)
+    centroids = (
+        base.filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col("vd").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "ccos", dot_expr("vd", "cv") / F.sqrt(F.col("nrm") * F.col("cn"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "ccos", "cv", "cn")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's cell (nprobe=1)."""
+    assigned = ivf_assign(df, n_cells=n_cells, dims=dims, id_col=id_col, vec_col=vec_col)
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn"), F.col("cell").alias("qc")
+    )
+    return (
+        assigned.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("qc")) & (F.col(id_col) != query_id))
+        .withColumn("cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn")))
+        .select(id_col, "cell", F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def bucket_histogram(
     df: DataFrame, n_bits: int = 6, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -84,6 +84,37 @@ def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("predicted_lang", F.array_max(structs)["lang"])
 
 
+def winnowing_fingerprints(
+    df: DataFrame, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of MOSS):
+    hash every token, slide a window of ``window`` positions, keep each
+    window's minimum hash, dedupe per document.
+
+    Two docs sharing content share fingerprints, so near-dup detection is a
+    fingerprint equi-join instead of an all-pairs comparison. One explode +
+    one window function + one distinct — all shuffle-partitioned by doc.
+    Hashes stay as md5 hex strings (lexicographic min), which keeps the
+    operator portable to the SQL oracle byte-for-byte.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        toks.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -350,6 +350,64 @@ def ann_signbit_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.signbit_lsh_topk(emb, query_id=7, k=5)
 
 
+_CCOS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> b.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+"""
+
+_QCOS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> b.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cents AS (
+          SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16
+        ),
+        scored AS (
+          SELECT b.vec_id, c.cell, {_CCOS} AS ccos
+          FROM embeddings b CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cell) AS rk
+            FROM scored
+          ) WHERE rk = 1
+        )
+        SELECT b.vec_id, a.cell, round({_QCOS}, 4) AS cos
+        FROM embeddings b
+        JOIN assigned a ON a.vec_id = b.vec_id
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        WHERE a.cell = (SELECT cell FROM assigned WHERE vec_id = 7)
+          AND b.vec_id != 7
+        ORDER BY {_QCOS} DESC, b.vec_id
+        LIMIT 5
+    """,
+    doc="IVF-flat ANN (nprobe=1): coarse-quantize to 16 cells (first-16 "
+    "centroids), search only the query's cell — the partitioned-layout "
+    "scale path for similarity search.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_topk(emb, query_id=7, k=5)
+
+
 @register(
     "ann_bucket_histogram",
     oracle=f"""
@@ -364,6 +422,36 @@ def ann_signbit_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.bucket_histogram(emb)
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+          FROM documents WHERE doc_id < 100
+        ),
+        toks AS (
+          SELECT doc_id, unnest(generate_series(1, len(a))) AS pos, a FROM base
+        ),
+        hashed AS (SELECT doc_id, pos, md5(a[pos]) AS h FROM toks),
+        wins AS (
+          SELECT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM hashed
+        )
+        SELECT DISTINCT doc_id, fp FROM wins ORDER BY doc_id, fp
+    """,
+    doc="Winnowing (rolling-window min-hash) document fingerprints — the "
+    "MOSS scheme; shared fingerprints → near-dup candidates by equi-join.",
+    tags=("pipeline", "text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    return text.winnowing_fingerprints(docs, window=4).orderBy("doc_id", "fp")
 
 
 @register(
