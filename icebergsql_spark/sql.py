@@ -46,6 +46,10 @@ _CREATE_RE = re.compile(
     r"(?:as\s+(?P<ctas>select\b.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_DROP_RE = re.compile(
+    r"^\s*drop\s+table\s+(?P<if_exists>if\s+exists\s+)?(?P<name>[`\w.]+)\s*$",
+    re.IGNORECASE,
+)
 _INSERT_RE = re.compile(
     r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:partition\s*\((?P<spec>[^)]*)\))?\s*(?P<select>select\b.*|values\b.*)$",
@@ -158,6 +162,17 @@ class Engine:
             opts = _parse_options(cm.group("opts"))
             if opts.get("addTableManagement", "").lower() == "true":
                 return self._create_managed(cm, opts)
+            return self.spark.sql(text)
+
+        dm = _DROP_RE.match(text)
+        if dm:
+            name = dm.group("name").strip("`")
+            if self.catalog.table_exists(name):
+                self.catalog.drop_table(name)
+                self.spark.catalog.dropTempView(name)
+                return self.spark.createDataFrame([], T.StructType([]))
+            if dm.group("if_exists") and not self.spark.catalog.tableExists(name):
+                return self.spark.createDataFrame([], T.StructType([]))
             return self.spark.sql(text)
 
         im = _INSERT_RE.match(text)

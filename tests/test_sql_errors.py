@@ -58,6 +58,18 @@ def test_as_of_before_first_snapshot_errors(engine, spark):
         engine.sql("as of '5' SELECT * FROM e")
 
 
+def test_drop_table(engine, spark):
+    engine.sql(
+        "CREATE TABLE dropme (a int, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    engine.sql("INSERT INTO dropme VALUES (1, 'p1')")
+    assert engine.catalog.table_exists("dropme")
+    engine.sql("DROP TABLE dropme")
+    assert not engine.catalog.table_exists("dropme")
+    engine.sql("DROP TABLE IF EXISTS dropme")  # no-op, no error
+
+
 def test_as_of_joins_two_managed_tables(engine, spark):
     engine.sql(
         "CREATE TABLE j1 (a int, p string) USING parquet "
