@@ -69,6 +69,37 @@ def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+FRAME_SCHEMA = "doc_id bigint, n_frames int, n_sampled int, first_frame_byte int"
+
+
+def sample_frames(
+    blobs: DataFrame, frame_bytes: int = 16, every: int = 4
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: chunk the byte stream into
+    fixed-size frames, keep every ``every``-th. The per-frame decode is the
+    stubbed step; frame accounting and the sampled-frame bytes are real.
+    Arrow-batched like extract_features — a narrow map, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n_frames = payloads.map(lambda b: len(b) // frame_bytes)
+            n_sampled = n_frames.map(lambda n: 0 if n == 0 else (n + every - 1) // every)
+            first_byte = payloads.map(
+                lambda b: b[0] if len(b) >= frame_bytes else -1
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames.astype("int32"),
+                    "n_sampled": n_sampled.astype("int32"),
+                    "first_frame_byte": first_byte.astype("int32"),
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column."""
 

@@ -455,6 +455,51 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing_neardup_pairs",
+    oracle="""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+          FROM documents WHERE doc_id < 100
+        ),
+        toks AS (
+          SELECT doc_id, unnest(generate_series(1, len(a))) AS pos, a FROM base
+        ),
+        hashed AS (SELECT doc_id, pos, md5(a[pos]) AS h FROM toks),
+        wins AS (
+          SELECT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM hashed
+        ),
+        fps AS (SELECT DISTINCT doc_id, fp FROM wins)
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared_fps
+        FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 8
+        ORDER BY a, b
+    """,
+    doc="Winnowing near-dup detection: docs sharing >= 8 fingerprints "
+    "(fingerprint equi-join instead of all-pairs).",
+    tags=("pipeline", "text", "dedup"),
+)
+def text_winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    fps = text.winnowing_fingerprints(docs, window=4)
+    a = fps.select(F.col("doc_id").alias("a"), "fp")
+    b = fps.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 8)
+        .orderBy("a", "b")
+    )
+
+
+@register(
     "text_heavy_hitters",
     oracle="""
         SELECT tok, COUNT(*) AS n
@@ -550,6 +595,31 @@ def ann_bruteforce_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------------------------------------------------------- multimodal --
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) // 16 AS INTEGER) AS n_frames,
+               CAST(CASE WHEN length(text) // 16 = 0 THEN 0
+                    ELSE ((length(text) // 16) + 3) // 4 END AS INTEGER)
+                 AS n_sampled,
+               CAST(CASE WHEN length(text) >= 16
+                    THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER)
+                 AS first_frame_byte
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Video-shaped frame sampling: treat the payload as fixed-size "
+    "frames (16 B), sample every 4th — counts + first-frame byte verified; "
+    "the decode itself stays a deterministic stub (operators/multimodal).",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    blobs = multimodal.to_blob_table(docs)
+    return multimodal.sample_frames(blobs, frame_bytes=16, every=4).orderBy("doc_id")
 
 
 @register(

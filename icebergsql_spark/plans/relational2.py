@@ -192,6 +192,123 @@ def fn_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_per_group_join",
+    oracle="""
+        SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s1 JOIN nation ON s1.s_nationkey = n_nationkey
+        WHERE s1.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                              WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q2 shape: correlated min-per-group scalar subquery + dim join.",
+    tags=("tpch", "subquery"),
+)
+def q2_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("supplier", "nation"))
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM supplier s1 JOIN nation ON s1.s_nationkey = n_nationkey
+        WHERE s1.s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                              WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral nation-pair volume by ship year "
+    "(multi-join + OR pair predicate + cents-exact revenue).",
+    tags=("tpch", "join"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.tpch import cents
+
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (F.sum(rev_c).cast("double") / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+          WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               CAST(list_contains(toks, 'the') AS INTEGER) AS has_the,
+               toks[1] AS first_tok,
+               array_to_string(toks[1:3], '-') AS first3,
+               CAST(COALESCE(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos
+        FROM t ORDER BY doc_id
+    """,
+    doc="Array functions: size, contains, index, slice, position (Spark "
+    "array_* vs DuckDB list_* with null-position normalization).",
+    tags=("scalar-fn", "array"),
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 100
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        toks.getItem(0).alias("first_tok"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_position(toks, "data").alias("data_pos"),
+    ).orderBy("doc_id")
+
+
+@register(
     "q4_order_priority",
     oracle="""
         SELECT o_orderpriority, COUNT(*) AS order_count
