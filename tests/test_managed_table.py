@@ -170,6 +170,18 @@ def test_validations(spark, catalog, src):
         tbl.insert(src, overwrite=True, static_partition={"ss_item_sk": "1"})
 
 
+def test_scan_by_snapshot_id(spark, catalog, src):
+    tbl = catalog.create_table(
+        "by_id", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]
+    )
+    s1 = tbl.insert(src.limit(40))
+    s2 = tbl.insert(src.limit(25))
+    assert tbl.to_df(snapshot_id=s1.snapshot_id).count() == 40
+    assert tbl.to_df(snapshot_id=s2.snapshot_id).count() == 65
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tbl.scan(snapshot_id=999)
+
+
 def test_append_reuses_parent_manifests(spark, catalog, src):
     """Appends must reference the parent's manifest files unchanged (commit
     cost O(new files), the Iceberg manifest-reuse model)."""
