@@ -69,6 +69,33 @@ def _fake_features(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+RESIZE_SCHEMA = "doc_id bigint, payload binary, byte_len int, media_type string"
+
+
+def resize_payloads(blobs: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stub for image-shaped payloads: a real deployment decodes,
+    resizes via PIL/libvips, and re-encodes inside this same mapInPandas
+    shape; the deterministic fake truncates/zero-pads to the target size so
+    the downstream contract (fixed-size payloads, updated metadata) is
+    testable without codec libraries."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes(b[:target_bytes]).ljust(target_bytes, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "byte_len": resized.map(len).astype("int32"),
+                    "media_type": pdf["media_type"],
+                }
+            )
+
+    return blobs.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, n_frames int, n_sampled int, first_frame_byte int"
 
 

@@ -623,6 +623,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               256 AS byte_len,
+               md5(CASE WHEN length(text) >= 256 THEN substr(text, 1, 256)
+                        ELSE text || repeat(chr(0), 256 - length(text)) END)
+                 AS payload_md5
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Resize stub: truncate/zero-pad payloads to a fixed size via "
+    "mapInPandas (real codec plugs into the same operator shape); verified "
+    "by payload md5.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    resized = multimodal.resize_payloads(multimodal.to_blob_table(docs), 256)
+    return resized.select(
+        "doc_id", "byte_len", F.md5(F.col("payload")).alias("payload_md5")
+    ).orderBy("doc_id")
+
+
+@register(
     "multimodal_blob_features",
     oracle="""
         SELECT doc_id,

@@ -58,6 +58,23 @@ def test_as_of_before_first_snapshot_errors(engine, spark):
         engine.sql("as of '5' SELECT * FROM e")
 
 
+def test_second_engine_sees_committed_state(engine, spark, tmp_path):
+    """Reader/writer separation: a second Engine over the same warehouse
+    observes commits without shared in-memory state (metadata reload path)."""
+    from icebergsql_spark.sql import Engine
+
+    engine.sql(
+        "CREATE TABLE shared (a int, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    engine.sql("INSERT INTO shared VALUES (1, 'x'), (2, 'y')")
+
+    reader = Engine(spark, engine.catalog.warehouse)
+    assert reader.sql("SELECT count(*) AS n FROM shared").collect()[0].n == 2
+    engine.sql("INSERT INTO shared VALUES (3, 'z')")
+    assert reader.sql("SELECT count(*) AS n FROM shared").collect()[0].n == 3
+
+
 def test_drop_table(engine, spark):
     engine.sql(
         "CREATE TABLE dropme (a int, p string) USING parquet "
