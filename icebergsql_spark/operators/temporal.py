@@ -1,0 +1,103 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Named explicitly in the build brief as custom-operator targets. Both are
+compositions of existing DataFrame ops (no UDFs):
+
+  - as-of join: for each left row, the single latest right row with
+    right.ts <= left.ts per key. Implemented with the union-sort trick:
+    union both sides tagged, sort per key by time, carry the last right
+    value forward with a window `last(ignorenulls)` — one shuffle on the
+    key, NO range-join blowup. This is the standard large-scale as-of plan
+    (a naive equi-join + filter + row_number materializes every candidate
+    pair; the union form touches each row once).
+  - range join: all pairs within a time window per key — an equi-join on
+    the key with the range predicate in the join condition so Catalyst
+    evaluates it during the join.
+
+Scale: both shuffle once on the join key; the as-of union-sort form is
+linear in input size. Skewed keys (one hot user) fall back to AQE skew
+handling or operators/skew.py salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    right_ts <= left_ts for the same key (nulls when no prior right row).
+
+    Tie rule: a right row at exactly left_ts matches (<=), and when several
+    right rows share one timestamp the LAST in (ts, is_left) sort order
+    wins — deterministic given unique (key, ts) pairs per side.
+    """
+    lt = left.withColumn("__is_left", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt_cols = [F.col(c).alias(f"__r_{c}") for c in right_cols]
+    rt = (
+        right.select(F.col(key), F.col(right_ts).alias("__ts"), *rt_cols)
+        .withColumn("__is_left", F.lit(0))
+    )
+    lt_aligned = lt.select(
+        *[F.col(c) for c in left.columns],
+        "__ts",
+        "__is_left",
+        *[F.lit(None).cast(rt.schema[f"__r_{c}"].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    rt_aligned = rt.select(
+        *[
+            F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        "__ts",
+        "__is_left",
+        *[F.col(f"__r_{c}") for c in right_cols],
+    )
+    unioned = lt_aligned.unionByName(rt_aligned)
+    # right rows sort BEFORE left rows at the same __ts so `<=` semantics
+    # hold; last(ignorenulls) carries the most recent right value forward
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        "__is_left",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_delta,
+    upper_delta,
+) -> DataFrame:
+    """Pairs with right_ts in [left_ts + lower_delta, left_ts + upper_delta)
+    per key. The range rides in the join condition (evaluated during the
+    hash join, not as a post-filter on a cross product)."""
+    lo = F.col(f"l.{left_ts}") + F.lit(lower_delta)
+    hi = F.col(f"l.{left_ts}") + F.lit(upper_delta)
+    return left.alias("l").join(
+        right.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= lo)
+        & (F.col(f"r.{right_ts}") < hi),
+    )

@@ -594,6 +594,99 @@ def ann_bruteforce_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_blas(emb, query_id=7, k=10)
 
 
+# ---------------------------------------------------------- temporal joins --
+
+
+@register(
+    "asof_join_click_purchase",
+    oracle="""
+        WITH purchases AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id, p.ts_us AS purchase_us,
+               c.ts_us AS click_us,
+               p.ts_us - c.ts_us AS gap_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        ORDER BY p.event_id
+    """,
+    doc="As-of join (operator Spark lacks): latest prior click per purchase "
+    "via the union-sort trick — one shuffle, no pair blowup; oracle uses "
+    "DuckDB's native ASOF JOIN.",
+    tags=("pipeline", "temporal", "asof"),
+)
+def asof_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.temporal import asof_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "ts_us", F.expr("ts div 1000")  # DuckDB reads the nanos
+        # column as micro-precision TIMESTAMP; align on epoch micros
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=["ts_us"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.col("ts_us_asof").alias("click_us"),
+        (F.col("ts_us") - F.col("ts_us_asof")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "range_join_click_window",
+    oracle="""
+        WITH purchases AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.user_id, COUNT(*) AS n_pairs
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts_us >= p.ts_us - 86400000000
+         AND c.ts_us < p.ts_us
+        GROUP BY p.user_id
+        ORDER BY p.user_id
+    """,
+    doc="Range join: clicks within 24h before each purchase per user; the "
+    "range predicate rides in the join condition.",
+    tags=("pipeline", "temporal", "range-join"),
+)
+def range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.temporal import range_join
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts_us")
+    pairs = range_join(
+        purchases, clicks, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        lower_delta=-86_400_000_000, upper_delta=0,
+    )
+    return (
+        pairs.groupBy(F.col("l.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
 # -------------------------------------------------------------- multimodal --
 
 
