@@ -594,6 +594,72 @@ def ann_bruteforce_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_blas(emb, query_id=7, k=10)
 
 
+@register(
+    "dedup_char_shingle_jaccard",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, greatest(length(text) - 4, 1)),
+                           i -> substr(text, i, 5)))) AS s
+          FROM docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT common.a, common.b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = common.a
+        JOIN sizes sb ON sb.doc_id = common.b
+        WHERE c / (sa.sz + sb.sz - c) >= 0.25
+        ORDER BY common.a, common.b
+    """,
+    doc="Character 5-gram shingle Jaccard pairs (>= 0.25) — the classic "
+    "text-dedup shingling, complementing the word-gram variant.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_char_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 80
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 4, 1)),"
+                    " i -> substr(text, i, 5))"
+                )
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "s")
+    b = sh.select(F.col("doc_id").alias("b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("c") / (F.col("sz_a") + F.col("sz_b") - F.col("c")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.25)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
 # ---------------------------------------------------------- temporal joins --
 
 

@@ -53,6 +53,37 @@ def test_files_metadata_view(spark, tmp_path):
     assert input_files <= scan_paths
 
 
+def test_multi_column_partitioning(spark, tmp_path):
+    """Two partition columns: nested hive dirs, tuple pruning, and a
+    PARTIAL static-partition overwrite (pin one of two partition cols)."""
+    catalog = Catalog(spark, str(tmp_path / "wh_multi"))
+    tbl = catalog.create_table(
+        "m", "id int, region string, yr int", partition_cols=["region", "yr"]
+    )
+    rows = [(i, r, y) for i, (r, y) in enumerate(
+        (r, y) for r in ("eu", "us") for y in (2023, 2024) for _ in range(3)
+    )]
+    df = spark.createDataFrame(rows, "id int, region string, yr int")
+    tbl.insert(df)
+    assert tbl.to_df().count() == 12
+
+    # tuple pruning: both partition values exact
+    scan = tbl.scan(where="region = 'eu' AND yr = 2024")
+    assert scan.dataframe().count() == 3
+    for f in scan.planned_files:
+        assert f.partition == {"region": "eu", "yr": "2024"}
+
+    # partial static overwrite: pin region only → replaces BOTH years of eu
+    repl = spark.createDataFrame([(100, 2024)], "id int, yr int")
+    s = tbl.insert(repl, overwrite=True, static_partition={"region": "eu"})
+    assert s.num_deleted_files == len(
+        [1 for f in tbl.meta.snapshot_by_id(s.parent_id).live_files()
+         if f.partition["region"] == "eu"]
+    )
+    got = {(r["id"], r["region"], r["yr"]) for r in tbl.to_df().collect()}
+    assert {(i, "us", y) for i, _, y in rows if _ == "us"} | {(100, "eu", 2024)} == got
+
+
 def test_empty_insert_and_empty_overwrite(spark, tmp_path):
     """INSERT of 0 rows commits an empty append; OVERWRITE with an empty
     source becomes a pure delete snapshot; scans keep working."""
