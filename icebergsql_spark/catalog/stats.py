@@ -71,7 +71,12 @@ def file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
                 cur.min = mn
             if cur.max is None or mx > cur.max:
                 cur.max = mx
-            cur.null_count += st.null_count if st.null_count is not None else 0
+            # a row group without a null count makes the file's null count
+            # UNKNOWN (None), not zero — IsNull pruning must stay conservative
+            if st.null_count is None:
+                cur.null_count = None
+            elif cur.null_count is not None:
+                cur.null_count += st.null_count
     out = {}
     for name, st in agg.items():
         if complete.get(name):

@@ -101,6 +101,24 @@ class Not(Pred):
         return self.child.columns()
 
 
+@dataclass(frozen=True)
+class Residual(Pred):
+    """A leaf the lenient parser could not convert (e.g. LIKE '%x%').
+
+    Unlike AlwaysTrue — which asserts every row matches — Residual asserts
+    nothing: ``may_match`` is True (never prune on it) and ``must_match_all``
+    is False (never lets NOT prune through it). This is the distinction the
+    reference's alwaysTrue fallback (ExpressionConversions.scala:170-177)
+    glosses over; using AlwaysTrue there is only sound under top-level AND,
+    while Residual is sound in any position.
+    """
+
+    col: str | None = None
+
+    def columns(self) -> set[str]:
+        return {self.col} if self.col else set()
+
+
 def and_all(preds: list[Pred]) -> Pred:
     out: Pred = AlwaysTrue()
     for p in preds:
@@ -276,11 +294,31 @@ class _Parser:
                 raise ValueError("IS must be followed by [NOT] NULL")
             return NotNull(col) if negate else IsNull(col)
         if k == "like":
-            if self.lenient:
-                self._literal()
-                return AlwaysTrue()
-            raise ValueError("LIKE is not prunable")
+            return self._like(col)
+        if k == "not":
+            k2, v2 = self.next()
+            if k2 == "like":
+                return Not(self._like(col))
+            raise ValueError(f"unexpected token {v2!r} after NOT")
         raise ValueError(f"unexpected token {v!r} after column {col!r}")
+
+    def _like(self, col: str) -> Pred:
+        """LIKE with a wildcard-free or pure-prefix pattern prunes exactly
+        (startsWith ⟺ a half-open string range); anything else degrades to
+        Residual in lenient mode. Sound under NOT either way."""
+        pat = self._literal()
+        if not isinstance(pat, str):
+            raise ValueError("LIKE pattern must be a string")
+        if not any(ch in pat for ch in "%_\\"):
+            return Comparison("=", col, pat)
+        body = pat[:-1]
+        if pat.endswith("%") and body and not any(ch in body for ch in "%_\\"):
+            upper = _prefix_upper(body)
+            lo = Comparison(">=", col, body)
+            return And(lo, Comparison("<", col, upper)) if upper else lo
+        if self.lenient:
+            return Residual(col)
+        raise ValueError(f"LIKE pattern {pat!r} is not prunable")
 
 
 def parse_predicate(text: str) -> Pred:
@@ -292,16 +330,27 @@ def parse_predicate(text: str) -> Pred:
 
 
 def parse_predicate_lenient(text: str) -> Pred:
-    """Lenient parse — unsupported leaf predicates degrade to AlwaysTrue.
-    Sound only because degraded nodes are used under top-level AND for
-    pruning (mirrors ExpressionConversions.convert's alwaysTrue fallback).
-    """
+    """Lenient parse — unsupported leaf predicates degrade to ``Residual``
+    (maybe-match), which is sound in ANY position including under NOT
+    (improves on ExpressionConversions.convert's alwaysTrue fallback, which
+    is only sound under top-level AND). A wholly unparseable predicate
+    degrades to a global Residual: no pruning."""
     if not text or not text.strip():
         return AlwaysTrue()
     try:
         return _Parser(_tokenize(text), lenient=True).parse()
     except ValueError:
-        return AlwaysTrue()
+        return Residual()
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with ``prefix``
+    (increment the rightmost incrementable code point); None if none exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            return prefix[:i] + chr(c + 1)
+    return None
 
 
 # ------------------------------------------------------- stats evaluation --
@@ -335,7 +384,7 @@ def may_match(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F821
     ColStats(min, max, null_count, value_count); for partition columns the
     min==max==value encoding makes this exact.
     """
-    if isinstance(pred, AlwaysTrue):
+    if isinstance(pred, (AlwaysTrue, Residual)):
         return True
     if isinstance(pred, AlwaysFalse):
         return False
@@ -389,7 +438,7 @@ def must_match_all(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F
     NOT pruning). Conservative: False when unsure."""
     if isinstance(pred, AlwaysTrue):
         return True
-    if isinstance(pred, AlwaysFalse):
+    if isinstance(pred, (AlwaysFalse, Residual)):
         return False
     if isinstance(pred, And):
         return must_match_all(pred.left, stats) and must_match_all(pred.right, stats)
@@ -401,8 +450,8 @@ def must_match_all(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F
         st = stats.get(pred.col)
         if st is None or st.min is None or st.max is None:
             return False
-        if st.null_count and st.null_count > 0:
-            return False  # null rows never satisfy a comparison
+        if st.null_count is None or st.null_count > 0:
+            return False  # null rows never satisfy a comparison; None=unknown
         v = pred.value
         try:
             if pred.op == "=":

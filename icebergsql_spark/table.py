@@ -53,6 +53,7 @@ from icebergsql_spark.catalog.stats import collect_stats
 from icebergsql_spark.deps import augment_predicate, parse_column_dependencies
 from icebergsql_spark.expressions import (
     AlwaysTrue,
+    Residual,
     Pred,
     may_match,
     parse_predicate_lenient,
@@ -370,6 +371,7 @@ class ManagedTable:
                     Manifest.write(rewritten, survivors)
                     manifest_paths.append(rewritten)
                 # fully-deleted manifest: dropped
+        new_manifest: str | None = None
         if added:
             new_manifest = os.path.join(
                 meta_dir, f"manifest-{uuid.uuid4().hex[:12]}.json"
@@ -398,7 +400,7 @@ class ManagedTable:
         self.meta.snapshots.append(snap)
         self.meta.current_snapshot_id = snap.snapshot_id
         try:
-            self._commit_with_retry(snap, op, manifest_paths)
+            self._commit_with_retry(snap, op, new_manifest)
         except Exception:
             # cleanup-on-failure: a commit that cannot land leaves no
             # orphaned data files (mirrors the reference's cleanup,
@@ -416,7 +418,7 @@ class ManagedTable:
         return snap
 
     def _commit_with_retry(
-        self, snap: Snapshot, op: str, manifest_paths: list[str]
+        self, snap: Snapshot, op: str, new_manifest: str | None
     ) -> None:
         try:
             self.meta.commit()
@@ -436,8 +438,11 @@ class ManagedTable:
                 while snap.snapshot_id in existing_ids:
                     snap.snapshot_id += 1
                 snap.parent_id = parent.snapshot_id if parent else None
-                snap.manifest_paths = (
-                    (parent.manifest_paths if parent else []) + manifest_paths[-1:]
+                # rebase = parent's manifests + ONLY the manifest this commit
+                # wrote (None for an empty append — rebasing with [-1:] of the
+                # stale list would double-count the parent's last manifest)
+                snap.manifest_paths = (parent.manifest_paths if parent else []) + (
+                    [new_manifest] if new_manifest else []
                 )
                 if parent is not None and snap.timestamp_ms <= parent.timestamp_ms:
                     snap.timestamp_ms = parent.timestamp_ms + 1
@@ -540,7 +545,7 @@ class ManagedScan:
         if self.snapshot is None:
             return []
         files = self.snapshot.live_files()
-        if isinstance(self.augmented, AlwaysTrue):
+        if isinstance(self.augmented, (AlwaysTrue, Residual)):
             return files
         schema = self.table.schema
         out = []

@@ -273,3 +273,34 @@ def test_append_commit_retry_rebases(spark, catalog, src):
     # the rebased snapshot chains onto the winner, not the stale parent
     ids = {s.snapshot_id: s for s in tbl_a.meta.snapshots}
     assert ids[snap.snapshot_id].parent_id == tbl_b.meta.current_snapshot_id
+
+
+def test_empty_append_retry_does_not_duplicate_manifests(spark, catalog, src):
+    """ADVICE.md regression: an EMPTY append that hits a commit conflict must
+    rebase with no new manifest — rebasing with manifest_paths[-1:] used to
+    re-append the stale parent's last manifest, double-counting its rows."""
+    tbl_a = catalog.create_table(
+        "race_empty", SCHEMA_DDL, partition_cols=["ss_sold_date_sk"]
+    )
+    tbl_a.insert(src.limit(30))
+    tbl_b = catalog.load_table("race_empty")
+
+    real_refresh = tbl_a.refresh
+    state = {"stale_calls": 1}
+
+    def fake_refresh():
+        if state["stale_calls"] > 0:
+            state["stale_calls"] -= 1
+            return tbl_a
+        return real_refresh()
+
+    tbl_a.refresh = fake_refresh
+    tbl_b.insert(src.limit(20))  # the winner
+    snap = tbl_a.insert(src.limit(0))  # empty append on a stale base
+    tbl_a.refresh = real_refresh
+
+    tbl_a.refresh()
+    assert tbl_a.meta.current_snapshot_id == snap.snapshot_id
+    cur = tbl_a.meta.current_snapshot()
+    assert len(cur.manifest_paths) == len(set(cur.manifest_paths))
+    assert tbl_a.to_df().count() == 50  # 30 + 20 + 0, not 70

@@ -32,7 +32,12 @@ def leaf_strategy():
     null_chk = st.sampled_from(
         ["ss_item_sk IS NOT NULL", "ss_sold_month IS NULL", "ss_sold_day = '0907'"]
     )
-    return st.one_of(int_cmp, str_cmp, in_list, null_chk)
+    like = st.builds(
+        lambda neg, pat: f"ss_sold_date_sk {neg}LIKE '{pat}'",
+        st.sampled_from(["", "NOT "]),
+        st.sampled_from(["09%", "0906%", "%245", "09_6245", "0906245", "%09%"]),
+    )
+    return st.one_of(int_cmp, str_cmp, in_list, null_chk, like)
 
 
 def tree_strategy():

@@ -28,6 +28,15 @@ PREDICATES = [
     "ss_sold_date_sk > '0907'",
     "ss_item_sk = 123456",  # matches nothing
     "ss_wholesale_cost < 10.5",  # decimal col without footer bounds
+    # LIKE family — regression for the round-1 unsoundness where a degraded
+    # LIKE under NOT pruned every file (ADVICE.md high):
+    "ss_sold_date_sk LIKE '0906%'",        # pure prefix → exact range pruning
+    "NOT ss_sold_date_sk LIKE '0906%'",
+    "ss_sold_date_sk LIKE '%245'",         # suffix → Residual, no pruning
+    "NOT ss_sold_date_sk LIKE '%245'",
+    "NOT (ss_sold_date_sk LIKE '%245')",
+    "ss_sold_date_sk LIKE '0906245'",      # wildcard-free → equality
+    "NOT (ss_item_sk < 5000 AND ss_sold_date_sk LIKE '09_62%')",
 ]
 
 
@@ -52,3 +61,19 @@ def test_pruned_scan_equals_filtered_full_scan(spark, table, pred):
     got = sorted(tuple(r) for r in scan.dataframe().collect())
     assert got == expected
     assert scan.files_scanned <= full.files_scanned
+
+
+def test_like_prefix_actually_prunes(table):
+    """Prefix LIKE converts to a string range and skips files, it doesn't
+    just stay sound."""
+    full = table.scan().files_scanned
+    scan = table.scan(where="ss_sold_date_sk LIKE '0906%'")
+    assert 0 < scan.files_scanned < full
+
+
+def test_not_nonprefix_like_scans_everything_but_returns_rows(table):
+    """The ADVICE.md high bug: NOT over a degraded LIKE must not prune all
+    files (previously returned 0 rows with files_scanned=0)."""
+    scan = table.scan(where="NOT ss_sold_date_sk LIKE '%zzzz%'")
+    assert scan.files_scanned == table.scan().files_scanned
+    assert scan.dataframe().count() > 0

@@ -23,7 +23,9 @@ from icebergsql_spark.expressions import (
     NotNull,
     Not,
     Or,
+    Residual,
     may_match,
+    must_match_all,
     parse_predicate,
     parse_predicate_lenient,
 )
@@ -121,10 +123,24 @@ class TestPredicateParser:
 
     def test_strict_vs_lenient(self):
         with pytest.raises(ValueError):
-            parse_predicate("name LIKE 'foo%'")
-        # lenient degrades the unsupported leaf, keeps the prunable part
-        p = parse_predicate_lenient("a = 1 AND name LIKE 'foo%'")
-        assert p == And(Comparison("=", "a", 1), AlwaysTrue())
+            parse_predicate("name LIKE '%foo%'")
+        # lenient degrades the unsupported leaf to Residual (NOT-safe),
+        # keeping the prunable part
+        p = parse_predicate_lenient("a = 1 AND name LIKE '%foo%'")
+        assert p == And(Comparison("=", "a", 1), Residual("name"))
+
+    def test_like_prefix_is_a_range(self):
+        # startsWith ⟺ half-open range [prefix, prefix+1)
+        p = parse_predicate("name LIKE 'foo%'")
+        assert p == And(Comparison(">=", "name", "foo"), Comparison("<", "name", "fop"))
+        assert parse_predicate("name LIKE 'exact'") == Comparison("=", "name", "exact")
+        assert parse_predicate_lenient("name NOT LIKE '%x%'") == Not(Residual("name"))
+
+    def test_residual_is_sound_under_not(self):
+        # ADVICE.md high: Not(degraded) must never prune
+        st_ = _stats(name=("a", "z", 0, 10))
+        assert may_match(Not(Residual("name")), st_)
+        assert not must_match_all(Residual("name"), st_)
 
 
 def _stats(**cols):
