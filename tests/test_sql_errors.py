@@ -87,6 +87,63 @@ def test_drop_table(engine, spark):
     engine.sql("DROP TABLE IF EXISTS dropme")  # no-op, no error
 
 
+def test_insert_rejects_duplicate_columns(engine, spark):
+    """Parity with SchemaUtils.checkColumnNameDuplication on insert
+    (InsertIntoIcebergTable.scala:185-190), case-insensitive like Spark."""
+    engine.sql(
+        "CREATE TABLE dup (a int, b string, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    tbl = engine.table("dup")
+    src = spark.createDataFrame([(1, "x", "x2", "p1")], "a int, b string, B string, p string")
+    with pytest.raises(TableValidationError, match="duplicate column"):
+        tbl.insert(src)
+
+
+def test_savemode_error_if_exists(engine, spark):
+    """SaveMode.ErrorIfExists → AnalysisException-style 'already exists.'
+    (InsertIntoIcebergTable.scala:236-237)."""
+    from icebergsql_spark.table import TableAlreadyExistsError
+
+    engine.sql(
+        "CREATE TABLE sm1 (a int, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    tbl = engine.table("sm1")
+    src = spark.createDataFrame([(1, "p1")], "a int, p string")
+    tbl.write(src, mode="errorIfExists")  # empty table → insertion proceeds
+    assert tbl.to_df().count() == 1
+    with pytest.raises(TableAlreadyExistsError, match="already exists\\."):
+        tbl.write(src, mode="errorIfExists")
+
+
+def test_savemode_ignore_skips_when_data_exists(engine, spark):
+    """SaveMode.Ignore → doInsertion = !exists
+    (InsertIntoIcebergTable.scala:244-245)."""
+    engine.sql(
+        "CREATE TABLE sm2 (a int, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    tbl = engine.table("sm2")
+    first = spark.createDataFrame([(1, "p1")], "a int, p string")
+    assert tbl.write(first, mode="ignore") is not None  # empty → writes
+    second = spark.createDataFrame([(2, "p2")], "a int, p string")
+    assert tbl.write(second, mode="ignore") is None  # has data → no-op
+    assert tbl.to_df().count() == 1
+    assert len(tbl.meta.snapshots) == 1  # the no-op produced NO snapshot
+
+
+def test_savemode_unknown_rejected(engine, spark):
+    engine.sql(
+        "CREATE TABLE sm3 (a int, p string) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    with pytest.raises(TableValidationError, match="unsupported save mode"):
+        engine.table("sm3").write(
+            spark.createDataFrame([(1, "p1")], "a int, p string"), mode="replace"
+        )
+
+
 def test_as_of_joins_two_managed_tables(engine, spark):
     engine.sql(
         "CREATE TABLE j1 (a int, p string) USING parquet "
