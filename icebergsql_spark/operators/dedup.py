@@ -122,25 +122,20 @@ def jaccard_pairs(
     |A∩B| without materializing the cross product.
 
     Scale shape (the 100 TB path):
-      - ``candidates`` gates the EXPLODED SHINGLE SIDES before the self-join
-        (docs not in any candidate pair never enter the join), then re-gates
-        the exact (a, b) pairs after the aggregate. Candidate-doc gating
-        before the join is what keeps pair generation proportional to the
-        LSH candidate set instead of the whole corpus.
+      - With ``candidates``, the intersection is CANDIDATE-DRIVEN: explode
+        each candidate pair by A's shingles (one equi-join on doc id), then
+        match against B's shingles (one equi-join on (doc id, shingle)).
+        Total work is O(Σ|A| over candidate pairs) — proportional to the
+        LSH candidate set, independent of corpus size — and the candidate
+        subtree is referenced ONCE (a semi-join formulation re-evaluates
+        the whole MinHash pipeline per reference; measured 2.7× slower).
       - ``max_df`` drops shingles appearing in more than ``max_df`` docs
-        before the self-join — the hot-key guard: a stopword shingle shared
-        by f docs alone generates f² join rows and a straggler partition.
-        Jaccard is then computed over the capped shingle sets (sizes use the
-        same capped sets, so |A∪B| stays consistent).
+        before any join — the hot-key guard: a stopword shingle shared by
+        f docs alone generates f² join rows and a straggler partition.
+        Jaccard is then computed over the capped shingle sets (sizes use
+        the same capped sets, so |A∪B| stays consistent).
     """
     sh = word_shingles(df, n=n, text_col=text_col)
-    if candidates is not None:
-        cand_docs = (
-            candidates.select(F.col("a").alias("doc_id"))
-            .unionAll(candidates.select(F.col("b").alias("doc_id")))
-            .distinct()
-        )
-        sh = sh.join(cand_docs, "doc_id", "left_semi")
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -150,19 +145,24 @@ def jaccard_pairs(
         )
         sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     if candidates is not None:
-        # doc-gating above is coarser than pair-gating: two candidate docs
-        # that only co-occur in OTHER pairs still meet in the join, so the
-        # exact pair filter re-applies here
-        common = common.join(candidates, ["a", "b"], "left_semi")
+        sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            candidates.join(sh_a, "a")
+            .join(sh_b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
     return (
@@ -248,6 +248,61 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components of the near-dup pair graph → (node, component),
+    component = smallest doc id reachable. The dedup-group primitive: keep
+    ``node == component``, drop the rest.
+
+    Min-label propagation (the Pregel/GraphX CC algorithm): each round every
+    node takes the min of its own label and its neighbors' labels; converges
+    in graph-diameter rounds — near-dup clusters are shallow (dup groups,
+    not social graphs), so rounds stay single-digit in practice. Each round
+    is one shuffle join + one aggregate; the convergence check is a driver
+    action by necessity (iterate-until-fixpoint is not expressible as one
+    Catalyst plan). ``localCheckpoint`` truncates lineage so plan size stays
+    constant across rounds.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
 def embedding_neardup_pairs(

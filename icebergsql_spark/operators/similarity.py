@@ -191,6 +191,51 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    df: DataFrame,
+    k: int = 3,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN — top-k cosine neighbors for EVERY vector (the k-NN join
+    a training pipeline runs for semantic dedup / retrieval labeling).
+
+    Sign-bit LSH bucket both sides + 1-bit multi-probe equi-join (same
+    candidate shape as dedup.embedding_neardup_pairs_lsh, without the a<b
+    restriction), then rank per query with a row_number window. Candidates
+    per query are bounded by  2·(n_bits+1)·E[bucket size], so the window
+    partition never holds the corpus; shuffle volume is O(n·(n_bits+1)).
+    Neighbors in buckets at Hamming distance > 1 are missed by design.
+    """
+    from pyspark.sql import Window as W
+
+    base = with_double_vec_and_norm(df, vec_col).withColumn(
+        "bucket", signbit_bucket(vec_col, n_bits)
+    )
+    a = base.select(
+        F.col(id_col).alias("a"),
+        F.col("vd").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("ba"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << j for j in range(n_bits)]])
+    b = base.withColumn("m", F.explode(masks)).select(
+        F.col(id_col).alias("b"),
+        F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.expr("cast(bucket ^ m as int)").alias("pb"),
+    )
+    w = W.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        a.join(b, (F.col("ba") == F.col("pb")) & (F.col("a") != F.col("b")))
+        .withColumn("cos", dot_expr("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("a", "b", "rn", F.round("cos", 4).alias("cos"))
+    )
+
+
 def bucket_histogram(
     df: DataFrame, n_bits: int = 6, vec_col: str = "embedding"
 ) -> DataFrame:

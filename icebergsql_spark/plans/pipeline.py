@@ -305,6 +305,57 @@ def dedup_jaccard_dfcap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=30).orderBy("a", "b")
 
 
+_DFCAP_PAIRS_CTES = f"""
+        docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        {_WORDS_CTE},
+        rare AS (SELECT w FROM words GROUP BY w HAVING COUNT(*) <= 30),
+        sh AS (SELECT doc_id, w FROM words WHERE w IN (SELECT w FROM rare)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT common.a, common.b
+          FROM common
+          JOIN sizes sa ON sa.doc_id = common.a
+          JOIN sizes sb ON sb.doc_id = common.b
+          WHERE round(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        )"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE
+        {_DFCAP_PAIRS_CTES},
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs
+        ),
+        cc(node, comp) AS (
+            SELECT DISTINCT src, src FROM edges
+          UNION
+            SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(MIN(comp) AS BIGINT) AS component
+        FROM cc GROUP BY node ORDER BY node
+    """,
+    doc="Connected components of the near-dup pair graph (min-label "
+    "propagation; the dedup-group primitive — keep node = component). "
+    "Oracle computes min reachable id via a recursive CTE.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    pairs = dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=30)
+    return dedup.connected_components(pairs).orderBy("node")
+
+
 # -------------------------------------------------------- embeddings / ANN --
 
 _COS = """
@@ -363,6 +414,38 @@ def emb_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs_lsh(emb, threshold=0.45, n_bits=4).orderBy(
         "a", "b"
     )
+
+
+@register(
+    "ann_knn_join",
+    oracle=f"""
+        WITH bucketed AS (
+          SELECT vec_id, embedding,
+                 CAST({_BUCKET4.format(t='embeddings')} AS INTEGER) AS bucket
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT a.vec_id AS a, b.vec_id AS b, {_COS} AS cos
+          FROM bucketed a JOIN bucketed b
+            ON a.vec_id != b.vec_id
+           AND bit_count(xor(a.bucket, b.bucket)) <= 1
+        )
+        SELECT a, b, rn, round(cos, 4) AS cos FROM (
+          SELECT a, b, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY a
+                                         ORDER BY cos DESC, b) AS INTEGER) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+        ORDER BY a, rn
+    """,
+    doc="k-NN join (batch ANN): top-3 cosine neighbors for EVERY vector via "
+    "sign-bit LSH bucket + 1-bit multi-probe equi-join, per-query window "
+    "rank — the semantic-dedup / retrieval-labeling primitive.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.knn_join(emb, k=3, n_bits=4).orderBy("a", "rn")
 
 
 @register(

@@ -91,11 +91,11 @@ def test_emb_neardup_lsh_subset_of_exact(spark):
     assert all(exact[p] == c for p, c in lsh.items())
 
 
-def test_lsh_candidate_gate_below_shingle_join(spark):
-    """The LSH candidate filter must restrict the exploded shingle sides
-    BEFORE the shingle self-join (VERDICT r1 #1): the optimized plan has a
-    LeftSemi join INSIDE the shingle Inner join's subtree, so pair generation
-    is proportional to the candidate set, not the corpus."""
+def test_lsh_candidates_drive_the_shingle_join(spark):
+    """The shingle-intersection join must be CANDIDATE-DRIVEN (VERDICT r1
+    #1): the optimized plan's shingle equi-join has the candidate-pair join
+    nested INSIDE its subtree (work ∝ candidate set), rather than a bare
+    corpus self-join with the candidate filter applied above the aggregate."""
     df = REGISTRY["dedup_lsh_neardup_pairs"].spark(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     lines = plan.splitlines()
@@ -104,12 +104,12 @@ def test_lsh_candidate_gate_below_shingle_join(spark):
     ]
     assert inner, f"no shingle inner join in plan:\n{plan}"
     i0, d0 = inner[0], _depth(lines[inner[0]])
-    below = [
-        ln
-        for ln in lines[i0 + 1 :]
-        if "Join LeftSemi" in ln and _depth(ln) > d0
+    nested = [
+        ln for ln in lines[i0 + 1 :] if "Join" in ln and _depth(ln) > d0
     ]
-    assert below, f"no LeftSemi below the shingle join — candidate gate did not push:\n{plan}"
+    assert nested, f"shingle join is a bare corpus self-join — candidates did not drive it:\n{plan}"
+    # and no candidate gating bolted on ABOVE the aggregate (the r1 shape)
+    assert not any("Join LeftSemi" in ln for ln in lines[:i0]), plan
 
 
 def test_dfcap_semi_join_below_shingle_join(spark):
