@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_lsh_neardup_pairs",
+    "dedup_jaccard_dfcap_pairs",
+    "dedup_connected_components",
+    "emb_neardup_pairs_lsh",
+    "ann_knn_join",
     "text_quality_fingerprint",
     "ann_bruteforce_topk",
     "ann_signbit_lsh_topk",

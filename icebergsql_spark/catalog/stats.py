@@ -85,18 +85,31 @@ def file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
     return n_rows, os.path.getsize(path), out
 
 
+def orc_file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
+    """Non-parquet fallback: record count + byte size, NO column stats —
+    the reference's iceMetrics returns None for non-parquet formats
+    (utils/utils.scala:184-191), so such files never stats-prune; partition
+    pruning still applies."""
+    import os
+
+    import pyarrow.orc as po
+
+    return po.ORCFile(path).nrows, os.path.getsize(path), {}
+
+
 def collect_stats(
-    paths: list[str], spark=None
+    paths: list[str], spark=None, file_format: str = "parquet"
 ) -> dict[str, tuple[int, int, dict[str, ColStats]]]:
     """Stats for many files; distributed via Spark when the list is large."""
+    reader = file_stats if file_format == "parquet" else orc_file_stats
     if spark is not None and len(paths) > DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
         n_parts = min(len(paths), 64)
 
         def part(it):
             for p in it:
-                yield (p, file_stats(p))
+                yield (p, reader(p))
 
         return dict(sc.parallelize(paths, n_parts).mapPartitions(part).collect())
     with ThreadPoolExecutor(max_workers=16) as ex:
-        return dict(zip(paths, ex.map(file_stats, paths)))
+        return dict(zip(paths, ex.map(reader, paths)))

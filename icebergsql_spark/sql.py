@@ -41,6 +41,8 @@ _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
+    # Spark DDL accepts OPTIONS and PARTITIONED BY in either order
+    r"(?:partitioned\s+by\s*\((?P<parts_pre>[^)]*)\)\s*)?"
     r"(?:options\s*\((?P<opts>.*?)\))?\s*"
     r"(?:partitioned\s+by\s*\((?P<parts>[^)]*)\))?\s*"
     r"(?:as\s+(?P<ctas>select\b.*))?$",
@@ -73,9 +75,17 @@ def convert_to_epoch_millis(text: str) -> int:
 
 
 def _parse_options(opts: str) -> dict[str, str]:
+    """OPTIONS pairs: reference style `key "value"` (README.md:96-100) and
+    Spark DDL style `'key'='value'` — keys bare or quoted, `=` optional."""
     out = {}
-    for m in re.finditer(r"(\w+)\s*=?\s*(?:'([^']*)'|\"([^\"]*)\")", opts or ""):
-        out[m.group(1)] = m.group(2) if m.group(2) is not None else m.group(3)
+    pair = re.compile(
+        r"(?:'(?P<kq>[^']*)'|\"(?P<kd>[^\"]*)\"|(?P<kb>\w+))"
+        r"\s*=?\s*(?:'(?P<vq>[^']*)'|\"(?P<vd>[^\"]*)\")"
+    )
+    for m in pair.finditer(opts or ""):
+        key = m.group("kq") or m.group("kd") or m.group("kb")
+        val = m.group("vq") if m.group("vq") is not None else m.group("vd")
+        out[key] = val
     return out
 
 
@@ -190,9 +200,13 @@ class Engine:
     def _create_managed(self, cm: re.Match, opts: dict[str, str]) -> DataFrame:
         name = cm.group("name").strip("`")
         fmt = cm.group("fmt").lower()
-        if fmt not in ("parquet",):
-            raise ValueError(f"managed tables support USING parquet, got {fmt}")
-        parts = [p.strip().strip("`") for p in (cm.group("parts") or "").split(",") if p.strip()]
+        if fmt not in ("parquet", "orc"):
+            # parquet gets footer stats; orc is the reference's
+            # non-parquet fallback (no column metrics) — anything else
+            # is rejected like the reference's USING allowlist
+            raise ValueError(f"managed tables support USING parquet|orc, got {fmt}")
+        raw_parts = cm.group("parts") or cm.group("parts_pre") or ""
+        parts = [p.strip().strip("`") for p in raw_parts.split(",") if p.strip()]
         properties = {k: v for k, v in opts.items() if k != "addTableManagement"}
         ctas = cm.group("ctas")
         if ctas:
@@ -204,7 +218,8 @@ class Engine:
         else:
             raise ValueError("CREATE TABLE needs a column list or AS SELECT")
         tbl = self.catalog.create_table(
-            name, schema, partition_cols=parts, properties=properties
+            name, schema, partition_cols=parts, properties=properties,
+            file_format=fmt,
         )
         if ctas:
             tbl.insert(self.spark.sql(ctas))

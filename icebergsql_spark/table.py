@@ -137,6 +137,7 @@ class Catalog:
         partition_cols: list[str],
         properties: dict[str, str] | None = None,
         if_not_exists: bool = False,
+        file_format: str = "parquet",
     ) -> "ManagedTable":
         """Create a managed table (reference CreateIcebergTable.scala:41-51).
 
@@ -146,6 +147,12 @@ class Catalog:
         schema. ``ifExists`` short-circuit mirrors the reference's rejection
         of ignoreIfExists (CreateTableRules.scala:33-50) unless explicitly
         requested here.
+
+        ``file_format``: parquet (full footer stats → min/max pruning) or
+        orc (record counts only, partition pruning still applies) — the
+        parity analogue of the reference's parquet-else-avro fallback
+        (utils/utils.scala:176-191: iceMetrics is None for non-parquet, so
+        those files carry no column stats either).
         """
         if self.table_exists(name):
             if if_not_exists:
@@ -164,6 +171,13 @@ class Catalog:
             if pc not in cols:
                 raise TableValidationError(f"partition column {pc!r} not in schema")
         properties = dict(properties or {})
+        file_format = file_format.lower()
+        if file_format not in ("parquet", "orc"):
+            raise TableValidationError(
+                f"managed tables support parquet or orc, got {file_format!r}"
+            )
+        if file_format != "parquet":
+            properties["write.format"] = file_format
         if properties.get("bucketed", "").lower() == "true":
             raise TableValidationError("managed tables must not be bucketed")
         if "columnDependencies" in properties:
@@ -204,6 +218,10 @@ class ManagedTable:
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(__import__("json").loads(self.meta.schema_json))
+
+    @property
+    def file_format(self) -> str:
+        return self.meta.properties.get("write.format", "parquet")
 
     @property
     def column_dependencies(self):
@@ -311,7 +329,8 @@ class ManagedTable:
         (
             write_df.write.mode("errorifexists")
             .partitionBy(*[PART_PREFIX + pc for pc in part_cols])
-            .parquet(out_dir)
+            .format(self.file_format)
+            .save(out_dir)
         )
 
         added = self._build_data_files(out_dir)
@@ -354,13 +373,14 @@ class ManagedTable:
         return self.insert(df, overwrite=(m == "overwrite"), **kwargs)
 
     def _build_data_files(self, out_dir: str) -> list[DataFile]:
+        fmt = self.file_format
         paths = []
         for root, _dirs, files in os.walk(out_dir):
             for fn in files:
-                if fn.endswith(".parquet"):
+                if fn.endswith(f".{fmt}"):
                     paths.append(os.path.join(root, fn))
         paths.sort()
-        stats_map = collect_stats(paths, spark=self.spark)
+        stats_map = collect_stats(paths, spark=self.spark, file_format=fmt)
         out = []
         for p in paths:
             n_rows, size, stats = stats_map[p]
@@ -621,7 +641,11 @@ class ManagedScan:
         schema = self.table.schema
         if not self.planned_files:
             return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(*[f.path for f in self.planned_files])
+        df = (
+            spark.read.schema(schema)
+            .format(self.table.file_format)
+            .load([f.path for f in self.planned_files])
+        )
         if self.where and apply_where:
             df = df.filter(self.where)
         return df
