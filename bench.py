@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "emb_neardup_pairs_lsh",
     "ann_knn_join",
     "text_quality_fingerprint",
+    "curation_passage_dedup",
+    "curation_pack_stats",
     "ann_bruteforce_topk",
     "ann_signbit_lsh_topk",
     "multimodal_blob_features",

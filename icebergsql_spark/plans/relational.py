@@ -322,16 +322,20 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "subquery"),
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE declarative job (no driver-side .count() actions): aggregate
+    # orders per customer once, left-join, derive both EXISTS cardinalities
+    # from the per-customer flags in a single global aggregate.
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    pending = t["orders"].filter(F.col("o_orderstatus") == "P")
-    n_semi = t["customer"].join(
-        pending, t["customer"].c_custkey == pending.o_custkey, "left_semi"
-    ).count()
-    n_anti = t["customer"].join(
-        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(n_semi, n_anti)], "n_with_pending bigint, n_no_orders bigint"
+    per_cust = t["orders"].groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("has_pending")
+    )
+    return (
+        t["customer"]
+        .join(per_cust, t["customer"].c_custkey == per_cust.custkey, "left")
+        .agg(
+            F.count(F.when(F.col("has_pending") == 1, 1)).alias("n_with_pending"),
+            F.count(F.when(F.col("custkey").isNull(), 1)).alias("n_no_orders"),
+        )
     )
 
 

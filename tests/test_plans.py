@@ -124,3 +124,38 @@ def test_dfcap_semi_join_below_shingle_join(spark):
     assert any(
         "Join LeftSemi" in ln and _depth(ln) > d0 for ln in lines[i0 + 1 :]
     ), f"df-cap semi-join not below the shingle join:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name", ["curation_split_counts", "curation_hash_sample", "curation_quality_verdicts"]
+)
+def test_curation_narrow_ops_shuffle_at_most_once(spark, name):
+    # split/sample/quality are narrow maps; the only allowed Exchange is the
+    # final count aggregation (split_counts) or the presentation sort.
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_sample_filter_is_shuffle_free(spark):
+    # the 100 TB sampling path: pure filter, no Exchange before the sort
+    from icebergsql_spark.operators import curation
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = load_tables(spark, SF_SMOKE, ("documents",))["documents"]
+    plan = (
+        curation.hash_sample(docs, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_documents_partitions_by_shard(spark):
+    # packing must window per shard: the window's Exchange hash-partitions
+    # on the shard column — a global (SinglePartition) sort would serialize
+    # 100 TB through one task
+    plan = plan_of(spark, "curation_pack_stats")
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
