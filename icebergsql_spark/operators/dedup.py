@@ -207,6 +207,7 @@ def embedding_neardup_pairs_lsh(
     n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter: str = "blas",
 ) -> DataFrame:
     """Bucketed (scale-path) cosine near-dup: sign-bit LSH bucket both
     sides, equi-join on bucket with 1-bit multi-probe, exact cosine verify.
@@ -220,8 +221,27 @@ def embedding_neardup_pairs_lsh(
     Shuffle volume is O(n·(n_bits+1)); per-bucket work is quadratic only
     within a bucket — check operators.similarity.bucket_histogram before
     trusting the layout. Pairs with Hamming distance > 1 are missed by
-    design (recall/throughput trade, tunable via n_bits)."""
+    design (recall/throughput trade, tunable via n_bits).
+
+    ``prefilter='blas'`` (default): per-bucket numpy GEMM selects the
+    candidate pairs (with a 1e-9 margin so no true pair is lost to float
+    summation order), then the tiny survivor set is re-scored with the
+    oracle-exact sequential fold — same output bits, ~7× less wall time
+    than folding every candidate pair (see similarity.bucketed_scores_blas).
+    ``prefilter='fold'`` keeps the all-JVM equi-join + per-pair fold."""
     from icebergsql_spark.functions import signbit_bucket
+    from icebergsql_spark.operators import similarity
+
+    if prefilter == "blas":
+        cand = similarity.bucketed_scores_blas(
+            df, n_bits=n_bits, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, pairs="lt",
+        ).select("a", "b")
+        return (
+            similarity.exact_rescore(cand, df, id_col=id_col, vec_col=vec_col)
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", F.round("cos", 4).alias("cos"))
+        )
 
     base = with_double_vec_and_norm(df, vec_col).withColumn(
         "bucket", signbit_bucket(vec_col, n_bits)

@@ -66,12 +66,14 @@ def _depth(line: str) -> int:
 
 
 def test_emb_neardup_lsh_is_an_equi_join(spark):
-    """The bucketed near-dup must plan as a shuffle/broadcast EQUI-join on
-    the bucket key — never the all-pairs BroadcastNestedLoop the exact
-    baseline uses (VERDICT r1 #2)."""
+    """The bucketed near-dup must never plan the all-pairs
+    BroadcastNestedLoop the exact baseline uses (VERDICT r1 #2): candidate
+    generation is the Arrow-grouped per-bucket GEMM (FlatMapGroupsInPandas)
+    and the exact re-verification joins are id EQUI-joins."""
     plan = plan_of(spark, "emb_neardup_pairs_lsh")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
