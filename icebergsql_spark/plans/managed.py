@@ -137,6 +137,46 @@ def managed_sql_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_compaction",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Three appends accrete small files; compact() bin-packs them into a "
+    "'replace' snapshot and expire_snapshots() GCs the old layout — the "
+    "post-maintenance scan must still match the raw-parquet oracle.",
+    tags=("managed", "maintenance"),
+)
+def managed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_cp", _LI_DDL, partition_cols=["l_shipyear"]
+    )
+    li = _lineitem_with_year(spark, sf_dir)
+    for i in range(3):
+        tbl.insert(li.filter(F.col("l_orderkey") % 3 == i))
+    before = len(tbl.meta.current_snapshot().live_files())
+    snap = tbl.compact()
+    assert snap is not None and snap.operation == "replace"
+    after = len(tbl.meta.current_snapshot().live_files())
+    assert after < before
+    gc = tbl.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] == 3 and gc["deleted_data_files"] > 0
+    return (
+        tbl.to_df()
+        .groupBy("l_shipyear")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_shipyear")
+    )
+
+
+@register(
     "managed_partition_overwrite",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear, COUNT(*) AS n

@@ -404,12 +404,19 @@ class ManagedTable:
         return out
 
     def _commit_snapshot(
-        self, parent: Snapshot | None, added: list[DataFile], deleted: list[DataFile]
+        self,
+        parent: Snapshot | None,
+        added: list[DataFile],
+        deleted: list[DataFile],
+        operation: str | None = None,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
         # scala:142-179): add+delete → rewrite ('overwrite'), add-only →
-        # 'append', delete-only → 'delete'
-        if added and deleted:
+        # 'append', delete-only → 'delete'. ``operation`` overrides for
+        # maintenance commits ('replace' = same rows, new file layout).
+        if operation is not None:
+            op = operation
+        elif added and deleted:
             op = "overwrite"
         elif added:
             op = "append"
@@ -520,6 +527,182 @@ class ManagedTable:
                     continue
             else:
                 raise
+
+    # ------------------------------------------------------ maintenance --
+
+    def compact(
+        self,
+        target_file_size: int = 128 * 1024 * 1024,
+        min_input_files: int = 2,
+    ) -> Snapshot | None:
+        """Bin-pack small data files (Iceberg's ``rewrite_data_files``): per
+        partition, every live file below ``target_file_size`` is rewritten
+        into ~``target_file_size`` outputs when at least ``min_input_files``
+        qualify. Logical content is untouched — the commit is a 'replace'
+        snapshot (added = packed files, deleted = their inputs), so time
+        travel to pre-compaction snapshots still sees the old layout.
+
+        Why this matters at 100 TB: streaming ingest and per-commit write
+        dirs accrete many small files; scan cost is per-file (open + footer
+        + row-group seek), so a 10^6-file table that could be 10^4 files
+        scans ~100× more metadata. The reference inherits this maintenance
+        op from Iceberg rather than implementing it (the snapshot model —
+        InsertIntoIcebergTable.scala:142-179 — is what makes it safe: old
+        files are never mutated, only de-referenced).
+
+        Scale shape: file selection is driver-side over manifest entries
+        (metadata only, no data IO); the rewrite is ONE distributed job —
+        read the input files, hash-repartition on the partition columns so
+        each output partition is written by one task, and split oversized
+        groups via ``maxRecordsPerFile`` computed from the group's observed
+        bytes-per-row. Untouched files keep their manifests (manifest-reuse
+        commit, same as appends).
+
+        Returns the 'replace' snapshot, or None when nothing qualified.
+        Concurrent appends are safe to retry around; a concurrent overwrite
+        surfaces CommitConflict (the delete set may be stale) — rerun.
+        """
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        if parent is None:
+            return None
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in parent.live_files():
+            key = tuple(sorted(f.partition.items()))
+            groups.setdefault(key, []).append(f)
+        to_rewrite: list[DataFile] = []
+        max_records = 1 << 62
+        for files in groups.values():
+            small = [f for f in files if f.file_size < target_file_size]
+            if len(small) < min_input_files:
+                continue
+            to_rewrite.extend(small)
+            rows = sum(f.record_count for f in small)
+            size = sum(f.file_size for f in small)
+            if rows and size > target_file_size:
+                # cap records-per-file so the packed output lands near the
+                # target size (parquet re-encodes, so this is approximate)
+                max_records = min(
+                    max_records, max(1, int(rows * target_file_size / size))
+                )
+        if not to_rewrite:
+            return None
+
+        schema = self.schema
+        df = (
+            self.spark.read.schema(schema)
+            .format(self.file_format)
+            .load([f.path for f in to_rewrite])
+        )
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.meta.data_dir, commit_id)
+        part_cols = self.meta.partition_cols
+        write_df = df.repartition(*[F.col(c) for c in part_cols])
+        for pc in part_cols:
+            write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
+        writer = write_df.write.mode("errorifexists").partitionBy(
+            *[PART_PREFIX + pc for pc in part_cols]
+        )
+        if max_records < (1 << 62):
+            writer = writer.option("maxRecordsPerFile", max_records)
+        writer.format(self.file_format).save(out_dir)
+        added = self._build_data_files(out_dir)
+        return self._commit_snapshot(parent, added, to_rewrite, operation="replace")
+
+    def expire_snapshots(
+        self,
+        older_than_ms: int | None = None,
+        retain_last: int = 1,
+    ) -> dict[str, int]:
+        """Expire old snapshots and garbage-collect the files only they
+        reference (Iceberg's ``expire_snapshots`` maintenance op).
+
+        Retained: the current snapshot (always), the ``retain_last`` most
+        recent, and — when ``older_than_ms`` is given — every snapshot
+        newer than it; with ``older_than_ms=None`` the ``retain_last``
+        window alone bounds retention. Expired snapshots disappear from the metadata
+        (time travel to them now raises); data files and manifests reachable
+        ONLY from expired snapshots are deleted from disk.
+
+        GC is reference-counting over manifests, not file listing: the
+        kept-set is the union of retained snapshots' manifest paths and
+        their entries — an orphan candidate is (all manifests ∪ all data
+        files of expired snapshots) − kept. At 100 TB the same set
+        difference runs as a Spark anti-join over manifest DataFrames; here
+        the driver-side set is bounded by live-metadata size, which the
+        manifest-reuse commit model keeps proportional to actual churn.
+
+        Returns counts: {"expired_snapshots", "deleted_data_files",
+        "deleted_manifests"}.
+        """
+        self.refresh()
+        meta = self.meta
+        if not meta.snapshots:
+            return {
+                "expired_snapshots": 0,
+                "deleted_data_files": 0,
+                "deleted_manifests": 0,
+            }
+        by_ts = sorted(meta.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
+        keep_ids = {s.snapshot_id for s in by_ts[: max(retain_last, 1)]}
+        if meta.current_snapshot_id is not None:
+            keep_ids.add(meta.current_snapshot_id)
+        if older_than_ms is not None:
+            keep_ids |= {
+                s.snapshot_id for s in by_ts if s.timestamp_ms > older_than_ms
+            }
+        retained = [s for s in meta.snapshots if s.snapshot_id in keep_ids]
+        expired = [s for s in meta.snapshots if s.snapshot_id not in keep_ids]
+        if not expired:
+            return {
+                "expired_snapshots": 0,
+                "deleted_data_files": 0,
+                "deleted_manifests": 0,
+            }
+
+        kept_manifests = {p for s in retained for p in s.manifest_paths}
+        kept_data = {f.path for s in retained for f in s.live_files()}
+        dead_manifests = {
+            p for s in expired for p in s.manifest_paths if p not in kept_manifests
+        }
+        dead_data = {
+            f.path
+            for p in dead_manifests
+            for f in Manifest(p).files()
+            if f.path not in kept_data
+        }
+
+        # metadata first: once the new version lands, no reader can resolve
+        # an expired snapshot, so the file deletes below can't break a scan
+        # (readers of OLD metadata versions race — same caveat as Iceberg)
+        meta.snapshots = retained
+        meta.commit()
+
+        deleted_files = 0
+        for path in sorted(dead_data):
+            try:
+                os.remove(path)
+                deleted_files += 1
+            except FileNotFoundError:
+                pass
+        deleted_manifests = 0
+        for path in sorted(dead_manifests):
+            try:
+                os.remove(path)
+                deleted_manifests += 1
+            except FileNotFoundError:
+                pass
+        # prune now-empty commit directories so data/ doesn't accrete husks
+        for d in os.listdir(meta.data_dir):
+            full = os.path.join(meta.data_dir, d)
+            for root, dirs, files in os.walk(full, topdown=False):
+                if not files and not os.listdir(root):
+                    os.rmdir(root)
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_data_files": deleted_files,
+            "deleted_manifests": deleted_manifests,
+        }
 
     # ------------------------------------------------------------ reads --
 

@@ -1,0 +1,136 @@
+"""Table-maintenance ops: file compaction and snapshot expiration.
+
+The snapshot model that makes these safe is the reference's
+(InsertIntoIcebergTable.scala:142-179: files are only ever de-referenced,
+never mutated); the ops themselves are the Iceberg maintenance procedures
+(rewrite_data_files / expire_snapshots) a 100 TB deployment cannot live
+without.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebergsql_spark.table import Catalog
+
+DDL = "k bigint, v double, part int"
+
+
+def _mk_table(spark, tmp_path, name, n_inserts=3, rows=300):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    tbl = cat.create_table(name, DDL, partition_cols=["part"])
+    src = spark.range(rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    snaps = []
+    for i in range(n_inserts):
+        snaps.append(tbl.insert(src.filter(F.col("k") % n_inserts == i)))
+    return tbl, snaps
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    tbl, snaps = _mk_table(spark, tmp_path, "t")
+    before_files = len(tbl.meta.current_snapshot().live_files())
+    before = {
+        r["part"]: (r["n"], r["s"])
+        for r in tbl.to_df()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+        .collect()
+    }
+    snap = tbl.compact()
+    assert snap is not None and snap.operation == "replace"
+    after_files = len(tbl.meta.current_snapshot().live_files())
+    # 3 partitions × 3 inserts → 9 files packed into 3 (one per partition)
+    assert after_files < before_files
+    assert after_files == 3
+    after = {
+        r["part"]: (r["n"], r["s"])
+        for r in tbl.to_df()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+        .collect()
+    }
+    assert after == before
+    # pre-compaction snapshot still readable (old files untouched)
+    old = tbl.to_df(as_of_millis=snaps[-1].timestamp_ms)
+    assert old.count() == sum(n for n, _ in before.values())
+
+
+def test_compact_noop_when_nothing_qualifies(spark, tmp_path):
+    tbl, _ = _mk_table(spark, tmp_path, "t2", n_inserts=1)
+    assert tbl.compact() is not None
+    # every partition now has one file -> below min_input_files
+    assert tbl.compact() is None
+    # tiny target: no file is "small"
+    assert tbl.compact(target_file_size=1) is None
+
+
+def test_compact_splits_oversized_groups(spark, tmp_path):
+    tbl, _ = _mk_table(spark, tmp_path, "t3", n_inserts=4, rows=4000)
+    files = tbl.meta.current_snapshot().live_files()
+    # pick a target between one input file and a partition's total so the
+    # packed group must split into multiple outputs via maxRecordsPerFile
+    per_part = {}
+    for f in files:
+        per_part.setdefault(f.partition["part"], []).append(f.file_size)
+    sizes = next(iter(per_part.values()))
+    target = int(sum(sizes) * 0.6)
+    assert max(sizes) < target
+    snap = tbl.compact(target_file_size=target)
+    assert snap is not None
+    by_part = {}
+    for f in tbl.meta.current_snapshot().live_files():
+        by_part.setdefault(f.partition["part"], 0)
+        by_part[f.partition["part"]] += 1
+    assert max(by_part.values()) >= 2  # split happened
+    assert tbl.to_df().count() == 4000
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    tbl, snaps = _mk_table(spark, tmp_path, "t4")
+    tbl.compact()
+    pre_paths = {f.path for s in snaps for f in s.live_files()}
+    live_paths = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    res = tbl.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 3
+    assert res["deleted_data_files"] > 0
+    # only the compacted layout remains in metadata
+    assert len(tbl.meta.snapshots) == 1
+    # files referenced only by expired snapshots are gone from disk;
+    # live files intact
+    for p in pre_paths - live_paths:
+        assert not os.path.exists(p)
+    for p in live_paths:
+        assert os.path.exists(p)
+    # time travel to an expired snapshot now fails
+    with pytest.raises(ValueError):
+        tbl.scan(snapshot_id=snaps[0].snapshot_id)
+    assert tbl.to_df().count() == 300
+
+
+def test_expire_keeps_manifests_shared_with_retained(spark, tmp_path):
+    # appends REUSE the parent's manifests, so expiring snapshot 1 while
+    # retaining snapshot 2 must not delete the shared manifest or its files
+    tbl, snaps = _mk_table(spark, tmp_path, "t5", n_inserts=2)
+    shared = set(snaps[0].manifest_paths) & set(snaps[1].manifest_paths)
+    assert shared  # manifest-reuse is in effect
+    res = tbl.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 1
+    assert res["deleted_data_files"] == 0 and res["deleted_manifests"] == 0
+    for p in shared:
+        assert os.path.exists(p)
+    assert tbl.to_df().count() == 300
+
+
+def test_expire_older_than_keeps_recent(spark, tmp_path):
+    tbl, snaps = _mk_table(spark, tmp_path, "t6")
+    cutoff = snaps[0].timestamp_ms  # expire only the first snapshot
+    res = tbl.expire_snapshots(older_than_ms=cutoff, retain_last=1)
+    assert res["expired_snapshots"] == 1
+    ids = {s.snapshot_id for s in tbl.meta.snapshots}
+    assert snaps[0].snapshot_id not in ids
+    assert snaps[1].snapshot_id in ids and snaps[2].snapshot_id in ids
