@@ -137,6 +137,50 @@ def managed_sql_scenario(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_join_pruned",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = 1996 AND year(o_orderdate) = 1995
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Two managed tables joined through Engine.sql; per-table WHERE "
+    "conjuncts are scoped to their join input and prune each table's file "
+    "planning independently (the manifest-level PushDownPredicates).",
+    tags=("managed", "pruning", "join"),
+)
+def managed_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-jwh-"))
+    cat = eng.catalog
+    li_tbl = cat.create_table("li_j", _LI_DDL, partition_cols=["l_shipyear"])
+    li_tbl.insert(_lineitem_with_year(spark, sf_dir))
+    ord_tbl = cat.create_table(
+        "ord_j",
+        "o_orderkey bigint, o_orderpriority string, o_orderdate timestamp_ntz, "
+        "o_year int",
+        partition_cols=["o_year"],
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    ord_tbl.insert(orders)
+    df = eng.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n "
+        "FROM li_j l JOIN ord_j o ON l.l_orderkey = o.o_orderkey "
+        "WHERE l.l_shipyear = 1996 AND o.o_year = 1995 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    # both sides' registered views must be manifest-pruned
+    assert len(spark.table("li_j").inputFiles()) < li_tbl.scan().files_scanned
+    assert len(spark.table("ord_j").inputFiles()) < ord_tbl.scan().files_scanned
+    return df
+
+
+@register(
     "managed_compaction",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear,

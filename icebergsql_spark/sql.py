@@ -100,6 +100,108 @@ def _is_simple_single_table_select(text: str, table: str) -> bool:
     ) is not None
 
 
+_FROM_SEG_RE = re.compile(
+    r"\bfrom\b(?P<seg>.*?)(?:\bwhere\b|\bgroup\s+by\b|\bhaving\b|"
+    r"\border\s+by\b|\blimit\b|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_TYPE_WORDS = frozenset(
+    {"inner", "left", "right", "full", "outer", "cross", "semi", "anti", "natural"}
+)
+# identifier positions that are NOT column references
+_NON_COLUMN_WORDS = frozenset(
+    """and or not in is null like rlike ilike between true false unknown
+    date timestamp interval cast as case when then else end distinct exists
+    any all some escape div mod int integer bigint smallint tinyint double
+    float real decimal numeric string varchar char boolean binary from
+    select asc desc""".split()
+)
+_IDENT_RE = re.compile(
+    r"(?<![\w.'\"`$])(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)(?!\s*\()(?![\w.])"
+)
+
+
+def _split_conjuncts(pred: str) -> list[str]:
+    """Split a WHERE predicate on TOP-LEVEL ``AND`` (paren- and
+    string-literal-aware), so each piece can be scoped to one join input."""
+    out, depth, i, start, n = [], 0, 0, 0, len(pred)
+    low = pred.lower()
+    while i < n:
+        c = pred[i]
+        if c == "'":
+            j = low.find("'", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("and", i)
+            and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_"))
+            and (i + 3 >= n or not (low[i + 3].isalnum() or low[i + 3] == "_"))
+        ):
+            out.append(pred[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    out.append(pred[start:])
+    return [c.strip() for c in out if c.strip()]
+
+
+def _column_refs(conjunct: str) -> list[tuple[str | None, str]] | None:
+    """Extract (qualifier, column) references from a conjunct, or None when
+    the text is unanalyzable (quoted identifiers, subselects) — callers must
+    then NOT use the conjunct for pruning. Function names (followed by
+    ``(``) and SQL keywords are excluded."""
+    if "`" in conjunct or '"' in conjunct:
+        return None
+    stripped = re.sub(r"'[^']*'", "''", conjunct)
+    if re.search(r"\bselect\b", stripped, re.IGNORECASE):
+        return None
+    if re.search(r"\w\s*\.\s*\w+\s*\.", stripped):
+        return None  # 3-part names are beyond the scoper
+    refs = []
+    for m in _IDENT_RE.finditer(stripped):
+        q, name = m.group(1), m.group(2)
+        if q is None and name.lower() in _NON_COLUMN_WORDS:
+            continue
+        refs.append((q, name))
+    return refs
+
+
+def _parse_from_relations(seg: str) -> list[tuple[str, str]] | None:
+    """FROM-clause segment → [(table, alias)], or None when the shape is
+    beyond the analyzer (subqueries, lateral, quoted names). Handles comma
+    lists and every ``[join-type] JOIN t [AS] a [ON ...|USING (...)]``."""
+    if "(" in seg or "`" in seg:
+        return None
+    rels = []
+    for piece in re.split(r",|\bjoin\b", seg, flags=re.IGNORECASE):
+        piece = re.split(r"\bon\b|\busing\b", piece, flags=re.IGNORECASE)[0]
+        toks = piece.split()
+        while toks and toks[-1].lower() in _JOIN_TYPE_WORDS:
+            toks.pop()
+        while toks and toks[0].lower() in _JOIN_TYPE_WORDS:
+            toks.pop(0)
+        if not toks:
+            return None
+        if len(toks) == 3 and toks[1].lower() == "as":
+            name, alias = toks[0], toks[2]
+        elif len(toks) == 2:
+            name, alias = toks
+        elif len(toks) == 1:
+            name = alias = toks[0]
+        else:
+            return None
+        if not re.fullmatch(r"\w+", name) or not re.fullmatch(r"\w+", alias):
+            return None
+        rels.append((name, alias))
+    return rels if rels else None
+
+
 def _parse_partition_spec(spec: str) -> dict[str, str]:
     out = {}
     for m in re.finditer(r"(\w+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\"|([^,\s]+))", spec or ""):
@@ -133,28 +235,125 @@ class Engine:
         text = _SNAPSHOTS_RE.sub(lambda mo: f"{mo.group(1)}__snapshots", text)
 
         referenced = self._referenced_managed(text)
-        where = None
-        # Prune only for provably-simple shapes: ONE select over ONE table
-        # (no joins/subqueries), so the extracted WHERE is guaranteed to
-        # scope the managed table. Anything fancier scans unpruned — Spark's
-        # own parquet pushdown still applies.
+        per_table: dict[str, str | None] = {}
+        # Single-table shape: the whole WHERE scopes the one managed table
+        # (lenient predicate parse degrades anything unprovable, so pruning
+        # is best-effort and always sound — the real WHERE still runs in
+        # Spark SQL over the pruned-but-unfiltered view).
         if len(referenced) == 1 and _is_simple_single_table_select(text, referenced[0]):
             wm = _WHERE_RE.search(text)
             if wm:
-                where = wm.group("pred").strip() or None
+                per_table[referenced[0]] = wm.group("pred").strip() or None
+        elif referenced:
+            per_table = self._scoped_predicates(text, referenced)
         for name in referenced:
             tbl = self.catalog.load_table(name)
-            # lenient predicate parse: unknown constructs degrade to
-            # always-true, so pruning is best-effort and always sound (the
-            # real WHERE still runs in Spark SQL)
-            # Soundness of pruning with an extracted WHERE: any column name in
-            # the predicate that actually belongs to another table either is
-            # qualified (no stats key match) or doesn't exist in this table's
-            # stats — both cases degrade to "cannot prune". The real WHERE
-            # still executes in Spark SQL regardless.
-            scan = tbl.scan(where=where, as_of_millis=as_of_millis)
+            scan = tbl.scan(where=per_table.get(name), as_of_millis=as_of_millis)
             scan.dataframe(apply_where=False).createOrReplaceTempView(name)
         return text
+
+    def _scoped_predicates(
+        self, text: str, referenced: list[str]
+    ) -> dict[str, str]:
+        """Per-table pruning predicates for JOIN queries: split the WHERE
+        into top-level AND conjuncts and attribute each to the single join
+        input whose columns it references — the manifest-pruning analogue
+        of Catalyst's PushDownPredicates, run before file planning so each
+        managed table's scan reads only files its own conjuncts allow.
+
+        Sound by construction, not best-effort parsing:
+          - a conjunct is used only when EVERY column reference provably
+            resolves to one relation (qualified by its name/alias, or
+            unqualified with all relations' schemas known and exactly one
+            containing the column — the same uniqueness a valid query needs);
+          - unanalyzable text (subqueries, quoted identifiers, 3-part names,
+            un-parsed FROM shapes) contributes nothing;
+          - with any OUTER join present, conjuncts that are not provably
+            null-rejecting (IS NULL / <=> / coalesce-family / CASE) are
+            dropped: `WHERE t2.x IS NULL` over `t1 LEFT JOIN t2` is the
+            anti-join idiom, and pre-join pruning of t2 would ADD
+            null-extended rows. Null-rejecting conjuncts commute with outer
+            joins (the filter-pushdown rule Catalyst itself applies).
+        The statement's own WHERE always re-executes in Spark SQL, so a
+        dropped conjunct costs IO, never correctness.
+        """
+        low = text.lower()
+        if low.count("select") != 1:
+            return {}
+        fm = _FROM_SEG_RE.search(text)
+        wm = _WHERE_RE.search(text)
+        if not fm or not wm:
+            return {}
+        rels = _parse_from_relations(fm.group("seg"))
+        if rels is None:
+            return {}
+        has_outer = bool(
+            re.search(r"\b(left|right|full)\b", fm.group("seg"), re.IGNORECASE)
+        )
+        managed = set(referenced)
+        cols_by_alias: dict[str, set[str] | None] = {}
+        owner_of_alias: dict[str, str] = {}
+        for name, alias in rels:
+            a = alias.lower()
+            if a in owner_of_alias:
+                return {}  # duplicate alias: ambiguous, bail entirely
+            owner_of_alias[a] = name
+            if name in managed:
+                tbl = self.catalog.load_table(name)
+                cols_by_alias[a] = {f.name.lower() for f in tbl.schema.fields}
+            else:
+                try:
+                    cols_by_alias[a] = {
+                        c.lower() for c in self.spark.table(name).columns
+                    }
+                except Exception:
+                    cols_by_alias[a] = None  # unknown relation schema
+
+        out: dict[str, list[str]] = {}
+        for conjunct in _split_conjuncts(wm.group("pred")):
+            if has_outer and re.search(
+                r"\bis\b|<=>|\bcoalesce\b|\bifnull\b|\bnvl\b|\bnanvl\b|\bcase\b",
+                conjunct,
+                re.IGNORECASE,
+            ):
+                continue
+            refs = _column_refs(conjunct)
+            if not refs:
+                continue
+            owners: set[str] = set()
+            ok = True
+            for q, col in refs:
+                if q is not None:
+                    ql = q.lower()
+                    if ql not in owner_of_alias:
+                        ok = False  # qualifier isn't a join input — bail
+                        break
+                    owners.add(ql)
+                else:
+                    cl = col.lower()
+                    if any(c is None for c in cols_by_alias.values()):
+                        ok = False  # can't prove uniqueness
+                        break
+                    holders = [a for a, c in cols_by_alias.items() if cl in c]
+                    if len(holders) != 1:
+                        ok = False
+                        break
+                    owners.add(holders[0])
+            if not ok or len(owners) != 1:
+                continue
+            alias = next(iter(owners))
+            name = owner_of_alias[alias]
+            if name not in managed:
+                continue
+            # self-join: both aliases scan the SAME registered view, so a
+            # one-alias conjunct must not narrow the other's file set
+            if sum(1 for n in owner_of_alias.values() if n == name) > 1:
+                continue
+            bare = re.sub(
+                rf"\b{re.escape(alias)}\s*\.\s*", "", conjunct, flags=re.IGNORECASE
+            )
+            out.setdefault(name, []).append(f"({bare})")
+        return {name: " AND ".join(parts) for name, parts in out.items()}
 
     # ---------------------------------------------------------------- sql --
 
