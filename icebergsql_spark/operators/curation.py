@@ -203,3 +203,97 @@ def passage_dedup_stats(
             F.round((F.col("n_passages") - F.col("n_kept")) / F.col("n_passages"), 6),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval set — the published n-gram-overlap
+    procedure (GPT-3 appendix C, PaLM §6; 8-13-gram windows in production,
+    ``n`` is the knob). Returns per-corpus-doc ``hit_shingles`` (distinct
+    own n-grams that appear anywhere in the benchmark) and ``contaminated``.
+
+    Scale shape: the benchmark side is eval data — MBs against a 100 TB
+    corpus — so its distinct-shingle set is BROADCAST and the probe is a
+    map-side semi-join inside the corpus scan: no corpus shuffle at all
+    except the per-doc count aggregation (keyed by doc, no hot keys).
+    n >= 3 keeps stopword n-grams from mattering; for n=1 apply a df-cap
+    first (see dedup.jaccard_pairs).
+    """
+    def shingles(df: DataFrame) -> DataFrame:
+        arr = F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {n - 1}, 1)),"
+            f" i -> array_join(slice(split(trim({text_col}), ' '), i, {n}), ' '))"
+        )
+        return df.select(
+            F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
+        )
+
+    bench = F.broadcast(shingles(benchmark).select("shingle").distinct())
+    hits = (
+        shingles(corpus)
+        .join(bench, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_shingles"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("hit_shingles", F.lit(0)).alias("hit_shingles"),
+        )
+        .withColumn("contaminated", F.col("hit_shingles") > 0)
+    )
+
+
+def resample_to_mix(
+    df: DataFrame,
+    mix: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    modulus: int = 10000,
+) -> DataFrame:
+    """Deterministic down-sampling to a target domain mix: keep-rates are
+    chosen so the surviving per-source counts are proportional to ``mix``
+    weights with the binding source (largest weight-relative deficit) kept
+    in full — the standard pretraining domain-reweighting step (e.g. the
+    Pile / DoReMi-style static mixes). Sources absent from ``mix`` are
+    dropped.
+
+    Every decision is integer arithmetic + md5 bucketing, so reruns,
+    engine ports, and incremental re-ingests all select the SAME rows:
+      ratio_s   = n_s * 10^9 div w_s          (scaled, exact)
+      binding   = argmin ratio (ties: source)  -> (n*, w*)
+      cut_s     = modulus * n* * w_s div (w* * n_s)
+      keep row  <=> md5_bucket(id, modulus) < cut_s
+    Plan: per-source counts (tiny agg) -> 1-row binding source broadcast ->
+    rates broadcast-joined back on source -> narrow filter. The 100 TB data
+    path is one scan + one map-side join; no data-sized shuffle.
+    """
+    wmap = F.create_map(*[F.lit(x) for kv in mix.items() for x in kv])
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", wmap[F.col(source_col)].cast("bigint"))
+        .filter(F.col("w").isNotNull())
+        .withColumn("ratio", F.expr("n * 1000000000 div w"))
+    )
+    w_rank = Window.orderBy("ratio", source_col)
+    binding = (
+        counts.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(F.col("n").alias("n_star"), F.col("w").alias("w_star"))
+    )
+    rates = counts.crossJoin(F.broadcast(binding)).select(
+        source_col,
+        F.expr(f"({modulus} * n_star * w) div (w_star * n)").alias("cut"),
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        md5_bucket(id_col, modulus) < F.col("cut")
+    )

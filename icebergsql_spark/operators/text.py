@@ -115,6 +115,55 @@ def winnowing_fingerprints(
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, appendix
+    A1.1 — the published filter set for LLM training corpora): per document,
+
+      - ``dup_word_frac``    1 − |distinct tokens| / |tokens|
+      - ``dup_5gram_frac``   1 − |distinct char 5-grams| / |char 5-grams|
+      - ``top_bigram_frac``  occurrences of the most frequent word bigram
+                             over all bigram occurrences
+
+    High values on any of them mark boilerplate/spam documents that repeat
+    themselves — the standard pre-training quality gate after dedup.
+
+    Scale shape: the two dup fractions are pure per-row array expressions
+    (whole-stage codegen, no shuffle). top_bigram_frac needs per-(doc,
+    bigram) counts — an explode + two aggregations both keyed by doc, so
+    shuffle volume is O(total bigrams) and no key can be hotter than the
+    largest single document. No Python in any path.
+    """
+    t = tokens(text_col)
+    g5 = F.expr(
+        f"transform(sequence(1, greatest(length({text_col})-4, 1)), "
+        f"i -> substring({text_col}, i, 5))"
+    )
+    per_row = df.withColumn("__t", t).select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.round(F.lit(1) - F.size(F.array_distinct("__t")) / F.size("__t"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.lit(1) - F.size(F.array_distinct(g5)) / F.size(g5), 6).alias(
+            "dup_5gram_frac"
+        ),
+        F.expr(
+            "transform(sequence(1, greatest(size(__t)-1, 1)), "
+            "i -> array_join(slice(__t, i, 2), ' '))"
+        ).alias("__bg"),
+    )
+    top = (
+        per_row.select(id_col, F.explode("__bg").alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    return per_row.drop("__bg").join(top, id_col)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

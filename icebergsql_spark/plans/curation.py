@@ -189,3 +189,94 @@ def curation_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return curation.passage_dedup_stats(docs, k=8).orderBy("doc_id")
+
+
+_SHINGLE3 = (
+    "list_transform(generate_series(1, greatest(len(string_split(trim(text), ' ')) - 2, 1)), "
+    "i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' '))"
+)
+
+
+@register(
+    "curation_decontaminate",
+    oracle=f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 480),
+        bench AS (
+          SELECT DISTINCT unnest(list_distinct({_SHINGLE3})) AS shingle
+          FROM documents WHERE doc_id >= 480
+        ),
+        csh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLE3})) AS shingle
+          FROM corpus
+        ),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS hit_shingles
+          FROM csh WHERE shingle IN (SELECT shingle FROM bench)
+          GROUP BY 1
+        )
+        SELECT c.doc_id,
+               COALESCE(h.hit_shingles, 0) AS hit_shingles,
+               COALESCE(h.hit_shingles, 0) > 0 AS contaminated
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+        ORDER BY c.doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any word 3-gram "
+    "with the held-out benchmark slice are flagged (GPT-3-style n-gram "
+    "overlap). Benchmark shingles broadcast; corpus side never shuffles "
+    "except the per-doc count.",
+    tags=("curation", "decontamination"),
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return curation.decontaminate(
+        docs.filter(F.col("doc_id") < 480),
+        docs.filter(F.col("doc_id") >= 480),
+        n=3,
+    ).orderBy("doc_id")
+
+
+@register(
+    "curation_mix_resample",
+    oracle="""
+        WITH m(source, w) AS (
+          VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10)
+        ),
+        counts AS (
+          SELECT d.source, COUNT(*) AS n, m.w
+          FROM documents d JOIN m ON d.source = m.source
+          GROUP BY 1, 3
+        ),
+        ranked AS (
+          SELECT source, n, w,
+                 row_number() OVER (ORDER BY n * 1000000000 // w, source) AS rn
+          FROM counts
+        ),
+        star AS (SELECT n AS n_star, w AS w_star FROM ranked WHERE rn = 1),
+        rates AS (
+          SELECT c.source, (10000 * s.n_star * c.w) // (s.w_star * c.n) AS cut
+          FROM counts c CROSS JOIN star s
+        )
+        SELECT d.source, r.cut,
+               CAST(COUNT(*) AS BIGINT) AS kept
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+              % 10000 < r.cut
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+    doc="Deterministic domain-mix resampling: integer-exact keep-rates "
+    "proportional to target weights (binding source kept in full), rows "
+    "selected by id-hash cut — reproducible across engines and reruns.",
+    tags=("curation", "mixing"),
+)
+def curation_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    kept = curation.resample_to_mix(
+        docs, {"src0": 40, "src1": 30, "src2": 20, "src3": 10}
+    )
+    return (
+        kept.groupBy("source", "cut")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .orderBy("source")
+    )

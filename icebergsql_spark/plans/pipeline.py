@@ -118,6 +118,48 @@ def text_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_signals",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        per_row AS (
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                 round(1 - len(list_distinct(string_split(trim(text), ' ')))
+                         / len(string_split(trim(text), ' ')), 6) AS dup_word_frac,
+                 round(1 - len(list_distinct(list_transform(
+                           generate_series(1, greatest(len(text) - 4, 1)),
+                           i -> substr(text, i, 5))))
+                         / greatest(len(text) - 4, 1), 6) AS dup_5gram_frac
+          FROM docs
+        ),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(trim(text), ' ')) - 1, 1)),
+            i -> array_to_string(
+              list_slice(string_split(trim(text), ' '), i, i + 1), ' ')
+          )) AS b
+          FROM docs
+        ),
+        bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, round(MAX(c) / SUM(c), 6) AS top_bigram_frac
+          FROM bgc GROUP BY 1
+        )
+        SELECT p.doc_id, n_tokens, dup_word_frac, dup_5gram_frac, top_bigram_frac
+        FROM per_row p JOIN top USING (doc_id)
+        ORDER BY p.doc_id
+    """,
+    doc="Gopher-style repetition quality signals: duplicate-word fraction, "
+    "duplicate char-5-gram fraction, top word-bigram share — the standard "
+    "post-dedup boilerplate/spam gate for LLM training corpora.",
+    tags=("pipeline", "text"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.repetition_signals(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_exact_stats",
     oracle="""
         SELECT COUNT(*) AS n_docs,
