@@ -221,6 +221,49 @@ def managed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_clustered_scan",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_partkey < 200
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="compact(sort_by=[l_partkey]) clusters each partition's rewrite so "
+    "footer min/max stats skip files on a NON-partition column; the pruned "
+    "scan must still match the raw-parquet oracle.",
+    tags=("managed", "maintenance", "clustering"),
+)
+def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_cl", _LI_DDL, partition_cols=["l_shipyear"]
+    )
+    tbl.insert(_lineitem_with_year(spark, sf_dir))
+    files = tbl.meta.current_snapshot().live_files()
+    n_parts = len({tuple(f.partition.items()) for f in files})
+    target = max(1 << 16, sum(f.file_size for f in files) // (n_parts * 4))
+    snap = tbl.compact(sort_by=["l_partkey"], target_file_size=target)
+    assert snap is not None and snap.operation == "replace"
+    scan = tbl.scan(where="l_partkey < 200")
+    total = len(tbl.meta.current_snapshot().live_files())
+    # min/max skipping can only bite once partitions split into >1 sorted
+    # file (tiny SFs pack to one file per partition — nothing to skip)
+    if total > n_parts:
+        assert scan.files_scanned < total
+    return (
+        scan.dataframe()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "managed_partition_overwrite",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear, COUNT(*) AS n

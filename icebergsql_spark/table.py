@@ -534,6 +534,7 @@ class ManagedTable:
         self,
         target_file_size: int = 128 * 1024 * 1024,
         min_input_files: int = 2,
+        sort_by: list[str] | None = None,
     ) -> Snapshot | None:
         """Bin-pack small data files (Iceberg's ``rewrite_data_files``): per
         partition, every live file below ``target_file_size`` is rewritten
@@ -558,6 +559,17 @@ class ManagedTable:
         bytes-per-row. Untouched files keep their manifests (manifest-reuse
         commit, same as appends).
 
+        ``sort_by`` additionally CLUSTERS the rewrite (Iceberg
+        write.sort-order / Delta OPTIMIZE ZORDER's 1-D case): rows are
+        sorted on the given columns within each write task, so with
+        ``maxRecordsPerFile`` splitting, consecutive output files cover
+        disjoint narrow ranges of the sort key — which turns the existing
+        footer-stats min/max pruning into effective file skipping on
+        NON-partition columns. With sort_by set, every qualifying
+        partition's files are rewritten even when already packed (the
+        point is the layout, not the count), and the order is recorded in
+        table properties as ``sort.order`` for later writers/auditors.
+
         Returns the 'replace' snapshot, or None when nothing qualified.
         Concurrent appends are safe to retry around; a concurrent overwrite
         surfaces CommitConflict (the delete set may be stale) — rerun.
@@ -566,6 +578,11 @@ class ManagedTable:
         parent = self.meta.current_snapshot()
         if parent is None:
             return None
+        schema = self.schema
+        cols = {f.name for f in schema.fields}
+        for c in sort_by or []:
+            if c not in cols:
+                raise TableValidationError(f"sort_by column {c!r} not in schema")
         groups: dict[tuple, list[DataFile]] = {}
         for f in parent.live_files():
             key = tuple(sorted(f.partition.items()))
@@ -573,12 +590,17 @@ class ManagedTable:
         to_rewrite: list[DataFile] = []
         max_records = 1 << 62
         for files in groups.values():
-            small = [f for f in files if f.file_size < target_file_size]
-            if len(small) < min_input_files:
-                continue
-            to_rewrite.extend(small)
-            rows = sum(f.record_count for f in small)
-            size = sum(f.file_size for f in small)
+            if sort_by:
+                # clustering rewrites the whole partition: the goal is the
+                # sorted layout, not the file count
+                chosen = files
+            else:
+                chosen = [f for f in files if f.file_size < target_file_size]
+                if len(chosen) < min_input_files:
+                    continue
+            to_rewrite.extend(chosen)
+            rows = sum(f.record_count for f in chosen)
+            size = sum(f.file_size for f in chosen)
             if rows and size > target_file_size:
                 # cap records-per-file so the packed output lands near the
                 # target size (parquet re-encodes, so this is approximate)
@@ -588,7 +610,6 @@ class ManagedTable:
         if not to_rewrite:
             return None
 
-        schema = self.schema
         df = (
             self.spark.read.schema(schema)
             .format(self.file_format)
@@ -600,6 +621,13 @@ class ManagedTable:
         write_df = df.repartition(*[F.col(c) for c in part_cols])
         for pc in part_cols:
             write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
+        if sort_by:
+            # partition dirs first so each dir's rows are contiguous, then
+            # the cluster keys: with maxRecordsPerFile splitting, each
+            # output file covers a narrow sort-key range → min/max skipping
+            write_df = write_df.sortWithinPartitions(
+                *[PART_PREFIX + pc for pc in part_cols], *sort_by
+            )
         writer = write_df.write.mode("errorifexists").partitionBy(
             *[PART_PREFIX + pc for pc in part_cols]
         )
@@ -607,6 +635,8 @@ class ManagedTable:
             writer = writer.option("maxRecordsPerFile", max_records)
         writer.format(self.file_format).save(out_dir)
         added = self._build_data_files(out_dir)
+        if sort_by:
+            self.meta.properties["sort.order"] = ",".join(sort_by)
         return self._commit_snapshot(parent, added, to_rewrite, operation="replace")
 
     def expire_snapshots(

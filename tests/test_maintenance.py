@@ -134,3 +134,30 @@ def test_expire_older_than_keeps_recent(spark, tmp_path):
     ids = {s.snapshot_id for s in tbl.meta.snapshots}
     assert snaps[0].snapshot_id not in ids
     assert snaps[1].snapshot_id in ids and snaps[2].snapshot_id in ids
+
+
+def test_clustered_compact_enables_stats_pruning(spark, tmp_path):
+    """compact(sort_by=...) must turn footer min/max stats into real file
+    skipping on a NON-partition column (Iceberg write.sort-order shape)."""
+    cat = Catalog(spark, str(tmp_path / "whc"))
+    tbl = cat.create_table("tc", "k bigint, v bigint, part int", ["part"])
+    src = spark.range(6000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 6000).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    tbl.insert(src)
+    files = tbl.meta.current_snapshot().live_files()
+    expected = tbl.to_df().filter("v < 100").count()
+    # pick a target that splits each partition's rewrite into ~4 files
+    per_part_bytes = sum(f.file_size for f in files) // 3
+    snap = tbl.compact(sort_by=["v"], target_file_size=per_part_bytes // 4)
+    assert snap is not None and snap.operation == "replace"
+    assert tbl.meta.properties["sort.order"] == "v"
+    total = len(tbl.meta.current_snapshot().live_files())
+    assert total >= 6  # the split actually happened
+    scan = tbl.scan(where="v < 100")
+    # sorted layout: at most one boundary-straddling file per partition
+    assert scan.files_scanned <= 2 * 3
+    assert scan.files_scanned < total
+    assert scan.dataframe().count() == expected
