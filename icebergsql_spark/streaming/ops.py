@@ -31,12 +31,14 @@ EVENTS_SCHEMA = (
 # spark.sql.legacy.parquet.nanosAsLong — same convention as the batch path)
 
 
-def read_event_stream(spark, source_dir: str) -> DataFrame:
+def read_event_stream(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
 
@@ -97,7 +99,8 @@ def _sessionize_group(
     event-time order (what a log-backed source delivers per partition);
     events are sorted within a batch, and an event older than the open
     session's span would belong to an already-emitted session (late data —
-    a watermark-buffered variant would hold a reorder buffer in state).
+    ``sessionize_reordered`` is the watermark-buffered variant without
+    this contract).
     """
     (user_id,) = key
     ts_sorted: list[int] = []
@@ -142,6 +145,101 @@ def sessionize(stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+REORDER_STATE_SCHEMA = (
+    "pending array<bigint>, open_start bigint, open_end bigint, open_count int"
+)
+
+
+def _sessionize_reordered_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Watermark-buffered sessionization for one user: events are held in a
+    reorder buffer until the event-time watermark passes them, so sessions
+    are EXACTLY those of the batch twin under any within-watermark disorder
+    (the upgrade over _sessionize_group's per-key-ordered-input contract).
+
+    Why this is safe: Spark drops rows older than the watermark before the
+    operator, so every future delivered event has ts >= wm. Folding only
+    events with ts <= wm therefore never finalizes ahead of a straggler,
+    and the trailing open session closes only when wm > open_end + gap —
+    the point after which no deliverable event can extend it. State per key
+    is the open session plus the <= watermark-horizon reorder buffer, so
+    memory stays bounded by delay x per-key event rate."""
+    (user_id,) = key
+    if state.exists:
+        pending_raw, open_start, open_end, open_count = state.get
+        pending = list(pending_raw or [])
+    else:
+        pending, open_start, open_end, open_count = [], None, None, None
+    for pdf in batches:
+        pending.extend(int(t) for t in pdf["ts"])
+
+    wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+    mature = sorted(t for t in pending if t <= wm_ns)
+    pending = [t for t in pending if t > wm_ns]
+
+    closed: list[tuple[int, int, int]] = []
+    for t in mature:
+        if open_start is None:
+            open_start, open_end, open_count = t, t, 1
+        elif t - open_end <= SESSION_GAP_NS:
+            open_end, open_count = t, open_count + 1
+        else:
+            closed.append((open_start, open_end, open_count))
+            open_start, open_end, open_count = t, t, 1
+    if open_start is not None and wm_ns > open_end + SESSION_GAP_NS:
+        closed.append((open_start, open_end, open_count))
+        open_start = open_end = open_count = None
+
+    if pending or open_start is not None:
+        state.update((pending, open_start, open_end, open_count))
+        # EventTimeTimeout drives draining for keys with NO new data: wake
+        # when the watermark reaches the next actionable instant — the
+        # oldest buffered event, or the point where the open session's gap
+        # has provably elapsed. Without this, a key's last sessions would
+        # sit in state forever (the function is only invoked for keys
+        # present in a batch or timed out).
+        nxt = []
+        if pending:
+            nxt.append(min(pending))
+        if open_start is not None:
+            nxt.append(open_end + SESSION_GAP_NS + 1)
+        target_ms = min(nxt) // 1_000_000 + 1
+        state.setTimeoutTimestamp(max(target_ms, state.getCurrentWatermarkMs() + 1))
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_reordered(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization that tolerates out-of-order delivery up to
+    ``watermark``: the watermark-buffered variant of ``sessionize`` (the
+    upgrade flagged in its docstring). Requires the watermark so late rows
+    are bounded and the reorder buffer drains."""
+    return (
+        with_event_time(stream)
+        .withWatermark("event_time", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_reordered_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=REORDER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

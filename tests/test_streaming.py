@@ -137,3 +137,68 @@ def test_stream_is_incremental(spark, events_dir):
     )
     q.awaitTermination(120)
     assert len(q.recentProgress) >= 2
+
+
+@pytest.fixture(scope="module")
+def disordered_events_dir(spark, tmp_path_factory):
+    """Events split into files by JITTERED time (±30 min on a 2 h
+    watermark): cross-batch delivery is out of order within the watermark
+    horizon, which breaks the ordered-input contract of plain sessionize
+    and is exactly what sessionize_reordered must absorb. Two far-future
+    sentinel files (their own micro-batches) push the final watermark past
+    every real event so all real sessions close and the comparison with
+    the batch twin is exact equality."""
+    import os
+    import time
+
+    out = str(tmp_path_factory.mktemp("events_disordered"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    jitter = (F.col("event_id") * 2654435761) % F.lit(3_600_000_000_000) - F.lit(
+        1_800_000_000_000
+    )
+    ev.repartitionByRange(8, (F.col("ts") + jitter)).write.mode("overwrite").parquet(out)
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    day_ns = 24 * 3600 * 1_000_000_000
+    for i in (1, 2):
+        spark.createDataFrame(
+            [(-i, max_ts + i * day_ns, -1, "sentinel", 0.0, "{}")],
+            ops.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}_s{i}")
+        import shutil as _sh
+
+        src = next(
+            f for f in os.listdir(f"{out}_s{i}") if f.endswith(".parquet")
+        )
+        _sh.copy(os.path.join(f"{out}_s{i}", src), os.path.join(out, f"zz-sentinel-{i}.parquet"))
+        parts.append(f"zz-sentinel-{i}.parquet")
+    base = time.time() - len(parts) * 60
+    for i, fn in enumerate(parts):
+        os.utime(os.path.join(out, fn), (base + i * 60, base + i * 60))
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sessionize_reordered_matches_batch_under_disorder(
+    spark, disordered_events_dir
+):
+    stream = ops.read_event_stream(
+        spark, disordered_events_dir, max_files_per_trigger=1
+    )
+    result = _run_stream(spark, ops.sessionize_reordered(stream), "sessions_reord")
+    got = {
+        tuple(r)
+        for r in result.filter(F.col("user_id") >= 0).collect()
+    }
+    real = spark.read.parquet(disordered_events_dir).filter(F.col("user_id") >= 0)
+    want = {
+        tuple(r)
+        for r in ops.batch_sessions(real)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
