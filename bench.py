@@ -50,6 +50,13 @@ BENCH_QUERIES = [
     "managed_pruned_scan",
     "managed_time_travel",
     "managed_partition_overwrite",
+    # round-2 additions (names above stay stable for round-over-round diffs)
+    "managed_compaction",
+    "managed_clustered_scan",
+    "managed_join_pruned",
+    "text_repetition_signals",
+    "curation_decontaminate",
+    "curation_mix_resample",
 ]
 
 

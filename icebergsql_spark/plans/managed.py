@@ -264,6 +264,49 @@ def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_partition_evolution",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Half the rows written under PARTITIONED BY (l_shipyear), the spec "
+    "evolved to (l_returnflag), the other half written under it; a scan "
+    "predicated on the OLD partition column must stay exact across the "
+    "mixed-spec file set (old files prune by partition tuple, new ones by "
+    "footer stats).",
+    tags=("managed", "evolution"),
+)
+def managed_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_ev", _LI_DDL, partition_cols=["l_shipyear"]
+    )
+    li = _lineitem_with_year(spark, sf_dir)
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    tbl.alter_partition_spec(["l_returnflag"])
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 1))
+    specs = {
+        frozenset(f.partition)
+        for f in tbl.meta.current_snapshot().live_files()
+    }
+    assert frozenset({"l_shipyear"}) in specs and frozenset({"l_returnflag"}) in specs
+    return (
+        tbl.scan(where="l_shipyear = 1996")
+        .dataframe()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "managed_partition_overwrite",
     oracle="""
         SELECT CAST(year(l_shipdate) AS INTEGER) AS l_shipyear, COUNT(*) AS n

@@ -530,6 +530,42 @@ class ManagedTable:
 
     # ------------------------------------------------------ maintenance --
 
+    def alter_partition_spec(self, partition_cols: list[str]) -> None:
+        """Partition evolution (the Iceberg headline feature the reference
+        inherits from its Iceberg dependency): future writes lay out data
+        under the NEW spec; existing files keep the spec they were written
+        with. Scans stay correct because planning is per-file — each
+        DataFile carries its own partition tuple (point-range stats) plus
+        parquet footer min/max for every data column, so a predicate on an
+        old partition column still prunes new-spec files via column stats
+        and vice versa. No data rewrite happens here (metadata-only, O(1));
+        ``compact()`` rewrites under the current spec, so it doubles as the
+        spec-migration tool."""
+        self.refresh()
+        cols = [f.name for f in self.schema.fields]
+        if not partition_cols:
+            raise TableValidationError("managed tables must stay partitioned")
+        for pc in partition_cols:
+            if pc not in cols:
+                raise TableValidationError(
+                    f"partition column {pc!r} not in schema"
+                )
+        self.meta.partition_cols = list(partition_cols)
+        self.meta.commit()
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Point the table back at an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``): pointer move only — history and files
+        are untouched, so the rolled-back-over snapshots remain
+        time-travelable until expire_snapshots() GCs them."""
+        self.refresh()
+        snap = self.meta.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        self.meta.current_snapshot_id = snapshot_id
+        self.meta.commit()
+        return snap
+
     def compact(
         self,
         target_file_size: int = 128 * 1024 * 1024,

@@ -161,3 +161,62 @@ def test_clustered_compact_enables_stats_pruning(spark, tmp_path):
     assert scan.files_scanned <= 2 * 3
     assert scan.files_scanned < total
     assert scan.dataframe().count() == expected
+
+
+def test_partition_evolution_mixed_specs(spark, tmp_path):
+    """Old-spec and new-spec files coexist; per-file planning prunes each
+    with whatever it has (partition tuple or footer min/max)."""
+    cat = Catalog(spark, str(tmp_path / "whp"))
+    tbl = cat.create_table(
+        "tp", "k bigint, part int, region string", ["part"]
+    )
+    src = spark.range(600).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        F.concat(F.lit("r"), F.col("id") % 2).alias("region"),
+    )
+    tbl.insert(src.filter(F.col("k") < 300))
+    tbl.alter_partition_spec(["region"])
+    tbl.insert(src.filter(F.col("k") >= 300))
+    assert tbl.to_df().count() == 600
+
+    files = tbl.meta.current_snapshot().live_files()
+    specs = {frozenset(f.partition) for f in files}
+    assert frozenset({"part"}) in specs and frozenset({"region"}) in specs
+
+    # predicate on the OLD partition column: old files prune via partition
+    # tuple, new files via footer min/max (may or may not skip — but never
+    # lose rows)
+    scan = tbl.scan(where="part = 1")
+    assert scan.dataframe().count() == 200
+    old_files_part1 = [
+        f for f in files if f.partition.get("part") not in (None,) and f.partition["part"] != "1"
+    ]
+    planned = {f.path for f in scan.planned_files}
+    assert not any(f.path in planned for f in old_files_part1)
+
+    # predicate on the NEW partition column prunes new-spec files
+    scan2 = tbl.scan(where="region = 'r0'")
+    assert scan2.dataframe().count() == 300
+    new_files_r1 = [f for f in files if f.partition.get("region") == "r1"]
+    planned2 = {f.path for f in scan2.planned_files}
+    assert new_files_r1 and not any(f.path in planned2 for f in new_files_r1)
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    tbl, snaps = _mk_table(spark, tmp_path, "tr", n_inserts=2)
+    assert tbl.to_df().count() == 300
+    tbl.rollback_to(snaps[0].snapshot_id)
+    assert tbl.to_df().count() == 150
+    # rolled-over snapshot still time-travelable
+    assert tbl.to_df(snapshot_id=snaps[1].snapshot_id).count() == 300
+    # writes continue from the rolled-back state
+    tbl.insert(
+        tbl.spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v"),
+            F.lit(0).cast("int").alias("part"),
+        )
+    )
+    assert tbl.to_df().count() == 160
+    with pytest.raises(ValueError):
+        tbl.rollback_to(12345)
