@@ -264,6 +264,48 @@ def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_zorder_scan",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_suppkey < 20
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="compact(zorder_by=[l_partkey, l_suppkey]) Morton-clusters the "
+    "rewrite; the scan predicates on the NON-leading curve column, which "
+    "only interleaved ordering (not a lexicographic sort) can skip files "
+    "for, and must match the raw-parquet oracle.",
+    tags=("managed", "maintenance", "clustering"),
+)
+def managed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_z", _LI_DDL, partition_cols=["l_shipyear"]
+    )
+    tbl.insert(_lineitem_with_year(spark, sf_dir))
+    files = tbl.meta.current_snapshot().live_files()
+    n_parts = len({tuple(f.partition.items()) for f in files})
+    target = max(1 << 16, sum(f.file_size for f in files) // (n_parts * 4))
+    snap = tbl.compact(zorder_by=["l_partkey", "l_suppkey"], target_file_size=target)
+    assert snap is not None and snap.operation == "replace"
+    scan = tbl.scan(where="l_suppkey < 20")
+    total = len(tbl.meta.current_snapshot().live_files())
+    if total > n_parts:
+        assert scan.files_scanned < total
+    return (
+        scan.dataframe()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "managed_partition_evolution",
     oracle="""
         SELECT l_returnflag,

@@ -571,6 +571,7 @@ class ManagedTable:
         target_file_size: int = 128 * 1024 * 1024,
         min_input_files: int = 2,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> Snapshot | None:
         """Bin-pack small data files (Iceberg's ``rewrite_data_files``): per
         partition, every live file below ``target_file_size`` is rewritten
@@ -606,19 +607,42 @@ class ManagedTable:
         point is the layout, not the count), and the order is recorded in
         table properties as ``sort.order`` for later writers/auditors.
 
+        ``zorder_by`` (mutually exclusive with sort_by) clusters on the
+        INTERLEAVED-BITS Morton curve over 2+ numeric columns, so min/max
+        skipping works on EVERY listed column, not just the leading one —
+        a lexicographic sort on (a, b) leaves b's per-file ranges as wide
+        as the data. Each column is normalized to a 16-bit rank using the
+        table's OWN manifest stats (global min/max — metadata-only, no
+        extra pass over the data), bits are interleaved into one bigint
+        sort key, and the layout machinery is shared with sort_by. The
+        normalization affects layout only, never results.
+
         Returns the 'replace' snapshot, or None when nothing qualified.
         Concurrent appends are safe to retry around; a concurrent overwrite
         surfaces CommitConflict (the delete set may be stale) — rerun.
         """
+        if sort_by and zorder_by:
+            raise TableValidationError("sort_by and zorder_by are exclusive")
         self.refresh()
         parent = self.meta.current_snapshot()
         if parent is None:
             return None
         schema = self.schema
         cols = {f.name for f in schema.fields}
-        for c in sort_by or []:
+        for c in (sort_by or []) + (zorder_by or []):
             if c not in cols:
-                raise TableValidationError(f"sort_by column {c!r} not in schema")
+                raise TableValidationError(f"cluster column {c!r} not in schema")
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
+        for c in zorder_by or []:
+            if not isinstance(schema[c].dataType, numeric):
+                raise TableValidationError(
+                    f"zorder_by column {c!r} must be numeric "
+                    f"(got {schema[c].dataType.simpleString()})"
+                )
+        cluster = sort_by or zorder_by
         groups: dict[tuple, list[DataFile]] = {}
         for f in parent.live_files():
             key = tuple(sorted(f.partition.items()))
@@ -626,7 +650,7 @@ class ManagedTable:
         to_rewrite: list[DataFile] = []
         max_records = 1 << 62
         for files in groups.values():
-            if sort_by:
+            if cluster:
                 # clustering rewrites the whole partition: the goal is the
                 # sorted layout, not the file count
                 chosen = files
@@ -657,12 +681,17 @@ class ManagedTable:
         write_df = df.repartition(*[F.col(c) for c in part_cols])
         for pc in part_cols:
             write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
-        if sort_by:
+        if cluster:
             # partition dirs first so each dir's rows are contiguous, then
             # the cluster keys: with maxRecordsPerFile splitting, each
             # output file covers a narrow sort-key range → min/max skipping
+            keys = (
+                [_zvalue_column(zorder_by, _stat_ranges(to_rewrite, zorder_by))]
+                if zorder_by
+                else [F.col(c) for c in sort_by]
+            )
             write_df = write_df.sortWithinPartitions(
-                *[PART_PREFIX + pc for pc in part_cols], *sort_by
+                *[F.col(PART_PREFIX + pc) for pc in part_cols], *keys
             )
         writer = write_df.write.mode("errorifexists").partitionBy(
             *[PART_PREFIX + pc for pc in part_cols]
@@ -673,6 +702,8 @@ class ManagedTable:
         added = self._build_data_files(out_dir)
         if sort_by:
             self.meta.properties["sort.order"] = ",".join(sort_by)
+        elif zorder_by:
+            self.meta.properties["sort.order"] = f"zorder({','.join(zorder_by)})"
         return self._commit_snapshot(parent, added, to_rewrite, operation="replace")
 
     def expire_snapshots(
@@ -898,6 +929,66 @@ class ManagedScan:
         if self.where and apply_where:
             df = df.filter(self.where)
         return df
+
+
+def _stat_ranges(
+    files: list[DataFile], cols: list[str]
+) -> dict[str, tuple[float, float]]:
+    """Global (min, max) per column from manifest entries — the metadata
+    that makes z-ordering a zero-extra-pass operation. A column missing
+    stats in ANY file (e.g. ORC counts-only tables) falls back to a
+    degenerate range, which keeps the rewrite valid (layout-only effect:
+    that column contributes a constant to the curve)."""
+    out: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        mins = [
+            f.stats[c].min
+            for f in files
+            if c in f.stats and f.stats[c].min is not None
+        ]
+        maxs = [
+            f.stats[c].max
+            for f in files
+            if c in f.stats and f.stats[c].max is not None
+        ]
+        if mins and maxs:
+            out[c] = (float(min(mins)), float(max(maxs)))
+        else:
+            out[c] = (0.0, 0.0)
+    return out
+
+
+def _zvalue_column(
+    cols: list[str], ranges: dict[str, tuple[float, float]], bits: int = 16
+):
+    """Morton (z-order) sort key: each column normalized to a ``bits``-bit
+    rank over its global range, bits interleaved column-round-robin into
+    one bigint. Pure codegen-able JVM arithmetic (~16·k terms); the
+    normalization is layout-only — precision loss can blur file boundaries
+    but never results."""
+    import functools
+    import operator
+
+    ncols = len(cols)
+    top = (1 << bits) - 1
+    parts = []
+    for j, c in enumerate(cols):
+        lo, hi = ranges[c]
+        if hi > lo:
+            norm = F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - lo) * top / (hi - lo)).cast("int"),
+                ),
+            ).cast("long")
+        else:
+            norm = F.lit(0).cast("long")
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(norm, i).bitwiseAND(F.lit(1)), i * ncols + j)
+            )
+    return functools.reduce(operator.add, parts).alias("__zvalue")
 
 
 def _parse_partition_value(raw: str, dtype: T.DataType):

@@ -220,3 +220,31 @@ def test_rollback_to_snapshot(spark, tmp_path):
     assert tbl.to_df().count() == 160
     with pytest.raises(ValueError):
         tbl.rollback_to(12345)
+
+
+def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
+    """Morton clustering must make min/max skipping effective on EVERY
+    z-order column — lexicographic sort would only help the leading one."""
+    cat = Catalog(spark, str(tmp_path / "whz"))
+    tbl = cat.create_table("tz", "k bigint, x bigint, y bigint, part int", ["part"])
+    src = spark.range(20000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 1024).alias("x"),
+        ((F.col("id") * 40503) % 1024).alias("y"),
+        F.lit(0).cast("int").alias("part"),
+    )
+    tbl.insert(src)
+    files = tbl.meta.current_snapshot().live_files()
+    target = sum(f.file_size for f in files) // 16
+    snap = tbl.compact(zorder_by=["x", "y"], target_file_size=target)
+    assert snap is not None
+    assert tbl.meta.properties["sort.order"] == "zorder(x,y)"
+    total = len(tbl.meta.current_snapshot().live_files())
+    assert total >= 8
+    for col in ("x", "y"):
+        scan = tbl.scan(where=f"{col} < 128")
+        # an eighth of the value space must not touch most files
+        assert scan.files_scanned <= total // 2, (col, scan.files_scanned, total)
+        assert scan.dataframe().count() == src.filter(f"{col} < 128").count()
+    with pytest.raises(Exception):
+        tbl.compact(sort_by=["x"], zorder_by=["y"])
