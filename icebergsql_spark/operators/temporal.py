@@ -101,3 +101,64 @@ def range_join(
         & (F.col(f"r.{right_ts}") >= lo)
         & (F.col(f"r.{right_ts}") < hi),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    within_ns: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, steps 1-2,
+    ... steps 1-k, where each step's event must be strictly later than the
+    previous step's and (optionally) within ``within_ns`` of the FIRST
+    step — the greedy earliest-match semantics every funnel tool uses
+    (equivalent to the iterated min-after-previous join formulation, which
+    the DuckDB oracle runs).
+
+    Scale shape: filter to the k step types, ONE shuffle keyed by user to
+    build each user's time-sorted event array, then a codegen'd
+    ``aggregate()`` fold walks the sequence — O(events) total, no joins,
+    no per-step passes. The per-user array is bounded by that user's step
+    events (hot users are data skew, not key explosion; cap with a
+    per-user event limit upstream if a bot user can log millions).
+    """
+    k = len(steps)
+    steps_sql = ", ".join(f"'{s}'" for s in steps)
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("typ"),
+    )
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "typ"))).alias("evs")
+    )
+    window_ok = (
+        "true" if within_ns is None else f"e.ts - s.start <= {int(within_ns)}"
+    )
+    fold = F.expr(
+        f"""aggregate(
+              evs,
+              struct(0 AS matched, CAST(-1 AS BIGINT) AS last,
+                     CAST(-1 AS BIGINT) AS start),
+              (s, e) -> IF(
+                s.matched < {k}
+                AND e.typ = element_at(array({steps_sql}), s.matched + 1)
+                AND (s.matched = 0 OR (e.ts > s.last AND {window_ok})),
+                struct(s.matched + 1 AS matched, e.ts AS last,
+                       IF(s.matched = 0, e.ts, s.start) AS start),
+                s))"""
+    )
+    depth = per_user.select(fold.getField("matched").alias("m"))
+    agg = depth.agg(
+        *[
+            F.sum((F.col("m") >= i).cast("long")).alias(f"u{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    stack = ", ".join(f"{i}, '{s}', u{i}" for i, s in enumerate(steps, 1))
+    return agg.select(
+        F.expr(f"stack({k}, {stack}) AS (stage, step, users)")
+    ).orderBy("stage")

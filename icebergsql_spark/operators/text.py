@@ -140,28 +140,37 @@ def repetition_signals(
         f"transform(sequence(1, greatest(length({text_col})-4, 1)), "
         f"i -> substring({text_col}, i, 5))"
     )
-    per_row = df.withColumn("__t", t).select(
-        F.col(id_col),
-        F.size("__t").cast("long").alias("n_tokens"),
-        F.round(F.lit(1) - F.size(F.array_distinct("__t")) / F.size("__t"), 6).alias(
-            "dup_word_frac"
-        ),
-        F.round(F.lit(1) - F.size(F.array_distinct(g5)) / F.size(g5), 6).alias(
-            "dup_5gram_frac"
-        ),
-        F.expr(
-            "transform(sequence(1, greatest(size(__t)-1, 1)), "
-            "i -> array_join(slice(__t, i, 2), ' '))"
-        ).alias("__bg"),
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(__t)-1, 1)), "
+        "i -> array_join(slice(__t, i, 2), ' '))"
     )
     top = (
-        per_row.select(id_col, F.explode("__bg").alias("b"))
+        df.withColumn("__t", t)
+        .select(id_col, F.explode(bigrams).alias("b"))
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy(id_col)
         .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
     )
-    return per_row.drop("__bg").join(top, id_col)
+    # per-row signals AFTER the join so the (allocation-heavy) token and
+    # 5-gram arrays are built exactly once — joining per-row results would
+    # re-evaluate them in both plan branches
+    return (
+        df.select(id_col, text_col)
+        .join(top, id_col)
+        .withColumn("__t", t)
+        .select(
+            F.col(id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(1) - F.size(F.array_distinct("__t")) / F.size("__t"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.lit(1) - F.size(F.array_distinct(g5)) / F.size(g5), 6).alias(
+                "dup_5gram_frac"
+            ),
+            "top_bigram_frac",
+        )
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

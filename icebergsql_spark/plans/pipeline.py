@@ -1016,3 +1016,50 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     blobs = multimodal.to_blob_table(docs)
     return multimodal.extract_features(blobs).orderBy("doc_id")
+
+
+_FUNNEL_W = 3 * 24 * 3600 * 1_000_000_000  # 3 days in ns
+
+
+@register(
+    "events_funnel",
+    oracle=f"""
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, ANY_VALUE(s1.t1) AS t1, MIN(e.ts) AS t2
+          FROM e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+            AND e.ts - s1.t1 <= {_FUNNEL_W}
+          GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            AND e.ts - s2.t1 <= {_FUNNEL_W}
+          GROUP BY 1
+        )
+        SELECT stage, step, users FROM (
+          VALUES (1, 'view', (SELECT COUNT(*) FROM s1)),
+                 (2, 'click', (SELECT COUNT(*) FROM s2)),
+                 (3, 'purchase', (SELECT COUNT(*) FROM s3))
+        ) AS t(stage, step, users)
+        ORDER BY stage
+    """,
+    doc="Ordered view->click->purchase funnel within a 3-day window: one "
+    "shuffle keyed by user + a codegen'd aggregate() fold over each user's "
+    "sorted events (greedy earliest-match semantics; the oracle runs the "
+    "equivalent iterated min-after-previous joins).",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import temporal
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.funnel_counts(
+        ev, steps=("view", "click", "purchase"), within_ns=_FUNNEL_W
+    )
