@@ -13,6 +13,7 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 def load_all() -> None:
     """Import every plan module so their @register decorators run."""
     import icebergsql_spark.plans.tpch  # noqa: F401
+    import icebergsql_spark.plans.tpch2  # noqa: F401
     import icebergsql_spark.plans.relational  # noqa: F401
     import icebergsql_spark.plans.relational2  # noqa: F401
     import icebergsql_spark.plans.pipeline  # noqa: F401

@@ -57,6 +57,15 @@ _INSERT_RE = re.compile(
     r"(?:partition\s*\((?P<spec>[^)]*)\))?\s*(?P<select>select\b.*|values\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+_OPTIMIZE_RE = re.compile(
+    r"^\s*optimize\s+(?P<name>[`\w.]+)"
+    r"(?:\s+zorder\s+by\s*\((?P<zcols>[^)]*)\)|\s+sort\s+by\s*\((?P<scols>[^)]*)\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*vacuum\s+(?P<name>[`\w.]+)(?:\s+retain\s+(?P<n>\d+)\s+snapshots)?\s*$",
+    re.IGNORECASE,
+)
 _WHERE_RE = re.compile(
     r"\bwhere\b(?P<pred>.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|\bhaving\b|$)",
     re.IGNORECASE | re.DOTALL,
@@ -390,6 +399,38 @@ class Engine:
             if self.catalog.table_exists(name):
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
+
+        om = _OPTIMIZE_RE.match(text)
+        if om and self.catalog.table_exists(om.group("name").strip("`")):
+            # OPTIMIZE t [ZORDER BY (a, b) | SORT BY (a, b)] — the SQL verb
+            # for compact(); returns one row of rewrite accounting
+            tbl = self.catalog.load_table(om.group("name").strip("`"))
+            cols = lambda g: [c.strip().strip("`") for c in (g or "").split(",") if c.strip()]  # noqa: E731
+            snap = tbl.compact(
+                sort_by=cols(om.group("scols")) or None,
+                zorder_by=cols(om.group("zcols")) or None,
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        snap is not None,
+                        snap.num_added_files if snap else 0,
+                        snap.num_deleted_files if snap else 0,
+                    )
+                ],
+                "rewritten boolean, files_added int, files_removed int",
+            )
+
+        vm = _VACUUM_RE.match(text)
+        if vm and self.catalog.table_exists(vm.group("name").strip("`")):
+            # VACUUM t [RETAIN n SNAPSHOTS] — the SQL verb for
+            # expire_snapshots(); defaults to keeping only the current state
+            tbl = self.catalog.load_table(vm.group("name").strip("`"))
+            res = tbl.expire_snapshots(retain_last=int(vm.group("n") or 1))
+            return self.spark.createDataFrame(
+                [(res["expired_snapshots"], res["deleted_data_files"], res["deleted_manifests"])],
+                "expired_snapshots int, deleted_data_files int, deleted_manifests int",
+            )
 
         text = self._register_views(text, as_of_millis)
         return self.spark.sql(text)

@@ -248,3 +248,33 @@ def test_zorder_compact_prunes_on_both_columns(spark, tmp_path):
         assert scan.dataframe().count() == src.filter(f"{col} < 128").count()
     with pytest.raises(Exception):
         tbl.compact(sort_by=["x"], zorder_by=["y"])
+
+
+def test_optimize_and_vacuum_sql_verbs(spark, tmp_path):
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "whsql"))
+    eng.sql("CREATE TABLE tsql (k bigint, x bigint, part int) USING parquet "
+            "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)")
+    spark.range(900).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 900).alias("x"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    ).createOrReplaceTempView("tsql_src")
+    eng.sql("INSERT INTO tsql SELECT * FROM tsql_src")
+    eng.sql("INSERT INTO tsql SELECT k + 900, x, part FROM tsql_src")
+
+    row = eng.sql("OPTIMIZE tsql").collect()[0]
+    assert row.rewritten and row.files_added < row.files_removed
+    assert eng.sql("SELECT count(*) AS n FROM tsql").collect()[0].n == 1800
+
+    row = eng.sql("OPTIMIZE tsql ZORDER BY (k, x)").collect()[0]
+    assert row.rewritten
+    assert eng.table("tsql").meta.properties["sort.order"] == "zorder(k,x)"
+
+    row = eng.sql("VACUUM tsql RETAIN 1 SNAPSHOTS").collect()[0]
+    assert row.expired_snapshots == 3 and row.deleted_data_files > 0
+    assert eng.sql("SELECT count(*) AS n FROM tsql").collect()[0].n == 1800
+    assert eng.sql(
+        "SELECT count(*) AS n FROM `tsql$snapshots`"
+    ).collect()[0].n == 1
