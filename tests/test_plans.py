@@ -161,3 +161,33 @@ def test_pack_documents_partitions_by_shard(spark):
     plan = plan_of(spark, "curation_pack_stats")
     assert "hashpartitioning(lang" in plan
     assert "SinglePartition" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set is eval-set-sized; it must broadcast as a
+    semi-join probe so the 100 TB corpus side never shuffles for it."""
+    plan = plan_of(spark, "curation_decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_resample_joins_are_broadcast(spark):
+    """Rate assignment joins tiny per-source tables; the corpus-sized side
+    must see only broadcast joins (the filter is a narrow map)."""
+    plan = plan_of(spark, "curation_mix_resample")
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_is_single_shuffle_no_join(spark):
+    """The fold formulation's whole point: no per-step joins — one
+    hash-partitioning of events by user plus the codegen'd fold."""
+    plan = plan_of(spark, "events_funnel")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("hashpartitioning") <= 2  # user agg + final 1-row agg
+
+
+def test_repetition_signals_stays_jvm(spark):
+    plan = plan_of(spark, "text_repetition_signals")
+    assert "EvalPython" not in plan
