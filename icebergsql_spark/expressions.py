@@ -446,6 +446,29 @@ def must_match_all(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F
         return must_match_all(pred.left, stats) or must_match_all(pred.right, stats)
     if isinstance(pred, Not):
         return not may_match(pred.child, stats)
+    if isinstance(pred, IsNull):
+        st = stats.get(pred.col)
+        return (
+            st is not None
+            and st.null_count is not None
+            and st.value_count is not None
+            and st.null_count == st.value_count
+        )
+    if isinstance(pred, NotNull):
+        st = stats.get(pred.col)
+        return st is not None and st.null_count == 0
+    if isinstance(pred, In):
+        st = stats.get(pred.col)
+        if st is None or st.min is None or st.max is None:
+            return False
+        if st.null_count is None or st.null_count > 0:
+            return False
+        # every row provably IN the set only when the file is single-valued
+        # (the partition point-range encoding) and that value is listed
+        try:
+            return st.min == st.max and any(st.min == v for v in pred.values)
+        except TypeError:
+            return False
     if isinstance(pred, Comparison):
         st = stats.get(pred.col)
         if st is None or st.min is None or st.max is None:

@@ -264,6 +264,35 @@ def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_metadata_count",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_1996,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_total
+        FROM lineitem
+        WHERE year(l_shipdate) = 1996
+    """,
+    doc="COUNT(*) answered from manifest metadata alone (Trino/Iceberg "
+    "stats-aggregate): partition-aligned predicate and the bare count both "
+    "plan as LocalTableScan — zero data IO — and must equal the oracle's "
+    "scan-computed counts.",
+    tags=("managed", "metadata"),
+)
+def managed_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-mcwh-"))
+    li = _lineitem_with_year(spark, sf_dir)
+    tbl = eng.catalog.create_table("li_mc", _LI_DDL, partition_cols=["l_shipyear"])
+    tbl.insert(li)
+    d1 = eng.sql("SELECT count(*) AS n_1996 FROM li_mc WHERE l_shipyear = 1996")
+    d2 = eng.sql("SELECT count(*) AS n_total FROM li_mc")
+    for d in (d1, d2):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    return d1.crossJoin(d2)
+
+
+@register(
     "managed_zorder_scan",
     oracle="""
         SELECT l_returnflag,

@@ -66,6 +66,11 @@ _VACUUM_RE = re.compile(
     r"^\s*vacuum\s+(?P<name>[`\w.]+)(?:\s+retain\s+(?P<n>\d+)\s+snapshots)?\s*$",
     re.IGNORECASE,
 )
+_COUNT_STAR_RE = re.compile(
+    r"^\s*select\s+count\s*\(\s*\*\s*\)\s*(?:as\s+(?P<alias>\w+)\s*)?"
+    r"from\s+`?(?P<name>\w+)`?\s*(?:where\s+(?P<pred>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _WHERE_RE = re.compile(
     r"\bwhere\b(?P<pred>.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|\bhaving\b|$)",
     re.IGNORECASE | re.DOTALL,
@@ -431,6 +436,20 @@ class Engine:
                 [(res["expired_snapshots"], res["deleted_data_files"], res["deleted_manifests"])],
                 "expired_snapshots int, deleted_data_files int, deleted_manifests int",
             )
+
+        cs = _COUNT_STAR_RE.match(text)
+        if cs and self.catalog.table_exists(cs.group("name")):
+            # metadata-answered COUNT(*): when every planned file's stats
+            # prove the predicate for all rows, the answer comes from
+            # manifests in driver-milliseconds — zero Spark jobs, zero IO
+            # (the Trino/Iceberg stats-aggregate optimization). Undecidable
+            # predicates fall through to the ordinary scan path below.
+            tbl = self.catalog.load_table(cs.group("name"))
+            scan = tbl.scan(where=cs.group("pred"), as_of_millis=as_of_millis)
+            n = scan.count_from_stats()
+            if n is not None:
+                alias = cs.group("alias") or "count(1)"
+                return self.spark.createDataFrame([(n,)], f"`{alias}` long")
 
         text = self._register_views(text, as_of_millis)
         return self.spark.sql(text)

@@ -911,6 +911,41 @@ class ManagedScan:
     def files_scanned(self) -> int:
         return len(self.planned_files)
 
+    def count_from_stats(self) -> int | None:
+        """Exact row count from manifest metadata alone — ZERO Spark jobs,
+        zero data IO (the Trino/Iceberg stats-answered-aggregate trick).
+
+        Decidable iff every planned file's stats prove the predicate holds
+        for ALL its rows (must_match_all over footer min/max + exact
+        partition point-ranges); planning already excluded files that
+        cannot match any row. A single straddling file (predicate true for
+        some rows only) makes the count undecidable → None, and the caller
+        falls back to the distributed scan. At 100 TB this answers
+        partition-aligned counts in driver-milliseconds instead of a
+        cluster pass.
+        """
+        from icebergsql_spark.expressions import must_match_all
+
+        if self.snapshot is None:
+            return 0
+        schema = self.table.schema
+        total = 0
+        for f in self.planned_files:
+            if isinstance(self.augmented, AlwaysTrue):
+                total += f.record_count
+                continue
+            stats = dict(f.stats)
+            for pc, raw in f.partition.items():
+                if raw is None:
+                    stats[pc] = ColStats(None, None, f.record_count, f.record_count)
+                else:
+                    typed = _parse_partition_value(raw, schema[pc].dataType)
+                    stats[pc] = ColStats(typed, typed, 0, f.record_count)
+            if not must_match_all(self.augmented, stats):
+                return None
+            total += f.record_count
+        return total
+
     def dataframe(self, apply_where: bool = True) -> DataFrame:
         """``apply_where=False`` returns the pruned scan without re-applying
         the filter — used by the SQL front door, where the statement's own
