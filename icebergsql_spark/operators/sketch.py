@@ -1,0 +1,84 @@
+"""Distinct-count sketching: K-minimum-values (KMV / bottom-k).
+
+The distributed-cardinality operator for 100 TB pipelines (vocabulary
+sizes, key-cardinality audits before joins, dedup-rate monitoring) with a
+property Spark's approx_count_distinct (HLL++) lacks: the sketch is a pure
+DETERMINISTIC function of the value set — md5 is bit-identical across
+engines, so the same data yields the same estimate in Spark and the DuckDB
+oracle, and the correctness gate can hash-match an *approximate* operator.
+
+Estimator (Bar-Yossef et al. 2002): keep the k smallest distinct hash
+values; if fewer than k exist the count is exact; otherwise
+DV ≈ (k-1) / frac(h_k) with frac the k-th smallest hash scaled to [0,1).
+Hashes order as hex strings (md5 is uniform); the fraction uses the first
+13 hex digits (52 bits — exactly representable in a double, so the
+division is bit-stable everywhere).
+
+Scale shape: partial distinct-aggregate on the hash (map-side combine),
+then TakeOrdered k — shuffle volume is O(partitions · k), never O(rows).
+Sketches MERGE associatively (union hash sets, keep k smallest), which is
+what lets per-partition / per-day sketches roll up without rescanning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 13  # 52 bits: exact in a double
+_SCALE = float(16**HEX_DIGITS)
+
+
+def _estimate(hk: Column, m: Column, k: int) -> Column:
+    frac = F.conv(F.substring(hk, 1, HEX_DIGITS), 16, 10).cast("double") / F.lit(
+        _SCALE
+    )
+    return F.when(m < k, m.cast("double")).otherwise(F.lit(float(k - 1)) / frac)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct md5 hashes of ``col`` — the mergeable sketch
+    state (one row per kept hash, column ``h``)."""
+    return (
+        df.select(F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One row: (column, dv_estimate) — exact below k distinct values."""
+    agg = kmv_sketch(df, col, k).agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("m")
+    )
+    return agg.select(
+        F.lit(col).alias("column"),
+        F.round(_estimate(F.col("hk"), F.col("m"), k)).cast("bigint").alias(
+            "dv_estimate"
+        ),
+    )
+
+
+def kmv_union_estimate(
+    sketches: list[DataFrame], label: str, k: int = 256
+) -> DataFrame:
+    """Cardinality of the UNION of the sketched sets: merge = union the
+    hash sets, keep the k smallest, apply the same estimator. This
+    associative merge is the whole point at scale — per-shard sketches
+    roll up without touching the data again."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.union(s)
+    agg = (
+        merged.distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
+    )
+    return agg.select(
+        F.lit(label).alias("column"),
+        F.round(_estimate(F.col("hk"), F.col("m"), k)).cast("bigint").alias(
+            "dv_estimate"
+        ),
+    )

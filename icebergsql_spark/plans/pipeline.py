@@ -1063,3 +1063,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.funnel_counts(
         ev, steps=("view", "click", "purchase"), within_ns=_FUNNEL_W
     )
+
+
+_KMV_SCALE = float(16**13)  # 2^52, exact in a double
+
+
+def _kmv_oracle_cte(alias: str, hash_src: str, k: int = 256) -> str:
+    return f"""
+        {alias}_h AS (
+          SELECT DISTINCT {hash_src} ORDER BY h LIMIT {k}
+        ),
+        {alias}_a AS (
+          SELECT MAX(h) AS hk, COUNT(*) AS m FROM {alias}_h
+        ),
+        {alias}_e AS (
+          SELECT CAST(round(CASE WHEN m < {k} THEN CAST(m AS DOUBLE)
+                       ELSE {float(k - 1)} / (CAST('0x' || substr(hk, 1, 13) AS BIGINT)
+                                              / {_KMV_SCALE}) END) AS BIGINT)
+                 AS dv_estimate
+          FROM {alias}_a
+        )"""
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+        WITH {_kmv_oracle_cte("pk", "md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem")},
+        {_kmv_oracle_cte("sk", "md5(CAST(l_suppkey AS VARCHAR)) AS h FROM lineitem")},
+        {_kmv_oracle_cte("cu", "h FROM (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders "
+                               "UNION SELECT md5(CAST(c_custkey AS VARCHAR)) FROM customer) u")}
+        SELECT 'custkey_union' AS col_name, dv_estimate FROM cu_e
+        UNION ALL SELECT 'l_partkey', dv_estimate FROM pk_e
+        UNION ALL SELECT 'l_suppkey', dv_estimate FROM sk_e
+        ORDER BY col_name
+    """,
+    doc="KMV (bottom-k) distinct-count sketch: deterministic md5 bottom-k, "
+    "so the APPROXIMATE estimate itself hash-matches the oracle — and the "
+    "union row exercises the associative sketch merge (per-shard rollup "
+    "without rescanning). Shuffle is O(partitions x k), never O(rows).",
+    tags=("pipeline", "sketch"),
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"))
+    pk = sketch.kmv_distinct_estimate(t["lineitem"], "l_partkey").withColumnRenamed(
+        "column", "col_name"
+    )
+    sk = sketch.kmv_distinct_estimate(t["lineitem"], "l_suppkey").withColumnRenamed(
+        "column", "col_name"
+    )
+    cu = sketch.kmv_union_estimate(
+        [
+            sketch.kmv_sketch(t["orders"], "o_custkey"),
+            sketch.kmv_sketch(t["customer"], "c_custkey"),
+        ],
+        label="custkey_union",
+    ).withColumnRenamed("column", "col_name")
+    return pk.union(sk).union(cu).orderBy("col_name")
