@@ -264,6 +264,36 @@ def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "managed_incremental_read",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 2 = 1
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Incremental append scan (Iceberg-style changes reader): after two "
+    "appends, changes(first_snapshot) returns exactly the second append's "
+    "rows — the checkpoint-and-read-delta pattern downstream pipelines "
+    "use instead of full rescans.",
+    tags=("managed", "incremental"),
+)
+def managed_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_inc", _LI_DDL, partition_cols=["l_shipyear"]
+    )
+    li = _lineitem_with_year(spark, sf_dir)
+    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 1))
+    return (
+        tbl.changes(s1.snapshot_id)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "managed_metadata_count",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_1996,

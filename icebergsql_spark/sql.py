@@ -437,6 +437,41 @@ class Engine:
                 "expired_snapshots int, deleted_data_files int, deleted_manifests int",
             )
 
+        sm = re.match(r"^\s*show\s+tables\s*$", text, re.IGNORECASE)
+        if sm:
+            return self.spark.createDataFrame(
+                [(n,) for n in self.catalog.list_tables()], "tableName string"
+            )
+        sp = re.match(
+            r"^\s*show\s+partitions\s+`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
+        )
+        if sp and self.catalog.table_exists(sp.group("name")):
+            # metadata-only: distinct partition tuples from the manifests
+            tbl = self.catalog.load_table(sp.group("name"))
+            snap = tbl.meta.current_snapshot()
+            parts = sorted(
+                {
+                    "/".join(f"{k}={v}" for k, v in sorted(f.partition.items()))
+                    for f in (snap.live_files() if snap else [])
+                }
+            )
+            return self.spark.createDataFrame(
+                [(p,) for p in parts], "partition string"
+            )
+        dm2 = re.match(
+            r"^\s*describe\s+(?:table\s+)?`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
+        )
+        if dm2 and self.catalog.table_exists(dm2.group("name")):
+            tbl = self.catalog.load_table(dm2.group("name"))
+            part_set = set(tbl.meta.partition_cols)
+            rows = [
+                (f.name, f.dataType.simpleString(), f.name in part_set)
+                for f in tbl.schema.fields
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, is_partition boolean"
+            )
+
         cs = _COUNT_STAR_RE.match(text)
         if cs and self.catalog.table_exists(cs.group("name")):
             # metadata-answered COUNT(*): when every planned file's stats

@@ -827,6 +827,64 @@ class ManagedTable:
     def to_df(self, **scan_kwargs) -> DataFrame:
         return self.scan(**scan_kwargs).dataframe()
 
+    def changes(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Incremental read: the rows appended AFTER ``from_snapshot_id``
+        up to ``to_snapshot_id`` (default: current) — Iceberg's incremental
+        append scan, the batch twin of streaming ingestion. A consumer
+        checkpoints the last snapshot id it processed and reads only the
+        delta — at 100 TB this is THE pattern for downstream pipelines
+        (dedup refresh, index builds) to avoid full rescans.
+
+        Only valid across pure ``append`` snapshots: an overwrite/delete/
+        replace in the range rewrites history (its added files duplicate
+        surviving rows), so this raises ValueError and the consumer must
+        fall back to a full diff — same contract as Iceberg's
+        incremental scan."""
+        self.refresh()
+        to_snap = (
+            self.meta.current_snapshot()
+            if to_snapshot_id is None
+            else self.meta.snapshot_by_id(to_snapshot_id)
+        )
+        from_snap = self.meta.snapshot_by_id(from_snapshot_id)
+        if from_snap is None or to_snap is None:
+            raise ValueError("unknown snapshot id for incremental read")
+        # walk the parent chain to -> from, requiring append-only history
+        chain: list[Snapshot] = []
+        cur: Snapshot | None = to_snap
+        while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
+            chain.append(cur)
+            cur = (
+                self.meta.snapshot_by_id(cur.parent_id)
+                if cur.parent_id is not None
+                else None
+            )
+        if cur is None:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snap.snapshot_id} (rollback in between?)"
+            )
+        bad = [s.snapshot_id for s in chain if s.operation != "append"]
+        if bad:
+            raise ValueError(
+                f"incremental read crosses non-append snapshots {bad}; "
+                "rows were rewritten — run a full diff instead"
+            )
+        from_paths = {f.path for f in from_snap.live_files()}
+        new_files = [
+            f for f in to_snap.live_files() if f.path not in from_paths
+        ]
+        schema = self.schema
+        if not new_files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .format(self.file_format)
+            .load([f.path for f in new_files])
+        )
+
     def snapshots_df(self) -> DataFrame:
         """The `<table>$snapshots` view with the reference's exact 6-column
         schema — including the `numdDeletedFiles` typo and parentId = -1 for

@@ -72,3 +72,36 @@ def test_null_partition_values_still_decide(engine, spark):
     assert df.collect()[0].n == 1
     df = engine.sql("SELECT count(*) AS n FROM mc")
     assert _is_metadata_plan(df) and df.collect()[0].n == 401
+
+
+def test_incremental_changes_reader(engine, spark):
+    tbl = engine.table("mc")
+    s1 = tbl.meta.current_snapshot()
+    engine.sql("INSERT INTO mc SELECT k + 400, part FROM mc_src")
+    s2 = engine.table("mc").meta.current_snapshot()
+    engine.sql("INSERT INTO mc SELECT k + 800, part FROM mc_src")
+
+    delta = tbl.changes(s1.snapshot_id, s2.snapshot_id)
+    assert delta.count() == 400
+    assert delta.agg({"k": "min"}).collect()[0][0] == 400
+    full_delta = tbl.changes(s1.snapshot_id)
+    assert full_delta.count() == 800
+    # empty range
+    assert tbl.changes(s2.snapshot_id, s2.snapshot_id).count() == 0
+
+    # an overwrite breaks append-only incremental semantics
+    spark.sql("SELECT CAST(5 AS BIGINT) AS k, CAST(0 AS INT) AS part") \
+        .createOrReplaceTempView("ow_src")
+    engine.sql("INSERT OVERWRITE mc PARTITION (part=0) SELECT k FROM ow_src")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-append"):
+        tbl.changes(s1.snapshot_id)
+
+
+def test_show_and_describe_verbs(engine):
+    assert engine.sql("SHOW TABLES").collect()[0].tableName == "mc"
+    parts = [r.partition for r in engine.sql("SHOW PARTITIONS mc").collect()]
+    assert parts == ["part=0", "part=1", "part=2", "part=3"]
+    desc = {r.col_name: (r.data_type, r.is_partition)
+            for r in engine.sql("DESCRIBE mc").collect()}
+    assert desc == {"k": ("bigint", False), "part": ("int", True)}
