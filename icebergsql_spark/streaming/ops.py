@@ -279,3 +279,54 @@ def batch_sessions(events: DataFrame) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("int").alias("n_events"),
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user click
+    they follow within ``within`` — the streaming attribution join.
+
+    Both sides carry watermarks and the join condition carries the
+    event-time range, so Spark bounds each side's join state to the
+    watermark + range horizon and evicts behind it (unbounded state is the
+    failure mode of naive stream joins at 100 TB/day). Inner-join matches
+    emit as soon as both rows exist; completeness lags only by delivery.
+    State is shuffle-partitioned by user — per-key, horizontally sharded.
+    """
+    c = (
+        with_event_time(clicks)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    p = (
+        with_event_time(purchases)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.col("event_time").alias("purchase_time"),
+        )
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {within}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -20,7 +20,7 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items"])
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items", "q8_market_share", "q9_product_profit", "q17_small_quantity_revenue"])
 def test_dimension_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan

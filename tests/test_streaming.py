@@ -202,3 +202,42 @@ def test_sessionize_reordered_matches_batch_under_disorder(
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    clicks = ops.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ops.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    result = _run_stream(
+        spark, ops.click_purchase_join(clicks, purchases), "cp_join"
+    )
+    got = {tuple(r) for r in result.collect()}
+
+    ev = ops.with_event_time(spark.read.parquet(events_dir))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_time").alias("click_time"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_time") >= F.col("click_time"))
+            & (F.col("purchase_time") <= F.col("click_time") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"), "click_ts", "purchase_ts",
+            "purchase_value",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
