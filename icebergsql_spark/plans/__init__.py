@@ -14,6 +14,7 @@ def load_all() -> None:
     """Import every plan module so their @register decorators run."""
     import icebergsql_spark.plans.tpch  # noqa: F401
     import icebergsql_spark.plans.tpch2  # noqa: F401
+    import icebergsql_spark.plans.tpch3  # noqa: F401
     import icebergsql_spark.plans.relational  # noqa: F401
     import icebergsql_spark.plans.relational2  # noqa: F401
     import icebergsql_spark.plans.relational3  # noqa: F401

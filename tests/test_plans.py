@@ -20,12 +20,22 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items", "q8_market_share", "q9_product_profit", "q17_small_quantity_revenue"])
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items", "q8_market_share", "q9_product_profit", "q17_small_quantity_revenue", "q11_important_stock", "q16_supplier_part_count", "q21_waiting_suppliers"])
 def test_dimension_joins_broadcast(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastHashJoin" in plan
     # no accidental cartesian products
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelates_to_one_fact_aggregate(spark):
+    """q21's EXISTS + NOT EXISTS must not plan as two extra correlated
+    fact scans: the per-order supplier counts come from ONE grouped
+    aggregate, so the lineitem parquet appears at most twice in the plan
+    (the late-rows branch and the per-order-aggregate branch)."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
+    assert 0 < len(scans) <= 2, plan
 
 
 def test_filters_push_to_parquet(spark):
