@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import ensure_parallelism
+
 from icebergsql_spark.functions import (  # noqa: F401  (re-exported surface)
     cosine_expr,
     dot_expr,
@@ -41,7 +43,7 @@ LSH_BANDS = 3  # 2 rows per band
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """doc_id → exploded distinct word n-gram shingles (JVM array ops)."""
     return (
-        df.select(
+        ensure_parallelism(df).select(
             "doc_id",
             F.explode(
                 F.array_distinct(
@@ -187,7 +189,7 @@ _hex_bit = _hex_bit_fn  # portable per-bit token hash (functions.hashing)
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over the token multiset: per-bit majority vote.
     One explode + one aggregate — shuffle keyed by doc_id."""
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))
     votes = [

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import ensure_parallelism
+
 # deterministic marker words per language for the n-gram/stopword heuristic;
 # scoring mechanics are what matters — swap for real stopword lists in a
 # production corpus
@@ -53,7 +55,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     diversity = F.col("distinct_tokens") / F.col("token_count")
     length_band = F.when(F.col("token_count").between(20, 200), 40).otherwise(10)
     word_len_band = F.when(F.col("avg_token_len").between(3, 8), 30).otherwise(5)
-    return df.withColumn(
+    return ensure_parallelism(df).withColumn(
         "quality_score",
         (length_band + word_len_band + F.round(diversity * 30, 2)).cast("double"),
     )
@@ -99,6 +101,7 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window as W
 
+    df = ensure_parallelism(df)
     toks = df.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
@@ -129,12 +132,15 @@ def repetition_signals(
     High values on any of them mark boilerplate/spam documents that repeat
     themselves — the standard pre-training quality gate after dedup.
 
-    Scale shape: the two dup fractions are pure per-row array expressions
-    (whole-stage codegen, no shuffle). top_bigram_frac needs per-(doc,
-    bigram) counts — an explode + two aggregations both keyed by doc, so
-    shuffle volume is O(total bigrams) and no key can be hotter than the
-    largest single document. No Python in any path.
+    Scale shape: ALL three signals are per-row array expressions — a
+    zero-shuffle narrow map. The top-bigram share, which naively needs
+    per-(doc, bigram) counts (an O(total-bigrams) explode + shuffle,
+    unacceptable at corpus scale), instead sorts the row's bigram array
+    and folds the longest equal run: max count == longest run in sorted
+    order, and the counts are exact integers so the ratio is bit-identical
+    to the grouped formulation. No Python in any path.
     """
+    df = ensure_parallelism(df)
     t = tokens(text_col)
     g5 = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-4, 1)), "
@@ -144,21 +150,19 @@ def repetition_signals(
         "transform(sequence(1, greatest(size(__t)-1, 1)), "
         "i -> array_join(slice(__t, i, 2), ' '))"
     )
-    top = (
-        df.withColumn("__t", t)
-        .select(id_col, F.explode(bigrams).alias("b"))
-        .groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    max_bigram_count = F.expr(
+        "aggregate(array_sort(__b), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(a, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(x <=> a.prev, a.run + 1L, 1L), "
+        "  'best', GREATEST(a.best, IF(x <=> a.prev, a.run + 1L, 1L))), "
+        "a -> a.best)"
     )
-    # per-row signals AFTER the join so the (allocation-heavy) token and
-    # 5-gram arrays are built exactly once — joining per-row results would
-    # re-evaluate them in both plan branches
     return (
         df.select(id_col, text_col)
-        .join(top, id_col)
         .withColumn("__t", t)
+        .withColumn("__b", bigrams)
         .select(
             F.col(id_col),
             F.size("__t").cast("long").alias("n_tokens"),
@@ -168,7 +172,7 @@ def repetition_signals(
             F.round(F.lit(1) - F.size(F.array_distinct(g5)) / F.size(g5), 6).alias(
                 "dup_5gram_frac"
             ),
-            "top_bigram_frac",
+            F.round(max_bigram_count / F.size("__b"), 6).alias("top_bigram_frac"),
         )
     )
 
