@@ -42,7 +42,14 @@ def with_double_vec_and_norm(
     precompute + O(pairs·dims) dot products — the difference between 12s and
     ~1s at 500 vectors, and the only viable shape at 10^8 vectors. The
     addition/multiplication sequence is identical to the inline form, so
-    results stay bit-equal to the oracle's per-pair formula."""
+    results stay bit-equal to the oracle's per-pair formula.
+
+    The interpreted-HOF math is CPU-bound, so the input is spread across
+    cores first when the scan produced fewer splits than the cluster has
+    (no-op at corpus scale — see ensure_parallelism)."""
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.withColumn(
         vd, F.expr(f"transform({vec_col}, x -> cast(x as double))")
     ).withColumn(

@@ -225,6 +225,11 @@ def decontaminate(
     n >= 3 keeps stopword n-grams from mattering; for n=1 apply a df-cap
     first (see dedup.jaccard_pairs).
     """
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    benchmark = ensure_parallelism(benchmark)
+
     def shingles(df: DataFrame) -> DataFrame:
         arr = F.expr(
             f"transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {n - 1}, 1)),"
