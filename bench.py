@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "text_repetition_signals",
     "curation_decontaminate",
     "curation_mix_resample",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "text_bm25_scores",
+    "events_cohort_retention",
 ]
 
 

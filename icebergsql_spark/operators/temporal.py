@@ -162,3 +162,43 @@ def funnel_counts(
     return agg.select(
         F.expr(f"stack({k}, {stack}) AS (stage, step, users)")
     ).orderBy("stage")
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each subsequent day they return — the standard product-analytics
+    rollup (and, for a training pipeline, the freshness/recurrence profile
+    of a crawled source).
+
+    ``ts_col`` is bigint epoch NANOS (the events table's raw form); day
+    bucketing is pure integer arithmetic so results are timezone-free.
+
+    Scale shape: one distinct over (user, day) — the only corpus-sized
+    shuffle, keyed by user+day so no hot keys; the per-user first-day
+    aggregate and the join back are both keyed by user (AQE coalesces the
+    exchange); the final matrix is tiny (days × offsets). No window
+    functions, no Python.
+    """
+    day = F.floor(F.col(ts_col) / F.lit(86_400_000_000_000)).cast("int")
+    user_days = events.select(
+        F.col(user_col).alias("u"), day.alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "u")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy(
+            F.date_format(
+                F.date_from_unix_date(F.col("cohort_day")), "yyyy-MM-dd"
+            ).alias("cohort"),
+            "day_offset",
+        )
+        .agg(F.count_distinct(F.col("u")).alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )

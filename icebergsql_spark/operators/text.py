@@ -177,6 +177,71 @@ def repetition_signals(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the standard retrieval/labeling scorer (Robertson & Zaragoza 2009).
+
+    Scale shape: ONE token explode + ONE aggregate keyed by doc produces
+    per-doc length and per-term frequencies (conditional aggregation — the
+    term list is a query, small and fixed, so tf columns beat a (doc, term)
+    shuffle). Corpus statistics (N, total length, per-term document
+    frequencies) are a second aggregate over the per-doc frame — a 1-row
+    broadcast, no second corpus scan. Per-doc scoring is then a narrow map.
+
+    Float determinism: contributions are summed in the FIXED order of
+    ``terms`` (generated column expression, not an aggregate), and the
+    division order matches the SQL oracle exactly.
+    """
+    df = ensure_parallelism(df)
+    toks = df.select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("sdl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        contrib = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0)
+        .select(id_col, "bm25")
+        .orderBy(F.desc("bm25"), id_col)
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -1121,3 +1121,87 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         label="custkey_union",
     ).withColumnRenamed("column", "col_name")
     return pk.union(sk).union(cu).orderBy("col_name")
+
+
+@register(
+    "text_bm25_scores",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 COUNT(*) AS dl,
+                 SUM(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS tf0,
+                 SUM(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS tf1,
+                 SUM(CASE WHEN tok = 'window' THEN 1 ELSE 0 END) AS tf2
+          FROM tok GROUP BY 1
+        ),
+        stats AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sdl,
+                 SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                 SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                 SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM per_doc
+        ),
+        scored AS (
+          SELECT doc_id,
+                 round(
+                   ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                     * (CAST(tf0 AS DOUBLE) * 2.2
+                        / (CAST(tf0 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * (dl / (CAST(sdl AS DOUBLE) / n_docs)))))
+                 + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                     * (CAST(tf1 AS DOUBLE) * 2.2
+                        / (CAST(tf1 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * (dl / (CAST(sdl AS DOUBLE) / n_docs)))))
+                 + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                     * (CAST(tf2 AS DOUBLE) * 2.2
+                        / (CAST(tf2 AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * (dl / (CAST(sdl AS DOUBLE) / n_docs)))))
+                 , 6) AS bm25
+          FROM per_doc, stats
+        )
+        SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id
+    """,
+    doc="BM25 relevance of every document against a fixed 3-term query — "
+    "one explode + one per-doc aggregate; corpus stats broadcast back as a "
+    "1-row frame; fixed-order float sum keeps the oracle hash exact.",
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.bm25_scores(docs, terms=("data", "hash", "window"))
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST(epoch_ns(ts) // 86400000000000 AS INTEGER) AS day
+          FROM events
+        ),
+        c AS (SELECT u, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+        SELECT strftime(DATE '1970-01-01' + INTERVAL (cohort_day) DAY,
+                        '%Y-%m-%d') AS cohort,
+               day - cohort_day AS day_offset,
+               CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS n_users
+        FROM ud JOIN c USING (u)
+        WHERE day - cohort_day <= 7
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Cohort retention matrix over the event stream: users bucketed by "
+    "first-active day, distinct-counted per returning day offset. One "
+    "(user, day) distinct + user-keyed join; nanos day bucketing is pure "
+    "integer arithmetic (timezone-free).",
+    tags=("events", "temporal", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import temporal
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return temporal.cohort_retention(ev, max_offset=7)
