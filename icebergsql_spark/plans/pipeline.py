@@ -1205,3 +1205,54 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return temporal.cohort_retention(ev, max_offset=7)
+
+
+@register(
+    "events_session_windows",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        ),
+        d AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 600000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        s AS (
+          SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d
+        )
+        SELECT user_id,
+               MIN(us) AS session_start_us,
+               MAX(us) + 600000000 AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+    """,
+    doc="Native session_window aggregation (10-min gap) over the event "
+    "stream — Spark's built-in merging-session operator (one shuffle on "
+    "user, sessions merged inside the aggregate; the same expression runs "
+    "unchanged under readStream). Oracle reproduces it with the classic "
+    "gaps-and-islands SQL. Timestamps flow as epoch micros (tz-free).",
+    tags=("events", "temporal", "session"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    et = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("et")
+    return (
+        ev.select("user_id", et)
+        .groupBy("user_id", F.session_window("et", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
