@@ -172,18 +172,43 @@ def ivf_topk(
     query_id: int,
     k: int = 5,
     n_cells: int = 16,
+    nprobe: int = 1,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: score only vectors in the query's cell (nprobe=1)."""
+    """IVF search: score only vectors in the ``nprobe`` cells whose
+    centroids are nearest the query (nprobe=1 → the classic single-cell
+    probe; raising nprobe trades scan volume for recall, the standard
+    IVF knob).
+
+    The probe list is computed from the tiny centroid set (n_cells rows,
+    broadcast both ways) — at 100 TB with ``cell`` as the partition key
+    this is driver-side partition pruning: nprobe partitions scanned, the
+    rest untouched.
+    """
     assigned = ivf_assign(df, n_cells=n_cells, dims=dims, id_col=id_col, vec_col=vec_col)
     q = assigned.filter(F.col(id_col) == query_id).select(
-        F.col("vd").alias("qv"), F.col("nrm").alias("qn"), F.col("cell").alias("qc")
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    centroids = assigned.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("pcell"),
+        F.col("vd").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("qc", dot_expr("cv", "qv") / F.sqrt(F.col("cn") * F.col("qn")))
+        .orderBy(F.desc("qc"), F.asc("pcell"))
+        .limit(nprobe)
+        .select("pcell")
     )
     return (
-        assigned.crossJoin(F.broadcast(q))
-        .filter((F.col("cell") == F.col("qc")) & (F.col(id_col) != query_id))
+        assigned.join(
+            F.broadcast(probe), F.col("cell") == F.col("pcell"), "left_semi"
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
         .withColumn("cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn")))
         .select(id_col, "cell", F.round("cos", 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))

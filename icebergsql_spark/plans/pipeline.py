@@ -597,6 +597,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_multiprobe_topk",
+    oracle=f"""
+        WITH cents AS (
+          SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16
+        ),
+        scored AS (
+          SELECT b.vec_id, c.cell, {_CCOS} AS ccos
+          FROM embeddings b CROSS JOIN cents c
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cell) AS rk
+            FROM scored
+          ) WHERE rk = 1
+        ),
+        probe AS (
+          SELECT cell FROM (
+            SELECT c.cell, {_CCOS.replace("b.embedding", "qq.embedding")} AS qcos
+            FROM (SELECT embedding FROM embeddings WHERE vec_id = 7) qq
+            CROSS JOIN cents c
+            ORDER BY qcos DESC, c.cell
+            LIMIT 4
+          )
+        )
+        SELECT b.vec_id, a.cell, round({_QCOS}, 4) AS cos
+        FROM embeddings b
+        JOIN assigned a ON a.vec_id = b.vec_id
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        WHERE a.cell IN (SELECT cell FROM probe)
+          AND b.vec_id != 7
+        ORDER BY {_QCOS} DESC, b.vec_id
+        LIMIT 8
+    """,
+    doc="Multi-probe IVF ANN (nprobe=4): search the 4 cells nearest the "
+    "query — the recall/scan-volume knob of the IVF layout; with cell as "
+    "the partition key this is 4-partition pruning at 100 TB.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ivf_topk(emb, query_id=7, k=8, nprobe=4)
+
+
+@register(
     "ann_bucket_histogram",
     oracle=f"""
         SELECT CAST({_BUCKET.format(t='embeddings')} AS INTEGER) AS bucket,
