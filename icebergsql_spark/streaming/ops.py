@@ -286,9 +286,10 @@ def click_purchase_join(
     purchases: DataFrame,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: purchases attributed to a same-user click
-    they follow within ``within`` — the streaming attribution join.
+    """Stream-stream join: purchases attributed to a same-user click they
+    follow within ``within`` — the streaming attribution join.
 
     Both sides carry watermarks and the join condition carries the
     event-time range, so Spark bounds each side's join state to the
@@ -296,6 +297,11 @@ def click_purchase_join(
     failure mode of naive stream joins at 100 TB/day). Inner-join matches
     emit as soon as both rows exist; completeness lags only by delivery.
     State is shuffle-partitioned by user — per-key, horizontally sharded.
+
+    ``how='left_outer'`` additionally emits every UNCONVERTED click (null
+    purchase columns) once the watermark passes the end of its attribution
+    window — the funnel-drop feed; state bounds are identical because the
+    null row is produced exactly at state eviction time.
     """
     c = (
         with_event_time(clicks)
@@ -324,6 +330,7 @@ def click_purchase_join(
             F.col("purchase_time")
             <= F.col("click_time") + F.expr(f"INTERVAL {within}")
         ),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_ts",

@@ -241,3 +241,73 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_join(spark, events_dir):
+    """Outer rows (unconverted clicks) emit when the watermark passes the
+    click's attribution window. The final availableNow watermark is
+    max(event_time) − 2h, so: matched rows must equal the batch inner join
+    exactly; every null row must be a genuinely unmatched click; and every
+    unmatched click whose window closed strictly before the final watermark
+    must have been emitted."""
+    clicks = ops.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = ops.read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    result = _run_stream(
+        spark,
+        ops.click_purchase_join(clicks, purchases, how="left_outer"),
+        "cp_louter",
+    )
+    got = result.collect()
+    got_matched = {tuple(r) for r in got if r.purchase_ts is not None}
+    got_null_clicks = {
+        (r.user_id, r.click_ts) for r in got if r.purchase_ts is None
+    }
+
+    ev = ops.with_event_time(spark.read.parquet(events_dir))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_time").alias("click_time"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr("INTERVAL 1 hour"))
+    )
+    want_matched = {
+        tuple(r)
+        for r in c.join(p, cond)
+        .select(F.col("c_user").alias("user_id"), "click_ts", "purchase_ts",
+                "purchase_value")
+        .collect()
+    }
+    assert got_matched == want_matched
+
+    unmatched = c.join(p, cond, "left_anti")
+    want_null = {(r.c_user, r.click_ts) for r in unmatched.collect()}
+    assert got_null_clicks <= want_null
+
+    import datetime
+
+    # the global watermark is the MIN of the two sides' watermarks (each
+    # side only sees its own event type after the filter)
+    max_c = c.agg(F.max("click_time")).collect()[0][0]
+    max_p = p.agg(F.max("purchase_time")).collect()[0][0]
+    final_wm = min(max_c, max_p) - datetime.timedelta(hours=2)
+    # 1-minute slack: Spark's state watermark applies sub-second
+    # adjustments around the eviction boundary
+    must_emit = {
+        (r.c_user, r.click_ts)
+        for r in unmatched.collect()
+        if r.click_time + datetime.timedelta(hours=1, minutes=1) < final_wm
+    }
+    assert must_emit <= got_null_clicks
+    assert len(got_null_clicks) > 0
