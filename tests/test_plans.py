@@ -58,7 +58,8 @@ def test_jvm_operators_have_no_python_eval(spark):
     # ArrowEvalPython nodes); only the multimodal mapInPandas is allowed
     # Python
     for name in ["dedup_minhash_signatures", "dedup_simhash", "text_token_stats",
-                 "ann_bruteforce_topk"]:
+                 "ann_bruteforce_topk", "text_bm25_scores", "text_repetition_signals",
+                 "events_cohort_retention", "events_session_windows"]:
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
     assert "MapInPandas" in plan_of(spark, "multimodal_blob_features")
@@ -201,3 +202,21 @@ def test_funnel_is_single_shuffle_no_join(spark):
 def test_repetition_signals_stays_jvm(spark):
     plan = plan_of(spark, "text_repetition_signals")
     assert "EvalPython" not in plan
+
+
+def test_repetition_signals_has_no_shuffle(spark):
+    """All three Gopher signals are per-row expressions now — the only
+    exchanges allowed are the gated input repartition (RoundRobin) and the
+    output sort; no hash-partitioned aggregate exchange."""
+    plan = plan_of(spark, "text_repetition_signals")
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_bm25_reuses_the_per_doc_exchange(spark):
+    """BM25's per-doc tf aggregate feeds both the scoring join and the
+    corpus-stats branch; AQE must REUSE that exchange so the token explode
+    runs once — not re-scan the corpus for the stats row."""
+    df = REGISTRY["text_bm25_scores"].spark(spark, SF_SMOKE)
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
