@@ -56,7 +56,7 @@ _HIGH = ("1-URGENT", "2-HIGH")
         SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
         FROM val
         WHERE CAST(v AS DOUBLE) >
-              (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM val)
+              (SELECT CAST(SUM(v) AS DOUBLE) * 0.0002 FROM val)
         ORDER BY part_value DESC, partkey
     """,
     doc="TPC-H Q11 shape: parts whose shipped value for one supplier "
@@ -83,7 +83,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(money("l_extendedprice") * money("l_quantity")).alias("v"))
     )
-    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("threshold"))
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.0002)).alias("threshold"))
     return (
         val.join(F.broadcast(total))
         .filter(F.col("v").cast("double") > F.col("threshold"))
