@@ -306,23 +306,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        # the moved flag rides along in the SAME materialization, so the
+        # convergence check is a cheap scan of the checkpointed frame
+        # instead of an extra old-vs-new shuffle join per round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
-                    "comp"
+                    "new_comp"
+                ),
+                (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias(
+                    "moved"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new_labels.select("node", F.col("new_comp").alias("comp"))
+        if new_labels.filter(F.col("moved")).isEmpty():
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
