@@ -128,3 +128,114 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, o_totalprice, o_orderkey
         """
     )
+
+
+@register(
+    "window_ntile_dist",
+    oracle="""
+        SELECT c_custkey,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="ntile / percent_rank / cume_dist over a global ordering — the "
+    "ranking-distribution window family (exact integer rationals, so the "
+    "doubles hash-match).",
+    tags=("window",),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ("customer",))
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle="""
+        SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM part a
+        JOIN part b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE a.p_size <= 5
+          AND levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY pa, pb
+    """,
+    doc="Edit-distance fuzzy dedup: Levenshtein over attribute-blocked "
+    "candidate pairs (block on (type, size) — never all-pairs; the classic "
+    "blocking+verify record-linkage shape). Spark and DuckDB levenshtein "
+    "are bit-identical integers.",
+    tags=("dedup", "fuzzy"),
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: the self-join is EQUI on the blocking key, so work is
+    # sum(block²) not n² — blocking-key choice bounds the blowup, and the
+    # levenshtein verify runs JVM-side inside the join.
+    t = load_tables(spark, sf_dir, ("part",))
+    small = t["part"].filter(F.col("p_size") <= 5)
+    a = small.select(
+        F.col("p_partkey").alias("pa"), F.col("p_name").alias("na"),
+        F.col("p_type").alias("ta"), F.col("p_size").alias("sa"),
+    )
+    b = small.select(
+        F.col("p_partkey").alias("pb"), F.col("p_name").alias("nb"),
+        F.col("p_type").alias("tb"), F.col("p_size").alias("sb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ta") == F.col("tb"))
+            & (F.col("sa") == F.col("sb"))
+            & (F.col("pa") < F.col("pb")),
+        )
+        .withColumn("dist", F.levenshtein("na", "nb").cast("int"))
+        .filter(F.col("dist") <= 4)
+        .select("pa", "pb", "dist")
+        .orderBy("pa", "pb")
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey, t.o_orderkey
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY LIMIT — top-3 "
+    "orders per customer. Catalyst decorrelates to a ranked window over "
+    "the join (same plan a hand-written row_number gives).",
+    tags=("join", "lateral", "subquery"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
