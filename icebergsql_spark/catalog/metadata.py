@@ -267,6 +267,9 @@ class TableMetadata:
     current_snapshot_id: int | None = None
     version: int = 0
     last_updated_ms: int = 0
+    # named refs (Iceberg-style tags): name -> snapshot_id; tagged
+    # snapshots are pinned against expire_snapshots GC
+    refs: dict[str, int] = field(default_factory=dict)
 
     # ------------------------------------------------------------ queries --
 
@@ -319,6 +322,7 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "version": self.version,
             "last_updated_ms": self.last_updated_ms,
+            "refs": self.refs,
         }
 
     @classmethod
@@ -333,6 +337,7 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             version=d.get("version", 0),
             last_updated_ms=d.get("last_updated_ms", 0),
+            refs={k: int(v) for k, v in d.get("refs", {}).items()},
         )
 
     def commit(self) -> None:

@@ -439,3 +439,39 @@ def managed_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_shipyear")
     )
+
+
+@register(
+    "managed_tagged_travel",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_orderkey % 3 = 0
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Snapshot tags: tag the first of three appends, expire everything "
+    "retention allows, then read `as of '<tag>'` through Engine.sql — the "
+    "tag must survive GC and still resolve to the first third.",
+    tags=("managed", "tags", "time-travel"),
+)
+def managed_tagged_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-tagwh-"))
+    cat = eng.catalog
+    tbl = cat.create_table("li_tag", _LI_DDL, partition_cols=["l_shipyear"])
+    li = _lineitem_with_year(spark, sf_dir)
+    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 0))
+    tbl.create_tag("first_third")
+    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 1))
+    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 2))
+    gc = tbl.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] == 1  # middle snapshot; tag pins first
+    return eng.sql(
+        "as of 'first_third' "
+        "SELECT l_returnflag, COUNT(*) AS n FROM li_tag "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

@@ -38,6 +38,7 @@ from icebergsql_spark.table import Catalog, ManagedTable
 
 _AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
+_REFS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$refs`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -239,14 +240,20 @@ class Engine:
                 names.append(name)
         return names
 
-    def _register_views(self, text: str, as_of_millis: int | None) -> str:
+    def _register_views(
+        self, text: str, as_of_millis: int | None, as_of_ref: str | None = None
+    ) -> str:
         """Register every referenced managed table as a temp view (time-
         traveled when as_of is set, manifest-pruned when a WHERE clause is
-        extractable) and rewrite `$snapshots` references."""
+        extractable) and rewrite `$snapshots` / `$refs` references."""
         for m in set(_SNAPSHOTS_RE.findall(text)):
             tbl = self.catalog.load_table(m)
             tbl.snapshots_df().createOrReplaceTempView(f"{m}__snapshots")
         text = _SNAPSHOTS_RE.sub(lambda mo: f"{mo.group(1)}__snapshots", text)
+        for m in set(_REFS_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.refs_df().createOrReplaceTempView(f"{m}__refs")
+        text = _REFS_RE.sub(lambda mo: f"{mo.group(1)}__refs", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}
@@ -262,7 +269,9 @@ class Engine:
             per_table = self._scoped_predicates(text, referenced)
         for name in referenced:
             tbl = self.catalog.load_table(name)
-            scan = tbl.scan(where=per_table.get(name), as_of_millis=as_of_millis)
+            scan = tbl.scan(
+                where=per_table.get(name), as_of_millis=as_of_millis, ref=as_of_ref
+            )
             scan.dataframe(apply_where=False).createOrReplaceTempView(name)
         return text
 
@@ -375,9 +384,15 @@ class Engine:
         text = text.strip().rstrip(";")
 
         as_of_millis = None
+        as_of_ref = None
         m = _AS_OF_RE.match(text)
         if m:
-            as_of_millis = convert_to_epoch_millis(m.group(1))
+            try:
+                as_of_millis = convert_to_epoch_millis(m.group(1))
+            except ValueError:
+                # not a timestamp/millis -> a named ref (tag), resolved
+                # per table at scan time
+                as_of_ref = m.group(1)
             text = m.group(2)
 
         cm = _CREATE_RE.match(text)
@@ -480,13 +495,15 @@ class Engine:
             # (the Trino/Iceberg stats-aggregate optimization). Undecidable
             # predicates fall through to the ordinary scan path below.
             tbl = self.catalog.load_table(cs.group("name"))
-            scan = tbl.scan(where=cs.group("pred"), as_of_millis=as_of_millis)
+            scan = tbl.scan(
+                where=cs.group("pred"), as_of_millis=as_of_millis, ref=as_of_ref
+            )
             n = scan.count_from_stats()
             if n is not None:
                 alias = cs.group("alias") or "count(1)"
                 return self.spark.createDataFrame([(n,)], f"`{alias}` long")
 
-        text = self._register_views(text, as_of_millis)
+        text = self._register_views(text, as_of_millis, as_of_ref)
         return self.spark.sql(text)
 
     # ------------------------------------------------------------ actions --

@@ -566,6 +566,30 @@ class ManagedTable:
         self.meta.commit()
         return snap
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Tag a snapshot with a stable name (Iceberg ``create_tag``):
+        ``as of '<name>'`` resolves to it forever, and expire_snapshots
+        will NOT GC it — tags turn time travel from "whatever retention
+        hasn't eaten yet" into a durable contract (audit pins, model
+        training-set versions)."""
+        self.refresh()
+        sid = (
+            snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
+        )
+        if sid is None or self.meta.snapshot_by_id(sid) is None:
+            raise ValueError(f"unknown snapshot {sid} for tag {name!r}")
+        if name in self.meta.refs:
+            raise ValueError(f"tag {name!r} already exists on {self.name}")
+        self.meta.refs[name] = sid
+        self.meta.commit()
+
+    def drop_tag(self, name: str) -> None:
+        self.refresh()
+        if name not in self.meta.refs:
+            raise ValueError(f"no tag {name!r} on {self.name}")
+        del self.meta.refs[name]
+        self.meta.commit()
+
     def compact(
         self,
         target_file_size: int = 128 * 1024 * 1024,
@@ -744,6 +768,8 @@ class ManagedTable:
         keep_ids = {s.snapshot_id for s in by_ts[: max(retain_last, 1)]}
         if meta.current_snapshot_id is not None:
             keep_ids.add(meta.current_snapshot_id)
+        # tagged snapshots are pinned: a named ref is a durable contract
+        keep_ids |= set(meta.refs.values())
         if older_than_ms is not None:
             keep_ids |= {
                 s.snapshot_id for s in by_ts if s.timestamp_ms > older_than_ms
@@ -808,8 +834,13 @@ class ManagedTable:
         where: str | None = None,
         as_of_millis: int | None = None,
         snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> "ManagedScan":
         self.refresh()
+        if ref is not None:
+            if ref not in self.meta.refs:
+                raise ValueError(f"no tag {ref!r} on {self.name}")
+            snapshot_id = self.meta.refs[ref]
         if snapshot_id is not None:
             snap = self.meta.snapshot_by_id(snapshot_id)
             if snap is None:
@@ -905,6 +936,15 @@ class ManagedTable:
             "numdDeletedFiles int, manifestListLocation string"
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def refs_df(self) -> DataFrame:
+        """The `<table>$refs` view: named refs (tags) → pinned snapshot."""
+        rows = [
+            (name, sid, "tag") for name, sid in sorted(self.meta.refs.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, snapshotId long, type string"
+        )
 
     def files_df(self) -> DataFrame:
         """Metadata table of live data files (Iceberg `db.tbl.files`-style);

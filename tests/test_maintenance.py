@@ -278,3 +278,68 @@ def test_optimize_and_vacuum_sql_verbs(spark, tmp_path):
     assert eng.sql(
         "SELECT count(*) AS n FROM `tsql$snapshots`"
     ).collect()[0].n == 1
+
+
+# ----------------------------------------------------------------- tags --
+
+
+def test_tag_time_travel_and_gc_pin(spark, tmp_path):
+    """A tag is a durable time-travel anchor: `as of '<tag>'` resolves to
+    the pinned snapshot forever, and expire_snapshots must NOT GC it even
+    when retention would."""
+    tbl, snaps = _mk_table(spark, tmp_path, "t_tags")
+    n_first = tbl.to_df(snapshot_id=snaps[0].snapshot_id).count()
+    tbl.create_tag("v1", snaps[0].snapshot_id)
+
+    # tag resolution through the scan API
+    assert tbl.to_df(ref="v1").count() == n_first
+    with pytest.raises(ValueError):
+        tbl.scan(ref="nope")
+    with pytest.raises(ValueError):
+        tbl.create_tag("v1")  # duplicate
+
+    # retention would expire snaps[0] and snaps[1]; the tag pins snaps[0]
+    gc = tbl.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] == 1  # only the untagged middle snapshot
+    assert {s.snapshot_id for s in tbl.meta.snapshots} == {
+        snaps[0].snapshot_id,
+        snaps[2].snapshot_id,
+    }
+    assert tbl.to_df(ref="v1").count() == n_first  # files intact
+
+    # dropping the tag releases the pin (no data files die: the append
+    # chain's current snapshot still references snaps[0]'s files)
+    tbl.drop_tag("v1")
+    gc = tbl.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] == 1
+    assert [s.snapshot_id for s in tbl.meta.snapshots] == [snaps[2].snapshot_id]
+    with pytest.raises(ValueError):
+        tbl.scan(ref="v1")
+
+
+def test_tag_sql_surface(spark, tmp_path):
+    """`as of '<tag>' SELECT ...` and the `$refs` view through Engine.sql."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_sql"))
+    eng.sql(
+        "CREATE TABLE tt (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    src.createOrReplaceTempView("tt_src")
+    eng.sql("INSERT INTO tt SELECT * FROM tt_src")
+    eng.table("tt").create_tag("baseline")
+    eng.sql("INSERT INTO tt SELECT * FROM tt_src")
+
+    assert eng.sql("SELECT count(*) AS n FROM tt").collect()[0][0] == 200
+    assert (
+        eng.sql("as of 'baseline' SELECT count(*) AS n FROM tt").collect()[0][0]
+        == 100
+    )
+    refs = eng.sql("SELECT * FROM `tt$refs`").collect()
+    assert len(refs) == 1
+    assert refs[0]["name"] == "baseline" and refs[0]["type"] == "tag"
+    assert refs[0]["snapshotId"] == eng.table("tt").meta.refs["baseline"]
