@@ -267,9 +267,10 @@ class TableMetadata:
     current_snapshot_id: int | None = None
     version: int = 0
     last_updated_ms: int = 0
-    # named refs (Iceberg-style tags): name -> snapshot_id; tagged
+    # named refs (Iceberg-style): name -> {"snapshot_id", "type"} with
+    # type 'tag' (immutable anchor) or 'branch' (writable head); referenced
     # snapshots are pinned against expire_snapshots GC
-    refs: dict[str, int] = field(default_factory=dict)
+    refs: dict[str, dict] = field(default_factory=dict)
 
     # ------------------------------------------------------------ queries --
 
@@ -337,7 +338,10 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             version=d.get("version", 0),
             last_updated_ms=d.get("last_updated_ms", 0),
-            refs={k: int(v) for k, v in d.get("refs", {}).items()},
+            refs={
+                k: (v if isinstance(v, dict) else {"snapshot_id": int(v), "type": "tag"})
+                for k, v in d.get("refs", {}).items()
+            },
         )
 
     def commit(self) -> None:
@@ -372,3 +376,7 @@ class TableMetadata:
             version = int(f.read().strip())
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
             return cls.from_json(json.load(f))
+
+
+def ref_snapshot_id(ref: dict) -> int:
+    return int(ref["snapshot_id"])

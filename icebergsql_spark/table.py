@@ -244,6 +244,7 @@ class ManagedTable:
         dynamic: bool = False,
         if_partition_not_exists: bool = False,
         distribute_by: list[str] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Append or overwrite, producing a new snapshot.
 
@@ -264,8 +265,23 @@ class ManagedTable:
         shuffle that co-locates each output partition's rows into one task,
         so a 1000-task source writing 100 partitions produces 100 files, not
         100 × 1000.
+
+        ``branch`` appends onto that branch's head and advances the branch
+        pointer; the main table is untouched until ``fast_forward`` — the
+        write-audit-publish staging flow. Branch writes are APPEND-only
+        (an overwrite's delete set against a non-published lineage has no
+        sane merge story — same restriction as the append-only commit
+        retry).
         """
         self.refresh()
+        if branch is not None:
+            bref = self.meta.refs.get(branch)
+            if bref is None or bref["type"] != "branch":
+                raise ValueError(f"no branch {branch!r} on {self.name}")
+            if overwrite or static_partition or dynamic:
+                raise TableValidationError(
+                    f"branch {branch!r}: only plain appends may target a branch"
+                )
         schema = self.schema
         static_partition = {k: str(v) for k, v in (static_partition or {}).items()}
         for pc in static_partition:
@@ -299,7 +315,10 @@ class ManagedTable:
             raise TableValidationError(f"insert is missing columns {missing}")
         df = df.select(*[F.col(f.name).cast(f.dataType) for f in schema.fields])
 
-        parent = self.meta.current_snapshot()
+        if branch is not None:
+            parent = self.meta.snapshot_by_id(self.meta.refs[branch]["snapshot_id"])
+        else:
+            parent = self.meta.current_snapshot()
         parent_files = parent.live_files() if parent else []
 
         # files an overwrite will delete, computed from the pre-insert
@@ -343,7 +362,7 @@ class ManagedTable:
                 if tuple(sorted(f.partition.items())) in written_parts
             ]
 
-        return self._commit_snapshot(parent, added, deleted)
+        return self._commit_snapshot(parent, added, deleted, branch=branch)
 
     def write(self, df: DataFrame, mode: str = "append", **kwargs) -> Snapshot | None:
         """DataFrame-writer SaveMode matrix over ``insert`` — the doInsertion
@@ -409,6 +428,7 @@ class ManagedTable:
         added: list[DataFile],
         deleted: list[DataFile],
         operation: str | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
         # scala:142-179): add+delete → rewrite ('overwrite'), add-only →
@@ -470,9 +490,12 @@ class ManagedTable:
             },
         )
         self.meta.snapshots.append(snap)
-        self.meta.current_snapshot_id = snap.snapshot_id
+        if branch is not None:
+            self.meta.refs[branch]["snapshot_id"] = snap.snapshot_id
+        else:
+            self.meta.current_snapshot_id = snap.snapshot_id
         try:
-            self._commit_with_retry(snap, op, new_manifest)
+            self._commit_with_retry(snap, op, new_manifest, branch=branch)
         except Exception:
             # cleanup-on-failure: a commit that cannot land leaves no
             # orphaned data files (mirrors the reference's cleanup,
@@ -490,7 +513,11 @@ class ManagedTable:
         return snap
 
     def _commit_with_retry(
-        self, snap: Snapshot, op: str, new_manifest: str | None
+        self,
+        snap: Snapshot,
+        op: str,
+        new_manifest: str | None,
+        branch: str | None = None,
     ) -> None:
         try:
             self.meta.commit()
@@ -505,7 +532,13 @@ class ManagedTable:
                 raise
             for _ in range(5):
                 self.refresh()
-                parent = self.meta.current_snapshot()
+                if branch is not None:
+                    bref = self.meta.refs.get(branch)
+                    if bref is None or bref["type"] != "branch":
+                        raise  # branch dropped concurrently: surface it
+                    parent = self.meta.snapshot_by_id(bref["snapshot_id"])
+                else:
+                    parent = self.meta.current_snapshot()
                 existing_ids = {s.snapshot_id for s in self.meta.snapshots}
                 while snap.snapshot_id in existing_ids:
                     snap.snapshot_id += 1
@@ -519,7 +552,10 @@ class ManagedTable:
                 if parent is not None and snap.timestamp_ms <= parent.timestamp_ms:
                     snap.timestamp_ms = parent.timestamp_ms + 1
                 self.meta.snapshots.append(snap)
-                self.meta.current_snapshot_id = snap.snapshot_id
+                if branch is not None:
+                    self.meta.refs[branch]["snapshot_id"] = snap.snapshot_id
+                else:
+                    self.meta.current_snapshot_id = snap.snapshot_id
                 try:
                     self.meta.commit()
                     break
@@ -566,29 +602,57 @@ class ManagedTable:
         self.meta.commit()
         return snap
 
+    def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+        self.refresh()
+        sid = (
+            snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
+        )
+        if sid is None or self.meta.snapshot_by_id(sid) is None:
+            raise ValueError(f"unknown snapshot {sid} for {kind} {name!r}")
+        if name in self.meta.refs:
+            raise ValueError(f"ref {name!r} already exists on {self.name}")
+        self.meta.refs[name] = {"snapshot_id": sid, "type": kind}
+        self.meta.commit()
+
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Tag a snapshot with a stable name (Iceberg ``create_tag``):
         ``as of '<name>'`` resolves to it forever, and expire_snapshots
         will NOT GC it — tags turn time travel from "whatever retention
         hasn't eaten yet" into a durable contract (audit pins, model
         training-set versions)."""
-        self.refresh()
-        sid = (
-            snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
-        )
-        if sid is None or self.meta.snapshot_by_id(sid) is None:
-            raise ValueError(f"unknown snapshot {sid} for tag {name!r}")
-        if name in self.meta.refs:
-            raise ValueError(f"tag {name!r} already exists on {self.name}")
-        self.meta.refs[name] = sid
-        self.meta.commit()
+        self._create_ref(name, snapshot_id, "tag")
 
-    def drop_tag(self, name: str) -> None:
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Create a WRITABLE ref (Iceberg ``create_branch``): appends with
+        ``insert(df, branch=name)`` advance the branch head while the main
+        pointer is untouched — the write-audit-publish staging pattern
+        (write to a branch, validate its scan, ``fast_forward`` to
+        publish). Branch heads are pinned against expire GC."""
+        self._create_ref(name, snapshot_id, "branch")
+
+    def drop_ref(self, name: str) -> None:
         self.refresh()
         if name not in self.meta.refs:
-            raise ValueError(f"no tag {name!r} on {self.name}")
+            raise ValueError(f"no ref {name!r} on {self.name}")
         del self.meta.refs[name]
         self.meta.commit()
+
+    # back-compat alias
+    drop_tag = drop_ref
+
+    def fast_forward(self, branch: str) -> Snapshot:
+        """Publish a branch: point the main table at the branch head (the
+        WAP 'publish' step — pointer move only, like rollback_to)."""
+        self.refresh()
+        ref = self.meta.refs.get(branch)
+        if ref is None or ref["type"] != "branch":
+            raise ValueError(f"no branch {branch!r} on {self.name}")
+        snap = self.meta.snapshot_by_id(ref["snapshot_id"])
+        if snap is None:
+            raise ValueError(f"branch {branch!r} head missing")
+        self.meta.current_snapshot_id = snap.snapshot_id
+        self.meta.commit()
+        return snap
 
     def compact(
         self,
@@ -768,8 +832,9 @@ class ManagedTable:
         keep_ids = {s.snapshot_id for s in by_ts[: max(retain_last, 1)]}
         if meta.current_snapshot_id is not None:
             keep_ids.add(meta.current_snapshot_id)
-        # tagged snapshots are pinned: a named ref is a durable contract
-        keep_ids |= set(meta.refs.values())
+        # tagged/branched snapshots are pinned: a named ref is a durable
+        # contract
+        keep_ids |= {r["snapshot_id"] for r in meta.refs.values()}
         if older_than_ms is not None:
             keep_ids |= {
                 s.snapshot_id for s in by_ts if s.timestamp_ms > older_than_ms
@@ -839,8 +904,8 @@ class ManagedTable:
         self.refresh()
         if ref is not None:
             if ref not in self.meta.refs:
-                raise ValueError(f"no tag {ref!r} on {self.name}")
-            snapshot_id = self.meta.refs[ref]
+                raise ValueError(f"no ref {ref!r} on {self.name}")
+            snapshot_id = self.meta.refs[ref]["snapshot_id"]
         if snapshot_id is not None:
             snap = self.meta.snapshot_by_id(snapshot_id)
             if snap is None:
@@ -938,9 +1003,10 @@ class ManagedTable:
         return self.spark.createDataFrame(rows, schema)
 
     def refs_df(self) -> DataFrame:
-        """The `<table>$refs` view: named refs (tags) → pinned snapshot."""
+        """The `<table>$refs` view: named refs → pinned snapshot + type."""
         rows = [
-            (name, sid, "tag") for name, sid in sorted(self.meta.refs.items())
+            (name, r["snapshot_id"], r["type"])
+            for name, r in sorted(self.meta.refs.items())
         ]
         return self.spark.createDataFrame(
             rows, "name string, snapshotId long, type string"

@@ -342,4 +342,44 @@ def test_tag_sql_surface(spark, tmp_path):
     refs = eng.sql("SELECT * FROM `tt$refs`").collect()
     assert len(refs) == 1
     assert refs[0]["name"] == "baseline" and refs[0]["type"] == "tag"
-    assert refs[0]["snapshotId"] == eng.table("tt").meta.refs["baseline"]
+    assert refs[0]["snapshotId"] == eng.table("tt").meta.refs["baseline"]["snapshot_id"]
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """Branch = writable ref: appends advance the branch head only; main is
+    untouched until fast_forward (the WAP staging flow). Branch heads are
+    pinned against expire GC; overwrites on branches are rejected."""
+    tbl, snaps = _mk_table(spark, tmp_path, "t_branch", n_inserts=1)
+    n_main = tbl.to_df().count()
+    tbl.create_branch("audit")
+
+    src = spark.range(500, 550).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    bsnap = tbl.insert(src, branch="audit")
+    # main unchanged; branch sees staged rows
+    assert tbl.to_df().count() == n_main
+    assert tbl.to_df(ref="audit").count() == n_main + 50
+    assert tbl.meta.refs["audit"]["snapshot_id"] == bsnap.snapshot_id
+    assert bsnap.parent_id == snaps[0].snapshot_id
+
+    # overwrite on a branch is rejected
+    from icebergsql_spark.table import TableValidationError
+
+    with pytest.raises(TableValidationError):
+        tbl.insert(src, overwrite=True, branch="audit")
+
+    # expire must not GC the staged branch head
+    gc = tbl.expire_snapshots(retain_last=1)
+    assert tbl.to_df(ref="audit").count() == n_main + 50
+
+    # publish: fast-forward main to the audited branch head
+    tbl.fast_forward("audit")
+    assert tbl.to_df().count() == n_main + 50
+    # second branch append chains off the new head
+    b2 = tbl.insert(src.withColumn("k", F.col("k") + 1000), branch="audit")
+    assert b2.parent_id == bsnap.snapshot_id
+    assert tbl.to_df(ref="audit").count() == n_main + 100
+    assert tbl.to_df().count() == n_main + 50
