@@ -475,3 +475,45 @@ def managed_tagged_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_returnflag, COUNT(*) AS n FROM li_tag "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+@register(
+    "managed_branch_wap",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Write-audit-publish through the SQL surface: stage the odd half on "
+    "a branch (main pointer untouched), audit it via `as of '<branch>'`, "
+    "FAST FORWARD to publish; the published table must equal full lineitem.",
+    tags=("managed", "branches", "sql"),
+)
+def managed_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-wapwh-"))
+    tbl = eng.catalog.create_table("li_wap", _LI_DDL, partition_cols=["l_shipyear"])
+    li = _lineitem_with_year(spark, sf_dir)
+    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    eng.sql("ALTER TABLE li_wap CREATE BRANCH audit")
+    li.filter(F.col("l_orderkey") % 2 == 1).createOrReplaceTempView("li_wap_src")
+    eng.sql("INSERT INTO li_wap BRANCH audit SELECT * FROM li_wap_src")
+    # audit: main is still the pre-branch snapshot; the branch sees both
+    tbl.refresh()
+    assert tbl.meta.current_snapshot_id == s1.snapshot_id
+    staged = eng.sql(
+        "as of 'audit' SELECT COUNT(*) AS n FROM li_wap"
+    ).collect()[0]["n"]
+    main_n = sum(f.record_count for f in tbl.meta.current_snapshot().live_files())
+    assert staged > main_n
+    eng.sql("ALTER TABLE li_wap FAST FORWARD audit")
+    return eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty "
+        "FROM li_wap GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

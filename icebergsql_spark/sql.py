@@ -55,8 +55,20 @@ _DROP_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?(?P<name>[`\w.]+)\s*"
+    r"(?:branch\s+`?(?P<branch>\w+)`?\s*)?"
     r"(?:partition\s*\((?P<spec>[^)]*)\))?\s*(?P<select>select\b.*|values\b.*)$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_REF_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?P<action>create|drop)\s+"
+    r"(?P<kind>tag|branch)\s+`?(?P<ref>\w+)`?"
+    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_FAST_FORWARD_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+fast\s+forward\s+"
+    r"(?:to\s+)?`?(?P<branch>\w+)`?\s*$",
+    re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*optimize\s+(?P<name>[`\w.]+)"
@@ -420,6 +432,32 @@ class Engine:
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
 
+        am = _ALTER_REF_RE.match(text)
+        if am and self.catalog.table_exists(am.group("name").strip("`")):
+            # ALTER TABLE t CREATE|DROP TAG|BRANCH name [AS OF VERSION id] —
+            # the Iceberg SQL-extension ref verbs (create_tag/create_branch)
+            tbl = self.catalog.load_table(am.group("name").strip("`"))
+            kind = am.group("kind").lower()
+            if am.group("action").lower() == "create":
+                sid = int(am.group("ver")) if am.group("ver") else None
+                (tbl.create_tag if kind == "tag" else tbl.create_branch)(
+                    am.group("ref"), sid
+                )
+            else:
+                tbl.drop_ref(am.group("ref"))
+            return self.spark.createDataFrame([], T.StructType([]))
+
+        fm = _FAST_FORWARD_RE.match(text)
+        if fm and self.catalog.table_exists(fm.group("name").strip("`")):
+            # ALTER TABLE t FAST FORWARD [TO] branch — WAP publish: point
+            # main at the audited branch head (Iceberg fast_forward proc)
+            tbl = self.catalog.load_table(fm.group("name").strip("`"))
+            snap = tbl.fast_forward(fm.group("branch"))
+            return self.spark.createDataFrame(
+                [(fm.group("branch"), snap.snapshot_id)],
+                "branch string, snapshotId long",
+            )
+
         om = _OPTIMIZE_RE.match(text)
         if om and self.catalog.table_exists(om.group("name").strip("`")):
             # OPTIMIZE t [ZORDER BY (a, b) | SORT BY (a, b)] — the SQL verb
@@ -541,6 +579,7 @@ class Engine:
         select_text = self._register_views(im.group("select"), None)
         src = self.spark.sql(select_text)
         overwrite = im.group("mode").lower() == "overwrite"
+        branch = im.group("branch")
         spec = _parse_partition_spec(im.group("spec"))
         dynamic = (
             overwrite
@@ -561,6 +600,7 @@ class Engine:
             overwrite=overwrite,
             static_partition=spec or None,
             dynamic=dynamic,
+            branch=branch,
         )
         return self.spark.createDataFrame([], T.StructType([]))
 

@@ -383,3 +383,45 @@ def test_branch_write_audit_publish(spark, tmp_path):
     assert b2.parent_id == bsnap.snapshot_id
     assert tbl.to_df(ref="audit").count() == n_main + 100
     assert tbl.to_df().count() == n_main + 50
+
+
+def test_branch_sql_surface(spark, tmp_path):
+    """ALTER TABLE CREATE/DROP BRANCH|TAG, INSERT INTO ... BRANCH, and
+    FAST FORWARD through Engine.sql — the WAP flow without Python calls."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_br"))
+    eng.sql(
+        "CREATE TABLE tb (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    src.createOrReplaceTempView("tb_src")
+    eng.sql("INSERT INTO tb SELECT * FROM tb_src")
+    eng.sql("ALTER TABLE tb CREATE BRANCH staging")
+    eng.sql("INSERT INTO tb BRANCH staging SELECT * FROM tb_src")
+
+    # main untouched; branch audited via as-of; $refs shows the branch
+    assert eng.sql("SELECT count(*) AS n FROM tb").collect()[0][0] == 100
+    assert (
+        eng.sql("as of 'staging' SELECT count(*) AS n FROM tb").collect()[0][0]
+        == 200
+    )
+    refs = {r["name"]: r for r in eng.sql("SELECT * FROM `tb$refs`").collect()}
+    assert refs["staging"]["type"] == "branch"
+
+    ff = eng.sql("ALTER TABLE tb FAST FORWARD staging").collect()
+    assert ff[0]["branch"] == "staging"
+    assert eng.sql("SELECT count(*) AS n FROM tb").collect()[0][0] == 200
+
+    eng.sql("ALTER TABLE tb DROP BRANCH staging")
+    with pytest.raises(ValueError):
+        eng.table("tb").scan(ref="staging")
+
+    # tag verbs ride the same rule, with AS OF VERSION pinning
+    tbl = eng.table("tb")
+    first = tbl.meta.snapshots[0].snapshot_id
+    eng.sql(f"ALTER TABLE tb CREATE TAG v0 AS OF VERSION {first}")
+    assert eng.sql("as of 'v0' SELECT count(*) AS n FROM tb").collect()[0][0] == 100
