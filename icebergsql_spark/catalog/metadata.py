@@ -95,6 +95,10 @@ class DataFile:
     record_count: int
     file_size: int
     stats: dict[str, ColStats] = field(default_factory=dict)
+    # schema version (index into TableMetadata.schemas) the file was written
+    # under; column names in `stats`/`partition` are THAT era's names, and
+    # readers translate via field ids (Iceberg's name-independent columns)
+    schema_id: int = 0
 
     def to_json(self):
         return {
@@ -103,6 +107,7 @@ class DataFile:
             "records": self.record_count,
             "bytes": self.file_size,
             "stats": {c: s.to_json() for c, s in self.stats.items()},
+            "sid": self.schema_id,
         }
 
     @classmethod
@@ -113,6 +118,7 @@ class DataFile:
             record_count=d["records"],
             file_size=d["bytes"],
             stats={c: ColStats.from_json(s) for c, s in d.get("stats", {}).items()},
+            schema_id=d.get("sid", 0),
         )
 
 
@@ -147,6 +153,11 @@ class Manifest:
 
                 t = pq.read_table(self.path)
                 cols = [t.column(c).to_pylist() for c in ("path", "partition", "records", "bytes", "stats")]
+                sids = (
+                    t.column("sid").to_pylist()
+                    if "sid" in t.column_names
+                    else [0] * t.num_rows
+                )
                 self._files = [
                     DataFile(
                         path=p,
@@ -157,8 +168,9 @@ class Manifest:
                             c: ColStats.from_json(s)
                             for c, s in json.loads(st).items()
                         },
+                        schema_id=sid,
                     )
-                    for p, part, rec, byt, st in zip(*cols)
+                    for p, part, rec, byt, st, sid in zip(*cols, sids)
                 ]
             else:
                 with open(self.path) as f:
@@ -193,6 +205,9 @@ class Manifest:
                         json.dumps({c: s.to_json() for c, s in f.stats.items()})
                         for f in files
                     ],
+                    "sid": pa.array(
+                        [f.schema_id for f in files], type=pa.int32()
+                    ),
                 }
             )
             pq.write_table(table, tmp, compression="zstd")
@@ -271,8 +286,46 @@ class TableMetadata:
     # type 'tag' (immutable anchor) or 'branch' (writable head); referenced
     # snapshots are pinned against expire_snapshots GC
     refs: dict[str, dict] = field(default_factory=dict)
+    # schema evolution (Iceberg-style name-independent columns): every
+    # version ever current, as {"schema_json", "fields": {name: field_id}};
+    # index into this list IS the schema_id DataFiles record. Field ids are
+    # never reused, so a dropped-then-readded name is a NEW column — old
+    # files' values and stats do not leak into it.
+    schemas: list[dict] = field(default_factory=list)
+    last_field_id: int = 0
+
+    def __post_init__(self):
+        if not self.schemas:
+            # fresh create or pre-evolution metadata: schema v0 from the
+            # top-level schema_json, ids assigned in field order
+            names = [
+                f["name"] for f in json.loads(self.schema_json)["fields"]
+            ]
+            self.schemas = [
+                {
+                    "schema_json": self.schema_json,
+                    "fields": {n: i + 1 for i, n in enumerate(names)},
+                }
+            ]
+            self.last_field_id = max(self.last_field_id, len(names))
 
     # ------------------------------------------------------------ queries --
+
+    @property
+    def current_schema_id(self) -> int:
+        return len(self.schemas) - 1
+
+    def field_ids_at(self, schema_id: int) -> dict[str, int]:
+        return self.schemas[schema_id]["fields"]
+
+    def schema_json_at(self, schema_id: int) -> str:
+        return self.schemas[schema_id]["schema_json"]
+
+    def evolve_schema(self, schema_json: str, fields: dict[str, int]) -> None:
+        """Append a new schema version and make it current (caller commits)."""
+        self.schemas.append({"schema_json": schema_json, "fields": dict(fields)})
+        self.schema_json = schema_json
+        self.last_field_id = max([self.last_field_id, *fields.values()])
 
     def current_snapshot(self) -> Snapshot | None:
         for s in self.snapshots:
@@ -324,6 +377,8 @@ class TableMetadata:
             "version": self.version,
             "last_updated_ms": self.last_updated_ms,
             "refs": self.refs,
+            "schemas": self.schemas,
+            "last_field_id": self.last_field_id,
         }
 
     @classmethod
@@ -342,6 +397,8 @@ class TableMetadata:
                 k: (v if isinstance(v, dict) else {"snapshot_id": int(v), "type": "tag"})
                 for k, v in d.get("refs", {}).items()
             },
+            schemas=list(d.get("schemas", [])),
+            last_field_id=d.get("last_field_id", 0),
         )
 
     def commit(self) -> None:

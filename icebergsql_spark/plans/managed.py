@@ -517,3 +517,54 @@ def managed_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty "
         "FROM li_wap GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+@register(
+    "managed_schema_evolution",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_era,
+               CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Schema evolution end-to-end through SQL DDL: rename + widen + add "
+    "over the even half, insert the odd half under the new schema, and "
+    "aggregate across both file eras — renamed columns must surface old "
+    "files' data, the added column NULL-backfills, the widened int sums "
+    "as bigint. Metadata-only; no file is rewritten.",
+    tags=("managed", "schema-evolution", "sql"),
+)
+def managed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-evwh-"))
+    tbl = eng.catalog.create_table(
+        "li_ev",
+        "l_orderkey bigint, l_linenumber int, l_extendedprice double, "
+        "l_returnflag string, l_shipyear int",
+        partition_cols=["l_shipyear"],
+    )
+    li = _lineitem_with_year(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipyear"
+    )
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    eng.sql("ALTER TABLE li_ev RENAME COLUMN l_extendedprice TO price")
+    eng.sql("ALTER TABLE li_ev ALTER COLUMN l_linenumber TYPE BIGINT")
+    eng.sql("ALTER TABLE li_ev ADD COLUMN era STRING")
+    tbl.insert(
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .withColumnRenamed("l_extendedprice", "price")
+        .withColumn("era", F.lit("v2"))
+    )
+    return eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS sum_price, "
+        "COUNT(era) AS n_era, SUM(l_linenumber) AS sum_ln "
+        "FROM li_ev GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

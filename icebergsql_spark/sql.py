@@ -65,6 +65,16 @@ _ALTER_REF_RE = re.compile(
     r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?\s*$",
     re.IGNORECASE,
 )
+_TYPE = r"\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+_ALTER_COL_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?:"
+    rf"add\s+columns?\s*\(?\s*`?(?P<addname>\w+)`?\s+(?P<addtype>{_TYPE})\s*\)?"
+    r"|drop\s+columns?\s+`?(?P<dropname>\w+)`?"
+    r"|rename\s+column\s+`?(?P<old>\w+)`?\s+to\s+`?(?P<new>\w+)`?"
+    rf"|alter\s+column\s+`?(?P<altname>\w+)`?\s+type\s+(?P<alttype>{_TYPE})"
+    r")\s*$",
+    re.IGNORECASE,
+)
 _FAST_FORWARD_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+fast\s+forward\s+"
     r"(?:to\s+)?`?(?P<branch>\w+)`?\s*$",
@@ -431,6 +441,20 @@ class Engine:
             if self.catalog.table_exists(name):
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
+
+        acm = _ALTER_COL_RE.match(text)
+        if acm and self.catalog.table_exists(acm.group("name").strip("`")):
+            # schema evolution DDL — metadata-only, no data rewrite
+            tbl = self.catalog.load_table(acm.group("name").strip("`"))
+            if acm.group("addname"):
+                tbl.add_column(acm.group("addname"), acm.group("addtype"))
+            elif acm.group("dropname"):
+                tbl.drop_column(acm.group("dropname"))
+            elif acm.group("old"):
+                tbl.rename_column(acm.group("old"), acm.group("new"))
+            else:
+                tbl.alter_column_type(acm.group("altname"), acm.group("alttype"))
+            return self.spark.createDataFrame([], T.StructType([]))
 
         am = _ALTER_REF_RE.match(text)
         if am and self.catalog.table_exists(am.group("name").strip("`")):

@@ -418,6 +418,7 @@ class ManagedTable:
                     record_count=n_rows,
                     file_size=size,
                     stats=stats,
+                    schema_id=self.meta.current_schema_id,
                 )
             )
         return out
@@ -588,6 +589,182 @@ class ManagedTable:
                 )
         self.meta.partition_cols = list(partition_cols)
         self.meta.commit()
+
+    # ------------------------------------------------- schema evolution --
+    #
+    # Iceberg-style name-independent columns: every evolution appends a new
+    # schema version; data files keep the schema_id they were written under
+    # and scans translate old-era column names/types to current via FIELD
+    # IDS (metadata-only, O(1), no data rewrite). Field ids are never
+    # reused, so ADD after DROP of the same name is a genuinely new column —
+    # old files contribute NULLs and their stats can never mis-prune it.
+
+    def _evolve(self, fields: list[T.StructField], ids: dict[str, int]) -> None:
+        schema = T.StructType(fields)
+        validate_schema_types(schema)
+        self.meta.evolve_schema(schema.json(), ids)
+        self.meta.commit()
+
+    def add_column(self, name: str, dtype: T.DataType | str) -> None:
+        """ADD COLUMN: existing rows read back NULL (no rewrite)."""
+        self.refresh()
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
+        ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
+        if any(n.lower() == name.lower() for n in ids):
+            raise TableValidationError(f"column {name!r} already exists")
+        ids[name] = self.meta.last_field_id + 1
+        self._evolve(
+            self.schema.fields + [T.StructField(name, dtype, True)], ids
+        )
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN: metadata-only; the bytes stay in old files but are
+        never read (parquet column pruning skips them)."""
+        self.refresh()
+        ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
+        if name not in ids:
+            raise TableValidationError(f"no column {name!r}")
+        if name in self.meta.partition_cols:
+            raise TableValidationError(
+                f"cannot drop partition column {name!r}; evolve the "
+                "partition spec first"
+            )
+        deps = self.column_dependencies
+        if name in deps or any(name in v for v in deps.values()):
+            raise TableValidationError(
+                f"cannot drop {name!r}: referenced by columnDependencies"
+            )
+        if len(ids) == 1:
+            raise TableValidationError("cannot drop the last column")
+        del ids[name]
+        self._evolve(
+            [f for f in self.schema.fields if f.name != name], ids
+        )
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN: same field id, new name — old files' data and
+        stats follow the rename through the id mapping."""
+        self.refresh()
+        ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
+        if old not in ids:
+            raise TableValidationError(f"no column {old!r}")
+        if any(n.lower() == new.lower() for n in ids if n != old):
+            raise TableValidationError(f"column {new!r} already exists")
+        deps = self.column_dependencies
+        if old in deps or any(old in v for v in deps.values()):
+            raise TableValidationError(
+                f"cannot rename {old!r}: referenced by columnDependencies"
+            )
+        ids[new] = ids.pop(old)
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in self.schema.fields
+        ]
+        if old in self.meta.partition_cols:
+            self.meta.partition_cols = [
+                new if c == old else c for c in self.meta.partition_cols
+            ]
+        self._evolve(fields, ids)
+
+    # lossless widenings (Iceberg's allowed type promotions)
+    _WIDENINGS = {
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    def alter_column_type(self, name: str, dtype: T.DataType | str) -> None:
+        """ALTER COLUMN TYPE: lossless widening only (int→bigint,
+        float→double); old files are read with their written type and cast
+        on the fly."""
+        self.refresh()
+        if isinstance(dtype, str):
+            dtype = T.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
+        ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
+        if name not in ids:
+            raise TableValidationError(f"no column {name!r}")
+        cur = self.schema[name].dataType
+        if cur != dtype and (
+            cur.typeName(),
+            dtype.typeName(),
+        ) not in self._WIDENINGS:
+            raise TableValidationError(
+                f"cannot change {name!r} from {cur.simpleString()} to "
+                f"{dtype.simpleString()}: only lossless widening "
+                "(int->bigint, float->double) is supported"
+            )
+        fields = [
+            T.StructField(f.name, dtype if f.name == name else f.dataType, f.nullable)
+            for f in self.schema.fields
+        ]
+        self._evolve(fields, ids)
+
+    def rename_map_for(self, schema_id: int) -> dict[str, str] | None:
+        """era-name → current-name for field ids alive in both schemas, or
+        None when the era IS current (identity). Strictly id-driven: a
+        dead id's name never maps, so stats of dropped columns are inert."""
+        cur_id = self.meta.current_schema_id
+        if schema_id == cur_id:
+            return None
+        old_ids = self.meta.field_ids_at(schema_id)
+        cur_by_id = {i: n for n, i in self.meta.field_ids_at(cur_id).items()}
+        return {
+            old_name: cur_by_id[fid]
+            for old_name, fid in old_ids.items()
+            if fid in cur_by_id
+        }
+
+    def read_files(self, files: list["DataFile"]) -> DataFrame:
+        """Distributed read of an explicit file list, translating each
+        file's written-era schema to the current one (rename via field ids,
+        widened types cast, added columns NULL-filled). Files of the
+        current era take the direct single-read path — evolution costs
+        nothing until it is used, and afterwards one extra read+union per
+        LIVE historical era (compaction rewrites collapse eras)."""
+        spark, schema = self.spark, self.schema
+        if not files:
+            return spark.createDataFrame([], schema)
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f.schema_id, []).append(f.path)
+        fmt = self.file_format
+        parts: list[DataFrame] = []
+        for sid in sorted(by_sid):
+            rmap = self.rename_map_for(sid)
+            era = T.StructType.fromJson(
+                __import__("json").loads(self.meta.schema_json_at(sid))
+            )
+            if rmap is not None:
+                era_alive = [f for f in era.fields if f.name in rmap]
+                identity = [
+                    (f.name, f.dataType) for f in era_alive
+                ] == [(f.name, f.dataType) for f in schema.fields]
+            else:
+                identity = True
+            if identity:
+                parts.append(
+                    spark.read.schema(schema).format(fmt).load(by_sid[sid])
+                )
+                continue
+            raw = (
+                spark.read.schema(T.StructType(era_alive))
+                .format(fmt)
+                .load(by_sid[sid])
+            )
+            inv = {v: k for k, v in rmap.items()}
+            cols = []
+            for f in schema.fields:
+                if f.name in inv:
+                    cols.append(
+                        F.col(inv[f.name]).cast(f.dataType).alias(f.name)
+                    )
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            parts.append(raw.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Point the table back at an earlier snapshot (Iceberg
@@ -972,14 +1149,7 @@ class ManagedTable:
         new_files = [
             f for f in to_snap.live_files() if f.path not in from_paths
         ]
-        schema = self.schema
-        if not new_files:
-            return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .format(self.file_format)
-            .load([f.path for f in new_files])
-        )
+        return self.read_files(new_files)
 
     def snapshots_df(self) -> DataFrame:
         """The `<table>$snapshots` view with the reference's exact 6-column
@@ -1050,26 +1220,37 @@ class ManagedScan:
         )
         self.planned_files: list[DataFile] = self._plan()
 
+    def _pruning_stats(self, f: DataFile) -> dict[str, ColStats]:
+        """Footer + partition point-range stats under CURRENT column names:
+        an old-era file's stat keys are translated via the field-id rename
+        map; stats of dropped columns (dead ids) are discarded, so a
+        re-added name can never be mis-pruned by a dead column's bounds."""
+        schema = self.table.schema
+        rmap = self.table.rename_map_for(f.schema_id)
+        if rmap is None:
+            stats = dict(f.stats)
+        else:
+            stats = {rmap[c]: s for c, s in f.stats.items() if c in rmap}
+        # partition dir values are exact: encode as point-range stats
+        for pc, raw in f.partition.items():
+            if rmap is not None:
+                pc = rmap.get(pc)
+                if pc is None:
+                    continue  # partition column since dropped
+            if raw is None:
+                stats[pc] = ColStats(None, None, f.record_count, f.record_count)
+            else:
+                typed = _parse_partition_value(raw, schema[pc].dataType)
+                stats[pc] = ColStats(typed, typed, 0, f.record_count)
+        return stats
+
     def _plan(self) -> list[DataFile]:
         if self.snapshot is None:
             return []
         files = self.snapshot.live_files()
         if isinstance(self.augmented, (AlwaysTrue, Residual)):
             return files
-        schema = self.table.schema
-        out = []
-        for f in files:
-            stats = dict(f.stats)
-            # partition dir values are exact: encode as point-range stats
-            for pc, raw in f.partition.items():
-                if raw is None:
-                    stats[pc] = ColStats(None, None, f.record_count, f.record_count)
-                else:
-                    typed = _parse_partition_value(raw, schema[pc].dataType)
-                    stats[pc] = ColStats(typed, typed, 0, f.record_count)
-            if may_match(self.augmented, stats):
-                out.append(f)
-        return out
+        return [f for f in files if may_match(self.augmented, self._pruning_stats(f))]
 
     @property
     def files_scanned(self) -> int:
@@ -1092,20 +1273,12 @@ class ManagedScan:
 
         if self.snapshot is None:
             return 0
-        schema = self.table.schema
         total = 0
         for f in self.planned_files:
             if isinstance(self.augmented, AlwaysTrue):
                 total += f.record_count
                 continue
-            stats = dict(f.stats)
-            for pc, raw in f.partition.items():
-                if raw is None:
-                    stats[pc] = ColStats(None, None, f.record_count, f.record_count)
-                else:
-                    typed = _parse_partition_value(raw, schema[pc].dataType)
-                    stats[pc] = ColStats(typed, typed, 0, f.record_count)
-            if not must_match_all(self.augmented, stats):
+            if not must_match_all(self.augmented, self._pruning_stats(f)):
                 return None
             total += f.record_count
         return total
@@ -1116,15 +1289,7 @@ class ManagedScan:
         WHERE executes in Spark SQL and the scan's predicate served only for
         manifest pruning (it may contain alias-qualified names that don't
         resolve against the bare table)."""
-        spark = self.table.spark
-        schema = self.table.schema
-        if not self.planned_files:
-            return spark.createDataFrame([], schema)
-        df = (
-            spark.read.schema(schema)
-            .format(self.table.file_format)
-            .load([f.path for f in self.planned_files])
-        )
+        df = self.table.read_files(self.planned_files)
         if self.where and apply_where:
             df = df.filter(self.where)
         return df
