@@ -67,12 +67,38 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for name in tables:
-        if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-            # reader rejects; read it as bigint nanos and convert downstream
-            # with tz-free arithmetic (see plans/relational.py events query).
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = events_ts_to_nanos(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# events.ts is parquet TIMESTAMP(NANOS). Older Sparks read it as bigint
+# nanos under spark.sql.legacy.parquet.nanosAsLong; PySpark 4.1 dropped that
+# conf and reads TIMESTAMP_NTZ (nanos truncated to micros — lossless for
+# this data, whose nanos are micros*1000). Every consumer in the repo works
+# on bigint epoch nanos (tz-free integer arithmetic that bit-matches DuckDB
+# epoch_ns), so raw reads are normalized here, at one choke point.
+_EPOCH_NS_EXPR = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) "
+    "* CAST(1000 AS BIGINT)"
+)
+
+
+def events_ts_to_nanos(df: DataFrame) -> DataFrame:
+    """Normalize an events frame so ``ts`` is bigint epoch-nanos.
+
+    No-op when the reader already produced bigint (legacy nanosAsLong
+    Sparks); converts via tz-free timestampdiff otherwise. The expression
+    is a narrow projection — it fuses into the scan under whole-stage
+    codegen, costs no shuffle, and pushdown on other columns is unaffected.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.expr(_EPOCH_NS_EXPR))

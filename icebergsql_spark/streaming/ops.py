@@ -27,15 +27,16 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
-# ts arrives as bigint nanos (parquet TIMESTAMP(NANOS) read with
-# spark.sql.legacy.parquet.nanosAsLong — same convention as the batch path)
+# ts arrives as bigint nanos — the repo-wide events convention (see
+# plans/registry.events_ts_to_nanos). Stage raw TIMESTAMP(NANOS) parquet
+# through that normalizer before pointing this source at it: a streaming
+# source needs a declared schema, so it can't sniff-and-convert per file.
 
 
 def read_event_stream(
     spark, source_dir: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -9,6 +9,7 @@ from icebergsql_spark.operators.skew import replicated_skew_join, salted_sum_cou
 from icebergsql_spark.streaming import ops
 from icebergsql_spark.streaming.ingest import ManagedTableWriter
 from icebergsql_spark.table import Catalog
+from icebergsql_spark.plans.registry import events_ts_to_nanos
 from tests.conftest import SF_SMOKE
 
 
@@ -84,8 +85,7 @@ def test_streaming_ingest_into_managed_table(spark, tmp_path):
 
     # time-ordered multi-file stream source
     src_dir = str(tmp_path / "src")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = events_ts_to_nanos(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     ev.repartitionByRange(6, F.col("ts")).write.parquet(src_dir)
     parts = sorted(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
     base = _time.time() - 600

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from icebergsql_spark.streaming import ops
+from icebergsql_spark.plans.registry import events_ts_to_nanos
 from tests.conftest import SF_SMOKE
 
 
@@ -25,8 +26,7 @@ def events_dir(spark, tmp_path_factory):
     import time
 
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = events_ts_to_nanos(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     ev.repartitionByRange(8, F.col("ts")).write.mode("overwrite").parquet(out)
     parts = sorted(
         f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
@@ -152,8 +152,7 @@ def disordered_events_dir(spark, tmp_path_factory):
     import time
 
     out = str(tmp_path_factory.mktemp("events_disordered"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = events_ts_to_nanos(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     jitter = (F.col("event_id") * 2654435761) % F.lit(3_600_000_000_000) - F.lit(
         1_800_000_000_000
     )
