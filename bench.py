@@ -61,6 +61,13 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "text_bm25_scores",
     "events_cohort_retention",
+    # round-2 late tranche
+    "graph_pagerank",
+    "ml_kmeans_clusters",
+    "sketch_bloom_filter",
+    "text_unigram_logprob",
+    "events_resample_ohlc",
+    "agg_regression_stats",
 ]
 
 

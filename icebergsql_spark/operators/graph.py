@@ -1,0 +1,84 @@
+"""Iterative graph algorithms as chained DataFrame plans.
+
+PageRank here is the "iterative algorithm on a relational engine" pattern
+(complements dedup.connected_components): a FIXED number of join+aggregate
+rounds composed lazily into one DAG — no driver-side .count()/.collect()
+between rounds, so Catalyst/AQE still own the whole physical plan and the
+shuffle count is exactly `iterations` (plus one for out-degrees).
+
+Determinism: scores are held as scaled BIGINTs and every update step is
+integer arithmetic (integer division by out-degree, integer damping
+`85*s DIV 100`), so results are exact, order-independent, and
+bit-identical to the DuckDB oracle's chained-CTE replica. The float
+round-off of textbook PageRank is the price; ranking quality is the same.
+Dangling-node mass is dropped (not redistributed) — callers that need the
+textbook variant can add the constant-per-iteration correction, but for
+dedup/importance pipelines the ranking is what matters.
+
+Scale: each iteration is one shuffle on dst (the aggregate); the
+scores⋈edges join reuses the edges partitioning when edges are bucketed
+by src. At 100 TB the edge list dominates — scores are O(nodes) and
+stay hash-partitioned; no per-iteration driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-quantized PageRank over an edge list.
+
+    Returns (node, score_q) with score_q the scaled-bigint rank after
+    ``iterations`` rounds from a uniform start of SCALE/N per node.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N as a broadcast 1-row aggregate column — no driver action; the same
+    # lazy DAG carries the constant through every iteration.
+    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+
+    scores = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select("node", "n", F.expr(f"{SCALE} DIV n").alias("q"))
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                scores.select(
+                    F.col("node").alias("src"), F.col("q").alias("src_q"), "n"
+                ),
+                "src",
+            )
+            .join(outdeg, "src")
+            .select("dst", "n", F.expr("src_q DIV od").alias("share"))
+        )
+        inflow = contrib.groupBy("dst").agg(
+            F.sum("share").alias("s"), F.first("n").alias("n_in")
+        )
+        scores = (
+            scores.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                "n",
+                F.expr(
+                    f"((({SCALE} DIV n) * 15) DIV 100)"
+                    f" + (({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100)"
+                ).alias("q"),
+            )
+        )
+    return scores.select("node", F.col("q").alias("score_q"))

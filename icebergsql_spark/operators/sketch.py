@@ -82,3 +82,72 @@ def kmv_union_estimate(
             "dv_estimate"
         ),
     )
+
+
+# --------------------------------------------------------------- Bloom --
+# A deterministic Bloom filter with the same portability property as KMV:
+# bit positions come from md5 hex digits, so Spark and the DuckDB oracle
+# build IDENTICAL bitmaps and even the false positives hash-match. The
+# bitmap is relational state — (word_idx, bits) rows ORed together by a
+# single aggregate — so it builds in one shuffle of ≤BLOOM_WORDS rows per
+# partition (map-side combine), broadcasts to the probe side, and merges
+# across shards with another bit_or (associative, like the KMV union).
+# The classic 100 TB use: pre-filter a huge probe table against a selective
+# build side before the real join ships any data.
+
+BLOOM_BITS = 4096
+BLOOM_WORD = 32  # bits per word: masks stay < 2^31, no sign games
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(col, j: int):
+    """j-th bit position: 3 md5 hex digits -> 0..4095 (uniform)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1 + 3 * j, 3), 16, 10).cast(
+        "int"
+    )
+
+
+def bloom_build(df: DataFrame, col: str, hashes: int = BLOOM_HASHES) -> DataFrame:
+    """Aggregate the build side into (word_idx, bits) bitmap rows."""
+    pos = F.explode(F.array(*[_bloom_pos(F.col(col), j) for j in range(hashes)]))
+    return (
+        df.select(pos.alias("p"))
+        .select(
+            F.expr(f"p DIV {BLOOM_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bloom: DataFrame, hashes: int = BLOOM_HASHES
+) -> DataFrame:
+    """Adds boolean ``bloom_positive``: all `hashes` bits set in the bitmap.
+
+    The bitmap (≤BLOOM_BITS/BLOOM_WORD rows) is broadcast, so the probe is
+    a narrow map + local join — no shuffle of the probe table.
+    """
+    key = F.col(col)
+    pos = F.explode(F.array(*[_bloom_pos(key, j) for j in range(hashes)]))
+    probes = df.select(key.alias("_k"), pos.alias("p")).distinct().select(
+        "_k",
+        "p",
+        F.expr(f"p DIV {BLOOM_WORD}").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD} AS INT))").alias("m"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(
+                F.when(F.col("bits").bitwiseAND(F.col("m")) == F.col("m"), 1).otherwise(0)
+            ).alias("n_hit"),
+        )
+        .select(
+            F.col("_k"), (F.col("n_hit") == F.col("n_pos")).alias("bloom_positive")
+        )
+    )
+    return df.join(hits, df[col] == hits["_k"]).drop("_k")

@@ -247,3 +247,49 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text — the exact-dedup key."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(normalized))
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", scale: int = 10**9
+) -> DataFrame:
+    """Per-document mean unigram log-probability (corpus-fit LM scoring).
+
+    The classic cheap quality/outlier signal for pretraining corpora: fit a
+    unigram LM to the corpus itself (token relative frequencies), score each
+    document by its average token ln-probability. Rare-token-heavy docs
+    (boilerplate, code dumps, other languages) score low.
+
+    Determinism: per-token ln p is quantized to a scaled BIGINT once, so the
+    per-document aggregation is an integer sum — order-independent and
+    bit-identical to the DuckDB oracle (ln and double division match
+    bit-for-bit given identical operand order; CLAUDE.md BM25 note).
+
+    Scale: two shuffles (vocab count, per-doc sum) plus a token⇄vocab join
+    that Catalyst can map to SMJ or broadcast depending on vocab size. The
+    1-row total rides a broadcast cross join, not a driver action.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            f"CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))"
+            f" * {scale}) AS BIGINT)"
+        ).alias("lq"),
+    )
+    return (
+        tok.join(scored, "tok")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lq").alias("slq"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(
+                f"(CAST(slq AS DOUBLE) / {float(scale)}) / CAST(n_tokens AS DOUBLE)"
+            ).alias("avg_logprob"),
+        )
+    )

@@ -18,6 +18,8 @@ def load_all() -> None:
     import icebergsql_spark.plans.relational  # noqa: F401
     import icebergsql_spark.plans.relational2  # noqa: F401
     import icebergsql_spark.plans.relational3  # noqa: F401
+    import icebergsql_spark.plans.relational4  # noqa: F401
     import icebergsql_spark.plans.pipeline  # noqa: F401
+    import icebergsql_spark.plans.pipeline2  # noqa: F401
     import icebergsql_spark.plans.curation  # noqa: F401
     import icebergsql_spark.plans.managed  # noqa: F401

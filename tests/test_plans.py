@@ -220,3 +220,45 @@ def test_bm25_reuses_the_per_doc_exchange(spark):
     df.collect()  # materialize so AQE finalizes the plan
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, final
+
+
+def test_bloom_probe_broadcasts_the_bitmap(spark):
+    """The Bloom bitmap (≤128 rows) must reach the probe side as a
+    broadcast — shuffling the probe table would defeat the operator's
+    whole purpose (pre-filtering BEFORE data moves)."""
+    plan = plan_of(spark, "sketch_bloom_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_stays_jvm_and_joins_hash(spark):
+    """3 integer PageRank rounds: no Python evaluation anywhere (pure
+    integer expressions), and no nested-loop joins — every per-iteration
+    join is an equi-join on node."""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the 1-row N constant rides broadcast cross joins; anything unbroadcast
+    # (CartesianProduct) would be a real nested loop over data
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """Each k-means round joins vectors against k=8 centroid rows — that
+    must be a broadcast (narrow map per round), never a shuffle of the
+    vector table; and the integer folds stay JVM-side."""
+    plan = plan_of(spark, "ml_kmeans_clusters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ohlc_is_single_aggregate_no_join(spark):
+    """5-min OHLC bars: one hash aggregate over the scan (min_by/max_by
+    fold open/close inside the same aggregate) — no window, no join."""
+    plan = plan_of(spark, "events_resample_ohlc")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_unigram_logprob_has_no_python(spark):
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
