@@ -41,40 +41,48 @@ def pagerank(
     Returns (node, score_q) with score_q the scaled-bigint rank after
     ``iterations`` rounds from a uniform start of SCALE/N per node.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Loop-invariant frames (edge list, node list, out-degrees) are
+    # referenced by every iteration of the lazy DAG; without persistence
+    # Spark re-derives them — including whatever joins produced `edges` —
+    # once per reference. Caching the iteration-invariant state is the
+    # canonical Spark pattern for iterative algorithms (same reasoning as
+    # GraphX/MLlib); it is storage, not a driver action, so the DAG still
+    # plans end-to-end.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     # N as a broadcast 1-row aggregate column — no driver action; the same
     # lazy DAG carries the constant through every iteration.
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
 
-    scores = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select("node", "n", F.expr(f"{SCALE} DIV n").alias("q"))
-    )
+    base = nodes.crossJoin(F.broadcast(n_row))
+    scores = base.select("node", F.expr(f"{SCALE} DIV n").alias("q"))
     for _ in range(iterations):
+        # scores(i) is referenced exactly ONCE per round (the contrib join)
+        # and the new frame rebuilds from the cached node list — lineage
+        # stays linear in `iterations` instead of doubling per round.
         contrib = (
             e.join(
-                scores.select(
-                    F.col("node").alias("src"), F.col("q").alias("src_q"), "n"
-                ),
+                scores.select(F.col("node").alias("src"), F.col("q").alias("src_q")),
                 "src",
             )
             .join(outdeg, "src")
-            .select("dst", "n", F.expr("src_q DIV od").alias("share"))
+            .select("dst", F.expr("src_q DIV od").alias("share"))
         )
-        inflow = contrib.groupBy("dst").agg(
-            F.sum("share").alias("s"), F.first("n").alias("n_in")
-        )
+        inflow = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
         scores = (
-            scores.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            base.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                "n",
                 F.expr(
                     f"((({SCALE} DIV n) * 15) DIV 100)"
                     f" + (({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100)"

@@ -53,7 +53,10 @@ def kmeans_assign(
 ) -> DataFrame:
     """Cluster vectors; returns (vid, cell) after `iterations` rounds from
     centroids seeded by the vectors with ids 0..k-1."""
-    xq = _quantized(df, vec_col, id_col)
+    # xq is referenced by every assign/update round — persist the
+    # iteration-invariant quantized vectors (standard iterative-ML caching;
+    # lineage stays a lazy DAG, no driver actions).
+    xq = _quantized(df, vec_col, id_col).persist()
     cents = (
         xq.filter(F.col("vid") < k)
         .select(F.col("vid").cast("int").alias("cell"), F.col("xq").alias("cq"))
@@ -109,7 +112,7 @@ def kmeans_summary(
 ) -> DataFrame:
     """Per-cluster rollup: size, min/max member id, exact mean intra-cluster
     distance (quantized) — the oracle-checkable face of the clustering."""
-    xq = _quantized(df, vec_col, id_col)
+    xq = _quantized(df, vec_col, id_col).persist()
     assign = kmeans_assign(df, k, iterations, vec_col, id_col)
     cents = _update(xq, assign)
     dist = (

@@ -151,3 +151,69 @@ def bloom_probe(
         )
     )
     return df.join(hits, df[col] == hits["_k"]).drop("_k")
+
+
+# ----------------------------------------------------------- Count-Min --
+# Same determinism trick as Bloom/KMV: md5-derived buckets make the sketch
+# a pure function of the multiset, so the (over-)estimates themselves are
+# oracle-checkable. The counter table is (depth, bucket) rows — ONE
+# aggregate with map-side combine builds it (shuffle ≤ depth × width rows
+# per partition), counters merge across shards by plain addition, and
+# point queries are a broadcast join against depth rows per key. The
+# streaming-friendly heavy-hitter shape: memory is O(depth × width), never
+# O(distinct keys).
+
+CMS_DEPTH = 3
+CMS_WIDTH = 256  # 2 md5 hex digits
+
+
+def _cms_bucket(col, j: int):
+    """j-th row's bucket: first 2 hex digits of the seeded md5 → 0..255."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), col))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+
+
+def cms_build(df: DataFrame, col: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """(depth, bucket, cnt) counter rows for the value multiset."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_bucket(F.col(col), j).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("db")
+    )
+    return rows.groupBy("db.depth", "db.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, col: str, counters: DataFrame, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Adds ``cms_estimate``: min over depths of the key's bucket counter
+    (the classic Count-Min upper bound; never underestimates)."""
+    probes = keys.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_bucket(F.col(col), j).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(col, "db.depth", "db.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

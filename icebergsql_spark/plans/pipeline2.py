@@ -355,3 +355,691 @@ def ml_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     )
     return kmeans_summary(emb, k=8, iterations=2)
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+        WITH q AS (
+          SELECT event_type, user_id, event_id,
+                 CAST(round(value * 1000000) AS BIGINT) AS vq
+          FROM events
+        ),
+        stats AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(vq) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+          FROM q GROUP BY event_type
+        )
+        SELECT q.event_type, q.event_id, q.user_id,
+               (CAST(vq AS DOUBLE) - sx / n)
+                 / SQRT((n * sxx - sx * sx) / (n * (n - 1.0))) AS zscore
+        FROM q JOIN stats ON q.event_type = stats.event_type
+        WHERE ABS((CAST(vq AS DOUBLE) - sx / n)
+                  / SQRT((n * sxx - sx * sx) / (n * (n - 1.0)))) > 3.0
+        ORDER BY q.event_type, q.event_id
+    """,
+    doc="Z-score outlier flagging per event type — mean/stddev derived "
+    "from exact quantized moment sums (one aggregate, broadcast back), so "
+    "the float z-scores are bit-identical across engines. The streaming-"
+    "monitoring shape: detect anomalous values without a second data pass.",
+    tags=("pipeline", "events", "outliers", "statistics"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    q = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(vq) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(CAST(vq * vq AS DECIMAL(38,0))) AS DOUBLE)").alias("sxx"),
+    )
+    z = F.expr(
+        "(CAST(vq AS DOUBLE) - sx / n)"
+        " / SQRT((n * sxx - sx * sx) / (n * (n - 1.0)))"
+    )
+    return (
+        q.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > 3.0)
+        .select("event_type", "event_id", "user_id", "zscore")
+        .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "curation_weighted_sample",
+    oracle="""
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                         AS BIGINT) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars
+        FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES by ln(u)/w with u from md5 bits, weight = "
+    "doc length): a seeded, engine-portable 'sample 50 docs biased to "
+    "long ones'. TakeOrdered top-k — shuffle is O(partitions × k); the "
+    "hash-derived u makes the sample reproducible across runs AND engines "
+    "(ln and double division are bit-identical; no RNG state).",
+    tags=("pipeline", "curation", "sampling"),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = F.expr(
+        "ln(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)"
+        " AS BIGINT) / 4503599627370496.0) / CAST(n_chars AS DOUBLE)"
+    )
+    return (
+        docs.withColumn("k", k)
+        .orderBy(F.desc("k"), "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .limit(50)
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents
+        ),
+        postings AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                 array_to_string(list_sort(list(doc_id)), ',') AS posting
+          FROM tok WHERE tok <> '' GROUP BY tok
+        )
+        SELECT tok, df, posting FROM postings
+        WHERE df >= 20 ORDER BY tok
+    """,
+    doc="Inverted-index build (the search/retrieval backbone): distinct "
+    "(doc, token) → per-token sorted posting list + document frequency. "
+    "One distinct + one aggregate; posting arrays are sorted so the "
+    "variable-order collect_list hash-matches. At 100 TB posting lists "
+    "shard by token hash and stay mergeable (sorted-array union).",
+    tags=("pipeline", "text", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("posting"),
+        )
+        .filter(F.col("df") >= 20)
+        .orderBy("tok")
+    )
+
+
+@register(
+    "text_token_pmi",
+    oracle="""
+        WITH tok AS (
+          SELECT DISTINCT doc_id,
+                 unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents
+        ),
+        tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok2),
+        uni AS (SELECT tok, COUNT(*) AS na FROM tok2 GROUP BY tok),
+        pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS nab
+          FROM tok2 a JOIN tok2 b
+            ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2
+        )
+        SELECT tok_a, tok_b, CAST(nab AS BIGINT) AS n_docs_both,
+               CAST(round(ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE))
+                             / (CAST(ua.na AS DOUBLE) * CAST(ub.na AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS pmi_q
+        FROM pairs CROSS JOIN nn
+        JOIN uni ua ON ua.tok = pairs.tok_a
+        JOIN uni ub ON ub.tok = pairs.tok_b
+        WHERE nab >= 40
+        ORDER BY pmi_q DESC, tok_a, tok_b LIMIT 30
+    """,
+    doc="Pointwise mutual information over co-occurring token pairs "
+    "(collocation mining): distinct doc-token sets, per-doc pair "
+    "generation gated by a document-frequency threshold, PMI from exact "
+    "integer counts quantized for a total-order top-30. The pair self-"
+    "join is the quadratic hazard — the nab>=40 support floor and "
+    "distinct-token explode keep candidate volume bounded (same "
+    "discipline as the shingle DF cap in dedup).",
+    tags=("pipeline", "text", "pmi"),
+)
+def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    nn = tok.agg(F.countDistinct("doc_id").alias("n"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("na"))
+    a = tok.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = tok.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 40)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("na").alias("na_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("na").alias("na_b")), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("nab").alias("n_docs_both"),
+            F.expr(
+                "CAST(round(ln((CAST(nab AS DOUBLE) * CAST(n AS DOUBLE))"
+                " / (CAST(na_a AS DOUBLE) * CAST(na_b AS DOUBLE)))"
+                " * 1000000) AS BIGINT)"
+            ).alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), "tok_a", "tok_b")
+        .limit(30)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents
+        ),
+        tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok2),
+        df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfreq
+               FROM tok2 GROUP BY tok),
+        scored AS (
+          SELECT doc_id, tok,
+                 CAST(round(CAST(tf AS DOUBLE)
+                            * ln(CAST(n AS DOUBLE) / CAST(dfreq AS DOUBLE))
+                            * 1000000) AS BIGINT) AS tfidf_q
+          FROM tf JOIN df USING (tok) CROSS JOIN nn
+        )
+        SELECT doc_id, tok, tfidf_q
+        FROM (SELECT doc_id, tok, tfidf_q,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf_q DESC, tok) AS rn
+              FROM scored) r
+        WHERE rn <= 3 AND doc_id < 100
+        ORDER BY doc_id, tfidf_q DESC, tok
+    """,
+    doc="Per-document top-3 TF-IDF terms (keyword extraction / doc "
+    "summarization signal): term and doc frequencies are exact counts, "
+    "the score is quantized to a bigint so the per-doc top-3 window has a "
+    "total order — deterministic keyword sets across engines. One token "
+    "aggregate + one window; the df table broadcast-joins at scale.",
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from pyspark.sql import Window
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    nn = tok.agg(F.countDistinct("doc_id").alias("n"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfreq"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                "CAST(round(CAST(tf AS DOUBLE)"
+                " * ln(CAST(n AS DOUBLE) / CAST(dfreq AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            ).alias("tfidf_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_q"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tfidf_q")
+        .orderBy("doc_id", F.desc("tfidf_q"), "tok")
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')))
+                    AS BIGINT) AS n_subword_tokens,
+               CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                 AS n_whitespace_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Token budget accounting with a BPE-style pre-tokenizer regex "
+    "(letter runs | single digits | punctuation) vs whitespace tokens vs "
+    "chars — the corpus-sizing numbers every pretraining pipeline reports. "
+    "Pure narrow regex map + one rollup.",
+    tags=("pipeline", "text", "tokens"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]', 0)"))
+            ).alias("n_subword_tokens"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), " "))).alias(
+                "n_whitespace_tokens"
+            ),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "events_user_lifetime",
+    oracle="""
+        SELECT user_id,
+               CAST(MIN(epoch_ns(ts)) // 86400000000000 AS BIGINT) AS first_day,
+               CAST(MAX(epoch_ns(ts)) // 86400000000000 AS BIGINT) AS last_day,
+               CAST(MAX(epoch_ns(ts)) // 86400000000000
+                    - MIN(epoch_ns(ts)) // 86400000000000 AS BIGINT)
+                 AS lifetime_days,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clicks,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_purchases,
+               CAST(SUM(CASE WHEN event_type NOT IN ('click', 'purchase')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) >= 50 ORDER BY user_id
+    """,
+    doc="Per-user lifetime/engagement profile (first/last active day, "
+    "conditional event-type counts — a manual pivot): single hash "
+    "aggregate over the stream table, integer day buckets.",
+    tags=("events", "aggregate", "pivot"),
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr("MIN(ts) DIV 86400000000000").alias("first_day"),
+            F.expr("MAX(ts) DIV 86400000000000").alias("last_day"),
+            F.expr(
+                "MAX(ts) DIV 86400000000000 - MIN(ts) DIV 86400000000000"
+            ).alias("lifetime_days"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "n_clicks"
+            ),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchases"
+            ),
+            F.sum(
+                F.when(~F.col("event_type").isin("click", "purchase"), 1).otherwise(0)
+            ).alias("n_other"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 50)
+        .drop("_n")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "agg_price_histogram",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders
+        )
+        SELECT CAST(pc // 5000000 AS BIGINT) AS bucket,
+               CAST(pc // 5000000 * 50000 AS BIGINT) AS bucket_lo_cents,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pc) AS BIGINT) AS sum_cents
+        FROM c GROUP BY 1, 2 ORDER BY bucket
+    """,
+    doc="Equi-width histogram of order totals ($50k buckets) from integer "
+    "cents — the profiling/data-skew diagnostic; single aggregate, all "
+    "integer.",
+    tags=("aggregate", "histogram"),
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .select(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("pc"))
+        .groupBy(
+            F.expr("pc DIV 5000000").alias("bucket"),
+            F.expr("pc DIV 5000000 * 50000").alias("bucket_lo_cents"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pc").alias("sum_cents"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+        WITH ch AS (
+          SELECT source, unnest(string_split(text, '')) AS c FROM documents
+        ),
+        counts AS (SELECT source, c, COUNT(*) AS nc FROM ch GROUP BY 1, 2),
+        tot AS (SELECT source, CAST(SUM(nc) AS BIGINT) AS nt
+                FROM counts GROUP BY source),
+        terms AS (
+          SELECT counts.source,
+                 CAST(round((CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+                            * ln(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+                            * 1000000000) AS BIGINT) AS tq
+          FROM counts JOIN tot ON counts.source = tot.source
+        )
+        SELECT source,
+               -CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS char_entropy_nats
+        FROM terms GROUP BY source ORDER BY source
+    """,
+    doc="Character-level Shannon entropy per source (compression-ratio "
+    "proxy; low entropy flags repetitive/boilerplate shards): each "
+    "p·ln p term quantizes to a bigint before the sum, so the float-"
+    "hostile entropy formula still hash-matches. Two aggregates, tiny "
+    "intermediate (distinct chars × sources).",
+    tags=("pipeline", "text", "entropy"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    ch = docs.select(
+        "source", F.explode(F.split(F.col("text"), "")).alias("c")
+    )
+    counts = ch.groupBy("source", "c").agg(F.count(F.lit(1)).alias("nc"))
+    tot = counts.groupBy("source").agg(F.sum("nc").alias("nt"))
+    terms = counts.join(tot, "source").select(
+        "source",
+        F.expr(
+            "CAST(round((CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))"
+            " * ln(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))"
+            " * 1000000000) AS BIGINT)"
+        ).alias("tq"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            (-F.expr("CAST(SUM(tq) AS DOUBLE)") / 1_000_000_000.0).alias(
+                "char_entropy_nats"
+            )
+        )
+        .orderBy("source")
+    )
+
+
+_SEMCOS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)))
+"""
+
+
+def _kmeans_dedup_oracle(k: int = 8, iterations: int = 2, thr: float = 0.4) -> str:
+    """Semantic-dedup oracle: the kmeans assignment chain (same CTEs as
+    _kmeans_oracle up to the final assignment) + within-cluster pair join
+    + exact cosine verify."""
+    base = _kmeans_oracle(k, iterations)
+    head, _tail = base.rsplit("SELECT cell, CAST(COUNT(*) AS BIGINT)", 1)
+    return (
+        head
+        + f"""
+        SELECT a.vid AS a, b.vid AS b, round({_SEMCOS}, 4) AS cos
+        FROM afin a JOIN afin b ON a.cell = b.cell AND a.vid < b.vid
+        JOIN embeddings ea ON ea.vec_id = a.vid
+        JOIN embeddings eb ON eb.vec_id = b.vid
+        WHERE {_SEMCOS} >= {thr}
+        ORDER BY a, b"""
+    )
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=_kmeans_dedup_oracle(),
+    doc="Semantic near-dup detection with LEARNED blocking: k-means cells "
+    "(the reproducible integer variant) serve as the blocking key, exact "
+    "cosine verifies only within-cluster pairs — the operator-composition "
+    "story (cluster → block → verify) that replaces O(n²) all-pairs with "
+    "O(Σ cell²). Complements the sign-bit LSH path: data-adapted buckets "
+    "instead of fixed hyperplanes. Misses cross-cluster pairs by design "
+    "(recall/throughput trade, tunable via k/iterations).",
+    tags=("pipeline", "embedding", "dedup", "ml"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.ml import kmeans_assign
+    from icebergsql_spark.operators.similarity import (
+        dot_expr,
+        with_double_vec_and_norm,
+    )
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    assign = kmeans_assign(emb, k=8, iterations=2)
+    base = with_double_vec_and_norm(emb, "embedding").join(
+        assign, F.col("vec_id") == F.col("vid")
+    )
+    a = base.select(
+        F.col("vec_id").alias("a"), F.col("vd").alias("va"),
+        F.col("nrm").alias("na"), F.col("cell").alias("ca"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("b"), F.col("vd").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("cell").alias("cb"),
+    )
+    return (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("a") < F.col("b")))
+        .withColumn("cos", dot_expr("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+        .orderBy("a", "b")
+    )
+
+
+def _cms_bucket_sql(expr: str, j: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{j}:' || {expr}), 1, 2) AS BIGINT)"
+    )
+
+
+@register(
+    "sketch_countmin_heavyhitters",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+        ),
+        tok2 AS (SELECT tok FROM tok WHERE tok <> ''),
+        counters AS (
+          SELECT depth, bucket, COUNT(*) AS cnt FROM (
+            SELECT 0 AS depth, {_cms_bucket_sql('tok', 0)} AS bucket FROM tok2
+            UNION ALL
+            SELECT 1, {_cms_bucket_sql('tok', 1)} FROM tok2
+            UNION ALL
+            SELECT 2, {_cms_bucket_sql('tok', 2)} FROM tok2
+          ) x GROUP BY depth, bucket
+        ),
+        top AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM tok2 GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20
+        ),
+        probes AS (
+          SELECT tok, exact_n, 0 AS depth, {_cms_bucket_sql('tok', 0)} AS bucket FROM top
+          UNION ALL
+          SELECT tok, exact_n, 1, {_cms_bucket_sql('tok', 1)} FROM top
+          UNION ALL
+          SELECT tok, exact_n, 2, {_cms_bucket_sql('tok', 2)} FROM top
+        )
+        SELECT tok, exact_n, CAST(MIN(cnt) AS BIGINT) AS cms_estimate
+        FROM probes JOIN counters USING (depth, bucket)
+        GROUP BY tok, exact_n
+        ORDER BY exact_n DESC, tok
+    """,
+    doc="Count-Min sketch heavy hitters: 3×256 md5-derived counters built "
+    "in one aggregate (mergeable by addition — the streaming/sharded "
+    "counting shape with O(d×w) memory, never O(distinct keys)), then the "
+    "top-20 exact tokens probed against the sketch. Deterministic buckets "
+    "mean even the over-estimates hash-match; estimate ≥ exact is the "
+    "structural guarantee.",
+    tags=("pipeline", "sketch", "countmin"),
+)
+def sketch_countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counters = sketch.cms_build(tok, "tok")
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "tok")
+        .limit(20)
+    )
+    est = sketch.cms_estimate(top.select("tok"), "tok", counters)
+    return (
+        top.join(est, "tok")
+        .select("tok", "exact_n", "cms_estimate")
+        .orderBy(F.desc("exact_n"), "tok")
+    )
+
+
+@register(
+    "set_ops_all",
+    oracle="""
+        WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0),
+             b AS (SELECT s_nationkey AS k FROM supplier)
+        SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT k FROM a INTERSECT ALL SELECT k FROM b
+        ) x GROUP BY k
+        UNION ALL
+        SELECT 'except_all', k, CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT k FROM a EXCEPT ALL SELECT k FROM b
+        ) y GROUP BY k
+        ORDER BY op, k
+    """,
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep "
+    "multiplicities — min/difference of per-key counts) rolled up per key; "
+    "Spark plans these as a single aggregate-join, no row explosion.",
+    tags=("set-ops",),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "supplier"))
+    return spark.sql(
+        """
+        WITH a AS (SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 0),
+             b AS (SELECT s_nationkey AS k FROM supplier)
+        SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM (
+          SELECT k FROM a INTERSECT ALL SELECT k FROM b
+        ) x GROUP BY k
+        UNION ALL
+        SELECT 'except_all', k, COUNT(*) FROM (
+          SELECT k FROM a EXCEPT ALL SELECT k FROM b
+        ) y GROUP BY k
+        ORDER BY op, k
+        """
+    )
+
+
+@register(
+    "unpivot_balances",
+    oracle="""
+        SELECT n_name, metric, CAST(val AS BIGINT) AS val
+        FROM (
+          SELECT n_name,
+                 CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS positive,
+                 CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS negative,
+                 CAST(SUM(CASE WHEN c_acctbal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        ) wide
+        UNPIVOT (val FOR metric IN (positive, negative, zero))
+        ORDER BY n_name, metric
+    """,
+    doc="UNPIVOT (wide → long): per-nation balance-sign counts unpivoted "
+    "into (nation, metric, value) rows — the inverse of the pivot query; "
+    "plans as an Expand, no shuffle beyond the aggregate.",
+    tags=("unpivot", "reshape"),
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, metric, val
+        FROM (
+          SELECT n_name,
+                 SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS positive,
+                 SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS negative,
+                 SUM(CASE WHEN c_acctbal = 0 THEN 1 ELSE 0 END) AS zero
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        ) wide
+        UNPIVOT (val FOR metric IN (positive, negative, zero))
+        ORDER BY n_name, metric
+        """
+    )

@@ -338,3 +338,85 @@ def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .orderBy("event_type", "bucket_idx")
     )
+
+
+@register(
+    "events_hopping_windows",
+    oracle="""
+        WITH hop AS (
+          SELECT event_type,
+                 epoch_ns(ts) // 10800000000000 - j AS w,
+                 value
+          FROM events CROSS JOIN
+               (SELECT unnest(generate_series(0, 1)) AS j) js
+        )
+        SELECT event_type, CAST(w AS BIGINT) AS window_idx,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_value_q
+        FROM hop
+        GROUP BY event_type, w
+        HAVING COUNT(*) >= 5
+        ORDER BY event_type, window_idx
+    """,
+    doc="Hopping (sliding) windows in batch: 10-minute windows advancing "
+    "every 5 minutes = each event replicated into exactly 2 hop buckets "
+    "(explode over the hop offsets, integer bucket arithmetic) — the batch "
+    "twin of streaming window(ts, '10 min', '5 min'); one Expand + hash "
+    "aggregate, value sums quantized for exactness.",
+    tags=("events", "window", "streaming-twin"),
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hop = ev.select(
+        "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+        F.expr("CAST(round(value * 1000000) AS BIGINT)").alias("vq"),
+        F.expr("ts DIV 10800000000000").alias("b"),
+    ).select(
+        "event_type", (F.col("b") - F.col("j")).alias("window_idx"), "vq"
+    )
+    return (
+        hop.groupBy("event_type", "window_idx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vq").alias("sum_value_q"))
+        .filter(F.col("n") >= 5)
+        .orderBy("event_type", "window_idx")
+    )
+
+
+@register(
+    "fn_string_ops2",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_brand) AS u,
+               reverse(p_type) AS rev,
+               lpad(p_brand, 12, '.') AS padded,
+               repeat(substr(p_name, 1, 3), 2) AS rep,
+               replace(p_type, ' ', '_') AS t2,
+               levenshtein(p_brand, 'Brand#00') AS lev,
+               CAST(strpos(p_type, 'a') AS INTEGER) AS apos,
+               left(p_name, 5) AS l5,
+               right(p_name, 4) AS r4
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """,
+    doc="String-function surface #2: case, reverse, pad, repeat, replace, "
+    "levenshtein, position, left/right — all deterministic byte-level ops.",
+    tags=("functions", "string"),
+)
+def fn_string_ops2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               upper(p_brand) AS u,
+               reverse(p_type) AS rev,
+               lpad(p_brand, 12, '.') AS padded,
+               repeat(substr(p_name, 1, 3), 2) AS rep,
+               replace(p_type, ' ', '_') AS t2,
+               levenshtein(p_brand, 'Brand#00') AS lev,
+               CAST(instr(p_type, 'a') AS INT) AS apos,
+               left(p_name, 5) AS l5,
+               right(p_name, 4) AS r4
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+        """
+    )

@@ -310,3 +310,34 @@ def test_stream_stream_left_outer_join(spark, events_dir):
     }
     assert must_emit <= got_null_clicks
     assert len(got_null_clicks) > 0
+
+
+def test_streaming_cms_merges_to_batch_sketch(spark, events_dir):
+    """Count-Min counters built per micro-batch and MERGED BY ADDITION must
+    equal the one-shot batch sketch — the mergeability property that lets
+    per-shard / per-trigger sketches roll up at 100 TB without rescans."""
+    from collections import defaultdict
+
+    from icebergsql_spark.operators import sketch
+
+    merged = defaultdict(int)
+
+    def absorb(batch_df, _bid):
+        for r in sketch.cms_build(batch_df, "event_type").collect():
+            merged[(r.depth, r.bucket)] += r.cnt
+
+    stream = ops.read_event_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r.depth, r.bucket): r.cnt
+        for r in sketch.cms_build(
+            spark.read.parquet(events_dir), "event_type"
+        ).collect()
+    }
+    assert dict(merged) == batch and len(batch) > 0
