@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "text_unigram_logprob",
     "events_resample_ohlc",
     "agg_regression_stats",
+    "emb_semantic_dedup",
+    "sketch_countmin_heavyhitters",
+    "ml_centroid_classifier",
+    "managed_incremental_rollup",
 ]
 
 

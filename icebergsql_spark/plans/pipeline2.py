@@ -1043,3 +1043,154 @@ def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name, metric
         """
     )
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle="""
+        WITH ha AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+                    FROM orders WHERE o_orderpriority = '1-URGENT'),
+        hb AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+               FROM orders WHERE o_orderstatus = 'F'),
+        ka AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        kb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+               ORDER BY h LIMIT 256),
+        est AS (
+          SELECT
+            (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 255.0 / (CAST('0x' || substr(MAX(h), 1, 13) AS BIGINT)
+                                  / 4503599627370496.0) END FROM ka) AS dv_a,
+            (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 255.0 / (CAST('0x' || substr(MAX(h), 1, 13) AS BIGINT)
+                                  / 4503599627370496.0) END FROM kb) AS dv_b,
+            (SELECT CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE 255.0 / (CAST('0x' || substr(MAX(h), 1, 13) AS BIGINT)
+                                  / 4503599627370496.0) END FROM ku) AS dv_union
+        )
+        SELECT CAST(round(dv_a) AS BIGINT) AS dv_a,
+               CAST(round(dv_b) AS BIGINT) AS dv_b,
+               CAST(round(dv_union) AS BIGINT) AS dv_union,
+               CAST(round(dv_a) AS BIGINT) + CAST(round(dv_b) AS BIGINT)
+                 - CAST(round(dv_union) AS BIGINT) AS dv_intersection
+        FROM est
+    """,
+    doc="Set-operation cardinalities from KMV sketches: union = merge "
+    "sketches (bottom-k of the union), intersection = inclusion-exclusion "
+    "— distinct-count algebra WITHOUT touching the raw data again, the "
+    "audit primitive for 'how many users overlap between shards'. All "
+    "estimates are deterministic md5 bottom-k, so even the approximate "
+    "answers hash-match.",
+    tags=("pipeline", "sketch", "kmv"),
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    ska, skb = sketch.kmv_sketch(a, "k"), sketch.kmv_sketch(b, "k")
+    dv_a = sketch.kmv_distinct_estimate(a, "k").select(
+        F.col("dv_estimate").alias("dv_a")
+    )
+    dv_b = sketch.kmv_distinct_estimate(b, "k").select(
+        F.col("dv_estimate").alias("dv_b")
+    )
+    dv_u = sketch.kmv_union_estimate([ska, skb], label="u").select(
+        F.col("dv_estimate").alias("dv_union")
+    )
+    return (
+        dv_a.crossJoin(dv_b)
+        .crossJoin(dv_u)
+        .select(
+            "dv_a",
+            "dv_b",
+            "dv_union",
+            (F.col("dv_a") + F.col("dv_b") - F.col("dv_union")).alias(
+                "dv_intersection"
+            ),
+        )
+    )
+
+
+@register(
+    "ml_centroid_classifier",
+    oracle="""
+        WITH xq AS (
+          SELECT vec_id AS vid, label, i AS pos,
+                 CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                   + 2000000 AS q
+          FROM embeddings CROSS JOIN
+               (SELECT unnest(generate_series(1, 64)) AS i) g
+        ),
+        cents AS (
+          SELECT label AS cell, pos, CAST(SUM(q) // COUNT(*) AS BIGINT) AS cq
+          FROM xq GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT x.vid, x.label, c.cell,
+                 SUM((x.q - c.cq) * (x.q - c.cq)) AS dq
+          FROM xq x JOIN cents c USING (pos) GROUP BY 1, 2, 3
+        ),
+        pred AS (
+          SELECT vid, label,
+                 CAST(MIN(dq * 100 + cell) % 100 AS INTEGER) AS pred_label
+          FROM d GROUP BY vid, label
+        )
+        SELECT label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY label, pred_label
+        ORDER BY label, pred_label
+    """,
+    doc="Nearest-centroid classifier over the labeled embeddings (the "
+    "cheap eval primitive: how separable are the label clusters?) — per-"
+    "label integer-mean centroids, integer L2 assignment with the total-"
+    "order argmin key, confusion-matrix rollup. Same exactness discipline "
+    "as ml_kmeans_clusters, so the confusion counts hash-match. One "
+    "centroid aggregate + a broadcast of 10 rows + one rollup.",
+    tags=("pipeline", "ml", "embedding", "eval"),
+)
+def ml_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.ml import _quantized
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    xq = _quantized(emb, "embedding", "vec_id").join(
+        emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+    )
+    exploded = xq.select("label", F.posexplode("xq").alias("pos", "q"))
+    cents = (
+        exploded.groupBy(F.col("label").alias("cell"), "pos")
+        .agg(F.expr("SUM(q) DIV COUNT(*)").alias("cq"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cq))), s -> s.cq)"
+            ).alias("cq")
+        )
+    )
+    scored = xq.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "label",
+        (
+            F.expr(
+                "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            )
+            * 100
+            + F.col("cell")
+        ).alias("key"),
+    )
+    pred = scored.groupBy("vid", "label").agg(
+        (F.min("key") % 100).cast("int").alias("pred_label")
+    )
+    return (
+        pred.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred_label")
+    )

@@ -837,6 +837,7 @@ class ManagedTable:
         min_input_files: int = 2,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_rank: bool = False,
     ) -> Snapshot | None:
         """Bin-pack small data files (Iceberg's ``rewrite_data_files``): per
         partition, every live file below ``target_file_size`` is rewritten
@@ -950,11 +951,19 @@ class ManagedTable:
             # partition dirs first so each dir's rows are contiguous, then
             # the cluster keys: with maxRecordsPerFile splitting, each
             # output file covers a narrow sort-key range → min/max skipping
-            keys = (
-                [_zvalue_column(zorder_by, _stat_ranges(to_rewrite, zorder_by))]
-                if zorder_by
-                else [F.col(c) for c in sort_by]
-            )
+            if zorder_by and zorder_rank:
+                # equi-depth bins: one approxQuantile pass over the rewrite
+                # set; see _zvalue_rank_column for why skew wants this
+                qs = [i / 256 for i in range(1, 256)]
+                bounds = {
+                    c: sorted(set(df.approxQuantile(c, qs, 1 / 1024)))
+                    for c in zorder_by
+                }
+                keys = [_zvalue_rank_column(zorder_by, bounds)]
+            elif zorder_by:
+                keys = [_zvalue_column(zorder_by, _stat_ranges(to_rewrite, zorder_by))]
+            else:
+                keys = [F.col(c) for c in sort_by]
             write_df = write_df.sortWithinPartitions(
                 *[F.col(PART_PREFIX + pc) for pc in part_cols], *keys
             )
@@ -968,7 +977,8 @@ class ManagedTable:
         if sort_by:
             self.meta.properties["sort.order"] = ",".join(sort_by)
         elif zorder_by:
-            self.meta.properties["sort.order"] = f"zorder({','.join(zorder_by)})"
+            kind = "zorder_rank" if zorder_rank else "zorder"
+            self.meta.properties["sort.order"] = f"{kind}({','.join(zorder_by)})"
         return self._commit_snapshot(parent, added, to_rewrite, operation="replace")
 
     def expire_snapshots(
@@ -1346,6 +1356,50 @@ def _zvalue_column(
                     ((F.col(c).cast("double") - lo) * top / (hi - lo)).cast("int"),
                 ),
             ).cast("long")
+        else:
+            norm = F.lit(0).cast("long")
+        for i in range(bits):
+            parts.append(
+                F.shiftleft(F.shiftright(norm, i).bitwiseAND(F.lit(1)), i * ncols + j)
+            )
+    return functools.reduce(operator.add, parts).alias("__zvalue")
+
+
+def _zvalue_rank_column(
+    cols: list[str], boundaries: dict[str, list[float]], bits: int = 8
+):
+    """Rank-normalized Morton key: each column's value maps to its QUANTILE
+    bin (count of precomputed boundaries ≤ value, an O(2^bits) codegen-able
+    fold) instead of a linear min/max scale. A heavily skewed column wastes
+    curve bits under linear normalization (most rows collapse into a few
+    cells, so file min/max ranges stay wide); equi-depth bins spend every
+    bit on actual data mass. Boundary computation is one approxQuantile
+    pass over the rewrite set — opt-in via ``compact(zorder_rank=True)``
+    because manifest min/max stats alone can't see skew."""
+    import functools
+    import operator
+
+    ncols = len(cols)
+    top = (1 << bits) - 1
+    parts = []
+    for j, c in enumerate(cols):
+        bs = boundaries.get(c) or []
+        if bs:
+            arr = F.array(*[F.lit(float(b)) for b in bs[:top]])
+            rank = F.aggregate(
+                arr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            ).cast("long")
+            # boundary lists dedupe (repeated quantile values on low-
+            # cardinality/skewed data), so the raw rank may top out well
+            # below 2^bits — rescale so the interleave uses EVERY bit
+            n_bins = min(len(bs), top)
+            norm = F.least(
+                F.lit(top).cast("long"),
+                (rank * top / F.lit(n_bins)).cast("long"),
+            )
         else:
             norm = F.lit(0).cast("long")
         for i in range(bits):

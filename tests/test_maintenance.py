@@ -425,3 +425,42 @@ def test_branch_sql_surface(spark, tmp_path):
     first = tbl.meta.snapshots[0].snapshot_id
     eng.sql(f"ALTER TABLE tb CREATE TAG v0 AS OF VERSION {first}")
     assert eng.sql("as of 'v0' SELECT count(*) AS n FROM tb").collect()[0][0] == 100
+
+
+def test_zorder_rank_beats_linear_on_skew(spark, tmp_path):
+    """With a heavy-tailed column, linear min/max normalization collapses
+    most rows into a few curve cells (the skewed column's per-file ranges
+    stay wide → no skipping); equi-depth rank bins must restore file
+    skipping on BOTH columns — and never change results."""
+    cat = Catalog(spark, str(tmp_path / "whzr"))
+    tbl = cat.create_table(
+        "tzr", "k bigint, x bigint, y bigint, part int", ["part"]
+    )
+    # x: 99% of rows in [0, 100), a thin tail out to ~1e9 → linear
+    # normalization maps almost everything to rank 0
+    src = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 < 99, (F.col("id") * 2654435761) % 100)
+        .otherwise((F.col("id") * 2654435761) % 1_000_000_000)
+        .alias("x"),
+        ((F.col("id") * 40503) % 1024).alias("y"),
+        F.lit(0).cast("int").alias("part"),
+    )
+    tbl.insert(src)
+    files = tbl.meta.current_snapshot().live_files()
+    target = sum(f.file_size for f in files) // 16
+    snap = tbl.compact(zorder_by=["x", "y"], zorder_rank=True, target_file_size=target)
+    assert snap is not None
+    assert tbl.meta.properties["sort.order"] == "zorder_rank(x,y)"
+    total = len(tbl.meta.current_snapshot().live_files())
+    assert total >= 8
+    # the dense region (a tiny slice of the VALUE range but ~half the data
+    # mass) must now be separable: a median-splitting predicate on the
+    # skewed column skips at least a third of the files
+    scan = tbl.scan(where="x < 50")
+    assert scan.files_scanned <= (2 * total) // 3, (scan.files_scanned, total)
+    assert scan.dataframe().count() == src.filter("x < 50").count()
+    # and the non-skewed column keeps its skipping too
+    scan_y = tbl.scan(where="y < 128")
+    assert scan_y.files_scanned <= (2 * total) // 3
+    assert scan_y.dataframe().count() == src.filter("y < 128").count()
