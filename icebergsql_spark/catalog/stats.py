@@ -97,11 +97,69 @@ def orc_file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
     return po.ORCFile(path).nrows, os.path.getsize(path), {}
 
 
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    """Decode one Avro zig-zag varint long; returns (value, new_pos).
+    Avro 1.11 spec §'Primitive Types > long' (public spec, no library)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def avro_file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
+    """Avro fallback: record count from the Object Container File block
+    headers (magic, metadata map, then per-block (count, size) longs —
+    Avro spec 'Object Container Files'), byte size, NO column stats.
+    Mirrors the reference's parquet-else-avro iceMetrics fallback
+    (utils/utils.scala:168-198: non-parquet files carry no column stats,
+    so they never stats-prune; partition pruning still applies). Pure
+    Python — only block HEADERS are decoded, data blocks are skipped, so
+    cost is O(blocks), not O(bytes)."""
+    import os
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != b"Obj\x01":
+        raise ValueError(f"{path} is not an Avro object container file")
+    pos = 4
+    # file metadata: map<string,bytes> written as repeated counted blocks
+    while True:
+        n, pos = _avro_read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative count: followed by a byte-size long
+            _, pos = _avro_read_long(buf, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _avro_read_long(buf, pos)
+            pos += klen
+            vlen, pos = _avro_read_long(buf, pos)
+            pos += vlen
+    pos += 16  # sync marker
+    n_rows = 0
+    total = len(buf)
+    while pos < total:
+        cnt, pos = _avro_read_long(buf, pos)
+        size, pos = _avro_read_long(buf, pos)
+        n_rows += cnt
+        pos += size + 16  # data block + sync marker
+    return n_rows, os.path.getsize(path), {}
+
+
+_FALLBACK_READERS = {"orc": orc_file_stats, "avro": avro_file_stats}
+
+
 def collect_stats(
     paths: list[str], spark=None, file_format: str = "parquet"
 ) -> dict[str, tuple[int, int, dict[str, ColStats]]]:
     """Stats for many files; distributed via Spark when the list is large."""
-    reader = file_stats if file_format == "parquet" else orc_file_stats
+    reader = _FALLBACK_READERS.get(file_format, file_stats)
     if spark is not None and len(paths) > DISTRIBUTE_THRESHOLD:
         sc = spark.sparkContext
         n_parts = min(len(paths), 64)

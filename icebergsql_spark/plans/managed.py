@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import register
-from icebergsql_spark.plans.tpch import money
+from icebergsql_spark.plans.common import money
 from icebergsql_spark.table import Catalog
 
 _LI_DDL = (
@@ -503,12 +503,16 @@ def managed_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql("ALTER TABLE li_wap CREATE BRANCH audit")
     li.filter(F.col("l_orderkey") % 2 == 1).createOrReplaceTempView("li_wap_src")
     eng.sql("INSERT INTO li_wap BRANCH audit SELECT * FROM li_wap_src")
-    # audit: main is still the pre-branch snapshot; the branch sees both
+    # audit: main is still the pre-branch snapshot; the branch sees both.
+    # Both sides of the audit come from manifest record counts — the gate
+    # query stays action-free (no mid-plan .collect()); at scale this is a
+    # metadata lookup, not a job.
     tbl.refresh()
     assert tbl.meta.current_snapshot_id == s1.snapshot_id
-    staged = eng.sql(
-        "as of 'audit' SELECT COUNT(*) AS n FROM li_wap"
-    ).collect()[0]["n"]
+    branch_snap = tbl.meta.snapshot_by_id(
+        tbl.meta.refs["audit"]["snapshot_id"]
+    )
+    staged = sum(f.record_count for f in branch_snap.live_files())
     main_n = sum(f.record_count for f in tbl.meta.current_snapshot().live_files())
     assert staged > main_n
     eng.sql("ALTER TABLE li_wap FAST FORWARD audit")

@@ -525,9 +525,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(collocation mining): distinct doc-token sets, per-doc pair "
     "generation gated by a document-frequency threshold, PMI from exact "
     "integer counts quantized for a total-order top-30. The pair self-"
-    "join is the quadratic hazard — the nab>=40 support floor and "
-    "distinct-token explode keep candidate volume bounded (same "
-    "discipline as the shingle DF cap in dedup).",
+    "join is the quadratic hazard, so the df>=40 vocabulary band is "
+    "semi-joined BELOW it (lossless: nab>=40 implies both tokens have "
+    "df>=40) — same discipline as the shingle DF cap in dedup; pair "
+    "volume is O(eligible_vocab²) per doc, not O(distinct_tokens²).",
     tags=("pipeline", "text", "pmi"),
 )
 def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,8 +546,17 @@ def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = tok.agg(F.countDistinct("doc_id").alias("n"))
     uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("na"))
-    a = tok.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
-    b = tok.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    # Lossless vocabulary band BELOW the pair self-join: a pair can reach
+    # nab >= 40 only if BOTH tokens appear in >= 40 docs, so semi-joining
+    # the token table against the df>=40 vocabulary first cannot change the
+    # result but caps pair generation at O(eligible_vocab²) per doc instead
+    # of O(distinct_tokens²) — the difference between a 50k-distinct-token
+    # document emitting 1.25B join rows and a few thousand. AQE broadcasts
+    # the (small, post-aggregate) vocabulary side at runtime.
+    eligible = uni.filter(F.col("na") >= 40).select("tok")
+    tok_f = tok.join(eligible, "tok", "left_semi")
+    a = tok_f.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = tok_f.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
     pairs = (
         a.join(b, "doc_id")
         .filter(F.col("tok_a") < F.col("tok_b"))

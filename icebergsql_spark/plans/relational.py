@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import load_tables, register
-from icebergsql_spark.plans.tpch import money, one_minus
+from icebergsql_spark.plans.common import money, one_minus
 
 TS = "timestamp_ntz"
 

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import load_tables, register
-from icebergsql_spark.plans.tpch import money, one_minus
+from icebergsql_spark.plans.common import money, one_minus
 
 TS = "timestamp_ntz"
 
@@ -241,7 +241,7 @@ def q2_min_per_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icebergsql_spark.plans.tpch import cents
+    from icebergsql_spark.plans.common import cents
 
     t = load_tables(
         spark, sf_dir, ("lineitem", "orders", "customer", "supplier", "nation")

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import load_tables, register
-from icebergsql_spark.plans.tpch import money, one_minus
+from icebergsql_spark.plans.common import money, one_minus
 
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(12,2))"

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import load_tables, register
-from icebergsql_spark.plans.tpch import money
+from icebergsql_spark.plans.common import money
 
 _HIGH = ("1-URGENT", "2-HIGH")
 

@@ -573,11 +573,15 @@ class Engine:
     def _create_managed(self, cm: re.Match, opts: dict[str, str]) -> DataFrame:
         name = cm.group("name").strip("`")
         fmt = cm.group("fmt").lower()
-        if fmt not in ("parquet", "orc"):
-            # parquet gets footer stats; orc is the reference's
-            # non-parquet fallback (no column metrics) — anything else
-            # is rejected like the reference's USING allowlist
-            raise ValueError(f"managed tables support USING parquet|orc, got {fmt}")
+        if fmt not in ("parquet", "orc", "avro"):
+            # parquet gets footer stats; orc/avro are the reference's
+            # non-parquet fallback (no column metrics,
+            # utils/utils.scala:168-198) — anything else is rejected like
+            # the reference's USING allowlist. Catalog.create_table
+            # additionally gates avro on the spark-avro datasource.
+            raise ValueError(
+                f"managed tables support USING parquet|orc|avro, got {fmt}"
+            )
         raw_parts = cm.group("parts") or cm.group("parts_pre") or ""
         parts = [p.strip().strip("`") for p in raw_parts.split(",") if p.strip()]
         properties = {k: v for k, v in opts.items() if k != "addTableManagement"}

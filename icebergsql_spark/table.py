@@ -104,6 +104,32 @@ def validate_schema_types(dtype: T.DataType, path: str = "") -> None:
     )
 
 
+def _avro_datasource_available(spark: SparkSession) -> bool:
+    """True when the external spark-avro module is on the classpath.
+
+    Probed via DataSource.lookupDataSource so no job runs; cached per JVM.
+    The reference gets avro support for free from its Spark distribution
+    (utils/utils.scala:168-198); pip pyspark ships without the module, so
+    the managed-table layer gates avro read/write on this check while
+    metadata/stats support (avro_file_stats) works regardless.
+    """
+    global _AVRO_AVAILABLE
+    if _AVRO_AVAILABLE is None:
+        try:
+            jvm = spark._jvm
+            jconf = spark._jsparkSession.sessionState().conf()
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", jconf
+            )
+            _AVRO_AVAILABLE = True
+        except Exception:
+            _AVRO_AVAILABLE = False
+    return _AVRO_AVAILABLE
+
+
+_AVRO_AVAILABLE: bool | None = None
+
+
 class Catalog:
     """Warehouse-directory catalog: one subdirectory per managed table.
 
@@ -148,11 +174,14 @@ class Catalog:
         of ignoreIfExists (CreateTableRules.scala:33-50) unless explicitly
         requested here.
 
-        ``file_format``: parquet (full footer stats → min/max pruning) or
-        orc (record counts only, partition pruning still applies) — the
-        parity analogue of the reference's parquet-else-avro fallback
+        ``file_format``: parquet (full footer stats → min/max pruning), or
+        orc / avro (record counts only, partition pruning still applies) —
+        the parity analogue of the reference's parquet-else-avro fallback
         (utils/utils.scala:176-191: iceMetrics is None for non-parquet, so
-        those files carry no column stats either).
+        those files carry no column stats either). Avro record counts come
+        from a pure-Python OCF block-header scan (catalog/stats.py); the
+        Spark read/write path additionally needs the external spark-avro
+        datasource on the classpath and is gated on its presence.
         """
         if self.table_exists(name):
             if if_not_exists:
@@ -172,9 +201,18 @@ class Catalog:
                 raise TableValidationError(f"partition column {pc!r} not in schema")
         properties = dict(properties or {})
         file_format = file_format.lower()
-        if file_format not in ("parquet", "orc"):
+        if file_format not in ("parquet", "orc", "avro"):
             raise TableValidationError(
-                f"managed tables support parquet or orc, got {file_format!r}"
+                f"managed tables support parquet, orc or avro, got {file_format!r}"
+            )
+        if file_format == "avro" and not _avro_datasource_available(self.spark):
+            raise TableValidationError(
+                "file_format='avro' needs the spark-avro datasource "
+                "(external module, spark.jars.packages "
+                "org.apache.spark:spark-avro_2.13); it is not on this "
+                "session's classpath. Metadata/stats support is present "
+                "(catalog/stats.py:avro_file_stats) — only the Spark "
+                "read/write path is missing."
             )
         if file_format != "parquet":
             properties["write.format"] = file_format
@@ -1120,11 +1158,15 @@ class ManagedTable:
         delta — at 100 TB this is THE pattern for downstream pipelines
         (dedup refresh, index builds) to avoid full rescans.
 
-        Only valid across pure ``append`` snapshots: an overwrite/delete/
-        replace in the range rewrites history (its added files duplicate
-        surviving rows), so this raises ValueError and the consumer must
-        fall back to a full diff — same contract as Iceberg's
-        incremental scan."""
+        Valid across ``append`` snapshots and rowset-preserving ``replace``
+        snapshots (compaction / sort / z-order rewrites): a replace changes
+        file layout but not content, so the chain hops over it and the
+        delta is the union of each append snapshot's own added files —
+        which remain on disk (the commit protocol never deletes data files)
+        even after a later compaction absorbed them into new live files.
+        An overwrite/delete in the range genuinely rewrites rows, so this
+        raises ValueError and the consumer must fall back to a full diff —
+        same contract as Iceberg's incremental append scan."""
         self.refresh()
         to_snap = (
             self.meta.current_snapshot()
@@ -1149,16 +1191,35 @@ class ManagedTable:
                 f"snapshot {from_snapshot_id} is not an ancestor of "
                 f"{to_snap.snapshot_id} (rollback in between?)"
             )
-        bad = [s.snapshot_id for s in chain if s.operation != "append"]
+        bad = [
+            s.snapshot_id
+            for s in chain
+            if s.operation not in ("append", "replace")
+        ]
         if bad:
             raise ValueError(
                 f"incremental read crosses non-append snapshots {bad}; "
                 "rows were rewritten — run a full diff instead"
             )
-        from_paths = {f.path for f in from_snap.live_files()}
-        new_files = [
-            f for f in to_snap.live_files() if f.path not in from_paths
-        ]
+        # Union of per-append added files (live diff vs parent). 'replace'
+        # snapshots contribute nothing: they rewrite layout, not rows.
+        new_files: list[DataFile] = []
+        seen: set[str] = set()
+        for s in chain:
+            if s.operation != "append":
+                continue
+            parent = (
+                self.meta.snapshot_by_id(s.parent_id)
+                if s.parent_id is not None
+                else None
+            )
+            parent_paths = (
+                {f.path for f in parent.live_files()} if parent else set()
+            )
+            for f in s.live_files():
+                if f.path not in parent_paths and f.path not in seen:
+                    seen.add(f.path)
+                    new_files.append(f)
         return self.read_files(new_files)
 
     def snapshots_df(self) -> DataFrame:

@@ -464,3 +464,43 @@ def test_zorder_rank_beats_linear_on_skew(spark, tmp_path):
     scan_y = tbl.scan(where="y < 128")
     assert scan_y.files_scanned <= (2 * total) // 3
     assert scan_y.dataframe().count() == src.filter("y < 128").count()
+
+
+def test_changes_hops_over_replace_snapshot(spark, tmp_path):
+    """Incremental read survives OPTIMIZE: insert -> compact -> insert;
+    changes() across the compaction returns exactly the second insert's
+    rows (a 'replace' preserves the rowset, so the append chain hops it).
+    Without this, one compaction permanently broke incremental consumers
+    (e.g. the IVM rollup pattern in plans/managed.py)."""
+    tbl, snaps = _mk_table(spark, tmp_path, "chg", n_inserts=2, rows=200)
+    s1 = snaps[0]
+    comp = tbl.compact()
+    assert comp is not None and comp.operation == "replace"
+    src2 = spark.range(1000, 1100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    tbl.insert(src2)
+
+    # across [s1 .. current]: the 2nd initial insert + the post-compact one
+    delta = tbl.changes(s1.snapshot_id)
+    ks = {r.k for r in delta.select("k").collect()}
+    expect = {k for k in range(200) if k % 2 == 1} | set(range(1000, 1100))
+    assert ks == expect
+
+    # a range that ENDS at the compaction snapshot: only the 2nd insert
+    delta2 = tbl.changes(s1.snapshot_id, comp.snapshot_id)
+    assert {r.k for r in delta2.select("k").collect()} == {
+        k for k in range(200) if k % 2 == 1
+    }
+
+    # overwrite still refuses
+    import pyspark.sql.functions as SF
+    ow = spark.createDataFrame([(5,)], "k bigint").select(
+        "k", SF.lit(1.0).alias("v"), SF.lit(0).cast("int").alias("part")
+    )
+    tbl.insert(ow, overwrite=True)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-append"):
+        tbl.changes(s1.snapshot_id)

@@ -84,12 +84,12 @@ def test_orc_sql_front_door(spark, tmp_path):
 
 
 def test_unsupported_format_rejected(spark, catalog, tmp_path):
-    with pytest.raises(TableValidationError, match="parquet or orc"):
+    with pytest.raises(TableValidationError, match="parquet, orc or avro"):
         catalog.create_table(
             "t_csv", "id int", partition_cols=["id"], file_format="csv"
         )
     eng = Engine(spark, str(tmp_path / "wh2"))
-    with pytest.raises(ValueError, match="parquet\\|orc"):
+    with pytest.raises(ValueError, match="parquet\\|orc\\|avro"):
         eng.sql(
             "CREATE TABLE c (id int) USING csv OPTIONS ('addTableManagement'='true')"
         )

@@ -139,6 +139,54 @@ def test_dfcap_semi_join_below_shingle_join(spark):
     ), f"df-cap semi-join not below the shingle join:\n{plan}"
 
 
+def test_pmi_df_band_below_pair_join(spark):
+    """text_token_pmi's lossless df>=40 vocabulary band must sit BELOW the
+    token-pair self-join (mirror of the dedup shingle DF cap): without it a
+    single 50k-distinct-token document emits O(tokens²) join rows."""
+    df = REGISTRY["text_token_pmi"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    inner = [i for i, ln in enumerate(lines) if "Join Inner" in ln and "#" in ln]
+    assert inner
+    i0, d0 = inner[0], _depth(lines[inner[0]])
+    assert any(
+        "Join LeftSemi" in ln and _depth(ln) > d0 for ln in lines[i0 + 1 :]
+    ), f"df-band semi-join not below the pair join:\n{plan}"
+
+
+def test_pmi_long_document_bounded(spark):
+    """A pathological document with many unique tokens (each df=1) must be
+    eliminated by the df band BEFORE pairing — the pair join's inputs carry
+    zero rows from it, so the query completes without quadratic blowup."""
+    from pyspark.sql import functions as F
+
+    long_doc = " ".join(f"uniqtok{i}" for i in range(20000))
+    docs = spark.createDataFrame(
+        [(0, long_doc)] + [(i, "alpha beta") for i in range(1, 45)],
+        "doc_id long, text string",
+    )
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("na"))
+    eligible = uni.filter(F.col("na") >= 40).select("tok")
+    tok_f = tok.join(eligible, "tok", "left_semi")
+    pairs = (
+        tok_f.alias("a")
+        .join(tok_f.alias("b"), "doc_id")
+        .filter(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 40)
+    )
+    rows = pairs.collect()
+    assert rows == [] or all(r.nab >= 40 for r in rows)
+    # the band keeps only alpha/beta (df=44): exactly one candidate pair
+    assert {(r.tok_a, r.tok_b) for r in rows} == {("alpha", "beta")}
+
+
 @pytest.mark.parametrize(
     "name", ["curation_split_counts", "curation_hash_sample", "curation_quality_verdicts"]
 )
