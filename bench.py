@@ -142,23 +142,36 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Per-query MEDIAN of 3 runs: single-run local[N] timings jitter by
+    # ±0.4s at job-overhead scale, which round-over-round diffs misread as
+    # plan regressions. Iterative operators' caches are released between
+    # runs so repeated bench iterations don't accumulate storage.
+    from icebergsql_spark.operators.util import release_caches
+
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
-        t0 = time.time()
-        df = spec.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            df = spec.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+            release_caches()
+        timings[name] = round(sorted(samples)[RUNS // 2], 3)
 
     timings.update(managed_overhead(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_p50",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": RUNS,
+                "stat": "p50",
                 "sf": sf,
                 # the BASELINE.md 2× gate as a single field: managed scan
                 # time over stock scan time on the identical aggregation

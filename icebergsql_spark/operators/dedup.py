@@ -69,18 +69,29 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, n: int = 1, k: int = MINHASH_K, text_col: str = "text"
+    df: DataFrame,
+    n: int = 1,
+    k: int = MINHASH_K,
+    text_col: str = "text",
+    hash_method: str = "md5",
 ) -> DataFrame:
-    """doc_id → k minhash values (hex md5 minima over shingles).
+    """doc_id → k minhash values (per-seed minima over shingles).
 
-    k seeded hash functions h_j(s) = md5('<j>:' || s); the signature is the
-    per-seed minimum — P[sig_j(A)=sig_j(B)] = Jaccard(A,B).
+    k seeded hash functions; the signature is the per-seed minimum —
+    P[sig_j(A)=sig_j(B)] = Jaccard(A,B).
+
+    ``hash_method='md5'`` (default) keeps signatures as 32-char hex so the
+    DuckDB oracle reproduces them bit-for-bit; ``'xxhash64'`` is the
+    production variant — each signature value shuffles as ONE bigint
+    (~4× narrower shuffle rows), the right choice at 100 TB where the
+    oracle is not in the loop. Same minhash guarantee either way.
     """
     sh = word_shingles(df, n=n, text_col=text_col)
-    from icebergsql_spark.functions import seeded_md5
+    from icebergsql_spark.functions.hashing import seeded_hash
 
     aggs = [
-        F.min(seeded_md5("shingle", j)).alias(f"sig_{j}") for j in range(k)
+        F.min(seeded_hash("shingle", j, hash_method)).alias(f"sig_{j}")
+        for j in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -91,14 +102,22 @@ def lsh_candidate_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     text_col: str = "text",
+    hash_method: str = "md5",
 ) -> DataFrame:
-    """Near-dup candidate pairs (a < b) from banded minhash signatures."""
-    sigs = minhash_signatures(df, n=n, k=k, text_col=text_col)
+    """Near-dup candidate pairs (a < b) from banded minhash signatures.
+
+    With ``hash_method='xxhash64'`` the band keys are bigints — the band
+    self-join shuffles 8-byte keys instead of 32-char hex strings."""
+    from icebergsql_spark.functions.hashing import combine_hash
+
+    sigs = minhash_signatures(
+        df, n=n, k=k, text_col=text_col, hash_method=hash_method
+    )
     rows = k // bands
     band_cols = [
-        F.md5(F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])).alias(
-            f"band_{b}"
-        )
+        combine_hash(
+            [F.col(f"sig_{b * rows + r}") for r in range(rows)], hash_method
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
@@ -183,17 +202,90 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 1,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-superset detection: (a, b, cont_a, cont_b) where
+    cont_a = |A∩B|/|A| — the containment coefficient. Catches partial
+    copies (a quote, a boilerplate block, a doc embedded in a larger one)
+    that symmetric Jaccard misses: a 100-word doc fully contained in a
+    10k-word doc has Jaccard ≈ 0.01 but containment 1.0. Pairs survive
+    when EITHER direction reaches ``threshold``.
+
+    Same candidate-driven scale shape as ``jaccard_pairs`` (one equi-join
+    per side, work O(Σ|A| over candidates), optional ``max_df`` hot-key
+    guard); only the denominator differs.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is not None:
+        sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            candidates.join(sh_a, "a")
+            .join(sh_b, ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn("cont_a", F.round(F.col("common") / F.col("sz_a"), 6))
+        .withColumn("cont_b", F.round(F.col("common") / F.col("sz_b"), 6))
+        .filter(
+            (F.col("common") / F.col("sz_a") >= threshold)
+            | (F.col("common") / F.col("sz_b") >= threshold)
+        )
+        .select("a", "b", "cont_a", "cont_b")
+    )
+
+
 _hex_bit = _hex_bit_fn  # portable per-bit token hash (functions.hashing)
 
 
-def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash16(
+    df: DataFrame, text_col: str = "text", hash_method: str = "md5"
+) -> DataFrame:
     """16-bit SimHash over the token multiset: per-bit majority vote.
-    One explode + one aggregate — shuffle keyed by doc_id."""
+    One explode + one aggregate — shuffle keyed by doc_id.
+    ``hash_method='xxhash64'``: native bigint token hash + bit-shift vote
+    (no hex-char decode) — the production path."""
+    from icebergsql_spark.functions.hashing import hash_bit, seeded_hash
+
     toks = ensure_parallelism(df).select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
+    ).withColumn(
+        "h",
+        F.md5(F.col("tok")) if hash_method == "md5"
+        else seeded_hash("tok", 0, hash_method),
+    )
     votes = [
-        F.sum(_hex_bit(F.col("h"), j) * 2 - 1).alias(f"v_{j}") for j in range(16)
+        F.sum(hash_bit(F.col("h"), j, hash_method) * 2 - 1).alias(f"v_{j}")
+        for j in range(16)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
     sim = None

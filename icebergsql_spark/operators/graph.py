@@ -35,11 +35,24 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    early_stop_tol_q: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer-quantized PageRank over an edge list.
 
     Returns (node, score_q) with score_q the scaled-bigint rank after
     ``iterations`` rounds from a uniform start of SCALE/N per node.
+
+    ``early_stop_tol_q``: when set, each round materializes (localCheckpoint,
+    same fused moved-flag pattern as connected_components) and the loop
+    stops once no node's score moved by more than the tolerance — the
+    convergence check is a driver action by necessity, so the default
+    (None) keeps the gate-friendly fixed-rounds single lazy DAG.
+
+    ``redistribute_dangling``: textbook parity — the rank mass of nodes
+    with no out-edges is redistributed uniformly each round (damped),
+    instead of leaking out of the system. Integer-exact: the dangling sum
+    is a 1-row broadcast aggregate folded into the same round expression.
     """
     # Loop-invariant frames (edge list, node list, out-degrees) are
     # referenced by every iteration of the lazy DAG; without persistence
@@ -48,24 +61,26 @@ def pagerank(
     # canonical Spark pattern for iterative algorithms (same reasoning as
     # GraphX/MLlib); it is storage, not a driver action, so the DAG still
     # plans end-to-end.
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist()
+    from icebergsql_spark.operators.util import track_cache
+
+    e = track_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    nodes = (
+    nodes = track_cache(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     # N as a broadcast 1-row aggregate column — no driver action; the same
     # lazy DAG carries the constant through every iteration.
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    outdeg = track_cache(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
 
     base = nodes.crossJoin(F.broadcast(n_row))
     scores = base.select("node", F.expr(f"{SCALE} DIV n").alias("q"))
+    if early_stop_tol_q is not None:
+        scores = scores.localCheckpoint()
+    teleport = f"((({SCALE} DIV n) * {100 - damping_pct}) DIV 100)"
     for _ in range(iterations):
         # scores(i) is referenced exactly ONCE per round (the contrib join)
         # and the new frame rebuilds from the cached node list — lineage
@@ -79,14 +94,43 @@ def pagerank(
             .select("dst", F.expr("src_q DIV od").alias("share"))
         )
         inflow = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
-        scores = (
-            base.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+        nxt = base.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+        if redistribute_dangling:
+            # mass parked on sink nodes, as a 1-row broadcast aggregate —
+            # stays inside the lazy DAG, no driver action
+            dang = (
+                scores.join(outdeg, scores.node == outdeg.src, "left_anti")
+                .agg(F.sum("q").alias("dangq"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(dang))
+            share_expr = (
+                f"coalesce(s, CAST(0 AS BIGINT))"
+                f" + (coalesce(dangq, CAST(0 AS BIGINT)) DIV n)"
+            )
+        else:
+            share_expr = "coalesce(s, CAST(0 AS BIGINT))"
+        new_q = f"{teleport} + (({damping_pct} * ({share_expr})) DIV 100)"
+        if early_stop_tol_q is None:
+            scores = nxt.select("node", F.expr(new_q).alias("q"))
+            continue
+        # fused moved-flag (same pattern as connected_components): the
+        # convergence signal rides in the checkpointed frame, so the check
+        # is a scan, not an extra old-vs-new join
+        stepped = (
+            nxt.join(
+                scores.select(F.col("node").alias("node2"), F.col("q").alias("q_old")),
+                F.col("node") == F.col("node2"),
+            )
             .select(
                 "node",
-                F.expr(
-                    f"((({SCALE} DIV n) * 15) DIV 100)"
-                    f" + (({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) DIV 100)"
-                ).alias("q"),
+                F.expr(new_q).alias("q"),
+                (F.abs(F.expr(new_q) - F.col("q_old")) > early_stop_tol_q).alias(
+                    "moved"
+                ),
             )
+            .localCheckpoint()
         )
+        scores = stepped.select("node", "q")
+        if stepped.filter(F.col("moved")).isEmpty():
+            break
     return scores.select("node", F.col("q").alias("score_q"))

@@ -9,8 +9,11 @@ reproducible and can never hash-match an oracle. This variant is EXACT:
   (OFFSET makes every value non-negative, so truncating and flooring
   integer division agree across engines);
 - distances are integer sums of squares — order-independent;
-- the argmin is  min(dist_q * 100 + cell)  — a total order, ties
-  impossible to diverge;
+- the argmin is  min(struct(dist_q, cell))  — a lexicographic total
+  order (smallest distance, then smallest cell id), so ties cannot
+  diverge and the decode is exact for ANY k (the previous
+  dist_q*100+cell packing silently corrupted assignments at k>100; the
+  DuckDB oracles keep the packed form, which is identical for k<=100);
 - centroid updates are integer  sum DIV count  (shift-invariant: distances
   in shifted space equal distances in the original space).
 
@@ -55,8 +58,16 @@ def kmeans_assign(
     centroids seeded by the vectors with ids 0..k-1."""
     # xq is referenced by every assign/update round — persist the
     # iteration-invariant quantized vectors (standard iterative-ML caching;
-    # lineage stays a lazy DAG, no driver actions).
-    xq = _quantized(df, vec_col, id_col).persist()
+    # lineage stays a lazy DAG, no driver actions). track_cache registers
+    # it so callers can release_caches() after materializing.
+    from icebergsql_spark.operators.util import track_cache
+
+    xq = track_cache(_quantized(df, vec_col, id_col))
+    return _kmeans_core(xq, k, iterations)
+
+
+def _kmeans_core(xq: DataFrame, k: int, iterations: int) -> DataFrame:
+    """assign/update rounds over an already-cached quantized frame."""
     cents = (
         xq.filter(F.col("vid") < k)
         .select(F.col("vid").cast("int").alias("cell"), F.col("xq").alias("cq"))
@@ -69,21 +80,21 @@ def kmeans_assign(
 
 
 def _assign(xq: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast k rows, integer fold, total-
-    order argmin key (dist_q*100 + cell)."""
+    """Nearest centroid per vector: broadcast k rows, integer fold, then a
+    lexicographic struct-min argmin (dist_q, cell) — deterministic tie-break
+    on the smallest cell id, exact for any k."""
     scored = xq.crossJoin(F.broadcast(cents)).select(
         "vid",
-        (
+        F.struct(
             F.expr(
                 "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)),"
                 " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            )
-            * 100
-            + F.col("cell")
+            ).alias("dq"),
+            F.col("cell"),
         ).alias("key"),
     )
     return scored.groupBy("vid").agg(
-        (F.min("key") % 100).cast("int").alias("cell")
+        F.min("key").getField("cell").cast("int").alias("cell")
     )
 
 
@@ -112,8 +123,13 @@ def kmeans_summary(
 ) -> DataFrame:
     """Per-cluster rollup: size, min/max member id, exact mean intra-cluster
     distance (quantized) — the oracle-checkable face of the clustering."""
-    xq = _quantized(df, vec_col, id_col).persist()
-    assign = kmeans_assign(df, k, iterations, vec_col, id_col)
+    from icebergsql_spark.operators.util import track_cache
+
+    # ONE cached quantized frame feeds both the clustering rounds and the
+    # rollup below (previously this built a second persisted copy on top
+    # of kmeans_assign's).
+    xq = track_cache(_quantized(df, vec_col, id_col))
+    assign = _kmeans_core(xq, k, iterations)
     cents = _update(xq, assign)
     dist = (
         xq.join(assign, "vid")

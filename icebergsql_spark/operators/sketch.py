@@ -150,7 +150,16 @@ def bloom_probe(
             F.col("_k"), (F.col("n_hit") == F.col("n_pos")).alias("bloom_positive")
         )
     )
-    return df.join(hits, df[col] == hits["_k"]).drop("_k")
+    # LEFT join + coalesce(false): a NULL probe key generates no probe rows
+    # (md5(NULL) is NULL), so an inner join would silently drop those input
+    # rows — a general-purpose probe must preserve the input frame.
+    return (
+        df.join(hits, df[col] == hits["_k"], "left")
+        .drop("_k")
+        .withColumn(
+            "bloom_positive", F.coalesce(F.col("bloom_positive"), F.lit(False))
+        )
+    )
 
 
 # ----------------------------------------------------------- Count-Min --
@@ -216,4 +225,92 @@ def cms_estimate(
         probes.join(F.broadcast(counters), ["depth", "bucket"])
         .groupBy(col)
         .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+# ------------------------------------------------------------ HyperLogLog --
+# Same determinism discipline as Bloom/KMV/CMS: md5-derived registers make
+# the sketch a pure function of the SET, so registers AND estimate are
+# oracle-checkable. m=256 registers (first 2 hex chars), rank from the next
+# 12 hex chars (48 bits). State is O(m) and registers merge by MAX — the
+# mergeable-sketch shape that lets 1000 executors each build a partial and
+# combine in one tiny shuffle, the standard approx-COUNT(DISTINCT) at
+# 100 TB (Flajolet et al., HyperLogLog, AofA 2007).
+
+HLL_M = 256  # registers
+HLL_BITS = 48  # rank bits per hash
+
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# raw HLL estimate over (m_used, harmonic_q) columns — an ANSI-SQL
+# fragment shared verbatim by the Spark expression and the DuckDB oracle
+# (plans/pipeline3.py) so the float op ORDER is identical in both engines
+_RAW_EST_SQL = (
+    # alpha must be CAST AS DOUBLE: DuckDB parses a bare float literal as
+    # DECIMAL and the decimal product overflows; Spark treats it as DOUBLE
+    # either way
+    f"CAST({_HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M} /"
+    f" ((CAST(harmonic_q AS DOUBLE) / POW(CAST(2 AS DOUBLE), {HLL_BITS + 1}))"
+    f"  + ({HLL_M} - m_used))"
+)
+
+
+def _rho_rank_expr(h12: str) -> str:
+    """Rank (leading-zero count + 1) of a 12-hex-char (48-bit) string,
+    hex-char arithmetic only: whole-nibble zeros via TRIM(LEADING '0'),
+    then the first surviving nibble's high-bit position."""
+    t = f"trim(LEADING '0' FROM {h12})"
+    nib = f"instr('0123456789abcdef', substring({t}, 1, 1)) - 1"
+    return (
+        f"CASE WHEN {t} = '' THEN {HLL_BITS + 1} "
+        f"ELSE (12 - length({t})) * 4 "
+        f"+ CASE WHEN ({nib}) >= 8 THEN 0 WHEN ({nib}) >= 4 THEN 1 "
+        f"WHEN ({nib}) >= 2 THEN 2 ELSE 3 END + 1 END"
+    )
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(reg, max_rho) register table — the mergeable HLL state."""
+    reg = (
+        "(instr('0123456789abcdef', substring(md5_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5_h, 2, 1)) - 1)"
+    )
+    return (
+        df.select(F.md5(F.col(col).cast("string")).alias("md5_h"))
+        .select(
+            F.expr(f"CAST({reg} AS INT)").alias("reg"),
+            F.expr(
+                f"CAST({_rho_rank_expr('substring(md5_h, 3, 12)')} AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row (m_used, harmonic_q, est) distinct-count estimate.
+
+    harmonic_q = Σ 2^(HLL_BITS+1-max_rho) over hit registers — an EXACT
+    bigint (order-independent), so the double arithmetic is one final
+    division: bit-identical across engines. Raw HLL estimate without
+    small-range correction (documented; registers are the ground truth)."""
+    regs = hll_registers(df, col)
+    # standard small-range (linear counting) correction: when the raw
+    # estimate is below 2.5m and empty registers remain, m*ln(m/empty) is
+    # the unbiased occupancy estimator — raw HLL alone reads ~2.4x high at
+    # n << m. Every term is a deterministic double fold over exact bigints.
+    est = (
+        f"CASE WHEN ({_RAW_EST_SQL}) <= {2.5 * HLL_M} AND m_used < {HLL_M}"
+        f" THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - m_used))"
+        f" ELSE ({_RAW_EST_SQL}) END"
+    )
+    return regs.agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_BITS + 1} - max_rho)")).alias(
+            "harmonic_q"
+        ),
+    ).select(
+        "m_used",
+        "harmonic_q",
+        F.expr(f"CAST(round({est}) AS BIGINT)").alias("est"),
     )

@@ -4,6 +4,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Iterative operators (pagerank, kmeans) persist loop-invariant frames so a
+# lazy multi-round DAG doesn't re-derive its inputs once per round. In a
+# long-lived session (the 144-query gate, repeated bench iterations) those
+# cached blocks would otherwise accumulate unboundedly — LRU eviction keeps
+# results correct but memory/disk pressure grows per call. Operators route
+# every persist through track_cache(); callers that materialize the result
+# (bench.py, tests, any driver loop) call release_caches() afterwards.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for a later ``release_caches()``."""
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked frame (non-blocking); returns the count.
+
+    Safe to call at any time: unpersisting only drops cached blocks — a
+    still-referenced plan recomputes from lineage, never errors.
+    """
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def ensure_parallelism(df: DataFrame, min_rows_per_split: int = 1) -> DataFrame:
     """Spread a narrow-input DataFrame across all cores before a CPU-heavy

@@ -1184,20 +1184,22 @@ def ml_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cq")
         )
     )
+    # struct-min argmin (dist, label): lexicographic total order, exact for
+    # any label range (the packed dist*100+label form the oracle keeps is
+    # identical while labels < 100 — here they are 0..9)
     scored = xq.crossJoin(F.broadcast(cents)).select(
         "vid",
         "label",
-        (
+        F.struct(
             F.expr(
                 "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)),"
                 " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            )
-            * 100
-            + F.col("cell")
+            ).alias("dq"),
+            F.col("cell"),
         ).alias("key"),
     )
     pred = scored.groupBy("vid", "label").agg(
-        (F.min("key") % 100).cast("int").alias("pred_label")
+        F.min("key").getField("cell").cast("int").alias("pred_label")
     )
     return (
         pred.groupBy("label", "pred_label")

@@ -359,10 +359,11 @@ def events_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 5
         ORDER BY event_type, window_idx
     """,
-    doc="Hopping (sliding) windows in batch: 10-minute windows advancing "
-    "every 5 minutes = each event replicated into exactly 2 hop buckets "
-    "(explode over the hop offsets, integer bucket arithmetic) — the batch "
-    "twin of streaming window(ts, '10 min', '5 min'); one Expand + hash "
+    doc="Hopping (sliding) windows in batch: 6-hour windows advancing "
+    "every 3 hours (bucket constant 10800000000000 ns = 3 h hop, window = "
+    "2 hops) = each event replicated into exactly 2 hop buckets (explode "
+    "over the hop offsets, integer bucket arithmetic) — the batch twin of "
+    "streaming window(ts, '6 hours', '3 hours'); one Expand + hash "
     "aggregate, value sums quantized for exactness.",
     tags=("events", "window", "streaming-twin"),
 )

@@ -127,3 +127,37 @@ def test_streaming_ingest_into_managed_table(spark, tmp_path):
     assert tbl.to_df().count() == total
 
     shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_jaccard_max_df_bounds_hot_shingles_on_stopword_corpus(spark):
+    """Skew stress for candidate-driven Jaccard: a stopword-heavy corpus
+    ('the' in every doc) makes the uncapped shingle equi-join generate
+    f^2 rows on one key = one straggler partition. The max_df cap must
+    (a) bound every surviving shingle's document frequency (the per-key
+    join fan-out is then <= max_df^2 regardless of corpus size), and
+    (b) still find the genuinely similar pairs."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.operators import dedup
+
+    n_docs = 400
+    rows = [
+        (i, "the of and a " + f"rare{i % 8} tail{i % 8} unique{i}")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    max_df = 60
+
+    sh = dedup.word_shingles(docs, n=1)
+    capped = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_df)
+    )
+    # every stopword ('the' etc., df=400) is gone; survivors bounded
+    mx = capped.agg(F.max("df_")).collect()[0][0]
+    assert mx is not None and mx <= max_df
+    # end-to-end on the skewed corpus: same-residue docs share
+    # rare/tail tokens; with stopwords capped away their jaccard is 2/4
+    pairs = dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=max_df)
+    got = pairs.limit(5).collect()
+    assert got and all(r.jaccard >= 0.5 for r in got)
