@@ -623,3 +623,113 @@ def managed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.sum("revenue_cents").alias("revenue_cents"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "managed_merge_upsert",
+    oracle="""
+        WITH base AS (
+          SELECT l_orderkey AS ok, MIN(l_returnflag) AS rf,
+                 CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS qty,
+                 CAST(MIN(year(l_shipdate)) AS INT) AS yr
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        final AS (
+          SELECT rf, CASE WHEN ok % 2 = 0 THEN qty * 2 ELSE qty END AS q
+          FROM base WHERE ok % 4 IN (0, 1, 2)
+        )
+        SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+        FROM final GROUP BY rf ORDER BY rf
+    """,
+    doc="MERGE INTO end-to-end (copy-on-write CDC upsert, table.py:merge) "
+    "over a per-order rollup keyed by l_orderkey: seed the %4 in (0,1) "
+    "half, MERGE a doubled-quantity source covering %2=0 — %4=0 rows must "
+    "be UPDATED in place, %4=2 rows INSERTED, %4=1 rows left untouched. "
+    "Affected files come from a column-pruned key equi-join; only they "
+    "are rewritten. The aggregate proves all three row classes landed.",
+    tags=("managed", "dml", "sql"),
+)
+def managed_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-mergewh-"))
+    tbl = eng.catalog.create_table(
+        "li_mg", "ok bigint, rf string, qty double, yr int",
+        partition_cols=["yr"],
+    )
+    base = (
+        _lineitem_with_year(spark, sf_dir)
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(
+            F.min("l_returnflag").alias("rf"),
+            (
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                .cast("double")
+                / 100.0
+            ).alias("qty"),
+            F.min("l_shipyear").cast("int").alias("yr"),
+        )
+    )
+    tbl.insert(base.filter(F.col("ok") % 4 <= 1))
+    base.filter(F.col("ok") % 2 == 0).withColumn(
+        "qty", F.col("qty") * 2
+    ).createOrReplaceTempView("li_mg_src")
+    eng.sql(
+        "MERGE INTO li_mg t USING li_mg_src s ON t.ok = s.ok "
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return eng.sql(
+        "SELECT rf, COUNT(*) AS n, "
+        "CAST(SUM(CAST(qty AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty "
+        "FROM li_mg GROUP BY rf ORDER BY rf"
+    )
+
+
+@register(
+    "managed_delete_update",
+    oracle="""
+        WITH final AS (
+          SELECT l_returnflag,
+                 l_quantity,
+                 CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END
+                   AS d
+          FROM lineitem
+          WHERE l_orderkey % 2 = 0
+            AND year(l_shipdate) <> 1997
+            AND l_quantity >= 10
+        )
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(d AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+        FROM final GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="DELETE + UPDATE end-to-end (copy-on-write, table.py:delete_where/"
+    "update_where): a partition-aligned DELETE (l_shipyear=1997) drops "
+    "whole files from metadata with zero data IO, a straddling DELETE "
+    "(l_quantity<10) rewrites only files whose stats admit a match, and "
+    "an UPDATE zeroes discounts on 'R' rows in place. The final aggregate "
+    "proves precision: untouched rows identical, affected rows exact.",
+    tags=("managed", "dml", "sql"),
+)
+def managed_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-dmlwh-"))
+    tbl = eng.catalog.create_table("li_dml", _LI_DDL, partition_cols=["l_shipyear"])
+    li = _lineitem_with_year(spark, sf_dir)
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    # partition-aligned: whole-file metadata drop (assert no rewrite)
+    s1 = tbl.delete_where("l_shipyear = 1997")
+    assert s1.num_added_files == 0
+    eng.sql("DELETE FROM li_dml WHERE l_quantity < 10")
+    eng.sql("UPDATE li_dml SET l_discount = 0.0 WHERE l_returnflag = 'R'")
+    return eng.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc "
+        "FROM li_dml GROUP BY l_returnflag ORDER BY l_returnflag"
+    )

@@ -89,6 +89,74 @@ _VACUUM_RE = re.compile(
     r"^\s*vacuum\s+(?P<name>[`\w.]+)(?:\s+retain\s+(?P<n>\d+)\s+snapshots)?\s*$",
     re.IGNORECASE,
 )
+_DELETE_RE = re.compile(
+    r"^\s*delete\s+from\s+`?(?P<name>\w+)`?\s*"
+    r"(?:where\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*update\s+`?(?P<name>\w+)`?\s+set\s+(?P<sets>.+?)"
+    r"(?:\s+where\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*merge\s+into\s+`?(?P<name>\w+)`?(?:\s+(?:as\s+)?(?P<talias>\w+))?"
+    r"\s+using\s+`?(?P<src>\w+)`?(?:\s+(?:as\s+)?(?P<salias>\w+))?"
+    r"\s+on\s+(?P<on>.+?)"
+    r"\s+(?P<clauses>when\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_MATCHED_UPDATE_RE = re.compile(
+    r"when\s+matched\s+then\s+update\s+set\s+(?P<sets>.+?)"
+    r"(?=\s*when\s+not\s+matched|\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_MATCHED_DELETE_RE = re.compile(
+    r"when\s+matched\s+then\s+delete\b", re.IGNORECASE
+)
+_MERGE_NOT_MATCHED_RE = re.compile(
+    r"when\s+not\s+matched\s+then\s+insert\s+\*", re.IGNORECASE
+)
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses/quotes (SET-list aware)."""
+    parts, depth, buf, q = [], 0, [], None
+    for ch in text:
+        if q:
+            if ch == q:
+                q = None
+            buf.append(ch)
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _parse_assignments(sets: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for a in _split_top_level(sets):
+        if "=" not in a:
+            raise ValueError(f"bad SET assignment {a!r}")
+        col, expr = a.split("=", 1)
+        col = col.strip().strip("`")
+        if "." in col:
+            col = col.split(".")[-1]  # t.price = ... → price
+        out[col] = expr.strip()
+    return out
+
+
 _COUNT_STAR_RE = re.compile(
     r"^\s*select\s+count\s*\(\s*\*\s*\)\s*(?:as\s+(?P<alias>\w+)\s*)?"
     r"from\s+`?(?P<name>\w+)`?\s*(?:where\s+(?P<pred>.*?))?\s*$",
@@ -442,6 +510,46 @@ class Engine:
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
 
+        dl = _DELETE_RE.match(text)
+        if dl and self.catalog.table_exists(dl.group("name").strip("`")):
+            tbl = self.catalog.load_table(dl.group("name").strip("`"))
+            pred = (dl.group("pred") or "").strip()
+            before = sum(
+                f.record_count
+                for f in (
+                    tbl.meta.current_snapshot().live_files()
+                    if tbl.meta.current_snapshot()
+                    else []
+                )
+            )
+            snap = (
+                tbl.delete_where(pred)
+                if pred
+                else tbl.insert(
+                    self.spark.createDataFrame([], tbl.schema), overwrite=True
+                )
+            )
+            after = sum(f.record_count for f in (snap.live_files() if snap else []))
+            return self.spark.createDataFrame(
+                [(before - after,)], "deleted_rows long"
+            )
+
+        up = _UPDATE_RE.match(text)
+        if up and self.catalog.table_exists(up.group("name").strip("`")):
+            tbl = self.catalog.load_table(up.group("name").strip("`"))
+            snap = tbl.update_where(
+                _parse_assignments(up.group("sets")),
+                (up.group("pred") or "").strip() or None,
+            )
+            return self.spark.createDataFrame(
+                [(snap.num_added_files, snap.num_deleted_files)],
+                "files_rewritten int, files_replaced int",
+            )
+
+        mg = _MERGE_RE.match(text)
+        if mg and self.catalog.table_exists(mg.group("name").strip("`")):
+            return self._merge_managed(mg)
+
         acm = _ALTER_COL_RE.match(text)
         if acm and self.catalog.table_exists(acm.group("name").strip("`")):
             # schema evolution DDL — metadata-only, no data rewrite
@@ -601,6 +709,77 @@ class Engine:
         if ctas:
             tbl.insert(self.spark.sql(ctas))
         return self.spark.createDataFrame([], T.StructType([]))
+
+    def _merge_managed(self, mg: re.Match) -> DataFrame:
+        """MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k [AND ...]
+        WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE
+        [WHEN NOT MATCHED THEN INSERT *]
+
+        The supported subset is the CDC-upsert core; the ON condition must
+        be a conjunction of alias-qualified key equalities (that is what
+        makes the affected-file discovery an equi-join at scale)."""
+        name = mg.group("name").strip("`")
+        tbl = self.catalog.load_table(name)
+        talias = (mg.group("talias") or name).lower()
+        salias = (mg.group("salias") or mg.group("src")).strip("`").lower()
+        src_name = mg.group("src").strip("`")
+        if self.catalog.table_exists(src_name):
+            source = self.catalog.load_table(src_name).to_df()
+        else:
+            source = self.spark.table(src_name)
+
+        keys: list[str] = []
+        for part in re.split(r"\s+and\s+", mg.group("on").strip(), flags=re.IGNORECASE):
+            em = re.match(
+                r"^\s*`?(\w+)`?\.`?(\w+)`?\s*=\s*`?(\w+)`?\.`?(\w+)`?\s*$", part
+            )
+            if not em:
+                raise ValueError(
+                    f"MERGE ON supports alias-qualified key equalities, got {part!r}"
+                )
+            a1, c1, a2, c2 = em.groups()
+            pair = {a1.lower(): c1, a2.lower(): c2}
+            if set(pair) != {talias, salias} or pair[talias] != pair[salias]:
+                raise ValueError(
+                    f"MERGE ON must equate the same column on {talias!r}/"
+                    f"{salias!r}, got {part!r}"
+                )
+            keys.append(pair[talias])
+
+        clauses = mg.group("clauses")
+        not_matched = bool(_MERGE_NOT_MATCHED_RE.search(clauses))
+        set_exprs: dict[str, str] | None = None
+        when_matched = None
+        um = _MERGE_MATCHED_UPDATE_RE.search(clauses)
+        if um:
+            when_matched = "update"
+            set_exprs = {}
+            for col, expr in _parse_assignments(um.group("sets")).items():
+                # rewrite source-alias references to the join's `s` alias
+                # and target-alias ones to `t`
+                expr = re.sub(
+                    rf"\b{re.escape(salias)}\.", "s.", expr, flags=re.IGNORECASE
+                )
+                expr = re.sub(
+                    rf"\b{re.escape(talias)}\.", "t.", expr, flags=re.IGNORECASE
+                )
+                set_exprs[col] = expr
+        elif _MERGE_MATCHED_DELETE_RE.search(clauses):
+            when_matched = "delete"
+        if when_matched is None and not not_matched:
+            raise ValueError("MERGE needs at least one WHEN clause")
+
+        snap = tbl.merge(
+            source,
+            on=keys,
+            when_matched=when_matched,
+            set_exprs=set_exprs,
+            when_not_matched_insert=not_matched,
+        )
+        return self.spark.createDataFrame(
+            [(snap.num_added_files, snap.num_deleted_files)],
+            "files_written int, files_replaced int",
+        )
 
     def _insert_managed(self, im: re.Match, name: str) -> DataFrame:
         tbl = self.catalog.load_table(name)

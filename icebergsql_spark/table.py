@@ -374,23 +374,7 @@ class ManagedTable:
         else:
             deleted = []  # append; dynamic overwrite resolves after the write
 
-        # ------------------------------------------------ distributed write
-        commit_id = uuid.uuid4().hex[:12]
-        out_dir = os.path.join(self.meta.data_dir, commit_id)
-        part_cols = self.meta.partition_cols
-        write_df = df
-        if distribute_by:
-            write_df = write_df.repartition(*[F.col(c) for c in distribute_by])
-        for pc in part_cols:
-            write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
-        (
-            write_df.write.mode("errorifexists")
-            .partitionBy(*[PART_PREFIX + pc for pc in part_cols])
-            .format(self.file_format)
-            .save(out_dir)
-        )
-
-        added = self._build_data_files(out_dir)
+        added = self._distributed_write(df, distribute_by=distribute_by)
 
         if overwrite and dynamic and not static_partition:
             written_parts = {tuple(sorted(f.partition.items())) for f in added}
@@ -428,6 +412,247 @@ class ManagedTable:
         if m == "ignore" and has_data:
             return None
         return self.insert(df, overwrite=(m == "overwrite"), **kwargs)
+
+    def _distributed_write(
+        self, df: DataFrame, distribute_by: list[str] | None = None
+    ) -> list[DataFile]:
+        """ONE distributed Spark write of schema-aligned rows into a fresh
+        per-commit directory (Hive-style partition dirs), returning the
+        resulting DataFile entries with stats. Shared by insert and the
+        copy-on-write DML paths."""
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.meta.data_dir, commit_id)
+        part_cols = self.meta.partition_cols
+        write_df = df
+        if distribute_by:
+            write_df = write_df.repartition(*[F.col(c) for c in distribute_by])
+        for pc in part_cols:
+            write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
+        (
+            write_df.write.mode("errorifexists")
+            .partitionBy(*[PART_PREFIX + pc for pc in part_cols])
+            .format(self.file_format)
+            .save(out_dir)
+        )
+        return self._build_data_files(out_dir)
+
+    # ------------------------------------------------------------ DML --
+    # Row-level DELETE / UPDATE / MERGE as copy-on-write, the Iceberg v1
+    # strategy the reference's snapshot model implies (old files are never
+    # mutated, only de-referenced — InsertIntoIcebergTable.scala:142-179):
+    # only files that MAY contain affected rows are rewritten (manifest
+    # stats pruning decides), everything else keeps its manifests. At
+    # 100 TB a point DELETE touches one partition's files, not the table.
+
+    def delete_where(self, predicate_sql: str) -> Snapshot:
+        """Copy-on-write DELETE FROM ... WHERE.
+
+        Three file classes, decided from manifest stats alone:
+          - no possible match → untouched (manifest reuse);
+          - predicate provably true for ALL rows (must_match_all) → the
+            file is DROPPED without being read — a partition-aligned
+            DELETE is metadata-only, zero data IO;
+          - straddling files → ONE distributed job rewrites the surviving
+            rows (NULL predicate keeps the row, per SQL semantics).
+        """
+        from icebergsql_spark.expressions import must_match_all
+
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        scan = self.scan(where=predicate_sql)
+        candidates = scan.planned_files
+        if not candidates:
+            return parent
+        drop_whole: list[DataFile] = []
+        rewrite: list[DataFile] = []
+        for f in candidates:
+            if must_match_all(scan.augmented, scan._pruning_stats(f)):
+                drop_whole.append(f)
+            else:
+                rewrite.append(f)
+        added: list[DataFile] = []
+        if rewrite:
+            survivors = self.read_files(rewrite).filter(
+                ~F.coalesce(
+                    F.expr(predicate_sql).cast("boolean"), F.lit(False)
+                )
+            )
+            added = self._distributed_write(survivors)
+        return self._commit_snapshot(parent, added, drop_whole + rewrite)
+
+    def update_where(
+        self, assignments: dict[str, str], predicate_sql: str | None = None
+    ) -> Snapshot:
+        """Copy-on-write UPDATE ... SET ... WHERE: rewrite only files that
+        may contain matching rows; within them, non-matching rows pass
+        through unchanged (NULL predicate → unchanged, per SQL). Updated
+        rows may move partitions — the write path re-partitions by value."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        schema = self.schema
+        cols = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - cols)
+        if bad:
+            raise TableValidationError(f"UPDATE of unknown column(s) {bad}")
+        scan = self.scan(where=predicate_sql)
+        affected = scan.planned_files
+        if not affected:
+            return parent
+        cond = (
+            F.coalesce(F.expr(predicate_sql).cast("boolean"), F.lit(False))
+            if predicate_sql
+            else F.lit(True)
+        )
+        rewritten = self.read_files(affected).select(
+            *[
+                (
+                    F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        added = self._distributed_write(rewritten)
+        return self._commit_snapshot(parent, added, list(affected))
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        set_exprs: dict[str, str] | None = None,
+        when_not_matched_insert: bool = True,
+        cardinality_check: bool = True,
+    ) -> Snapshot:
+        """Copy-on-write MERGE INTO (the CDC-upsert primitive).
+
+        ``on``: equi-join key columns. ``when_matched``: 'update' (apply
+        ``set_exprs`` target-col → SQL-expr over the joined scope with the
+        target aliased ``t`` and source ``s``; None = take every shared
+        source column) or 'delete'. ``when_not_matched_insert``: append
+        source rows whose keys match no target row.
+
+        Scale shape: the affected-file set comes from joining the target's
+        KEY COLUMNS (column-pruned scan + input_file_name) against the
+        source — only those files are rewritten in one distributed job;
+        the not-matched insert is a single anti-join on the same pruned
+        key scan. Equal-key source rows are rejected (the Iceberg MERGE
+        cardinality error) unless ``cardinality_check=False``.
+        """
+        import urllib.parse as _u
+
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        parent_files = parent.live_files() if parent else []
+        schema = self.schema
+        keys = list(on)
+        for k in keys:
+            if k not in {f.name for f in schema.fields}:
+                raise TableValidationError(f"MERGE key {k!r} not in schema")
+            if k not in source.columns:
+                raise TableValidationError(f"MERGE key {k!r} not in source")
+        if when_matched not in ("update", "delete", None):
+            raise TableValidationError(
+                f"when_matched must be 'update', 'delete' or None, "
+                f"got {when_matched!r}"
+            )
+        if cardinality_check:
+            dup = (
+                source.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE source has rows with duplicate join keys — each "
+                    "target row must match at most one source row (Iceberg "
+                    "cardinality semantics); pre-aggregate the source or "
+                    "pass cardinality_check=False to accept last-write-wins"
+                )
+        if not parent_files or when_matched is None:
+            # insert-only MERGE: matched rows stay untouched, so no file
+            # needs rewriting — the whole statement is one anti-join append
+            affected: list[DataFile] = []
+        else:
+            tgt_keys = (
+                self.read_files(parent_files)
+                .select(*keys)
+                .withColumn("__file", F.input_file_name())
+            )
+            hit_uris = [
+                r["__file"]
+                for r in tgt_keys.join(
+                    source.select(*keys).distinct(), keys, "left_semi"
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            hit_paths = {_u.unquote(_u.urlparse(u).path) for u in hit_uris}
+            affected = [f for f in parent_files if f.path in hit_paths]
+
+        # alias AFTER the marker column so `s.<col>` resolves in set_exprs
+        s_marked = source.withColumn("__m", F.lit(True)).alias("s")
+        rewritten = None
+        if affected:
+            t = self.read_files(affected).alias("t")
+            joined = t.join(
+                s_marked, [t[k] == s_marked[k] for k in keys], "left"
+            )
+            if when_matched == "delete":
+                rewritten = joined.filter(F.col("__m").isNull()).select(
+                    *[t[f.name] for f in schema.fields]
+                )
+            else:
+                out_cols = []
+                for f in schema.fields:
+                    if set_exprs is not None and f.name in set_exprs:
+                        upd = F.expr(set_exprs[f.name]).cast(f.dataType)
+                    elif set_exprs is None and f.name in source.columns:
+                        upd = s_marked[f.name].cast(f.dataType)
+                    else:
+                        upd = t[f.name]
+                    out_cols.append(
+                        F.when(F.col("__m").isNotNull(), upd)
+                        .otherwise(t[f.name])
+                        .alias(f.name)
+                    )
+                rewritten = joined.select(*out_cols)
+        inserts = None
+        if when_not_matched_insert:
+            missing = [
+                f.name for f in schema.fields if f.name not in source.columns
+            ]
+            if missing:
+                raise TableValidationError(
+                    f"MERGE insert needs source columns {missing}"
+                )
+            all_keys = (
+                self.read_files(parent_files).select(*keys)
+                if parent_files
+                else self.spark.createDataFrame(
+                    [], T.StructType([schema[k] for k in keys])
+                )
+            )
+            inserts = source.join(all_keys, keys, "left_anti").select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+        if rewritten is None and inserts is None:
+            return parent
+        new_df = (
+            rewritten.unionByName(inserts)
+            if rewritten is not None and inserts is not None
+            else (rewritten if rewritten is not None else inserts)
+        )
+        added = self._distributed_write(new_df)
+        if not added and not affected:
+            return parent
+        return self._commit_snapshot(parent, added, list(affected))
 
     def _build_data_files(self, out_dir: str) -> list[DataFile]:
         fmt = self.file_format

@@ -1,0 +1,217 @@
+"""Row-level DML (DELETE / UPDATE / MERGE) — copy-on-write over the
+snapshot model. The reference never mutates files, only de-references them
+(InsertIntoIcebergTable.scala:142-179); DML rides the same machinery:
+affected files are found via manifest stats pruning (delete/update) or a
+key equi-join (merge), rewritten in one distributed job, and committed as
+an overwrite/delete snapshot. Time travel to the pre-DML snapshot keeps
+working because data files are immutable."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergsql_spark.sql import Engine
+from icebergsql_spark.table import Catalog, TableValidationError
+
+DDL = "k bigint, v double, cat string, part int"
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("t", DDL, partition_cols=["part"])
+    src = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("cat"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    t.insert(src)
+    return t
+
+
+def test_delete_partition_aligned_is_metadata_only(spark, tbl):
+    """A partition-exact DELETE drops whole files from metadata — zero
+    rewrite (added == 0), and only that partition's rows vanish."""
+    before_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.delete_where("part = 1")
+    assert snap.operation == "delete"
+    assert snap.num_added_files == 0  # no file was read or rewritten
+    after = tbl.to_df()
+    assert after.filter("part = 1").count() == 0
+    assert after.count() == 200
+    # untouched partitions kept their identical files
+    after_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    assert after_files < before_files
+
+
+def test_delete_straddling_rewrites_only_affected(spark, tbl):
+    """A value predicate straddles files: matching files are rewritten,
+    rows with k < 30 disappear, everything else survives byte-for-byte."""
+    pre = {r.k for r in tbl.to_df().select("k").collect()}
+    snap = tbl.delete_where("k < 30")
+    assert snap.operation == "overwrite"
+    got = {r.k for r in tbl.to_df().select("k").collect()}
+    assert got == {k for k in pre if k >= 30}
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; NULL keeps."""
+    cat = Catalog(spark, str(tmp_path / "whn"))
+    t = cat.create_table("tn", DDL, partition_cols=["part"])
+    t.insert(
+        spark.createDataFrame(
+            [(1, 5.0, "a", 0), (2, None, "b", 0), (3, 50.0, "c", 0)], DDL
+        )
+    )
+    t.delete_where("v < 10")
+    got = sorted(r.k for r in t.to_df().select("k").collect())
+    assert got == [2, 3]  # NULL v survives
+
+
+def test_delete_time_travel_sees_pre_delete_state(spark, tbl):
+    s0 = tbl.meta.current_snapshot()
+    tbl.delete_where("part = 0")
+    assert tbl.to_df().count() == 200
+    assert tbl.scan(snapshot_id=s0.snapshot_id).dataframe().count() == 300
+
+
+def test_update_rewrites_only_matching_files(spark, tbl):
+    before_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.update_where({"v": "v * 10"}, "part = 2")
+    after_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    # partitions 0/1 files untouched
+    untouched = {p for p in after_files if "part=2" not in p}
+    assert untouched and untouched <= before_files
+    assert snap.operation == "overwrite"
+    got = tbl.to_df().filter("part = 2").agg(F.sum("v")).collect()[0][0]
+    want = sum(k * 10.0 for k in range(300) if k % 3 == 2)
+    assert got == want
+    # non-matching rows unchanged
+    assert tbl.to_df().filter("part = 0").agg(F.sum("v")).collect()[0][0] == sum(
+        float(k) for k in range(300) if k % 3 == 0
+    )
+
+
+def test_update_can_move_rows_across_partitions(spark, tbl):
+    tbl.update_where({"part": "0"}, "part = 2")
+    df = tbl.to_df()
+    assert df.filter("part = 2").count() == 0
+    assert df.count() == 300
+    # the moved rows' files live under part=0 directories now
+    moved = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    assert all("part=2" not in p for p in moved)
+
+
+def test_update_unknown_column_rejected(spark, tbl):
+    with pytest.raises(TableValidationError, match="unknown column"):
+        tbl.update_where({"nope": "1"}, "part = 0")
+
+
+def test_merge_upsert_updates_and_inserts(spark, tbl):
+    """Classic CDC upsert: half the source matches (v overwritten), half is
+    new (appended); unmatched target rows are untouched."""
+    src = spark.range(250, 350).select(
+        F.col("id").alias("k"),
+        F.lit(-1.0).alias("v"),
+        F.lit("merged").alias("cat"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    snap = tbl.merge(src, on=["k"])
+    assert snap.operation == "overwrite"
+    df = tbl.to_df()
+    assert df.count() == 350
+    assert df.filter("v = -1.0").count() == 100
+    assert df.filter("k < 250 AND cat = 'merged'").count() == 0
+    # untouched rows keep original v
+    assert df.filter("k = 10").collect()[0].v == 10.0
+
+
+def test_merge_set_exprs_with_aliases(spark, tbl):
+    src = spark.createDataFrame([(0, 1000.0)], "k bigint, v double")
+    tbl.merge(
+        src,
+        on=["k"],
+        set_exprs={"v": "t.v + s.v"},
+        when_not_matched_insert=False,
+    )
+    assert tbl.to_df().filter("k = 0").collect()[0].v == 1000.0  # 0 + 1000
+
+
+def test_merge_matched_delete(spark, tbl):
+    src = spark.range(0, 50).select(F.col("id").alias("k"))
+    snap = tbl.merge(
+        src, on=["k"], when_matched="delete", when_not_matched_insert=False
+    )
+    assert tbl.to_df().count() == 250
+    assert tbl.to_df().filter("k < 50").count() == 0
+    assert snap.operation in ("overwrite", "delete")
+
+
+def test_merge_insert_only_is_pure_append(spark, tbl):
+    """No WHEN MATCHED → matched rows untouched, no file rewritten."""
+    src = spark.range(200, 400).select(
+        F.col("id").alias("k"),
+        F.lit(7.0).alias("v"),
+        F.lit("new").alias("cat"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    before_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.merge(src, on=["k"], when_matched=None)
+    assert snap.operation == "append"
+    after_files = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    assert before_files <= after_files  # nothing replaced
+    df = tbl.to_df()
+    assert df.count() == 400
+    assert df.filter("k = 250").collect()[0].cat == "even"  # matched untouched
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tbl):
+    src = spark.createDataFrame(
+        [(1, 1.0, "x", 0), (1, 2.0, "y", 0)], DDL
+    )
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        tbl.merge(src, on=["k"])
+
+
+def test_dml_sql_verbs(spark, tmp_path):
+    """DELETE / UPDATE / MERGE through the SQL front door."""
+    eng = Engine(spark, str(tmp_path / "whsql"))
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("a").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    ).createOrReplaceTempView("dml_src")
+    eng.sql(
+        "CREATE TABLE d (k bigint, v double, cat string, part int) USING parquet "
+        "PARTITIONED BY (part) OPTIONS ('addTableManagement'='true')"
+    )
+    eng.sql("INSERT INTO d SELECT * FROM dml_src")
+
+    out = eng.sql("DELETE FROM d WHERE k < 10").collect()[0]
+    assert out.deleted_rows == 10
+    assert eng.sql("SELECT COUNT(*) AS n FROM d").collect()[0].n == 90
+
+    eng.sql("UPDATE d SET v = v + 0.5 WHERE part = 0")
+    assert (
+        eng.sql("SELECT v FROM d WHERE k = 10").collect()[0].v == 10.5
+    )
+
+    spark.range(95, 105).select(
+        F.col("id").alias("k"),
+        F.lit(-2.0).alias("v"),
+        F.lit("m").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    ).createOrReplaceTempView("m_src")
+    eng.sql(
+        "MERGE INTO d t USING m_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v, cat = s.cat "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert eng.sql("SELECT COUNT(*) AS n FROM d").collect()[0].n == 95
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM d WHERE cat = 'm'").collect()[0].n
+        == 10
+    )
