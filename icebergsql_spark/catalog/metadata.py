@@ -437,3 +437,71 @@ class TableMetadata:
 
 def ref_snapshot_id(ref: dict) -> int:
     return int(ref["snapshot_id"])
+
+def added_files_between(
+    meta: TableMetadata,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> list[DataFile]:
+    """Data files appended strictly AFTER ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (inclusive; default current snapshot) — the file-set
+    core of the incremental append scan, shared by ``ManagedTable.changes``
+    and the streaming data source (offsets = snapshot ids).
+
+    ``from_snapshot_id=-1`` means "before the first snapshot": the result
+    covers every append since table creation. Valid across ``append`` and
+    rowset-preserving ``replace`` (compaction/sort) snapshots; an
+    overwrite/delete in the range rewrites rows, so this raises ValueError
+    and the consumer must fall back to a full diff — same contract as
+    Iceberg's incremental append scan.
+    """
+    to_snap = (
+        meta.current_snapshot()
+        if to_snapshot_id is None
+        else meta.snapshot_by_id(to_snapshot_id)
+    )
+    from_root = from_snapshot_id == -1
+    from_snap = None if from_root else meta.snapshot_by_id(from_snapshot_id)
+    if to_snap is None or (not from_root and from_snap is None):
+        raise ValueError("unknown snapshot id for incremental read")
+    # walk the parent chain to -> from, requiring append-only history
+    chain: list[Snapshot] = []
+    cur: Snapshot | None = to_snap
+    while cur is not None and (from_root or cur.snapshot_id != from_snapshot_id):
+        chain.append(cur)
+        cur = (
+            meta.snapshot_by_id(cur.parent_id)
+            if cur.parent_id is not None
+            else None
+        )
+    if cur is None and not from_root:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snap.snapshot_id} (rollback in between?)"
+        )
+    bad = [
+        s.snapshot_id for s in chain if s.operation not in ("append", "replace")
+    ]
+    if bad:
+        raise ValueError(
+            f"incremental read crosses non-append snapshots {bad}; "
+            "rows were rewritten — run a full diff instead"
+        )
+    # Union of per-append added files (live diff vs parent). 'replace'
+    # snapshots contribute nothing: they rewrite layout, not rows.
+    new_files: list[DataFile] = []
+    seen: set[str] = set()
+    for s in chain:
+        if s.operation != "append":
+            continue
+        parent = (
+            meta.snapshot_by_id(s.parent_id)
+            if s.parent_id is not None
+            else None
+        )
+        parent_paths = {f.path for f in parent.live_files()} if parent else set()
+        for f in s.live_files():
+            if f.path not in parent_paths and f.path not in seen:
+                seen.add(f.path)
+                new_files.append(f)
+    return new_files

@@ -421,3 +421,51 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.containment_pairs(docs, n=1, threshold=0.8, candidates=cand)
         .orderBy("a", "b")
     )
+
+
+@register(
+    "datasource_read_pruned",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem
+        WHERE year(l_shipdate) = 1997 AND l_discount >= 0.07
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="End-to-end Python Data Source loop: write lineitem into a managed "
+    "table partitioned by ship year, then read it back on the SAME vanilla "
+    "session via spark.read.format('icebergsql') — pushFilters prunes "
+    "non-1997 partitions from footer/partition stats before any executor "
+    "work (sources/datasource.py) — filter, aggregate. Exercises "
+    "registration, schema projection, Arrow batch decode, and filter "
+    "pushdown in one oracle-checked query.",
+    tags=("managed", "datasource"),
+)
+def datasource_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.common import money
+    from icebergsql_spark.sources.datasource import register_datasource
+    from icebergsql_spark.table import Catalog
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "l_shipyear", F.year("l_shipdate")
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-dswh-"))
+    tbl = cat.create_table("li_ds", li.schema, partition_cols=["l_shipyear"])
+    tbl.insert(li)
+    register_datasource(spark)
+    return (
+        spark.read.format("icebergsql")
+        .load(tbl.meta.location)
+        .where("l_shipyear = 1997 AND l_discount >= 0.07")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -48,6 +48,7 @@ from icebergsql_spark.catalog.metadata import (
     Manifest,
     Snapshot,
     TableMetadata,
+    added_files_between,
 )
 from icebergsql_spark.catalog.stats import collect_stats
 from icebergsql_spark.deps import augment_predicate, parse_column_dependencies
@@ -1391,61 +1392,13 @@ class ManagedTable:
         even after a later compaction absorbed them into new live files.
         An overwrite/delete in the range genuinely rewrites rows, so this
         raises ValueError and the consumer must fall back to a full diff —
-        same contract as Iceberg's incremental append scan."""
+        same contract as Iceberg's incremental append scan. The file-set
+        logic lives in ``catalog.metadata.added_files_between`` (shared
+        with the streaming data source, whose offsets are snapshot ids)."""
         self.refresh()
-        to_snap = (
-            self.meta.current_snapshot()
-            if to_snapshot_id is None
-            else self.meta.snapshot_by_id(to_snapshot_id)
+        return self.read_files(
+            added_files_between(self.meta, from_snapshot_id, to_snapshot_id)
         )
-        from_snap = self.meta.snapshot_by_id(from_snapshot_id)
-        if from_snap is None or to_snap is None:
-            raise ValueError("unknown snapshot id for incremental read")
-        # walk the parent chain to -> from, requiring append-only history
-        chain: list[Snapshot] = []
-        cur: Snapshot | None = to_snap
-        while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
-            chain.append(cur)
-            cur = (
-                self.meta.snapshot_by_id(cur.parent_id)
-                if cur.parent_id is not None
-                else None
-            )
-        if cur is None:
-            raise ValueError(
-                f"snapshot {from_snapshot_id} is not an ancestor of "
-                f"{to_snap.snapshot_id} (rollback in between?)"
-            )
-        bad = [
-            s.snapshot_id
-            for s in chain
-            if s.operation not in ("append", "replace")
-        ]
-        if bad:
-            raise ValueError(
-                f"incremental read crosses non-append snapshots {bad}; "
-                "rows were rewritten — run a full diff instead"
-            )
-        # Union of per-append added files (live diff vs parent). 'replace'
-        # snapshots contribute nothing: they rewrite layout, not rows.
-        new_files: list[DataFile] = []
-        seen: set[str] = set()
-        for s in chain:
-            if s.operation != "append":
-                continue
-            parent = (
-                self.meta.snapshot_by_id(s.parent_id)
-                if s.parent_id is not None
-                else None
-            )
-            parent_paths = (
-                {f.path for f in parent.live_files()} if parent else set()
-            )
-            for f in s.live_files():
-                if f.path not in parent_paths and f.path not in seen:
-                    seen.add(f.path)
-                    new_files.append(f)
-        return self.read_files(new_files)
 
     def snapshots_df(self) -> DataFrame:
         """The `<table>$snapshots` view with the reference's exact 6-column
