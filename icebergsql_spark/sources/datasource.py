@@ -46,8 +46,11 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -59,6 +62,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     Not as DSNot,
+    WriterCommitMessage,
 )
 from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import StructType
@@ -336,3 +340,225 @@ class IcebergSQLDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return IcebergSQLStreamReader(self.location, schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return IcebergSQLBatchWriter(self.location, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return IcebergSQLStreamWriter(self.location, schema)
+
+
+# ----------------------------------------------------------------- write --
+
+
+class _TaskFiles(WriterCommitMessage):
+    """Per-task commit payload: the DataFile entries (path, partition,
+    stats from the parquet footer) this task wrote — the same
+    executor-computes/driver-commits split as the reference's
+    TaskCommitMessage (IcebergFileCommitProtocol.scala:127-144)."""
+
+    def __init__(self, files: list[DataFile]):
+        self.files = files
+
+
+def _part_str(v) -> str | None:
+    """Python value -> partition-dir string, matching Spark's
+    cast-to-string closely enough that _parse_partition_value round-trips
+    the typed value (the only correctness requirement for pruning)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _detached_table(location: str):
+    """A ManagedTable bound to metadata only — no Catalog/SparkSession.
+    The snapshot-commit path (_commit_snapshot/_commit_with_retry/refresh)
+    is pure metadata code, so the datasource writer reuses it verbatim
+    instead of duplicating manifest/retry/cleanup logic."""
+    from icebergsql_spark.table import ManagedTable
+
+    t = ManagedTable.__new__(ManagedTable)
+    t.catalog = None
+    t.name = location.rstrip("/").rsplit("/", 1)[-1]
+    t.meta = TableMetadata.load(location)
+    return t
+
+
+def _check_write_schema(table_schema: StructType, df_schema: StructType) -> None:
+    want = [(f.name, f.dataType) for f in table_schema.fields]
+    got = [(f.name, f.dataType) for f in df_schema.fields]
+    if want != got:
+        raise ValueError(
+            f"write schema {got} does not match table schema {want} "
+            "(same names, types, and order required)"
+        )
+
+
+def _write_task(out_root: str, partition_cols: list[str], schema_id: int,
+                iterator) -> _TaskFiles:
+    """Executor-side: split incoming Arrow batches by partition value,
+    write one parquet file per partition key, compute footer stats, and
+    return the DataFile entries. Import-local pyarrow keeps the module
+    importable on the driver without Spark workers."""
+    import os
+    import uuid as _uuid
+    from collections import defaultdict
+    from urllib.parse import quote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icebergsql_spark.catalog.stats import file_stats
+    from icebergsql_spark.table import HIVE_NULL, PART_PREFIX
+
+    try:
+        from pyspark import TaskContext
+
+        task_id = TaskContext.get().partitionId()
+    except Exception:
+        task_id = 0
+
+    writers: dict[tuple, tuple] = {}  # key -> (pq.ParquetWriter, path, partition_dict)
+
+    def _open(key: tuple, batch_schema) -> tuple:
+        segs = []
+        pdict = {}
+        for pc, val in zip(partition_cols, key):
+            pdict[pc] = val
+            enc = HIVE_NULL if val is None else quote(val, safe="")
+            segs.append(f"{PART_PREFIX}{pc}={enc}")
+        d = os.path.join(out_root, *segs)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{task_id:05d}-{_uuid.uuid4().hex[:12]}.parquet")
+        return pq.ParquetWriter(path, batch_schema), path, pdict
+
+    for batch in iterator:
+        if batch.num_rows == 0:
+            continue
+        pcols = [
+            [_part_str(v) for v in batch.column(pc).to_pylist()]
+            for pc in partition_cols
+        ]
+        by_key: dict[tuple, list[int]] = defaultdict(list)
+        for i, key in enumerate(zip(*pcols)) if pcols else ():
+            by_key[key].append(i)
+        if not partition_cols:
+            by_key[()] = list(range(batch.num_rows))
+        tbl = pa.Table.from_batches([batch])
+        for key, idxs in by_key.items():
+            if key not in writers:
+                writers[key] = _open(key, batch.schema)
+            w = writers[key][0]
+            sub = tbl if len(idxs) == batch.num_rows else tbl.take(idxs)
+            w.write_table(sub)
+
+    out: list[DataFile] = []
+    for w, path, pdict in writers.values():
+        w.close()
+        n_rows, size, stats = file_stats(path)
+        out.append(
+            DataFile(
+                path=path,
+                partition=pdict,
+                record_count=n_rows,
+                file_size=size,
+                stats=stats,
+                schema_id=schema_id,
+            )
+        )
+    return _TaskFiles(out)
+
+
+class IcebergSQLBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("icebergsql").mode("append"|"overwrite")``:
+    executors write parquet + footer stats, the driver commits ONE
+    snapshot (append, or overwrite = full replace) through the same
+    retry/cleanup path as the native insert."""
+
+    def __init__(self, location: str, schema: StructType, overwrite: bool):
+        meta = TableMetadata.load(location)
+        _check_write_schema(
+            StructType.fromJson(json.loads(meta.schema_json)), schema
+        )
+        self.location = location
+        self.overwrite = overwrite
+        self.partition_cols = list(meta.partition_cols)
+        self.schema_id = meta.current_schema_id
+        import uuid as _uuid
+
+        self.out_root = f"{meta.data_dir}/{_uuid.uuid4().hex[:12]}"
+
+    def write(self, iterator):
+        return _write_task(
+            self.out_root, self.partition_cols, self.schema_id, iterator
+        )
+
+    def commit(self, messages) -> None:
+        added = [f for m in messages if m is not None for f in m.files]
+        t = _detached_table(self.location)
+        parent = t.meta.current_snapshot()
+        deleted = (
+            parent.live_files() if (self.overwrite and parent is not None) else []
+        )
+        t._commit_snapshot(parent, added, deleted)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.out_root, ignore_errors=True)
+
+
+class IcebergSQLStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("icebergsql")``: one snapshot per
+    micro-batch, exactly-once via the last committed batch id in the
+    snapshot summary (the streaming.ingest recipe, natively). Each batch
+    writes under its own data subdirectory, so a replayed batch's files
+    never alias a committed batch's."""
+
+    def __init__(self, location: str, schema: StructType):
+        meta = TableMetadata.load(location)
+        _check_write_schema(
+            StructType.fromJson(json.loads(meta.schema_json)), schema
+        )
+        self.location = location
+        self.partition_cols = list(meta.partition_cols)
+        self.schema_id = meta.current_schema_id
+        self.data_dir = meta.data_dir
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        return _write_task(
+            f"{self.data_dir}/{_uuid.uuid4().hex[:12]}",
+            self.partition_cols,
+            self.schema_id,
+            iterator,
+        )
+
+    def _last_batch_id(self, t) -> int:
+        snap = t.meta.current_snapshot()
+        return int(snap.summary.get("streaming-batch-id", -1)) if snap else -1
+
+    def commit(self, messages, batchId: int) -> None:
+        t = _detached_table(self.location)
+        if batchId <= self._last_batch_id(t):
+            self.abort(messages, batchId)  # replay after recovery: drop files
+            return
+        added = [f for m in messages if m is not None for f in m.files]
+        snap = t._commit_snapshot(t.meta.current_snapshot(), added, [])
+        snap.summary["streaming-batch-id"] = str(batchId)
+        t.meta.commit()  # persist the batch marker for recovery
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f.path)
+                except OSError:
+                    pass

@@ -178,3 +178,81 @@ def test_stream_starting_latest(spark, catalog, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("ds_latest_run").count() == 0
+
+
+# ----------------------------------------------------------------- write --
+
+
+def test_batch_write_append_matches_native(spark, catalog):
+    t, orders = _make_table(spark, catalog, name="ds_w")
+    register_datasource(spark)
+    extra = orders.where("o_orderkey % 100 = 11").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5
+    )
+    extra.write.format("icebergsql").mode("append").save(t.meta.location)
+    t.refresh()
+    assert t.meta.current_snapshot().operation == "append"
+    assert _rows(t.to_df()) == _rows(orders.unionAll(extra))
+    # footer stats landed: a selective scan prunes files
+    scan = t.scan(where="o_orderstatus = 'F'")
+    assert scan.files_scanned < len(t.meta.current_snapshot().live_files())
+
+
+def test_batch_write_overwrite(spark, catalog):
+    t, orders = _make_table(spark, catalog, name="ds_ow")
+    register_datasource(spark)
+    subset = orders.where("o_orderkey % 10 = 1")
+    subset.write.format("icebergsql").mode("overwrite").save(t.meta.location)
+    t.refresh()
+    assert t.meta.current_snapshot().operation == "overwrite"
+    assert _rows(t.to_df()) == _rows(subset)
+
+
+def test_batch_write_schema_mismatch_rejected(spark, catalog):
+    t, orders = _make_table(spark, catalog, name="ds_bad")
+    register_datasource(spark)
+    with pytest.raises(Exception, match="does not match table schema"):
+        orders.drop("o_orderpriority").write.format("icebergsql").mode(
+            "append"
+        ).save(t.meta.location)
+
+
+def test_stream_table_to_table(spark, catalog, tmp_path):
+    """Managed table A -> readStream -> writeStream -> managed table B:
+    both ends of the loop through the public source API, exactly-once on
+    resume (second availableNow run ships only A's delta, a third run with
+    no new data commits nothing)."""
+    src, orders = _make_table(spark, catalog, name="ds_a")
+    dst = catalog.create_table(
+        "ds_b", src.schema, partition_cols=["o_orderstatus"]
+    )
+    register_datasource(spark)
+    ckpt = str(tmp_path / "t2t")
+
+    def pump():
+        q = (
+            spark.readStream.format("icebergsql")
+            .load(src.meta.location)
+            .writeStream.format("icebergsql")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst.meta.location)
+        )
+        q.awaitTermination(120)
+        return dst.refresh()
+
+    pump()
+    assert _rows(dst.to_df()) == _rows(orders)
+
+    delta = orders.where("o_orderkey % 100 = 42").withColumn(
+        "o_custkey", F.col("o_custkey") + 1
+    )
+    src.insert(delta)
+    pump()
+    assert _rows(dst.to_df()) == _rows(orders.unionAll(delta))
+
+    n_snaps = len(dst.meta.snapshots)
+    pump()
+    # no new source data: no data batch, table content unchanged
+    assert _rows(dst.to_df()) == _rows(orders.unionAll(delta))
+    assert len(dst.meta.snapshots) <= n_snaps + 1  # at most an empty batch
