@@ -14,7 +14,9 @@ sql/iceberg/parsing/IceParser.scala:33-114) as a Python pre-rewriter — SURVEY
   - `` `t$snapshots` `` — 6-column legacy snapshot view
     (IceParser.scala:91-106 + TableUtils.scala:48-103). The reference's
     mini-parser only supports SELECT */cols over it; registering it as a temp
-    view makes ANY query shape work.
+    view makes ANY query shape work. `` `t$refs` `` (tags/branches) and
+    `` `t$files` `` (live data files with partition + counts) follow the
+    same route.
   - ``CREATE TABLE ... OPTIONS (addTableManagement 'true', columnDependencies
     '...') PARTITIONED BY (...)`` [+ AS SELECT] — managed table DDL
     (CreateIcebergTable.scala:28-68).
@@ -39,6 +41,7 @@ from icebergsql_spark.table import Catalog, ManagedTable
 _AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
 _REFS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$refs`")
+_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$files`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -344,6 +347,10 @@ class Engine:
             tbl = self.catalog.load_table(m)
             tbl.refs_df().createOrReplaceTempView(f"{m}__refs")
         text = _REFS_RE.sub(lambda mo: f"{mo.group(1)}__refs", text)
+        for m in set(_FILES_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.files_df().createOrReplaceTempView(f"{m}__files")
+        text = _FILES_RE.sub(lambda mo: f"{mo.group(1)}__files", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

@@ -504,3 +504,30 @@ def test_changes_hops_over_replace_snapshot(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-append"):
         tbl.changes(s1.snapshot_id)
+
+
+def test_files_metadata_view_sql(spark, tmp_path):
+    """`t$files` view: one row per live data file with partition JSON and
+    manifest-recorded counts — queryable with any SQL shape."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_files"))
+    eng.sql(
+        "CREATE TABLE tf (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    src = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    src.createOrReplaceTempView("tf_src")
+    eng.sql("INSERT INTO tf SELECT * FROM tf_src")
+
+    tbl = eng.table("tf")
+    live = tbl.meta.current_snapshot().live_files()
+    rows = eng.sql(
+        "SELECT partition, sum(record_count) AS rc, count(*) AS n "
+        "FROM `tf$files` GROUP BY partition ORDER BY partition"
+    ).collect()
+    assert sum(r["n"] for r in rows) == len(live)
+    assert sum(r["rc"] for r in rows) == 100
+    assert {r["partition"] for r in rows} == {'{"part": "0"}', '{"part": "1"}'}
