@@ -256,3 +256,38 @@ def test_stream_table_to_table(spark, catalog, tmp_path):
     # no new source data: no data batch, table content unchanged
     assert _rows(dst.to_df()) == _rows(orders.unionAll(delta))
     assert len(dst.meta.snapshots) <= n_snaps + 1  # at most an empty batch
+
+
+def test_filter_translation_soundness():
+    """Unit map of every supported DataSource Filter to the pruning AST;
+    unsupported shapes (nested columns) must become Residual — prune
+    nothing, even under NOT (the Residual soundness contract)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        Not,
+    )
+
+    from icebergsql_spark import expressions as X
+    from icebergsql_spark.catalog.metadata import ColStats
+    from icebergsql_spark.sources.datasource import _filters_to_pred, _one_filter
+
+    assert _one_filter(EqualTo(("a",), 5)) == X.Comparison("=", "a", 5)
+    assert _one_filter(LessThan(("a",), 5)) == X.Comparison("<", "a", 5)
+    assert _one_filter(GreaterThanOrEqual(("a",), 5)) == X.Comparison(">=", "a", 5)
+    assert _one_filter(In(("a",), (1, 2))) == X.In("a", (1, 2))
+    assert _one_filter(IsNull(("a",))) == X.IsNull("a")
+    assert _one_filter(Not(IsNotNull(("a",)))) == X.Not(X.NotNull("a"))
+    # nested column path: no stats exist -> must degrade to Residual
+    assert isinstance(_one_filter(EqualTo(("a", "b"), 5)), X.Residual)
+
+    # Not(Residual) must not prune: stats that refute nothing stay kept
+    pred = _filters_to_pred([Not(EqualTo(("a", "b"), 5))])
+    assert X.may_match(pred, {"a": ColStats(0, 10, 0, 100)})
+    # conjunction prunes when one conjunct refutes
+    pred = _filters_to_pred([EqualTo(("a",), 50), IsNotNull(("a",))])
+    assert not X.may_match(pred, {"a": ColStats(0, 10, 0, 100)})
