@@ -72,6 +72,16 @@ BENCH_QUERIES = [
     "sketch_countmin_heavyhitters",
     "ml_centroid_classifier",
     "managed_incremental_rollup",
+    # round-3 additions
+    "managed_merge_upsert",
+    "managed_delete_update",
+    "managed_streaming_upsert",
+    "datasource_read_pruned",
+    "text_sliding_chunks",
+    "text_vocab_topn",
+    "dedup_cluster_canonical",
+    "agg_histogram_quantiles",
+    "sketch_hll_estimate",
 ]
 
 
@@ -149,17 +159,33 @@ def main() -> None:
     from icebergsql_spark.operators.util import release_caches
 
     RUNS = 3
+    # Scenario queries that build a managed table / run a stream per call
+    # dominate wall time and have write-bound (not jitter-bound) timings:
+    # one run each keeps the bench under the driver's patience without
+    # losing the signal the median was added for.
+    HEAVY_SINGLE_RUN = {
+        "managed_compaction",
+        "managed_incremental_rollup",
+        "managed_merge_upsert",
+        "managed_delete_update",
+        "managed_streaming_upsert",
+        "datasource_read_pruned",
+        "emb_semantic_dedup",
+        "graph_pagerank",
+        "ml_kmeans_clusters",
+    }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
+        runs = 1 if name in HEAVY_SINGLE_RUN else RUNS
         samples = []
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.time()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
             release_caches()
-        timings[name] = round(sorted(samples)[RUNS // 2], 3)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     timings.update(managed_overhead(spark, sf_dir))
     total = round(sum(timings.values()), 3)

@@ -34,3 +34,4 @@ def load_all() -> None:
     import icebergsql_spark.plans.tpch2  # noqa: F401
     import icebergsql_spark.plans.tpch3  # noqa: F401
     import icebergsql_spark.plans.pipeline3  # noqa: F401
+    import icebergsql_spark.plans.pipeline4  # noqa: F401

@@ -733,3 +733,89 @@ def managed_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc "
         "FROM li_dml GROUP BY l_returnflag ORDER BY l_returnflag"
     )
+
+
+@register(
+    "managed_streaming_upsert",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_value,
+               CAST(MAX(epoch_ns(ts)) AS BIGINT) AS last_ts
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Streaming MERGE upsert end-to-end (streaming/ingest.py:"
+    "ManagedTableUpsertWriter): the events stream arrives in three "
+    "micro-batches (file source, maxFilesPerTrigger=1, availableNow); "
+    "each batch is pre-aggregated to one partial row per user and "
+    "MERGE'd into a bucket-partitioned managed mart with ACCUMULATING "
+    "update expressions (t.n + s.n / greatest(last_ts)), so the final "
+    "state equals the batch-independent aggregate the oracle computes "
+    "directly — the replay-convergence property a recovered stream "
+    "needs. Beyond-reference: the reference's streaming story stops at "
+    "INSERT (InsertIntoIcebergTable.scala:81-330); this composes the "
+    "copy-on-write MERGE primitive (table.py:merge) under foreachBatch "
+    "with exactly-once batch markers.",
+    tags=("managed", "streaming", "dml"),
+)
+def managed_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.streaming.ingest import ManagedTableUpsertWriter
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # stage the stream source: three parquet splits -> three micro-batches
+    src_dir = tempfile.mkdtemp(prefix="icebergsql-upsrc-")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-upwh-"))
+    tbl = eng.catalog.create_table(
+        "ev_upsert",
+        "user_id bigint, ub int, n bigint, cents bigint, last_ts bigint",
+        partition_cols=["ub"],
+    )
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "cents"
+                ),
+                F.max("ts").alias("last_ts"),
+            )
+            .select(
+                "user_id",
+                (F.col("user_id") % 8).cast("int").alias("ub"),
+                "n",
+                "cents",
+                "last_ts",
+            )
+        )
+
+    writer = ManagedTableUpsertWriter(
+        tbl,
+        keys=["user_id"],
+        prepare=prepare,
+        set_exprs={
+            "n": "t.n + s.n",
+            "cents": "t.cents + s.cents",
+            "last_ts": "greatest(t.last_ts, s.last_ts)",
+        },
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = writer.attach(stream, tempfile.mkdtemp(prefix="icebergsql-upck-"))
+    q.awaitTermination()
+    return eng.sql(
+        "SELECT user_id, n, CAST(cents AS DOUBLE) / 100.0 AS total_value, "
+        "last_ts FROM ev_upsert ORDER BY user_id"
+    )

@@ -1,0 +1,389 @@
+"""Round-3 pipeline wave 2: sliding-window chunking, vocabulary build,
+dedup-cluster canonical selection, deterministic histogram quantiles.
+
+The operators a training-data curation pipeline runs between "dedup" and
+"pack": chunk long documents into overlapping passages, build the token
+vocabulary that the tokenizer trainer consumes, pick one canonical
+representative per near-duplicate cluster, and summarize value
+distributions with a mergeable fixed-width histogram (the sketch shape
+that survives a 100 TB merge tree, unlike exact percentiles).
+
+Determinism contract as everywhere in this repo: integer counts, md5
+fingerprints (bit-identical in DuckDB), fixed-operand-order float ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators import dedup
+from icebergsql_spark.plans.pipeline import _DFCAP_PAIRS_CTES
+from icebergsql_spark.plans.registry import load_tables, register
+
+# ------------------------------------------------------------- chunking --
+
+_CHUNK_SIZE = 40
+_CHUNK_STRIDE = 20
+
+
+@register(
+    "text_sliding_chunks",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS t
+          FROM documents WHERE doc_id < 300
+        ),
+        starts AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(
+                   0, CAST(ceil(len(t) / {_CHUNK_STRIDE}.0) AS BIGINT) - 1
+                 )) AS j
+          FROM docs
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(j AS INT) AS pos,
+                 array_to_string(
+                   list_slice(t, j * {_CHUNK_STRIDE} + 1,
+                              j * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+                   AS chunk
+          FROM starts
+        )
+        SELECT doc_id, pos,
+               CAST(len(string_split(chunk, ' ')) AS INT) AS n_toks,
+               substring(md5(chunk), 1, 8) AS fp
+        FROM chunks
+        ORDER BY doc_id, pos
+    """,
+    doc="Overlapping sliding-window passage extraction (size=40 tokens, "
+    "stride=20) — the retrieval/pretraining chunking step. One narrow "
+    "map per doc (sequence + slice + concat inside codegen, no shuffle "
+    "until the final sort); chunk identity is an md5 fingerprint so the "
+    "output stays narrow. Tail chunks shorter than the window are kept, "
+    "matching the HuggingFace `return_overflowing_tokens` convention.",
+    tags=("pipeline", "text"),
+)
+def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 300
+    )
+    t = F.split(F.trim(F.col("text")), " ")
+    starts = F.expr(
+        f"sequence(0, cast(ceil(size(split(trim(text), ' ')) "
+        f"/ {_CHUNK_STRIDE}.0) as bigint) - 1)"
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda j: F.concat_ws(
+                    " ",
+                    F.slice(
+                        t,
+                        (j * _CHUNK_STRIDE + 1).cast("int"),
+                        F.lit(_CHUNK_SIZE),
+                    ),
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.size(F.split(F.col("chunk"), " ")).alias("n_toks"),
+            F.substring(F.md5(F.col("chunk")), 1, 8).alias("fp"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# ----------------------------------------------------------- vocabulary --
+
+
+@register(
+    "text_vocab_topn",
+    oracle="""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+          FROM docs
+        ),
+        vocab AS (
+          SELECT tok,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5
+        )
+        SELECT tok, df, tf FROM vocab
+        ORDER BY df DESC, tok LIMIT 30
+    """,
+    doc="Corpus vocabulary build: document frequency + term frequency per "
+    "token, min_df=5 cut, top-30 by (df DESC, tok) — the input a "
+    "WordPiece/BPE trainer consumes. One explode + one shuffle on token; "
+    "COUNT(DISTINCT doc_id) partial-aggregates map-side. At 100 TB the "
+    "min_df cut is what keeps the vocabulary shuffle bounded: hapax "
+    "legomena (the vast majority of distinct tokens) never survive the "
+    "partial aggregate's combiner.",
+    tags=("pipeline", "text"),
+)
+def text_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .filter(F.col("df") >= 5)
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(30)
+    )
+
+
+# ------------------------------------------------- canonical per cluster --
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+        WITH RECURSIVE
+        {_DFCAP_PAIRS_CTES},
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs
+        ),
+        cc(node, comp) AS (
+            SELECT DISTINCT src, src FROM edges
+          UNION
+            SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+        ),
+        labeled AS (
+          SELECT node, MIN(comp) AS component FROM cc GROUP BY node
+        ),
+        members AS (
+          SELECT l.component, l.node, d.n_chars
+          FROM labeled l JOIN documents d ON d.doc_id = l.node
+        ),
+        ranked AS (
+          SELECT component, node, n_chars,
+                 row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY n_chars DESC, node
+                 ) AS rk
+          FROM members
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+                 AS keep_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS chars_kept,
+               CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS chars_dropped
+        FROM ranked GROUP BY component ORDER BY component
+    """,
+    doc="Canonical-representative selection per near-duplicate cluster: "
+    "connected components over the candidate-driven Jaccard pair graph, "
+    "then keep the longest document (ties -> smallest doc_id) of each "
+    "cluster — the step that turns a dedup pair list into an actual "
+    "keep/drop decision (RefinedWeb / FineWeb keep-one policy). Component "
+    "labels come from the same min-label propagation as "
+    "dedup_connected_components; the representative is one windowed "
+    "rank over cluster members (shuffle keyed by component, which is "
+    "already the small side after dedup).",
+    tags=("pipeline", "dedup"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    pairs = dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=30)
+    comp = dedup.connected_components(pairs)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+                "chars_dropped"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+# ------------------------------------------- histogram-sketch quantiles --
+
+_HBUCKET_CENTS = 10_000_00  # $10,000-wide buckets over o_totalprice
+
+
+@register(
+    "agg_histogram_quantiles",
+    oracle=f"""
+        WITH h AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                   // {_HBUCKET_CENTS} AS bucket,
+                 COUNT(*) AS n
+          FROM orders GROUP BY 1
+        ),
+        c AS (
+          SELECT bucket, n,
+                 SUM(n) OVER (ORDER BY bucket) AS cum_n,
+                 SUM(n) OVER () AS total_n
+          FROM h
+        ),
+        q AS (
+          SELECT p, MIN(bucket) AS bucket,
+                 MIN(cum_n) AS cum_n, MIN(total_n) AS total_n
+          FROM c, (VALUES (50), (90), (99)) AS ps(p)
+          WHERE cum_n * 100 >= p * total_n
+          GROUP BY p
+        )
+        SELECT CAST(p AS INT) AS p,
+               CAST(bucket AS BIGINT) AS bucket,
+               CAST(bucket * {_HBUCKET_CENTS} AS BIGINT) / 100.0
+                 AS bucket_lo,
+               CAST(cum_n AS BIGINT) AS cum_n,
+               CAST(total_n AS BIGINT) AS total_n
+        FROM q ORDER BY p
+    """,
+    doc="Deterministic quantiles from a fixed-width histogram sketch over "
+    "o_totalprice: bucket counts (one map-side-combined shuffle, state = "
+    "O(buckets) and mergeable — the property exact percentiles lack at "
+    "100 TB), cumulative counts, then the smallest bucket whose cumulative "
+    "count covers p%% of rows. Integer arithmetic end to end; the bucket "
+    "boundary reported as dollars only in the final projection. Non-"
+    "negative domain so DuckDB's floor-div // and Spark's truncating DIV "
+    "agree (CLAUDE.md rule).",
+    tags=("relational", "sketch"),
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    h = (
+        orders.select(
+            (
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("cents")
+        )
+        .select(F.expr(f"cents div {_HBUCKET_CENTS}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = h.select(
+        "bucket",
+        "n",
+        F.sum("n")
+        .over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("n")
+        .over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total_n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("p")
+    )
+    q = (
+        c.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum_n") * 100 >= F.col("p") * F.col("total_n"))
+        .groupBy("p")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min("cum_n").alias("cum_n"),
+            F.min("total_n").alias("total_n"),
+        )
+    )
+    return q.select(
+        F.col("p").cast("int").alias("p"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        ((F.col("bucket") * _HBUCKET_CENTS).cast("bigint") / F.lit(100.0)).alias(
+            "bucket_lo"
+        ),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("total_n").cast("bigint").alias("total_n"),
+    ).orderBy("p")
+
+
+# ------------------------------------------------------ triangle counting --
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH
+        {_DFCAP_PAIRS_CTES},
+        deg AS (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+          ) GROUP BY node
+        ),
+        tri AS (
+          SELECT COUNT(*) AS n FROM pairs e1
+          JOIN pairs e2 ON e2.a = e1.b
+          JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+               CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+                 AS n_wedges,
+               CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+    doc="Exact triangle counting over the near-duplicate pair graph "
+    "(a<b<c ordered-edge two-hop join — the standard distributed "
+    "triangle algorithm; ordering each edge low->high makes every "
+    "triangle counted exactly once and caps the join fan-out by the "
+    "ordered out-degree). Wedge count (sum d*(d-1)/2) comes from one "
+    "aggregate, giving the global clustering coefficient 3T/W of the "
+    "dup graph — the density diagnostic that tells a curation pipeline "
+    "whether its duplicate clusters are cliques (true dup groups) or "
+    "chains (threshold too loose). Degrees are non-negative so DuckDB "
+    "// floor-div and Spark div agree.",
+    tags=("pipeline", "graph"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    e = dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=30).select("a", "b")
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return edges.crossJoin(wedges).crossJoin(tri)

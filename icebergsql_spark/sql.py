@@ -14,8 +14,9 @@ sql/iceberg/parsing/IceParser.scala:33-114) as a Python pre-rewriter — SURVEY
   - `` `t$snapshots` `` — 6-column legacy snapshot view
     (IceParser.scala:91-106 + TableUtils.scala:48-103). The reference's
     mini-parser only supports SELECT */cols over it; registering it as a temp
-    view makes ANY query shape work. `` `t$refs` `` (tags/branches) and
-    `` `t$files` `` (live data files with partition + counts) follow the
+    view makes ANY query shape work. `` `t$refs` `` (tags/branches),
+    `` `t$files` `` (live data files with partition + counts) and
+    `` `t$partitions` `` (per-partition file/record/byte totals) follow the
     same route.
   - ``CREATE TABLE ... OPTIONS (addTableManagement 'true', columnDependencies
     '...') PARTITIONED BY (...)`` [+ AS SELECT] — managed table DDL
@@ -42,6 +43,7 @@ _AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DO
 _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
 _REFS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$refs`")
 _FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$files`")
+_PARTITIONS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$partitions`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -351,6 +353,10 @@ class Engine:
             tbl = self.catalog.load_table(m)
             tbl.files_df().createOrReplaceTempView(f"{m}__files")
         text = _FILES_RE.sub(lambda mo: f"{mo.group(1)}__files", text)
+        for m in set(_PARTITIONS_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.partitions_df().createOrReplaceTempView(f"{m}__partitions")
+        text = _PARTITIONS_RE.sub(lambda mo: f"{mo.group(1)}__partitions", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

@@ -47,3 +47,71 @@ class ManagedTableWriter:
             .trigger(**trigger_kwargs)
             .start()
         )
+
+
+class ManagedTableUpsertWriter:
+    """Streaming MERGE upsert: each micro-batch is pre-aggregated to one
+    partial row per key, then MERGE'd into the managed table with
+    ACCUMULATING update expressions (``t.n + s.n`` style), so the final
+    table state is independent of how the stream was chopped into batches
+    — the property that makes a replayed/recovered stream converge to the
+    same answer. Exactly-once per batch via the same snapshot-summary
+    batch-id marker as :class:`ManagedTableWriter`.
+
+    The Iceberg-world analogue is a streaming `MERGE INTO` maintained mart;
+    the reference's surface stops at INSERT
+    (InsertIntoIcebergTable.scala:81-330), so this is a beyond-reference
+    extension built on the copy-on-write merge primitive (table.py:merge).
+
+    ``prepare``: callable batch_df -> per-key partial DataFrame (must emit
+    every key column plus the accumulator columns, one row per key).
+    ``set_exprs``: matched-row update expressions over aliases ``t``
+    (target) and ``s`` (source partial), e.g.
+    ``{"n": "t.n + s.n", "total": "t.total + s.total"}``.
+    """
+
+    def __init__(
+        self,
+        table: ManagedTable,
+        keys: list[str],
+        prepare,
+        set_exprs: dict[str, str],
+    ):
+        self.table = table
+        self.keys = list(keys)
+        self.prepare = prepare
+        self.set_exprs = dict(set_exprs)
+
+    def _last_batch_id(self) -> int:
+        self.table.refresh()
+        snap = self.table.meta.current_snapshot()
+        if snap is None:
+            return -1
+        return int(snap.summary.get("streaming-batch-id", -1))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self._last_batch_id():
+            return  # replayed batch after recovery — already merged
+        partial = self.prepare(batch_df)
+        if not partial.take(1):
+            return
+        snap = self.table.merge(
+            partial,
+            on=self.keys,
+            when_matched="update",
+            set_exprs=self.set_exprs,
+            when_not_matched_insert=True,
+        )
+        snap.summary["streaming-batch-id"] = str(batch_id)
+        self.table.meta.commit()
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger_kwargs):
+        """Start the streaming upsert (availableNow by default)."""
+        if not trigger_kwargs:
+            trigger_kwargs = {"availableNow": True}
+        return (
+            stream.writeStream.foreachBatch(self)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger_kwargs)
+            .start()
+        )

@@ -1343,6 +1343,55 @@ class ManagedTable:
             "deleted_manifests": deleted_manifests,
         }
 
+    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> int:
+        """Delete data files on disk referenced by NO snapshot (Iceberg's
+        ``remove_orphan_files`` maintenance op) — the debris of failed or
+        abandoned writes, which commit-then-rename protocols leave behind
+        and which ``expire_snapshots`` (reference-counting over metadata)
+        can never see.
+
+        Safety: only files older than ``older_than_s`` (mtime grace window,
+        default 3 days like Iceberg) are removed, so an in-flight write's
+        not-yet-committed files survive. The referenced-set spans ALL
+        snapshots (not just live ones) — time travel stays intact.
+
+        At 100 TB the listing side runs as a distributed file listing and
+        the set difference as an anti-join against the manifest DataFrame;
+        here the walk is driver-side over the table's own directory, whose
+        size the per-commit layout keeps proportional to table churn.
+
+        Returns the number of files deleted.
+        """
+        import time as _time
+
+        self.refresh()
+        referenced = {
+            f.path for s in self.meta.snapshots for f in s.live_files()
+        }
+        # deleted-but-still-tracked entries (overwritten files kept for
+        # time travel) are also referenced: walk every manifest entry
+        for s in self.meta.snapshots:
+            for p in s.manifest_paths:
+                referenced |= {f.path for f in Manifest(p).files()}
+        cutoff = _time.time() - older_than_s
+        removed = 0
+        for root, _dirs, files in os.walk(self.meta.data_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                if full in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) > cutoff:
+                        continue
+                    os.remove(full)
+                    removed += 1
+                except FileNotFoundError:
+                    continue
+        for root, dirs, files in os.walk(self.meta.data_dir, topdown=False):
+            if root != self.meta.data_dir and not files and not os.listdir(root):
+                os.rmdir(root)
+        return removed
+
     # ------------------------------------------------------------ reads --
 
     def scan(
@@ -1447,6 +1496,26 @@ class ManagedTable:
         ]
         return self.spark.createDataFrame(
             rows, "file_path string, partition string, record_count long, file_size long"
+        )
+
+    def partitions_df(self) -> DataFrame:
+        """Metadata table of live partitions (Iceberg `db.tbl.partitions`-
+        style): per-partition file/record/byte totals aggregated from the
+        manifest list — answers "how skewed is this table?" without
+        touching a single data file."""
+        snap = self.meta.current_snapshot()
+        agg: dict[str, list[int]] = {}
+        for f in snap.live_files() if snap else []:
+            key = __import__("json").dumps(f.partition, sort_keys=True)
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += f.record_count
+            a[2] += f.file_size
+        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long, "
+            "total_size long",
         )
 
 

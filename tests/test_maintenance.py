@@ -531,3 +531,92 @@ def test_files_metadata_view_sql(spark, tmp_path):
     assert sum(r["n"] for r in rows) == len(live)
     assert sum(r["rc"] for r in rows) == 100
     assert {r["partition"] for r in rows} == {'{"part": "0"}', '{"part": "1"}'}
+
+
+def test_partitions_metadata_view_sql(spark, tmp_path):
+    """`t$partitions` view: one row per live partition with file/record/
+    byte totals — the skew-inspection surface, answered from manifests
+    with zero data IO, consistent with `t$files`."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_parts"))
+    eng.sql(
+        "CREATE TABLE tp (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    src = spark.range(90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("part")
+    )
+    src.createOrReplaceTempView("tp_src")
+    eng.sql("INSERT INTO tp SELECT * FROM tp_src")
+    eng.sql("INSERT INTO tp SELECT * FROM tp_src")  # 2 files per partition
+
+    rows = eng.sql(
+        "SELECT partition, file_count, record_count, total_size "
+        "FROM `tp$partitions` ORDER BY partition"
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["file_count"] >= 2 for r in rows)
+    assert sum(r["record_count"] for r in rows) == 180
+    assert all(r["total_size"] > 0 for r in rows)
+
+    # agrees with the $files view aggregated the long way
+    agg = eng.sql(
+        "SELECT partition, count(*) AS fc, sum(record_count) AS rc "
+        "FROM `tp$files` GROUP BY partition"
+    ).collect()
+    by_part = {r["partition"]: (r["fc"], r["rc"]) for r in agg}
+    for r in rows:
+        assert by_part[r["partition"]] == (r["file_count"], r["record_count"])
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan cleanup: junk files in the data dir (failed-write debris)
+    older than the grace window are removed; every referenced file — live
+    or kept-for-time-travel — survives, and so do young orphans."""
+    import os
+    import time as _time
+
+    from icebergsql_spark.table import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh_orph"))
+    tbl = catalog.create_table(
+        "t_orph", "k bigint, part int", partition_cols=["part"]
+    )
+    src = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    tbl.insert(src)
+    tbl.insert(src, overwrite=True)  # first commit's files stay tracked
+
+    data_dir = tbl.meta.data_dir
+    old_orphan = os.path.join(data_dir, "deadbeef0000", "part=0", "junk.parquet")
+    os.makedirs(os.path.dirname(old_orphan), exist_ok=True)
+    open(old_orphan, "wb").write(b"not really parquet")
+    past = _time.time() - 10 * 24 * 3600
+    os.utime(old_orphan, (past, past))
+    young_orphan = os.path.join(data_dir, "deadbeef0001", "fresh.parquet")
+    os.makedirs(os.path.dirname(young_orphan), exist_ok=True)
+    open(young_orphan, "wb").write(b"in-flight write")
+
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir)
+        for f in fs
+        if "deadbeef" not in r
+    }
+    removed = tbl.remove_orphan_files()
+    assert removed == 1
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(young_orphan)  # grace window protects it
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir)
+        for f in fs
+        if "deadbeef" not in r
+    }
+    assert after == before  # no referenced file touched
+    # table still reads, including time travel to the pre-overwrite snapshot
+    assert tbl.to_df().count() == 40
+    first = tbl.meta.snapshots[0]
+    assert tbl.scan(snapshot_id=first.snapshot_id) is not None

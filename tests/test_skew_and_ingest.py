@@ -161,3 +161,68 @@ def test_jaccard_max_df_bounds_hot_shingles_on_stopword_corpus(spark):
     pairs = dedup.jaccard_pairs(docs, n=1, threshold=0.5, max_df=max_df)
     got = pairs.limit(5).collect()
     assert got and all(r.jaccard >= 0.5 for r in got)
+
+
+def test_streaming_upsert_converges_and_skips_replay(spark, tmp_path):
+    """Upsert writer: final mart state equals the batch-independent
+    aggregate; a replayed batch_id is a no-op (exactly-once)."""
+    from icebergsql_spark.streaming.ingest import ManagedTableUpsertWriter
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    src_dir = str(tmp_path / "upsrc")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    catalog = Catalog(spark, str(tmp_path / "upwh"))
+    tbl = catalog.create_table(
+        "ev_mart",
+        "user_id bigint, ub int, n bigint, last_ts bigint",
+        partition_cols=["ub"],
+    )
+
+    def prepare(batch_df):
+        return (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts"))
+            .select(
+                "user_id",
+                (F.col("user_id") % 4).cast("int").alias("ub"),
+                "n",
+                "last_ts",
+            )
+        )
+
+    writer = ManagedTableUpsertWriter(
+        tbl,
+        keys=["user_id"],
+        prepare=prepare,
+        set_exprs={"n": "t.n + s.n", "last_ts": "greatest(t.last_ts, s.last_ts)"},
+    )
+    q = writer.attach(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir),
+        str(tmp_path / "upck"),
+    )
+    q.awaitTermination(180)
+
+    expect = {
+        (r["user_id"], r["n"], r["last_ts"]) for r in prepare(ev).collect()
+    }
+    tbl.refresh()
+    got = {
+        (r["user_id"], r["n"], r["last_ts"]) for r in tbl.to_df().collect()
+    }
+    assert got == expect
+
+    # replayed batch: marker makes it a no-op
+    n_snaps = len(tbl.meta.snapshots)
+    writer(ev.limit(50), batch_id=0)
+    tbl.refresh()
+    assert len(tbl.meta.snapshots) == n_snaps
+    got2 = {
+        (r["user_id"], r["n"], r["last_ts"]) for r in tbl.to_df().collect()
+    }
+    assert got2 == expect
