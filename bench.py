@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "managed_merge_upsert",
     "managed_delete_update",
     "managed_streaming_upsert",
+    "managed_snapshot_diff",
     "datasource_read_pruned",
     "text_sliding_chunks",
     "text_vocab_topn",
@@ -169,6 +170,7 @@ def main() -> None:
         "managed_merge_upsert",
         "managed_delete_update",
         "managed_streaming_upsert",
+        "managed_snapshot_diff",
         "datasource_read_pruned",
         "emb_semantic_dedup",
         "graph_pagerank",

@@ -215,3 +215,47 @@ def test_dml_sql_verbs(spark, tmp_path):
         eng.sql("SELECT COUNT(*) AS n FROM d WHERE cat = 'm'").collect()[0].n
         == 10
     )
+
+
+def test_diff_keyed_changelog(spark, tbl):
+    """diff(): keyed CDC emits exactly insert/delete/update pre+post rows;
+    rows co-located in rewritten files but untouched must NOT appear."""
+    s1 = tbl.meta.current_snapshot()
+    tbl.update_where({"v": "v + 1000"}, "k % 10 = 0")
+    ch = tbl.diff(s1.snapshot_id, key_cols=["k"])
+    rows = {(r["k"], r["_change_type"], r["v"]) for r in ch.collect()}
+    expected = set()
+    for k in range(0, 300, 10):
+        expected.add((k, "update_preimage", float(k)))
+        expected.add((k, "update_postimage", float(k) + 1000.0))
+    assert rows == expected
+
+
+def test_diff_whole_row_and_file_short_circuit(spark, tbl):
+    """Whole-row diff labels multiplicity-correct inserts/deletes; common
+    files are skipped so an append-only delta reads zero old files."""
+    s1 = tbl.meta.current_snapshot()
+    extra = spark.createDataFrame(
+        [(1000, 5.0, "even", 0), (1001, 6.0, "odd", 1)], tbl.schema
+    )
+    tbl.insert(extra)
+    tbl.delete_where("k = 7")
+    ch = tbl.diff(s1.snapshot_id)
+    got = {(r["k"], r["_change_type"], r["_change_count"]) for r in ch.collect()}
+    assert got == {
+        (1000, "insert", 1),
+        (1001, "insert", 1),
+        (7, "delete", 1),
+    }
+    # append-only range: no old-side files at all (pure churn IO)
+    s2 = tbl.meta.snapshots[-2]  # snapshot after the extra insert
+    old = {f.path for f in s1.live_files()}
+    new = {f.path for f in s2.live_files()}
+    assert old <= new  # common files all skipped; old-only set is empty
+
+
+def test_diff_key_errors(spark, tbl):
+    with pytest.raises(ValueError, match="not in schema"):
+        tbl.diff(tbl.meta.current_snapshot().snapshot_id, key_cols=["nope"])
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tbl.diff(123456789)
