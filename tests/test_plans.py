@@ -310,3 +310,39 @@ def test_ohlc_is_single_aggregate_no_join(spark):
 def test_unigram_logprob_has_no_python(spark):
     plan = plan_of(spark, "text_unigram_logprob")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sliding_chunks_no_shuffle_before_sort(spark):
+    """Chunking is a per-doc narrow map: the only Exchange in the plan is
+    the final ORDER BY's range partitioning — no shuffle in the chunk
+    generation itself."""
+    plan = plan_of(spark, "text_sliding_chunks")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert all("rangepartitioning" in ln.lower() for ln in exchanges), plan
+
+
+def test_vocab_partial_aggregates_map_side(spark):
+    """Vocabulary build must partial-aggregate below its one token
+    shuffle: HashAggregate appears both before and after the Exchange."""
+    plan = plan_of(spark, "text_vocab_topn")
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_join_no_cartesian(spark):
+    """The two-hop triangle join is equi-keyed end to end — any cartesian
+    product would be quadratic in edges at scale."""
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # edges frame is reused three ways; the final combine of the three
+    # scalar aggregates may broadcast — that's the 1-row frames, fine.
+
+
+def test_histogram_quantiles_single_scan_aggregate(spark):
+    """The histogram sketch reads orders once and partial-aggregates the
+    bucket counts map-side before its shuffle."""
+    plan = plan_of(spark, "agg_histogram_quantiles")
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
