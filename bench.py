@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "managed_delete_update",
     "managed_streaming_upsert",
     "managed_snapshot_diff",
+    "managed_bloom_scan",
     "datasource_read_pruned",
     "text_sliding_chunks",
     "text_vocab_topn",
@@ -171,6 +172,7 @@ def main() -> None:
         "managed_delete_update",
         "managed_streaming_upsert",
         "managed_snapshot_diff",
+        "managed_bloom_scan",
         "datasource_read_pruned",
         "emb_semantic_dedup",
         "graph_pagerank",

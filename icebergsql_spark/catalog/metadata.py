@@ -69,14 +69,20 @@ class ColStats:
     max: Any = None
     null_count: int | None = None
     value_count: int | None = None
+    # optional per-file Bloom filter (base64 bit array, catalog/stats.py
+    # BLOOM_M_BITS/BLOOM_K layout) — equality/IN skipping beyond min/max
+    bloom: str | None = None
 
     def to_json(self):
-        return {
+        d = {
             "min": encode_value(self.min),
             "max": encode_value(self.max),
             "nulls": self.null_count,
             "count": self.value_count,
         }
+        if self.bloom is not None:
+            d["bloom"] = self.bloom
+        return d
 
     @classmethod
     def from_json(cls, d):
@@ -85,6 +91,7 @@ class ColStats:
             max=decode_value(d.get("max")),
             null_count=d.get("nulls"),
             value_count=d.get("count"),
+            bloom=d.get("bloom"),
         )
 
 

@@ -171,3 +171,108 @@ def collect_stats(
         return dict(sc.parallelize(paths, n_parts).mapPartitions(part).collect())
     with ThreadPoolExecutor(max_workers=16) as ex:
         return dict(zip(paths, ex.map(reader, paths)))
+
+
+# ------------------------------------------------- per-file Bloom filters --
+#
+# Equality/IN file skipping beyond min/max (Iceberg spec v1 does this with
+# parquet bloom filters; Delta with file-level blooms). Deterministic md5
+# hashing so the Spark-side build and the Python-side probe agree exactly.
+# Layout: BLOOM_M_BITS bits as BLOOM_M_BITS//64 little-endian int64 words,
+# base64-encoded. A set bit can never be missed by the probe, so pruning is
+# sound (no false negatives by construction); false positives only cost IO.
+
+BLOOM_M_BITS = 65536  # default; override per table via bloom.filter.bits
+BLOOM_K = 4
+
+# only value types whose CAST(col AS STRING) in Spark equals Python str()
+# of the predicate literal — soundness depends on identical canonical forms
+BLOOM_SUPPORTED_SPARK_TYPES = ("string", "int", "bigint", "smallint", "tinyint", "long", "integer", "short", "byte")
+
+
+def bloom_positions(value_str: str, m_bits: int = BLOOM_M_BITS) -> list[int]:
+    """The BLOOM_K bit positions for one canonical value (md5-derived;
+    must mirror the Spark expression in collect_blooms exactly)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value_str}#{i}".encode()).hexdigest()[:8], 16)
+        % m_bits
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_may_contain(b64: str, value_str: str) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    m_bits = len(bits) * 8  # filter size rides in the blob itself
+    for p in bloom_positions(value_str, m_bits):
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
+
+def collect_blooms(
+    spark, paths: list[str], cols: list[str], m_bits: int = BLOOM_M_BITS
+) -> dict[str, dict[str, str]]:
+    """One distributed pass over the written files (bloom columns only,
+    column-pruned scan) building a Bloom filter per (file, column).
+
+    Shape at scale: explode O(rows·k) positions, partial-aggregate the
+    bit_or map-side, shuffle keyed by (file, word) — at most
+    files × BLOOM_M_BITS/64 rows reach the driver, independent of row
+    count. Returns {file_path: {col: base64_bits}}."""
+    import base64
+    import urllib.parse as _u
+
+    from pyspark.sql import functions as F
+
+    if not paths or not cols:
+        return {}
+    df = spark.read.parquet(*paths).select(
+        F.input_file_name().alias("__f"), *cols
+    )
+    out: dict[str, dict[str, str]] = {}
+    for col in cols:
+        canon = F.col(col).cast("string")
+        pos = F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(canon, F.lit(f"#{i}"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % m_bits
+                )
+                for i in range(BLOOM_K)
+            ]
+        )
+        words = (
+            df.filter(F.col(col).isNotNull())
+            .select("__f", F.explode(pos).alias("p"))
+            .select(
+                "__f",
+                F.expr("p div 64").alias("w"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                    "m"
+                ),
+            )
+            .groupBy("__f", "w")
+            .agg(F.expr("bit_or(m)").alias("bits"))
+            .collect()
+        )
+        n_words = m_bits // 64
+        per_file: dict[str, list[int]] = {}
+        for r in words:
+            path = _u.unquote(_u.urlparse(r["__f"]).path)
+            per_file.setdefault(path, [0] * n_words)[r["w"]] = r["bits"]
+        for path, arr in per_file.items():
+            raw = b"".join(
+                (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in arr
+            )
+            out.setdefault(path, {})[col] = base64.b64encode(raw).decode()
+    return out

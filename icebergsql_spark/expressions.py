@@ -376,6 +376,21 @@ def _le(a, b):
     return a <= b
 
 
+def _bloom_admits(st, v) -> bool:
+    """Per-file Bloom probe for equality literals (catalog/stats.py
+    layout). Sound: only int/str literals probe (their Python str() equals
+    Spark's CAST AS STRING canonical form, which the build used); anything
+    else — floats, dates, bools — returns True (no pruning). A False here
+    means the value is DEFINITELY absent from the file."""
+    if getattr(st, "bloom", None) is None:
+        return True
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return True
+    from icebergsql_spark.catalog.stats import bloom_may_contain
+
+    return bloom_may_contain(st.bloom, str(v))
+
+
 def may_match(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F821
     """Can a file with these column stats contain a row matching pred?
 
@@ -414,10 +429,13 @@ def may_match(pred: Pred, stats: dict[str, "ColStats"]) -> bool:  # noqa: F821
             return True
         try:
             if isinstance(pred, In):
-                return any(_le(st.min, v) and _le(v, st.max) for v in pred.values)
+                return any(
+                    _le(st.min, v) and _le(v, st.max) and _bloom_admits(st, v)
+                    for v in pred.values
+                )
             v = pred.value
             if pred.op == "=":
-                return _le(st.min, v) and _le(v, st.max)
+                return _le(st.min, v) and _le(v, st.max) and _bloom_admits(st, v)
             if pred.op == "!=":
                 return not (st.min == st.max == v)
             if pred.op == "<":

@@ -897,3 +897,54 @@ def managed_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_change_type")
     )
+
+
+@register(
+    "managed_bloom_scan",
+    oracle="""
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem WHERE l_orderkey IN (1, 2, 32)
+        GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    doc="Per-file Bloom-filter skipping end-to-end (catalog/stats.py:"
+    "collect_blooms + expressions.py:_bloom_admits): lineitem written "
+    "hash-distributed by l_orderkey into a table with "
+    "bloom.filter.columns=l_orderkey, then an IN-list point lookup must "
+    "plan at most |IN| files (the blooms separate files whose min/max "
+    "ranges all overlap) while returning exactly the oracle's rows. "
+    "This is the needle-in-haystack shape where range stats are useless "
+    "— at 100 TB the difference between scanning 3 files and 10,000. "
+    "Beyond-reference (min/max + partition pruning only, "
+    "IceTableScanExec.scala:76-82); follows the Iceberg-spec/Delta "
+    "file-level bloom design.",
+    tags=("managed", "pruning", "bloom"),
+)
+def managed_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _fresh_catalog(spark).create_table(
+        "li_bloom",
+        _LI_DDL,
+        partition_cols=["l_shipyear"],
+        properties={"bloom.filter.columns": "l_orderkey"},
+    )
+    tbl.insert(
+        _lineitem_with_year(spark, sf_dir), distribute_by=["l_orderkey"]
+    )
+    scan = tbl.scan(where="l_orderkey IN (1, 2, 32)")
+    live = len(tbl.meta.current_snapshot().live_files())
+    # bloom pruning must beat min/max: at most one file per probed key per
+    # partition that truly contains it (false positives permitted but the
+    # hash-distributed layout makes them vanishingly unlikely to add many)
+    assert scan.files_scanned < live, (scan.files_scanned, live)
+    return (
+        scan.dataframe()
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_orderkey")
+    )

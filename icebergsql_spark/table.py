@@ -221,6 +221,41 @@ class Catalog:
             raise TableValidationError("managed tables must not be bucketed")
         if "columnDependencies" in properties:
             parse_column_dependencies(properties["columnDependencies"], cols)
+        if "bloom.filter.columns" in properties:
+            if file_format != "parquet":
+                raise TableValidationError(
+                    "bloom.filter.columns requires parquet tables"
+                )
+            from icebergsql_spark.catalog.stats import (
+                BLOOM_SUPPORTED_SPARK_TYPES,
+            )
+
+            by_name = {f.name: f for f in schema.fields}
+            for bc in properties["bloom.filter.columns"].split(","):
+                bc = bc.strip()
+                f = by_name.get(bc)
+                if f is None:
+                    raise TableValidationError(
+                        f"bloom.filter column {bc!r} not in schema"
+                    )
+                if bc in partition_cols:
+                    raise TableValidationError(
+                        f"bloom.filter column {bc!r} is a partition column "
+                        "(already exactly pruned; not stored in data files)"
+                    )
+                if f.dataType.simpleString() not in BLOOM_SUPPORTED_SPARK_TYPES:
+                    raise TableValidationError(
+                        f"bloom.filter column {bc!r} must be integer or "
+                        f"string (canonical-form soundness), got "
+                        f"{f.dataType.simpleString()}"
+                    )
+            bits = properties.get("bloom.filter.bits")
+            if bits is not None and (
+                not str(bits).isdigit() or int(bits) < 64 or int(bits) % 64
+            ):
+                raise TableValidationError(
+                    "bloom.filter.bits must be a multiple of 64, >= 64"
+                )
         meta = TableMetadata(
             location=self.table_location(name),
             table_uuid=str(uuid.uuid4()),
@@ -261,6 +296,11 @@ class ManagedTable:
     @property
     def file_format(self) -> str:
         return self.meta.properties.get("write.format", "parquet")
+
+    @property
+    def bloom_filter_cols(self) -> list[str]:
+        opt = self.meta.properties.get("bloom.filter.columns", "")
+        return [c.strip() for c in opt.split(",") if c.strip()]
 
     @property
     def column_dependencies(self):
@@ -664,6 +704,25 @@ class ManagedTable:
                     paths.append(os.path.join(root, fn))
         paths.sort()
         stats_map = collect_stats(paths, spark=self.spark, file_format=fmt)
+        bloom_cols = self.bloom_filter_cols if fmt == "parquet" else []
+        if bloom_cols:
+            from icebergsql_spark.catalog.stats import collect_blooms
+
+            # columns may not exist in every era; only build for current
+            present = {f.name for f in self.schema.fields}
+            m_bits = int(
+                self.meta.properties.get("bloom.filter.bits", 0)
+            ) or None
+            blooms = collect_blooms(
+                self.spark,
+                paths,
+                [c for c in bloom_cols if c in present],
+                **({"m_bits": m_bits} if m_bits else {}),
+            )
+            for p, by_col in blooms.items():
+                _rows, _size, stats = stats_map[p]
+                for c, b64 in by_col.items():
+                    stats.setdefault(c, ColStats()).bloom = b64
         out = []
         for p in paths:
             n_rows, size, stats = stats_map[p]
