@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "dedup_cluster_canonical",
     "agg_histogram_quantiles",
     "sketch_hll_estimate",
+    "events_anomaly_mad",
+    "events_stream_dedup",
 ]
 
 
@@ -174,6 +176,7 @@ def main() -> None:
         "managed_snapshot_diff",
         "managed_bloom_scan",
         "datasource_read_pruned",
+        "events_stream_dedup",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",

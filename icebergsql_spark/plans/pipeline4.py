@@ -387,3 +387,122 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return edges.crossJoin(wedges).crossJoin(tri)
+
+
+# ------------------------------------------------------ robust outliers --
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS d
+          FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(d, 0.5) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               round(MIN(dev.med), 6) AS med,
+               round(MIN(mad.mad), 6) AS mad,
+               CAST(SUM(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dev JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+    doc="Robust anomaly detection per event type: median + median absolute "
+    "deviation (the outlier-resistant alternative to z-scores — one wild "
+    "value cannot move the threshold the way it moves a mean/stddev), "
+    "flagging |x - med| > 5*MAD. Exact medians via percentile (DuckDB "
+    "quantile_cont bit-matches Spark percentile); the per-group median is "
+    "broadcast back over the events in one small-side join, so the shape "
+    "is two grouped aggregates + two broadcast joins — no window over the "
+    "full table. At 100 TB exact medians would switch to the histogram-"
+    "sketch quantiles (agg_histogram_quantiles) with identical plumbing.",
+    tags=("pipeline", "events"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 5 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- streaming exact dedup --
+
+
+@register(
+    "events_stream_dedup",
+    oracle="""
+        SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Stateful streaming exact dedup (dropDuplicates on event_id across "
+    "micro-batches): the full events table arrives TWICE in two file-"
+    "source micro-batches, and the deduped sink must equal the batch "
+    "COUNT(DISTINCT) — exactly-once event semantics over an at-least-once "
+    "transport, the kafka-consumer reality. State is the seen-key set "
+    "(one entry per distinct id, hash-partitioned); production bounds it "
+    "with dropDuplicatesWithinWatermark, same plumbing.",
+    tags=("pipeline", "streaming"),
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sdsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-sdout-")
+    # the same rows twice -> two micro-batches -> duplicates SPAN batches
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-sdck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .orderBy("event_type")
+    )

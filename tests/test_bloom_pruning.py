@@ -138,3 +138,18 @@ def test_bloom_spark_python_hash_parity(spark):
     )
     for r in rows:
         assert [r[f"p{i}"] for i in range(4)] == bloom_positions(r["v"])
+
+
+def test_bloom_composes_with_datasource_read(spark, btbl):
+    """The Python Data Source plans through the same may_match, so a
+    pushed equality filter bloom-prunes its read tasks too."""
+    from icebergsql_spark.sources.datasource import register_datasource
+
+    register_datasource(spark)
+    df = (
+        spark.read.format("icebergsql")
+        .load(btbl.meta.location)
+        .filter(F.col("k") == 42)
+    )
+    rows = df.collect()
+    assert [r["k"] for r in rows] == [42]
