@@ -94,6 +94,21 @@ _VACUUM_RE = re.compile(
     r"^\s*vacuum\s+(?P<name>[`\w.]+)(?:\s+retain\s+(?P<n>\d+)\s+snapshots)?\s*$",
     re.IGNORECASE,
 )
+_VACUUM_ORPHANS_RE = re.compile(
+    r"^\s*vacuum\s+(?P<name>[`\w.]+)\s+orphans"
+    r"(?:\s+older\s+than\s+(?P<h>\d+)\s+hours)?\s*$",
+    re.IGNORECASE,
+)
+_SET_PROPS_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+set\s+tblproperties\s*"
+    r"\((?P<kv>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNSET_PROPS_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+unset\s+tblproperties\s*"
+    r"\((?P<ks>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE_RE = re.compile(
     r"^\s*delete\s+from\s+`?(?P<name>\w+)`?\s*"
     r"(?:where\s+(?P<pred>.+))?\s*$",
@@ -622,6 +637,45 @@ class Engine:
                     )
                 ],
                 "rewritten boolean, files_added int, files_removed int",
+            )
+
+        spm = _SET_PROPS_RE.match(text)
+        if spm and self.catalog.table_exists(spm.group("name").strip("`")):
+            # ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...) — metadata-only
+            # commit with bloom/columnDependencies validation (table.py)
+            tbl = self.catalog.load_table(spm.group("name").strip("`"))
+            props = dict(
+                re.findall(r"'([^']+)'\s*=\s*'([^']*)'", spm.group("kv"))
+            )
+            if not props:
+                raise ValueError("SET TBLPROPERTIES needs 'k'='v' pairs")
+            merged = tbl.set_properties(props)
+            return self.spark.createDataFrame(
+                sorted(merged.items()), "key string, value string"
+            )
+
+        upm = _UNSET_PROPS_RE.match(text)
+        if upm and self.catalog.table_exists(upm.group("name").strip("`")):
+            tbl = self.catalog.load_table(upm.group("name").strip("`"))
+            keys = re.findall(r"'([^']+)'", upm.group("ks"))
+            if not keys:
+                raise ValueError("UNSET TBLPROPERTIES needs 'k' names")
+            merged = tbl.set_properties(unset=keys)
+            return self.spark.createDataFrame(
+                sorted(merged.items()) or [("", "")],
+                "key string, value string",
+            )
+
+        vom = _VACUUM_ORPHANS_RE.match(text)
+        if vom and self.catalog.table_exists(vom.group("name").strip("`")):
+            # VACUUM t ORPHANS [OLDER THAN n HOURS] — the SQL verb for
+            # remove_orphan_files() (failed-write debris, grace-windowed)
+            tbl = self.catalog.load_table(vom.group("name").strip("`"))
+            hours = vom.group("h")
+            kwargs = {"older_than_s": int(hours) * 3600} if hours else {}
+            removed = tbl.remove_orphan_files(**kwargs)
+            return self.spark.createDataFrame(
+                [(removed,)], "deleted_orphan_files int"
             )
 
         vm = _VACUUM_RE.match(text)

@@ -105,6 +105,51 @@ def validate_schema_types(dtype: T.DataType, path: str = "") -> None:
     )
 
 
+def _validate_bloom_properties(
+    properties: dict,
+    schema: T.StructType,
+    partition_cols: list[str],
+    file_format: str,
+) -> None:
+    """Shared by CREATE TABLE and ALTER ... SET TBLPROPERTIES: bloom
+    columns must be non-partition int/string columns of a parquet table
+    (canonical-form soundness, see catalog/stats.py), and the filter size
+    a positive multiple of 64 bits."""
+    if "bloom.filter.columns" in properties:
+        if file_format != "parquet":
+            raise TableValidationError(
+                "bloom.filter.columns requires parquet tables"
+            )
+        from icebergsql_spark.catalog.stats import BLOOM_SUPPORTED_SPARK_TYPES
+
+        by_name = {f.name: f for f in schema.fields}
+        for bc in properties["bloom.filter.columns"].split(","):
+            bc = bc.strip()
+            f = by_name.get(bc)
+            if f is None:
+                raise TableValidationError(
+                    f"bloom.filter column {bc!r} not in schema"
+                )
+            if bc in partition_cols:
+                raise TableValidationError(
+                    f"bloom.filter column {bc!r} is a partition column "
+                    "(already exactly pruned; not stored in data files)"
+                )
+            if f.dataType.simpleString() not in BLOOM_SUPPORTED_SPARK_TYPES:
+                raise TableValidationError(
+                    f"bloom.filter column {bc!r} must be integer or "
+                    f"string (canonical-form soundness), got "
+                    f"{f.dataType.simpleString()}"
+                )
+    bits = properties.get("bloom.filter.bits")
+    if bits is not None and (
+        not str(bits).isdigit() or int(bits) < 64 or int(bits) % 64
+    ):
+        raise TableValidationError(
+            "bloom.filter.bits must be a multiple of 64, >= 64"
+        )
+
+
 def _avro_datasource_available(spark: SparkSession) -> bool:
     """True when the external spark-avro module is on the classpath.
 
@@ -221,41 +266,9 @@ class Catalog:
             raise TableValidationError("managed tables must not be bucketed")
         if "columnDependencies" in properties:
             parse_column_dependencies(properties["columnDependencies"], cols)
-        if "bloom.filter.columns" in properties:
-            if file_format != "parquet":
-                raise TableValidationError(
-                    "bloom.filter.columns requires parquet tables"
-                )
-            from icebergsql_spark.catalog.stats import (
-                BLOOM_SUPPORTED_SPARK_TYPES,
-            )
-
-            by_name = {f.name: f for f in schema.fields}
-            for bc in properties["bloom.filter.columns"].split(","):
-                bc = bc.strip()
-                f = by_name.get(bc)
-                if f is None:
-                    raise TableValidationError(
-                        f"bloom.filter column {bc!r} not in schema"
-                    )
-                if bc in partition_cols:
-                    raise TableValidationError(
-                        f"bloom.filter column {bc!r} is a partition column "
-                        "(already exactly pruned; not stored in data files)"
-                    )
-                if f.dataType.simpleString() not in BLOOM_SUPPORTED_SPARK_TYPES:
-                    raise TableValidationError(
-                        f"bloom.filter column {bc!r} must be integer or "
-                        f"string (canonical-form soundness), got "
-                        f"{f.dataType.simpleString()}"
-                    )
-            bits = properties.get("bloom.filter.bits")
-            if bits is not None and (
-                not str(bits).isdigit() or int(bits) < 64 or int(bits) % 64
-            ):
-                raise TableValidationError(
-                    "bloom.filter.bits must be a multiple of 64, >= 64"
-                )
+        _validate_bloom_properties(
+            properties, schema, partition_cols, file_format
+        )
         meta = TableMetadata(
             location=self.table_location(name),
             table_uuid=str(uuid.uuid4()),
@@ -1088,6 +1101,42 @@ class ManagedTable:
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def set_properties(
+        self,
+        props: dict[str, str] | None = None,
+        unset: list[str] | None = None,
+    ) -> dict[str, str]:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES: metadata-only commit.
+        Bloom properties are validated against the current schema;
+        newly-enabled bloom columns apply to FUTURE writes (existing files
+        gain filters on their next rewrite — compaction or DML), exactly
+        like Iceberg's write-config properties. Returns the new map."""
+        self.refresh()
+        merged = dict(self.meta.properties)
+        merged.update(props or {})
+        for k in unset or []:
+            merged.pop(k, None)
+        protected = {"write.format"}
+        for k in protected:
+            if (self.meta.properties.get(k) is not None) != (
+                merged.get(k) is not None
+            ) or self.meta.properties.get(k) != merged.get(k):
+                raise TableValidationError(
+                    f"property {k!r} is immutable after CREATE"
+                )
+        if "columnDependencies" in (props or {}):
+            parse_column_dependencies(
+                merged["columnDependencies"],
+                [f.name for f in self.schema.fields],
+            )
+        _validate_bloom_properties(
+            merged, self.schema, self.meta.partition_cols, self.file_format
+        )
+        self.meta.properties.clear()
+        self.meta.properties.update(merged)
+        self.meta.commit()
+        return dict(merged)
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
         """Point the table back at an earlier snapshot (Iceberg

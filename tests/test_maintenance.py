@@ -620,3 +620,70 @@ def test_remove_orphan_files(spark, tmp_path):
     assert tbl.to_df().count() == 40
     first = tbl.meta.snapshots[0]
     assert tbl.scan(snapshot_id=first.snapshot_id) is not None
+
+
+def test_set_unset_tblproperties_sql(spark, tmp_path):
+    """ALTER TABLE SET/UNSET TBLPROPERTIES: metadata-only, validated, and
+    newly-enabled bloom columns take effect for subsequent writes."""
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.table import TableValidationError
+
+    eng = Engine(spark, str(tmp_path / "wh_props"))
+    eng.sql(
+        "CREATE TABLE tpr (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    out = eng.sql(
+        "ALTER TABLE tpr SET TBLPROPERTIES "
+        "('bloom.filter.columns'='k', 'owner'='pipeline')"
+    ).collect()
+    props = {r["key"]: r["value"] for r in out}
+    assert props["bloom.filter.columns"] == "k"
+    assert props["owner"] == "pipeline"
+
+    tbl = eng.table("tpr")
+    src = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"),
+        F.lit(0).cast("int").alias("part"),
+    )
+    tbl.insert(src.coalesce(1))
+    f = tbl.meta.current_snapshot().live_files()[0]
+    assert f.stats["k"].bloom is not None  # write-config applied
+
+    out2 = eng.sql("ALTER TABLE tpr UNSET TBLPROPERTIES ('owner')").collect()
+    assert "owner" not in {r["key"] for r in out2}
+
+    # validation still bites through SQL
+    import pytest as _pt
+    with _pt.raises(TableValidationError, match="integer or string"):
+        eng.sql("ALTER TABLE tpr SET TBLPROPERTIES ('bloom.filter.columns'='v')")
+    with _pt.raises(TableValidationError, match="immutable"):
+        eng.sql("ALTER TABLE tpr SET TBLPROPERTIES ('write.format'='orc')")
+
+
+def test_vacuum_orphans_sql(spark, tmp_path):
+    """VACUUM t ORPHANS OLDER THAN n HOURS drives remove_orphan_files."""
+    import os
+    import time as _time
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_vo"))
+    eng.sql(
+        "CREATE TABLE tvo (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    tbl = eng.table("tvo")
+    src = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).cast("int").alias("part")
+    )
+    tbl.insert(src)
+    junk = os.path.join(tbl.meta.data_dir, "deadc0de", "junk.parquet")
+    os.makedirs(os.path.dirname(junk), exist_ok=True)
+    open(junk, "wb").write(b"x")
+    past = _time.time() - 7200
+    os.utime(junk, (past, past))
+    n = eng.sql("VACUUM tvo ORPHANS OLDER THAN 1 HOURS").collect()[0][0]
+    assert n == 1
+    assert not os.path.exists(junk)
+    assert tbl.to_df().count() == 10
