@@ -478,6 +478,15 @@ class ManagedTable:
         out_dir = os.path.join(self.meta.data_dir, commit_id)
         part_cols = self.meta.partition_cols
         write_df = df
+        if distribute_by is None:
+            # write.distribution.cols table property = Iceberg's
+            # write.distribution-mode=hash as standing config: every writer
+            # clusters rows on these columns, which (a) caps small files —
+            # one file per (task, partition-dir) instead of every task
+            # spraying every dir — and (b) localizes each key to one file,
+            # which is what makes per-file bloom skipping decisive
+            opt = self.meta.properties.get("write.distribution.cols", "")
+            distribute_by = [c.strip() for c in opt.split(",") if c.strip()]
         if distribute_by:
             write_df = write_df.repartition(*[F.col(c) for c in distribute_by])
         for pc in part_cols:

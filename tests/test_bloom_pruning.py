@@ -153,3 +153,29 @@ def test_bloom_composes_with_datasource_read(spark, btbl):
     )
     rows = df.collect()
     assert [r["k"] for r in rows] == [42]
+
+
+def test_write_distribution_property_clusters_writes(spark, tmp_path):
+    """write.distribution.cols: inserts hash-cluster on the property's
+    columns without the caller passing distribute_by — each key lands in
+    exactly one file, so bloom point lookups plan one file."""
+    cat = Catalog(spark, str(tmp_path / "wh_wd"))
+    t = cat.create_table(
+        "twd",
+        "k bigint, part int",
+        partition_cols=["part"],
+        properties={
+            "bloom.filter.columns": "k",
+            "write.distribution.cols": "k",
+        },
+    )
+    src = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    t.insert(src)  # no distribute_by argument
+    live = t.meta.current_snapshot().live_files()
+    assert len(live) > 1
+    for k in (0, 123, 499):
+        scan = t.scan(where=f"k = {k}")
+        assert scan.files_scanned == 1, (k, scan.files_scanned)
+        assert [r["k"] for r in scan.dataframe().collect()] == [k]
