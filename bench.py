@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "sketch_hll_estimate",
     "events_anomaly_mad",
     "events_stream_dedup",
+    "managed_incremental_minhash",
+    "graph_triangle_count",
 ]
 
 
@@ -177,6 +179,7 @@ def main() -> None:
         "managed_bloom_scan",
         "datasource_read_pruned",
         "events_stream_dedup",
+        "managed_incremental_minhash",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",
