@@ -346,3 +346,11 @@ def test_histogram_quantiles_single_scan_aggregate(spark):
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mad_uses_broadcast_joins(spark):
+    """events_anomaly_mad joins per-group medians back to the events via
+    broadcast — never a shuffle join keyed by the full table."""
+    plan = plan_of(spark, "events_anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
