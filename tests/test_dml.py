@@ -259,3 +259,43 @@ def test_diff_key_errors(spark, tbl):
         tbl.diff(tbl.meta.current_snapshot().snapshot_id, key_cols=["nope"])
     with pytest.raises(ValueError, match="unknown snapshot"):
         tbl.diff(123456789)
+
+
+def test_diff_matches_state_recompute(spark, tbl):
+    """Cross-check: after a mixed DML sequence (update + delete + insert),
+    diff(s1) keyed by k must equal the change set derived independently
+    from the two full table states (time-travel read vs current read)."""
+    s1 = tbl.meta.current_snapshot()
+    tbl.update_where({"v": "v * 2"}, "k % 7 = 0")
+    tbl.delete_where("k % 11 = 3")
+    extra = spark.createDataFrame(
+        [(900, 1.5, "even", 0), (901, 2.5, "odd", 1)], tbl.schema
+    )
+    tbl.insert(extra)
+
+    old = {r["k"]: r for r in tbl.scan(snapshot_id=s1.snapshot_id)
+           .dataframe().collect()}
+    new = {r["k"]: r for r in tbl.to_df().collect()}
+    expected = set()
+    for k in old.keys() - new.keys():
+        expected.add((k, "delete"))
+    for k in new.keys() - old.keys():
+        expected.add((k, "insert"))
+    for k in old.keys() & new.keys():
+        if old[k]["v"] != new[k]["v"]:
+            expected.add((k, "update_preimage"))
+            expected.add((k, "update_postimage"))
+
+    got = {
+        (r["k"], r["_change_type"])
+        for r in tbl.diff(s1.snapshot_id, key_cols=["k"]).collect()
+    }
+    assert got == expected
+    # payload integrity on a sampled update
+    some_k = next(k for k, t in expected if t == "update_postimage")
+    post = [
+        r["v"]
+        for r in tbl.diff(s1.snapshot_id, key_cols=["k"]).collect()
+        if r["k"] == some_k and r["_change_type"] == "update_postimage"
+    ]
+    assert post == [new[some_k]["v"]]
