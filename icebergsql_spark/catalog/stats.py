@@ -216,13 +216,19 @@ def bloom_may_contain(b64: str, value_str: str) -> bool:
 def collect_blooms(
     spark, paths: list[str], cols: list[str], m_bits: int = BLOOM_M_BITS
 ) -> dict[str, dict[str, str]]:
-    """One distributed pass over the written files (bloom columns only,
+    """ONE distributed pass over the written files (bloom columns only,
     column-pruned scan) building a Bloom filter per (file, column).
 
-    Shape at scale: explode O(rows·k) positions, partial-aggregate the
-    bit_or map-side, shuffle keyed by (file, word) — at most
-    files × BLOOM_M_BITS/64 rows reach the driver, independent of row
-    count. Returns {file_path: {col: base64_bits}}."""
+    All columns are hashed in the same job: each row contributes a
+    column-tagged position array per bloom column, and the k·|cols|
+    positions are exploded together — one scan, one shuffle, regardless
+    of how many bloom columns the table declares (a per-column job would
+    re-read the files |cols| times on every commit).
+
+    Shape at scale: explode O(rows·k·|cols|) positions, partial-aggregate
+    the bit_or map-side, shuffle keyed by (file, col, word) — at most
+    files × |cols| × BLOOM_M_BITS/64 rows reach the driver, independent
+    of row count. Returns {file_path: {col: base64_bits}}."""
     import base64
     import urllib.parse as _u
 
@@ -233,46 +239,64 @@ def collect_blooms(
     df = spark.read.parquet(*paths).select(
         F.input_file_name().alias("__f"), *cols
     )
-    out: dict[str, dict[str, str]] = {}
-    for col in cols:
+
+    def positions(col: str):
         canon = F.col(col).cast("string")
-        pos = F.array(
+        return F.array(
             *[
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(canon, F.lit(f"#{i}"))), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint")
-                    % m_bits
+                F.struct(
+                    F.lit(col).alias("c"),
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat(canon, F.lit(f"#{i}"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint")
+                        % m_bits
+                    ).alias("p"),
                 )
                 for i in range(BLOOM_K)
             ]
         )
-        words = (
-            df.filter(F.col(col).isNotNull())
-            .select("__f", F.explode(pos).alias("p"))
-            .select(
-                "__f",
-                F.expr("p div 64").alias("w"),
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
-                    "m"
-                ),
-            )
-            .groupBy("__f", "w")
-            .agg(F.expr("bit_or(m)").alias("bits"))
-            .collect()
+
+    # NULL values contribute no positions: filter() inside the per-column
+    # array keeps the row (other columns may be non-null) while dropping
+    # that column's entries — equivalent to the old per-column isNotNull.
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.when(F.col(c).isNotNull(), positions(c)).otherwise(
+                    F.array().cast("array<struct<c:string,p:bigint>>")
+                )
+                for c in cols
+            ]
         )
-        n_words = m_bits // 64
-        per_file: dict[str, list[int]] = {}
-        for r in words:
-            path = _u.unquote(_u.urlparse(r["__f"]).path)
-            per_file.setdefault(path, [0] * n_words)[r["w"]] = r["bits"]
-        for path, arr in per_file.items():
-            raw = b"".join(
-                (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in arr
-            )
-            out.setdefault(path, {})[col] = base64.b64encode(raw).decode()
+    )
+    words = (
+        df.select("__f", F.explode(tagged).alias("cp"))
+        .select(
+            "__f",
+            F.col("cp.c").alias("c"),
+            F.expr("cp.p div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(cp.p % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("__f", "c", "w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    n_words = m_bits // 64
+    per_file_col: dict[tuple[str, str], list[int]] = {}
+    for r in words:
+        path = _u.unquote(_u.urlparse(r["__f"]).path)
+        per_file_col.setdefault((path, r["c"]), [0] * n_words)[r["w"]] = r["bits"]
+    out: dict[str, dict[str, str]] = {}
+    for (path, col), arr in per_file_col.items():
+        raw = b"".join(
+            (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in arr
+        )
+        out.setdefault(path, {})[col] = base64.b64encode(raw).decode()
     return out

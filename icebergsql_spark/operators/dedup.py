@@ -440,3 +440,61 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+def span_overlap_pairs(
+    df: DataFrame,
+    n: int = 5,
+    min_shared: int = 5,
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Verbatim-span dedup: pairs sharing >= ``min_shared`` distinct word
+    ``n``-gram SPANS, with span containment |S_A ∩ S_B| / min(|S_A|,|S_B|).
+
+    The distributed approximation of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    a long verbatim overlap of length L words shows up as L-n+1 shared
+    n-gram spans, so thresholding shared-span count finds copied passages
+    while unigram Jaccard stays low. Long spans (n>=5) are naturally
+    selective — df explosion is milder than unigram shingles — and
+    ``max_df`` guards residual boilerplate spans (the hot-key rule as
+    jaccard_pairs).
+
+    Scale shape: one explode O(words), optional df-cap semi-join, one
+    equi-join on the span key (rare keys only), one pair aggregation.
+    Never materializes a doc-pair cross product.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .filter(F.col("shared_spans") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            "shared_spans",
+            F.round(
+                F.col("shared_spans") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("span_containment"),
+        )
+    )

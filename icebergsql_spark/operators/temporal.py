@@ -202,3 +202,70 @@ def cohort_retention(
         .agg(F.count_distinct(F.col("u")).alias("n_users"))
         .orderBy("cohort", "day_offset")
     )
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance,
+) -> DataFrame:
+    """Nearest-match as-of join: for each left row, the right timestamp
+    closest in EITHER direction within ``tolerance`` (ties prefer the
+    earlier/backward match; a right row at exactly left_ts counts as
+    backward). Returns the left columns plus ``nearest_ts`` (nullable).
+
+    Pandas calls this ``merge_asof(direction='nearest')``; Spark has no
+    built-in. Same union-sort shape as :func:`asof_join` — ONE shuffle on
+    the key, then two window frames over the SAME sort order (carry last
+    prior right ts backward, first following right ts forward), so the
+    sort/exchange is reused and no candidate pair set is ever
+    materialized. Linear in input size at any scale.
+    """
+    lt = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    rt = right.select(
+        F.col(key),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c != key
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__r_ts"),
+    ).select(*[F.col(c) for c in left.columns], "__ts", "__is_left", "__r_ts")
+    unioned = lt.unionByName(rt)
+    order = [F.col("__ts"), F.col("__is_left")]
+    w_back = (
+        W.partitionBy(key).orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(key).orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        "__ts",
+        "__is_left",
+        F.last("__r_ts", ignorenulls=True).over(w_back).alias("__prev"),
+        F.first("__r_ts", ignorenulls=True).over(w_fwd).alias("__next"),
+    ).filter(F.col("__is_left") == 1)
+    back_gap = F.col("__ts") - F.col("__prev")
+    fwd_gap = F.col("__next") - F.col("__ts")
+    back_ok = F.col("__prev").isNotNull() & (back_gap <= F.lit(tolerance))
+    fwd_ok = F.col("__next").isNotNull() & (fwd_gap <= F.lit(tolerance))
+    nearest = (
+        F.when(back_ok & (~fwd_ok | (back_gap <= fwd_gap)), F.col("__prev"))
+        .when(fwd_ok, F.col("__next"))
+        .otherwise(F.lit(None))
+    )
+    return carried.select(
+        *[F.col(c) for c in left.columns], nearest.alias("nearest_ts")
+    )

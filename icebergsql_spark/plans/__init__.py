@@ -9,18 +9,98 @@ runs the identical comparison locally at sf0.001 before the driver does.
 
 from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
+# The driver's correctness gate samples roughly the FIRST 50 registry
+# entries, so ordering is an explicit, auditable list instead of an
+# accident of module import order.  Rotation policy: queries that have
+# never received a driver CORRECTNESS row go first (newest operators at
+# the very head); queries with green rows from earlier rounds rotate to
+# the tail (they stay covered by the identical local oracle comparison in
+# tests/test_queries.py).
+#
+# Round-4 window = new round-4 operators, then the 9 round-3 additions
+# that registered past position 50 last round, then the never-checked
+# r1/r2-era ANN / temporal-join / multimodal / funnel / winnowing rows.
+# The simple fn_*/window_* relational leftovers sit last among the
+# prioritized names — if new round-4 queries push anything past 50, it is
+# those (all trivial and local-green since round 1).
+WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new in round 4 (must receive driver rows this round) --
+    "dedup_suffix_ngram_overlap",
+    "text_domain_mix_report",
+    "managed_rewrite_predicate_dv",
+    "events_asof_nearest",
+    "agg_tdigest_quantiles",
+    "text_minhash_containment",
+    # -- round-3 additions, never driver-checked --
+    "datasource_read_pruned",
+    "managed_incremental_minhash",
+    "events_stream_dedup",
+    "events_anomaly_mad",
+    "agg_histogram_quantiles",
+    "graph_triangle_count",
+    "dedup_cluster_canonical",
+    "text_sliding_chunks",
+    "text_vocab_topn",
+    # -- round-2-era tail, never driver-checked --
+    "sketch_hll_registers",
+    "sketch_hll_estimate",
+    "text_bigram_logprob",
+    "basket_brand_lift",
+    "events_click_purchase_follow",
+    "emb_dimension_stats",
+    "dedup_containment_pairs",
+    # -- ANN / embedding family --
+    "ann_knn_join",
+    "ann_signbit_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe_topk",
+    "ann_bucket_histogram",
+    "ann_bruteforce_topk_blas",
+    "emb_neardup_pairs_lsh",
+    "dedup_jaccard_dfcap_pairs",
+    "dedup_connected_components",
+    "dedup_char_shingle_jaccard",
+    "dedup_edit_distance_pairs",
+    # -- temporal joins / multimodal / event analytics --
+    "asof_join_click_purchase",
+    "range_join_click_window",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_blob_features",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_session_windows",
+    "events_resample_ohlc",
+    "events_hopping_windows",
+    # -- text / sketch stragglers --
+    "text_winnowing_fingerprints",
+    "text_winnowing_neardup_pairs",
+    "text_heavy_hitters",
+    "text_bm25_scores",
+    "text_repetition_signals",
+    "pipeline_end_to_end",
+    "sketch_kmv_distinct",
+    # -- relational leftovers (spill to round 5 if displaced) --
+    "window_range_frame",
+    "window_ntile_dist",
+    "window_first_last_nth",
+    "join_lateral_topn",
+    "agg_regression_stats",
+    "recursive_month_spine",
+    "recursive_key_chain",
+    "fn_date_trunc_ops",
+    "fn_map_ops",
+    "fn_string_ops2",
+)
+
 
 def load_all() -> None:
-    """Import every plan module so their @register decorators run.
+    """Import every plan module, then reorder REGISTRY to WINDOW_PRIORITY.
 
-    ORDER MATTERS: the driver's correctness gate samples roughly the first
-    50 registry entries in registration order.  The managed-table surface
-    (the reference's core: write -> snapshot -> stats -> pruned scan,
-    IceTableScanExec.scala:51-163 / InsertIntoIcebergTable.scala:81-330),
-    curation, and pipeline2 queries therefore register FIRST; the TPC-H and
-    relational rows already have green driver rows from rounds 1-2 and can
-    rotate out of the window (they stay covered by the identical local
-    oracle in tests/test_queries.py).
+    Names in WINDOW_PRIORITY come first (in that order); everything else
+    keeps its registration order after them.  Unknown names in the
+    priority list are ignored so the list can name queries before their
+    module lands.
     """
     import icebergsql_spark.plans.managed  # noqa: F401
     import icebergsql_spark.plans.curation  # noqa: F401
@@ -35,3 +115,13 @@ def load_all() -> None:
     import icebergsql_spark.plans.tpch3  # noqa: F401
     import icebergsql_spark.plans.pipeline3  # noqa: F401
     import icebergsql_spark.plans.pipeline4  # noqa: F401
+    import icebergsql_spark.plans.pipeline5  # noqa: F401
+
+    ordered = {
+        name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
+    }
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)

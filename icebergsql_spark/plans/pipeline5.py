@@ -1,0 +1,239 @@
+"""Round-4 operator wave: training-data pipeline + temporal additions.
+
+Each query registers a PySpark callable plus a DuckDB oracle; names sit at
+the head of ``plans/__init__.WINDOW_PRIORITY`` so every one receives a
+driver CORRECTNESS row this round. Determinism contract as everywhere:
+integer arithmetic on the hot path, single final float ops in matching
+operand order, non-negative operands for integer division (Spark ``div``
+truncates, DuckDB ``//`` floors — identical only when non-negative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from icebergsql_spark.plans.registry import load_tables, register
+
+# ±6 h in epoch micros — the nearest-match tolerance
+_NEAR_TOL_US = 21_600_000_000
+
+
+@register(
+    "text_domain_mix_report",
+    oracle="""
+        WITH g AS (
+          SELECT source, lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs, total_chars,
+               total_chars // n_docs AS mean_chars,
+               (n_docs * 1000000)
+                 // CAST(SUM(n_docs) OVER () AS BIGINT) AS share_ppm
+        FROM g
+        ORDER BY source, lang
+    """,
+    doc="Training-corpus composition report: per (source, lang) doc count, "
+    "char volume, mean doc length, and corpus share in ppm — the mix table "
+    "a data-curation pipeline checks before sampling. Scale shape: one "
+    "map-side-combined groupBy; the share window runs over the tiny "
+    "POST-aggregation frame (|sources|x|langs| rows), never the corpus. "
+    "Integer ppm (non-negative div) keeps it hash-exact.",
+    tags=("pipeline", "text", "curation"),
+)
+def text_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return (
+        g.withColumn("__corpus", F.sum("n_docs").over(W.partitionBy()))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.expr("total_chars div n_docs").alias("mean_chars"),
+            F.expr("(n_docs * 1000000) div __corpus").alias("share_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@register(
+    "agg_weighted_quantiles",
+    oracle="""
+        WITH g AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem
+          GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT flag, cents, w,
+                 CAST(SUM(w) OVER (
+                   PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
+                 CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+          FROM g
+        )
+        SELECT flag AS l_returnflag,
+               CAST(MIN(CASE WHEN cum >= (tot * 25 + 99) // 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p25,
+               CAST(MIN(CASE WHEN cum >= (tot * 50 + 99) // 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p50,
+               CAST(MIN(CASE WHEN cum >= (tot * 75 + 99) // 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p75
+        FROM c GROUP BY flag ORDER BY flag
+    """,
+    doc="Weighted quantiles (p25/p50/p75 of extended price weighted by "
+    "quantity, per return flag) via the cumulative-weight rule: smallest "
+    "value whose running weight reaches ceil(q·W). Spark's percentile "
+    "family is unweighted; this is the exact weighted analogue. Scale "
+    "shape: pre-aggregating to DISTINCT (group, value) rows shrinks the "
+    "window input from row count to value-cardinality before the one "
+    "per-group sort — integer cents end to end, one final double cast.",
+    tags=("pipeline", "agg", "quantiles"),
+)
+def agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+        WITH g AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 SUM(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem
+          GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT flag, cents, w,
+                 SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+                 SUM(w) OVER (PARTITION BY flag) AS tot
+          FROM g
+        )
+        SELECT flag AS l_returnflag,
+               CAST(MIN(CASE WHEN cum >= (tot * 25 + 99) div 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p25,
+               CAST(MIN(CASE WHEN cum >= (tot * 50 + 99) div 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p50,
+               CAST(MIN(CASE WHEN cum >= (tot * 75 + 99) div 100
+                             THEN cents END) AS DOUBLE) / 100.0 AS p75
+        FROM c GROUP BY flag ORDER BY flag
+    """)
+
+
+@register(
+    "events_asof_nearest",
+    oracle=f"""
+        WITH p AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click'
+        ),
+        cand AS (
+          SELECT p.event_id, c.ts_us AS c_us,
+                 abs(p.ts_us - c.ts_us) AS g,
+                 CASE WHEN c.ts_us <= p.ts_us THEN 0 ELSE 1 END AS pref
+          FROM p JOIN c ON p.user_id = c.user_id
+           AND c.ts_us BETWEEN p.ts_us - {_NEAR_TOL_US}
+                           AND p.ts_us + {_NEAR_TOL_US}
+        ),
+        best AS (
+          SELECT event_id, c_us,
+                 row_number() OVER (
+                   PARTITION BY event_id ORDER BY g, pref, c_us) AS rn
+          FROM cand
+        )
+        SELECT p.event_id, p.user_id, p.ts_us AS purchase_us,
+               b.c_us AS nearest_click_us,
+               p.ts_us - b.c_us AS gap_us
+        FROM p LEFT JOIN best b ON b.event_id = p.event_id AND b.rn = 1
+        ORDER BY p.event_id
+    """,
+    doc="Nearest-match as-of join (pandas merge_asof direction='nearest', "
+    "which Spark lacks): for each purchase the closest click within ±6 h, "
+    "ties preferring the earlier click. operators/temporal.py:asof_nearest "
+    "— union-sort, ONE shuffle on user_id, two window frames over the "
+    "same sort (no pair materialization); the oracle cross-checks with a "
+    "tolerance-bounded join + rank, feasible only at oracle scale.",
+    tags=("pipeline", "temporal", "asof"),
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.temporal import asof_nearest
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "ts_us", F.expr("ts div 1000")  # nanos → epoch micros (tz-free)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us"
+    )
+    joined = asof_nearest(
+        purchases, clicks, key="user_id", left_ts="ts_us",
+        right_ts="ts_us", tolerance=_NEAR_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("purchase_us"),
+        F.col("nearest_ts").alias("nearest_click_us"),
+        (F.col("ts_us") - F.col("nearest_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+@register(
+    "dedup_span_overlap",
+    oracle="""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            list_transform(
+              generate_series(
+                1, greatest(len(string_split(trim(text), ' ')) - 4, 1)),
+              i -> array_to_string(
+                list_slice(string_split(trim(text), ' '), i, i + 4), ' ')
+            ))) AS shingle
+          FROM docs
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 CAST(COUNT(*) AS BIGINT) AS shared_spans
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 5
+        )
+        SELECT shared.a, shared.b, shared_spans,
+               round(shared_spans / least(sa.sz, sb.sz), 6)
+                 AS span_containment
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = shared.a
+        JOIN sizes sb ON sb.doc_id = shared.b
+        ORDER BY shared.a, shared.b
+    """,
+    doc="Verbatim-span dedup — the distributed approximation of "
+    "suffix-array substring dedup (Lee et al. 2022): doc pairs sharing "
+    ">= 5 distinct word 5-gram spans, with span containment over the "
+    "smaller doc. A copied passage of L words yields L-4 shared spans "
+    "while unigram Jaccard stays low. operators/dedup.py:"
+    "span_overlap_pairs — explode + rare-key equi-join, never a doc-pair "
+    "cross product; long spans keep per-key fan-out tiny at corpus scale.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 300
+    )
+    return dedup.span_overlap_pairs(docs, n=5, min_shared=5).orderBy("a", "b")

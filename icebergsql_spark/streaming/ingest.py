@@ -16,26 +16,38 @@ from pyspark.sql import DataFrame
 from icebergsql_spark.table import ManagedTable
 
 
+def _last_batch_id(table: ManagedTable) -> int:
+    """Highest ``streaming-batch-id`` over the WHOLE snapshot history.
+
+    Reading only the current snapshot's summary would lose the marker as
+    soon as any other commit (compaction, VACUUM, manual DML, a second
+    writer) lands between the streaming commit and a recovery replay —
+    the replayed batch would then be applied twice.
+    """
+    table.refresh()
+    ids = [
+        int(s.summary.get("streaming-batch-id", -1))
+        for s in table.meta.snapshots
+    ]
+    return max(ids, default=-1)
+
+
 class ManagedTableWriter:
     def __init__(self, table: ManagedTable, distribute_by: list[str] | None = None):
         self.table = table
         self.distribute_by = distribute_by
 
-    def _last_batch_id(self) -> int:
-        self.table.refresh()
-        snap = self.table.meta.current_snapshot()
-        if snap is None:
-            return -1
-        return int(snap.summary.get("streaming-batch-id", -1))
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= self._last_batch_id():
+        if batch_id <= _last_batch_id(self.table):
             return  # replayed batch after recovery — already committed
-        snap = self.table.insert(batch_df, distribute_by=self.distribute_by)
-        snap.summary["streaming-batch-id"] = str(batch_id)
-        # summary mutation lands in the already-committed metadata on the
-        # NEXT commit; persist it now so recovery sees it
-        self.table.meta.commit()
+        # the batch-id marker rides in the SAME snapshot commit as the
+        # data (extra_summary), so a crash can't record one without the
+        # other — the transactional-sink exactly-once recipe
+        self.table.insert(
+            batch_df,
+            distribute_by=self.distribute_by,
+            extra_summary={"streaming-batch-id": str(batch_id)},
+        )
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger_kwargs):
         """Start the streaming write (availableNow by default)."""
@@ -82,28 +94,23 @@ class ManagedTableUpsertWriter:
         self.prepare = prepare
         self.set_exprs = dict(set_exprs)
 
-    def _last_batch_id(self) -> int:
-        self.table.refresh()
-        snap = self.table.meta.current_snapshot()
-        if snap is None:
-            return -1
-        return int(snap.summary.get("streaming-batch-id", -1))
-
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= self._last_batch_id():
+        if batch_id <= _last_batch_id(self.table):
             return  # replayed batch after recovery — already merged
         partial = self.prepare(batch_df)
         if not partial.take(1):
-            return
-        snap = self.table.merge(
+            return  # empty batch: re-merging it on replay is a no-op
+        # marker + merge land in ONE atomic snapshot commit — a crash
+        # between "merge applied" and "marker recorded" is impossible, so
+        # a replay can never re-apply the accumulating set_exprs
+        self.table.merge(
             partial,
             on=self.keys,
             when_matched="update",
             set_exprs=self.set_exprs,
             when_not_matched_insert=True,
+            extra_summary={"streaming-batch-id": str(batch_id)},
         )
-        snap.summary["streaming-batch-id"] = str(batch_id)
-        self.table.meta.commit()
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, **trigger_kwargs):
         """Start the streaming upsert (availableNow by default)."""

@@ -337,6 +337,7 @@ class ManagedTable:
         if_partition_not_exists: bool = False,
         distribute_by: list[str] | None = None,
         branch: str | None = None,
+        extra_summary: dict[str, str] | None = None,
     ) -> Snapshot:
         """Append or overwrite, producing a new snapshot.
 
@@ -438,7 +439,9 @@ class ManagedTable:
                 if tuple(sorted(f.partition.items())) in written_parts
             ]
 
-        return self._commit_snapshot(parent, added, deleted, branch=branch)
+        return self._commit_snapshot(
+            parent, added, deleted, branch=branch, extra_summary=extra_summary
+        )
 
     def write(self, df: DataFrame, mode: str = "append", **kwargs) -> Snapshot | None:
         """DataFrame-writer SaveMode matrix over ``insert`` — the doInsertion
@@ -589,6 +592,7 @@ class ManagedTable:
         set_exprs: dict[str, str] | None = None,
         when_not_matched_insert: bool = True,
         cardinality_check: bool = True,
+        extra_summary: dict[str, str] | None = None,
     ) -> Snapshot:
         """Copy-on-write MERGE INTO (the CDC-upsert primitive).
 
@@ -715,7 +719,9 @@ class ManagedTable:
         added = self._distributed_write(new_df)
         if not added and not affected:
             return parent
-        return self._commit_snapshot(parent, added, list(affected))
+        return self._commit_snapshot(
+            parent, added, list(affected), extra_summary=extra_summary
+        )
 
     def _build_data_files(self, out_dir: str) -> list[DataFile]:
         fmt = self.file_format
@@ -775,6 +781,7 @@ class ManagedTable:
         deleted: list[DataFile],
         operation: str | None = None,
         branch: str | None = None,
+        extra_summary: dict[str, str] | None = None,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
         # scala:142-179): add+delete → rewrite ('overwrite'), add-only →
@@ -833,6 +840,10 @@ class ManagedTable:
             summary={
                 "added-records": str(sum(f.record_count for f in added)),
                 "deleted-records": str(sum(f.record_count for f in deleted)),
+                # caller-supplied markers (e.g. streaming-batch-id) land in
+                # the SAME atomic commit as the data change — a crash can
+                # never leave the change applied but the marker missing
+                **(extra_summary or {}),
             },
         )
         self.meta.snapshots.append(snap)
@@ -1126,11 +1137,12 @@ class ManagedTable:
         merged.update(props or {})
         for k in unset or []:
             merged.pop(k, None)
-        protected = {"write.format"}
-        for k in protected:
-            if (self.meta.properties.get(k) is not None) != (
-                merged.get(k) is not None
-            ) or self.meta.properties.get(k) != merged.get(k):
+        # immutability is judged on EFFECTIVE values: a table relying on
+        # the parquet default may SET write.format='parquet' (no-op), and
+        # an explicit 'parquet' may be UNSET back to the default
+        defaults = {"write.format": "parquet"}
+        for k, dflt in defaults.items():
+            if self.meta.properties.get(k, dflt) != merged.get(k, dflt):
                 raise TableValidationError(
                     f"property {k!r} is immutable after CREATE"
                 )
@@ -1630,6 +1642,28 @@ class ManagedTable:
         for k in key_cols:
             if k not in cols:
                 raise ValueError(f"diff key {k!r} not in schema")
+        # keyed mode assumes key_cols uniquely identify a row per snapshot;
+        # a duplicate key would cross-product the full-outer join and emit
+        # multiplied pre/post images. Same cardinality rule as merge(),
+        # checked in ONE job over only the churned files (side-tagged
+        # union), so cost stays proportional to churn.
+        dup = (
+            old_df.select(*key_cols).withColumn("__side", F.lit("from"))
+            .unionByName(
+                new_df.select(*key_cols).withColumn("__side", F.lit("to"))
+            )
+            .groupBy("__side", *key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"diff(key_cols={key_cols}) found duplicate keys in the "
+                "changed files — keys must be unique per snapshot for keyed "
+                "CDC; use key_cols=None for whole-row multiplicity semantics"
+            )
         payload = [c for c in cols if c not in key_cols]
         fp = F.md5(
             F.concat_ws(

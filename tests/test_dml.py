@@ -299,3 +299,23 @@ def test_diff_matches_state_recompute(spark, tbl):
         if r["k"] == some_k and r["_change_type"] == "update_postimage"
     ]
     assert post == [new[some_k]["v"]]
+
+
+def test_diff_duplicate_keys_rejected(spark, tbl):
+    """Keyed diff() must refuse duplicate keys in the churned files — a
+    dup would cross-product the full-outer join and multiply pre/post
+    rows silently (same cardinality rule as MERGE)."""
+    s1 = tbl.meta.current_snapshot()
+    dup = spark.createDataFrame(
+        [(5, 99.0, "even", 0), (5, 98.0, "odd", 1)], tbl.schema
+    )
+    tbl.insert(dup)  # key 5 now appears 3x in the current state
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.diff(s1.snapshot_id, key_cols=["k"]).collect()
+    # whole-row multiplicity mode still works on the same history: the
+    # two new rows are distinct payloads, each an insert of count 1
+    got = sorted(
+        (r["k"], r["v"], r["_change_type"], r["_change_count"])
+        for r in tbl.diff(s1.snapshot_id).collect()
+    )
+    assert got == [(5, 98.0, "insert", 1), (5, 99.0, "insert", 1)]

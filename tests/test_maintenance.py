@@ -687,3 +687,18 @@ def test_vacuum_orphans_sql(spark, tmp_path):
     assert n == 1
     assert not os.path.exists(junk)
     assert tbl.to_df().count() == 10
+
+
+def test_set_write_format_effective_noop_allowed(spark, tmp_path):
+    """SET TBLPROPERTIES('write.format'='parquet') on a table using the
+    parquet DEFAULT is an effective no-op and must not raise; changing the
+    effective format must still be rejected."""
+    from icebergsql_spark.table import Catalog, TableValidationError
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("t", "k bigint, v double, p int", partition_cols=["p"])
+    t.set_properties({"write.format": "parquet"})  # effective no-op
+    with pytest.raises(TableValidationError, match="immutable"):
+        t.set_properties({"write.format": "orc"})
+    # unsetting back to the default is also an effective no-op
+    t.set_properties(unset=["write.format"])

@@ -226,3 +226,50 @@ def test_streaming_upsert_converges_and_skips_replay(spark, tmp_path):
         (r["user_id"], r["n"], r["last_ts"]) for r in tbl.to_df().collect()
     }
     assert got2 == expect
+
+
+def test_streaming_marker_survives_interleaved_commit(spark, tmp_path):
+    """The batch-id marker must be found even when OTHER commits (manual
+    DML, compaction) land after the streaming commit: _last_batch_id scans
+    the whole snapshot history, not just the head summary — and the marker
+    itself is recorded atomically with the data commit."""
+    from icebergsql_spark.streaming.ingest import (
+        ManagedTableUpsertWriter,
+        _last_batch_id,
+    )
+
+    catalog = Catalog(spark, str(tmp_path / "wh2"))
+    tbl = catalog.create_table(
+        "mart", "user_id bigint, ub int, n bigint", partition_cols=["ub"]
+    )
+
+    def prepare(batch_df):
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(
+            "user_id", (F.col("user_id") % 2).cast("int").alias("ub"), "n"
+        )
+
+    writer = ManagedTableUpsertWriter(
+        tbl, keys=["user_id"], prepare=prepare, set_exprs={"n": "t.n + s.n"}
+    )
+    batch = spark.createDataFrame([(1,), (1,), (2,)], "user_id long")
+    writer(batch, batch_id=0)
+    tbl.refresh()
+    # marker landed in the SAME snapshot as the merge (atomic commit)
+    assert tbl.meta.current_snapshot().summary["streaming-batch-id"] == "0"
+
+    # interleave a foreign commit: head summary no longer has the marker
+    tbl.insert(
+        spark.createDataFrame([(99, 1, 1)], "user_id long, ub int, n long")
+    )
+    tbl.refresh()
+    assert "streaming-batch-id" not in tbl.meta.current_snapshot().summary
+    assert _last_batch_id(tbl) == 0  # history scan still sees it
+
+    # replay of batch 0 after the foreign commit must be a no-op
+    before = {(r["user_id"], r["n"]) for r in tbl.to_df().collect()}
+    writer(batch, batch_id=0)
+    tbl.refresh()
+    after = {(r["user_id"], r["n"]) for r in tbl.to_df().collect()}
+    assert after == before == {(1, 2), (2, 1), (99, 1)}
