@@ -25,11 +25,11 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # those (all trivial and local-green since round 1).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 4 (must receive driver rows this round) --
-    "dedup_suffix_ngram_overlap",
+    "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",
     "events_asof_nearest",
-    "agg_tdigest_quantiles",
+    "agg_weighted_quantiles",
     "text_minhash_containment",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",

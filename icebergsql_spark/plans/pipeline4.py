@@ -465,13 +465,16 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
         FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="Stateful streaming exact dedup (dropDuplicates on event_id across "
-    "micro-batches): the full events table arrives TWICE in two file-"
-    "source micro-batches, and the deduped sink must equal the batch "
-    "COUNT(DISTINCT) — exactly-once event semantics over an at-least-once "
-    "transport, the kafka-consumer reality. State is the seen-key set "
-    "(one entry per distinct id, hash-partitioned); production bounds it "
-    "with dropDuplicatesWithinWatermark, same plumbing.",
+    doc="Stateful streaming exact dedup with BOUNDED state "
+    "(withWatermark + dropDuplicatesWithinWatermark on event_id): the "
+    "full events table arrives TWICE in two file-source micro-batches, "
+    "and the deduped sink must equal the batch COUNT(DISTINCT) — "
+    "exactly-once event semantics over an at-least-once transport, the "
+    "kafka-consumer reality. Both copies of every id land inside the "
+    "watermark window (the watermark only advances between batches and "
+    "the full time range repeats), so dedup is exact here while state is "
+    "bounded by the delay window — the production shape, not the "
+    "unbounded dropDuplicates seen-key set.",
     tags=("pipeline", "streaming"),
 )
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,11 +492,21 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def absorb(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out)
 
+    # event-time column for the watermark (ts is bigint nanos; state is
+    # keyed on event_id and expires once the watermark passes
+    # event_time + delay). The delay spans the whole synthetic time range
+    # so the batch-2 duplicates are still in state — at real scale the
+    # delay is the transport's redelivery bound (minutes), keeping state
+    # proportional to the window, not the stream.
     q = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .dropDuplicates(["event_id"])
+        .withColumn(
+            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+        .withWatermark("event_time", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
         .writeStream.foreachBatch(absorb)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-sdck-"))
         .trigger(availableNow=True)
@@ -527,11 +540,19 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  min(md5('4:' || w)) AS sig_4, min(md5('5:' || w)) AS sig_5
           FROM words GROUP BY doc_id
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               substring(md5(string_agg(
-                 sig_0 || sig_1 || sig_2 || sig_3 || sig_4 || sig_5, ','
-                 ORDER BY doc_id)), 1, 16) AS index_digest
-        FROM sigs
+        ,
+        bsig AS (
+          SELECT doc_id % 16 AS bk,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 md5(string_agg(
+                   sig_0 || sig_1 || sig_2 || sig_3 || sig_4 || sig_5, ','
+                   ORDER BY doc_id)) AS d
+          FROM sigs GROUP BY doc_id % 16
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               substring(md5(string_agg(d, ',' ORDER BY bk)), 1, 16)
+                 AS index_digest
+        FROM bsig
     """,
     doc="Incrementally-maintained MinHash dedup index over a managed "
     "corpus (the IVM pattern applied to the dedup pipeline): batch 1 of "
@@ -578,20 +599,44 @@ def managed_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = index.to_df()
     concat = F.concat(*[F.col(f"sig_{j}") for j in range(6)])
-    return sigs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.substring(
+    # verification digest with BOUNDED aggregation state: per-bucket
+    # ordered digests (doc_id % B keys a parallel groupBy whose buffers
+    # hold n_docs/B signatures each), then an ordered digest-of-digests
+    # over the B bucket rows — deterministic like a global sort-concat,
+    # without ever collecting the whole index into one reducer.
+    n_buckets = 16
+    per_bucket = (
+        sigs.withColumn(
+            "bk", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("long")
+        )
+        .groupBy("bk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
             F.md5(
                 F.array_join(
                     F.transform(
                         F.array_sort(
                             F.collect_list(
-                                F.struct(
-                                    F.col("doc_id"), concat.alias("c")
-                                )
+                                F.struct(F.col("doc_id"), concat.alias("c"))
                             )
                         ),
                         lambda x: x["c"],
+                    ),
+                    ",",
+                )
+            ).alias("d"),
+        )
+    )
+    return per_bucket.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("bk"), F.col("d")))
+                        ),
+                        lambda x: x["d"],
                     ),
                     ",",
                 )

@@ -538,8 +538,14 @@ class IcebergSQLStreamWriter(DataSourceStreamArrowWriter):
         )
 
     def _last_batch_id(self, t) -> int:
-        snap = t.meta.current_snapshot()
-        return int(snap.summary.get("streaming-batch-id", -1)) if snap else -1
+        # scan the WHOLE history, not just the head snapshot — an
+        # interleaved commit (compaction, VACUUM, manual DML) between the
+        # streaming commit and a recovery replay must not hide the marker
+        ids = [
+            int(s.summary.get("streaming-batch-id", -1))
+            for s in t.meta.snapshots
+        ]
+        return max(ids, default=-1)
 
     def commit(self, messages, batchId: int) -> None:
         t = _detached_table(self.location)
@@ -547,13 +553,21 @@ class IcebergSQLStreamWriter(DataSourceStreamArrowWriter):
             self.abort(messages, batchId)  # replay after recovery: drop files
             return
         added = [f for m in messages if m is not None for f in m.files]
-        snap = t._commit_snapshot(t.meta.current_snapshot(), added, [])
-        snap.summary["streaming-batch-id"] = str(batchId)
-        t.meta.commit()  # persist the batch marker for recovery
+        # ONE metadata commit: the batch-id marker rides in the same
+        # snapshot as the data files (extra_summary), so a crash can never
+        # record the data without the marker (or vice versa) and metadata
+        # churn is one version per micro-batch
+        t._commit_snapshot(
+            t.meta.current_snapshot(),
+            added,
+            [],
+            extra_summary={"streaming-batch-id": str(batchId)},
+        )
 
     def abort(self, messages, batchId: int) -> None:
         import os
 
+        dirs: set[str] = set()
         for m in messages:
             if m is None:
                 continue
@@ -562,3 +576,13 @@ class IcebergSQLStreamWriter(DataSourceStreamArrowWriter):
                     os.remove(f.path)
                 except OSError:
                     pass
+                dirs.add(os.path.dirname(f.path))
+        # drop now-empty per-batch data subdirectories (and any empty
+        # partition dirs above them) so an aborted batch leaves no debris
+        for d in dirs:
+            while d and d != self.data_dir:
+                try:
+                    os.rmdir(d)  # fails (caught) unless empty
+                except OSError:
+                    break
+                d = os.path.dirname(d)

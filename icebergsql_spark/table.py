@@ -1472,7 +1472,9 @@ class ManagedTable:
             "deleted_manifests": deleted_manifests,
         }
 
-    def remove_orphan_files(self, older_than_s: float = 3 * 24 * 3600) -> int:
+    def remove_orphan_files(
+        self, older_than_s: float = 3 * 24 * 3600, distributed: bool = False
+    ) -> int:
         """Delete data files on disk referenced by NO snapshot (Iceberg's
         ``remove_orphan_files`` maintenance op) — the debris of failed or
         abandoned writes, which commit-then-rename protocols leave behind
@@ -1484,10 +1486,14 @@ class ManagedTable:
         not-yet-committed files survive. The referenced-set spans ALL
         snapshots (not just live ones) — time travel stays intact.
 
-        At 100 TB the listing side runs as a distributed file listing and
-        the set difference as an anti-join against the manifest DataFrame;
-        here the walk is driver-side over the table's own directory, whose
-        size the per-commit layout keeps proportional to table churn.
+        ``distributed=True`` runs the 100 TB shape end-to-end: per-commit
+        data subdirectories fan out to executors for the walk
+        (``mapInPandas`` over the subdir list — file listing is the
+        bottleneck on object stores, not the anti-join), the referenced
+        set becomes a DataFrame joined ``left_anti`` against the listing,
+        and deletion happens executor-side per partition. The default
+        driver-side walk remains for small tables, whose directory size
+        the per-commit layout keeps proportional to table churn.
 
         Returns the number of files deleted.
         """
@@ -1503,6 +1509,8 @@ class ManagedTable:
             for p in s.manifest_paths:
                 referenced |= {f.path for f in Manifest(p).files()}
         cutoff = _time.time() - older_than_s
+        if distributed:
+            return self._remove_orphans_distributed(referenced, cutoff)
         removed = 0
         for root, _dirs, files in os.walk(self.meta.data_dir):
             for fn in files:
@@ -1516,6 +1524,77 @@ class ManagedTable:
                     removed += 1
                 except FileNotFoundError:
                     continue
+        for root, dirs, files in os.walk(self.meta.data_dir, topdown=False):
+            if root != self.meta.data_dir and not files and not os.listdir(root):
+                os.rmdir(root)
+        return removed
+
+    def _remove_orphans_distributed(
+        self, referenced: set[str], cutoff: float
+    ) -> int:
+        """Executor-side orphan sweep: distributed listing → anti-join
+        against the manifest-referenced paths → distributed delete.
+
+        The listing fans out one per-commit data subdirectory per input
+        row (`os.walk` inside `mapInPandas`); the referenced set is the
+        metadata layer's file inventory (bounded by manifest size, not
+        data size) shipped as a DataFrame, so the set difference is a
+        shuffle-free broadcast anti-join for any realistic manifest
+        volume. Deletion runs where the listing rows already live.
+        """
+        import pandas as pd
+
+        subdirs = sorted(
+            os.path.join(self.meta.data_dir, d)
+            for d in os.listdir(self.meta.data_dir)
+            if os.path.isdir(os.path.join(self.meta.data_dir, d))
+        )
+        if not subdirs:
+            return 0
+        spark = self.spark
+
+        def list_files(batches):
+            for pdf in batches:
+                rows = []
+                for root_dir in pdf["root"]:
+                    for r, _d, files in os.walk(root_dir):
+                        for fn in files:
+                            full = os.path.join(r, fn)
+                            try:
+                                mtime = os.path.getmtime(full)
+                            except FileNotFoundError:
+                                continue
+                            rows.append((full, mtime))
+                yield pd.DataFrame(rows, columns=["path", "mtime"])
+
+        listing = (
+            spark.createDataFrame([(d,) for d in subdirs], "root string")
+            .repartition(min(len(subdirs), 32))
+            .mapInPandas(list_files, "path string, mtime double")
+        )
+        ref_df = spark.createDataFrame(
+            [(p,) for p in sorted(referenced)], "path string"
+        )
+        orphans = listing.filter(F.col("mtime") <= cutoff).join(
+            F.broadcast(ref_df), "path", "left_anti"
+        )
+
+        def delete_files(batches):
+            for pdf in batches:
+                n = 0
+                for p in pdf["path"]:
+                    try:
+                        os.remove(p)
+                        n += 1
+                    except FileNotFoundError:
+                        pass
+                yield pd.DataFrame({"n": [n]})
+
+        removed = int(
+            orphans.mapInPandas(delete_files, "n long")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .collect()[0][0]
+        )
         for root, dirs, files in os.walk(self.meta.data_dir, topdown=False):
             if root != self.meta.data_dir and not files and not os.listdir(root):
                 os.rmdir(root)

@@ -243,6 +243,13 @@ def test_stream_table_to_table(spark, catalog, tmp_path):
 
     pump()
     assert _rows(dst.to_df()) == _rows(orders)
+    # atomic exactly-once bookkeeping: the batch-id marker rides in the
+    # data snapshot itself (ONE metadata commit per micro-batch — version
+    # counter advanced exactly once per snapshot, no stamp-after commit)
+    assert all(
+        "streaming-batch-id" in s.summary for s in dst.meta.snapshots
+    )
+    assert dst.meta.version == len(dst.meta.snapshots) + 1  # +1: CREATE
 
     delta = orders.where("o_orderkey % 100 = 42").withColumn(
         "o_custkey", F.col("o_custkey") + 1

@@ -702,3 +702,54 @@ def test_set_write_format_effective_noop_allowed(spark, tmp_path):
         t.set_properties({"write.format": "orc"})
     # unsetting back to the default is also an effective no-op
     t.set_properties(unset=["write.format"])
+
+
+def test_remove_orphan_files_distributed(spark, tmp_path):
+    """distributed=True (executor-side listing + anti-join + delete) makes
+    the same decisions as the driver-side walk: old orphans removed,
+    referenced files and young orphans survive."""
+    import os
+    import time as _time
+
+    from icebergsql_spark.table import Catalog
+
+    catalog = Catalog(spark, str(tmp_path / "wh_orphd"))
+    tbl = catalog.create_table(
+        "t_orphd", "k bigint, part int", partition_cols=["part"]
+    )
+    src = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    tbl.insert(src)
+    tbl.insert(src, overwrite=True)
+
+    data_dir = tbl.meta.data_dir
+    old1 = os.path.join(data_dir, "deadbeef0000", "part=0", "junk.parquet")
+    old2 = os.path.join(data_dir, "deadbeef0000", "part=1", "junk2.parquet")
+    for p in (old1, old2):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "wb").write(b"not really parquet")
+        past = _time.time() - 10 * 24 * 3600
+        os.utime(p, (past, past))
+    young = os.path.join(data_dir, "deadbeef0001", "fresh.parquet")
+    os.makedirs(os.path.dirname(young), exist_ok=True)
+    open(young, "wb").write(b"in-flight write")
+
+    before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir)
+        for f in fs
+        if "deadbeef" not in r
+    }
+    removed = tbl.remove_orphan_files(distributed=True)
+    assert removed == 2
+    assert not os.path.exists(old1) and not os.path.exists(old2)
+    assert os.path.exists(young)
+    after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(data_dir)
+        for f in fs
+        if "deadbeef" not in r
+    }
+    assert after == before
+    assert tbl.to_df().count() == 40
