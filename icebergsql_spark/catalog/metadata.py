@@ -228,6 +228,56 @@ class Manifest:
 
 
 @dataclass
+class DeleteVectorEntry:
+    """One merge-on-read position-delete vector: ``dv_path`` is a parquet
+    file set with columns ``(path string, pos bigint)`` naming deleted row
+    positions of ``data_path`` (Iceberg v2's position-delete file, scoped
+    per data file). ``count`` is the number of DISTINCT deleted positions —
+    writers subtract already-deleted positions before writing, so counts
+    are additive and metadata-level ``record_count - Σcount`` stays exact."""
+
+    data_path: str
+    dv_path: str
+    count: int
+
+    def to_json(self):
+        return {"data": self.data_path, "dv": self.dv_path, "count": self.count}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(data_path=d["data"], dv_path=d["dv"], count=d["count"])
+
+
+class DVManifest:
+    """A list of DeleteVectorEntry stored as one JSON file. DV manifests
+    stay JSON-only: entries are per *churned* data file (bounded by delete
+    activity, not table size), and compaction/rewrites retire them."""
+
+    def __init__(
+        self, path: str, entries: list[DeleteVectorEntry] | None = None
+    ):
+        self.path = path
+        self._entries = entries
+
+    def entries(self) -> list[DeleteVectorEntry]:
+        if self._entries is None:
+            with open(self.path) as f:
+                self._entries = [
+                    DeleteVectorEntry.from_json(d)
+                    for d in json.load(f)["deletes"]
+                ]
+        return self._entries
+
+    @classmethod
+    def write(cls, path: str, entries: list[DeleteVectorEntry]) -> "DVManifest":
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"deletes": [e.to_json() for e in entries]}, f)
+        os.rename(tmp, path)
+        return cls(path, list(entries))
+
+
+@dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
@@ -237,6 +287,8 @@ class Snapshot:
     num_added_files: int
     num_deleted_files: int
     summary: dict[str, str] = field(default_factory=dict)
+    # merge-on-read position deletes in effect for this snapshot's files
+    dv_manifest_paths: list[str] = field(default_factory=list)
 
     def manifests(self) -> list[Manifest]:
         return [Manifest(p) for p in self.manifest_paths]
@@ -247,8 +299,14 @@ class Snapshot:
             out.extend(m.files())
         return out
 
+    def dv_entries(self) -> list[DeleteVectorEntry]:
+        out: list[DeleteVectorEntry] = []
+        for p in self.dv_manifest_paths:
+            out.extend(DVManifest(p).entries())
+        return out
+
     def to_json(self):
-        return {
+        d = {
             "snapshot_id": self.snapshot_id,
             "parent_id": self.parent_id,
             "timestamp_ms": self.timestamp_ms,
@@ -258,6 +316,9 @@ class Snapshot:
             "deleted_files": self.num_deleted_files,
             "summary": self.summary,
         }
+        if self.dv_manifest_paths:
+            d["dv_manifests"] = self.dv_manifest_paths
+        return d
 
     @classmethod
     def from_json(cls, d):
@@ -270,6 +331,7 @@ class Snapshot:
             num_added_files=d.get("added_files", 0),
             num_deleted_files=d.get("deleted_files", 0),
             summary=d.get("summary", {}),
+            dv_manifest_paths=d.get("dv_manifests", []),
         )
 
 

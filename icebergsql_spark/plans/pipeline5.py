@@ -237,3 +237,179 @@ def dedup_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 300
     )
     return dedup.span_overlap_pairs(docs, n=5, min_shared=5).orderBy("a", "b")
+
+
+@register(
+    "managed_rewrite_predicate_dv",
+    oracle="""
+        WITH base AS (
+          SELECT l_returnflag, l_quantity FROM lineitem
+          WHERE l_orderkey % 4 = 1 AND NOT (l_quantity < 5)
+        ),
+        agg AS (
+          SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty
+          FROM base GROUP BY l_returnflag
+        )
+        SELECT stage, l_returnflag, n, sum_qty
+        FROM agg
+        CROSS JOIN (SELECT unnest(['mor', 'rewritten']) AS stage) s
+        ORDER BY stage, l_returnflag
+    """,
+    doc="Merge-on-read DELETE via position delete vectors, then "
+    "rewrite_position_deletes (table.py:delete_where/_write_delete_vectors/"
+    "rewrite_position_deletes — Iceberg v2 MoR re-expressed on the pure-"
+    "Python snapshot layer with _metadata.file_path/row_index as row "
+    "coordinates). The predicate delete records ONLY matching positions "
+    "(asserted: zero data files added, live file set unchanged), scans "
+    "anti-join the DV rowset, the metadata COUNT fast path subtracts DV "
+    "counts exactly, and the rewrite folds DVs back into the layout as a "
+    "rowset-preserving 'replace'. The aggregate is emitted at BOTH stages "
+    "and must be identical — the MoR read path and the rewritten layout "
+    "agree bit-for-bit. At 100 TB: delete cost ∝ deleted rows instead of "
+    "rewritten bytes, the trade that makes frequent small deletes (GDPR "
+    "erasure, label fixes) affordable between maintenance windows.",
+    tags=("managed", "dml", "mor"),
+)
+def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.managed import _LI_DDL, _lineitem_with_year
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-morwh-"))
+    tbl = cat.create_table(
+        "li_mor",
+        _LI_DDL,
+        partition_cols=["l_shipyear"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    li = _lineitem_with_year(spark, sf_dir)
+    tbl.insert(li.filter(F.col("l_orderkey") % 4 == 1))
+    before = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.delete_where("l_quantity < 5")
+    assert snap.num_added_files == 0, "MoR delete must not write data files"
+    assert {f.path for f in snap.live_files()} == before
+    assert snap.dv_manifest_paths, "straddling MoR delete must record a DV"
+    # metadata-only COUNT subtracts DV counts exactly (zero Spark jobs)
+    assert tbl.scan().count_from_stats() == tbl.to_df().count()
+
+    def agg(stage: str) -> DataFrame:
+        return (
+            tbl.to_df()
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    mor = agg("mor")
+    mor_rows = mor.collect()  # materialize BEFORE the layout rewrite
+    rs = tbl.rewrite_position_deletes()
+    assert rs is not None and rs.operation == "replace"
+    assert not tbl.meta.current_snapshot().dv_manifest_paths
+    return (
+        spark.createDataFrame(mor_rows, mor.schema)
+        .unionByName(agg("rewritten"))
+        .orderBy("stage", "l_returnflag")
+    )
+
+
+@register(
+    "text_minhash_containment",
+    oracle="""
+        WITH words AS (
+          SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' ')))
+            AS w
+          FROM documents
+        ),
+        hashed AS (SELECT doc_id, md5('c:' || w) AS h FROM words),
+        sk AS (
+          SELECT doc_id,
+                 list_slice(list_sort(list(DISTINCT h)), 1, 12) AS sk,
+                 min(h) AS sig0
+          FROM hashed GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sk AS ask
+          FROM sk a JOIN sk b
+            ON a.sig0 = b.sig0 AND a.doc_id < b.doc_id
+        ),
+        expl AS (SELECT doc_a, doc_b, unnest(ask) AS h FROM pairs),
+        m AS (
+          SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS matches
+          FROM expl
+          JOIN hashed ON hashed.doc_id = expl.doc_b AND hashed.h = expl.h
+          GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, matches,
+               (matches * 1000000) // 12 AS cont_ppm
+        FROM m ORDER BY doc_a, doc_b LIMIT 500
+    """,
+    doc="Bottom-k (KMV) minhash CONTAINMENT estimate — 'is doc A "
+    "substantially contained in doc B?', the asymmetric question Jaccard "
+    "misses (a quote inside a long article has low Jaccard but high "
+    "containment). Per doc: the 12 smallest md5 token hashes form the "
+    "sketch; candidate pairs come from equal minimum hash (sig0 LSH "
+    "blocking — never all-pairs); the estimate is the fraction of A's "
+    "sketch elements present in B's token-hash set, found by exploding "
+    "the 12-element sketch and one equi-join against the token table. "
+    "Scale shape: tokenize+hash is a narrow map, the sketch groupBy is "
+    "map-side combined, the probe join is keyed on (doc, hash) — all "
+    "shuffle-bounded by corpus token count, and md5 bit-equality makes "
+    "the estimate itself oracle-checkable (CLAUDE.md md5 parity).",
+    tags=("pipeline", "text", "dedup"),
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " "))
+        ).alias("w"),
+    ).select("doc_id", F.md5(F.concat(F.lit("c:"), F.col("w"))).alias("h"))
+    sk = hashed.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, 12).alias("sk"),
+        F.min("h").alias("sig0"),
+    )
+    pairs = (
+        sk.alias("a")
+        .join(
+            sk.alias("b"),
+            (F.col("a.sig0") == F.col("b.sig0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sk").alias("ask"),
+        )
+    )
+    expl = pairs.select("doc_a", "doc_b", F.explode("ask").alias("h"))
+    m = (
+        expl.join(
+            hashed.select(F.col("doc_id").alias("doc_b"), "h"),
+            ["doc_b", "h"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    return (
+        m.select(
+            "doc_a",
+            "doc_b",
+            "matches",
+            F.expr("(matches * 1000000) div 12").alias("cont_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+        .limit(500)
+    )

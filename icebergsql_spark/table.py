@@ -511,15 +511,21 @@ class ManagedTable:
     # 100 TB a point DELETE touches one partition's files, not the table.
 
     def delete_where(self, predicate_sql: str) -> Snapshot:
-        """Copy-on-write DELETE FROM ... WHERE.
+        """DELETE FROM ... WHERE — copy-on-write by default, merge-on-read
+        when ``write.delete.mode = 'merge-on-read'``.
 
-        Three file classes, decided from manifest stats alone:
+        Both modes classify files from manifest stats alone:
           - no possible match → untouched (manifest reuse);
           - predicate provably true for ALL rows (must_match_all) → the
             file is DROPPED without being read — a partition-aligned
             DELETE is metadata-only, zero data IO;
-          - straddling files → ONE distributed job rewrites the surviving
-            rows (NULL predicate keeps the row, per SQL semantics).
+          - straddling files: copy-on-write runs ONE distributed job
+            rewriting the surviving rows (NULL predicate keeps the row,
+            per SQL semantics); merge-on-read instead records the MATCHING
+            row positions as a delete vector (Iceberg v2 position
+            deletes) — write cost ∝ deleted rows, not file size, the
+            trade that makes frequent small deletes affordable at 100 TB
+            (reads pay an anti-join until ``rewrite_position_deletes``).
         """
         from icebergsql_spark.expressions import must_match_all
 
@@ -536,15 +542,92 @@ class ManagedTable:
                 drop_whole.append(f)
             else:
                 rewrite.append(f)
+        mor = (
+            self.meta.properties.get("write.delete.mode", "copy-on-write")
+            == "merge-on-read"
+        )
+        if mor and rewrite:
+            if self.file_format != "parquet":
+                raise TableValidationError(
+                    "merge-on-read deletes need parquet row positions "
+                    f"(_metadata.row_index); table format is {self.file_format}"
+                )
+            dv_entries = self._write_delete_vectors(
+                parent, rewrite, predicate_sql
+            )
+            return self._commit_snapshot(
+                parent,
+                [],
+                drop_whole,
+                operation="delete",
+                new_dv_entries=dv_entries,
+            )
         added: list[DataFile] = []
         if rewrite:
-            survivors = self.read_files(rewrite).filter(
+            survivors = self.read_files_live(rewrite, parent).filter(
                 ~F.coalesce(
                     F.expr(predicate_sql).cast("boolean"), F.lit(False)
                 )
             )
             added = self._distributed_write(survivors)
         return self._commit_snapshot(parent, added, drop_whole + rewrite)
+
+    def _write_delete_vectors(
+        self,
+        parent: Snapshot,
+        files: list[DataFile],
+        predicate_sql: str,
+    ) -> list:
+        """One distributed job: read ``files`` with row coordinates, keep
+        rows MATCHING the predicate (NULL → not deleted, per SQL), subtract
+        positions already dead under existing DVs (so per-file counts stay
+        additive/exact), and write the (path, pos) rowset as parquet under
+        the metadata dir. Only the per-file counts come back to the driver
+        (bounded by file count, not row count)."""
+        from icebergsql_spark.catalog.metadata import DeleteVectorEntry
+
+        matched = (
+            self.read_files(files, with_pos=True)
+            .filter(
+                F.coalesce(F.expr(predicate_sql).cast("boolean"), F.lit(False))
+            )
+            .select("__fp", "__pos")
+        )
+        prior = [
+            e
+            for e in parent.dv_entries()
+            if e.data_path in {f.path for f in files}
+        ]
+        if prior:
+            prior_df = self.spark.read.parquet(
+                *sorted({e.dv_path for e in prior})
+            ).select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            matched = matched.join(prior_df, ["__fp", "__pos"], "left_anti")
+        dv_dir = os.path.join(
+            self.meta.metadata_dir, f"dv-data-{uuid.uuid4().hex[:12]}"
+        )
+        (
+            matched.select(
+                F.col("__fp").alias("path"), F.col("__pos").alias("pos")
+            )
+            .repartition(F.col("path"))
+            .write.mode("errorifexists")
+            .parquet(dv_dir)
+        )
+        counts = {
+            r["path"]: r["n"]
+            for r in self.spark.read.parquet(dv_dir)
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return [
+            DeleteVectorEntry(
+                data_path=f.path, dv_path=dv_dir, count=int(counts[f.path])
+            )
+            for f in files
+            if counts.get(f.path)
+        ]
 
     def update_where(
         self, assignments: dict[str, str], predicate_sql: str | None = None
@@ -569,7 +652,7 @@ class ManagedTable:
             if predicate_sql
             else F.lit(True)
         )
-        rewritten = self.read_files(affected).select(
+        rewritten = self.read_files_live(affected, parent).select(
             *[
                 (
                     F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
@@ -667,7 +750,7 @@ class ManagedTable:
         s_marked = source.withColumn("__m", F.lit(True)).alias("s")
         rewritten = None
         if affected:
-            t = self.read_files(affected).alias("t")
+            t = self.read_files_live(affected, parent).alias("t")
             joined = t.join(
                 s_marked, [t[k] == s_marked[k] for k in keys], "left"
             )
@@ -699,8 +782,10 @@ class ManagedTable:
                 raise TableValidationError(
                     f"MERGE insert needs source columns {missing}"
                 )
+            # live keys: a merge-on-read-deleted row must NOT block the
+            # re-insert of its key
             all_keys = (
-                self.read_files(parent_files).select(*keys)
+                self.read_files_live(parent_files, parent).select(*keys)
                 if parent_files
                 else self.spark.createDataFrame(
                     [], T.StructType([schema[k] for k in keys])
@@ -782,6 +867,7 @@ class ManagedTable:
         operation: str | None = None,
         branch: str | None = None,
         extra_summary: dict[str, str] | None = None,
+        new_dv_entries: list | None = None,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
         # scala:142-179): add+delete → rewrite ('overwrite'), add-only →
@@ -824,6 +910,39 @@ class ManagedTable:
             ).path
             manifest_paths.append(new_manifest)
 
+        # -- merge-on-read delete vectors: inherit the parent's entries,
+        # MINUS entries whose data file this commit removed/rewrote (a DV
+        # dies with its file), PLUS this commit's new position deletes.
+        # DV manifests mirror data manifests: untouched files are reused
+        # by path; changes consolidate into one new manifest.
+        from icebergsql_spark.catalog.metadata import DVManifest
+
+        dv_manifest_paths: list[str] = []
+        parent_dv_paths = parent.dv_manifest_paths if parent else []
+        if parent_dv_paths or new_dv_entries:
+            inherited = [
+                e
+                for p in parent_dv_paths
+                for e in DVManifest(p).entries()
+            ]
+            survivors_dv = [
+                e for e in inherited if e.data_path not in deleted_paths
+            ]
+            if not new_dv_entries and len(survivors_dv) == len(inherited):
+                dv_manifest_paths = list(parent_dv_paths)  # untouched: reuse
+            else:
+                merged = survivors_dv + list(new_dv_entries or [])
+                if merged:
+                    dv_manifest_paths.append(
+                        DVManifest.write(
+                            os.path.join(
+                                meta_dir,
+                                f"dv-manifest-{uuid.uuid4().hex[:12]}.json",
+                            ),
+                            merged,
+                        ).path
+                    )
+
         # strictly-increasing snapshot timestamps so `as of <ts of snapshot N>`
         # always resolves to snapshot N even when commits land in the same ms
         ts_ms = int(time.time() * 1000)
@@ -845,6 +964,7 @@ class ManagedTable:
                 # never leave the change applied but the marker missing
                 **(extra_summary or {}),
             },
+            dv_manifest_paths=dv_manifest_paths,
         )
         self.meta.snapshots.append(snap)
         if branch is not None:
@@ -1070,20 +1190,39 @@ class ManagedTable:
             if fid in cur_by_id
         }
 
-    def read_files(self, files: list["DataFile"]) -> DataFrame:
+    def read_files(
+        self, files: list["DataFile"], with_pos: bool = False
+    ) -> DataFrame:
         """Distributed read of an explicit file list, translating each
         file's written-era schema to the current one (rename via field ids,
         widened types cast, added columns NULL-filled). Files of the
         current era take the direct single-read path — evolution costs
         nothing until it is used, and afterwards one extra read+union per
-        LIVE historical era (compaction rewrites collapse eras)."""
+        LIVE historical era (compaction rewrites collapse eras).
+
+        ``with_pos=True`` appends ``__fp`` (normalized file path) and
+        ``__pos`` (row position within the file, ``_metadata.row_index``)
+        — the coordinates merge-on-read position deletes key on."""
         spark, schema = self.spark, self.schema
         if not files:
-            return spark.createDataFrame([], schema)
+            out_schema = schema
+            if with_pos:
+                out_schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("__fp", T.StringType()),
+                        T.StructField("__pos", T.LongType()),
+                    ]
+                )
+            return spark.createDataFrame([], out_schema)
         by_sid: dict[int, list[str]] = {}
         for f in files:
             by_sid.setdefault(f.schema_id, []).append(f.path)
         fmt = self.file_format
+        pos_cols = [
+            _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
         parts: list[DataFrame] = []
         for sid in sorted(by_sid):
             rmap = self.rename_map_for(sid)
@@ -1098,9 +1237,10 @@ class ManagedTable:
             else:
                 identity = True
             if identity:
-                parts.append(
-                    spark.read.schema(schema).format(fmt).load(by_sid[sid])
-                )
+                part = spark.read.schema(schema).format(fmt).load(by_sid[sid])
+                if with_pos:
+                    part = part.select("*", *pos_cols)
+                parts.append(part)
                 continue
             raw = (
                 spark.read.schema(T.StructType(era_alive))
@@ -1116,11 +1256,47 @@ class ManagedTable:
                     )
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            if with_pos:
+                cols.extend(pos_cols)
             parts.append(raw.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.union(p)
         return out
+
+    def read_files_live(
+        self, files: list["DataFile"], snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """``read_files`` minus merge-on-read position deletes: when any of
+        ``files`` carries a delete vector in ``snapshot`` (default:
+        current), rows are read WITH file/position coordinates and
+        anti-joined against the DV rowset — the Iceberg v2 MoR read path
+        as a Spark plan. Tables without DVs take the plain read (zero
+        overhead); the anti-join's build side is the DV set, sized by
+        delete churn, not table size, so AQE broadcasts it in the common
+        case."""
+        if snapshot is None:
+            snapshot = self.meta.current_snapshot()
+        dvs = (
+            [
+                e
+                for e in snapshot.dv_entries()
+                if e.data_path in {f.path for f in files}
+            ]
+            if snapshot is not None
+            else []
+        )
+        if not dvs:
+            return self.read_files(files)
+        df = self.read_files(files, with_pos=True)
+        dv_df = self.spark.read.parquet(
+            *sorted({e.dv_path for e in dvs})
+        ).select(
+            F.col("path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        return df.join(dv_df, ["__fp", "__pos"], "left_anti").drop(
+            "__fp", "__pos"
+        )
 
     def set_properties(
         self,
@@ -1329,11 +1505,10 @@ class ManagedTable:
         if not to_rewrite:
             return None
 
-        df = (
-            self.spark.read.schema(schema)
-            .format(self.file_format)
-            .load([f.path for f in to_rewrite])
-        )
+        # live read: a merge-on-read delete vector on an input file must
+        # not resurrect its rows through the rewrite (the DV entry itself
+        # retires with the input file in the commit below)
+        df = self.read_files_live(to_rewrite, parent)
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.meta.data_dir, commit_id)
         part_cols = self.meta.partition_cols
@@ -1373,6 +1548,31 @@ class ManagedTable:
             kind = "zorder_rank" if zorder_rank else "zorder"
             self.meta.properties["sort.order"] = f"{kind}({','.join(zorder_by)})"
         return self._commit_snapshot(parent, added, to_rewrite, operation="replace")
+
+    def rewrite_position_deletes(self) -> Snapshot | None:
+        """Fold merge-on-read delete vectors back into the data layout
+        (Iceberg's ``rewrite_position_deletes`` + the data-file rewrite it
+        enables): every DV'd data file is rewritten to its LIVE rows in one
+        distributed job, the commit replaces those files, and the DV
+        entries retire with them (``_commit_snapshot`` drops DV entries of
+        deleted files). Live rowset is unchanged — the commit is a
+        'replace' like compaction, so time travel and incremental readers
+        keep their contracts, and subsequent scans are anti-join-free
+        again. Run it when accumulated DVs make the read-side anti-join
+        noticeable (Iceberg's guidance: deletes > ~10% of rows).
+
+        Returns the 'replace' snapshot, or None when no DVs exist."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        if parent is None or not parent.dv_manifest_paths:
+            return None
+        dvd_paths = {e.data_path for e in parent.dv_entries()}
+        targets = [f for f in parent.live_files() if f.path in dvd_paths]
+        if not targets:
+            return None
+        live = self.read_files_live(targets, parent)
+        added = self._distributed_write(live)
+        return self._commit_snapshot(parent, added, targets, operation="replace")
 
     def expire_snapshots(
         self,
@@ -1695,9 +1895,24 @@ class ManagedTable:
         new_files = {f.path: f for f in to_snap.live_files()}
         old_only = [f for p, f in sorted(old_files.items()) if p not in new_files]
         new_only = [f for p, f in sorted(new_files.items()) if p not in old_files]
+        # a COMMON file whose delete-vector set changed between the two
+        # snapshots has different LIVE rows on each side — include it in
+        # both reads (each side read under its own snapshot's DVs), else a
+        # merge-on-read delete would be invisible to the changelog
+        dv_sig_old: dict[str, frozenset] = {}
+        dv_sig_new: dict[str, frozenset] = {}
+        for snap, sig in ((from_snap, dv_sig_old), (to_snap, dv_sig_new)):
+            for e in snap.dv_entries():
+                sig[e.data_path] = sig.get(e.data_path, frozenset()) | {
+                    (e.dv_path, e.count)
+                }
+        for p in sorted(set(old_files) & set(new_files)):
+            if dv_sig_old.get(p) != dv_sig_new.get(p):
+                old_only.append(old_files[p])
+                new_only.append(new_files[p])
         cols = [f.name for f in self.schema.fields]
-        old_df = self.read_files(old_only)
-        new_df = self.read_files(new_only)
+        old_df = self.read_files_live(old_only, from_snap)
+        new_df = self.read_files_live(new_only, to_snap)
         if not key_cols:
             # whole-row diff with multiplicity: count per row each side,
             # emit |delta| copies labeled insert/delete
@@ -1812,17 +2027,23 @@ class ManagedTable:
         replaces the reference's reflection-based test introspection
         (utils/utils.scala:43-69)."""
         snap = self.meta.current_snapshot()
+        dv_counts: dict[str, int] = {}
+        for e in snap.dv_entries() if snap else []:
+            dv_counts[e.data_path] = dv_counts.get(e.data_path, 0) + e.count
         rows = [
             (
                 f.path,
                 __import__("json").dumps(f.partition),
                 f.record_count,
                 f.file_size,
+                dv_counts.get(f.path, 0),
             )
             for f in (snap.live_files() if snap else [])
         ]
         return self.spark.createDataFrame(
-            rows, "file_path string, partition string, record_count long, file_size long"
+            rows,
+            "file_path string, partition string, record_count long, "
+            "file_size long, position_deletes long",
         )
 
     def partitions_df(self) -> DataFrame:
@@ -1844,6 +2065,15 @@ class ManagedTable:
             "partition string, file_count long, record_count long, "
             "total_size long",
         )
+
+
+def _norm_file_path(col):
+    """``_metadata.file_path`` arrives as a URI (``file:///tmp/x``) while
+    DataFile paths are plain local paths — strip the local-fs scheme so the
+    two key spaces match. Remote schemes (s3://, hdfs://) pass through
+    untouched: there the table metadata stores the same URI form the
+    reader reports."""
+    return F.regexp_replace(col, "^file:/+", "/")
 
 
 class ManagedScan:
@@ -1918,14 +2148,20 @@ class ManagedScan:
 
         if self.snapshot is None:
             return 0
+        # merge-on-read position deletes subtract exactly: a DV'd file's
+        # live count is record_count - Σdv_count (writers de-duplicate
+        # positions, so counts are additive), and a predicate proven for
+        # ALL of the file's rows holds for the live subset too
+        dv_counts: dict[str, int] = {}
+        for e in self.snapshot.dv_entries():
+            dv_counts[e.data_path] = dv_counts.get(e.data_path, 0) + e.count
         total = 0
         for f in self.planned_files:
-            if isinstance(self.augmented, AlwaysTrue):
-                total += f.record_count
-                continue
-            if not must_match_all(self.augmented, self._pruning_stats(f)):
+            if not isinstance(self.augmented, AlwaysTrue) and not must_match_all(
+                self.augmented, self._pruning_stats(f)
+            ):
                 return None
-            total += f.record_count
+            total += f.record_count - dv_counts.get(f.path, 0)
         return total
 
     def dataframe(self, apply_where: bool = True) -> DataFrame:
@@ -1934,7 +2170,7 @@ class ManagedScan:
         WHERE executes in Spark SQL and the scan's predicate served only for
         manifest pruning (it may contain alias-qualified names that don't
         resolve against the bare table)."""
-        df = self.table.read_files(self.planned_files)
+        df = self.table.read_files_live(self.planned_files, self.snapshot)
         if self.where and apply_where:
             df = df.filter(self.where)
         return df

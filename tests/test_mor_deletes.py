@@ -1,0 +1,180 @@
+"""Merge-on-read DELETE via position delete vectors (Iceberg v2 MoR).
+
+With ``write.delete.mode = 'merge-on-read'``, a DELETE whose predicate
+straddles files records the MATCHING row positions as a delete vector
+(parquet (path, pos) rowset + per-file counts in a DV manifest) instead of
+rewriting the files — write cost ∝ deleted rows. Scans anti-join the DV
+rowset; ``rewrite_position_deletes`` folds DVs back into the layout as a
+rowset-preserving 'replace'. The reference delegates row-level deletes to
+the Iceberg format spec (v2 position deletes); this re-expresses that
+contract on the pure-Python snapshot layer with Spark's
+``_metadata.file_path`` / ``_metadata.row_index`` as the row coordinates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from icebergsql_spark.table import Catalog, TableValidationError
+
+DDL = "k bigint, v double, cat string, part int"
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "t",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("cat"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    t.insert(src)
+    return t
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_mor_delete_writes_no_data_files(spark, tbl):
+    """A straddling MoR DELETE adds zero data files, drops zero data
+    files, and leaves the live file set untouched — only a DV appears."""
+    before = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.delete_where("k % 10 = 3")
+    assert snap.operation == "delete"
+    assert snap.num_added_files == 0
+    assert snap.num_deleted_files == 0
+    assert {f.path for f in snap.live_files()} == before
+    assert snap.dv_manifest_paths
+    assert sum(e.count for e in snap.dv_entries()) == 30
+    assert tbl.to_df().count() == 270
+    assert rows(tbl.to_df().filter("k % 10 = 3")) == []
+
+
+def test_mor_partition_aligned_still_metadata_only(spark, tbl):
+    """must_match_all files are DROPPED without a DV even in MoR mode —
+    the metadata-only fast path wins when it applies."""
+    snap = tbl.delete_where("part = 1")
+    assert snap.num_added_files == 0
+    assert snap.num_deleted_files > 0
+    assert not snap.dv_manifest_paths
+    assert tbl.to_df().filter("part = 1").count() == 0
+
+
+def test_mor_counts_exact_and_overlapping_deletes_additive(spark, tbl):
+    """count_from_stats subtracts DV counts exactly; re-deleting already-
+    deleted rows adds nothing (positions are de-duplicated at write)."""
+    tbl.delete_where("k % 10 = 3")
+    assert tbl.scan().count_from_stats() == 270
+    tbl.delete_where("k % 5 = 3")  # k%10 in {3,8}: the 3s are already gone
+    assert tbl.to_df().count() == 240
+    assert tbl.scan().count_from_stats() == 240
+    # predicate-scoped metadata count on a DV'd partition-aligned slice
+    assert tbl.scan(where="part = 2").count_from_stats() == (
+        tbl.to_df().filter("part = 2").count()
+    )
+
+
+def test_mor_time_travel_and_diff(spark, tbl):
+    """Pre-delete snapshots still see all rows; diff() across a DV-only
+    commit reports the deleted rows (common files, changed DV sets)."""
+    s0 = tbl.meta.current_snapshot()
+    tbl.delete_where("k < 30 AND k % 2 = 0")
+    assert tbl.to_df(snapshot_id=s0.snapshot_id).count() == 300
+    d = tbl.diff(s0.snapshot_id)
+    got = d.groupBy("_change_type").count().collect()
+    by_type = {r["_change_type"]: r["count"] for r in got}
+    assert by_type.get("delete") == 15
+    assert "insert" not in by_type
+
+
+def test_mor_update_and_merge_on_dvd_table(spark, tbl):
+    """UPDATE/MERGE read LIVE rows (no resurrect) and a MoR-deleted key
+    can be re-inserted by MERGE."""
+    tbl.delete_where("k = 7")
+    tbl.update_where({"v": "v + 1000"}, "k = 8")
+    assert tbl.to_df().filter("k = 7").count() == 0  # rewrite didn't resurrect
+    assert tbl.to_df().filter("k = 8").collect()[0]["v"] == 1008.0
+    src = spark.createDataFrame([(7, -1.0, "odd", 1)], DDL)
+    tbl.merge(src, on=["k"], when_matched="update", when_not_matched_insert=True)
+    assert rows(tbl.to_df().filter("k = 7").select("v")) == [(-1.0,)]
+
+
+def test_rewrite_position_deletes_preserves_rows(spark, tbl):
+    """rewrite_position_deletes: same live rowset, DVs retired, commit is
+    a 'replace'; a fully-DV'd file vanishes."""
+    tbl.delete_where("k % 3 = 1")
+    expect = rows(tbl.to_df())
+    snap = tbl.rewrite_position_deletes()
+    assert snap.operation == "replace"
+    assert not snap.dv_manifest_paths
+    assert rows(tbl.to_df()) == expect
+    assert tbl.scan().count_from_stats() == len(expect)
+    # idempotent: nothing left to rewrite
+    assert tbl.rewrite_position_deletes() is None
+
+
+def test_compaction_retires_dvs(spark, tbl):
+    """compact() reads live rows and its rewrite retires the inputs' DV
+    entries — deleted rows do not resurrect through bin-packing."""
+    tbl.delete_where("k % 10 = 9")
+    expect = rows(tbl.to_df())
+    snap = tbl.compact(min_input_files=2)
+    assert snap is not None
+    assert rows(tbl.to_df()) == expect
+    assert not tbl.meta.current_snapshot().dv_manifest_paths
+
+
+def test_mor_requires_parquet(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh_orc"))
+    t = cat.create_table(
+        "t_orc",
+        "k bigint, part int",
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+        file_format="orc",
+    )
+    t.insert(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+        )
+    )
+    with pytest.raises(TableValidationError, match="merge-on-read"):
+        t.delete_where("k = 3")
+
+
+def test_mor_sql_route(spark, tmp_path):
+    """DELETE FROM via the SQL front door honors the table property, and
+    `$files` exposes per-file position_delete counts."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh_sql"))
+    eng.sql(
+        "CREATE TABLE tm (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    eng.sql(
+        "ALTER TABLE tm SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("srcv")
+    eng.sql("INSERT INTO tm SELECT * FROM srcv")
+    t = eng.catalog.load_table("tm")
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    eng.sql("DELETE FROM tm WHERE k % 10 = 1")
+    t.refresh()
+    assert {f.path for f in t.meta.current_snapshot().live_files()} == before
+    assert eng.sql("SELECT COUNT(*) AS n FROM tm").collect()[0]["n"] == 90
+    fdf = eng.sql(
+        "SELECT SUM(position_deletes) AS pd FROM `tm$files`"
+    ).collect()
+    assert fdf[0]["pd"] == 10
