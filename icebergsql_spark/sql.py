@@ -177,6 +177,35 @@ def _parse_assignments(sets: str) -> dict[str, str]:
     return out
 
 
+_CALL_RE = re.compile(
+    r"^\s*call\s+(?:system\s*\.\s*)?(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_call_args(argtext: str, names: list[str]) -> dict[str, str]:
+    """Iceberg procedure arg syntax: positional and/or ``name => value``
+    (values: 'quoted' or bare numbers/identifiers). Returns name→raw-value
+    with quotes stripped."""
+    out: dict[str, str] = {}
+    pos = 0
+    for raw in _split_top_level(argtext):
+        if not raw:
+            continue
+        if "=>" in raw:
+            k, v = raw.split("=>", 1)
+            k = k.strip().lower()
+            if k not in names:
+                raise ValueError(f"unknown procedure argument {k!r}")
+        else:
+            if pos >= len(names):
+                raise ValueError(f"too many positional arguments: {raw!r}")
+            k, v = names[pos], raw
+            pos += 1
+        out[k] = v.strip().strip("'\"")
+    return out
+
+
 _COUNT_STAR_RE = re.compile(
     r"^\s*select\s+count\s*\(\s*\*\s*\)\s*(?:as\s+(?P<alias>\w+)\s*)?"
     r"from\s+`?(?P<name>\w+)`?\s*(?:where\s+(?P<pred>.*?))?\s*$",
@@ -689,6 +718,17 @@ class Engine:
                 "expired_snapshots int, deleted_data_files int, deleted_manifests int",
             )
 
+        cm = _CALL_RE.match(text)
+        if cm:
+            # CALL [system.]<proc>(...) — Iceberg Spark-procedure surface
+            # (rollback_to_snapshot, expire_snapshots, rewrite_data_files,
+            # rewrite_position_deletes, ...). The reference inherits these
+            # from the Iceberg runtime; here each dispatches to the
+            # equivalent ManagedTable maintenance method.
+            return self._call_procedure(
+                cm.group("proc").lower(), cm.group("args")
+            )
+
         sm = re.match(r"^\s*show\s+tables\s*$", text, re.IGNORECASE)
         if sm:
             return self.spark.createDataFrame(
@@ -879,6 +919,134 @@ class Engine:
         return self.spark.createDataFrame([], T.StructType([]))
 
     # ------------------------------------------------- python-level access --
+
+    def _call_procedure(self, proc: str, argtext: str) -> DataFrame:
+        """Iceberg Spark-procedure parity over the snapshot layer. Output
+        schemas loosely mirror Iceberg's procedure results (enough for
+        scripting; exact row shapes are ours)."""
+        spark = self.spark
+
+        def tbl(args) -> ManagedTable:
+            name = args.get("table", "").strip("`")
+            if not name or not self.catalog.table_exists(name):
+                raise ValueError(f"CALL {proc}: unknown table {name!r}")
+            return self.catalog.load_table(name)
+
+        if proc in ("rollback_to_snapshot", "set_current_snapshot"):
+            args = _parse_call_args(argtext, ["table", "snapshot_id"])
+            t = tbl(args)
+            prev = t.meta.current_snapshot_id
+            snap = t.rollback_to(int(args["snapshot_id"]))
+            return spark.createDataFrame(
+                [(prev, snap.snapshot_id)],
+                "previous_snapshot_id long, current_snapshot_id long",
+            )
+        if proc == "rollback_to_timestamp":
+            args = _parse_call_args(argtext, ["table", "timestamp"])
+            t = tbl(args)
+            ms = convert_to_epoch_millis(args["timestamp"])
+            target = t.meta.snapshot_as_of(ms)
+            if target is None:
+                raise ValueError(f"no snapshot at or before {args['timestamp']}")
+            prev = t.meta.current_snapshot_id
+            snap = t.rollback_to(target.snapshot_id)
+            return spark.createDataFrame(
+                [(prev, snap.snapshot_id)],
+                "previous_snapshot_id long, current_snapshot_id long",
+            )
+        if proc == "expire_snapshots":
+            args = _parse_call_args(argtext, ["table", "retain_last"])
+            res = tbl(args).expire_snapshots(
+                retain_last=int(args.get("retain_last", 1))
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        res["expired_snapshots"],
+                        res["deleted_data_files"],
+                        res["deleted_manifests"],
+                    )
+                ],
+                "expired_snapshots int, deleted_data_files_count int, "
+                "deleted_manifest_files_count int",
+            )
+        if proc == "remove_orphan_files":
+            args = _parse_call_args(
+                argtext, ["table", "older_than_hours", "distributed"]
+            )
+            kwargs = {}
+            if "older_than_hours" in args:
+                kwargs["older_than_s"] = int(args["older_than_hours"]) * 3600
+            if args.get("distributed", "").lower() == "true":
+                kwargs["distributed"] = True
+            removed = tbl(args).remove_orphan_files(**kwargs)
+            return spark.createDataFrame(
+                [(removed,)], "orphan_file_count int"
+            )
+        if proc == "rewrite_data_files":
+            args = _parse_call_args(
+                argtext, ["table", "sort_by", "zorder_by", "min_input_files"]
+            )
+            cols = lambda s: [c.strip().strip("`") for c in s.split(",") if c.strip()]  # noqa: E731
+            kwargs = {}
+            if "sort_by" in args:
+                kwargs["sort_by"] = cols(args["sort_by"])
+            if "zorder_by" in args:
+                kwargs["zorder_by"] = cols(args["zorder_by"])
+            if "min_input_files" in args:
+                kwargs["min_input_files"] = int(args["min_input_files"])
+            snap = tbl(args).compact(**kwargs)
+            return spark.createDataFrame(
+                [
+                    (
+                        snap.num_deleted_files if snap else 0,
+                        snap.num_added_files if snap else 0,
+                    )
+                ],
+                "rewritten_data_files_count int, added_data_files_count int",
+            )
+        if proc == "rewrite_position_deletes":
+            args = _parse_call_args(argtext, ["table"])
+            snap = tbl(args).rewrite_position_deletes()
+            return spark.createDataFrame(
+                [
+                    (
+                        snap.num_deleted_files if snap else 0,
+                        snap.num_added_files if snap else 0,
+                    )
+                ],
+                "rewritten_data_files_count int, added_data_files_count int",
+            )
+        if proc == "fast_forward":
+            args = _parse_call_args(argtext, ["table", "branch"])
+            t = tbl(args)
+            prev = t.meta.current_snapshot_id
+            snap = t.fast_forward(args["branch"])
+            return spark.createDataFrame(
+                [(args["branch"], prev, snap.snapshot_id)],
+                "branch_updated string, previous_ref long, updated_ref long",
+            )
+        if proc == "ancestors_of":
+            args = _parse_call_args(argtext, ["table", "snapshot_id"])
+            t = tbl(args)
+            sid = (
+                int(args["snapshot_id"])
+                if "snapshot_id" in args
+                else t.meta.current_snapshot_id
+            )
+            rows = []
+            seen = set()
+            while sid is not None and sid not in seen:
+                seen.add(sid)
+                s = t.meta.snapshot_by_id(sid)
+                if s is None:
+                    break
+                rows.append((s.snapshot_id, s.timestamp_ms))
+                sid = s.parent_id
+            return spark.createDataFrame(
+                rows, "snapshot_id long, timestamp long"
+            )
+        raise ValueError(f"unknown procedure {proc!r}")
 
     def table(self, name: str) -> ManagedTable:
         return self.catalog.load_table(name)

@@ -578,14 +578,8 @@ class ManagedTable:
         files: list[DataFile],
         predicate_sql: str,
     ) -> list:
-        """One distributed job: read ``files`` with row coordinates, keep
-        rows MATCHING the predicate (NULL → not deleted, per SQL), subtract
-        positions already dead under existing DVs (so per-file counts stay
-        additive/exact), and write the (path, pos) rowset as parquet under
-        the metadata dir. Only the per-file counts come back to the driver
-        (bounded by file count, not row count)."""
-        from icebergsql_spark.catalog.metadata import DeleteVectorEntry
-
+        """Predicate-delete DV build: rows MATCHING the predicate (NULL →
+        not deleted, per SQL) become the deleted rowset."""
         matched = (
             self.read_files(files, with_pos=True)
             .filter(
@@ -593,6 +587,22 @@ class ManagedTable:
             )
             .select("__fp", "__pos")
         )
+        return self._commit_dv_rowset(parent, files, matched)
+
+    def _commit_dv_rowset(
+        self,
+        parent: Snapshot,
+        files: list[DataFile],
+        matched: DataFrame,
+    ) -> list:
+        """One distributed job: take a (``__fp``, ``__pos``) rowset of
+        positions to delete within ``files``, subtract positions already
+        dead under existing DVs (so per-file counts stay additive/exact),
+        and write the surviving rowset as parquet under the metadata dir.
+        Only the per-file counts come back to the driver (bounded by file
+        count, not row count)."""
+        from icebergsql_spark.catalog.metadata import DeleteVectorEntry
+
         prior = [
             e
             for e in parent.dv_entries()
@@ -632,10 +642,18 @@ class ManagedTable:
     def update_where(
         self, assignments: dict[str, str], predicate_sql: str | None = None
     ) -> Snapshot:
-        """Copy-on-write UPDATE ... SET ... WHERE: rewrite only files that
-        may contain matching rows; within them, non-matching rows pass
-        through unchanged (NULL predicate → unchanged, per SQL). Updated
-        rows may move partitions — the write path re-partitions by value."""
+        """UPDATE ... SET ... WHERE — copy-on-write by default,
+        merge-on-read when ``write.update.mode = 'merge-on-read'``.
+
+        Copy-on-write rewrites only files that may contain matching rows;
+        within them, non-matching rows pass through unchanged (NULL
+        predicate → unchanged, per SQL). Updated rows may move partitions —
+        the write path re-partitions by value.
+
+        Merge-on-read records the matching rows' positions as a delete
+        vector and APPENDS the updated images (delete+insert, Iceberg v2
+        MoR update): write cost ∝ updated rows, untouched rows in the same
+        files are never rewritten."""
         self.refresh()
         parent = self.meta.current_snapshot()
         schema = self.schema
@@ -652,6 +670,41 @@ class ManagedTable:
             if predicate_sql
             else F.lit(True)
         )
+        mor = (
+            self.meta.properties.get("write.update.mode", "copy-on-write")
+            == "merge-on-read"
+        )
+        if mor:
+            if self.file_format != "parquet":
+                raise TableValidationError(
+                    "merge-on-read updates need parquet row positions "
+                    f"(_metadata.row_index); table format is {self.file_format}"
+                )
+            # updated images from LIVE pre-update rows; DV masks the old
+            # images in place — both sides share one predicate
+            updated = self.read_files_live(affected, parent).filter(cond).select(
+                *[
+                    (
+                        F.expr(assignments[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        if f.name in assignments
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+            added = self._distributed_write(updated)
+            dv_entries = self._write_delete_vectors(
+                parent, affected, predicate_sql or "true"
+            )
+            return self._commit_snapshot(
+                parent,
+                added,
+                [],
+                operation="overwrite",
+                new_dv_entries=dv_entries,
+            )
         rewritten = self.read_files_live(affected, parent).select(
             *[
                 (
@@ -748,6 +801,27 @@ class ManagedTable:
 
         # alias AFTER the marker column so `s.<col>` resolves in set_exprs
         s_marked = source.withColumn("__m", F.lit(True)).alias("s")
+        mor = (
+            self.meta.properties.get("write.merge.mode", "copy-on-write")
+            == "merge-on-read"
+        )
+        if mor and affected and when_matched is not None:
+            if self.file_format != "parquet":
+                raise TableValidationError(
+                    "merge-on-read MERGE needs parquet row positions "
+                    f"(_metadata.row_index); table format is {self.file_format}"
+                )
+            return self._merge_mor(
+                parent,
+                affected,
+                source,
+                s_marked,
+                keys,
+                when_matched,
+                set_exprs,
+                when_not_matched_insert,
+                extra_summary,
+            )
         rewritten = None
         if affected:
             t = self.read_files_live(affected, parent).alias("t")
@@ -806,6 +880,81 @@ class ManagedTable:
             return parent
         return self._commit_snapshot(
             parent, added, list(affected), extra_summary=extra_summary
+        )
+
+    def _merge_mor(
+        self,
+        parent: Snapshot,
+        affected: list[DataFile],
+        source: DataFrame,
+        s_marked: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        set_exprs: dict[str, str] | None,
+        when_not_matched_insert: bool,
+        extra_summary: dict[str, str] | None,
+    ) -> Snapshot:
+        """Merge-on-read MERGE: matched target rows are masked by a delete
+        vector (positions via a key semi-join on the position-annotated
+        read) and — for 'update' — their new images are APPENDED alongside
+        the not-matched inserts; untouched rows in the affected files are
+        never rewritten. Write cost ∝ churned rows (the Iceberg v2 MoR
+        upsert shape, the one a CDC stream needs at 100 TB)."""
+        schema = self.schema
+        matched_pos = (
+            self.read_files(affected, with_pos=True)
+            .join(source.select(*keys).distinct(), keys, "left_semi")
+            .select("__fp", "__pos")
+        )
+        dv_entries = self._commit_dv_rowset(parent, affected, matched_pos)
+        new_parts: list[DataFrame] = []
+        if when_matched == "update":
+            t = self.read_files_live(affected, parent).alias("t")
+            joined = t.join(
+                s_marked, [t[k] == s_marked[k] for k in keys], "inner"
+            )
+            out_cols = []
+            for f in schema.fields:
+                if set_exprs is not None and f.name in set_exprs:
+                    out_cols.append(
+                        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    )
+                elif set_exprs is None and f.name in source.columns:
+                    out_cols.append(s_marked[f.name].cast(f.dataType).alias(f.name))
+                else:
+                    out_cols.append(t[f.name].alias(f.name))
+            new_parts.append(joined.select(*out_cols))
+        if when_not_matched_insert:
+            missing = [
+                f.name for f in schema.fields if f.name not in source.columns
+            ]
+            if missing:
+                raise TableValidationError(
+                    f"MERGE insert needs source columns {missing}"
+                )
+            live_keys = self.read_files_live(
+                parent.live_files(), parent
+            ).select(*keys)
+            new_parts.append(
+                source.join(live_keys, keys, "left_anti").select(
+                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                )
+            )
+        added: list[DataFile] = []
+        if new_parts:
+            new_df = new_parts[0]
+            for p in new_parts[1:]:
+                new_df = new_df.unionByName(p)
+            added = self._distributed_write(new_df)
+        if not added and not dv_entries:
+            return parent
+        return self._commit_snapshot(
+            parent,
+            added,
+            [],
+            operation="overwrite",
+            new_dv_entries=dv_entries,
+            extra_summary=extra_summary,
         )
 
     def _build_data_files(self, out_dir: str) -> list[DataFile]:

@@ -753,3 +753,72 @@ def test_remove_orphan_files_distributed(spark, tmp_path):
     }
     assert after == before
     assert tbl.to_df().count() == 40
+
+
+def test_call_procedures(spark, tmp_path):
+    """CALL [system.]<proc>(...) — Iceberg Spark-procedure parity:
+    rollback/set-current/timestamp rollback, expire, rewrite_data_files,
+    rewrite_position_deletes, remove_orphan_files, ancestors_of; named
+    and positional argument forms."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_call"))
+    eng.sql(
+        "CREATE TABLE tc (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("s_call")
+    eng.sql("INSERT INTO tc SELECT * FROM s_call")
+    eng.sql("INSERT INTO tc SELECT * FROM s_call")
+    t = eng.catalog.load_table("tc")
+    s1 = t.meta.snapshots[0].snapshot_id
+
+    # ancestors_of walks the parent chain (named + positional args)
+    anc = eng.sql("CALL system.ancestors_of('tc')").collect()
+    assert [r["snapshot_id"] for r in anc][-1] == s1 and len(anc) == 2
+
+    row = eng.sql(
+        f"CALL system.rollback_to_snapshot(table => 'tc', snapshot_id => {s1})"
+    ).collect()[0]
+    assert row["current_snapshot_id"] == s1
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").collect()[0]["n"] == 60
+
+    # rollback_to_timestamp to far future = newest snapshot in history
+    eng.sql("CALL system.rollback_to_timestamp('tc', '2999-01-01 00:00:00')")
+    t.refresh()
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").collect()[0]["n"] == 120
+
+    # MoR delete + rewrite_position_deletes via CALL
+    eng.sql(
+        "ALTER TABLE tc SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    eng.sql("DELETE FROM tc WHERE k % 10 = 1")
+    row = eng.sql(
+        "CALL system.rewrite_position_deletes(table => 'tc')"
+    ).collect()[0]
+    assert row["rewritten_data_files_count"] > 0
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").collect()[0]["n"] == 108
+
+    row = eng.sql(
+        "CALL rewrite_data_files(table => 'tc', min_input_files => 2)"
+    ).collect()[0]
+    assert row["added_data_files_count"] >= 0
+
+    row = eng.sql(
+        "CALL system.expire_snapshots(table => 'tc', retain_last => 1)"
+    ).collect()[0]
+    assert row["expired_snapshots"] > 0
+    row = eng.sql(
+        "CALL system.remove_orphan_files(table => 'tc', older_than_hours => 0)"
+    ).collect()[0]
+    assert row["orphan_file_count"] >= 0
+    assert eng.sql("SELECT COUNT(*) AS n FROM tc").collect()[0]["n"] == 108
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL system.no_such_proc('tc')")
+    with _pytest.raises(ValueError, match="unknown procedure argument"):
+        eng.sql("CALL system.expire_snapshots(tbl => 'tc')")

@@ -178,3 +178,74 @@ def test_mor_sql_route(spark, tmp_path):
         "SELECT SUM(position_deletes) AS pd FROM `tm$files`"
     ).collect()
     assert fdf[0]["pd"] == 10
+
+
+def test_mor_update_appends_images(spark, tmp_path):
+    """write.update.mode=merge-on-read: UPDATE masks old images with a DV
+    and appends the new images — affected files are not rewritten."""
+    cat = Catalog(spark, str(tmp_path / "wh_u"))
+    t = cat.create_table(
+        "tu",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    src = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("x").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    )
+    t.insert(src)
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    snap = t.update_where({"v": "v + 0.5"}, "k < 20")
+    assert snap.operation == "overwrite"
+    assert before <= {f.path for f in snap.live_files()}  # nothing rewritten
+    assert snap.dv_manifest_paths
+    assert sum(e.count for e in snap.dv_entries()) == 20
+    assert t.to_df().count() == 200
+    assert t.to_df().filter("k = 3").collect()[0]["v"] == 3.5
+    assert t.to_df().filter("k = 100").collect()[0]["v"] == 100.0
+    # second MoR update over the same rows stacks correctly
+    t.update_where({"v": "v * 2"}, "k < 10")
+    assert t.to_df().count() == 200
+    assert t.to_df().filter("k = 3").collect()[0]["v"] == 7.0
+
+
+def test_mor_merge_upsert(spark, tmp_path):
+    """write.merge.mode=merge-on-read: matched rows masked by DV + new
+    images appended; not-matched inserted; matched-delete emits DV only."""
+    cat = Catalog(spark, str(tmp_path / "wh_m"))
+    t = cat.create_table(
+        "tmg",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    src = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("x").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    )
+    t.insert(src)
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    upd = spark.createDataFrame(
+        [(5, -5.0, "u", 1), (999, 1.0, "n", 1)], DDL
+    )
+    snap = t.merge(upd, on=["k"], when_matched="update", when_not_matched_insert=True)
+    assert snap.operation == "overwrite"
+    assert before <= {f.path for f in snap.live_files()}
+    assert sum(e.count for e in snap.dv_entries()) == 1
+    assert t.to_df().count() == 101
+    assert t.to_df().filter("k = 5").collect()[0]["v"] == -5.0
+    assert t.to_df().filter("k = 999").count() == 1
+    # matched-delete: DV only, no images
+    dl = spark.createDataFrame([(6, 0.0, "d", 0)], DDL)
+    snap2 = t.merge(dl, on=["k"], when_matched="delete", when_not_matched_insert=False)
+    assert t.to_df().filter("k = 6").count() == 0
+    assert t.to_df().count() == 100
+    # rewrite folds everything back; rows preserved
+    expect = rows(t.to_df())
+    t.rewrite_position_deletes()
+    assert rows(t.to_df()) == expect
