@@ -88,6 +88,14 @@ BENCH_QUERIES = [
     "events_stream_dedup",
     "managed_incremental_minhash",
     "graph_triangle_count",
+    # round-4 additions
+    "managed_rewrite_predicate_dv",
+    "text_minhash_containment",
+    "events_asof_nearest",
+    "agg_weighted_quantiles",
+    "dedup_span_overlap",
+    "text_domain_mix_report",
+    "managed_mor_merge_cdc",
 ]
 
 
@@ -180,6 +188,8 @@ def main() -> None:
         "datasource_read_pruned",
         "events_stream_dedup",
         "managed_incremental_minhash",
+        "managed_rewrite_predicate_dv",
+        "managed_mor_merge_cdc",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",

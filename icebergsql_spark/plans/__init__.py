@@ -28,6 +28,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",
+    "managed_mor_merge_cdc",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",

@@ -413,3 +413,82 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
         .limit(500)
     )
+
+
+@register(
+    "managed_mor_merge_cdc",
+    oracle="""
+        WITH tgt AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        src AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        ),
+        merged AS (
+          SELECT COALESCE(t.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+                 COALESCE(t.c, 0) + COALESCE(s.c, 0) AS c
+          FROM tgt t FULL OUTER JOIN src s USING (o_orderkey)
+        )
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+        FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Merge-on-read MERGE as the CDC-upsert primitive (table.py:"
+    "_merge_mor): a change batch upserts into a managed table whose "
+    "write.merge.mode is merge-on-read — matched target rows are masked "
+    "by a position delete vector (key semi-join on the position-annotated "
+    "read, never a file rewrite: asserted zero files deleted, prior file "
+    "set preserved) while accumulated update images and new-key inserts "
+    "append in one job. The trade vs copy-on-write MERGE "
+    "(managed_merge_upsert): write amplification bounded by churned rows "
+    "instead of touched FILES — at 100 TB a 0.1% CDC batch scattered "
+    "across every file rewrites nothing. Money kept in integer cents "
+    "until the final division (order-independent float contract).",
+    tags=("managed", "dml", "mor", "cdc"),
+)
+def managed_mor_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.table import Catalog
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderstatus",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-morcdc-"))
+    tbl = cat.create_table(
+        "ord_cdc",
+        "o_orderkey bigint, c bigint, o_orderstatus string",
+        partition_cols=["o_orderstatus"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    tbl.insert(base.filter(F.col("o_orderkey") % 2 == 0))
+    before = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    snap = tbl.merge(
+        base.filter(F.col("o_orderkey") % 4 < 2),
+        on=["o_orderkey"],
+        when_matched="update",
+        set_exprs={"c": "t.c + s.c"},
+        when_not_matched_insert=True,
+    )
+    assert snap.operation == "overwrite"
+    assert snap.num_deleted_files == 0, "MoR merge must not drop data files"
+    assert before <= {f.path for f in snap.live_files()}
+    assert snap.dv_manifest_paths, "matched rows must be masked by a DV"
+    return (
+        tbl.to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
