@@ -44,6 +44,8 @@ _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
 _REFS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$refs`")
 _FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$files`")
 _PARTITIONS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$partitions`")
+_HISTORY_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$history`")
+_MANIFESTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$manifests`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -401,6 +403,14 @@ class Engine:
             tbl = self.catalog.load_table(m)
             tbl.partitions_df().createOrReplaceTempView(f"{m}__partitions")
         text = _PARTITIONS_RE.sub(lambda mo: f"{mo.group(1)}__partitions", text)
+        for m in set(_HISTORY_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.history_df().createOrReplaceTempView(f"{m}__history")
+        text = _HISTORY_RE.sub(lambda mo: f"{mo.group(1)}__history", text)
+        for m in set(_MANIFESTS_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.manifests_df().createOrReplaceTempView(f"{m}__manifests")
+        text = _MANIFESTS_RE.sub(lambda mo: f"{mo.group(1)}__manifests", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}
@@ -1025,6 +1035,14 @@ class Engine:
             return spark.createDataFrame(
                 [(args["branch"], prev, snap.snapshot_id)],
                 "branch_updated string, previous_ref long, updated_ref long",
+            )
+        if proc == "cherrypick_snapshot":
+            args = _parse_call_args(argtext, ["table", "snapshot_id"])
+            t = tbl(args)
+            snap = t.cherrypick_snapshot(int(args["snapshot_id"]))
+            return spark.createDataFrame(
+                [(int(args["snapshot_id"]), snap.snapshot_id)],
+                "source_snapshot_id long, current_snapshot_id long",
             )
         if proc == "ancestors_of":
             args = _parse_call_args(argtext, ["table", "snapshot_id"])

@@ -1017,6 +1017,7 @@ class ManagedTable:
         branch: str | None = None,
         extra_summary: dict[str, str] | None = None,
         new_dv_entries: list | None = None,
+        cleanup_on_failure: bool = True,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
         # scala:142-179): add+delete → rewrite ('overwrite'), add-only →
@@ -1126,8 +1127,11 @@ class ManagedTable:
             # cleanup-on-failure: a commit that cannot land leaves no
             # orphaned data files (mirrors the reference's cleanup,
             # SparkTableOperations.scala:120-149). All of this insert's
-            # files live under one data/<commit-id>/ directory.
-            if added:
+            # files live under one data/<commit-id>/ directory. Callers
+            # whose 'added' files are re-referenced from EXISTING snapshots
+            # (cherry-pick) pass cleanup_on_failure=False — those files
+            # must survive the failed commit.
+            if added and cleanup_on_failure:
                 import shutil
 
                 commit_dir = os.path.join(
@@ -1496,6 +1500,47 @@ class ManagedTable:
         self.meta.current_snapshot_id = snapshot_id
         self.meta.commit()
         return snap
+
+    def cherrypick_snapshot(self, snapshot_id: int) -> Snapshot:
+        """Apply one APPEND snapshot's added files onto the CURRENT head
+        (Iceberg's ``cherrypick_snapshot``): the audit-then-publish move
+        for a staged write that is not the head's direct child — e.g. a
+        WAP branch commit made while main advanced. Metadata-only (no data
+        IO); only 'append' snapshots are pickable, matching Iceberg — an
+        overwrite's delete set may be stale against the new head."""
+        self.refresh()
+        src = self.meta.snapshot_by_id(snapshot_id)
+        if src is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if src.operation != "append":
+            raise ValueError(
+                f"cherrypick supports append snapshots only, "
+                f"{snapshot_id} is {src.operation!r}"
+            )
+        parent = (
+            self.meta.snapshot_by_id(src.parent_id)
+            if src.parent_id is not None
+            else None
+        )
+        parent_paths = (
+            {f.path for f in parent.live_files()} if parent else set()
+        )
+        picked = [f for f in src.live_files() if f.path not in parent_paths]
+        head = self.meta.current_snapshot()
+        head_paths = {f.path for f in head.live_files()} if head else set()
+        if any(f.path in head_paths for f in picked):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already reachable from the "
+                "current head (nothing to cherry-pick)"
+            )
+        return self._commit_snapshot(
+            head,
+            picked,
+            [],
+            operation="append",
+            extra_summary={"cherry-picked-from": str(snapshot_id)},
+            cleanup_on_failure=False,  # picked files belong to src snapshot
+        )
 
     def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
         self.refresh()
@@ -2160,6 +2205,60 @@ class ManagedTable:
             "numdDeletedFiles int, manifestListLocation string"
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """The `<table>$history` view (Iceberg ``db.tbl.history``): commit
+        log with operation + ancestor flag. ``is_current_ancestor`` tells a
+        rolled-over lineage from the published one — the column an auditor
+        reads after a rollback."""
+        cur = self.meta.current_snapshot_id
+        ancestors = set()
+        sid = cur
+        while sid is not None:
+            s = self.meta.snapshot_by_id(sid)
+            if s is None or s.snapshot_id in ancestors:
+                break
+            ancestors.add(s.snapshot_id)
+            sid = s.parent_id
+        rows = [
+            (
+                s.timestamp_ms,
+                s.snapshot_id,
+                s.parent_id if s.parent_id is not None else -1,
+                s.operation,
+                s.snapshot_id in ancestors,
+            )
+            for s in self.meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "made_current_at long, snapshot_id long, parent_id long, "
+            "operation string, is_current_ancestor boolean",
+        )
+
+    def manifests_df(self) -> DataFrame:
+        """The `<table>$manifests` view (Iceberg ``db.tbl.manifests``):
+        current snapshot's manifest list with per-manifest file/row
+        accounting — the metadata-layer skew check (a manifest with 10^6
+        entries is the planning hotspot compaction should fold)."""
+        snap = self.meta.current_snapshot()
+        rows = []
+        for p in snap.manifest_paths if snap else []:
+            files = Manifest(p).files()
+            rows.append(
+                (
+                    p,
+                    os.path.getsize(p),
+                    len(files),
+                    sum(f.record_count for f in files),
+                    sum(f.file_size for f in files),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, added_data_files_count int, "
+            "record_count long, data_size long",
+        )
 
     def refs_df(self) -> DataFrame:
         """The `<table>$refs` view: named refs → pinned snapshot + type."""

@@ -822,3 +822,60 @@ def test_call_procedures(spark, tmp_path):
         eng.sql("CALL system.no_such_proc('tc')")
     with _pytest.raises(ValueError, match="unknown procedure argument"):
         eng.sql("CALL system.expire_snapshots(tbl => 'tc')")
+
+
+def test_history_manifests_views_and_cherrypick(spark, tmp_path):
+    """`t$history` (ancestor flags after rollback), `t$manifests`
+    (per-manifest accounting), and CALL cherrypick_snapshot publishing a
+    stale-parent WAP append onto the advanced head."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_hist"))
+    eng.sql(
+        "CREATE TABLE th (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("s_h")
+    eng.sql("INSERT INTO th SELECT * FROM s_h")
+    eng.sql("INSERT INTO th SELECT * FROM s_h")
+    t = eng.catalog.load_table("th")
+    s1, s2 = (s.snapshot_id for s in t.meta.snapshots)
+
+    # stage a WAP append on a branch rooted at s1, then advance main
+    t.create_branch("audit", s1)
+    spark.range(40, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("s_h2")
+    eng.sql("INSERT INTO th BRANCH audit SELECT * FROM s_h2")
+    t.refresh()
+    staged = t.meta.refs["audit"]["snapshot_id"]
+    assert t.to_df().count() == 80  # main untouched by the staged write
+
+    row = eng.sql(
+        f"CALL system.cherrypick_snapshot(table => 'th', snapshot_id => {staged})"
+    ).collect()[0]
+    t.refresh()
+    assert row["source_snapshot_id"] == staged
+    assert t.to_df().count() == 90
+    cur = t.meta.current_snapshot()
+    assert cur.summary.get("cherry-picked-from") == str(staged)
+    # picking the same snapshot twice is rejected
+    with pytest.raises(ValueError, match="already reachable"):
+        t.cherrypick_snapshot(staged)
+
+    hist = {
+        r["snapshot_id"]: r
+        for r in eng.sql("SELECT * FROM `th$history`").collect()
+    }
+    assert hist[s1]["is_current_ancestor"] and hist[s2]["is_current_ancestor"]
+    assert not hist[staged]["is_current_ancestor"]  # branch commit itself
+    assert hist[cur.snapshot_id]["operation"] == "append"
+
+    man = eng.sql(
+        "SELECT SUM(record_count) AS rc, SUM(added_data_files_count) AS fc "
+        "FROM `th$manifests`"
+    ).collect()[0]
+    assert man["rc"] == 90
+    assert man["fc"] == len(cur.live_files())
