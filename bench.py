@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_mor_merge_cdc",
+    "managed_eq_delete_cdc",
 ]
 
 
@@ -190,6 +191,7 @@ def main() -> None:
         "managed_incremental_minhash",
         "managed_rewrite_predicate_dv",
         "managed_mor_merge_cdc",
+        "managed_eq_delete_cdc",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",

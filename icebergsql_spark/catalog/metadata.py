@@ -106,9 +106,12 @@ class DataFile:
     # under; column names in `stats`/`partition` are THAT era's names, and
     # readers translate via field ids (Iceberg's name-independent columns)
     schema_id: int = 0
+    # data sequence number (commit counter at write): equality deletes
+    # mask only rows from files with seq LOWER than the delete's seq
+    seq: int = 0
 
     def to_json(self):
-        return {
+        d = {
             "path": self.path,
             "partition": self.partition,
             "records": self.record_count,
@@ -116,6 +119,9 @@ class DataFile:
             "stats": {c: s.to_json() for c, s in self.stats.items()},
             "sid": self.schema_id,
         }
+        if self.seq:
+            d["seq"] = self.seq
+        return d
 
     @classmethod
     def from_json(cls, d):
@@ -126,6 +132,7 @@ class DataFile:
             file_size=d["bytes"],
             stats={c: ColStats.from_json(s) for c, s in d.get("stats", {}).items()},
             schema_id=d.get("sid", 0),
+            seq=d.get("seq", 0),
         )
 
 
@@ -165,6 +172,11 @@ class Manifest:
                     if "sid" in t.column_names
                     else [0] * t.num_rows
                 )
+                seqs = (
+                    t.column("seq").to_pylist()
+                    if "seq" in t.column_names
+                    else [0] * t.num_rows
+                )
                 self._files = [
                     DataFile(
                         path=p,
@@ -176,8 +188,9 @@ class Manifest:
                             for c, s in json.loads(st).items()
                         },
                         schema_id=sid,
+                        seq=sq,
                     )
-                    for p, part, rec, byt, st, sid in zip(*cols, sids)
+                    for p, part, rec, byt, st, sid, sq in zip(*cols, sids, seqs)
                 ]
             else:
                 with open(self.path) as f:
@@ -214,6 +227,9 @@ class Manifest:
                     ],
                     "sid": pa.array(
                         [f.schema_id for f in files], type=pa.int32()
+                    ),
+                    "seq": pa.array(
+                        [f.seq for f in files], type=pa.int64()
                     ),
                 }
             )
@@ -278,6 +294,69 @@ class DVManifest:
 
 
 @dataclass
+class EqualityDeleteEntry:
+    """One equality-delete file (Iceberg v2): ``eq_path`` is a parquet
+    rowset of KEY VALUES over ``key_cols``; a data row is masked iff its
+    key appears here AND its data file's sequence number is LOWER than
+    ``seq`` (rows written in the same or a later commit are untouched —
+    the rule that lets a CDC upsert append the new image and delete the
+    old in one commit with zero read-before-write)."""
+
+    eq_path: str
+    key_cols: list[str]
+    seq: int
+    count: int
+
+    def to_json(self):
+        return {
+            "eq": self.eq_path,
+            "keys": self.key_cols,
+            "seq": self.seq,
+            "count": self.count,
+        }
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(
+            eq_path=d["eq"],
+            key_cols=list(d["keys"]),
+            seq=d["seq"],
+            count=d["count"],
+        )
+
+
+class EqManifest:
+    """A list of EqualityDeleteEntry stored as one JSON file (same
+    lifecycle mechanics as DVManifest: reuse when untouched, consolidate
+    on change, bounded by delete churn)."""
+
+    def __init__(
+        self, path: str, entries: list[EqualityDeleteEntry] | None = None
+    ):
+        self.path = path
+        self._entries = entries
+
+    def entries(self) -> list[EqualityDeleteEntry]:
+        if self._entries is None:
+            with open(self.path) as f:
+                self._entries = [
+                    EqualityDeleteEntry.from_json(d)
+                    for d in json.load(f)["eq_deletes"]
+                ]
+        return self._entries
+
+    @classmethod
+    def write(
+        cls, path: str, entries: list[EqualityDeleteEntry]
+    ) -> "EqManifest":
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"eq_deletes": [e.to_json() for e in entries]}, f)
+        os.rename(tmp, path)
+        return cls(path, list(entries))
+
+
+@dataclass
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
@@ -289,6 +368,11 @@ class Snapshot:
     summary: dict[str, str] = field(default_factory=dict)
     # merge-on-read position deletes in effect for this snapshot's files
     dv_manifest_paths: list[str] = field(default_factory=list)
+    # merge-on-read equality deletes (seq-scoped) in effect
+    eq_manifest_paths: list[str] = field(default_factory=list)
+    # data sequence number of this commit (files added here carry it);
+    # 0 for pre-sequence metadata (every eq delete outranks seq 0)
+    sequence_number: int = 0
 
     def manifests(self) -> list[Manifest]:
         return [Manifest(p) for p in self.manifest_paths]
@@ -305,6 +389,12 @@ class Snapshot:
             out.extend(DVManifest(p).entries())
         return out
 
+    def eq_entries(self) -> list[EqualityDeleteEntry]:
+        out: list[EqualityDeleteEntry] = []
+        for p in self.eq_manifest_paths:
+            out.extend(EqManifest(p).entries())
+        return out
+
     def to_json(self):
         d = {
             "snapshot_id": self.snapshot_id,
@@ -318,6 +408,10 @@ class Snapshot:
         }
         if self.dv_manifest_paths:
             d["dv_manifests"] = self.dv_manifest_paths
+        if self.eq_manifest_paths:
+            d["eq_manifests"] = self.eq_manifest_paths
+        if self.sequence_number:
+            d["seq"] = self.sequence_number
         return d
 
     @classmethod
@@ -332,6 +426,8 @@ class Snapshot:
             num_deleted_files=d.get("deleted_files", 0),
             summary=d.get("summary", {}),
             dv_manifest_paths=d.get("dv_manifests", []),
+            eq_manifest_paths=d.get("eq_manifests", []),
+            sequence_number=d.get("seq", 0),
         )
 
 

@@ -29,6 +29,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",
     "managed_mor_merge_cdc",
+    "managed_eq_delete_cdc",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",

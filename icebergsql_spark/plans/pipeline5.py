@@ -492,3 +492,102 @@ def managed_mor_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "managed_eq_delete_cdc",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        final AS (
+          SELECT k,
+                 CASE WHEN k % 12 = 0 THEN c + 2
+                      WHEN k % 6 = 0 THEN c + 1
+                      ELSE c END AS c,
+                 o_orderstatus
+          FROM base WHERE k % 9 <> 0
+        ),
+        agg AS (
+          SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM final GROUP BY o_orderstatus
+        )
+        SELECT stage, o_orderstatus, n, total
+        FROM agg
+        CROSS JOIN (SELECT unnest(['converted', 'eq']) AS stage) s
+        ORDER BY stage, o_orderstatus
+    """,
+    doc="Equality-delete CDC (table.py:upsert_by_keys/delete_by_keys/"
+    "convert_equality_deletes — Iceberg v2 equality deletes + sequence "
+    "numbers on the pure-Python snapshot layer): two upsert batches "
+    "(new images + key delete at ONE sequence number, zero "
+    "read-before-write) then a key delete, masking by strict seq "
+    "ordering so last-writer-wins per key; the aggregate is emitted "
+    "BEFORE and AFTER converting the key rowsets into position DVs and "
+    "must be identical. Asserted: no data file is ever rewritten by the "
+    "CDC commits, and the metadata COUNT honestly degrades to "
+    "undecidable (None) while unconverted equality deletes exist. At "
+    "100 TB this is THE sustainable streaming-CDC sink shape: per-batch "
+    "cost ∝ batch size, read tax ∝ delete churn, reclaimed by the "
+    "convert + rewrite maintenance cadence.",
+    tags=("managed", "dml", "mor", "cdc", "streaming"),
+)
+def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.table import Catalog
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderstatus",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-eqcdc-"))
+    tbl = cat.create_table(
+        "ord_eq",
+        "k bigint, c bigint, o_orderstatus string",
+        partition_cols=["o_orderstatus"],
+    )
+    tbl.insert(base)
+    written = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    tbl.upsert_by_keys(
+        base.filter(F.col("k") % 6 == 0).withColumn("c", F.col("c") + 1),
+        ["k"],
+    )
+    tbl.upsert_by_keys(
+        base.filter(F.col("k") % 12 == 0).withColumn("c", F.col("c") + 2),
+        ["k"],
+    )
+    snap = tbl.delete_by_keys(base.filter(F.col("k") % 9 == 0).select("k"), ["k"])
+    # CDC commits only ever APPEND: every pre-existing file is still live
+    assert written <= {f.path for f in snap.live_files()}
+    assert snap.eq_manifest_paths, "unconverted equality deletes expected"
+    assert tbl.scan().count_from_stats() is None  # honest undecidability
+
+    def agg(stage: str) -> DataFrame:
+        return (
+            tbl.to_df()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum("c").cast("double") / 100.0).alias("total"),
+            )
+            .select(F.lit(stage).alias("stage"), "*")
+        )
+
+    eq_stage = agg("eq")
+    eq_rows = eq_stage.collect()  # materialize BEFORE conversion
+    cs = tbl.convert_equality_deletes()
+    assert cs is not None and cs.operation == "replace"
+    assert not tbl.meta.current_snapshot().eq_manifest_paths
+    assert tbl.scan().count_from_stats() == tbl.to_df().count()
+    return (
+        spark.createDataFrame(eq_rows, eq_stage.schema)
+        .unionByName(agg("converted"))
+        .orderBy("stage", "o_orderstatus")
+    )

@@ -589,6 +589,157 @@ class ManagedTable:
         )
         return self._commit_dv_rowset(parent, files, matched)
 
+    def _next_seq(self) -> int:
+        return (
+            max((s.sequence_number for s in self.meta.snapshots), default=0)
+            + 1
+        )
+
+    def _write_eq_rowset(self, keys_df: DataFrame, key_cols: list[str]):
+        """Write a distinct key rowset as the equality-delete payload and
+        return an EqualityDeleteEntry stamped with the NEXT commit's
+        sequence number (single-writer invariant: the subsequent
+        `_commit_snapshot` in the same call derives the same number)."""
+        from icebergsql_spark.catalog.metadata import EqualityDeleteEntry
+
+        schema_cols = {f.name for f in self.schema.fields}
+        bad = sorted(set(key_cols) - schema_cols)
+        if bad:
+            raise TableValidationError(f"equality-delete key(s) {bad} not in schema")
+        eq_dir = os.path.join(
+            self.meta.metadata_dir, f"eq-data-{uuid.uuid4().hex[:12]}"
+        )
+        (
+            keys_df.select(*key_cols)
+            .distinct()
+            .write.mode("errorifexists")
+            .parquet(eq_dir)
+        )
+        count = self.spark.read.parquet(eq_dir).count()
+        return EqualityDeleteEntry(
+            eq_path=eq_dir,
+            key_cols=list(key_cols),
+            seq=self._next_seq(),
+            count=int(count),
+        )
+
+    def delete_by_keys(
+        self, keys_df: DataFrame, key_cols: list[str] | None = None
+    ) -> Snapshot:
+        """Equality DELETE (Iceberg v2 equality-delete files): append a
+        key rowset; every EXISTING row (data-file seq < this commit's seq)
+        whose key matches is masked at read time. ZERO data-file reads and
+        zero data-file writes — the only DELETE shape a high-rate CDC
+        stream can afford at 100 TB (position deletes need a read to find
+        positions; copy-on-write needs a rewrite). Trade: scans pay a
+        key-join against the accumulated delete rowsets until
+        ``convert_equality_deletes`` folds them into position DVs.
+
+        ``key_cols`` defaults to every column of ``keys_df``."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        if parent is None:
+            return parent
+        entry = self._write_eq_rowset(keys_df, key_cols or list(keys_df.columns))
+        return self._commit_snapshot(
+            parent, [], [], operation="delete", new_eq_entries=[entry]
+        )
+
+    def upsert_by_keys(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        extra_summary: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Equality-delete UPSERT (the Flink→Iceberg CDC shape): ONE
+        commit appends the new row images AND an equality delete of their
+        keys at the same sequence number — old images (strictly lower
+        seq) are masked, the new files' own rows are not. No
+        read-before-write at all: cost ∝ batch size regardless of table
+        size, which is what lets a streaming upsert keep pace at 100 TB.
+        Last-writer-wins per key across commits via seq ordering."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        schema = self.schema
+        missing = [f.name for f in schema.fields if f.name not in source.columns]
+        if missing:
+            raise TableValidationError(f"upsert needs source columns {missing}")
+        aligned = source.select(
+            *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        entry = self._write_eq_rowset(aligned, key_cols)
+        added = self._distributed_write(aligned)
+        return self._commit_snapshot(
+            parent,
+            added,
+            [],
+            operation="overwrite",
+            new_eq_entries=[entry],
+            extra_summary=extra_summary,
+        )
+
+    def convert_equality_deletes(self) -> Snapshot | None:
+        """Fold accumulated equality deletes into position delete vectors
+        (Iceberg's equality→position conversion): one job reads the
+        affected files (seq below some entry's seq) WITH positions, finds
+        rows whose key matches a higher-seq delete, writes those (file,
+        pos) rowsets as DVs, and retires every equality entry. Scans go
+        back to paying only the cheap position anti-join;
+        ``rewrite_position_deletes`` can then fold further to clean
+        files. Run it when the key-join read tax outweighs a maintenance
+        pass — the standard Iceberg compaction cadence."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        if parent is None or not parent.eq_manifest_paths:
+            return None
+        eqs = parent.eq_entries()
+        max_seq = max(e.seq for e in eqs)
+        affected = [f for f in parent.live_files() if f.seq < max_seq]
+        if not affected:
+            return self._commit_snapshot(
+                parent, [], [], operation="replace", drop_eq=True
+            )
+        spark = self.spark
+        df = self.read_files(affected, with_pos=True)
+        seq_map = spark.createDataFrame(
+            [(f.path, f.seq) for f in affected], "__fp string, __fseq long"
+        )
+        df = df.join(F.broadcast(seq_map), "__fp", "left")
+        by_keycols: dict[tuple, list] = {}
+        for e in eqs:
+            by_keycols.setdefault(tuple(e.key_cols), []).append(e)
+        masked_parts = []
+        for key_cols, entries in sorted(by_keycols.items()):
+            parts = [
+                spark.read.parquet(e.eq_path)
+                .select(*key_cols)
+                .withColumn("__eqseq", F.lit(e.seq).cast("long"))
+                for e in entries
+            ]
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            eq_df = eq_df.groupBy(*key_cols).agg(
+                F.max("__eqseq").alias("__eqseq")
+            )
+            masked_parts.append(
+                df.join(eq_df, list(key_cols))
+                .filter(F.col("__eqseq") > F.col("__fseq"))
+                .select("__fp", "__pos")
+            )
+        masked = masked_parts[0]
+        for p in masked_parts[1:]:
+            masked = masked.unionByName(p)
+        dv_entries = self._commit_dv_rowset(parent, affected, masked.distinct())
+        return self._commit_snapshot(
+            parent,
+            [],
+            [],
+            operation="replace",
+            new_dv_entries=dv_entries,
+            drop_eq=True,
+        )
+
     def _commit_dv_rowset(
         self,
         parent: Snapshot,
@@ -1017,6 +1168,8 @@ class ManagedTable:
         branch: str | None = None,
         extra_summary: dict[str, str] | None = None,
         new_dv_entries: list | None = None,
+        new_eq_entries: list | None = None,
+        drop_eq: bool = False,
         cleanup_on_failure: bool = True,
     ) -> Snapshot:
         # snapshot op selection per createSnapShot (InsertIntoIcebergTable.
@@ -1038,6 +1191,15 @@ class ManagedTable:
         meta_dir = self.meta.metadata_dir
         manifest_paths: list[str] = []
         deleted_paths = {f.path for f in deleted}
+        # monotone data sequence number (Iceberg's sequence-number
+        # ordering): files added by this commit carry it; equality deletes
+        # mask only rows from files with a STRICTLY LOWER seq
+        seq = (
+            max((s.sequence_number for s in self.meta.snapshots), default=0)
+            + 1
+        )
+        for f in added:
+            f.seq = seq
         if parent is not None:
             for m in parent.manifests():
                 files = m.files()
@@ -1093,6 +1255,33 @@ class ManagedTable:
                         ).path
                     )
 
+        # -- equality deletes: inherited wholesale (they are seq-scoped,
+        # not file-scoped — a rewrite's outputs carry a HIGHER seq, so old
+        # entries simply stop matching); drop_eq retires them after a
+        # convert/rewrite pass proved no live file has a lower seq.
+        from icebergsql_spark.catalog.metadata import EqManifest
+
+        eq_manifest_paths: list[str] = []
+        if not drop_eq:
+            parent_eq_paths = parent.eq_manifest_paths if parent else []
+            if new_eq_entries:
+                merged_eq = [
+                    e
+                    for p in parent_eq_paths
+                    for e in EqManifest(p).entries()
+                ] + list(new_eq_entries)
+                eq_manifest_paths.append(
+                    EqManifest.write(
+                        os.path.join(
+                            meta_dir,
+                            f"eq-manifest-{uuid.uuid4().hex[:12]}.json",
+                        ),
+                        merged_eq,
+                    ).path
+                )
+            else:
+                eq_manifest_paths = list(parent_eq_paths)
+
         # strictly-increasing snapshot timestamps so `as of <ts of snapshot N>`
         # always resolves to snapshot N even when commits land in the same ms
         ts_ms = int(time.time() * 1000)
@@ -1115,6 +1304,8 @@ class ManagedTable:
                 **(extra_summary or {}),
             },
             dv_manifest_paths=dv_manifest_paths,
+            eq_manifest_paths=eq_manifest_paths,
+            sequence_number=seq,
         )
         self.meta.snapshots.append(snap)
         if branch is not None:
@@ -1430,26 +1621,63 @@ class ManagedTable:
         case."""
         if snapshot is None:
             snapshot = self.meta.current_snapshot()
-        dvs = (
-            [
-                e
-                for e in snapshot.dv_entries()
-                if e.data_path in {f.path for f in files}
-            ]
-            if snapshot is not None
-            else []
-        )
-        if not dvs:
+        if snapshot is None:
+            return self.read_files(files)
+        paths = {f.path for f in files}
+        dvs = [e for e in snapshot.dv_entries() if e.data_path in paths]
+        eqs = [
+            e
+            for e in snapshot.eq_entries()
+            if any(f.seq < e.seq for f in files)
+        ]
+        if not dvs and not eqs:
             return self.read_files(files)
         df = self.read_files(files, with_pos=True)
-        dv_df = self.spark.read.parquet(
-            *sorted({e.dv_path for e in dvs})
-        ).select(
-            F.col("path").alias("__fp"), F.col("pos").alias("__pos")
+        if dvs:
+            dv_df = self.spark.read.parquet(
+                *sorted({e.dv_path for e in dvs})
+            ).select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            df = df.join(dv_df, ["__fp", "__pos"], "left_anti")
+        if eqs:
+            df = self._apply_eq_deletes(df, files, eqs)
+        return df.drop("__fp", "__pos")
+
+    def _apply_eq_deletes(
+        self, df: DataFrame, files: list["DataFile"], eqs: list
+    ) -> DataFrame:
+        """Mask rows whose key appears in an equality-delete rowset with a
+        HIGHER sequence number than the row's data file. Per key-column
+        set: union the rowsets (each stamped with its entry's seq), keep
+        max seq per key (one row per deleted key — the build side is
+        delete churn, broadcastable), left-join on the keys and filter
+        ``max_eq_seq <= file_seq`` survivors. SQL equality: NULL keys
+        never match (CDC keys are non-null by construction)."""
+        spark = self.spark
+        seq_map = spark.createDataFrame(
+            [(f.path, f.seq) for f in files], "__fp string, __fseq long"
         )
-        return df.join(dv_df, ["__fp", "__pos"], "left_anti").drop(
-            "__fp", "__pos"
-        )
+        df = df.join(F.broadcast(seq_map), "__fp", "left")
+        by_keycols: dict[tuple, list] = {}
+        for e in eqs:
+            by_keycols.setdefault(tuple(e.key_cols), []).append(e)
+        for key_cols, entries in sorted(by_keycols.items()):
+            parts = [
+                spark.read.parquet(e.eq_path)
+                .select(*key_cols)
+                .withColumn("__eqseq", F.lit(e.seq).cast("long"))
+                for e in entries
+            ]
+            eq_df = parts[0]
+            for p in parts[1:]:
+                eq_df = eq_df.unionByName(p)
+            eq_df = eq_df.groupBy(*key_cols).agg(
+                F.max("__eqseq").alias("__eqseq")
+            )
+            df = df.join(eq_df, list(key_cols), "left").filter(
+                F.col("__eqseq").isNull()
+                | (F.col("__eqseq") <= F.col("__fseq"))
+            ).drop("__eqseq")
+        return df.drop("__fseq")
 
     def set_properties(
         self,
@@ -2100,8 +2328,20 @@ class ManagedTable:
                 sig[e.data_path] = sig.get(e.data_path, frozenset()) | {
                     (e.dv_path, e.count)
                 }
+        added_common: set[str] = set()
         for p in sorted(set(old_files) & set(new_files)):
             if dv_sig_old.get(p) != dv_sig_new.get(p):
+                old_only.append(old_files[p])
+                new_only.append(new_files[p])
+                added_common.add(p)
+        # equality deletes are seq-scoped, not file-scoped: if the eq set
+        # changed, ANY common file below the new max seq may have lost
+        # rows — include all of them (conservative; IO ∝ table only when
+        # eq deletes landed between the snapshots, churn-bounded otherwise)
+        eq_old = {(e.eq_path, e.seq) for e in from_snap.eq_entries()}
+        eq_new = {(e.eq_path, e.seq) for e in to_snap.eq_entries()}
+        if eq_old != eq_new:
+            for p in sorted((set(old_files) & set(new_files)) - added_common):
                 old_only.append(old_files[p])
                 new_only.append(new_files[p])
         cols = [f.name for f in self.schema.fields]
@@ -2403,6 +2643,13 @@ class ManagedScan:
         dv_counts: dict[str, int] = {}
         for e in self.snapshot.dv_entries():
             dv_counts[e.data_path] = dv_counts.get(e.data_path, 0) + e.count
+        # an un-converted equality delete may mask an unknown number of a
+        # lower-seq file's rows — the count is undecidable from metadata
+        eq_seqs = [e.seq for e in self.snapshot.eq_entries()]
+        if eq_seqs:
+            max_eq = max(eq_seqs)
+            if any(f.seq < max_eq for f in self.planned_files):
+                return None
         total = 0
         for f in self.planned_files:
             if not isinstance(self.augmented, AlwaysTrue) and not must_match_all(
