@@ -96,12 +96,25 @@ class _FileTask(InputPartition):
     the file path, the target Arrow schema, and per-target-column source
     names under the file's written-era schema (None = column added after
     this file was written → null-filled), with casts for widened types.
+    Merge-on-read extras: ``dv_paths`` (position-delete rowsets that may
+    cover this file) and ``eq_tasks`` ((eq_path, current-name key cols)
+    for equality deletes whose seq outranks this file's) — both sized by
+    delete churn, loaded per task.
     """
 
-    def __init__(self, path: str, columns: list[tuple[str, str | None]], arrow_schema_bytes: bytes):
+    def __init__(
+        self,
+        path: str,
+        columns: list[tuple[str, str | None]],
+        arrow_schema_bytes: bytes,
+        dv_paths: tuple[str, ...] = (),
+        eq_tasks: tuple[tuple[str, tuple[str, ...]], ...] = (),
+    ):
         self.path = path
         self.columns = columns
         self.arrow_schema_bytes = arrow_schema_bytes
+        self.dv_paths = dv_paths
+        self.eq_tasks = eq_tasks
 
 
 def _era_columns(meta: TableMetadata, schema: StructType, schema_id: int,
@@ -197,8 +210,14 @@ def _one_filter(flt: Filter) -> X.Pred:
 
 
 def _plan_tasks(meta: TableMetadata, schema: StructType, files: list[DataFile],
-                pred: X.Pred) -> list[_FileTask]:
+                pred: X.Pred, snapshot=None) -> list[_FileTask]:
     arrow_bytes = to_arrow_schema(schema).serialize().to_pybytes()
+    dv_by_file: dict[str, list[str]] = {}
+    eqs = []
+    if snapshot is not None:
+        for e in snapshot.dv_entries():
+            dv_by_file.setdefault(e.data_path, []).append(e.dv_path)
+        eqs = snapshot.eq_entries()
     tasks: list[_FileTask] = []
     for f in files:
         if not isinstance(pred, (X.AlwaysTrue, X.Residual)) and not X.may_match(
@@ -206,26 +225,112 @@ def _plan_tasks(meta: TableMetadata, schema: StructType, files: list[DataFile],
         ):
             continue
         rmap = _rename_map(meta, f.schema_id)
-        tasks.append(_FileTask(f.path, _era_columns(meta, schema, f.schema_id, rmap), arrow_bytes))
+        tasks.append(
+            _FileTask(
+                f.path,
+                _era_columns(meta, schema, f.schema_id, rmap),
+                arrow_bytes,
+                dv_paths=tuple(sorted(dv_by_file.get(f.path, ()))),
+                eq_tasks=tuple(
+                    (e.eq_path, tuple(e.key_cols))
+                    for e in eqs
+                    if f.seq < e.seq
+                ),
+            )
+        )
     return tasks
+
+
+def _load_mor_masks(task: _FileTask):
+    """Per-task merge-on-read state: this file's deleted positions (from
+    position-delete rowsets) and the equality-delete key sets that outrank
+    the file's sequence number. Both are delete-churn-sized."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    deleted_pos = None
+    if task.dv_paths:
+        # each dv_path is a directory of parquet parts; pyarrow needs one
+        # dataset per directory, unioned
+        parts = [
+            pads.dataset(p, format="parquet").to_table(
+                filter=pads.field("path") == task.path, columns=["pos"]
+            )
+            for p in task.dv_paths
+        ]
+        pos = np.concatenate(
+            [np.asarray(t.column("pos")) for t in parts if t.num_rows]
+            or [np.empty(0, dtype=np.int64)]
+        )
+        if pos.size:
+            deleted_pos = np.unique(pos)
+    eq_sets = []
+    src_of = dict(task.columns)  # current name -> this era's source name
+    for eq_path, key_cols in task.eq_tasks:
+        srcs = [src_of.get(c) for c in key_cols]
+        if any(s is None for s in srcs):
+            continue  # a key column this file's era lacks → NULL, no match
+        t = pads.dataset(eq_path, format="parquet").to_table(
+            columns=list(key_cols)
+        )
+        keys = (
+            {
+                tup
+                for tup in zip(*[t.column(c).to_pylist() for c in key_cols])
+                if None not in tup  # SQL equality: NULL keys never match
+            }
+            if t.num_rows
+            else set()
+        )
+        if keys:
+            eq_sets.append((tuple(srcs), keys))
+    return deleted_pos, eq_sets
 
 
 def _read_task(task: _FileTask) -> Iterator:
     """Executor-side: stream Arrow record batches for one file, projected
     and cast to the CURRENT schema (rename via era map, widened types cast,
-    added columns null-filled)."""
+    added columns null-filled). Merge-on-read masks are applied HERE so
+    the interop path agrees with the native scan: position deletes filter
+    by the batch's row-index range; equality deletes filter rows whose key
+    tuple appears in a higher-seq delete rowset."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = pa.ipc.read_schema(pa.BufferReader(task.arrow_schema_bytes))
     src_cols = [s for _, s in task.columns if s is not None]
+    deleted_pos, eq_sets = _load_mor_masks(task)
     pf = pq.ParquetFile(task.path)
+    offset = 0
     for batch in pf.iter_batches(columns=src_cols):
+        n = batch.num_rows
         tbl = pa.Table.from_batches([batch]).combine_chunks()
+        mask = None
+        if deleted_pos is not None:
+            lo = np.searchsorted(deleted_pos, offset)
+            hi = np.searchsorted(deleted_pos, offset + n)
+            if hi > lo:
+                mask = np.ones(n, dtype=bool)
+                mask[deleted_pos[lo:hi] - offset] = False
+        for srcs, keys in eq_sets:
+            cols = [tbl.column(s).to_pylist() for s in srcs]
+            hit = np.fromiter(
+                (t in keys for t in zip(*cols)), dtype=bool, count=n
+            )
+            if hit.any():
+                if mask is None:
+                    mask = np.ones(n, dtype=bool)
+                mask &= ~hit
+        offset += n
+        if mask is not None:
+            if not mask.any():
+                continue
+            tbl = tbl.filter(pa.array(mask))
         arrays = []
         for (tname, sname), field in zip(task.columns, target):
             if sname is None:
-                arrays.append(pa.nulls(batch.num_rows, field.type))
+                arrays.append(pa.nulls(tbl.num_rows, field.type))
             else:
                 col = tbl.column(sname).combine_chunks()
                 if col.type != field.type:
@@ -260,7 +365,9 @@ class IcebergSQLBatchReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         files = self.snapshot.live_files() if self.snapshot else []
-        return _plan_tasks(self.meta, self.schema_, files, self.pred)
+        return _plan_tasks(
+            self.meta, self.schema_, files, self.pred, snapshot=self.snapshot
+        )
 
     def read(self, partition: _FileTask) -> Iterator:
         yield from _read_task(partition)

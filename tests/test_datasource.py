@@ -298,3 +298,34 @@ def test_filter_translation_soundness():
     # conjunction prunes when one conjunct refutes
     pred = _filters_to_pred([EqualTo(("a",), 50), IsNotNull(("a",))])
     assert not X.may_match(pred, {"a": ColStats(0, 10, 0, 100)})
+
+
+def test_batch_read_applies_mor_deletes(spark, catalog):
+    """The interop reader agrees with the native scan on tables carrying
+    position DVs AND equality deletes — masked rows never resurrect
+    through the Python Data Source path."""
+    import pyspark.sql.functions as F
+
+    t = catalog.create_table(
+        "ds_mor",
+        "k bigint, v bigint, part int",
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.range(400).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    t.delete_where("k % 10 = 3")  # position DV
+    t.upsert_by_keys(
+        spark.createDataFrame([(4, -4, 0), (900, 9, 0)], "k bigint, v bigint, part int"),
+        ["k"],
+    )  # equality delete + new images
+    register_datasource(spark)
+    got = _rows(spark.read.format("icebergsql").load(t.meta.location))
+    assert got == _rows(t.to_df())
+    assert len(got) == 400 - 40 + 1
+    assert (4, -4, 0) in got and all(r[0] != 13 for r in got)
