@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "text_domain_mix_report",
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
+    "join_skew_salted",
 ]
 
 

@@ -33,6 +33,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",
+    "join_skew_salted",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",

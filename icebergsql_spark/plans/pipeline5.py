@@ -591,3 +591,51 @@ def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg("converted"))
         .orderBy("stage", "o_orderstatus")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT l_returnflag,
+               'flag_' || l_returnflag AS label,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS DOUBLE) AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Skew-mitigation operators end-to-end (operators/skew.py): the "
+    "3-hot-key l_returnflag aggregation runs as salted two-phase "
+    "sum/count (group on (key, salt) then re-aggregate — N partial rows "
+    "per hot key instead of one reducer pinned behind millions), and the "
+    "label dimension attaches via the salt-and-explode replicated join "
+    "(fact salted, dim exploded across salts, equi-join on (key, salt)) "
+    "— the shape for join cases AQE's skew splitting doesn't cover. "
+    "Result is bit-identical to the direct plan: cents are integral so "
+    "the decimal partial sums are associative-exact under ANY salt "
+    "split, which is the whole point — salting is a layout choice, "
+    "never a semantics choice.",
+    tags=("pipeline", "skew", "join"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.skew import (
+        replicated_skew_join,
+        salted_sum_count,
+    )
+
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    fact = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    dim = (
+        fact.select("l_returnflag")
+        .distinct()
+        .withColumn("label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    labeled = replicated_skew_join(fact, dim, "l_returnflag")
+    return (
+        salted_sum_count(labeled, ["l_returnflag", "label"], "c")
+        .orderBy("l_returnflag")
+    )
