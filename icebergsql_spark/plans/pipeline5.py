@@ -329,11 +329,19 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents
         ),
         hashed AS (SELECT doc_id, md5('c:' || w) AS h FROM words),
-        sk AS (
+        sk0 AS (
           SELECT doc_id,
                  list_slice(list_sort(list(DISTINCT h)), 1, 12) AS sk,
                  min(h) AS sig0
           FROM hashed GROUP BY doc_id
+        ),
+        sk AS (
+          -- one representative per DISTINCT signature: exact clones
+          -- collapse (plain exact-dedup's job), so pairing is quadratic
+          -- only in near-dup variety, never in clone-cluster size
+          SELECT min(doc_id) AS doc_id, any_value(sk) AS sk,
+                 any_value(sig0) AS sig0
+          FROM sk0 GROUP BY array_to_string(sk, '|')
         ),
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sk AS ask
@@ -360,9 +368,14 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch elements present in B's token-hash set, found by exploding "
     "the 12-element sketch and one equi-join against the token table. "
     "Scale shape: tokenize+hash is a narrow map, the sketch groupBy is "
-    "map-side combined, the probe join is keyed on (doc, hash) — all "
-    "shuffle-bounded by corpus token count, and md5 bit-equality makes "
-    "the estimate itself oracle-checkable (CLAUDE.md md5 parity).",
+    "map-side combined, the probe join is keyed on (doc, hash), and — "
+    "the scale-decisive step — docs are CANONICALIZED to one "
+    "representative per distinct signature BEFORE pairing, so block "
+    "fan-out is quadratic only in near-dup VARIETY, never in "
+    "clone-cluster size (a corpus of 10^4 identical boilerplate pages "
+    "contributes one representative, not 10^8 pairs; finding the clones "
+    "is exact-dedup's job). md5 bit-equality makes the estimate "
+    "oracle-checkable (CLAUDE.md md5 parity).",
     tags=("pipeline", "text", "dedup"),
 )
 def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,9 +390,20 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.trim(F.col("text")), " "))
         ).alias("w"),
     ).select("doc_id", F.md5(F.concat(F.lit("c:"), F.col("w"))).alias("h"))
-    sk = hashed.groupBy("doc_id").agg(
+    sk0 = hashed.groupBy("doc_id").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, 12).alias("sk"),
         F.min("h").alias("sig0"),
+    )
+    # collapse exact-signature clones to their min-doc_id representative
+    # (every row in a group carries the identical sk/sig0)
+    sk = (
+        sk0.groupBy(F.array_join("sk", "|").alias("__sigkey"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("sk").alias("sk"),
+            F.first("sig0").alias("sig0"),
+        )
+        .drop("__sigkey")
     )
     pairs = (
         sk.alias("a")
