@@ -1372,6 +1372,34 @@ class ManagedTable:
                 )
                 if parent is not None and snap.timestamp_ms <= parent.timestamp_ms:
                     snap.timestamp_ms = parent.timestamp_ms + 1
+                # merge-on-read state is parent-derived: a stale dv/eq list
+                # would silently DROP a concurrent MoR delete's vectors and
+                # resurrect its rows. Appends carry no deletes of their
+                # own, so the rebase simply adopts the new parent's sets.
+                snap.dv_manifest_paths = (
+                    list(parent.dv_manifest_paths) if parent else []
+                )
+                snap.eq_manifest_paths = (
+                    list(parent.eq_manifest_paths) if parent else []
+                )
+                # re-derive the data sequence number against the CURRENT
+                # history and restamp the appended files (rewriting this
+                # commit's own manifest — referenced by no one yet), so a
+                # concurrent equality delete whose seq outran our original
+                # number can never mask rows appended after it
+                new_seq = (
+                    max(
+                        (s.sequence_number for s in self.meta.snapshots),
+                        default=0,
+                    )
+                    + 1
+                )
+                if new_seq != snap.sequence_number and new_manifest:
+                    files = Manifest(new_manifest).files()
+                    for f in files:
+                        f.seq = new_seq
+                    Manifest.write(new_manifest, files)
+                snap.sequence_number = new_seq
                 self.meta.snapshots.append(snap)
                 if branch is not None:
                     self.meta.refs[branch]["snapshot_id"] = snap.snapshot_id

@@ -249,3 +249,57 @@ def test_mor_merge_upsert(spark, tmp_path):
     expect = rows(t.to_df())
     t.rewrite_position_deletes()
     assert rows(t.to_df()) == expect
+
+
+def test_append_rebase_preserves_concurrent_mor_deletes(spark, tmp_path):
+    """A concurrent MoR delete (position DV) and equality delete must
+    survive an append's conflict-rebase: the rebased snapshot adopts the
+    winner's dv/eq manifest sets instead of its stale parent's, and the
+    appended files are re-stamped to a sequence number ABOVE the
+    concurrent equality delete's so their rows are not masked."""
+    cat = Catalog(spark, str(tmp_path / "wh_race"))
+    a = cat.create_table(
+        "race_mor",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("x").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    )
+    a.insert(src)
+    b = cat.load_table("race_mor")
+
+    real_refresh = a.refresh
+    state = {"stale": 1}
+
+    def fake_refresh():
+        if state["stale"] > 0:
+            state["stale"] -= 1
+            return a
+        return real_refresh()
+
+    a.refresh = fake_refresh
+    # winners: a position DV on k%10==3 and an equality delete of k=4
+    b.delete_where("k % 10 = 3")
+    b.delete_by_keys(spark.createDataFrame([(4,)], "k bigint"), ["k"])
+    eq_seq = b.meta.current_snapshot().eq_entries()[0].seq
+    # loser: stale-base append INCLUDING a new row with the eq-deleted key
+    extra = spark.createDataFrame([(4, -4.0, "n", 0), (500, 1.0, "n", 0)], DDL)
+    snap = a.insert(extra)
+    a.refresh = fake_refresh  # (restore not needed; fake delegates now)
+
+    a.refresh()
+    assert a.meta.current_snapshot_id == snap.snapshot_id
+    cur = a.meta.current_snapshot()
+    assert cur.dv_manifest_paths and cur.eq_manifest_paths  # adopted
+    assert cur.sequence_number > eq_seq
+    # DV'd rows stay deleted, old k=4 masked, appended k=4 SURVIVES
+    got = a.to_df()
+    assert got.filter("k % 10 = 3").count() == 0
+    assert got.filter("k = 4").count() == 1
+    assert got.filter("k = 4").collect()[0]["v"] == -4.0
+    assert got.count() == 100 - 10 - 1 + 2
