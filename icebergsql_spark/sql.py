@@ -179,6 +179,12 @@ def _parse_assignments(sets: str) -> dict[str, str]:
     return out
 
 
+_INLINE_TT_RE = re.compile(
+    r"`?(?P<name>[A-Za-z_]\w*)`?\s+(?:for\s+)?"
+    r"(?P<kind>version|system_version|timestamp|system_time)\s+as\s+of\s+"
+    r"(?P<lit>'[^']*'|\d+)",
+    re.IGNORECASE,
+)
 _CALL_RE = re.compile(
     r"^\s*call\s+(?:system\s*\.\s*)?(?P<proc>\w+)\s*\((?P<args>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -535,10 +541,38 @@ class Engine:
             out.setdefault(name, []).append(f"({bare})")
         return {name: " AND ".join(parts) for name, parts in out.items()}
 
+    def _rewrite_inline_time_travel(self, text: str) -> str:
+        """Spark/Delta-style inline time travel on managed tables:
+        ``FROM t [FOR] VERSION AS OF <snapshot_id>`` and
+        ``FROM t [FOR] TIMESTAMP AS OF '<ts>'`` (SYSTEM_VERSION /
+        SYSTEM_TIME accepted). Each pinned table registers a dedicated
+        temp view of the pinned scan, so different pins of the SAME table
+        can coexist in one query (e.g. self-join of two versions) — which
+        the statement-level ``as of`` prefix cannot express."""
+        out = text
+        for m in list(_INLINE_TT_RE.finditer(text)):
+            name = m.group("name")
+            if not self.catalog.table_exists(name):
+                continue
+            tbl = self.catalog.load_table(name)
+            kind = m.group("kind").lower()
+            lit = m.group("lit").strip("'")
+            if kind in ("version", "system_version"):
+                scan = tbl.scan(snapshot_id=int(lit))
+                view = f"{name}__v{lit}"
+            else:
+                ms = convert_to_epoch_millis(lit)
+                scan = tbl.scan(as_of_millis=ms)
+                view = f"{name}__t{ms}"
+            scan.dataframe().createOrReplaceTempView(view)
+            out = out.replace(m.group(0), view)
+        return out
+
     # ---------------------------------------------------------------- sql --
 
     def sql(self, text: str) -> DataFrame:
         text = text.strip().rstrip(";")
+        text = self._rewrite_inline_time_travel(text)
 
         as_of_millis = None
         as_of_ref = None
@@ -744,6 +778,76 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.list_tables()], "tableName string"
             )
+        dm = re.match(
+            r"^\s*desc(?:ribe)?\s+(?:table\s+)?(?:extended\s+)?`?(?P<name>\w+)`?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if dm and self.catalog.table_exists(dm.group("name")):
+            # DESCRIBE [TABLE] [EXTENDED] t — Spark's column listing plus
+            # the partition section; metadata-only
+            tbl = self.catalog.load_table(dm.group("name"))
+            rows = [
+                (f.name, f.dataType.simpleString(), None)
+                for f in tbl.schema.fields
+            ]
+            if tbl.meta.partition_cols:
+                rows.append(("# Partition Information", "", None))
+                rows.extend(
+                    (pc, tbl.schema[pc].dataType.simpleString(), None)
+                    for pc in tbl.meta.partition_cols
+                )
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
+
+        scm = re.match(
+            r"^\s*show\s+create\s+table\s+`?(?P<name>\w+)`?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if scm and self.catalog.table_exists(scm.group("name")):
+            tbl = self.catalog.load_table(scm.group("name"))
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in tbl.schema.fields
+            )
+            stmt = (
+                f"CREATE TABLE {tbl.name} (\n  {cols}\n) "
+                f"USING {tbl.file_format}\n"
+                "OPTIONS (addTableManagement 'true')"
+            )
+            if tbl.meta.partition_cols:
+                stmt += (
+                    "\nPARTITIONED BY ("
+                    + ", ".join(tbl.meta.partition_cols)
+                    + ")"
+                )
+            props = {
+                k: v
+                for k, v in sorted(tbl.meta.properties.items())
+                if k != "columnDependencies"
+            }
+            if props:
+                stmt += "\nTBLPROPERTIES (" + ", ".join(
+                    f"'{k}'='{v}'" for k, v in props.items()
+                ) + ")"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
+
+        stp = re.match(
+            r"^\s*show\s+tblproperties\s+`?(?P<name>\w+)`?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if stp and self.catalog.table_exists(stp.group("name")):
+            tbl = self.catalog.load_table(stp.group("name"))
+            rows = sorted(tbl.meta.properties.items())
+            return self.spark.createDataFrame(
+                rows or [("", "")], "key string, value string"
+            )
+
         sp = re.match(
             r"^\s*show\s+partitions\s+`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
         )

@@ -172,3 +172,70 @@ def test_join_with_managed_table(engine, spark):
         GROUP BY s.ss_sold_date_sk ORDER BY s.ss_sold_date_sk
     """).collect()
     assert len(out) == 6
+
+
+def test_describe_show_create_show_props(engine, spark):
+    engine.sql(
+        "CREATE TABLE ddl_t (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    engine.sql(
+        "ALTER TABLE ddl_t SET TBLPROPERTIES ('bloom.filter.columns'='k')"
+    )
+    d = engine.sql("DESCRIBE TABLE ddl_t").collect()
+    names = [r["col_name"] for r in d]
+    assert names[:3] == ["k", "v", "part"]
+    assert "# Partition Information" in names and names[-1] == "part"
+    stmt = engine.sql("SHOW CREATE TABLE ddl_t").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE ddl_t" in stmt
+    assert "PARTITIONED BY (part)" in stmt
+    assert "'bloom.filter.columns'='k'" in stmt
+    props = {
+        r["key"]: r["value"]
+        for r in engine.sql("SHOW TBLPROPERTIES ddl_t").collect()
+    }
+    assert props.get("bloom.filter.columns") == "k"
+
+
+def test_inline_version_timestamp_as_of(engine, spark):
+    """FROM t VERSION AS OF <id> / TIMESTAMP AS OF '<ts>' — including two
+    pins of the SAME table in one query, which the statement-level
+    `as of` prefix cannot express."""
+    import pyspark.sql.functions as F
+
+    engine.sql(
+        "CREATE TABLE tt_t (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("tt_src")
+    engine.sql("INSERT INTO tt_t SELECT * FROM tt_src")
+    t = engine.catalog.load_table("tt_t")
+    v1 = t.meta.snapshots[0].snapshot_id
+    ts1 = t.meta.snapshots[0].timestamp_ms
+    engine.sql("INSERT INTO tt_t SELECT k + 100, part FROM tt_src")
+
+    assert (
+        engine.sql(f"SELECT COUNT(*) AS n FROM tt_t VERSION AS OF {v1}")
+        .collect()[0]["n"]
+        == 10
+    )
+    assert (
+        engine.sql(
+            f"SELECT COUNT(*) AS n FROM tt_t FOR SYSTEM_VERSION AS OF {v1}"
+        ).collect()[0]["n"]
+        == 10
+    )
+    assert (
+        engine.sql(f"SELECT COUNT(*) AS n FROM tt_t TIMESTAMP AS OF '{ts1}'")
+        .collect()[0]["n"]
+        == 10
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM tt_t").collect()[0]["n"] == 20
+    # two pins of the same table joined in one statement
+    row = engine.sql(
+        f"SELECT (SELECT COUNT(*) FROM tt_t VERSION AS OF {v1}) AS old_n, "
+        "(SELECT COUNT(*) FROM tt_t) AS new_n"
+    ).collect()[0]
+    assert (row["old_n"], row["new_n"]) == (10, 20)
