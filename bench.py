@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
     "join_skew_salted",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -395,3 +395,101 @@ def exact_rescore(
         .join(sb, "b")
         .withColumn("cos", dot_expr("va", "vb") / F.sqrt(F.col("na") * F.col("nb")))
     )
+
+
+def matryoshka_prefix_recall(
+    df: DataFrame,
+    prefix_dims: list[int] = (16, 32),
+    k: int = 5,
+    query_mod: int = 50,
+    query_rem: int = 7,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-embedding retrieval eval: how much of the exact top-k is
+    preserved when similarity uses only the first ``d`` dimensions?
+
+    Modern embedding models are trained so prefixes of the vector are
+    usable embeddings (Matryoshka representation learning); serving at a
+    shorter prefix cuts index memory and dot-product cost by dims/d. This
+    operator measures the price: for a deterministic query subset
+    (``id % query_mod == query_rem``), the exact top-k under full-dim
+    cosine is compared with the top-k under each prefix cosine, and the
+    per-query overlap histogram comes back as (prefix_dim, overlap,
+    n_queries) — recall@k per prefix with zero randomness.
+
+    Shape: ONE broadcast-nested-loop pass scores every (query, candidate)
+    pair with the full-dim and every prefix-dim cosine simultaneously
+    (per-row prefix norms precomputed, so pairs pay only the dot folds);
+    the rank windows share the query-id partitioning (one shuffle), and
+    overlap needs no self-join — a pair is in the intersection iff BOTH
+    its row_numbers are <= k. Queries are a fixed modulus sample, the
+    standard recall-eval harness shape: eval cost is |Q|·n, tunable by
+    the modulus, while the serving path (IVF/LSH, elsewhere in this
+    module) stays sublinear.
+    """
+    from pyspark.sql import Window as W
+
+    all_dims = [dims, *prefix_dims]
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    for d in all_dims:
+        base = base.withColumn(
+            f"nrm{d}",
+            F.expr(
+                f"aggregate(transform(sequence(1, {d}),"
+                " i -> element_at(v, i) * element_at(v, i)),"
+                " cast(0 as double), (acc, x) -> acc + x)"
+            ),
+        )
+    q = base.filter(
+        F.col("nid") % query_mod == query_rem
+    ).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        *[F.col(f"nrm{d}").alias(f"qnrm{d}") for d in all_dims],
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col("qid"))
+    for d in all_dims:
+        dot = F.expr(
+            f"aggregate(transform(sequence(1, {d}),"
+            " i -> element_at(v, i) * element_at(qv, i)),"
+            " cast(0 as double), (acc, x) -> acc + x)"
+        )
+        pairs = pairs.withColumn(
+            f"cos{d}", dot / F.sqrt(F.col(f"nrm{d}") * F.col(f"qnrm{d}"))
+        )
+    ranked = pairs.select(
+        "qid",
+        "nid",
+        *[
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.desc(f"cos{d}"), F.asc("nid")))
+            .alias(f"rn{d}")
+            for d in all_dims
+        ],
+    )
+    parts = []
+    qids = q.select("qid")
+    for d in prefix_dims:
+        ov = (
+            ranked.filter((F.col(f"rn{dims}") <= k) & (F.col(f"rn{d}") <= k))
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("overlap"))
+        )
+        parts.append(
+            qids.join(ov, "qid", "left")
+            .select(
+                F.lit(d).alias("prefix_dim"),
+                F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+            )
+            .groupBy("prefix_dim", "overlap")
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -34,6 +34,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_weighted_quantiles",
     "text_minhash_containment",
     "join_skew_salted",
+    "emb_matryoshka_recall",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",

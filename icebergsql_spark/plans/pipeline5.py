@@ -663,3 +663,70 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_sum_count(labeled, ["l_returnflag", "label"], "c")
         .orderBy("l_returnflag")
     )
+
+
+def _mcos(d: int) -> str:
+    return f"""
+        list_sum(list_transform(generate_series(1, {d}),
+                 i -> b.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, {d}),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, {d}),
+                     i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+    """
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id % 50 = 7
+        ),
+        r AS (
+          SELECT q.qid, b.vec_id AS nid,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ({_mcos(64)}) DESC, b.vec_id) AS rn64,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ({_mcos(16)}) DESC, b.vec_id) AS rn16,
+                 ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY ({_mcos(32)}) DESC, b.vec_id) AS rn32
+          FROM q JOIN embeddings b ON b.vec_id != q.qid
+        ),
+        ov AS (
+          SELECT 16 AS prefix_dim, qid,
+                 CAST(COUNT(*) FILTER (rn64 <= 5 AND rn16 <= 5) AS BIGINT)
+                   AS overlap
+          FROM r GROUP BY qid
+          UNION ALL
+          SELECT 32 AS prefix_dim, qid,
+                 CAST(COUNT(*) FILTER (rn64 <= 5 AND rn32 <= 5) AS BIGINT)
+                   AS overlap
+          FROM r GROUP BY qid
+        )
+        SELECT prefix_dim, overlap, CAST(COUNT(*) AS BIGINT) AS n_queries
+        FROM ov GROUP BY prefix_dim, overlap
+        ORDER BY prefix_dim, overlap
+    """,
+    doc="Matryoshka-prefix retrieval recall (operators/similarity.py:"
+    "matryoshka_prefix_recall): per-query overlap histogram between the "
+    "exact top-5 under full 64-dim cosine and under 16-/32-dim PREFIX "
+    "cosine, over a deterministic modulus query sample — the eval a "
+    "team runs before serving truncated embeddings (dims/d memory and "
+    "compute win vs recall price). One broadcast pass scores all three "
+    "cosines per pair (per-row prefix norms precomputed), the three "
+    "rank windows share one query-id shuffle, and the intersection "
+    "needs no self-join: a pair is in BOTH top-ks iff both row_numbers "
+    "are <= k. Sequential aggregate() folds bit-match DuckDB list_sum "
+    "(CLAUDE.md float contract), so even the float rank order is "
+    "oracle-exact.",
+    tags=("pipeline", "embedding", "ann", "eval"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import similarity
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.matryoshka_prefix_recall(
+        emb, prefix_dims=[16, 32], k=5, query_mod=50, query_rem=7
+    ).orderBy("prefix_dim", "overlap")
