@@ -2090,6 +2090,45 @@ class ManagedTable:
             if f.path not in kept_data
         }
 
+        # merge-on-read debris GC: DV/eq MANIFESTS referenced only by
+        # expired snapshots die, and their PAYLOADS (parquet rowset dirs —
+        # shareable across consolidated manifests) die when no kept
+        # manifest entry references them
+        from icebergsql_spark.catalog.metadata import DVManifest, EqManifest
+
+        kept_dvm = {p for s in retained for p in s.dv_manifest_paths}
+        dead_dvm = {
+            p
+            for s in expired
+            for p in s.dv_manifest_paths
+            if p not in kept_dvm
+        }
+        kept_dv_payloads = {
+            e.dv_path for p in kept_dvm for e in DVManifest(p).entries()
+        }
+        dead_dv_payloads = {
+            e.dv_path
+            for p in dead_dvm
+            for e in DVManifest(p).entries()
+            if e.dv_path not in kept_dv_payloads
+        }
+        kept_eqm = {p for s in retained for p in s.eq_manifest_paths}
+        dead_eqm = {
+            p
+            for s in expired
+            for p in s.eq_manifest_paths
+            if p not in kept_eqm
+        }
+        kept_eq_payloads = {
+            e.eq_path for p in kept_eqm for e in EqManifest(p).entries()
+        }
+        dead_eq_payloads = {
+            e.eq_path
+            for p in dead_eqm
+            for e in EqManifest(p).entries()
+            if e.eq_path not in kept_eq_payloads
+        }
+
         # metadata first: once the new version lands, no reader can resolve
         # an expired snapshot, so the file deletes below can't break a scan
         # (readers of OLD metadata versions race — same caveat as Iceberg)
@@ -2110,6 +2149,18 @@ class ManagedTable:
                 deleted_manifests += 1
             except FileNotFoundError:
                 pass
+        import shutil as _shutil
+
+        deleted_delete_files = 0
+        for path in sorted(dead_dvm | dead_eqm):
+            try:
+                os.remove(path)
+                deleted_delete_files += 1
+            except FileNotFoundError:
+                pass
+        for d in sorted(dead_dv_payloads | dead_eq_payloads):
+            _shutil.rmtree(d, ignore_errors=True)
+            deleted_delete_files += 1
         # prune now-empty commit directories so data/ doesn't accrete husks
         for d in os.listdir(meta.data_dir):
             full = os.path.join(meta.data_dir, d)
@@ -2120,6 +2171,7 @@ class ManagedTable:
             "expired_snapshots": len(expired),
             "deleted_data_files": deleted_files,
             "deleted_manifests": deleted_manifests,
+            "deleted_delete_files": deleted_delete_files,
         }
 
     def remove_orphan_files(

@@ -303,3 +303,34 @@ def test_append_rebase_preserves_concurrent_mor_deletes(spark, tmp_path):
     assert got.filter("k = 4").count() == 1
     assert got.filter("k = 4").collect()[0]["v"] == -4.0
     assert got.count() == 100 - 10 - 1 + 2
+
+
+def test_expire_gcs_delete_vector_debris(spark, tbl):
+    """expire_snapshots reclaims DV/eq manifests and payload rowsets
+    referenced only by expired snapshots — live ones survive."""
+    import os
+
+    tbl.delete_where("k % 10 = 3")  # DV #1 (still live at the end)
+    tbl.delete_by_keys(
+        spark.createDataFrame([(4,)], "k bigint"), ["k"]
+    )  # eq delete, retired below by conversion
+    tbl.convert_equality_deletes()  # eq payload now history-only
+    expect = sorted(tuple(r) for r in tbl.to_df().collect())
+    meta_dir = tbl.meta.metadata_dir
+
+    def debris():
+        return {
+            f
+            for f in os.listdir(meta_dir)
+            if f.startswith(("dv-", "eq-"))
+        }
+
+    before = debris()
+    assert any(f.startswith("eq-") for f in before)
+    res = tbl.expire_snapshots(retain_last=1)
+    assert res["deleted_delete_files"] > 0
+    after = debris()
+    assert not any(f.startswith("eq-") for f in after)  # eq debris gone
+    assert any(f.startswith("dv-") for f in after)  # live DVs kept
+    assert sorted(tuple(r) for r in tbl.to_df().collect()) == expect
+    assert tbl.scan().count_from_stats() == len(expect)
