@@ -179,6 +179,11 @@ def _parse_assignments(sets: str) -> dict[str, str]:
     return out
 
 
+_PARTITION_FIELD_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?P<action>add|drop)\s+"
+    r"partition\s+field\s+`?(?P<col>\w+)`?\s*$",
+    re.IGNORECASE,
+)
 _INLINE_TT_RE = re.compile(
     r"`?(?P<name>[A-Za-z_]\w*)`?\s+(?:for\s+)?"
     r"(?P<kind>version|system_version|timestamp|system_time)\s+as\s+of\s+"
@@ -760,6 +765,28 @@ class Engine:
             return self.spark.createDataFrame(
                 [(res["expired_snapshots"], res["deleted_data_files"], res["deleted_manifests"])],
                 "expired_snapshots int, deleted_data_files int, deleted_manifests int",
+            )
+
+        pfm = _PARTITION_FIELD_RE.match(text)
+        if pfm and self.catalog.table_exists(pfm.group("name").strip("`")):
+            # ALTER TABLE t ADD|DROP PARTITION FIELD col — Iceberg's
+            # partition-evolution DDL over alter_partition_spec (metadata-
+            # only; per-file specs keep old layouts scannable)
+            tbl = self.catalog.load_table(pfm.group("name").strip("`"))
+            col = pfm.group("col")
+            spec = list(tbl.meta.partition_cols)
+            if pfm.group("action").lower() == "add":
+                if col not in spec:
+                    spec.append(col)
+            else:
+                if col not in spec:
+                    raise ValueError(
+                        f"{col!r} is not a partition field of {tbl.name}"
+                    )
+                spec.remove(col)
+            tbl.alter_partition_spec(spec)
+            return self.spark.createDataFrame(
+                [(", ".join(spec),)], "partition_spec string"
             )
 
         cm = _CALL_RE.match(text)

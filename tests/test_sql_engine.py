@@ -239,3 +239,34 @@ def test_inline_version_timestamp_as_of(engine, spark):
         "(SELECT COUNT(*) FROM tt_t) AS new_n"
     ).collect()[0]
     assert (row["old_n"], row["new_n"]) == (10, 20)
+
+
+def test_add_drop_partition_field(engine, spark):
+    """Iceberg partition-evolution DDL: ADD/DROP PARTITION FIELD updates
+    the spec for FUTURE writes; old-spec files remain scannable (per-file
+    specs), and dropping the last field is rejected."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    engine.sql(
+        "CREATE TABLE pe_t (k BIGINT, a INT, b INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (a)"
+    )
+    spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("int").alias("a"),
+        (F.col("id") % 4).cast("int").alias("b"),
+    ).createOrReplaceTempView("pe_src")
+    engine.sql("INSERT INTO pe_t SELECT * FROM pe_src")
+    row = engine.sql("ALTER TABLE pe_t ADD PARTITION FIELD b").collect()[0]
+    assert row["partition_spec"] == "a, b"
+    engine.sql("INSERT INTO pe_t SELECT * FROM pe_src")
+    assert engine.sql("SELECT COUNT(*) AS n FROM pe_t").collect()[0]["n"] == 40
+    assert (
+        engine.sql("SELECT COUNT(*) AS n FROM pe_t WHERE a = 1").collect()[0]["n"]
+        == 20
+    )
+    row = engine.sql("ALTER TABLE pe_t DROP PARTITION FIELD a").collect()[0]
+    assert row["partition_spec"] == "b"
+    with _pytest.raises(Exception):
+        engine.sql("ALTER TABLE pe_t DROP PARTITION FIELD b")  # last field
