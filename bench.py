@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "managed_eq_delete_cdc",
     "join_skew_salted",
     "emb_matryoshka_recall",
+    "managed_streaming_eq_upsert",
 ]
 
 
@@ -194,6 +195,7 @@ def main() -> None:
         "managed_rewrite_predicate_dv",
         "managed_mor_merge_cdc",
         "managed_eq_delete_cdc",
+        "managed_streaming_eq_upsert",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",

@@ -30,6 +30,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_rewrite_predicate_dv",
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
+    "managed_streaming_eq_upsert",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",

@@ -730,3 +730,116 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_prefix_recall(
         emb, prefix_dims=[16, 32], k=5, query_mod=50, query_rem=7
     ).orderBy("prefix_dim", "overlap")
+
+
+@register(
+    "managed_streaming_eq_upsert",
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, tsn AS last_ts, cents
+        FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Streaming CDC sink via EQUALITY DELETES end-to-end (streaming/"
+    "ingest.py:ManagedTableCDCWriter over table.py:upsert_by_keys): a "
+    "managed mart is pre-loaded with a sentinel baseline row per user, "
+    "then the events stream arrives in micro-batches (file source, "
+    "maxFilesPerTrigger=1) each reduced to one FINAL image per user "
+    "(argmax by ts, event_id) and committed as new images + an equality "
+    "delete of the keys at ONE sequence number — zero read-before-write, "
+    "per-batch cost proportional to the batch. Users are partitioned into "
+    "DISJOINT batches, so the final state is independent of the file "
+    "source's batch pickup order (which Spark does not guarantee); the "
+    "baseline sentinels (cents=-1) must all be masked, which the oracle "
+    "verifies by computing the pure per-user argmax directly. Asserted: "
+    "streaming commits never drop a data file, and the eq rowsets are "
+    "retired by convert_equality_deletes + rewrite before the final read "
+    "— the full ingest→maintenance cadence in one query.",
+    tags=("managed", "streaming", "dml", "mor", "cdc"),
+)
+def managed_streaming_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+    from icebergsql_spark.streaming.ingest import ManagedTableCDCWriter
+    from icebergsql_spark.table import Catalog
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src_dir = tempfile.mkdtemp(prefix="icebergsql-eqsrc-")
+    # DISJOINT user sets per file -> final state independent of batch order
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-eqswh-"))
+    tbl = cat.create_table(
+        "ev_cdc",
+        "user_id bigint, last_event_id bigint, last_ts bigint, cents bigint, "
+        "ub int",
+        partition_cols=["ub"],
+    )
+    baseline = ev.select("user_id").distinct().select(
+        "user_id",
+        F.lit(-1).cast("bigint").alias("last_event_id"),
+        F.lit(0).cast("bigint").alias("last_ts"),
+        F.lit(-1).cast("bigint").alias("cents"),
+        (F.col("user_id") % 8).cast("int").alias("ub"),
+    )
+    tbl.insert(baseline)
+
+    def prepare(batch_df: DataFrame) -> DataFrame:
+        img = F.max(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        ).alias("img")
+        return (
+            batch_df.groupBy("user_id")
+            .agg(img)
+            .select(
+                "user_id",
+                F.col("img.event_id").alias("last_event_id"),
+                F.col("img.ts").alias("last_ts"),
+                F.col("img.cents").alias("cents"),
+                (F.col("user_id") % 8).cast("int").alias("ub"),
+            )
+        )
+
+    writer = ManagedTableCDCWriter(tbl, keys=["user_id"], prepare=prepare)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = writer.attach(stream, tempfile.mkdtemp(prefix="icebergsql-eqck-"))
+    q.awaitTermination()
+
+    tbl.refresh()
+    # streaming CDC commits are append-only: no data file is ever dropped
+    streamed = [
+        s
+        for s in tbl.meta.snapshots
+        if "streaming-batch-id" in s.summary
+    ]
+    assert len(streamed) == 3
+    assert all(s.num_deleted_files == 0 for s in streamed)
+    assert tbl.meta.current_snapshot().eq_manifest_paths
+    # maintenance cadence: fold eq -> DVs -> clean files, rows unchanged
+    tbl.convert_equality_deletes()
+    tbl.rewrite_position_deletes()
+    assert not tbl.meta.current_snapshot().eq_manifest_paths
+    assert not tbl.meta.current_snapshot().dv_manifest_paths
+    return (
+        tbl.to_df()
+        .select("user_id", "last_event_id", "last_ts", "cents")
+        .orderBy("user_id")
+    )
