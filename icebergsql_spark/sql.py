@@ -89,8 +89,9 @@ _FAST_FORWARD_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*optimize\s+(?P<name>[`\w.]+)"
+    r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+zorder\s+by\s*\((?P<zcols>[^)]*)\)|\s+sort\s+by\s*\((?P<scols>[^)]*)\))?\s*$",
-    re.IGNORECASE,
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
     r"^\s*vacuum\s+(?P<name>[`\w.]+)(?:\s+retain\s+(?P<n>\d+)\s+snapshots)?\s*$",
@@ -705,6 +706,7 @@ class Engine:
             snap = tbl.compact(
                 sort_by=cols(om.group("scols")) or None,
                 zorder_by=cols(om.group("zcols")) or None,
+                where=om.group("where"),
             )
             return self.spark.createDataFrame(
                 [
@@ -1126,7 +1128,8 @@ class Engine:
             )
         if proc == "rewrite_data_files":
             args = _parse_call_args(
-                argtext, ["table", "sort_by", "zorder_by", "min_input_files"]
+                argtext,
+                ["table", "sort_by", "zorder_by", "min_input_files", "where"],
             )
             cols = lambda s: [c.strip().strip("`") for c in s.split(",") if c.strip()]  # noqa: E731
             kwargs = {}
@@ -1136,6 +1139,8 @@ class Engine:
                 kwargs["zorder_by"] = cols(args["zorder_by"])
             if "min_input_files" in args:
                 kwargs["min_input_files"] = int(args["min_input_files"])
+            if "where" in args:
+                kwargs["where"] = args["where"]
             snap = tbl(args).compact(**kwargs)
             return spark.createDataFrame(
                 [

@@ -1857,6 +1857,7 @@ class ManagedTable:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         zorder_rank: bool = False,
+        where: str | None = None,
     ) -> Snapshot | None:
         """Bin-pack small data files (Iceberg's ``rewrite_data_files``): per
         partition, every live file below ``target_file_size`` is rewritten
@@ -1928,8 +1929,19 @@ class ManagedTable:
                     f"(got {schema[c].dataType.simpleString()})"
                 )
         cluster = sort_by or zorder_by
+        # ``where`` scopes the rewrite (Iceberg rewrite_data_files' filter):
+        # only files whose partition/footer stats ADMIT the predicate are
+        # candidates — at 100 TB you compact yesterday's partition, not the
+        # table. must_match_all additionally guards correctness: a file the
+        # predicate only PARTIALLY covers is still rewritten whole (file
+        # granularity), so `where` can never split a file's rows.
+        candidates = parent.live_files()
+        if where is not None:
+            probe = self.scan(where=where)
+            admitted = {f.path for f in probe.planned_files}
+            candidates = [f for f in candidates if f.path in admitted]
         groups: dict[tuple, list[DataFile]] = {}
-        for f in parent.live_files():
+        for f in candidates:
             key = tuple(sorted(f.partition.items()))
             groups.setdefault(key, []).append(f)
         to_rewrite: list[DataFile] = []

@@ -879,3 +879,52 @@ def test_history_manifests_views_and_cherrypick(spark, tmp_path):
     ).collect()[0]
     assert man["rc"] == 90
     assert man["fc"] == len(cur.live_files())
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    """compact(where=...) / OPTIMIZE t WHERE ... rewrites only files the
+    predicate admits — the compact-yesterday's-partition shape; content
+    and untouched partitions' file sets are preserved."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_pc"))
+    eng.sql(
+        "CREATE TABLE pc (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("part")
+    ).createOrReplaceTempView("pc_src")
+    eng.sql("INSERT INTO pc SELECT * FROM pc_src")
+    eng.sql("INSERT INTO pc SELECT * FROM pc_src")
+    t = eng.catalog.load_table("pc")
+    before = {
+        f.path: tuple(sorted(f.partition.items()))
+        for f in t.meta.current_snapshot().live_files()
+    }
+    expect = sorted(tuple(r) for r in t.to_df().collect())
+
+    row = eng.sql("OPTIMIZE pc WHERE part = 2").collect()[0]
+    assert row["rewritten"]
+    t.refresh()
+    after = {
+        f.path: tuple(sorted(f.partition.items()))
+        for f in t.meta.current_snapshot().live_files()
+    }
+    untouched_before = {p for p, pt in before.items() if pt != (("part", "2"),)}
+    untouched_after = {p for p, pt in after.items() if pt != (("part", "2"),)}
+    assert untouched_before == untouched_after  # only part=2 rewritten
+    assert not (
+        {p for p, pt in before.items() if pt == (("part", "2"),)}
+        & {p for p, pt in after.items() if pt == (("part", "2"),)}
+    )
+    assert sorted(tuple(r) for r in t.to_df().collect()) == expect
+
+    # CALL passthrough with where
+    row = eng.sql(
+        "CALL system.rewrite_data_files(table => 'pc', where => 'part = 1', "
+        "min_input_files => 1)"
+    ).collect()[0]
+    assert row["rewritten_data_files_count"] >= 1
+    t.refresh()
+    assert sorted(tuple(r) for r in t.to_df().collect()) == expect
