@@ -807,29 +807,6 @@ class Engine:
             return self.spark.createDataFrame(
                 [(n,) for n in self.catalog.list_tables()], "tableName string"
             )
-        dm = re.match(
-            r"^\s*desc(?:ribe)?\s+(?:table\s+)?(?:extended\s+)?`?(?P<name>\w+)`?\s*$",
-            text,
-            re.IGNORECASE,
-        )
-        if dm and self.catalog.table_exists(dm.group("name")):
-            # DESCRIBE [TABLE] [EXTENDED] t — Spark's column listing plus
-            # the partition section; metadata-only
-            tbl = self.catalog.load_table(dm.group("name"))
-            rows = [
-                (f.name, f.dataType.simpleString(), None)
-                for f in tbl.schema.fields
-            ]
-            if tbl.meta.partition_cols:
-                rows.append(("# Partition Information", "", None))
-                rows.extend(
-                    (pc, tbl.schema[pc].dataType.simpleString(), None)
-                    for pc in tbl.meta.partition_cols
-                )
-            return self.spark.createDataFrame(
-                rows, "col_name string, data_type string, comment string"
-            )
-
         scm = re.match(
             r"^\s*show\s+create\s+table\s+`?(?P<name>\w+)`?\s*$",
             text,

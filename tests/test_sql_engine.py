@@ -184,8 +184,8 @@ def test_describe_show_create_show_props(engine, spark):
     )
     d = engine.sql("DESCRIBE TABLE ddl_t").collect()
     names = [r["col_name"] for r in d]
-    assert names[:3] == ["k", "v", "part"]
-    assert "# Partition Information" in names and names[-1] == "part"
+    assert names == ["k", "v", "part"]
+    assert {r["col_name"]: r["is_partition"] for r in d}["part"] is True
     stmt = engine.sql("SHOW CREATE TABLE ddl_t").collect()[0]["createtab_stmt"]
     assert "CREATE TABLE ddl_t" in stmt
     assert "PARTITIONED BY (part)" in stmt
