@@ -36,6 +36,42 @@ def _normalize_stat_value(v):
     return v
 
 
+# Iceberg-style bound truncation (write.metadata.metrics truncate(16)): a
+# long string column (document text!) must not ship kilobytes of min/max
+# per file into the manifests — at 10^5 files that is manifest bloat the
+# driver reads on EVERY plan. A truncated lower bound is simply the prefix
+# (still <= every value); the upper bound is the prefix with its last
+# character incremented (still >= every value). Wider bounds are always
+# SOUND for both may_match pruning (superset) and must_match_all proofs
+# (more conservative).
+STAT_TRUNCATE_LEN = 16
+
+
+def _truncate_min(v, limit: int = STAT_TRUNCATE_LEN):
+    if isinstance(v, str) and len(v) > limit:
+        return v[:limit]
+    if isinstance(v, bytes) and len(v) > limit:
+        return v[:limit]
+    return v
+
+
+def _truncate_max(v, limit: int = STAT_TRUNCATE_LEN):
+    if isinstance(v, str) and len(v) > limit:
+        p = v[:limit]
+        for i in range(limit - 1, -1, -1):
+            c = ord(p[i])
+            if c < 0x10FFFF:
+                return p[:i] + chr(c + 1)
+        return v  # every char at the max code point: cannot upper-bound
+    if isinstance(v, bytes) and len(v) > limit:
+        p = v[:limit]
+        for i in range(limit - 1, -1, -1):
+            if p[i] < 0xFF:
+                return p[:i] + bytes([p[i] + 1])
+        return v
+    return v
+
+
 def file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
     """(record_count, byte_size, {column: ColStats}) for one parquet file."""
     import os
@@ -80,6 +116,8 @@ def file_stats(path: str) -> tuple[int, int, dict[str, ColStats]]:
     out = {}
     for name, st in agg.items():
         if complete.get(name):
+            st.min = _truncate_min(st.min)
+            st.max = _truncate_max(st.max)
             out[name] = st
         # else: drop bounds entirely (reference behavior for partial stats)
     return n_rows, os.path.getsize(path), out

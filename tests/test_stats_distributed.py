@@ -61,3 +61,46 @@ def test_many_file_planning_cost(spark, tmp_path):
     assert plan_s < 1.0, f"planning took {plan_s:.2f}s for {n_files} files"
     assert 0 < scan.files_scanned <= n_files // 40 + 8
     assert scan.dataframe().count() > 0
+
+
+def test_long_string_bounds_truncated_and_sound(spark, tmp_path):
+    """Manifest bounds for long string columns truncate to 16 chars
+    (Iceberg truncate(16)): lower = prefix, upper = prefix with last char
+    incremented — wider, therefore sound for pruning, and kilobytes of
+    document text never reach the metadata layer."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.catalog.stats import (
+        STAT_TRUNCATE_LEN,
+        _truncate_max,
+        _truncate_min,
+    )
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_trunc"))
+    t = cat.create_table(
+        "tt", "k bigint, txt string, part int", partition_cols=["part"]
+    )
+    rows = [
+        (1, "aardvark " * 500, 0),
+        (2, "zebra " * 500, 0),
+        (3, "m" + "x" * 400, 1),
+    ]
+    t.insert(spark.createDataFrame(rows, "k bigint, txt string, part int"))
+    for f in t.meta.current_snapshot().live_files():
+        st = f.stats.get("txt")
+        if st is None:
+            continue
+        assert len(st.min) <= STAT_TRUNCATE_LEN
+        assert len(st.max) <= STAT_TRUNCATE_LEN
+    # bounds remain sound: every row's predicate evaluation is preserved
+    assert t.scan(where="txt = 'zzzz'").dataframe().count() == 0
+    got = t.scan(where="txt >= 'z'").dataframe().count()
+    assert got == 1  # the zebra row
+    # direct bound algebra
+    assert _truncate_min("a" * 40) == "a" * 16
+    assert _truncate_max("a" * 40) == "a" * 15 + "b"
+    assert _truncate_max("a" * 40) > "a" * 40
+    assert _truncate_min(b"\x01" * 40) == b"\x01" * 16
+    assert _truncate_max(b"\xff" * 40) == b"\xff" * 40  # cannot upper-bound
+    assert _truncate_max(chr(0x10FFFF) * 20) == chr(0x10FFFF) * 20
