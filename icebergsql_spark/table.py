@@ -1466,10 +1466,28 @@ class ManagedTable:
             self.schema.fields + [T.StructField(name, dtype, True)], ids
         )
 
+    def _guard_eq_delete_keys(self, col: str, action: str) -> None:
+        """A live equality-delete rowset references key columns BY NAME;
+        renaming or dropping such a column would silently break the mask.
+        The contract: fold the deletes first (convert_equality_deletes),
+        then evolve the schema."""
+        self.refresh()
+        snap = self.meta.current_snapshot()
+        if snap is None:
+            return
+        for e in snap.eq_entries():
+            if col in e.key_cols:
+                raise TableValidationError(
+                    f"cannot {action} column {col!r}: a live equality "
+                    "delete keys on it — run convert_equality_deletes() "
+                    "first"
+                )
+
     def drop_column(self, name: str) -> None:
         """DROP COLUMN: metadata-only; the bytes stay in old files but are
         never read (parquet column pruning skips them)."""
         self.refresh()
+        self._guard_eq_delete_keys(name, "drop")
         ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
         if name not in ids:
             raise TableValidationError(f"no column {name!r}")
@@ -1494,6 +1512,7 @@ class ManagedTable:
         """RENAME COLUMN: same field id, new name — old files' data and
         stats follow the rename through the id mapping."""
         self.refresh()
+        self._guard_eq_delete_keys(old, "rename")
         ids = dict(self.meta.field_ids_at(self.meta.current_schema_id))
         if old not in ids:
             raise TableValidationError(f"no column {old!r}")

@@ -139,3 +139,19 @@ def test_streaming_cdc_writer_exactly_once(spark, tbl, tmp_path):
         w2(b, i)
     assert tbl.to_df().count() == 502
     assert {r["k"]: r["v"] for r in tbl.to_df().filter("k = 600").collect()} == {600: 2}
+
+
+def test_schema_evolution_blocked_on_live_eq_keys(spark, tbl):
+    """Renaming/dropping an equality-delete key column is rejected until
+    the deletes are folded; conversion unblocks it."""
+    tbl.delete_by_keys(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+    with pytest.raises(TableValidationError, match="equality delete keys"):
+        tbl.rename_column("k", "kk")
+    with pytest.raises(TableValidationError, match="equality delete keys"):
+        tbl.drop_column("k")
+    # non-key columns evolve freely
+    tbl.rename_column("v", "val")
+    tbl.convert_equality_deletes()
+    tbl.rename_column("k", "kk")  # unblocked after folding
+    assert tbl.to_df().filter("kk = 1").count() == 0
+    assert tbl.to_df().count() == 499
