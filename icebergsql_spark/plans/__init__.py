@@ -36,6 +36,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_minhash_containment",
     "join_skew_salted",
     "emb_matryoshka_recall",
+    "events_markov_transitions",
+    "events_twap_daily",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",

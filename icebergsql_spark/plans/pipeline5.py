@@ -843,3 +843,128 @@ def managed_streaming_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "last_event_id", "last_ts", "cents")
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events
+        ),
+        seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY tsn, event_id) AS dst
+          FROM o
+        ),
+        t AS (
+          SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+                 AS p_ppm
+        FROM t ORDER BY src, dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (session-flow analysis: after a click, what comes next "
+    "and with what probability?). ONE shuffle on user_id orders each "
+    "user's history (lead window; event_id tiebreak makes equal "
+    "timestamps deterministic), transitions reduce map-side-combined, "
+    "and row probabilities are integer ppm over the tiny "
+    "|types|x|types| frame. At 100 TB the user-id window is the "
+    "sessionization shuffle every event pipeline already pays — the "
+    "transition count rides it for free.",
+    tags=("pipeline", "events", "analytics"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        t.withColumn("__row", F.sum("n").over(W.partitionBy("src")))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("(n * 1000000) div __row").alias("p_ppm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+@register(
+    "events_twap_daily",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase'
+        ),
+        seq AS (
+          SELECT us // 86400000000 AS day, c, us,
+                 lead(us) OVER (ORDER BY us, c) - us AS dt_us
+          FROM o
+        ),
+        w AS (
+          SELECT day,
+                 CAST(SUM(c * dt_us) AS BIGINT) AS num,
+                 CAST(SUM(dt_us) AS BIGINT) AS den
+          FROM seq WHERE dt_us IS NOT NULL AND dt_us > 0
+            AND (us + dt_us) // 86400000000 = day
+          GROUP BY day
+        )
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(num AS DOUBLE) / den / 100.0 AS twap
+        FROM w ORDER BY day
+    """,
+    doc="Time-weighted average price (TWAP) per day over the purchase "
+    "event stream: each observation holds until the next one, so the "
+    "day's average weights every price by its holding duration — the "
+    "metric order-book / metering pipelines need where plain AVG "
+    "overweights bursts. Integer cents x integer microsecond durations "
+    "keep the weighted sum exact (one final double division); intervals "
+    "crossing midnight are excluded (closed-form day attribution), and "
+    "the lead window's (ts, cents) tiebreak makes equal timestamps "
+    "deterministic. Shape: one global time sort for the lead — at scale "
+    "the same op runs per instrument key, turning it into the standard "
+    "keyed window shuffle.",
+    tags=("pipeline", "events", "timeseries"),
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    o = ev.filter(F.col("event_type") == "purchase").select(
+        F.expr("ts div 1000").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    seq = o.select(
+        F.expr("us div 86400000000").alias("day"),
+        "c",
+        "us",
+        (F.lead("us").over(W.orderBy("us", "c")) - F.col("us")).alias("dt_us"),
+    )
+    w = (
+        seq.filter(
+            F.col("dt_us").isNotNull()
+            & (F.col("dt_us") > 0)
+            & (F.expr("(us + dt_us) div 86400000000") == F.col("day"))
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.col("c") * F.col("dt_us")).alias("num"),
+            F.sum("dt_us").alias("den"),
+        )
+    )
+    return w.select(
+        F.col("day").cast("bigint").alias("day"),
+        (F.col("num").cast("double") / F.col("den") / 100.0).alias("twap"),
+    ).orderBy("day")
