@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "join_skew_salted",
     "emb_matryoshka_recall",
     "managed_streaming_eq_upsert",
+    "events_markov_transitions",
+    "events_twap_daily",
 ]
 
 

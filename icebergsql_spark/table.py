@@ -650,6 +650,7 @@ class ManagedTable:
         source: DataFrame,
         key_cols: list[str],
         extra_summary: dict[str, str] | None = None,
+        cardinality_check: bool = True,
     ) -> Snapshot:
         """Equality-delete UPSERT (the Flink→Iceberg CDC shape): ONE
         commit appends the new row images AND an equality delete of their
@@ -667,6 +668,23 @@ class ManagedTable:
         aligned = source.select(
             *[F.col(f.name).cast(f.dataType) for f in schema.fields]
         )
+        if cardinality_check:
+            # two images of one key at the SAME sequence number would both
+            # survive the equality delete (strictly-lower rule) — the same
+            # Iceberg cardinality contract MERGE enforces
+            dup = (
+                aligned.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "upsert source has rows with duplicate keys — reduce "
+                    "the batch to one final image per key (or pass "
+                    "cardinality_check=False to accept duplicate images)"
+                )
         entry = self._write_eq_rowset(aligned, key_cols)
         added = self._distributed_write(aligned)
         return self._commit_snapshot(

@@ -155,3 +155,13 @@ def test_schema_evolution_blocked_on_live_eq_keys(spark, tbl):
     tbl.rename_column("k", "kk")  # unblocked after folding
     assert tbl.to_df().filter("kk = 1").count() == 0
     assert tbl.to_df().count() == 499
+
+
+def test_upsert_duplicate_source_keys_rejected(spark, tbl):
+    """Two images of one key at the same seq would both survive — the
+    batch must be pre-reduced (same cardinality contract as MERGE)."""
+    dup = spark.createDataFrame([(1, 10, 1), (1, 20, 1)], DDL)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        tbl.upsert_by_keys(dup, ["k"])
+    tbl.upsert_by_keys(dup, ["k"], cardinality_check=False)  # opt-out
+    assert tbl.to_df().filter("k = 1").count() == 2
