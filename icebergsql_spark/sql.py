@@ -617,6 +617,29 @@ class Engine:
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
 
+        tr = re.match(
+            r"^\s*truncate\s+table\s+`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
+        )
+        if tr and self.catalog.table_exists(tr.group("name")):
+            # TRUNCATE TABLE: metadata-only empty overwrite — every live
+            # file is de-referenced in one commit, zero data IO; history
+            # and time travel to pre-truncate snapshots stay intact
+            tbl = self.catalog.load_table(tr.group("name"))
+            before = sum(
+                f.record_count
+                for f in (
+                    tbl.meta.current_snapshot().live_files()
+                    if tbl.meta.current_snapshot()
+                    else []
+                )
+            )
+            tbl.insert(
+                self.spark.createDataFrame([], tbl.schema), overwrite=True
+            )
+            return self.spark.createDataFrame(
+                [(before,)], "deleted_rows long"
+            )
+
         dl = _DELETE_RE.match(text)
         if dl and self.catalog.table_exists(dl.group("name").strip("`")):
             tbl = self.catalog.load_table(dl.group("name").strip("`"))

@@ -270,3 +270,24 @@ def test_add_drop_partition_field(engine, spark):
     assert row["partition_spec"] == "b"
     with _pytest.raises(Exception):
         engine.sql("ALTER TABLE pe_t DROP PARTITION FIELD b")  # last field
+
+
+def test_truncate_table(engine, spark):
+    import pyspark.sql.functions as F
+
+    engine.sql(
+        "CREATE TABLE trunc_t (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    ).createOrReplaceTempView("trunc_src")
+    engine.sql("INSERT INTO trunc_t SELECT * FROM trunc_src")
+    t = engine.catalog.load_table("trunc_t")
+    s0 = t.meta.current_snapshot().snapshot_id
+    row = engine.sql("TRUNCATE TABLE trunc_t").collect()[0]
+    assert row["deleted_rows"] == 30
+    assert engine.sql("SELECT COUNT(*) AS n FROM trunc_t").collect()[0]["n"] == 0
+    t.refresh()
+    assert t.meta.current_snapshot().num_added_files == 0  # metadata-only
+    assert t.to_df(snapshot_id=s0).count() == 30  # time travel intact
