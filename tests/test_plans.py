@@ -354,3 +354,57 @@ def test_mad_uses_broadcast_joins(spark):
     plan = plan_of(spark, "events_anomaly_mad")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_mor_dv_scan_is_broadcast_anti_join(spark, tmp_path_factory):
+    """A DV-masked scan plans as vectorized parquet scan + BROADCAST
+    LeftAnti hash join against the (churn-sized) DV rowset — no shuffle
+    on the data side, no Python in the plan."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_plan_dv")))
+    t = cat.create_table(
+        "pdv",
+        "k bigint, part int",
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+        )
+    )
+    t.delete_where("k % 100 = 7")
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan  # data side unshuffled
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() == 5000 - 50
+
+
+def test_eq_delete_scan_masks_via_broadcast_joins(spark, tmp_path_factory):
+    """An equality-masked scan stays JVM-side and broadcasts both the
+    file-seq map and the max-seq-per-key delete rowset."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("wh_plan_eq")))
+    t = cat.create_table("peq", "k bigint, part int", partition_cols=["part"])
+    t.insert(
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+        )
+    )
+    t.delete_by_keys(
+        spark.createDataFrame([(i,) for i in range(0, 5000, 100)], "k bigint"),
+        ["k"],
+    )
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert df.count() == 5000 - 50
