@@ -129,16 +129,12 @@ _MERGE_RE = re.compile(
     r"\s+(?P<clauses>when\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_MATCHED_UPDATE_RE = re.compile(
-    r"when\s+matched\s+then\s+update\s+set\s+(?P<sets>.+?)"
-    r"(?=\s*when\s+not\s+matched|\s*$)",
+_MERGE_CLAUSE_RE = re.compile(
+    r"when\s+(?P<nm>not\s+)?matched\s*"
+    r"(?:and\s+(?P<cond>.+?))?\s*then\s+"
+    r"(?:update\s+set\s+(?P<sets>.+?)|(?P<delete>delete)|(?P<insert>insert\s*\*))"
+    r"(?=\s*when\s+(?:not\s+)?matched|\s*$)",
     re.IGNORECASE | re.DOTALL,
-)
-_MERGE_MATCHED_DELETE_RE = re.compile(
-    r"when\s+matched\s+then\s+delete\b", re.IGNORECASE
-)
-_MERGE_NOT_MATCHED_RE = re.compile(
-    r"when\s+not\s+matched\s+then\s+insert\s+\*", re.IGNORECASE
 )
 
 
@@ -996,34 +992,53 @@ class Engine:
                 )
             keys.append(pair[talias])
 
-        clauses = mg.group("clauses")
-        not_matched = bool(_MERGE_NOT_MATCHED_RE.search(clauses))
-        set_exprs: dict[str, str] | None = None
-        when_matched = None
-        um = _MERGE_MATCHED_UPDATE_RE.search(clauses)
-        if um:
-            when_matched = "update"
-            set_exprs = {}
-            for col, expr in _parse_assignments(um.group("sets")).items():
-                # rewrite source-alias references to the join's `s` alias
-                # and target-alias ones to `t`
-                expr = re.sub(
-                    rf"\b{re.escape(salias)}\.", "s.", expr, flags=re.IGNORECASE
-                )
-                expr = re.sub(
-                    rf"\b{re.escape(talias)}\.", "t.", expr, flags=re.IGNORECASE
-                )
-                set_exprs[col] = expr
-        elif _MERGE_MATCHED_DELETE_RE.search(clauses):
-            when_matched = "delete"
-        if when_matched is None and not not_matched:
+        clauses_text = mg.group("clauses")
+
+        def realias(expr: str) -> str:
+            # rewrite source-alias references to the join's `s` alias and
+            # target-alias ones to `t`
+            expr = re.sub(
+                rf"\b{re.escape(salias)}\.", "s.", expr, flags=re.IGNORECASE
+            )
+            return re.sub(
+                rf"\b{re.escape(talias)}\.", "t.", expr, flags=re.IGNORECASE
+            )
+
+        matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+        not_matched = False
+        consumed = 0
+        for cm2 in _MERGE_CLAUSE_RE.finditer(clauses_text):
+            consumed += 1
+            cond = realias(cm2.group("cond").strip()) if cm2.group("cond") else None
+            if cm2.group("nm"):
+                if not cm2.group("insert"):
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only THEN INSERT *"
+                    )
+                if cond is not None:
+                    raise ValueError(
+                        "conditional NOT MATCHED clauses are not supported"
+                    )
+                not_matched = True
+            elif cm2.group("insert"):
+                raise ValueError("WHEN MATCHED cannot INSERT")
+            elif cm2.group("delete"):
+                matched_clauses.append((cond, "delete", None))
+            else:
+                set_exprs = {
+                    col: realias(expr)
+                    for col, expr in _parse_assignments(
+                        cm2.group("sets")
+                    ).items()
+                }
+                matched_clauses.append((cond, "update", set_exprs))
+        if not consumed:
             raise ValueError("MERGE needs at least one WHEN clause")
 
         snap = tbl.merge(
             source,
             on=keys,
-            when_matched=when_matched,
-            set_exprs=set_exprs,
+            matched_clauses=matched_clauses,
             when_not_matched_insert=not_matched,
         )
         return self.spark.createDataFrame(

@@ -898,6 +898,8 @@ class ManagedTable:
         when_not_matched_insert: bool = True,
         cardinality_check: bool = True,
         extra_summary: dict[str, str] | None = None,
+        matched_clauses: list[tuple[str | None, str, dict[str, str] | None]]
+        | None = None,
     ) -> Snapshot:
         """Copy-on-write MERGE INTO (the CDC-upsert primitive).
 
@@ -906,6 +908,15 @@ class ManagedTable:
         target aliased ``t`` and source ``s``; None = take every shared
         source column) or 'delete'. ``when_not_matched_insert``: append
         source rows whose keys match no target row.
+
+        ``matched_clauses`` generalizes to the full conditional grammar —
+        an ORDERED list of ``(condition_sql | None, 'update' | 'delete',
+        set_exprs | None)``; for each matched row the FIRST clause whose
+        condition holds (None = always) fires, later clauses are ignored,
+        and a matched row firing no clause stays unchanged — standard SQL
+        MERGE semantics (`WHEN MATCHED AND cond THEN ...` chains).
+        Conditions see the same ``t``/``s`` aliases as set expressions.
+        When given, ``when_matched``/``set_exprs`` are ignored.
 
         Scale shape: the affected-file set comes from joining the target's
         KEY COLUMNS (column-pruned scan + input_file_name) against the
@@ -931,6 +942,18 @@ class ManagedTable:
                 f"when_matched must be 'update', 'delete' or None, "
                 f"got {when_matched!r}"
             )
+        # normalize to the general ordered-clause form
+        if matched_clauses is None:
+            matched_clauses = (
+                [(None, when_matched, set_exprs)]
+                if when_matched is not None
+                else []
+            )
+        for _cond, act, _se in matched_clauses:
+            if act not in ("update", "delete"):
+                raise TableValidationError(
+                    f"matched clause action must be 'update'/'delete', got {act!r}"
+                )
         if cardinality_check:
             dup = (
                 source.groupBy(*keys)
@@ -946,7 +969,7 @@ class ManagedTable:
                     "cardinality semantics); pre-aggregate the source or "
                     "pass cardinality_check=False to accept last-write-wins"
                 )
-        if not parent_files or when_matched is None:
+        if not parent_files or not matched_clauses:
             # insert-only MERGE: matched rows stay untouched, so no file
             # needs rewriting — the whole statement is one anti-join append
             affected: list[DataFile] = []
@@ -974,7 +997,7 @@ class ManagedTable:
             self.meta.properties.get("write.merge.mode", "copy-on-write")
             == "merge-on-read"
         )
-        if mor and affected and when_matched is not None:
+        if mor and affected and matched_clauses:
             if self.file_format != "parquet":
                 raise TableValidationError(
                     "merge-on-read MERGE needs parquet row positions "
@@ -986,8 +1009,7 @@ class ManagedTable:
                 source,
                 s_marked,
                 keys,
-                when_matched,
-                set_exprs,
+                matched_clauses,
                 when_not_matched_insert,
                 extra_summary,
             )
@@ -997,25 +1019,9 @@ class ManagedTable:
             joined = t.join(
                 s_marked, [t[k] == s_marked[k] for k in keys], "left"
             )
-            if when_matched == "delete":
-                rewritten = joined.filter(F.col("__m").isNull()).select(
-                    *[t[f.name] for f in schema.fields]
-                )
-            else:
-                out_cols = []
-                for f in schema.fields:
-                    if set_exprs is not None and f.name in set_exprs:
-                        upd = F.expr(set_exprs[f.name]).cast(f.dataType)
-                    elif set_exprs is None and f.name in source.columns:
-                        upd = s_marked[f.name].cast(f.dataType)
-                    else:
-                        upd = t[f.name]
-                    out_cols.append(
-                        F.when(F.col("__m").isNotNull(), upd)
-                        .otherwise(t[f.name])
-                        .alias(f.name)
-                    )
-                rewritten = joined.select(*out_cols)
+            rewritten = self._apply_matched_clauses(
+                joined, t, s_marked, source, matched_clauses, keep_unfired=True
+            )
         inserts = None
         if when_not_matched_insert:
             missing = [
@@ -1051,6 +1057,63 @@ class ManagedTable:
             parent, added, list(affected), extra_summary=extra_summary
         )
 
+    def _matched_fired_col(self, matched_clauses):
+        """1-based index of the FIRST matched clause whose condition holds
+        for the row (0 = no clause fires / row unmatched) — the ordered-
+        clause rule of SQL MERGE, as one codegen-able CASE chain."""
+        expr = None
+        for i, (cond, _act, _se) in enumerate(matched_clauses, 1):
+            c = F.col("__m").isNotNull()
+            if cond is not None:
+                c = c & F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+            expr = F.when(c, i) if expr is None else expr.when(c, i)
+        return expr.otherwise(0) if expr is not None else F.lit(0)
+
+    def _apply_matched_clauses(
+        self,
+        joined: DataFrame,
+        t: DataFrame,
+        s_marked: DataFrame,
+        source: DataFrame,
+        matched_clauses,
+        keep_unfired: bool,
+    ) -> DataFrame:
+        """Evaluate the ordered matched clauses over a t/s-aliased join:
+        delete-fired rows drop, update-fired rows take their clause's set
+        expressions, unfired rows pass through unchanged (CoW rewrite,
+        ``keep_unfired=True``) or drop (MoR new-image build over an inner
+        join, ``keep_unfired=False`` — unfired rows were never masked)."""
+        schema = self.schema
+        joined = joined.withColumn(
+            "__fired", self._matched_fired_col(matched_clauses)
+        )
+        delete_idx = [
+            i for i, (_c, a, _s) in enumerate(matched_clauses, 1) if a == "delete"
+        ]
+        if delete_idx:
+            joined = joined.filter(~F.col("__fired").isin(delete_idx))
+        if not keep_unfired:
+            joined = joined.filter(F.col("__fired") > 0)
+        out_cols = []
+        for f in schema.fields:
+            expr = None
+            for i, (_c, act, se) in enumerate(matched_clauses, 1):
+                if act != "update":
+                    continue
+                if se is not None and f.name in se:
+                    upd = F.expr(se[f.name]).cast(f.dataType)
+                elif se is None and f.name in source.columns:
+                    upd = s_marked[f.name].cast(f.dataType)
+                else:
+                    upd = t[f.name]
+                cnd = F.col("__fired") == i
+                expr = F.when(cnd, upd) if expr is None else expr.when(cnd, upd)
+            out_cols.append(
+                (expr.otherwise(t[f.name]) if expr is not None else t[f.name])
+                .alias(f.name)
+            )
+        return joined.select(*out_cols)
+
     def _merge_mor(
         self,
         parent: Snapshot,
@@ -1058,41 +1121,42 @@ class ManagedTable:
         source: DataFrame,
         s_marked: DataFrame,
         keys: list[str],
-        when_matched: str,
-        set_exprs: dict[str, str] | None,
+        matched_clauses,
         when_not_matched_insert: bool,
         extra_summary: dict[str, str] | None,
     ) -> Snapshot:
-        """Merge-on-read MERGE: matched target rows are masked by a delete
-        vector (positions via a key semi-join on the position-annotated
-        read) and — for 'update' — their new images are APPENDED alongside
-        the not-matched inserts; untouched rows in the affected files are
-        never rewritten. Write cost ∝ churned rows (the Iceberg v2 MoR
-        upsert shape, the one a CDC stream needs at 100 TB)."""
+        """Merge-on-read MERGE: matched target rows whose clause FIRES are
+        masked by a delete vector (positions via a key join + clause
+        evaluation on the position-annotated read) and update-fired rows'
+        new images are APPENDED alongside the not-matched inserts;
+        untouched/unfired rows in the affected files are never rewritten.
+        Write cost ∝ churned rows (the Iceberg v2 MoR upsert shape, the
+        one a CDC stream needs at 100 TB)."""
         schema = self.schema
+        raw = self.read_files(affected, with_pos=True).alias("t")
+        raw_joined = raw.join(
+            s_marked, [raw[k] == s_marked[k] for k in keys], "inner"
+        )
         matched_pos = (
-            self.read_files(affected, with_pos=True)
-            .join(source.select(*keys).distinct(), keys, "left_semi")
+            raw_joined.withColumn(
+                "__fired", self._matched_fired_col(matched_clauses)
+            )
+            .filter(F.col("__fired") > 0)
             .select("__fp", "__pos")
         )
         dv_entries = self._commit_dv_rowset(parent, affected, matched_pos)
         new_parts: list[DataFrame] = []
-        if when_matched == "update":
+        if any(a == "update" for _c, a, _s in matched_clauses):
             t = self.read_files_live(affected, parent).alias("t")
             joined = t.join(
                 s_marked, [t[k] == s_marked[k] for k in keys], "inner"
             )
-            out_cols = []
-            for f in schema.fields:
-                if set_exprs is not None and f.name in set_exprs:
-                    out_cols.append(
-                        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-                    )
-                elif set_exprs is None and f.name in source.columns:
-                    out_cols.append(s_marked[f.name].cast(f.dataType).alias(f.name))
-                else:
-                    out_cols.append(t[f.name].alias(f.name))
-            new_parts.append(joined.select(*out_cols))
+            new_parts.append(
+                self._apply_matched_clauses(
+                    joined, t, s_marked, source, matched_clauses,
+                    keep_unfired=False,
+                )
+            )
         if when_not_matched_insert:
             missing = [
                 f.name for f in schema.fields if f.name not in source.columns

@@ -319,3 +319,75 @@ def test_diff_duplicate_keys_rejected(spark, tbl):
         for r in tbl.diff(s1.snapshot_id).collect()
     )
     assert got == [(5, 98.0, "insert", 1), (5, 99.0, "insert", 1)]
+
+
+def test_merge_conditional_multi_clause(spark, tmp_path):
+    """Full conditional MERGE grammar: ordered WHEN MATCHED AND <cond>
+    chains — first firing clause wins, unfired matched rows stay."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_mc"))
+    eng.sql(
+        "CREATE TABLE mt (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(10)], "k bigint, v double, part int"
+    ).createOrReplaceTempView("mt_tgt")
+    eng.sql("INSERT INTO mt SELECT * FROM mt_tgt")
+    spark.createDataFrame(
+        [(1, 100.0, 1), (2, -1.0, 0), (3, 5.0, 1), (20, 7.0, 0)],
+        "k bigint, v double, part int",
+    ).createOrReplaceTempView("mt_src")
+    eng.sql("""
+        MERGE INTO mt t USING mt_src s ON t.k = s.k
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED AND s.v > 50 THEN UPDATE SET v = t.v + s.v
+        WHEN MATCHED AND s.v > 100 THEN UPDATE SET v = 0
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM mt").collect()}
+    assert 2 not in got                    # delete clause fired
+    assert got[1] == 101.0                 # first matching update fired
+    assert got[3] == 3.0                   # matched, no clause fired: kept
+    assert got[20] == 7.0                  # not-matched insert
+    assert len(got) == 10                  # 10 - 1 deleted + 1 inserted
+
+
+def test_merge_conditional_multi_clause_mor(spark, tmp_path):
+    """Same grammar under write.merge.mode=merge-on-read: only FIRING rows
+    are DV-masked; unfired matched rows keep their original file images."""
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_mcm"))
+    t = cat.create_table(
+        "mtm",
+        "k bigint, v double, part int",
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, float(i), i % 2) for i in range(10)],
+            "k bigint, v double, part int",
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0, 1), (2, -1.0, 0), (3, 5.0, 1), (20, 7.0, 0)],
+        "k bigint, v double, part int",
+    )
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    snap = t.merge(
+        src,
+        on=["k"],
+        matched_clauses=[
+            ("s.v < 0", "delete", None),
+            ("s.v > 50", "update", {"v": "t.v + s.v"}),
+        ],
+        when_not_matched_insert=True,
+    )
+    assert before <= {f.path for f in snap.live_files()}  # append-only
+    assert sum(e.count for e in snap.dv_entries()) == 2   # only k=1, k=2 masked
+    got = {r["k"]: r["v"] for r in t.to_df().select("k", "v").collect()}
+    assert 2 not in got and got[1] == 101.0 and got[3] == 3.0 and got[20] == 7.0
+    assert len(got) == 10
