@@ -130,7 +130,7 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_CLAUSE_RE = re.compile(
-    r"when\s+(?P<nm>not\s+)?matched\s*"
+    r"when\s+(?P<nm>not\s+)?matched\s*(?P<bysrc>by\s+source\s*)?"
     r"(?:and\s+(?P<cond>.+?))?\s*then\s+"
     r"(?:update\s+set\s+(?P<sets>.+?)|(?P<delete>delete)|(?P<insert>insert\s*\*))"
     r"(?=\s*when\s+(?:not\s+)?matched|\s*$)",
@@ -1005,12 +1005,32 @@ class Engine:
             )
 
         matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
+        nmbs_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
         not_matched = False
         consumed = 0
         for cm2 in _MERGE_CLAUSE_RE.finditer(clauses_text):
             consumed += 1
             cond = realias(cm2.group("cond").strip()) if cm2.group("cond") else None
-            if cm2.group("nm"):
+            sets = (
+                {
+                    col: realias(expr)
+                    for col, expr in _parse_assignments(
+                        cm2.group("sets")
+                    ).items()
+                }
+                if cm2.group("sets")
+                else None
+            )
+            if cm2.group("nm") and cm2.group("bysrc"):
+                # WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE
+                if cm2.group("insert"):
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE cannot INSERT"
+                    )
+                nmbs_clauses.append(
+                    (cond, "delete" if cm2.group("delete") else "update", sets)
+                )
+            elif cm2.group("nm"):
                 if not cm2.group("insert"):
                     raise ValueError(
                         "WHEN NOT MATCHED supports only THEN INSERT *"
@@ -1025,13 +1045,7 @@ class Engine:
             elif cm2.group("delete"):
                 matched_clauses.append((cond, "delete", None))
             else:
-                set_exprs = {
-                    col: realias(expr)
-                    for col, expr in _parse_assignments(
-                        cm2.group("sets")
-                    ).items()
-                }
-                matched_clauses.append((cond, "update", set_exprs))
+                matched_clauses.append((cond, "update", sets))
         if not consumed:
             raise ValueError("MERGE needs at least one WHEN clause")
 
@@ -1040,6 +1054,7 @@ class Engine:
             on=keys,
             matched_clauses=matched_clauses,
             when_not_matched_insert=not_matched,
+            not_matched_by_source_clauses=nmbs_clauses or None,
         )
         return self.spark.createDataFrame(
             [(snap.num_added_files, snap.num_deleted_files)],

@@ -900,6 +900,10 @@ class ManagedTable:
         extra_summary: dict[str, str] | None = None,
         matched_clauses: list[tuple[str | None, str, dict[str, str] | None]]
         | None = None,
+        not_matched_by_source_clauses: list[
+            tuple[str | None, str, dict[str, str] | None]
+        ]
+        | None = None,
     ) -> Snapshot:
         """Copy-on-write MERGE INTO (the CDC-upsert primitive).
 
@@ -917,6 +921,15 @@ class ManagedTable:
         MERGE semantics (`WHEN MATCHED AND cond THEN ...` chains).
         Conditions see the same ``t``/``s`` aliases as set expressions.
         When given, ``when_matched``/``set_exprs`` are ignored.
+
+        ``not_matched_by_source_clauses`` (same shape) fire on TARGET rows
+        whose key matches NO source row (`WHEN NOT MATCHED BY SOURCE THEN
+        UPDATE/DELETE`, the Spark 3.4/Delta extension that turns MERGE
+        into a full snapshot-sync primitive). Conditions/exprs see only
+        ``t`` (source columns are NULL there). Scale note: these clauses
+        make EVERY live file a rewrite candidate — an unmatched row can
+        hide anywhere — so the affected set is the whole table; prefer a
+        keyed anti-join delete when the sync set is small.
 
         Scale shape: the affected-file set comes from joining the target's
         KEY COLUMNS (column-pruned scan + input_file_name) against the
@@ -942,18 +955,25 @@ class ManagedTable:
                 f"when_matched must be 'update', 'delete' or None, "
                 f"got {when_matched!r}"
             )
-        # normalize to the general ordered-clause form
+        # normalize to the general ordered-clause form, tagged by family:
+        # 'm' = WHEN MATCHED, 'n' = WHEN NOT MATCHED BY SOURCE (families
+        # are disjoint per row, so cross-family order is immaterial)
         if matched_clauses is None:
             matched_clauses = (
                 [(None, when_matched, set_exprs)]
                 if when_matched is not None
                 else []
             )
-        for _cond, act, _se in matched_clauses:
+        for _cond, act, _se in list(matched_clauses) + list(
+            not_matched_by_source_clauses or []
+        ):
             if act not in ("update", "delete"):
                 raise TableValidationError(
-                    f"matched clause action must be 'update'/'delete', got {act!r}"
+                    f"merge clause action must be 'update'/'delete', got {act!r}"
                 )
+        all_clauses = [("m", c, a, s) for c, a, s in matched_clauses] + [
+            ("n", c, a, s) for c, a, s in (not_matched_by_source_clauses or [])
+        ]
         if cardinality_check:
             dup = (
                 source.groupBy(*keys)
@@ -969,10 +989,14 @@ class ManagedTable:
                     "cardinality semantics); pre-aggregate the source or "
                     "pass cardinality_check=False to accept last-write-wins"
                 )
-        if not parent_files or not matched_clauses:
+        nmbs = [c for c in all_clauses if c[0] == "n"]
+        if not parent_files or not all_clauses:
             # insert-only MERGE: matched rows stay untouched, so no file
             # needs rewriting — the whole statement is one anti-join append
             affected: list[DataFile] = []
+        elif nmbs:
+            # an unmatched target row can hide in ANY file (see docstring)
+            affected = list(parent_files)
         else:
             tgt_keys = (
                 self.read_files(parent_files)
@@ -997,7 +1021,7 @@ class ManagedTable:
             self.meta.properties.get("write.merge.mode", "copy-on-write")
             == "merge-on-read"
         )
-        if mor and affected and matched_clauses:
+        if mor and affected and all_clauses:
             if self.file_format != "parquet":
                 raise TableValidationError(
                     "merge-on-read MERGE needs parquet row positions "
@@ -1009,7 +1033,7 @@ class ManagedTable:
                 source,
                 s_marked,
                 keys,
-                matched_clauses,
+                all_clauses,
                 when_not_matched_insert,
                 extra_summary,
             )
@@ -1020,7 +1044,7 @@ class ManagedTable:
                 s_marked, [t[k] == s_marked[k] for k in keys], "left"
             )
             rewritten = self._apply_matched_clauses(
-                joined, t, s_marked, source, matched_clauses, keep_unfired=True
+                joined, t, s_marked, source, all_clauses, keep_unfired=True
             )
         inserts = None
         if when_not_matched_insert:
@@ -1057,13 +1081,18 @@ class ManagedTable:
             parent, added, list(affected), extra_summary=extra_summary
         )
 
-    def _matched_fired_col(self, matched_clauses):
-        """1-based index of the FIRST matched clause whose condition holds
-        for the row (0 = no clause fires / row unmatched) — the ordered-
+    def _matched_fired_col(self, all_clauses):
+        """1-based index of the FIRST clause whose family predicate
+        (matched: ``__m`` not null; not-matched-by-source: ``__m`` null)
+        and condition hold for the row (0 = none fires) — the ordered-
         clause rule of SQL MERGE, as one codegen-able CASE chain."""
         expr = None
-        for i, (cond, _act, _se) in enumerate(matched_clauses, 1):
-            c = F.col("__m").isNotNull()
+        for i, (base, cond, _act, _se) in enumerate(all_clauses, 1):
+            c = (
+                F.col("__m").isNotNull()
+                if base == "m"
+                else F.col("__m").isNull()
+            )
             if cond is not None:
                 c = c & F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
             expr = F.when(c, i) if expr is None else expr.when(c, i)
@@ -1075,20 +1104,22 @@ class ManagedTable:
         t: DataFrame,
         s_marked: DataFrame,
         source: DataFrame,
-        matched_clauses,
+        all_clauses,
         keep_unfired: bool,
     ) -> DataFrame:
-        """Evaluate the ordered matched clauses over a t/s-aliased join:
+        """Evaluate the ordered merge clauses over a t/s-aliased join:
         delete-fired rows drop, update-fired rows take their clause's set
         expressions, unfired rows pass through unchanged (CoW rewrite,
-        ``keep_unfired=True``) or drop (MoR new-image build over an inner
-        join, ``keep_unfired=False`` — unfired rows were never masked)."""
+        ``keep_unfired=True``) or drop (MoR new-image build —
+        ``keep_unfired=False``, unfired rows were never masked)."""
         schema = self.schema
         joined = joined.withColumn(
-            "__fired", self._matched_fired_col(matched_clauses)
+            "__fired", self._matched_fired_col(all_clauses)
         )
         delete_idx = [
-            i for i, (_c, a, _s) in enumerate(matched_clauses, 1) if a == "delete"
+            i
+            for i, (_b, _c, a, _s) in enumerate(all_clauses, 1)
+            if a == "delete"
         ]
         if delete_idx:
             joined = joined.filter(~F.col("__fired").isin(delete_idx))
@@ -1097,7 +1128,7 @@ class ManagedTable:
         out_cols = []
         for f in schema.fields:
             expr = None
-            for i, (_c, act, se) in enumerate(matched_clauses, 1):
+            for i, (_b, _c, act, se) in enumerate(all_clauses, 1):
                 if act != "update":
                     continue
                 if se is not None and f.name in se:
@@ -1121,39 +1152,41 @@ class ManagedTable:
         source: DataFrame,
         s_marked: DataFrame,
         keys: list[str],
-        matched_clauses,
+        all_clauses,
         when_not_matched_insert: bool,
         extra_summary: dict[str, str] | None,
     ) -> Snapshot:
-        """Merge-on-read MERGE: matched target rows whose clause FIRES are
-        masked by a delete vector (positions via a key join + clause
-        evaluation on the position-annotated read) and update-fired rows'
-        new images are APPENDED alongside the not-matched inserts;
-        untouched/unfired rows in the affected files are never rewritten.
-        Write cost ∝ churned rows (the Iceberg v2 MoR upsert shape, the
-        one a CDC stream needs at 100 TB)."""
+        """Merge-on-read MERGE: target rows whose clause FIRES are masked
+        by a delete vector (positions via a key join + clause evaluation
+        on the position-annotated read) and update-fired rows' new images
+        are APPENDED alongside the not-matched inserts; untouched/unfired
+        rows in the affected files are never rewritten. Write cost ∝
+        churned rows (the Iceberg v2 MoR upsert shape, the one a CDC
+        stream needs at 100 TB). Not-matched-by-source clauses switch the
+        position read to a LEFT join so unmatched rows can fire too."""
         schema = self.schema
+        join_how = "left" if any(b == "n" for b, _c, _a, _s in all_clauses) else "inner"
         raw = self.read_files(affected, with_pos=True).alias("t")
         raw_joined = raw.join(
-            s_marked, [raw[k] == s_marked[k] for k in keys], "inner"
+            s_marked, [raw[k] == s_marked[k] for k in keys], join_how
         )
         matched_pos = (
             raw_joined.withColumn(
-                "__fired", self._matched_fired_col(matched_clauses)
+                "__fired", self._matched_fired_col(all_clauses)
             )
             .filter(F.col("__fired") > 0)
             .select("__fp", "__pos")
         )
         dv_entries = self._commit_dv_rowset(parent, affected, matched_pos)
         new_parts: list[DataFrame] = []
-        if any(a == "update" for _c, a, _s in matched_clauses):
+        if any(a == "update" for _b, _c, a, _s in all_clauses):
             t = self.read_files_live(affected, parent).alias("t")
             joined = t.join(
-                s_marked, [t[k] == s_marked[k] for k in keys], "inner"
+                s_marked, [t[k] == s_marked[k] for k in keys], join_how
             )
             new_parts.append(
                 self._apply_matched_clauses(
-                    joined, t, s_marked, source, matched_clauses,
+                    joined, t, s_marked, source, all_clauses,
                     keep_unfired=False,
                 )
             )

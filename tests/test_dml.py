@@ -391,3 +391,73 @@ def test_merge_conditional_multi_clause_mor(spark, tmp_path):
     got = {r["k"]: r["v"] for r in t.to_df().select("k", "v").collect()}
     assert 2 not in got and got[1] == 101.0 and got[3] == 3.0 and got[20] == 7.0
     assert len(got) == 10
+
+
+def test_merge_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE/UPDATE — full snapshot
+    sync: target rows absent from the source are deleted (or flagged),
+    matched rows update, new rows insert, in ONE statement."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_nmbs"))
+    eng.sql(
+        "CREATE TABLE sync_t (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(8)], "k bigint, v double, part int"
+    ).createOrReplaceTempView("sync_tgt")
+    eng.sql("INSERT INTO sync_t SELECT * FROM sync_tgt")
+    # source snapshot: keys 0-3 (v+10), new key 100; keys 4-7 vanish
+    spark.createDataFrame(
+        [(i, float(i) + 10, i % 2) for i in range(4)] + [(100, 1.0, 0)],
+        "k bigint, v double, part int",
+    ).createOrReplaceTempView("sync_src")
+    eng.sql("""
+        MERGE INTO sync_t t USING sync_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND t.k >= 6 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r["k"]: r["v"] for r in eng.sql("SELECT k, v FROM sync_t").collect()}
+    assert got == {
+        0: 10.0, 1: 11.0, 2: 12.0, 3: 13.0,  # matched updates
+        4: -1.0, 5: -1.0,                    # unmatched, flagged
+        100: 1.0,                            # inserted
+    }  # 6,7 deleted by the conditional NMBS clause
+
+
+def test_merge_not_matched_by_source_mor(spark, tmp_path):
+    """NMBS under merge-on-read: unmatched firing rows are DV-masked via
+    the LEFT-join position read; new images appended."""
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_nmbs_m"))
+    t = cat.create_table(
+        "sync_m",
+        "k bigint, v double, part int",
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, float(i), i % 2) for i in range(8)],
+            "k bigint, v double, part int",
+        )
+    )
+    src = spark.createDataFrame(
+        [(0, 50.0, 0)], "k bigint, v double, part int"
+    )
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    snap = t.merge(
+        src,
+        on=["k"],
+        matched_clauses=[(None, "update", {"v": "s.v"})],
+        not_matched_by_source_clauses=[("t.k >= 6", "delete", None)],
+        when_not_matched_insert=False,
+    )
+    assert before <= {f.path for f in snap.live_files()}  # append-only
+    assert sum(e.count for e in snap.dv_entries()) == 3   # k=0 update + 6,7
+    got = {r["k"]: r["v"] for r in t.to_df().select("k", "v").collect()}
+    assert got == {0: 50.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
