@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "managed_streaming_eq_upsert",
     "events_markov_transitions",
     "events_twap_daily",
+    "managed_merge_snapshot_sync",
 ]
 
 
@@ -198,6 +199,7 @@ def main() -> None:
         "managed_mor_merge_cdc",
         "managed_eq_delete_cdc",
         "managed_streaming_eq_upsert",
+        "managed_merge_snapshot_sync",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",

@@ -31,6 +31,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
     "managed_streaming_eq_upsert",
+    "managed_merge_snapshot_sync",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",

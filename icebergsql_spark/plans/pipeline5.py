@@ -968,3 +968,85 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("bigint").alias("day"),
         (F.col("num").cast("double") / F.col("den") / 100.0).alias("twap"),
     ).orderBy("day")
+
+
+@register(
+    "managed_merge_snapshot_sync",
+    oracle="""
+        WITH t0 AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderstatus AS st
+          FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        s0 AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS BIGINT) + 5 AS c,
+                 o_orderstatus AS st
+          FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        merged AS (
+          SELECT COALESCE(t0.st, s0.st) AS st,
+                 CASE
+                   WHEN t0.k IS NOT NULL AND s0.k IS NOT NULL THEN
+                     CASE WHEN s0.c % 2 = 0 THEN s0.c ELSE NULL END
+                   WHEN t0.k IS NOT NULL THEN
+                     CASE WHEN t0.k % 5 = 0 THEN NULL ELSE -t0.c END
+                   ELSE s0.c
+                 END AS c
+          FROM t0 FULL OUTER JOIN s0 USING (k)
+        )
+        SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+        FROM merged WHERE c IS NOT NULL
+        GROUP BY st ORDER BY st
+    """,
+    doc="Full SQL MERGE grammar as a snapshot-sync in ONE statement "
+    "(sql.py:_merge_managed + table.py ordered-clause machinery): "
+    "conditional WHEN MATCHED chains (first-firing-clause-wins: even "
+    "source cents update, odd ones delete), WHEN NOT MATCHED BY SOURCE "
+    "chains over vanished keys (k%5 deletes, the rest flag by negating "
+    "cents — conditions see only t, source columns are NULL there), and "
+    "NOT MATCHED INSERT *, all evaluated in one codegen-able CASE chain "
+    "over a single left join per side. The oracle reconstructs the same "
+    "decision table with a FULL OUTER JOIN. Integer cents throughout; "
+    "NMBS honestly makes every file a rewrite candidate (docstring'd "
+    "with the keyed-anti-join alternative for small sync sets).",
+    tags=("managed", "dml", "sql", "cdc"),
+)
+def managed_merge_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-syncwh-"))
+    tbl = eng.catalog.create_table(
+        "ord_sync", "k bigint, c bigint, st string", partition_cols=["st"]
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    base.filter(F.col("k") % 3 == 0).withColumn(
+        "c", F.col("c") + 5
+    ).createOrReplaceTempView("sync_src_v")
+    eng.sql("""
+        MERGE INTO ord_sync t USING sync_src_v s ON t.k = s.k
+        WHEN MATCHED AND s.c % 2 = 0 THEN UPDATE SET c = s.c
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = -t.c
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    return (
+        tbl.to_df()
+        .groupBy(F.col("st").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
