@@ -2766,18 +2766,22 @@ class ManagedTable:
         manifest list — answers "how skewed is this table?" without
         touching a single data file."""
         snap = self.meta.current_snapshot()
+        dv_counts: dict[str, int] = {}
+        for e in snap.dv_entries() if snap else []:
+            dv_counts[e.data_path] = dv_counts.get(e.data_path, 0) + e.count
         agg: dict[str, list[int]] = {}
         for f in snap.live_files() if snap else []:
             key = __import__("json").dumps(f.partition, sort_keys=True)
-            a = agg.setdefault(key, [0, 0, 0])
+            a = agg.setdefault(key, [0, 0, 0, 0])
             a[0] += 1
             a[1] += f.record_count
             a[2] += f.file_size
-        rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+            a[3] += dv_counts.get(f.path, 0)
+        rows = [(k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())]
         return self.spark.createDataFrame(
             rows,
             "partition string, file_count long, record_count long, "
-            "total_size long",
+            "total_size long, position_deletes long",
         )
 
 
