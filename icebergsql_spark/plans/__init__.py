@@ -39,6 +39,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_matryoshka_recall",
     "events_markov_transitions",
     "events_twap_daily",
+    "join_interval_overlap",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",
