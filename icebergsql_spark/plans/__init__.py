@@ -40,6 +40,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_markov_transitions",
     "events_twap_daily",
     "join_interval_overlap",
+    "events_stream_attribution_join",
     # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",

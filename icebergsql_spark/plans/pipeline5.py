@@ -1124,3 +1124,85 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("overlap_len"),
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "events_stream_attribution_join",
+    oracle="""
+        WITH c AS (
+          SELECT user_id,
+                 CAST(trunc(epoch_ns(ts) / 1000.0) AS BIGINT) AS c_us,
+                 epoch_ns(ts) AS c_ns
+          FROM events WHERE event_type = 'click'
+        ),
+        p AS (
+          SELECT user_id,
+                 CAST(trunc(epoch_ns(ts) / 1000.0) AS BIGINT) AS p_us,
+                 epoch_ns(ts) AS p_ns,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+          SELECT c.user_id, p.cents
+          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_attributions,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 AS attributed_value
+        FROM m GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Stream-stream attribution join end-to-end (streaming/ops.py:"
+    "click_purchase_join): the click and purchase streams run as "
+    "Structured Streaming sources (one file each -> one deterministic "
+    "micro-batch) and inner-join on user within a 1-hour event-time "
+    "range; both sides carry watermarks so join state is bounded by "
+    "watermark + range horizon — the shape that keeps a 100 TB/day "
+    "attribution pipeline's state finite. Aggregated per user and "
+    "checked against the equivalent batch range join. The oracle "
+    "mirrors the op's micros truncation exactly "
+    "(trunc(ns/1000.0) — Spark casts the double division to long).",
+    tags=("pipeline", "streaming", "temporal"),
+)
+def events_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+    from icebergsql_spark.streaming.ops import click_purchase_join
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    c_dir = tempfile.mkdtemp(prefix="icebergsql-attr-c-")
+    p_dir = tempfile.mkdtemp(prefix="icebergsql-attr-p-")
+    out = tempfile.mkdtemp(prefix="icebergsql-attr-out-")
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "append"
+    ).parquet(c_dir)
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+        "append"
+    ).parquet(p_dir)
+    clicks = spark.readStream.schema(ev.schema).parquet(c_dir)
+    purchases = spark.readStream.schema(ev.schema).parquet(p_dir)
+    joined = click_purchase_join(clicks, purchases, within="1 hour")
+
+    def absorb(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-attr-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributions"),
+            (
+                F.sum(F.round(F.col("purchase_value") * 100).cast("bigint"))
+                .cast("double")
+                / 100.0
+            ).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
