@@ -494,6 +494,26 @@ class ManagedTable:
             write_df = write_df.repartition(*[F.col(c) for c in distribute_by])
         for pc in part_cols:
             write_df = write_df.withColumn(PART_PREFIX + pc, F.col(pc).cast("string"))
+        # standing sort order (Iceberg write.sort-order): once a clustered
+        # rewrite records `sort.order` (plain column list — z-order forms
+        # are rewrite-time only), EVERY subsequent write locally sorts its
+        # tasks' rows the same way. A local sort cannot make FILE ranges
+        # disjoint (that needs the rewrite's range layout), but it keeps
+        # each new file internally ordered, so parquet row-group/page
+        # min-max indexes stay selective and the next compaction's merge
+        # is cheap — the layout decays gracefully instead of instantly
+        order = self.meta.properties.get("sort.order", "")
+        sort_cols = [
+            c.strip()
+            for c in order.split(",")
+            if c.strip() and "(" not in order
+        ]
+        present = {f.name for f in self.schema.fields}
+        if sort_cols and all(c in present for c in sort_cols):
+            write_df = write_df.sortWithinPartitions(
+                *[F.col(PART_PREFIX + pc) for pc in part_cols],
+                *[F.col(c) for c in sort_cols],
+            )
         (
             write_df.write.mode("errorifexists")
             .partitionBy(*[PART_PREFIX + pc for pc in part_cols])

@@ -928,3 +928,44 @@ def test_partition_scoped_compaction(spark, tmp_path):
     assert row["rewritten_data_files_count"] >= 1
     t.refresh()
     assert sorted(tuple(r) for r in t.to_df().collect()) == expect
+
+
+def test_sort_order_property_applies_to_subsequent_writes(spark, tmp_path):
+    """After compact(sort_by=...) records sort.order, later INSERTs
+    locally sort their task rows too: every new file is INTERNALLY
+    ordered (parquet row-group/page min-max stays selective; the next
+    compaction merges cheaply) — the layout decays gracefully instead of
+    instantly."""
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_so"))
+    t = cat.create_table(
+        "tso", "k bigint, part int", partition_cols=["part"],
+        properties={"write.distribution.cols": "part"},
+    )
+    src = spark.range(4000).select(
+        (F.col("id") * 7919 % 4000).alias("k"),  # scrambled order
+        F.lit(0).cast("int").alias("part"),
+    )
+    t.insert(src)
+    t.compact(sort_by=["k"], min_input_files=1)
+    assert t.meta.properties.get("sort.order") == "k"
+    # fresh scrambled insert AFTER the order is recorded
+    t.insert(
+        spark.range(4000, 8000).select(
+            ((F.col("id") - 4000) * 6101 % 4000 + 4000).alias("k"),
+            F.lit(0).cast("int").alias("part"),
+        )
+    )
+    new_files = [
+        f
+        for f in t.meta.current_snapshot().live_files()
+        if f.stats.get("k") and f.stats["k"].min >= 4000
+    ]
+    assert new_files
+    import pyarrow.parquet as pq
+
+    for f in new_files:
+        ks = pq.read_table(f.path, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks)  # internally ordered
+    assert t.to_df().count() == 8000
