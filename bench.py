@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "events_markov_transitions",
     "events_twap_daily",
     "managed_merge_snapshot_sync",
+    "join_interval_overlap",
+    "events_stream_attribution_join",
 ]
 
 
@@ -200,6 +202,7 @@ def main() -> None:
         "managed_eq_delete_cdc",
         "managed_streaming_eq_upsert",
         "managed_merge_snapshot_sync",
+        "events_stream_attribution_join",
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",
