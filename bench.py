@@ -224,14 +224,42 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # The driver captures only the TAIL of stdout; BENCH_r03's single big
     # line (60+ per-query timings) overflowed it and arrived as
-    # parsed:null.  So: full per-query map on its OWN earlier line, then a
+    # parsed:null.  So: (a) persist the complete map to bench_results.json
+    # next to this script (always machine-readable from the repo), (b)
+    # print it in <=1900-char JSON chunk lines (part i/n), then (c) a
     # compact (<1 KB) FINAL line carrying the headline number, the
     # BASELINE.md gate ratio, and a small representative queries map.
-    print(
-        json.dumps(
-            {"metric": "per_query_wall_p50", "unit": "sec", "queries": timings}
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_results.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {"metric": "per_query_wall_p50", "unit": "sec", "sf": sf,
+             "queries": timings},
+            fh,
+            indent=1,
+            sort_keys=True,
         )
-    )
+    items = sorted(timings.items())
+    chunks: list[dict[str, float]] = [{}]
+    for k, v in items:
+        chunks[-1][k] = v
+        if len(json.dumps(chunks[-1])) > 1500:  # headroom under 1900
+            chunks.append({})
+    chunks = [c for c in chunks if c]
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_wall_p50",
+                    "part": i + 1,
+                    "parts": len(chunks),
+                    "unit": "sec",
+                    "queries": c,
+                }
+            )
+        )
     headline = {
         k: timings[k]
         for k in (

@@ -61,7 +61,14 @@ def _truncate_max(v, limit: int = STAT_TRUNCATE_LEN):
         for i in range(limit - 1, -1, -1):
             c = ord(p[i])
             if c < 0x10FFFF:
-                return p[:i] + chr(c + 1)
+                nxt = c + 1
+                if 0xD800 <= nxt <= 0xDFFF:
+                    # skip the UTF-16 surrogate block: U+D800..U+DFFF are
+                    # not UTF-8-encodable, so a bound landing there would
+                    # break any sink that encodes bounds as UTF-8 strings
+                    # (arrow columns). U+E000 is still a sound upper bound.
+                    nxt = 0xE000
+                return p[:i] + chr(nxt)
         return v  # every char at the max code point: cannot upper-bound
     if isinstance(v, bytes) and len(v) > limit:
         p = v[:limit]

@@ -89,6 +89,8 @@ def brute_force_topk_blas(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rescore_exact: bool = True,
+    candidate_margin: int = 3,
 ) -> DataFrame:
     """Scale-path top-k: per-partition numpy matmul via Arrow-batched
     mapInPandas.
@@ -96,10 +98,16 @@ def brute_force_topk_blas(
     The JVM higher-order-function fold (brute_force_topk) is exact and
     oracle-matchable but evaluates lambdas per element; at 10^8+ vectors the
     winning layout is a blocked GEMV: each Arrow batch becomes one
-    (batch × dims) @ (dims,) matmul. Results differ from the sequential fold
-    only in float summation order (~1e-15), so this variant is validated
-    against the exact operator by rank (see tests) rather than value hash.
-    """
+    (batch × dims) @ (dims,) matmul. Pairwise BLAS summation differs from
+    the sequential fold only in float order (~1e-15); with
+    ``rescore_exact`` the GEMV acts as the CANDIDATE GENERATOR
+    (top ``candidate_margin``·k, a churn-sized id set) and the final
+    scores/order come from re-scoring those candidates with the exact
+    sequential fold — bit-identical to brute_force_topk and to DuckDB's
+    ``list_sum`` oracle, at GEMV scan cost. The candidate margin makes a
+    rank flip at the k-boundary require >(margin-1)·k vectors within
+    ~1e-15 of the k-th cosine. ``rescore_exact=False`` returns the raw
+    BLAS scores (validated by rank in tests)."""
     import numpy as np
 
     q_rows = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
@@ -116,11 +124,30 @@ def brute_force_topk_blas(
             cos = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
             yield pd.DataFrame({"vec_id": pdf[id_col], "cos": cos})
 
-    return (
+    blas = (
         df.filter(F.col(id_col) != query_id)
         .mapInPandas(score, schema="vec_id bigint, cos double")
-        .select("vec_id", F.round("cos", 4).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
+    )
+    if not rescore_exact:
+        return (
+            blas.select("vec_id", F.round("cos", 4).alias("cos")).limit(k)
+        )
+    cand = blas.limit(k * candidate_margin).select(
+        F.col("vec_id").alias(id_col)
+    )
+    base = with_double_vec_and_norm(df, vec_col)
+    qx = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return (
+        base.join(F.broadcast(cand), id_col, "left_semi")
+        .crossJoin(F.broadcast(qx))
+        .withColumn(
+            "cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn"))
+        )
+        .select(id_col, F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
 

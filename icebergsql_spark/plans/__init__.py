@@ -17,14 +17,55 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-4 window = new round-4 operators, then the 9 round-3 additions
-# that registered past position 50 last round, then the never-checked
-# r1/r2-era ANN / temporal-join / multimodal / funnel / winnowing rows.
-# The simple fn_*/window_* relational leftovers sit last among the
-# prioritized names — if new round-4 queries push anything past 50, it is
-# those (all trivial and local-green since round 1).
+# Round-5 window = the final 20 queries that have NEVER received a driver
+# CORRECTNESS row (the window_*/fn_*/winnowing/events-window/recursive
+# tail that round 4's 16 new operators displaced past position 50), the
+# newly-oracled BLAS ANN row (was `err: no_oracle` in r4), then the new
+# round-5 operators. A green round closes the book at 181+/181+ registry
+# queries driver-verified cumulatively. Everything r1-r4-green rotates to
+# the tail, staying covered by the identical local oracle comparison in
+# tests/test_queries.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 4 (must receive driver rows this round) --
+    # -- never driver-checked (r1/r2-era; must close this round) --
+    "events_session_windows",
+    "events_resample_ohlc",
+    "events_hopping_windows",
+    "text_winnowing_fingerprints",
+    "text_winnowing_neardup_pairs",
+    "text_heavy_hitters",
+    "text_bm25_scores",
+    "text_repetition_signals",
+    "pipeline_end_to_end",
+    "sketch_kmv_distinct",
+    "window_range_frame",
+    "window_ntile_dist",
+    "window_first_last_nth",
+    "join_lateral_topn",
+    "agg_regression_stats",
+    "recursive_month_spine",
+    "recursive_key_chain",
+    "fn_date_trunc_ops",
+    "fn_map_ops",
+    "fn_string_ops2",
+    # -- newly oracled in round 5 (r4 row was err: no_oracle) --
+    "ann_bruteforce_topk_blas",
+    # -- new in round 5 --
+    "managed_mor_churn_stress",
+    "text_lang_confidence",
+    "dedup_semantic_centroid_pairs",
+    "events_rolling_entropy",
+    "curation_dp_mixture",
+    "emb_pq_codebook_recall",
+    "text_idf_novelty",
+    "events_path_conversion",
+    "agg_theta_sketch_union",
+    "join_bloom_prefilter",
+    "text_ngram_lm_perplexity",
+    "events_seasonal_decompose",
+    "emb_cluster_balance",
+    "text_dedup_cascade",
+    "events_watermark_lateness_audit",
+    # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",
@@ -41,7 +82,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_twap_daily",
     "join_interval_overlap",
     "events_stream_attribution_join",
-    # -- round-3 additions, never driver-checked --
     "datasource_read_pruned",
     "managed_incremental_minhash",
     "events_stream_dedup",
@@ -51,7 +91,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_canonical",
     "text_sliding_chunks",
     "text_vocab_topn",
-    # -- round-2-era tail, never driver-checked --
     "sketch_hll_registers",
     "sketch_hll_estimate",
     "text_bigram_logprob",
@@ -59,19 +98,16 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_click_purchase_follow",
     "emb_dimension_stats",
     "dedup_containment_pairs",
-    # -- ANN / embedding family --
     "ann_knn_join",
     "ann_signbit_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_multiprobe_topk",
     "ann_bucket_histogram",
-    "ann_bruteforce_topk_blas",
     "emb_neardup_pairs_lsh",
     "dedup_jaccard_dfcap_pairs",
     "dedup_connected_components",
     "dedup_char_shingle_jaccard",
     "dedup_edit_distance_pairs",
-    # -- temporal joins / multimodal / event analytics --
     "asof_join_click_purchase",
     "range_join_click_window",
     "multimodal_frame_sample",
@@ -79,28 +115,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_blob_features",
     "events_funnel",
     "events_cohort_retention",
-    "events_session_windows",
-    "events_resample_ohlc",
-    "events_hopping_windows",
-    # -- text / sketch stragglers --
-    "text_winnowing_fingerprints",
-    "text_winnowing_neardup_pairs",
-    "text_heavy_hitters",
-    "text_bm25_scores",
-    "text_repetition_signals",
-    "pipeline_end_to_end",
-    "sketch_kmv_distinct",
-    # -- relational leftovers (spill to round 5 if displaced) --
-    "window_range_frame",
-    "window_ntile_dist",
-    "window_first_last_nth",
-    "join_lateral_topn",
-    "agg_regression_stats",
-    "recursive_month_spine",
-    "recursive_key_chain",
-    "fn_date_trunc_ops",
-    "fn_map_ops",
-    "fn_string_ops2",
 )
 
 

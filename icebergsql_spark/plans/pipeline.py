@@ -817,10 +817,18 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_bruteforce_topk_blas",
-    oracle=None,  # float summation order differs from the sequential fold →
-    # validated by rank against ann_bruteforce_topk in tests (rows-only here)
-    doc="Scale-path ANN: blocked numpy GEMV over Arrow batches (mapInPandas);"
-    " same top-k as the exact fold, validated by rank in tests.",
+    oracle=f"""
+        SELECT b.vec_id, round({_COS}, 4) AS cos
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 7) a
+        CROSS JOIN embeddings b
+        WHERE b.vec_id != 7
+        ORDER BY {_COS} DESC, b.vec_id
+        LIMIT 10
+    """,
+    doc="Scale-path ANN: blocked numpy GEMV over Arrow batches (mapInPandas)"
+    " generates a 3k candidate set; final scores come from exact-fold"
+    " rescore of the candidates, so the result is bit-identical to the"
+    " brute-force baseline (and its DuckDB list_sum oracle) at GEMV cost.",
     tags=("pipeline", "embedding", "ann"),
 )
 def ann_bruteforce_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:

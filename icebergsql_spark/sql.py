@@ -621,14 +621,9 @@ class Engine:
             # file is de-referenced in one commit, zero data IO; history
             # and time travel to pre-truncate snapshots stay intact
             tbl = self.catalog.load_table(tr.group("name"))
-            before = sum(
-                f.record_count
-                for f in (
-                    tbl.meta.current_snapshot().live_files()
-                    if tbl.meta.current_snapshot()
-                    else []
-                )
-            )
+            # MoR-aware: subtract DV counts / fall back to a masked count
+            # so deleted_rows never overstates on a table with deletes
+            before = tbl.live_row_count()
             tbl.insert(
                 self.spark.createDataFrame([], tbl.schema), overwrite=True
             )
@@ -640,14 +635,7 @@ class Engine:
         if dl and self.catalog.table_exists(dl.group("name").strip("`")):
             tbl = self.catalog.load_table(dl.group("name").strip("`"))
             pred = (dl.group("pred") or "").strip()
-            before = sum(
-                f.record_count
-                for f in (
-                    tbl.meta.current_snapshot().live_files()
-                    if tbl.meta.current_snapshot()
-                    else []
-                )
-            )
+            before = tbl.live_row_count()
             snap = (
                 tbl.delete_where(pred)
                 if pred
@@ -655,7 +643,7 @@ class Engine:
                     self.spark.createDataFrame([], tbl.schema), overwrite=True
                 )
             )
-            after = sum(f.record_count for f in (snap.live_files() if snap else []))
+            after = tbl.live_row_count(snap)
             return self.spark.createDataFrame(
                 [(before - after,)], "deleted_rows long"
             )
@@ -1008,7 +996,18 @@ class Engine:
         nmbs_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
         not_matched = False
         consumed = 0
+        # The clause regex must account for EVERY character of the WHEN
+        # block: a clause shape it cannot match (e.g. column-list INSERT
+        # `INSERT (a, b) VALUES (...)`) must fail loudly, never be
+        # silently dropped while the remaining clauses execute.
+        cursor = 0
         for cm2 in _MERGE_CLAUSE_RE.finditer(clauses_text):
+            gap = clauses_text[cursor : cm2.start()]
+            if gap.strip():
+                raise ValueError(
+                    f"unsupported MERGE clause text: {gap.strip()[:120]!r}"
+                )
+            cursor = cm2.end()
             consumed += 1
             cond = realias(cm2.group("cond").strip()) if cm2.group("cond") else None
             sets = (
@@ -1048,6 +1047,11 @@ class Engine:
                 matched_clauses.append((cond, "update", sets))
         if not consumed:
             raise ValueError("MERGE needs at least one WHEN clause")
+        tail = clauses_text[cursor:]
+        if tail.strip():
+            raise ValueError(
+                f"unsupported MERGE clause text: {tail.strip()[:120]!r}"
+            )
 
         snap = tbl.merge(
             source,

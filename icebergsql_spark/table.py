@@ -730,6 +730,12 @@ class ManagedTable:
         parent = self.meta.current_snapshot()
         if parent is None or not parent.eq_manifest_paths:
             return None
+        if self.file_format != "parquet":
+            raise TableValidationError(
+                "convert_equality_deletes needs parquet row positions "
+                f"(_metadata.row_index); table format is {self.file_format} "
+                "— equality deletes stay mask-at-read on this table"
+            )
         eqs = parent.eq_entries()
         max_seq = max(e.seq for e in eqs)
         affected = [f for f in parent.live_files() if f.seq < max_seq]
@@ -768,7 +774,7 @@ class ManagedTable:
         masked = masked_parts[0]
         for p in masked_parts[1:]:
             masked = masked.unionByName(p)
-        dv_entries = self._commit_dv_rowset(parent, affected, masked.distinct())
+        dv_entries = self._commit_dv_rowset(parent, affected, masked)
         return self._commit_snapshot(
             parent,
             [],
@@ -802,6 +808,11 @@ class ManagedTable:
                 *sorted({e.dv_path for e in prior})
             ).select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
             matched = matched.join(prior_df, ["__fp", "__pos"], "left_anti")
+        # dedupe HERE, not at call sites: a duplicate (file, pos) — e.g.
+        # merge(cardinality_check=False) with duplicate source keys —
+        # would inflate DeleteVectorEntry.count and break the exact
+        # record_count - Σcount invariant count_from_stats relies on
+        matched = matched.distinct()
         dv_dir = os.path.join(
             self.meta.metadata_dir, f"dv-data-{uuid.uuid4().hex[:12]}"
         )
@@ -1717,7 +1728,10 @@ class ManagedTable:
         }
 
     def read_files(
-        self, files: list["DataFile"], with_pos: bool = False
+        self,
+        files: list["DataFile"],
+        with_pos: bool = False,
+        with_fp: bool = False,
     ) -> DataFrame:
         """Distributed read of an explicit file list, translating each
         file's written-era schema to the current one (rename via field ids,
@@ -1727,19 +1741,24 @@ class ManagedTable:
         LIVE historical era (compaction rewrites collapse eras).
 
         ``with_pos=True`` appends ``__fp`` (normalized file path) and
-        ``__pos`` (row position within the file, ``_metadata.row_index``)
-        — the coordinates merge-on-read position deletes key on."""
+        ``__pos`` (row position within the file, ``_metadata.row_index``
+        — parquet-only) — the coordinates merge-on-read position deletes
+        key on. ``with_fp=True`` appends only ``__fp``
+        (``_metadata.file_path``, available for every file format) —
+        enough for equality-delete masking on orc/avro tables."""
         spark, schema = self.spark, self.schema
+        if with_pos and self.file_format != "parquet":
+            raise TableValidationError(
+                "row positions need parquet (_metadata.row_index); "
+                f"table format is {self.file_format}"
+            )
         if not files:
             out_schema = schema
-            if with_pos:
-                out_schema = T.StructType(
-                    list(schema.fields)
-                    + [
-                        T.StructField("__fp", T.StringType()),
-                        T.StructField("__pos", T.LongType()),
-                    ]
-                )
+            if with_pos or with_fp:
+                extra = [T.StructField("__fp", T.StringType())]
+                if with_pos:
+                    extra.append(T.StructField("__pos", T.LongType()))
+                out_schema = T.StructType(list(schema.fields) + extra)
             return spark.createDataFrame([], out_schema)
         by_sid: dict[int, list[str]] = {}
         for f in files:
@@ -1747,8 +1766,10 @@ class ManagedTable:
         fmt = self.file_format
         pos_cols = [
             _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
-            F.col("_metadata.row_index").alias("__pos"),
         ]
+        if with_pos:
+            pos_cols.append(F.col("_metadata.row_index").alias("__pos"))
+        want_meta = with_pos or with_fp
         parts: list[DataFrame] = []
         for sid in sorted(by_sid):
             rmap = self.rename_map_for(sid)
@@ -1764,7 +1785,7 @@ class ManagedTable:
                 identity = True
             if identity:
                 part = spark.read.schema(schema).format(fmt).load(by_sid[sid])
-                if with_pos:
+                if want_meta:
                     part = part.select("*", *pos_cols)
                 parts.append(part)
                 continue
@@ -1782,7 +1803,7 @@ class ManagedTable:
                     )
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            if with_pos:
+            if want_meta:
                 cols.extend(pos_cols)
             parts.append(raw.select(*cols))
         out = parts[0]
@@ -1814,7 +1835,10 @@ class ManagedTable:
         ]
         if not dvs and not eqs:
             return self.read_files(files)
-        df = self.read_files(files, with_pos=True)
+        # equality-delete-only masking needs just __fp (works on any
+        # format); __pos (_metadata.row_index, parquet-only) is requested
+        # only when position DVs actually apply
+        df = self.read_files(files, with_pos=bool(dvs), with_fp=True)
         if dvs:
             dv_df = self.spark.read.parquet(
                 *sorted({e.dv_path for e in dvs})
@@ -1822,7 +1846,7 @@ class ManagedTable:
             df = df.join(dv_df, ["__fp", "__pos"], "left_anti")
         if eqs:
             df = self._apply_eq_deletes(df, files, eqs)
-        return df.drop("__fp", "__pos")
+        return df.drop("__fp", "__pos")  # drop ignores an absent __pos
 
     def _apply_eq_deletes(
         self, df: DataFrame, files: list["DataFile"], eqs: list
@@ -1860,6 +1884,34 @@ class ManagedTable:
                 | (F.col("__eqseq") <= F.col("__fseq"))
             ).drop("__eqseq")
         return df.drop("__fseq")
+
+    def live_row_count(self, snapshot: Snapshot | None = None) -> int:
+        """Exact LIVE row count under merge-on-read masks: manifest
+        record_count minus position-DV counts (exact by the writer
+        dedupe invariant); when unconverted equality deletes could mask
+        lower-seq files the count is not metadata-decidable, so fall
+        back to one distributed count over the masked read. Used by
+        TRUNCATE/DELETE row reporting so deleted_rows never overstates."""
+        if snapshot is None:
+            snapshot = self.meta.current_snapshot()
+        if snapshot is None:
+            return 0
+        files = snapshot.live_files()
+        if not files:
+            return 0
+        live_paths = {f.path for f in files}
+        eqs = snapshot.eq_entries()
+        if eqs:
+            max_eq = max(e.seq for e in eqs)
+            if any(f.seq < max_eq for f in files):
+                return self.read_files_live(files, snapshot).count()
+        total = sum(f.record_count for f in files)
+        dv = sum(
+            e.count
+            for e in snapshot.dv_entries()
+            if e.data_path in live_paths
+        )
+        return total - dv
 
     def set_properties(
         self,
@@ -2368,6 +2420,12 @@ class ManagedTable:
         import time as _time
 
         self.refresh()
+        cutoff = _time.time() - older_than_s
+        if distributed:
+            # the referenced set is NEVER materialized on the driver: only
+            # the manifest-path list (metadata-of-metadata sized) ships;
+            # executors parse manifests into the reference DataFrame
+            return self._remove_orphans_distributed(cutoff)
         referenced = {
             f.path for s in self.meta.snapshots for f in s.live_files()
         }
@@ -2376,9 +2434,6 @@ class ManagedTable:
         for s in self.meta.snapshots:
             for p in s.manifest_paths:
                 referenced |= {f.path for f in Manifest(p).files()}
-        cutoff = _time.time() - older_than_s
-        if distributed:
-            return self._remove_orphans_distributed(referenced, cutoff)
         removed = 0
         for root, _dirs, files in os.walk(self.meta.data_dir):
             for fn in files:
@@ -2397,18 +2452,20 @@ class ManagedTable:
                 os.rmdir(root)
         return removed
 
-    def _remove_orphans_distributed(
-        self, referenced: set[str], cutoff: float
-    ) -> int:
+    def _remove_orphans_distributed(self, cutoff: float) -> int:
         """Executor-side orphan sweep: distributed listing → anti-join
         against the manifest-referenced paths → distributed delete.
 
         The listing fans out one per-commit data subdirectory per input
-        row (`os.walk` inside `mapInPandas`); the referenced set is the
-        metadata layer's file inventory (bounded by manifest size, not
-        data size) shipped as a DataFrame, so the set difference is a
-        shuffle-free broadcast anti-join for any realistic manifest
-        volume. Deletion runs where the listing rows already live.
+        row (`os.walk` inside `mapInPandas`). The referenced set is built
+        WITHOUT driver materialization: the driver ships only the
+        manifest-path list (one row per manifest — metadata-of-metadata
+        sized) and executors parse each manifest into its file paths, so
+        at 10^8 files no Python set of per-file paths ever exists on the
+        driver. The listing↔referenced set difference is a plain
+        anti-join; AQE broadcasts the reference side when it is small and
+        falls back to a shuffle join when it is not. Deletion runs where
+        the listing rows already live.
         """
         import pandas as pd
 
@@ -2420,6 +2477,35 @@ class ManagedTable:
         if not subdirs:
             return 0
         spark = self.spark
+
+        manifest_paths = sorted(
+            {p for s in self.meta.snapshots for p in s.manifest_paths}
+        )
+
+        def read_manifests(batches):
+            # executors import the metadata layer themselves — the
+            # closure must not capture a driver-side Manifest object
+            from icebergsql_spark.catalog.metadata import (
+                Manifest as _Manifest,
+            )
+
+            for pdf in batches:
+                rows = []
+                for mp in pdf["mpath"]:
+                    rows.extend((f.path,) for f in _Manifest(mp).files())
+                yield pd.DataFrame(rows, columns=["path"])
+
+        if manifest_paths:
+            ref_df = (
+                spark.createDataFrame(
+                    [(p,) for p in manifest_paths], "mpath string"
+                )
+                .repartition(min(len(manifest_paths), 32))
+                .mapInPandas(read_manifests, "path string")
+                .distinct()
+            )
+        else:
+            ref_df = spark.createDataFrame([], "path string")
 
         def list_files(batches):
             for pdf in batches:
@@ -2440,11 +2526,11 @@ class ManagedTable:
             .repartition(min(len(subdirs), 32))
             .mapInPandas(list_files, "path string, mtime double")
         )
-        ref_df = spark.createDataFrame(
-            [(p,) for p in sorted(referenced)], "path string"
-        )
+        # no broadcast hint: AQE broadcasts the churn-sized reference set
+        # itself; at 10^8 referenced files this degrades to a shuffle
+        # anti-join instead of OOMing the driver
         orphans = listing.filter(F.col("mtime") <= cutoff).join(
-            F.broadcast(ref_df), "path", "left_anti"
+            ref_df, "path", "left_anti"
         )
 
         def delete_files(batches):

@@ -165,3 +165,30 @@ def test_upsert_duplicate_source_keys_rejected(spark, tbl):
         tbl.upsert_by_keys(dup, ["k"])
     tbl.upsert_by_keys(dup, ["k"], cardinality_check=False)  # opt-out
     assert tbl.to_df().filter("k = 1").count() == 2
+
+
+def test_eq_deletes_on_orc_table(spark, tmp_path):
+    """Equality deletes need only `_metadata.file_path` (every format),
+    not the parquet-only `_metadata.row_index` — so delete_by_keys /
+    upsert_by_keys work on orc tables and every subsequent read succeeds.
+    Folding to position DVs DOES need row positions, so convert raises
+    a clear error instead of committing an unreadable state."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "t_orc_eq", DDL, partition_cols=["part"], file_format="orc"
+    )
+    t.insert(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("v"),
+            (F.col("id") % 4).cast("int").alias("part"),
+        )
+    )
+    t.delete_by_keys(spark.createDataFrame([(i,) for i in range(10)], "k bigint"), ["k"])
+    assert t.to_df().count() == 90
+    t.upsert_by_keys(spark.createDataFrame([(5, 55, 1), (200, 1, 0)], DDL), ["k"])
+    assert t.to_df().count() == 92
+    assert t.to_df().filter("k = 5").collect()[0]["v"] == 55
+    with pytest.raises(TableValidationError, match="parquet row positions"):
+        t.convert_equality_deletes()
+    assert t.to_df().count() == 92  # table still readable after the refusal

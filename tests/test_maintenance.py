@@ -704,13 +704,17 @@ def test_set_write_format_effective_noop_allowed(spark, tmp_path):
     t.set_properties(unset=["write.format"])
 
 
-def test_remove_orphan_files_distributed(spark, tmp_path):
+def test_remove_orphan_files_distributed(spark, tmp_path, monkeypatch):
     """distributed=True (executor-side listing + anti-join + delete) makes
     the same decisions as the driver-side walk: old orphans removed,
-    referenced files and young orphans survive."""
+    referenced files and young orphans survive. The driver must never
+    materialize the referenced-path set: any driver-side Manifest parse
+    in table.py is a failure (executors import the real class in their
+    own worker processes, untouched by this monkeypatch)."""
     import os
     import time as _time
 
+    import icebergsql_spark.table as table_mod
     from icebergsql_spark.table import Catalog
 
     catalog = Catalog(spark, str(tmp_path / "wh_orphd"))
@@ -741,7 +745,15 @@ def test_remove_orphan_files_distributed(spark, tmp_path):
         for f in fs
         if "deadbeef" not in r
     }
+    class _NoDriverManifest:
+        def __init__(self, *a, **kw):
+            raise AssertionError(
+                "driver-side Manifest parse during distributed orphan scan"
+            )
+
+    monkeypatch.setattr(table_mod, "Manifest", _NoDriverManifest)
     removed = tbl.remove_orphan_files(distributed=True)
+    monkeypatch.undo()
     assert removed == 2
     assert not os.path.exists(old1) and not os.path.exists(old2)
     assert os.path.exists(young)

@@ -334,3 +334,67 @@ def test_expire_gcs_delete_vector_debris(spark, tbl):
     assert any(f.startswith("dv-") for f in after)  # live DVs kept
     assert sorted(tuple(r) for r in tbl.to_df().collect()) == expect
     assert tbl.scan().count_from_stats() == len(expect)
+
+
+def test_mor_merge_duplicate_source_keys_exact_dv_counts(spark, tmp_path):
+    """merge(cardinality_check=False) with duplicate source keys must not
+    write the same (file, pos) twice into the DV rowset: the per-file DV
+    counts stay exact, so count_from_stats == the real live count."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table(
+        "t_dup",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("x").alias("cat"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    # two source images of k=7 (and one of k=8): matched target rows get
+    # delete-vector entries; duplicates must collapse to one position each
+    src = spark.createDataFrame(
+        [(7, -1.0, "a", 1), (7, -2.0, "a", 1), (8, -3.0, "b", 0)], DDL
+    )
+    t.merge(src, on=["k"], cardinality_check=False)
+    snap = t.meta.current_snapshot()
+    live = t.to_df().count()
+    assert t.scan().count_from_stats() == live
+    # every DV count is exact: record_count - dv == distinct surviving rows per file
+    dv_total = sum(e.count for e in snap.dv_entries())
+    rec_total = sum(f.record_count for f in snap.live_files())
+    assert rec_total - dv_total == live
+
+
+def test_truncate_and_delete_report_mor_live_rows(spark, tmp_path):
+    """TRUNCATE/DELETE deleted_rows accounts for MoR masks (DV counts
+    subtracted; equality deletes force a real masked count)."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    t = eng.catalog.create_table(
+        "t_trunc",
+        DDL,
+        partition_cols=["part"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.range(50).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("x").alias("cat"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    t.delete_where("k < 10")  # MoR: 10 rows masked by DVs
+    assert t.live_row_count() == 40
+    t.delete_by_keys(spark.createDataFrame([(10,), (11,)], "k bigint"), ["k"])
+    assert t.live_row_count() == 38  # eq deletes → real masked count
+    row = eng.sql("TRUNCATE TABLE t_trunc").collect()[0]
+    assert row["deleted_rows"] == 38
+    t.refresh()
+    assert t.live_row_count() == 0

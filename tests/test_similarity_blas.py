@@ -9,11 +9,15 @@ from tests.conftest import SF_SMOKE
 def test_blas_topk_matches_exact(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     exact = similarity.brute_force_topk(emb, query_id=7, k=10).collect()
+    # default path: GEMV candidates + exact-fold rescore → bit-identical
     blas = similarity.brute_force_topk_blas(emb, query_id=7, k=10).collect()
-    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in blas]
-    # both round to 4dp; fold vs GEMV raw values differ ~1e-15, so the
-    # rounded scores coincide
-    assert [r["cos"] for r in exact] == [r["cos"] for r in blas]
+    assert [tuple(r) for r in exact] == [tuple(r) for r in blas]
+    # raw GEMV path: same ranking, rounded scores coincide (~1e-15 noise)
+    raw = similarity.brute_force_topk_blas(
+        emb, query_id=7, k=10, rescore_exact=False
+    ).collect()
+    assert [r["vec_id"] for r in exact] == [r["vec_id"] for r in raw]
+    assert [r["cos"] for r in exact] == [r["cos"] for r in raw]
 
 
 def test_kmv_estimate_accuracy(spark):

@@ -164,3 +164,27 @@ def test_as_of_joins_two_managed_tables(engine, spark):
         f"as of '{ts}' SELECT count(*) AS n FROM j1 JOIN j2 ON j1.a = j2.a"
     ).collect()[0].n
     assert n == 1
+
+
+def test_merge_unsupported_clause_fails_loudly(engine, spark):
+    """A WHEN clause the parser cannot match (column-list INSERT) must
+    raise — never be silently dropped while sibling clauses execute."""
+    import pyspark.sql.functions as F
+
+    engine.sql(
+        "CREATE TABLE m_t (k BIGINT, v BIGINT, p INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (p)"
+    )
+    spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        (F.col("id") % 2).cast("int").alias("p"),
+    ).createOrReplaceTempView("m_src")
+    engine.sql("INSERT INTO m_t SELECT * FROM m_src")
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        engine.sql(
+            "MERGE INTO m_t t USING m_src s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)"
+        )
+    # nothing executed: the DELETE clause did not run
+    assert engine.sql("SELECT COUNT(*) AS n FROM m_t").collect()[0]["n"] == 10

@@ -104,3 +104,16 @@ def test_long_string_bounds_truncated_and_sound(spark, tmp_path):
     assert _truncate_min(b"\x01" * 40) == b"\x01" * 16
     assert _truncate_max(b"\xff" * 40) == b"\xff" * 40  # cannot upper-bound
     assert _truncate_max(chr(0x10FFFF) * 20) == chr(0x10FFFF) * 20
+
+
+def test_truncate_max_skips_surrogate_block():
+    """Incrementing into U+D800..U+DFFF would make a bound that is not
+    UTF-8-encodable; the increment must jump to U+E000 (still a sound
+    upper bound)."""
+    from icebergsql_spark.catalog.stats import _truncate_max
+
+    s = "a" * 15 + "\ud7ff" + "tail-beyond-limit"
+    out = _truncate_max(s)
+    assert out == "a" * 15 + "\ue000"
+    assert out > s[:16]
+    out.encode("utf-8")  # must be encodable
