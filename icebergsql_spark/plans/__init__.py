@@ -64,7 +64,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_seasonal_decompose",
     "emb_cluster_balance",
     "text_dedup_cascade",
-    "events_watermark_lateness_audit",
+    "events_interarrival_gaps",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",
@@ -140,6 +140,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline3  # noqa: F401
     import icebergsql_spark.plans.pipeline4  # noqa: F401
     import icebergsql_spark.plans.pipeline5  # noqa: F401
+    import icebergsql_spark.plans.pipeline6  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
