@@ -105,6 +105,23 @@ BENCH_QUERIES = [
     "managed_merge_snapshot_sync",
     "join_interval_overlap",
     "events_stream_attribution_join",
+    # round-5 additions
+    "managed_mor_churn_stress",
+    "ann_bruteforce_topk_blas",
+    "text_lang_confidence",
+    "text_idf_novelty",
+    "events_rolling_entropy",
+    "curation_dp_mixture",
+    "events_path_conversion",
+    "events_seasonal_decompose",
+    "events_interarrival_gaps",
+    "emb_pq_codes",
+    "emb_cluster_balance",
+    "dedup_semantic_centroid_pairs",
+    "sketch_linear_counting",
+    "join_bloom_prefilter",
+    "text_ngram_lm_perplexity",
+    "text_dedup_cascade",
 ]
 
 
@@ -206,6 +223,7 @@ def main() -> None:
         "emb_semantic_dedup",
         "graph_pagerank",
         "ml_kmeans_clusters",
+        "managed_mor_churn_stress",
     }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

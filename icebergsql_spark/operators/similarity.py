@@ -520,3 +520,72 @@ def matryoshka_prefix_recall(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pq_codes(
+    df: DataFrame,
+    n_blocks: int = 8,
+    n_centroids: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (the IVF-PQ building block):
+    split each vector into ``n_blocks`` contiguous sub-vectors, assign
+    every sub-vector to its nearest of ``n_centroids`` per-block codewords
+    (codebook = the sub-vectors of the first ``n_centroids`` stored ids —
+    a deterministic stand-in for k-means codebooks trained offline).
+
+    Exactness contract (same as operators/ml.kmeans): coordinates
+    quantize once to shifted bigints, distances are integer sums of
+    squares (order-independent), the argmin packs ``dist*100 + code`` so
+    ties break to the lowest code identically in any engine.
+
+    Returns per (block, code): assigned count and summed quantization
+    error — the codebook-quality report. At 100 TB the per-vector codes
+    (``n_blocks`` bytes instead of ``dims`` floats) ARE the compressed
+    index: scans of the code table replace scans of raw vectors, which
+    is the memory trade that makes billion-vector ANN serveable.
+    """
+    sub = dims // n_blocks
+    xq = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000) AS BIGINT) + 2000000)"
+            )
+        ).alias("pos0", "q"),
+    ).select(
+        "vid",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub).cast("int").alias("b"),
+        "q",
+    )
+    cb = xq.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").cast("int").alias("cid"), "pos", F.col("q").alias("cq")
+    )
+    d = (
+        xq.join(F.broadcast(cb), "pos")
+        .groupBy("vid", "b", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("dq")
+        )
+    )
+    amin = d.groupBy("vid", "b").agg(
+        F.min(F.col("dq") * 100 + F.col("cid")).alias("packed")
+    )
+    return (
+        amin.select(
+            "b",
+            (F.col("packed") % 100).cast("int").alias("code"),
+            (F.col("packed") / 100).cast("bigint").alias("err"),
+        )
+        .groupBy("b", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("err").cast("bigint").alias("total_err"),
+        )
+        .orderBy("b", "code")
+    )

@@ -55,10 +55,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_semantic_centroid_pairs",
     "events_rolling_entropy",
     "curation_dp_mixture",
-    "emb_pq_codebook_recall",
+    "emb_pq_codes",
     "text_idf_novelty",
     "events_path_conversion",
-    "agg_theta_sketch_union",
+    "sketch_linear_counting",
     "join_bloom_prefilter",
     "text_ngram_lm_perplexity",
     "events_seasonal_decompose",

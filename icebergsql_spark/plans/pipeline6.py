@@ -642,3 +642,574 @@ def events_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------- embeddings --
+
+_XQ = """
+        xq AS (
+          SELECT vec_id AS vid, label, i AS pos, ((i - 1) // 8) AS b,
+                 CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                   + 2000000 AS q
+          FROM embeddings CROSS JOIN
+               (SELECT unnest(generate_series(1, 64)) AS i) g
+        )
+"""
+
+
+@register(
+    "emb_pq_codes",
+    oracle=f"""
+        WITH {_XQ},
+        cb AS (
+          SELECT CAST(vid AS INTEGER) AS cid, pos, q AS cq
+          FROM xq WHERE vid < 16
+        ),
+        d AS (
+          SELECT x.vid, x.b, c.cid,
+                 SUM((x.q - c.cq) * (x.q - c.cq)) AS dq
+          FROM xq x JOIN cb c USING (pos)
+          GROUP BY 1, 2, 3
+        ),
+        amin AS (
+          SELECT vid, b, MIN(dq * 100 + cid) AS packed
+          FROM d GROUP BY vid, b
+        )
+        SELECT b, CAST(packed % 100 AS INTEGER) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(packed // 100) AS BIGINT) AS total_err
+        FROM amin
+        GROUP BY b, code
+        ORDER BY b, code
+    """,
+    doc="Product-quantization code assignment (operators/similarity."
+    "pq_codes — the IVF-PQ compression step): 64 dims → 8 sub-blocks, "
+    "each assigned to the nearest of 16 per-block codewords by integer-"
+    "quantized L2 with dist*100+code tie packing (exact in any engine). "
+    "Output is the per-(block, code) occupancy + summed quantization "
+    "error — the codebook-quality report. At 100 TB the 8-byte code "
+    "tuple replaces 256 bytes of floats per vector: the compressed index "
+    "that makes billion-vector ANN fit in memory.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import similarity
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    return similarity.pq_codes(emb)
+
+
+@register(
+    "emb_cluster_balance",
+    oracle=f"""
+        WITH {_XQ},
+        cent AS (
+          SELECT label, pos, CAST(SUM(q) // COUNT(*) AS BIGINT) AS cq
+          FROM xq GROUP BY label, pos
+        ),
+        dist AS (
+          SELECT x.vid, x.label,
+                 SUM((x.q - c.cq) * (x.q - c.cq)) AS d2
+          FROM xq x JOIN cent c ON x.label = c.label AND x.pos = c.pos
+          GROUP BY 1, 2
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(COUNT(*) AS BIGINT) * 1000000)
+                 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm,
+               CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_dist2
+        FROM dist
+        GROUP BY label
+        ORDER BY label
+    """,
+    doc="Cluster balance audit over the labeled embeddings: per label its "
+    "population share (skew detector — one giant cluster breaks IVF cell "
+    "pruning) and the integer-exact mean squared distance to the label "
+    "centroid (within-cluster spread; centroids are shifted-integer "
+    "sum DIV count, the operators/ml determinism contract). Two shuffles "
+    "total (label×dim centroid, then per-vector distance) regardless of "
+    "corpus size.",
+    tags=("pipeline", "embedding", "ml"),
+)
+def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    xq = emb.select(
+        F.col("vec_id").alias("vid"),
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000) AS BIGINT) + 2000000)"
+            )
+        ).alias("pos0", "q"),
+    )
+    cent = xq.groupBy("label", "pos0").agg(
+        F.expr("CAST(SUM(q) DIV COUNT(*) AS BIGINT)").alias("cq")
+    )
+    dist = (
+        xq.join(cent, ["label", "pos0"])
+        .groupBy("vid", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("d2")
+        )
+    )
+    return (
+        dist.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(d2) DIV COUNT(*) AS BIGINT)").alias("mean_dist2"),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(n * 1000000 AS BIGINT) "
+                "DIV CAST(SUM(n) OVER () AS BIGINT)"
+            ),
+        )
+        .select("label", "n", "share_ppm", "mean_dist2")
+        .orderBy("label")
+    )
+
+
+@register(
+    "dedup_semantic_centroid_pairs",
+    oracle=f"""
+        WITH {_XQ},
+        cent AS (
+          SELECT label, pos,
+                 CAST(SUM(q) // COUNT(*) AS BIGINT) - 2000000 AS c
+          FROM xq GROUP BY label, pos
+        ),
+        norms AS (
+          SELECT label, CAST(SUM(c * c) AS BIGINT) AS n2
+          FROM cent GROUP BY label
+        ),
+        dots AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+          FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY 1, 2
+        )
+        SELECT d.label_a, d.label_b,
+               round(CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(na.n2 AS DOUBLE))
+                        * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.label = d.label_a
+        JOIN norms nb ON nb.label = d.label_b
+        ORDER BY cos DESC, d.label_a, d.label_b
+        LIMIT 10
+    """,
+    doc="Semantic cluster-merge candidates: cosine between every pair of "
+    "label centroids, highest first — the 'are these two clusters the "
+    "same concept?' report that drives semantic-dedup merge decisions. "
+    "Centroids are integer-exact (sum DIV count in shifted space, then "
+    "unshifted); dot and norms are order-independent integer sums, so "
+    "the only float ops are two sqrts and one division in fixed order. "
+    "The pair space is labels², never vectors² — metadata-sized at any "
+    "corpus scale.",
+    tags=("pipeline", "embedding", "dedup"),
+)
+def dedup_semantic_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    xq = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000) AS BIGINT) + 2000000)"
+            )
+        ).alias("pos0", "q"),
+    )
+    cent = xq.groupBy("label", "pos0").agg(
+        F.expr("CAST(SUM(q) DIV COUNT(*) AS BIGINT) - 2000000").alias("c")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos0", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos0", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "pos0")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "label_a", "label_b")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------- sketches / joins --
+
+
+@register(
+    "sketch_linear_counting",
+    oracle="""
+        WITH h AS (
+          SELECT event_type, user_id,
+                 CAST('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR)),
+                                     1, 6) AS BIGINT) % 4096 AS bucket
+          FROM events
+        ),
+        agg AS (
+          SELECT event_type,
+                 CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+          FROM h GROUP BY event_type
+        )
+        SELECT event_type, n_buckets, exact_distinct,
+               CAST(round(-(4096.0 * ln(CAST(4096 - n_buckets AS DOUBLE)
+                                        / 4096.0))) AS BIGINT) AS est_distinct
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc="Linear counting (bitmap distinct sketch — the low-cardinality "
+    "complement to HLL/KMV already in the registry): hash users into a "
+    "4096-slot bitmap per event type; estimate = -m·ln(empty/m). The "
+    "bitmap ORs associatively across partitions (COUNT DISTINCT bucket ≡ "
+    "popcount of the OR), so the shuffle carries ≤4096 values per group "
+    "regardless of event volume; the only float ops are one ln and one "
+    "multiply in fixed order. Exact distinct rides along to expose the "
+    "estimator error.",
+    tags=("pipeline", "sketch"),
+)
+def sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    h = ev.select(
+        "event_type",
+        "user_id",
+        md5_bucket(
+            F.concat(F.lit("lc:"), F.col("user_id").cast("string")), 4096
+        ).alias("bucket"),
+    )
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_distinct"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.round(
+                -(
+                    F.lit(4096.0)
+                    * F.log(
+                        (F.lit(4096) - F.col("n_buckets")).cast("double")
+                        / F.lit(4096.0)
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .select("event_type", "n_buckets", "exact_distinct", "est_distinct")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+        SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 400000
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    doc="Bloom-prefiltered join (the runtime-filter pattern made "
+    "explicit): the build side's join keys hash into two bit sets "
+    "(k=2, m=65536 — the md5 construction whose Spark/Python parity the "
+    "bloom-stats tests lock); the probe side drops rows failing either "
+    "membership BEFORE the exact join, which then removes the bloom's "
+    "false positives — the result is exactly the plain join. Asserted: "
+    "the prefilter semi-joins and the final join are all broadcast, and "
+    "the prefilter actually discards probe rows. At 100 TB this is the "
+    "shape that keeps a selective dim-fact join from shuffling the fact "
+    "table: only ~fp-rate of non-matching rows ever reach the join.",
+    tags=("pipeline", "join"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li, orders = t["lineitem"], t["orders"]
+    build = orders.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("k")
+    )
+
+    def hashes(df, col):
+        return [
+            md5_bucket(
+                F.concat(F.lit(f"b{i}:"), F.col(col).cast("string")), 65536
+            ).alias(f"h{i}")
+            for i in (0, 1)
+        ]
+
+    bits = [
+        build.select(hashes(build, "k")[i]).distinct() for i in (0, 1)
+    ]
+    probe = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    pre = probe.select("*", *hashes(probe, "l_orderkey"))
+    for i in (0, 1):
+        pre = pre.join(F.broadcast(bits[i]), f"h{i}", "left_semi")
+    # the bloom is a PREFILTER: the exact join still runs, so false
+    # positives cannot survive; assert it really discarded probe rows
+    n_probe, n_pre = probe.count(), pre.count()
+    assert n_pre < n_probe, "bloom prefilter discarded nothing"
+    out = (
+        pre.join(F.broadcast(build), pre.l_orderkey == F.col("k"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "bloom prefilter plan shuffled"
+    return out
+
+
+# ------------------------------------------------------- text (cont.) --
+
+
+@register(
+    "text_ngram_lm_perplexity",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+          WHERE len({_TOKS}) >= 2
+        ),
+        bi AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(t) - 1)) AS pos, t
+          FROM toks
+        ),
+        bigrams AS (
+          SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2 FROM bi
+        ),
+        c12 AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+          FROM bigrams GROUP BY w1, w2
+        ),
+        c1 AS (
+          SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+          FROM bigrams GROUP BY w1
+        ),
+        v AS (
+          SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+            (SELECT unnest({_TOKS}) AS tok FROM documents)
+        ),
+        scored AS (
+          SELECT b.doc_id, b.pos,
+                 ln(CAST(c12.c12 + 1 AS DOUBLE)
+                    / CAST(c1.c1 + v.v AS DOUBLE)) AS lnp
+          FROM bigrams b
+          JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+          JOIN c1 ON b.w1 = c1.w1
+          CROSS JOIN v
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(-list_sum(list(lnp ORDER BY pos)) / COUNT(*), 6)
+                 AS avg_nll
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY avg_nll DESC, doc_id
+        LIMIT 12
+    """,
+    doc="Per-document bigram language-model surprise: add-one-smoothed "
+    "conditional p(w2|w1) trained on the corpus itself, reported as "
+    "average negative log-likelihood per document (highest = least "
+    "corpus-like — the statistical-outlier detector a curation pipeline "
+    "runs before heavier classifiers). Each ln is one op on one "
+    "division; the per-doc sum folds in bigram-position order so the "
+    "float order is deterministic. Scale: two count shuffles (bigram, "
+    "prefix) + one doc-keyed fold — the LM table build cost, linear in "
+    "corpus size.",
+    tags=("pipeline", "text"),
+)
+def text_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("pos", "bg"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "bg.w1", "bg.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("lnp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "lnp"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["lnp"],
+            ).alias("lnp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("lnp_sum") / F.col("n_bigrams"), 6).alias(
+                "avg_nll"
+            ),
+        )
+        .orderBy(F.desc("avg_nll"), "doc_id")
+        .limit(12)
+    )
+
+
+@register(
+    "text_dedup_cascade",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id, text,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+          FROM documents
+        ),
+        reps AS (
+          SELECT min(doc_id) AS doc_id, any_value(text) AS text
+          FROM fp GROUP BY fingerprint
+        ),
+        sk AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(list_sort(list(DISTINCT
+                   md5('c:' || w))), 1, 12), '|') AS sketch
+          FROM (SELECT doc_id,
+                       unnest(list_distinct(regexp_split_to_array(
+                         trim(text), '\\s+'))) AS w
+                FROM reps)
+          GROUP BY doc_id
+        )
+        SELECT stage, n_docs FROM (
+          SELECT '00_total' AS stage,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+          UNION ALL
+          SELECT '10_exact', CAST(COUNT(*) AS BIGINT) FROM reps
+          UNION ALL
+          SELECT '20_near',
+                 CAST(COUNT(DISTINCT sketch) AS BIGINT) FROM sk
+        ) ORDER BY stage
+    """,
+    doc="The standard dedup CASCADE as one operator: exact dedup "
+    "(normalized-text md5, keep lowest doc_id) feeds near-dup collapse "
+    "(bottom-12 minhash sketch identity) — cheap stages first so each "
+    "later, costlier stage sees only survivors. Reports the corpus "
+    "funnel (total → exact-unique → near-unique), the before/after "
+    "numbers every dedup run is judged by. Scale: stage 1 is one "
+    "fingerprint shuffle; stage 2 runs on stage-1 SURVIVORS only — the "
+    "cascade property that makes full-corpus near-dedup affordable.",
+    tags=("pipeline", "dedup"),
+)
+def text_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    fp = docs.select(
+        "doc_id",
+        "text",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    reps = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"), F.first("text").alias("text")
+    )
+    sk = (
+        reps.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("w"),
+        )
+        .select("doc_id", F.md5(F.concat(F.lit("c:"), F.col("w"))).alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "|", F.slice(F.array_sort(F.collect_set("h")), 1, 12)
+            ).alias("sketch")
+        )
+    )
+    n0 = docs.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("00_total").alias("stage"), "n_docs"
+    )
+    n1 = reps.agg(F.count(F.lit(1)).alias("n_docs")).select(
+        F.lit("10_exact").alias("stage"), "n_docs"
+    )
+    n2 = sk.agg(
+        F.countDistinct("sketch").cast("bigint").alias("n_docs")
+    ).select(F.lit("20_near").alias("stage"), "n_docs")
+    return n0.unionByName(n1).unionByName(n2).orderBy("stage")
