@@ -122,6 +122,10 @@ BENCH_QUERIES = [
     "join_bloom_prefilter",
     "text_ngram_lm_perplexity",
     "text_dedup_cascade",
+    "emb_ivf_pq_topk",
+    "events_cep_pattern",
+    "events_funnel_time_to_convert",
+    "events_stream_cep",
 ]
 
 
@@ -224,6 +228,7 @@ def main() -> None:
         "graph_pagerank",
         "ml_kmeans_clusters",
         "managed_mor_churn_stress",
+        "events_stream_cep",
     }
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -589,3 +589,135 @@ def pq_codes(
         )
         .orderBy("b", "code")
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_codes: int = 16,
+    n_blocks: int = 8,
+    nprobe: int = 2,
+    n_candidates: int = 40,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search — the billion-vector ANN architecture end-to-end:
+    coarse quantizer (IVF cells) prunes the corpus to ``nprobe`` cells,
+    per-block product-quantization codes give an asymmetric-distance
+    (ADC) estimate from a 128-entry lookup table instead of raw floats,
+    the best ``n_candidates`` by ADC are exact-rescored with the
+    sequential cosine fold. Deterministic throughout: cell/code argmins
+    use the integer ``dist*100 + id`` packing, ADC sums are integers,
+    and only the final rescore touches floats (the fold that bit-matches
+    DuckDB's list_sum).
+
+    At 100 TB: the corpus is stored partitioned by cell with only the
+    8-byte PQ codes hot; a query reads ``nprobe`` partitions' code
+    columns, and raw vectors are fetched for ``n_candidates`` rows only
+    — IO ∝ candidates, not corpus. Codebooks here are the first ids
+    (deterministic stand-ins for offline-trained k-means, as ivf_assign).
+    """
+    sub = dims // n_blocks
+    xq = df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE)"
+                " * 1000000) AS BIGINT) + 2000000)"
+            )
+        ).alias("pos0", "q"),
+    ).select(
+        "vid",
+        (F.col("pos0") + 1).alias("pos"),
+        (F.col("pos0") / sub).cast("int").alias("b"),
+        "q",
+    )
+    # -- coarse cells: full-dim integer argmin over n_cells centroids --
+    coarse_cb = xq.filter(F.col("vid") < n_cells).select(
+        F.col("vid").cast("int").alias("cell"), "pos", F.col("q").alias("cq")
+    )
+    coarse_d = (
+        xq.join(F.broadcast(coarse_cb), "pos")
+        .groupBy("vid", "cell")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("dq")
+        )
+    )
+    cells = coarse_d.groupBy("vid").agg(
+        (F.min(F.col("dq") * 100 + F.col("cell")) % 100)
+        .cast("int")
+        .alias("cell")
+    )
+    # -- probe cells: the query's nprobe nearest centroids --
+    probe = (
+        coarse_d.filter(F.col("vid") == query_id)
+        .orderBy(F.col("dq") * 100 + F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand_ids = (
+        cells.join(F.broadcast(probe), "cell", "left_semi")
+        .filter(F.col("vid") != query_id)
+        .select("vid")
+    )
+    # -- PQ codes for candidates; ADC lookup table from the query --
+    pq_cb = xq.filter(F.col("vid") < n_codes).select(
+        F.col("vid").cast("int").alias("cid"), "pos", F.col("q").alias("cq")
+    )
+    cand_xq = xq.join(F.broadcast(cand_ids), "vid", "left_semi")
+    codes = (
+        cand_xq.join(F.broadcast(pq_cb), "pos")
+        .groupBy("vid", "b", "cid")
+        .agg(
+            F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+            .alias("dq")
+        )
+        .groupBy("vid", "b")
+        .agg(
+            (F.min(F.col("dq") * 100 + F.col("cid")) % 100)
+            .cast("int")
+            .alias("code")
+        )
+    )
+    adc = (
+        xq.filter(F.col("vid") == query_id)
+        .select("pos", "b", F.col("q").alias("qq"))
+        .join(F.broadcast(pq_cb), "pos")
+        .groupBy("b", "cid")
+        .agg(
+            F.sum((F.col("qq") - F.col("cq")) * (F.col("qq") - F.col("cq")))
+            .alias("adc")
+        )
+    )
+    approx = (
+        codes.join(
+            F.broadcast(adc),
+            (codes.b == adc.b) & (codes.code == adc.cid),
+        )
+        .groupBy("vid")
+        .agg(F.sum("adc").alias("approx"))
+    )
+    shortlist = (
+        approx.orderBy("approx", "vid")
+        .limit(n_candidates)
+        .select(F.col("vid").alias(id_col))
+    )
+    # -- exact rescore of the shortlist with the sequential fold --
+    base = with_double_vec_and_norm(df, vec_col)
+    qx = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    return (
+        base.join(F.broadcast(shortlist), id_col, "left_semi")
+        .crossJoin(F.broadcast(qx))
+        .withColumn(
+            "cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn"))
+        )
+        .select(id_col, F.round("cos", 4).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )

@@ -65,6 +65,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_cluster_balance",
     "text_dedup_cascade",
     "events_interarrival_gaps",
+    "emb_ivf_pq_topk",
+    "events_cep_pattern",
+    "events_funnel_time_to_convert",
+    "events_stream_cep",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",

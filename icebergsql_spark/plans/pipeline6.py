@@ -1213,3 +1213,350 @@ def text_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sketch").cast("bigint").alias("n_docs")
     ).select(F.lit("20_near").alias("stage"), "n_docs")
     return n0.unionByName(n1).unionByName(n2).orderBy("stage")
+
+
+_PQCOS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+"""
+
+
+@register(
+    "emb_ivf_pq_topk",
+    oracle=f"""
+        WITH {_XQ},
+        coarse_d AS (
+          SELECT x.vid, CAST(c.vid AS INTEGER) AS cell,
+                 SUM((x.q - c.q) * (x.q - c.q)) AS dq
+          FROM xq x JOIN xq c ON x.pos = c.pos AND c.vid < 16
+          GROUP BY 1, 2
+        ),
+        cells AS (
+          SELECT vid, CAST(MIN(dq * 100 + cell) % 100 AS INTEGER) AS cell
+          FROM coarse_d GROUP BY vid
+        ),
+        probe AS (
+          SELECT cell FROM coarse_d WHERE vid = 7
+          ORDER BY dq * 100 + cell LIMIT 2
+        ),
+        cand AS (
+          SELECT vid FROM cells
+          WHERE cell IN (SELECT cell FROM probe) AND vid != 7
+        ),
+        codes AS (
+          SELECT vid, b, CAST(MIN(dq * 100 + cid) % 100 AS INTEGER) AS code
+          FROM (
+            SELECT x.vid, x.b, CAST(c.vid AS INTEGER) AS cid,
+                   SUM((x.q - c.q) * (x.q - c.q)) AS dq
+            FROM xq x JOIN xq c ON x.pos = c.pos AND c.vid < 16
+            WHERE x.vid IN (SELECT vid FROM cand)
+            GROUP BY 1, 2, 3
+          ) GROUP BY vid, b
+        ),
+        adc AS (
+          SELECT qx.b, CAST(c.vid AS INTEGER) AS cid,
+                 SUM((qx.q - c.q) * (qx.q - c.q)) AS adc
+          FROM xq qx JOIN xq c ON qx.pos = c.pos AND c.vid < 16
+          WHERE qx.vid = 7
+          GROUP BY 1, 2
+        ),
+        approx AS (
+          SELECT codes.vid, SUM(adc.adc) AS approx
+          FROM codes JOIN adc ON codes.b = adc.b AND codes.code = adc.cid
+          GROUP BY 1
+        ),
+        shortlist AS (
+          SELECT vid FROM approx ORDER BY approx, vid LIMIT 40
+        )
+        SELECT b.vec_id, round({_PQCOS}, 4) AS cos
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 7) a
+        CROSS JOIN embeddings b
+        WHERE b.vec_id IN (SELECT vid FROM shortlist)
+        ORDER BY {_PQCOS} DESC, b.vec_id
+        LIMIT 10
+    """,
+    doc="IVF-PQ ANN end-to-end (operators/similarity.ivf_pq_topk): coarse "
+    "cells prune to nprobe=2 partitions, 8-block product-quantization "
+    "codes give an integer asymmetric-distance estimate from a 128-entry "
+    "lookup table, the 40 best by ADC are exact-rescored with the "
+    "sequential cosine fold. The billion-vector serving architecture in "
+    "one plan: IO ∝ candidates (code columns + 40 raw vectors), never "
+    "corpus; every pruning decision is integer arithmetic so the oracle "
+    "replays it exactly.",
+    tags=("pipeline", "embedding", "ann"),
+)
+def emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import similarity
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    return similarity.ivf_pq_topk(emb, query_id=7, k=10)
+
+
+@register(
+    "events_cep_pattern",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS tsn,
+                 MAX(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view,
+                 MAX(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_error
+          FROM events
+        ),
+        p AS (
+          SELECT CAST(tsn // 86400000000000 AS BIGINT) AS day,
+                 CASE WHEN last_view IS NOT NULL
+                       AND tsn - last_view <= 1800000000000
+                       AND (last_error IS NULL OR last_error < last_view)
+                      THEN 1 ELSE 0 END AS hit
+          FROM seq WHERE event_type = 'purchase'
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(hit) AS BIGINT) AS n_matched,
+               (CAST(SUM(hit) AS BIGINT) * 1000000)
+                 // CAST(COUNT(*) AS BIGINT) AS match_ppm
+        FROM p GROUP BY day ORDER BY day
+    """,
+    doc="Complex-event-pattern detection as a window plan: 'view, then "
+    "purchase within 30 minutes, with no error in between' — the "
+    "MATCH_RECOGNIZE-shaped query expressed with two conditional running "
+    "maxima over the per-user event sequence (one shuffle, no self-"
+    "join). Per-day hit counts and match rate in ppm, all integer nanos "
+    "arithmetic. At scale this is also the Structured Streaming shape: "
+    "the same state (two timestamps per user) fits "
+    "applyInPandasWithState with a watermark-bounded TTL.",
+    tags=("pipeline", "events"),
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsn", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("tsn"),
+    ).select(
+        "*",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("tsn"))
+        ).over(w).alias("last_view"),
+        F.max(
+            F.when(F.col("event_type") == "error", F.col("tsn"))
+        ).over(w).alias("last_error"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        (F.col("tsn") / F.lit(86400000000000)).cast("bigint").alias("day"),
+        F.when(
+            F.col("last_view").isNotNull()
+            & (F.col("tsn") - F.col("last_view") <= 1800000000000)
+            & (
+                F.col("last_error").isNull()
+                | (F.col("last_error") < F.col("last_view"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return (
+        p.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("hit").cast("bigint").alias("n_matched"),
+        )
+        .withColumn(
+            "match_ppm",
+            F.expr(
+                "CAST(n_matched * 1000000 AS BIGINT) "
+                "DIV CAST(n_purchases AS BIGINT)"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END)
+                   AS first_signup,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+                   AS first_purchase
+          FROM events GROUP BY user_id
+        ),
+        conv AS (
+          SELECT (first_purchase - first_signup) // 1000000000 AS delay_s
+          FROM firsts
+          WHERE first_signup IS NOT NULL
+            AND first_purchase IS NOT NULL
+            AND first_purchase >= first_signup
+        ),
+        b AS (
+          SELECT CASE
+                   WHEN delay_s < 3600 THEN 'lt_1h'
+                   WHEN delay_s < 86400 THEN 'lt_1d'
+                   WHEN delay_s < 604800 THEN 'lt_7d'
+                   ELSE 'ge_7d'
+                 END AS bucket, delay_s
+          FROM conv
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(delay_s) // COUNT(*) AS BIGINT) AS mean_delay_s
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Funnel time-to-convert: per user the gap between first signup "
+    "and first purchase-after-signup, banded into the latency buckets a "
+    "growth report uses, with integer-exact mean delay per band (sum DIV "
+    "count over non-negative seconds). One conditional-min aggregate per "
+    "user then a 4-row rollup — the user-keyed shuffle is the only cost "
+    "at any event volume. Complements events_funnel (stage counts) and "
+    "events_cohort_retention (calendar buckets) with the latency axis.",
+    tags=("pipeline", "events"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    conv = firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        F.expr(
+            "CAST((first_purchase - first_signup) DIV 1000000000 AS BIGINT)"
+        ).alias("delay_s")
+    )
+    b = conv.select(
+        "delay_s",
+        F.when(F.col("delay_s") < 3600, "lt_1h")
+        .when(F.col("delay_s") < 86400, "lt_1d")
+        .when(F.col("delay_s") < 604800, "lt_7d")
+        .otherwise("ge_7d")
+        .alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("CAST(SUM(delay_s) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_delay_s"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_stream_cep",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS tsn,
+                 MAX(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view,
+                 MAX(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_error
+          FROM events
+        ),
+        p AS (
+          SELECT CAST(tsn // 86400000000000 AS BIGINT) AS day,
+                 CASE WHEN last_view IS NOT NULL
+                       AND tsn - last_view <= 1800000000000
+                       AND (last_error IS NULL OR last_error < last_view)
+                      THEN 1 ELSE 0 END AS hit
+          FROM seq WHERE event_type = 'purchase'
+        )
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(hit) AS BIGINT) AS n_matched,
+               (CAST(SUM(hit) AS BIGINT) * 1000000)
+                 // CAST(COUNT(*) AS BIGINT) AS match_ppm
+        FROM p GROUP BY day ORDER BY day
+    """,
+    doc="STREAMING complex-event-pattern detection (streaming/ops."
+    "cep_view_purchase): the same 'view → purchase within 30 min, no "
+    "error between' pattern as events_cep_pattern, computed "
+    "incrementally by an applyInPandasWithState state machine (two "
+    "timestamps per user) over THREE chronological micro-batches — the "
+    "oracle is the batch window plan, so the stream must reproduce it "
+    "exactly across batch boundaries (state carries the open prefix). "
+    "Per-event work is O(1) and state is user-sharded: the CEP shape "
+    "that keeps up with a firehose where the window replay cannot.",
+    tags=("pipeline", "events", "streaming"),
+)
+def events_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+    from icebergsql_spark.streaming.ops import cep_view_purchase
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-cepsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-cepout-")
+    # three CHRONOLOGICAL chunks -> three micro-batches; per-user order
+    # across batches is preserved because the chunks split on event time
+    day = (F.col("ts") / F.lit(86400000000000)).cast("bigint")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def absorb(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        cep_view_purchase(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.foreachBatch(absorb)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-cepck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("hit").cast("bigint").alias("n_matched"),
+        )
+        .withColumn(
+            "match_ppm",
+            F.expr(
+                "CAST(n_matched * 1000000 AS BIGINT) "
+                "DIV CAST(n_purchases AS BIGINT)"
+            ),
+        )
+        .orderBy("day")
+    )

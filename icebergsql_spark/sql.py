@@ -132,7 +132,9 @@ _MERGE_RE = re.compile(
 _MERGE_CLAUSE_RE = re.compile(
     r"when\s+(?P<nm>not\s+)?matched\s*(?P<bysrc>by\s+source\s*)?"
     r"(?:and\s+(?P<cond>.+?))?\s*then\s+"
-    r"(?:update\s+set\s+(?P<sets>.+?)|(?P<delete>delete)|(?P<insert>insert\s*\*))"
+    r"(?:update\s+set\s+(?P<sets>.+?)|(?P<delete>delete)"
+    r"|(?P<insert>insert\s*\*"
+    r"|insert\s*\((?P<icols>[^)]*)\)\s*values\s*\((?P<ivals>.+?)\)))"
     r"(?=\s*when\s+(?:not\s+)?matched|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -947,7 +949,7 @@ class Engine:
     def _merge_managed(self, mg: re.Match) -> DataFrame:
         """MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k [AND ...]
         WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE
-        [WHEN NOT MATCHED THEN INSERT *]
+        [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
 
         The supported subset is the CDC-upsert core; the ON condition must
         be a conjunction of alias-qualified key equalities (that is what
@@ -1032,13 +1034,30 @@ class Engine:
             elif cm2.group("nm"):
                 if not cm2.group("insert"):
                     raise ValueError(
-                        "WHEN NOT MATCHED supports only THEN INSERT *"
+                        "WHEN NOT MATCHED supports only THEN INSERT * or "
+                        "INSERT (cols) VALUES (exprs)"
                     )
                 if cond is not None:
                     raise ValueError(
                         "conditional NOT MATCHED clauses are not supported"
                     )
-                not_matched = True
+                if cm2.group("icols"):
+                    cols = [
+                        c.strip().strip("`")
+                        for c in cm2.group("icols").split(",")
+                    ]
+                    vals = [
+                        realias(v.strip())
+                        for v in _split_top_level(cm2.group("ivals"))
+                    ]
+                    if len(cols) != len(vals) or not cols:
+                        raise ValueError(
+                            "MERGE INSERT column list and VALUES list "
+                            f"must match: {cols} vs {len(vals)} value(s)"
+                        )
+                    not_matched = dict(zip(cols, vals))
+                else:
+                    not_matched = True
             elif cm2.group("insert"):
                 raise ValueError("WHEN MATCHED cannot INSERT")
             elif cm2.group("delete"):

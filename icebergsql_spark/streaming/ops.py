@@ -338,3 +338,58 @@ def click_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+# ---------------------------------------------------------------- CEP --
+
+CEP_STATE_SCHEMA = "last_view bigint, last_error bigint"
+CEP_OUT_SCHEMA = "day bigint, hit int"
+
+
+def _cep_group(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user CEP state machine: track the latest 'view' and 'error'
+    timestamps; each 'purchase' scores a hit iff a view happened within
+    30 minutes before it with no error in between. State is two bigints
+    per user (-1 = never seen) — the minimal MATCH_RECOGNIZE prefix
+    state. Rows within a batch are sorted by (ts, event_id); cross-batch
+    order is the source's responsibility (chronological chunks)."""
+    lv, le = state.get if state.exists else (-1, -1)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    days: list[int] = []
+    hits: list[int] = []
+    for ts, etype in zip(rows["ts"], rows["event_type"]):
+        ts = int(ts)
+        if etype == "purchase":
+            hit = int(
+                lv != -1
+                and ts - lv <= 1_800_000_000_000
+                and (le == -1 or le < lv)
+            )
+            days.append(ts // 86_400_000_000_000)
+            hits.append(hit)
+        elif etype == "view":
+            lv = ts
+        elif etype == "error":
+            le = ts
+    state.update((lv, le))
+    yield pd.DataFrame({"day": days, "hit": hits})
+
+
+def cep_view_purchase(stream: DataFrame) -> DataFrame:
+    """Streaming complex-event-pattern detection ('view then purchase
+    within 30 min, no error between') via applyInPandasWithState — the
+    incremental twin of the batch window plan (plans/pipeline6.
+    events_cep_pattern), whose oracle checks both. State is two
+    timestamps per user, shuffle-partitioned by user_id: a
+    1000-executor cluster shards it horizontally and the per-event work
+    is O(1), the property that lets CEP keep up with the firehose."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _cep_group,
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

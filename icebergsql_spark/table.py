@@ -926,7 +926,7 @@ class ManagedTable:
         on: list[str],
         when_matched: str = "update",
         set_exprs: dict[str, str] | None = None,
-        when_not_matched_insert: bool = True,
+        when_not_matched_insert: bool | dict[str, str] = True,
         cardinality_check: bool = True,
         extra_summary: dict[str, str] | None = None,
         matched_clauses: list[tuple[str | None, str, dict[str, str] | None]]
@@ -942,7 +942,10 @@ class ManagedTable:
         ``set_exprs`` target-col → SQL-expr over the joined scope with the
         target aliased ``t`` and source ``s``; None = take every shared
         source column) or 'delete'. ``when_not_matched_insert``: append
-        source rows whose keys match no target row.
+        source rows whose keys match no target row — ``True`` = INSERT *
+        (source must carry every target column), or a dict of target-col →
+        SQL expression over the source aliased ``s`` (the column-list
+        ``INSERT (a, b) VALUES (...)`` form; unlisted columns get NULL).
 
         ``matched_clauses`` generalizes to the full conditional grammar —
         an ORDERED list of ``(condition_sql | None, 'update' | 'delete',
@@ -1079,13 +1082,6 @@ class ManagedTable:
             )
         inserts = None
         if when_not_matched_insert:
-            missing = [
-                f.name for f in schema.fields if f.name not in source.columns
-            ]
-            if missing:
-                raise TableValidationError(
-                    f"MERGE insert needs source columns {missing}"
-                )
             # live keys: a merge-on-read-deleted row must NOT block the
             # re-insert of its key
             all_keys = (
@@ -1095,8 +1091,8 @@ class ManagedTable:
                     [], T.StructType([schema[k] for k in keys])
                 )
             )
-            inserts = source.join(all_keys, keys, "left_anti").select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            inserts = self._merge_insert_df(
+                source, keys, when_not_matched_insert, all_keys
             )
         if rewritten is None and inserts is None:
             return parent
@@ -1110,6 +1106,53 @@ class ManagedTable:
             return parent
         return self._commit_snapshot(
             parent, added, list(affected), extra_summary=extra_summary
+        )
+
+    def _merge_insert_df(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        spec: bool | dict[str, str],
+        live_keys: DataFrame,
+    ) -> DataFrame:
+        """Not-matched insert rows: anti-join the source against the live
+        target keys, then project per ``spec`` — ``True`` = INSERT *
+        (every target column from the same-named source column), dict =
+        the column-list ``INSERT (cols) VALUES (exprs)`` form (exprs see
+        the source aliased ``s``; unlisted columns become NULL, standard
+        SQL insert semantics)."""
+        schema = self.schema
+        if spec is True:
+            missing = [
+                f.name for f in schema.fields if f.name not in source.columns
+            ]
+            if missing:
+                raise TableValidationError(
+                    f"MERGE insert needs source columns {missing}"
+                )
+            return source.join(live_keys, keys, "left_anti").select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+        bad = sorted(set(spec) - {f.name for f in schema.fields})
+        if bad:
+            raise TableValidationError(
+                f"MERGE INSERT of unknown column(s) {bad}"
+            )
+        return (
+            source.alias("s")
+            .join(live_keys, keys, "left_anti")
+            .select(
+                *[
+                    (
+                        F.expr(spec[f.name])
+                        if f.name in spec
+                        else F.lit(None)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         )
 
     def _matched_fired_col(self, all_clauses):
@@ -1184,7 +1227,7 @@ class ManagedTable:
         s_marked: DataFrame,
         keys: list[str],
         all_clauses,
-        when_not_matched_insert: bool,
+        when_not_matched_insert: bool | dict[str, str],
         extra_summary: dict[str, str] | None,
     ) -> Snapshot:
         """Merge-on-read MERGE: target rows whose clause FIRES are masked
@@ -1222,19 +1265,12 @@ class ManagedTable:
                 )
             )
         if when_not_matched_insert:
-            missing = [
-                f.name for f in schema.fields if f.name not in source.columns
-            ]
-            if missing:
-                raise TableValidationError(
-                    f"MERGE insert needs source columns {missing}"
-                )
             live_keys = self.read_files_live(
                 parent.live_files(), parent
             ).select(*keys)
             new_parts.append(
-                source.join(live_keys, keys, "left_anti").select(
-                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                self._merge_insert_df(
+                    source, keys, when_not_matched_insert, live_keys
                 )
             )
         added: list[DataFile] = []

@@ -167,8 +167,8 @@ def test_as_of_joins_two_managed_tables(engine, spark):
 
 
 def test_merge_unsupported_clause_fails_loudly(engine, spark):
-    """A WHEN clause the parser cannot match (column-list INSERT) must
-    raise — never be silently dropped while sibling clauses execute."""
+    """A WHEN clause the parser cannot match must raise — never be
+    silently dropped while sibling clauses execute."""
     import pyspark.sql.functions as F
 
     engine.sql(
@@ -184,7 +184,84 @@ def test_merge_unsupported_clause_fails_loudly(engine, spark):
         engine.sql(
             "MERGE INTO m_t t USING m_src s ON t.k = s.k "
             "WHEN MATCHED THEN DELETE "
-            "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)"
+            "WHEN NOT MATCHED THEN UPSERT EVERYTHING"
         )
     # nothing executed: the DELETE clause did not run
     assert engine.sql("SELECT COUNT(*) AS n FROM m_t").collect()[0]["n"] == 10
+
+
+def test_merge_column_list_insert(engine, spark):
+    """WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs): listed columns
+    take their expressions, unlisted columns become NULL."""
+    import pyspark.sql.functions as F
+
+    engine.sql(
+        "CREATE TABLE mci_t (k BIGINT, v BIGINT, note STRING, p INT) "
+        "USING parquet OPTIONS (addTableManagement 'true') "
+        "PARTITIONED BY (p)"
+    )
+    spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").alias("v"),
+        F.lit("x").alias("note"), (F.col("id") % 2).cast("int").alias("p"),
+    ).createOrReplaceTempView("mci_src0")
+    engine.sql("INSERT INTO mci_t SELECT * FROM mci_src0")
+    spark.createDataFrame(
+        [(3, 30, "y", 1), (7, 70, "y", 1)], "k bigint, v bigint, note string, p int"
+    ).createOrReplaceTempView("mci_src")
+    out = engine.sql(
+        "MERGE INTO mci_t t USING mci_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v * 10, s.p)"
+    )
+    assert out.collect()
+    rows = {
+        r["k"]: (r["v"], r["note"])
+        for r in engine.sql("SELECT k, v, note FROM mci_t").collect()
+    }
+    assert rows[3] == (30, "x")      # matched: updated, note kept
+    assert rows[7] == (700, None)    # inserted: expr applied, note NULL
+    assert len(rows) == 6
+    # unknown column in the list fails loudly
+    with pytest.raises(TableValidationError, match="unknown column"):
+        engine.sql(
+            "MERGE INTO mci_t t USING mci_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (zzz) VALUES (s.k)"
+        )
+    # arity mismatch fails loudly
+    with pytest.raises(ValueError, match="must match"):
+        engine.sql(
+            "MERGE INTO mci_t t USING mci_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)"
+        )
+
+
+def test_merge_column_list_insert_mor(spark, tmp_path):
+    """Column-list insert composes with the merge-on-read MERGE path."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_mci_mor"))
+    t = cat.create_table(
+        "t", "k bigint, v bigint, note string, p int",
+        partition_cols=["p"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").alias("v"),
+            F.lit("x").alias("note"), (F.col("id") % 2).cast("int").alias("p"),
+        )
+    )
+    src = spark.createDataFrame(
+        [(3, 30, 1), (7, 70, 1)], "k bigint, v bigint, p int"
+    )
+    snap = t.merge(
+        src, on=["k"], set_exprs={"v": "s.v"},
+        when_not_matched_insert={"k": "s.k", "v": "s.v * 10", "p": "s.p"},
+    )
+    assert snap.dv_manifest_paths  # MoR: matched old image masked, not rewritten
+    rows = {r["k"]: (r["v"], r["note"]) for r in t.to_df().collect()}
+    assert rows[3] == (30, "x")
+    assert rows[7] == (700, None)
+    assert len(rows) == 6
