@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "events_cep_pattern",
     "events_funnel_time_to_convert",
     "events_stream_cep",
+    "sketch_sliding_distinct",
+    "curation_shard_packing",
 ]
 
 

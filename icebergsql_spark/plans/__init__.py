@@ -69,6 +69,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_cep_pattern",
     "events_funnel_time_to_convert",
     "events_stream_cep",
+    "sketch_sliding_distinct",
+    "curation_shard_packing",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",

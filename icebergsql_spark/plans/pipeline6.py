@@ -1560,3 +1560,156 @@ def events_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "sketch_sliding_distinct",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST('0x' || substr(md5('lc:' || CAST(user_id AS VARCHAR)),
+                                     1, 6) AS BIGINT) % 4096 AS bucket
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM pairs),
+        win AS (
+          SELECT d.day,
+                 CAST(COUNT(DISTINCT p.bucket) AS BIGINT) AS n_buckets
+          FROM days d JOIN pairs p
+            ON p.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day
+        ),
+        exact AS (
+          SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_7d
+          FROM days d JOIN (
+            SELECT DISTINCT
+                   CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                   user_id
+            FROM events) u
+            ON u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day
+        )
+        SELECT w.day, w.n_buckets,
+               CAST(round(-(4096.0 * ln(CAST(4096 - w.n_buckets AS DOUBLE)
+                                        / 4096.0))) AS BIGINT) AS est_7d,
+               e.exact_7d
+        FROM win w JOIN exact e ON w.day = e.day
+        ORDER BY w.day
+    """,
+    doc="SLIDING-window distinct users (trailing 7 days, per day) via "
+    "mergeable bitmap sketches: per-day linear-counting bitmaps OR "
+    "together across the window (COUNT DISTINCT bucket over the day "
+    "range ≡ popcount of the OR), so the window union costs "
+    "days×4096 tiny rows instead of re-scanning events per window — THE "
+    "sketch property that makes sliding distinct affordable at 100 TB, "
+    "where the exact per-window recount (included here to expose the "
+    "estimator error) would rescan the stream 7×.",
+    tags=("pipeline", "sketch", "events"),
+)
+def sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = (F.col("ts") / F.lit(86400000000000)).cast("bigint").alias("day")
+    pairs = ev.select(
+        day, md5_bucket(F.concat(F.lit("lc:"), F.col("user_id").cast("string")), 4096).alias("bucket")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    win = (
+        F.broadcast(days.withColumnRenamed("day", "d"))
+        .join(
+            pairs,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("bucket").cast("bigint").alias("n_buckets"))
+    )
+    upairs = ev.select(day, "user_id").distinct()
+    exact = (
+        F.broadcast(days.withColumnRenamed("day", "d"))
+        .join(
+            upairs,
+            (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_7d"))
+    )
+    return (
+        win.join(exact, "d")
+        .select(
+            F.col("d").alias("day"),
+            "n_buckets",
+            F.round(
+                -(
+                    F.lit(4096.0)
+                    * F.log(
+                        (F.lit(4096) - F.col("n_buckets")).cast("double")
+                        / F.lit(4096.0)
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("est_7d"),
+            "exact_7d",
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "curation_shard_packing",
+    oracle="""
+        WITH c AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+          FROM documents
+        ),
+        assigned AS (
+          SELECT source, doc_id, n_chars,
+                 CAST((cum - n_chars) // 65536 AS BIGINT) AS shard
+          FROM c
+        )
+        SELECT source, shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM assigned
+        GROUP BY source, shard
+        ORDER BY source, shard
+    """,
+    doc="Dataloader shard packing (the WebDataset/TFRecord manifest "
+    "step): docs pack greedily into ~64 KiB shards by running byte "
+    "count, assignment keyed on the PREFIX sum so a doc never splits "
+    "and the manifest is deterministic under re-runs. Packing is "
+    "PER-SOURCE (window partitioned by source) — the scale-honest "
+    "layout: a global ordering would serialize the cumsum on one "
+    "task, per-source streams pack independently on their own "
+    "executors. Emits the shard manifest a training job consumes.",
+    tags=("curation",),
+)
+def curation_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)"
+            " DIV 65536 AS BIGINT)"
+        ).alias("shard"),
+    )
+    return (
+        assigned.groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "shard")
+    )
