@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "events_stream_cep",
     "sketch_sliding_distinct",
     "curation_shard_packing",
+    "agg_ks_drift",
+    "graph_kcore_trace",
 ]
 
 

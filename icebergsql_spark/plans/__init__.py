@@ -71,6 +71,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_stream_cep",
     "sketch_sliding_distinct",
     "curation_shard_packing",
+    "agg_ks_drift",
+    "graph_kcore_trace",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",

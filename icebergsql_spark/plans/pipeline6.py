@@ -1713,3 +1713,236 @@ def curation_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard")
     )
+
+
+_KS_PAIRS = (("click", "purchase"), ("click", "error"), ("view", "signup"))
+
+
+def _ks_pair_sql(t1: str, t2: str) -> str:
+    return f"""
+          SELECT '{t1}|{t2}' AS pair, n1, n2,
+                 CAST(MAX(gap) * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm,
+                 CAST(MIN(CASE WHEN gap = mx THEN vq END) AS BIGINT) AS at_vq
+          FROM (
+            SELECT vq, n1, n2, gap, MAX(gap) OVER () AS mx
+            FROM (
+              SELECT vq,
+                     abs((SUM(c1) OVER w) * n2 - (SUM(c2) OVER w) * n1)
+                       AS gap,
+                     n1, n2
+              FROM (
+                SELECT vq, c1, c2,
+                       CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                       CAST(SUM(c2) OVER () AS BIGINT) AS n2
+                FROM (
+                  SELECT vq, CAST(SUM(cc1) AS BIGINT) AS c1,
+                         CAST(SUM(cc2) AS BIGINT) AS c2
+                  FROM (
+                    SELECT CAST(round(value * 1000) AS BIGINT) AS vq,
+                           CASE WHEN event_type = '{t1}' THEN 1 ELSE 0 END
+                             AS cc1,
+                           CASE WHEN event_type = '{t2}' THEN 1 ELSE 0 END
+                             AS cc2
+                    FROM events WHERE event_type IN ('{t1}', '{t2}')
+                  ) GROUP BY vq
+                )
+              )
+              WINDOW w AS (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            )
+          )
+          GROUP BY n1, n2
+    """
+
+
+@register(
+    "agg_ks_drift",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_ks_pair_sql(a, b) for a, b in _KS_PAIRS)
+    + "\n) ORDER BY pair",
+    doc="Two-sample Kolmogorov-Smirnov distance between event-value "
+    "distributions, in ppm — the distribution-drift test a training "
+    "pipeline runs when comparing data slices (source A vs source B, "
+    "this week vs last week). ALL-INTEGER formulation: D = max|cum1·n2 "
+    "- cum2·n1|/(n1·n2) over quantized values, so the statistic "
+    "hash-matches exactly (no float ECDFs). Scale shape: the per-value "
+    "counts aggregate distributedly; the cumulative pass runs over the "
+    "COMPRESSED value domain (distinct quantized values, ≤ thousands), "
+    "so the single-partition window is metadata-sized — never over raw "
+    "events. Also reports the value where the max gap occurs.",
+    tags=("pipeline", "agg", "ml"),
+)
+def agg_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    outs = []
+    for t1, t2 in _KS_PAIRS:
+        sub = ev.filter(F.col("event_type").isin(t1, t2)).select(
+            F.expr("CAST(round(value * 1000) AS BIGINT)").alias("vq"),
+            F.when(F.col("event_type") == t1, 1).otherwise(0).alias("c1"),
+            F.when(F.col("event_type") == t2, 1).otherwise(0).alias("c2"),
+        )
+        per_vq = sub.groupBy("vq").agg(
+            F.sum("c1").alias("c1"), F.sum("c2").alias("c2")
+        )
+        w = W.orderBy("vq").rowsBetween(W.unboundedPreceding, 0)
+        tot = W.partitionBy()
+        gaps = per_vq.select(
+            "vq",
+            F.sum("c1").over(w).alias("cum1"),
+            F.sum("c2").over(w).alias("cum2"),
+            F.sum("c1").over(tot).cast("bigint").alias("n1"),
+            F.sum("c2").over(tot).cast("bigint").alias("n2"),
+        ).withColumn(
+            "gap", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        )
+        outs.append(
+            gaps.withColumn("mx", F.max("gap").over(W.partitionBy()))
+            .groupBy("n1", "n2")
+            .agg(
+                F.expr(
+                    "CAST(MAX(gap) * 1000000 DIV (n1 * n2) AS BIGINT)"
+                ).alias("d_ppm"),
+                F.min(F.when(F.col("gap") == F.col("mx"), F.col("vq")))
+                .cast("bigint")
+                .alias("at_vq"),
+            )
+            .select(
+                F.lit(f"{t1}|{t2}").alias("pair"), "n1", "n2", "d_ppm", "at_vq"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("pair")
+
+
+_KCORE_K = 8
+_KCORE_COOC = 74
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = 3) -> str:
+    parts = [
+        """
+        w AS (
+          SELECT doc_id, unnest(list_distinct(regexp_split_to_array(
+                   trim(text), '\\s+'))) AS w
+          FROM documents WHERE doc_id < 120
+        ),
+        pairs AS (
+          SELECT x.w AS a, y.w AS b
+          FROM w x JOIN w y ON x.doc_id = y.doc_id AND x.w < y.w
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= """ + str(_KCORE_COOC) + """
+        )""",
+        "e0 AS (SELECT a, b FROM pairs)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+        d{r} AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}
+          ) GROUP BY node
+        ),
+        s{r} AS (SELECT node FROM d{r} WHERE d >= {k}),
+        e{r} AS (
+          SELECT a, b FROM e{p}
+          WHERE a IN (SELECT node FROM s{r})
+            AND b IN (SELECT node FROM s{r})
+        )""")
+    rows = ["""
+        SELECT 0 AS round,
+               CAST((SELECT COUNT(*) FROM (
+                 SELECT a FROM e0 UNION SELECT b FROM e0)) AS BIGINT)
+                 AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges"""]
+    for r in range(1, rounds + 1):
+        rows.append(f"""
+        SELECT {r},
+               CAST((SELECT COUNT(*) FROM (
+                 SELECT a FROM e{r} UNION SELECT b FROM e{r})) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT)""")
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT * FROM (" + "\nUNION ALL".join(rows)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "graph_kcore_trace",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (k=8, 3 pruning rounds) over the token "
+    "co-occurrence graph (edge = two words sharing >= 74 documents): "
+    "each round drops nodes with degree < k and the edges touching "
+    "them — the standard graph-peeling primitive (spam rings, dense "
+    "boilerplate vocab, community cores). Emits the (nodes, edges) "
+    "convergence trace per round; rounds genuinely peel here because "
+    "co-occurrence degrees vary. Scale shape per round: one degree "
+    "aggregate + two semi-joins, all key-partitioned; each round "
+    "materializes (localCheckpoint) so the unrolled lineage never "
+    "replicates the edge-build subplan — the iterative-operator rule "
+    "graph.pagerank established.",
+    tags=("pipeline", "graph", "dedup"),
+)
+def graph_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, ROUNDS = _KCORE_K, 3
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    # each round references the edge set several times (trace, degree,
+    # two semi-joins) — materialize per round (localCheckpoint truncates
+    # lineage) or the unrolled DAG replicates the edge-build subplan
+    # exponentially, the iterative-operator rule graph.pagerank follows
+    e = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _KCORE_COOC)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+
+    def trace_row(r: int, edges: DataFrame) -> DataFrame:
+        nodes = (
+            edges.select(F.col("a").alias("n"))
+            .union(edges.select(F.col("b").alias("n")))
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        )
+        cnt = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        return nodes.crossJoin(cnt).select(
+            F.lit(r).alias("round"), "n_nodes", "n_edges"
+        )
+
+    out = [trace_row(0, e)]
+    for r in range(1, ROUNDS + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= K).select("node")
+        e = (
+            e.join(surv.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        out.append(trace_row(r, e))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("round")
