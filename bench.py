@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "curation_shard_packing",
     "agg_ks_drift",
     "graph_kcore_trace",
+    "events_benford_digits",
+    "events_autocorrelation",
 ]
 
 

@@ -73,6 +73,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_shard_packing",
     "agg_ks_drift",
     "graph_kcore_trace",
+    "events_benford_digits",
+    "events_autocorrelation",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",

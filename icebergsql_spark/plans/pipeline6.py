@@ -1946,3 +1946,154 @@ def graph_kcore_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res.orderBy("round")
+
+
+@register(
+    "events_benford_digits",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM events
+          WHERE CAST(round(value * 100) AS BIGINT) > 0
+        ),
+        agg AS (
+          SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY event_type, digit
+        )
+        SELECT event_type, digit, n,
+               (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY event_type)
+                                     AS BIGINT) AS share_ppm,
+               CAST(round(ln(1.0 + 1.0 / digit) / ln(10.0) * 1000000)
+                    AS BIGINT) AS benford_ppm
+        FROM agg
+        ORDER BY event_type, digit
+    """,
+    doc="Benford first-digit audit per event type: observed leading-digit "
+    "shares (integer-cents string prefix — no float log-binning) against "
+    "the Benford expectation ln(1+1/d)/ln(10), both in ppm. The "
+    "fabricated-data / pipeline-corruption smoke test run over monetary "
+    "columns at ingest. One narrow map + a 45-row aggregate; the only "
+    "floats are per-digit constants.",
+    tags=("pipeline", "events", "quality"),
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    v = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING),"
+            " 1, 1) AS INT)"
+        ).alias("digit"),
+    ).filter(F.expr("CAST(round(value * 100) AS BIGINT) > 0"))
+    return (
+        v.groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(n * 1000000 AS BIGINT) DIV CAST("
+                "SUM(n) OVER (PARTITION BY event_type) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "benford_ppm",
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+                * 1000000
+            ).cast("bigint"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+@register(
+    "events_autocorrelation",
+    oracle="""
+        WITH daily AS (
+          SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY day
+        ),
+        lagged AS (
+          SELECT k.k, a.c AS x, b.c AS y
+          FROM (SELECT unnest(generate_series(1, 7)) AS k) k
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.day = a.day - k.k
+        ),
+        stats AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM lagged GROUP BY k
+        )
+        SELECT k, n,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+        FROM stats
+        ORDER BY k
+    """,
+    doc="Daily-volume autocorrelation at calendar lags 1-7: Pearson r "
+    "between the day series and its k-day-shifted self (self-join on "
+    "day - k, so missing days never misalign the lag), computed from "
+    "INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — order-"
+    "independent bigint sums) with floats touching only the final "
+    "closed-form in fixed operand order — the weekly-cycle detector "
+    "complementing events_seasonal_decompose with the time-domain view. "
+    "All lag arithmetic runs over the tiny day-level series; the "
+    "per-day count is the only event-scale aggregate.",
+    tags=("pipeline", "events"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            (F.col("ts") / F.lit(86400000000000)).cast("bigint").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a = daily.select(F.col("day").alias("aday"), F.col("c").alias("x"))
+    b = daily.select(F.col("day").alias("bday"), F.col("c").alias("y"))
+    lagged = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("bday") == F.col("aday") - F.col("k"))
+    )
+    stats = lagged.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return (
+        stats.select(
+            "k",
+            "n",
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / (
+                    F.sqrt(
+                        nd * F.col("sxx")
+                        - F.col("sx").cast("double") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        nd * F.col("syy")
+                        - F.col("sy").cast("double") * F.col("sy")
+                    )
+                ),
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("k")
+    )
