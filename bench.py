@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "graph_kcore_trace",
     "events_benford_digits",
     "events_autocorrelation",
+    "events_holt_smoothing",
 ]
 
 

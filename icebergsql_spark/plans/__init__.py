@@ -75,6 +75,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_kcore_trace",
     "events_benford_digits",
     "events_autocorrelation",
+    "events_holt_smoothing",
     # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",

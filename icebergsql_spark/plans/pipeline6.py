@@ -2097,3 +2097,97 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "events_holt_smoothing",
+    oracle="""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, day
+        ),
+        idx AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+          FROM daily
+        ),
+        n AS (SELECT event_type, MAX(i) AS mx FROM idx GROUP BY event_type),
+        hw(event_type, i, l, b) AS (
+            SELECT event_type, 1, CAST(c AS DOUBLE), CAST(0 AS DOUBLE)
+            FROM idx WHERE i = 1
+          UNION ALL
+            SELECT hw.event_type, hw.i + 1,
+                   0.5 * CAST(x.c AS DOUBLE) + 0.5 * (hw.l + hw.b),
+                   0.3 * ((0.5 * CAST(x.c AS DOUBLE)
+                           + 0.5 * (hw.l + hw.b)) - hw.l) + 0.7 * hw.b
+            FROM hw JOIN idx x
+              ON x.event_type = hw.event_type AND x.i = hw.i + 1
+        )
+        SELECT hw.event_type, CAST(n.mx AS BIGINT) AS n_days,
+               round(hw.l, 6) AS level, round(hw.b, 6) AS trend,
+               round(hw.l + 3 * hw.b, 6) AS forecast_3d
+        FROM hw JOIN n ON n.event_type = hw.event_type AND hw.i = n.mx
+        ORDER BY hw.event_type
+    """,
+    doc="Holt double-exponential smoothing (α=0.5, β=0.3) over the daily "
+    "volume series per event type, with the 3-day-ahead linear forecast "
+    "— the classic capacity-planning recurrence. The recurrence is "
+    "SEQUENTIAL by construction; both engines replay the identical "
+    "float-op sequence (Spark: one aggregate() fold over the day-sorted "
+    "list; oracle: a recursive CTE stepping i→i+1 with the same inlined "
+    "expressions), so the trajectory bit-matches. Scale shape: the "
+    "event-scale work is one (type, day) count; the fold runs over the "
+    "tiny day series per type — a per-key sequential recurrence is "
+    "EXACTLY what aggregate() folds are for (never a driver loop).",
+    tags=("pipeline", "events", "forecast"),
+)
+def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            (F.col("ts") / F.lit(86400000000000)).cast("bigint").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def step(acc, x):
+        xc = x["c"].cast("double")
+        newl = F.lit(0.5) * xc + F.lit(0.5) * (acc["l"] + acc["b"])
+        newb = (
+            F.lit(0.3)
+            * ((F.lit(0.5) * xc + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(0.7) * acc["b"]
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(acc["i"] == 0, xc).otherwise(newl).alias("l"),
+            F.when(acc["i"] == 0, F.lit(0.0)).otherwise(newb).alias("b"),
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                F.struct(
+                    F.lit(0).alias("i"),
+                    F.lit(0.0).alias("l"),
+                    F.lit(0.0).alias("b"),
+                ),
+                step,
+            ).alias("s")
+        )
+        .select(
+            "event_type",
+            F.col("s.i").cast("bigint").alias("n_days"),
+            F.round("s.l", 6).alias("level"),
+            F.round("s.b", 6).alias("trend"),
+            F.round(F.col("s.l") + 3 * F.col("s.b"), 6).alias("forecast_3d"),
+        )
+        .orderBy("event_type")
+    )
