@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "events_benford_digits",
     "events_autocorrelation",
     "events_holt_smoothing",
+    "events_user_gini",
+    "text_zipf_fit",
+    "dedup_rate_by_source",
 ]
 
 

@@ -2191,3 +2191,204 @@ def events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_user_gini",
+    oracle="""
+        WITH per_user AS (
+          SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+          SELECT event_type, x,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY x, user_id) AS BIGINT) AS i
+          FROM per_user
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS n_events,
+               CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000
+                    // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Gini coefficient of per-user activity per event type, in ppm — "
+    "the concentration audit (0 = uniform engagement, →1 = a few power "
+    "users dominate) that decides whether per-user keys need skew "
+    "handling downstream. The closed form G = (2Σi·xᵢ - (n+1)Σx)/(nΣx) "
+    "over rank-sorted counts is ALL integer (rank window + bigint sums), "
+    "so it hash-matches exactly. One user-keyed count, one type-keyed "
+    "rank window over the per-user rollup (users, not events).",
+    tags=("pipeline", "events"),
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type", "x", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST((2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)) * 1000000"
+                " DIV (COUNT(*) * SUM(x)) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH freq AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+          GROUP BY tok
+        ),
+        ranked AS (
+          SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS BIGINT)
+                   AS r
+          FROM freq
+        ),
+        pts AS (
+          SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+          FROM ranked WHERE r <= 100
+        ),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 list_sum(list(x ORDER BY r)) AS sx,
+                 list_sum(list(y ORDER BY r)) AS sy,
+                 list_sum(list(x * y ORDER BY r)) AS sxy,
+                 list_sum(list(x * x ORDER BY r)) AS sxx
+          FROM pts
+        )
+        SELECT n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept
+        FROM sums
+    """,
+    doc="Zipf rank-frequency fit: least-squares slope of ln(freq) on "
+    "ln(rank) over the top-100 vocabulary ranks (natural text ≈ -1; a "
+    "flat slope flags synthetic/templated corpora — this corpus IS "
+    "synthetic, which the fit exposes). Each ln is a single op; the "
+    "four regression sums fold in RANK order on both engines "
+    "(aggregate() struct fold ≡ ordered list_sums componentwise), so "
+    "the floats bit-match. Corpus-scale work is one token count; the "
+    "fit runs over 100 rows.",
+    tags=("pipeline", "text"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.desc("f"), "tok"))
+        .cast("bigint")
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    pts = ranked.select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    folded = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("r", "x", "y"))),
+            F.struct(
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("sxy"),
+                F.lit(0.0).alias("sxx"),
+            ),
+            lambda acc, p: F.struct(
+                (acc["sx"] + p["x"]).alias("sx"),
+                (acc["sy"] + p["y"]).alias("sy"),
+                (acc["sxy"] + p["x"] * p["y"]).alias("sxy"),
+                (acc["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            ),
+        ).alias("s"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy")) / (
+        n * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")
+    )
+    return folded.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("s.sy") - slope * F.col("s.sx")) / n, 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+        WITH fp AS (
+          SELECT source,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+               (CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT)
+                * 1000000) // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+        FROM fp
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Exact-duplicate rate PER SOURCE (normalized-text fingerprints) — "
+    "the triage table that tells a curation run WHERE its duplication "
+    "lives before any pair-level work, and the per-source health metric "
+    "tracked across crawl snapshots. One fingerprint map + one "
+    "two-level aggregate; no pairs, no joins.",
+    tags=("pipeline", "dedup", "curation"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr(
+                "CAST((n_docs - n_unique) * 1000000 AS BIGINT) "
+                "DIV CAST(n_docs AS BIGINT)"
+            ),
+        )
+        .orderBy("source")
+    )
