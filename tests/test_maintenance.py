@@ -981,3 +981,66 @@ def test_sort_order_property_applies_to_subsequent_writes(spark, tmp_path):
         ks = pq.read_table(f.path, columns=["k"]).column("k").to_pylist()
         assert ks == sorted(ks)  # internally ordered
     assert t.to_df().count() == 8000
+
+
+def test_churn_then_full_maintenance(spark, tmp_path):
+    """End-to-end maintenance after heavy MoR churn: DV deletes + eq
+    deletes + upserts accumulate, then convert → rewrite → expire →
+    distributed orphan sweep; every stage preserves the live rowset,
+    restores the metadata count fast path, and physically drops the
+    debris (DV/eq payload dirs under metadata/)."""
+    import os
+
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_churn"))
+    tbl = cat.create_table(
+        "t_churn",
+        "k bigint, v double, part int",
+        partition_cols=["part"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    tbl.insert(
+        spark.range(400).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            (F.col("id") % 4).cast("int").alias("part"),
+        )
+    )
+    for i in range(3):
+        tbl.delete_where(f"k % 17 = {i}")
+    tbl.delete_by_keys(
+        spark.createDataFrame([(i,) for i in range(100, 120)], "k bigint"),
+        ["k"],
+    )
+    tbl.upsert_by_keys(
+        spark.createDataFrame(
+            [(200, -1.0, 0), (999, 1.0, 3)], "k bigint, v double, part int"
+        ),
+        ["k"],
+    )
+    expect = sorted(tuple(r) for r in tbl.to_df().collect())
+    assert tbl.scan().count_from_stats() is None  # honest under eq deletes
+
+    tbl.convert_equality_deletes()
+    assert tbl.scan().count_from_stats() == len(expect)
+    tbl.rewrite_position_deletes()
+    assert not tbl.meta.current_snapshot().dv_manifest_paths
+    assert sorted(tuple(r) for r in tbl.to_df().collect()) == expect
+
+    res = tbl.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] > 0
+    removed = tbl.remove_orphan_files(older_than_s=0, distributed=True)
+    assert removed >= 0  # data_dir sweep; rewritten originals already GC'd
+    # MoR payload debris under metadata/ is gone after expire
+    meta_dirs = [
+        d
+        for d in os.listdir(tbl.meta.metadata_dir)
+        if d.startswith(("dv-data-", "eq-data-"))
+    ]
+    assert meta_dirs == [], meta_dirs
+    assert sorted(tuple(r) for r in tbl.to_df().collect()) == expect
+    assert tbl.scan().count_from_stats() == len(expect)
