@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "events_user_gini",
     "text_zipf_fit",
     "dedup_rate_by_source",
+    "events_rfm_segments",
+    "sketch_bloom_fpr_audit",
+    "events_session_stats",
 ]
 
 

@@ -2392,3 +2392,275 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+        WITH ao AS (SELECT MAX(epoch_ns(ts)) AS t FROM events),
+        rfm AS (
+          SELECT user_id,
+                 (ao.t - MAX(epoch_ns(ts))) // 86400000000000 AS recency_d,
+                 CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_c
+          FROM events CROSS JOIN ao
+          GROUP BY user_id, ao.t
+        ),
+        scored AS (
+          SELECT user_id, monetary_c,
+                 NTILE(4) OVER (ORDER BY recency_d, user_id) AS r,
+                 NTILE(4) OVER (ORDER BY freq, user_id) AS f,
+                 NTILE(4) OVER (ORDER BY monetary_c, user_id) AS m
+          FROM rfm
+        )
+        SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(monetary_c) // COUNT(*) AS BIGINT)
+                 AS mean_monetary_c
+        FROM scored
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    doc="RFM (recency / frequency / monetary) user segmentation: per-user "
+    "metrics quartiled by deterministic NTILE(4) (full tiebreak on "
+    "user_id so both engines cut identically), composed into the classic "
+    "3-digit segment code with per-segment population and integer-exact "
+    "mean spend. One user-keyed aggregate + three windows over the "
+    "per-user rollup (users, not events) — the marketing-analytics "
+    "staple on event streams.",
+    tags=("pipeline", "events"),
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    asof = ev.agg(F.max("ts").alias("t"))
+    rfm = (
+        ev.crossJoin(F.broadcast(asof))
+        .groupBy("user_id", "t")
+        .agg(
+            F.expr(
+                "CAST((any_value(t) - MAX(ts)) DIV 86400000000000 AS BIGINT)"
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("monetary_c"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "monetary_c",
+        F.ntile(4).over(W.orderBy("recency_d", "user_id")).alias("r"),
+        F.ntile(4).over(W.orderBy("freq", "user_id")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary_c", "user_id")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr(
+                "CAST(SUM(monetary_c) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_monetary_c"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "sketch_bloom_fpr_audit",
+    oracle="""
+        WITH build AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+          WHERE o_totalprice > 400000
+        ),
+        bits0 AS (
+          SELECT DISTINCT CAST('0x' || substr(md5('b0:' ||
+            CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % 65536 AS h FROM build
+        ),
+        bits1 AS (
+          SELECT DISTINCT CAST('0x' || substr(md5('b1:' ||
+            CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % 65536 AS h FROM build
+        ),
+        probes AS (
+          SELECT DISTINCT o_orderkey AS k FROM orders
+          WHERE o_totalprice <= 400000
+        ),
+        hits AS (
+          SELECT k FROM probes
+          WHERE CAST('0x' || substr(md5('b0:' || CAST(k AS VARCHAR)), 1, 6)
+                     AS BIGINT) % 65536 IN (SELECT h FROM bits0)
+            AND CAST('0x' || substr(md5('b1:' || CAST(k AS VARCHAR)), 1, 6)
+                     AS BIGINT) % 65536 IN (SELECT h FROM bits1)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+               CAST((SELECT COUNT(*) FROM bits0) AS BIGINT) AS occ0,
+               CAST((SELECT COUNT(*) FROM bits1) AS BIGINT) AS occ1,
+               CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probes,
+               CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS false_pos,
+               CAST((SELECT COUNT(*) FROM hits) * 1000000
+                    // (SELECT COUNT(*) FROM probes) AS BIGINT)
+                 AS observed_ppm,
+               CAST((SELECT COUNT(*) FROM bits0)
+                    * (SELECT COUNT(*) FROM bits1) * 1000000
+                    // (CAST(65536 AS BIGINT) * 65536) AS BIGINT)
+                 AS expected_ppm
+    """,
+    doc="Bloom-filter false-positive audit for the exact construction "
+    "join_bloom_prefilter deploys (k=2 md5 hashes, m=65536): probes "
+    "every NON-member key, reports the observed fp rate against the "
+    "occupancy-product expectation (occ0·occ1/m²) — both in ppm, both "
+    "integer-exact. The measurement that tells you whether a runtime "
+    "filter is still worth its probe cost as the build side grows. "
+    "Scale: two distinct-sets (bit positions, ≤m rows each, broadcast) "
+    "+ one probe pass.",
+    tags=("pipeline", "sketch", "join"),
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+
+    def h(i):
+        return md5_bucket(
+            F.concat(F.lit(f"b{i}:"), F.col("k").cast("string")), 65536
+        )
+
+    build = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = [build.select(h(i).alias("h")).distinct() for i in (0, 1)]
+    probes = (
+        orders.filter(F.col("o_totalprice") <= 400000)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    hits = probes
+    for i in (0, 1):
+        hits = hits.withColumn(f"h{i}", h(i)).join(
+            F.broadcast(bits[i].withColumnRenamed("h", f"h{i}")),
+            f"h{i}",
+            "left_semi",
+        )
+    counts = (
+        build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+        .crossJoin(bits[0].agg(F.count(F.lit(1)).cast("bigint").alias("occ0")))
+        .crossJoin(bits[1].agg(F.count(F.lit(1)).cast("bigint").alias("occ1")))
+        .crossJoin(probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("bigint").alias("false_pos")))
+    )
+    return counts.select(
+        "*",
+        F.expr(
+            "CAST(false_pos * 1000000 DIV n_probes AS BIGINT)"
+        ).alias("observed_ppm"),
+        F.expr(
+            "CAST(occ0 * occ1 * 1000000 DIV "
+            "(CAST(65536 AS BIGINT) * 65536) AS BIGINT)"
+        ).alias("expected_ppm"),
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        ),
+        d AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 600000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        s AS (
+          SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d
+        ),
+        sess AS (
+          SELECT user_id, sid,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+          FROM s GROUP BY user_id, sid
+        ),
+        banded AS (
+          SELECT CASE WHEN n_events = 1 THEN '1_bounce'
+                      WHEN n_events <= 5 THEN '2_short'
+                      WHEN n_events <= 20 THEN '3_medium'
+                      ELSE '4_long' END AS band,
+                 n_events, dur_us
+          FROM sess
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               (CAST(COUNT(*) AS BIGINT) * 1000000)
+                 // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS share_ppm,
+               CAST(SUM(n_events) // COUNT(*) AS BIGINT) AS mean_events,
+               CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS mean_dur_us
+        FROM banded
+        GROUP BY band
+        ORDER BY band
+    """,
+    doc="Session-level rollup over 10-minute-gap sessions (the native "
+    "session_window operator events_session_windows exposes): bounce "
+    "rate and the short/medium/long engagement mix with integer-exact "
+    "mean events and duration per band — the product-analytics summary "
+    "consumed daily. Session durations use first→last event (end-gap "
+    "padding excluded). Everything after the sessionize shuffle is a "
+    "bands-sized aggregate.",
+    tags=("pipeline", "events", "session"),
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    et = F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")).alias("et")
+    sess = (
+        ev.select("user_id", et)
+        .groupBy("user_id", F.session_window("et", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "n_events",
+            (
+                F.unix_micros("w.end")
+                - F.unix_micros("w.start")
+                - F.lit(600000000)
+            ).alias("dur_us"),
+        )
+    )
+    banded = sess.select(
+        "n_events",
+        "dur_us",
+        F.when(F.col("n_events") == 1, "1_bounce")
+        .when(F.col("n_events") <= 5, "2_short")
+        .when(F.col("n_events") <= 20, "3_medium")
+        .otherwise("4_long")
+        .alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.expr("CAST(SUM(n_events) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_events"
+            ),
+            F.expr("CAST(SUM(dur_us) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_dur_us"
+            ),
+        )
+        .withColumn(
+            "share_ppm",
+            F.expr(
+                "CAST(n_sessions * 1000000 AS BIGINT) "
+                "DIV CAST(SUM(n_sessions) OVER () AS BIGINT)"
+            ),
+        )
+        .select("band", "n_sessions", "share_ppm", "mean_events", "mean_dur_us")
+        .orderBy("band")
+    )
