@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "events_rfm_segments",
     "sketch_bloom_fpr_audit",
     "events_session_stats",
+    "sketch_join_size_estimate",
+    "dedup_lsh_band_sweep",
 ]
 
 

@@ -2664,3 +2664,247 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "n_sessions", "share_ppm", "mean_events", "mean_dur_us")
         .orderBy("band")
     )
+
+
+@register(
+    "sketch_join_size_estimate",
+    oracle="""
+        WITH ds AS (SELECT unnest(generate_series(0, 2)) AS d),
+        ca AS (
+          SELECT d.d,
+                 CAST('0x' || substr(md5('j' || CAST(d.d AS VARCHAR) || ':'
+                   || CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT) % 1024
+                   AS bkt,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders CROSS JOIN ds d GROUP BY 1, 2
+        ),
+        cb AS (
+          SELECT d.d,
+                 CAST('0x' || substr(md5('j' || CAST(d.d AS VARCHAR) || ':'
+                   || CAST(l_orderkey AS VARCHAR)), 1, 6) AS BIGINT) % 1024
+                   AS bkt,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem CROSS JOIN ds d GROUP BY 1, 2
+        ),
+        ests AS (
+          SELECT ca.d, CAST(SUM(ca.c * cb.c) AS BIGINT) AS est
+          FROM ca JOIN cb ON ca.d = cb.d AND ca.bkt = cb.bkt
+          GROUP BY ca.d
+        ),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT CAST((SELECT MIN(est) FROM ests) AS BIGINT) AS est_join_rows,
+               exact.n AS exact_join_rows,
+               CAST(((SELECT MIN(est) FROM ests) - exact.n) * 1000000
+                    // exact.n AS BIGINT) AS over_ppm
+        FROM exact
+    """,
+    doc="Count-min join-cardinality estimate: |orders ⋈ lineitem| "
+    "predicted as min over 3 hash rows of Σ_bucket cntA·cntB (the CM "
+    "inner-product estimator — always an OVERestimate, collision bias "
+    "reported in ppm) against the exact join count. The sketch side "
+    "costs two narrow counts into 3×1024 integer buckets — what a "
+    "query planner consults BEFORE committing to a join order at "
+    "100 TB, where the exact count is the expensive thing being "
+    "avoided. All-integer (md5 buckets, bigint products).",
+    tags=("pipeline", "sketch", "join"),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    ds = spark.range(3).select(F.col("id").cast("int").alias("d"))
+
+    def cm(df, key):
+        return (
+            df.select(F.col(key).alias("k"))
+            .crossJoin(F.broadcast(ds))
+            .select(
+                "d",
+                md5_bucket(
+                    F.concat(
+                        F.lit("j"),
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ),
+                    1024,
+                ).alias("bkt"),
+            )
+            .groupBy("d", "bkt")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    ca, cb = cm(t["orders"], "o_orderkey"), cm(t["lineitem"], "l_orderkey")
+    ests = (
+        ca.join(cb.withColumnRenamed("c", "c2"), ["d", "bkt"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("bigint").alias("est"))
+        .agg(F.min("est").cast("bigint").alias("est_join_rows"))
+    )
+    exact = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    )
+    return ests.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        F.expr(
+            "CAST((est_join_rows - exact_join_rows) * 1000000 "
+            "DIV exact_join_rows AS BIGINT)"
+        ).alias("over_ppm"),
+    )
+
+
+_SWEEP_CAP = 50
+
+
+def _band_sweep_oracle() -> str:
+    from icebergsql_spark.operators import dedup
+
+    k = dedup.MINHASH_K
+    sig_cols = ", ".join(f"min(md5('{j}:' || w)) AS sig_{j}" for j in range(k))
+    bands_ctes = []
+    blocks = []
+    for b in (1, 2, 3, 6):
+        rows = k // b
+        defs = ", ".join(
+            "md5(" + " || ".join(f"sig_{bb * rows + r}" for r in range(rows))
+            + f") AS b{bb}"
+            for bb in range(b)
+        )
+        bands_ctes.append(f"bands{b} AS (SELECT doc_id, {defs} FROM sigs)")
+        for bb in range(b):
+            bands_ctes.append(
+                f"ok{b}_{bb} AS (SELECT b{bb} AS key FROM bands{b} "
+                f"GROUP BY 1 HAVING COUNT(*) <= {_SWEEP_CAP})"
+            )
+        cand = " UNION ".join(
+            f"SELECT x.doc_id AS a, y.doc_id AS b FROM bands{b} x "
+            f"JOIN bands{b} y ON x.b{bb} = y.b{bb} AND x.doc_id < y.doc_id "
+            f"WHERE x.b{bb} IN (SELECT key FROM ok{b}_{bb})"
+            for bb in range(b)
+        )
+        keys = " + ".join(
+            f"(SELECT COUNT(DISTINCT b{bb}) FROM bands{b})" for bb in range(b)
+        )
+        hot = " + ".join(
+            f"(SELECT COUNT(DISTINCT b{bb}) FROM bands{b}) "
+            f"- (SELECT COUNT(*) FROM ok{b}_{bb})"
+            for bb in range(b)
+        )
+        blocks.append(f"""
+        SELECT {b} AS bands, {rows} AS rows_per_band,
+               CAST({keys} AS BIGINT) AS n_band_keys,
+               CAST({hot} AS BIGINT) AS n_hot_buckets,
+               CAST((SELECT COUNT(*) FROM ({cand})) AS BIGINT)
+                 AS n_candidate_pairs
+        FROM (SELECT 1) one""")
+    ctes = ",\n        ".join(bands_ctes)
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        words AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(trim(text), ' '))) AS w
+          FROM docs
+        ),
+        sigs AS (SELECT doc_id, {sig_cols} FROM words GROUP BY doc_id),
+        {ctes}
+        SELECT * FROM ({" UNION ALL ".join(blocks)})
+        ORDER BY bands
+    """
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    oracle=_band_sweep_oracle(),
+    doc="LSH banding sweep over the k=6 minhash signatures: for every "
+    "(bands, rows) factorization — (1,6) strictest through (6,1) most "
+    "permissive — the distinct band-key count (index size), the HOT "
+    "buckets excluded by the df-cap (>" + str(_SWEEP_CAP) + " docs: a "
+    "bucket that size yields quadratic pairs and near-zero precision — "
+    "the same guard the production jaccard/containment operators apply),"
+    " and the capped candidate-pair yield. THE tuning table for near-dup"
+    " recall vs verification cost before a 100 TB run: each extra band "
+    "lowers the S-curve threshold and multiplies verifier work, and the "
+    "hot-bucket column shows exactly when a config degenerates.",
+    tags=("pipeline", "dedup"),
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.functions.hashing import combine_hash
+    from icebergsql_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    k = dedup.MINHASH_K
+    sigs = dedup.minhash_signatures(docs).localCheckpoint()
+    outs = []
+    for b in (1, 2, 3, 6):
+        rows = k // b
+        banded = sigs.select(
+            "doc_id",
+            *[
+                combine_hash(
+                    [F.col(f"sig_{bb * rows + r}") for r in range(rows)]
+                ).alias(f"b{bb}")
+                for bb in range(b)
+            ],
+        )
+        keys = None
+        hot = None
+        pairs = None
+        for bb in range(b):
+            sizes = banded.groupBy(f"b{bb}").agg(
+                F.count(F.lit(1)).alias("sz")
+            )
+            kk = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
+            keys = kk if keys is None else keys.unionByName(kk)
+            hh = sizes.filter(F.col("sz") > _SWEEP_CAP).agg(
+                F.count(F.lit(1)).cast("bigint").alias("nh")
+            )
+            hot = hh if hot is None else hot.unionByName(hh)
+            ok = sizes.filter(F.col("sz") <= _SWEEP_CAP).select(f"b{bb}")
+            x = (
+                banded.select("doc_id", f"b{bb}")
+                .join(ok, f"b{bb}", "left_semi")
+                .alias("x")
+            )
+            y = (
+                banded.select("doc_id", f"b{bb}")
+                .join(ok, f"b{bb}", "left_semi")
+                .alias("y")
+            )
+            p = x.join(
+                y,
+                (F.col(f"x.b{bb}") == F.col(f"y.b{bb}"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            ).select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            )
+            pairs = p if pairs is None else pairs.unionByName(p)
+        outs.append(
+            keys.agg(F.sum("nk").cast("bigint").alias("n_band_keys"))
+            .crossJoin(
+                hot.agg(F.sum("nh").cast("bigint").alias("n_hot_buckets"))
+            )
+            .crossJoin(
+                pairs.distinct().agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+                )
+            )
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_band_keys",
+                "n_hot_buckets",
+                "n_candidate_pairs",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("bands")
