@@ -133,15 +133,23 @@ def brute_force_topk_blas(
         return (
             blas.select("vec_id", F.round("cos", 4).alias("cos")).limit(k)
         )
-    cand = blas.limit(k * candidate_margin).select(
-        F.col("vec_id").alias(id_col)
-    )
+    # Tie guard (one GEMV pass): materialize the churn-sized candidate
+    # band on the driver. If the whole [k, margin*k] band is tied within
+    # float noise, the fixed cut could exclude a true top-k member — in
+    # that rare case re-cut tie-inclusively at the k-th score.
+    top = blas.limit(k * candidate_margin).collect()
+    cand_ids = [r["vec_id"] for r in top]
+    if len(top) >= k and (top[k - 1]["cos"] - top[-1]["cos"]) < 1e-12:
+        thr = top[k - 1]["cos"] - 1e-9
+        cand_ids = [
+            r["vec_id"] for r in blas.filter(F.col("cos") >= thr).collect()
+        ]
     base = with_double_vec_and_norm(df, vec_col)
     qx = base.filter(F.col(id_col) == query_id).select(
         F.col("vd").alias("qv"), F.col("nrm").alias("qn")
     )
     return (
-        base.join(F.broadcast(cand), id_col, "left_semi")
+        base.filter(F.col(id_col).isin(cand_ids))
         .crossJoin(F.broadcast(qx))
         .withColumn(
             "cos", dot_expr("vd", "qv") / F.sqrt(F.col("nrm") * F.col("qn"))
@@ -580,7 +588,7 @@ def pq_codes(
         amin.select(
             "b",
             (F.col("packed") % 100).cast("int").alias("code"),
-            (F.col("packed") / 100).cast("bigint").alias("err"),
+            F.expr("packed DIV 100").alias("err"),
         )
         .groupBy("b", "code")
         .agg(

@@ -17,16 +17,55 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-5 window = the final 20 queries that have NEVER received a driver
-# CORRECTNESS row (the window_*/fn_*/winnowing/events-window/recursive
-# tail that round 4's 16 new operators displaced past position 50), the
-# newly-oracled BLAS ANN row (was `err: no_oracle` in r4), then the new
-# round-5 operators. A green round closes the book at 181+/181+ registry
-# queries driver-verified cumulatively. Everything r1-r4-green rotates to
-# the tail, staying covered by the identical local oracle comparison in
+# Round-6 window: the 8 late-round-5 queries that have NEVER received a
+# driver CORRECTNESS row go first — a green round closes cumulative
+# driver coverage at 215/215. New round-6 operators follow, then queries
+# whose PLANS changed this round (the ADVICE day-bucket DIV fix, the
+# bloom-prefilter observe() rewrite, the BLAS tie guard, pq_codes DIV) so
+# the driver re-checks them post-change. Everything else rotates to the
+# tail, staying covered by the identical local oracle comparison in
 # tests/test_queries.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (r1/r2-era; must close this round) --
+    # -- never driver-checked (late round-5; must close this round) --
+    "events_user_gini",
+    "text_zipf_fit",
+    "dedup_rate_by_source",
+    "events_rfm_segments",
+    "sketch_bloom_fpr_audit",
+    "events_session_stats",
+    "sketch_join_size_estimate",
+    "dedup_lsh_band_sweep",
+    # -- new in round 6 --
+    # (names registered by plans modules added this round land here)
+    # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
+    "events_rolling_entropy",
+    "events_seasonal_decompose",
+    "sketch_sliding_distinct",
+    "events_autocorrelation",
+    "events_holt_smoothing",
+    "events_path_conversion",
+    "events_stream_cep",
+    "emb_pq_codes",
+    "join_bloom_prefilter",
+    "ann_bruteforce_topk_blas",
+    # -- r5-green rows next (rotate back in only if slots remain) --
+    "managed_mor_churn_stress",
+    "text_lang_confidence",
+    "dedup_semantic_centroid_pairs",
+    "curation_dp_mixture",
+    "text_idf_novelty",
+    "sketch_linear_counting",
+    "text_ngram_lm_perplexity",
+    "emb_cluster_balance",
+    "text_dedup_cascade",
+    "events_interarrival_gaps",
+    "emb_ivf_pq_topk",
+    "events_cep_pattern",
+    "events_funnel_time_to_convert",
+    "curation_shard_packing",
+    "agg_ks_drift",
+    "graph_kcore_trace",
+    "events_benford_digits",
     "events_session_windows",
     "events_resample_ohlc",
     "events_hopping_windows",
@@ -47,36 +86,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "fn_date_trunc_ops",
     "fn_map_ops",
     "fn_string_ops2",
-    # -- newly oracled in round 5 (r4 row was err: no_oracle) --
-    "ann_bruteforce_topk_blas",
-    # -- new in round 5 --
-    "managed_mor_churn_stress",
-    "text_lang_confidence",
-    "dedup_semantic_centroid_pairs",
-    "events_rolling_entropy",
-    "curation_dp_mixture",
-    "emb_pq_codes",
-    "text_idf_novelty",
-    "events_path_conversion",
-    "sketch_linear_counting",
-    "join_bloom_prefilter",
-    "text_ngram_lm_perplexity",
-    "events_seasonal_decompose",
-    "emb_cluster_balance",
-    "text_dedup_cascade",
-    "events_interarrival_gaps",
-    "emb_ivf_pq_topk",
-    "events_cep_pattern",
-    "events_funnel_time_to_convert",
-    "events_stream_cep",
-    "sketch_sliding_distinct",
-    "curation_shard_packing",
-    "agg_ks_drift",
-    "graph_kcore_trace",
-    "events_benford_digits",
-    "events_autocorrelation",
-    "events_holt_smoothing",
-    # -- r4-green rows next (rotate back in only if slots remain) --
     "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",

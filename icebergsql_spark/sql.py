@@ -996,7 +996,7 @@ class Engine:
 
         matched_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
         nmbs_clauses: list[tuple[str | None, str, dict[str, str] | None]] = []
-        not_matched = False
+        nm_inserts: list[tuple[str | None, bool | dict[str, str]]] = []
         consumed = 0
         # The clause regex must account for EVERY character of the WHEN
         # block: a clause shape it cannot match (e.g. column-list INSERT
@@ -1037,10 +1037,6 @@ class Engine:
                         "WHEN NOT MATCHED supports only THEN INSERT * or "
                         "INSERT (cols) VALUES (exprs)"
                     )
-                if cond is not None:
-                    raise ValueError(
-                        "conditional NOT MATCHED clauses are not supported"
-                    )
                 if cm2.group("icols"):
                     cols = [
                         c.strip().strip("`")
@@ -1055,9 +1051,14 @@ class Engine:
                             "MERGE INSERT column list and VALUES list "
                             f"must match: {cols} vs {len(vals)} value(s)"
                         )
-                    not_matched = dict(zip(cols, vals))
+                    if len(set(cols)) != len(cols):
+                        raise ValueError(
+                            "MERGE INSERT lists a duplicate target column: "
+                            f"{cols}"
+                        )
+                    nm_inserts.append((cond, dict(zip(cols, vals))))
                 else:
-                    not_matched = True
+                    nm_inserts.append((cond, True))
             elif cm2.group("insert"):
                 raise ValueError("WHEN MATCHED cannot INSERT")
             elif cm2.group("delete"):
@@ -1076,7 +1077,7 @@ class Engine:
             source,
             on=keys,
             matched_clauses=matched_clauses,
-            when_not_matched_insert=not_matched,
+            when_not_matched_insert=nm_inserts or False,
             not_matched_by_source_clauses=nmbs_clauses or None,
         )
         return self.spark.createDataFrame(

@@ -926,7 +926,7 @@ class ManagedTable:
         on: list[str],
         when_matched: str = "update",
         set_exprs: dict[str, str] | None = None,
-        when_not_matched_insert: bool | dict[str, str] = True,
+        when_not_matched_insert: bool | dict[str, str] | list = True,
         cardinality_check: bool = True,
         extra_summary: dict[str, str] | None = None,
         matched_clauses: list[tuple[str | None, str, dict[str, str] | None]]
@@ -1112,7 +1112,7 @@ class ManagedTable:
         self,
         source: DataFrame,
         keys: list[str],
-        spec: bool | dict[str, str],
+        spec: "bool | dict[str, str] | list",
         live_keys: DataFrame,
     ) -> DataFrame:
         """Not-matched insert rows: anti-join the source against the live
@@ -1120,40 +1120,62 @@ class ManagedTable:
         (every target column from the same-named source column), dict =
         the column-list ``INSERT (cols) VALUES (exprs)`` form (exprs see
         the source aliased ``s``; unlisted columns become NULL, standard
-        SQL insert semantics)."""
+        SQL insert semantics). A LIST of ``(condition_sql | None, True |
+        dict)`` is the full conditional grammar (`WHEN NOT MATCHED AND
+        cond THEN INSERT ...` chains): per source row the FIRST clause
+        whose condition holds fires, a row firing no clause is not
+        inserted — the same ordered-clause rule as the matched side."""
         schema = self.schema
-        if spec is True:
-            missing = [
-                f.name for f in schema.fields if f.name not in source.columns
-            ]
-            if missing:
-                raise TableValidationError(
-                    f"MERGE insert needs source columns {missing}"
-                )
-            return source.join(live_keys, keys, "left_anti").select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-            )
-        bad = sorted(set(spec) - {f.name for f in schema.fields})
-        if bad:
-            raise TableValidationError(
-                f"MERGE INSERT of unknown column(s) {bad}"
-            )
-        return (
-            source.alias("s")
-            .join(live_keys, keys, "left_anti")
-            .select(
-                *[
-                    (
-                        F.expr(spec[f.name])
-                        if f.name in spec
-                        else F.lit(None)
+        clauses: list = spec if isinstance(spec, list) else [(None, spec)]
+
+        def project(df: DataFrame, sp) -> DataFrame:
+            if sp is True:
+                missing = [
+                    f.name
+                    for f in schema.fields
+                    if f.name not in source.columns
+                ]
+                if missing:
+                    raise TableValidationError(
+                        f"MERGE insert needs source columns {missing}"
                     )
+                return df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                )
+            bad = sorted(set(sp) - {f.name for f in schema.fields})
+            if bad:
+                raise TableValidationError(
+                    f"MERGE INSERT of unknown column(s) {bad}"
+                )
+            return df.select(
+                *[
+                    (F.expr(sp[f.name]) if f.name in sp else F.lit(None))
                     .cast(f.dataType)
                     .alias(f.name)
                     for f in schema.fields
                 ]
             )
-        )
+
+        base = source.alias("s").join(live_keys, keys, "left_anti")
+        if len(clauses) == 1 and clauses[0][0] is None:
+            return project(base, clauses[0][1])
+        # first-clause-wins as one codegen-able CASE chain, then one
+        # union branch per clause (clause counts are tiny; each branch is
+        # a filter+project over the same anti-join, no extra shuffle)
+        fired = None
+        for i, (cond, _sp) in enumerate(clauses, 1):
+            c = (
+                F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+                if cond is not None
+                else F.lit(True)
+            )
+            fired = F.when(c, i) if fired is None else fired.when(c, i)
+        base = base.withColumn("__f", fired.otherwise(0))
+        out = None
+        for i, (_cond, sp) in enumerate(clauses, 1):
+            part = project(base.filter(F.col("__f") == i), sp)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _matched_fired_col(self, all_clauses):
         """1-based index of the FIRST clause whose family predicate
@@ -1227,7 +1249,7 @@ class ManagedTable:
         s_marked: DataFrame,
         keys: list[str],
         all_clauses,
-        when_not_matched_insert: bool | dict[str, str],
+        when_not_matched_insert: bool | dict[str, str] | list,
         extra_summary: dict[str, str] | None,
     ) -> Snapshot:
         """Merge-on-read MERGE: target rows whose clause FIRES are masked

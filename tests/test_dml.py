@@ -461,3 +461,57 @@ def test_merge_not_matched_by_source_mor(spark, tmp_path):
     assert sum(e.count for e in snap.dv_entries()) == 3   # k=0 update + 6,7
     got = {r["k"]: r["v"] for r in t.to_df().select("k", "v").collect()}
     assert got == {0: 50.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
+
+
+def test_merge_conditional_not_matched_insert(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT chains — first firing
+    clause wins per source row; a row firing no clause is NOT inserted
+    (Spark/Iceberg conditional-insert semantics)."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_cnm"))
+    eng.sql(
+        "CREATE TABLE cnm (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(5)], "k bigint, v double, part int"
+    ).createOrReplaceTempView("cnm_tgt")
+    eng.sql("INSERT INTO cnm SELECT * FROM cnm_tgt")
+    spark.createDataFrame(
+        [(1, 9.0, 1), (10, 5.0, 0), (11, 50.0, 1), (12, -3.0, 0)],
+        "k bigint, v double, part int",
+    ).createOrReplaceTempView("cnm_src")
+    eng.sql("""
+        MERGE INTO cnm t USING cnm_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED AND s.v > 40 THEN INSERT (k, v) VALUES (s.k, s.v * 2)
+        WHEN NOT MATCHED AND s.v > 0 THEN INSERT *
+    """)
+    got = {
+        r["k"]: (r["v"], r["part"])
+        for r in eng.sql("SELECT k, v, part FROM cnm").collect()
+    }
+    assert got[1] == (9.0, 1)            # matched update
+    assert got[10] == (5.0, 0)           # second clause: INSERT *
+    assert got[11] == (100.0, None)      # first clause wins: column-list
+    assert 12 not in got                 # no clause fired -> not inserted
+    assert len(got) == 7
+
+
+def test_merge_insert_duplicate_column_rejected(spark, tmp_path):
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_dupins"))
+    eng.sql(
+        "CREATE TABLE dupi (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.createDataFrame(
+        [(1, 1.0, 0)], "k bigint, v double, part int"
+    ).createOrReplaceTempView("dupi_src")
+    with pytest.raises(ValueError, match="duplicate target column"):
+        eng.sql(
+            "MERGE INTO dupi t USING dupi_src s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k + 1)"
+        )
