@@ -36,7 +36,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_join_size_estimate",
     "dedup_lsh_band_sweep",
     # -- new in round 6 --
-    # (names registered by plans modules added this round land here)
+    "multimodal_pixel_stats",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -1062,14 +1062,67 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     doc="Multimodal plumbing: text→binary payload table, Arrow-batched "
-    "mapInPandas feature extraction (decode step stubbed; see "
-    "operators/multimodal.py).",
+    "mapInPandas byte-level feature extraction over opaque payloads "
+    "(real image decode is multimodal_pixel_stats).",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     blobs = multimodal.to_blob_table(docs)
     return multimodal.extract_features(blobs).orderBy("doc_id")
+
+
+@register(
+    "multimodal_pixel_stats",
+    oracle="""
+        SELECT doc_id, 8 AS width, 6 AS height, 3 AS channels,
+               CAST(list_sum(list_transform(generate_series(0, 143),
+                    i -> CASE WHEN i % 3 = 0 THEN (doc_id * 31 + i) % 256
+                         ELSE 0 END)) AS BIGINT) AS r_sum,
+               CAST(list_sum(list_transform(generate_series(0, 143),
+                    i -> CASE WHEN i % 3 = 1 THEN (doc_id * 31 + i) % 256
+                         ELSE 0 END)) AS BIGINT) AS g_sum,
+               CAST(list_sum(list_transform(generate_series(0, 143),
+                    i -> CASE WHEN i % 3 = 2 THEN (doc_id * 31 + i) % 256
+                         ELSE 0 END)) AS BIGINT) AS b_sum
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="REAL image decode end-to-end (round-6: the codec stub is gone): "
+    "per doc an 8x6 RGB raster with pixel byte i = (doc_id*31+i) % 256 is "
+    "ENCODED to real image bytes — binary PPM (P6) for even doc_ids, "
+    "24-bit BMP (bottom-up, padded rows, BGR) for odd — then DECODED by "
+    "operators/multimodal.decode_image (pure numpy netpbm/BMP parsers) "
+    "and reduced to exact int64 per-channel sums. The oracle recomputes "
+    "the sums from the pixel formula, so a single mis-parsed header "
+    "field, row order, channel swap, or padding byte hash-mismatches. "
+    "Both encode and decode are Arrow-batched narrow maps — no shuffle, "
+    "scales with executors.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                rgb = bytes((int(d) * 31 + i) % 256 for i in range(144))
+                payloads.append(
+                    multimodal.encode_ppm(8, 6, rgb)
+                    if int(d) % 2 == 0
+                    else multimodal.encode_bmp(8, 6, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return multimodal.pixel_stats(blobs).orderBy("doc_id")
 
 
 _FUNNEL_W = 3 * 24 * 3600 * 1_000_000_000  # 3 days in ns

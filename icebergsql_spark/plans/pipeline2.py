@@ -878,12 +878,14 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_expr,
         with_double_vec_and_norm,
     )
-    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.operators.util import ensure_parallelism, track_cache
 
     emb = ensure_parallelism(
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     )
-    assign = kmeans_assign(emb, k=8, iterations=2)
+    # the assignment (vid, cell — 2 ints/vector) feeds BOTH pair sides;
+    # without a cache the whole iterative k-means lineage executes twice
+    assign = track_cache(kmeans_assign(emb, k=8, iterations=2))
     base = with_double_vec_and_norm(emb, "embedding").join(
         assign, F.col("vec_id") == F.col("vid")
     )

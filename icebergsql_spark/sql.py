@@ -46,6 +46,7 @@ _FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$files`")
 _PARTITIONS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$partitions`")
 _HISTORY_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$history`")
 _MANIFESTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$manifests`")
+_DELETE_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$delete_files`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -421,6 +422,12 @@ class Engine:
             tbl = self.catalog.load_table(m)
             tbl.manifests_df().createOrReplaceTempView(f"{m}__manifests")
         text = _MANIFESTS_RE.sub(lambda mo: f"{mo.group(1)}__manifests", text)
+        for m in set(_DELETE_FILES_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.delete_files_df().createOrReplaceTempView(f"{m}__delete_files")
+        text = _DELETE_FILES_RE.sub(
+            lambda mo: f"{mo.group(1)}__delete_files", text
+        )
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

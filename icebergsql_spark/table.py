@@ -2890,6 +2890,46 @@ class ManagedTable:
             "record_count long, data_size long",
         )
 
+    def delete_files_df(self) -> DataFrame:
+        """The `<table>$delete_files` view (Iceberg ``db.tbl.delete_files``
+        metadata table): the current snapshot's merge-on-read delete
+        manifests — one row per position-delete vector (content
+        'position_deletes', referencing its data file) and per
+        equality-delete rowset (content 'equality_deletes', carrying the
+        key columns and the sequence number below which data files are
+        masked). The MoR debugging surface: ``SELECT content, COUNT(*),
+        SUM(record_count) FROM t$delete_files GROUP BY content`` shows how
+        much delete debris maintenance should fold."""
+        snap = self.meta.current_snapshot()
+        rows: list[tuple] = []
+        for e in snap.dv_entries() if snap else []:
+            rows.append(
+                (
+                    "position_deletes",
+                    e.dv_path,
+                    e.data_path,
+                    None,
+                    e.count,
+                    None,
+                )
+            )
+        for e in snap.eq_entries() if snap else []:
+            rows.append(
+                (
+                    "equality_deletes",
+                    e.eq_path,
+                    None,
+                    ",".join(e.key_cols),
+                    e.count,
+                    e.seq,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "content string, file_path string, referenced_data_file string, "
+            "equality_ids string, record_count long, sequence_number long",
+        )
+
     def refs_df(self) -> DataFrame:
         """The `<table>$refs` view: named refs → pinned snapshot + type."""
         rows = [

@@ -304,3 +304,55 @@ def test_empty_append_retry_does_not_duplicate_manifests(spark, catalog, src):
     cur = tbl_a.meta.current_snapshot()
     assert len(cur.manifest_paths) == len(set(cur.manifest_paths))
     assert tbl_a.to_df().count() == 50  # 30 + 20 + 0, not 70
+
+
+def test_delete_files_metadata_view(spark, tmp_path):
+    """`t$delete_files` (Iceberg delete_files metadata table): one row
+    per position-delete vector and equality-delete rowset of the current
+    snapshot; maintenance folds drain it."""
+    import pyspark.sql.functions as F
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_delf"))
+    eng.sql(
+        "CREATE TABLE tdf (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 2).cast("int").alias("part"),
+    ).createOrReplaceTempView("tdf_src")
+    eng.sql("INSERT INTO tdf SELECT * FROM tdf_src")
+    t = eng.catalog.load_table("tdf")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete_where("k < 10")                       # -> position DVs
+    t.delete_by_keys(
+        spark.createDataFrame([(50,), (51,)], "k bigint"), ["k"]
+    )                                              # -> equality deletes
+
+    rows = eng.sql(
+        "SELECT content, referenced_data_file, equality_ids, record_count, "
+        "sequence_number FROM `tdf$delete_files` ORDER BY content"
+    ).collect()
+    by_content = {}
+    for r in rows:
+        by_content.setdefault(r["content"], []).append(r)
+    dvs = by_content["position_deletes"]
+    eqs = by_content["equality_deletes"]
+    # files FULLY covered by the predicate are metadata-dropped, not
+    # DV-masked — only boundary files carry DVs, so the DV total is
+    # 1..10 depending on file layout; live_row_count checks the rest
+    assert 1 <= sum(r["record_count"] for r in dvs) <= 10
+    assert all(r["referenced_data_file"] for r in dvs)
+    assert sum(r["record_count"] for r in eqs) == 2
+    assert eqs[0]["equality_ids"] == "k" and eqs[0]["sequence_number"] >= 1
+    assert t.live_row_count() == 88
+
+    # converting + rewriting folds ALL delete debris out of the view
+    t.convert_equality_deletes()
+    t.rewrite_position_deletes()
+    assert eng.sql("SELECT COUNT(*) AS n FROM `tdf$delete_files`").collect()[0][
+        "n"
+    ] == 0
+    assert t.live_row_count() == 88
