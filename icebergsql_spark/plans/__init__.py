@@ -37,6 +37,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_band_sweep",
     # -- new in round 6 --
     "multimodal_pixel_stats",
+    "managed_merge_snapshot_sync",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",
@@ -92,7 +93,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
     "managed_streaming_eq_upsert",
-    "managed_merge_snapshot_sync",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",

@@ -992,7 +992,9 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CASE WHEN s0.c % 2 = 0 THEN s0.c ELSE NULL END
                    WHEN t0.k IS NOT NULL THEN
                      CASE WHEN t0.k % 5 = 0 THEN NULL ELSE -t0.c END
-                   ELSE s0.c
+                   ELSE CASE WHEN s0.c % 7 = 0 THEN s0.c + 1
+                             WHEN s0.c % 2 = 1 THEN s0.c
+                             ELSE NULL END
                  END AS c
           FROM t0 FULL OUTER JOIN s0 USING (k)
         )
@@ -1007,7 +1009,9 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source cents update, odd ones delete), WHEN NOT MATCHED BY SOURCE "
     "chains over vanished keys (k%5 deletes, the rest flag by negating "
     "cents — conditions see only t, source columns are NULL there), and "
-    "NOT MATCHED INSERT *, all evaluated in one codegen-able CASE chain "
+    "conditional NOT MATCHED chains (round 6: c%7 rows insert via a "
+    "column-list with c+1, odd-c rows INSERT *, the rest are skipped — "
+    "first-firing-clause-wins), all evaluated in one codegen-able CASE "
     "over a single left join per side. The oracle reconstructs the same "
     "decision table with a FULL OUTER JOIN. Integer cents throughout; "
     "NMBS honestly makes every file a rewrite candidate (docstring'd "
@@ -1039,7 +1043,9 @@ def managed_merge_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN MATCHED THEN DELETE
         WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN DELETE
         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = -t.c
-        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED AND s.c % 7 = 0
+            THEN INSERT (k, c, st) VALUES (s.k, s.c + 1, s.st)
+        WHEN NOT MATCHED AND s.c % 2 = 1 THEN INSERT *
     """)
     return (
         tbl.to_df()
