@@ -142,6 +142,17 @@ BENCH_QUERIES = [
     "events_session_stats",
     "sketch_join_size_estimate",
     "dedup_lsh_band_sweep",
+    # round-6 additions
+    "curation_train_val_split",
+    "text_ttr_richness",
+    "events_user_overlap",
+    "events_decayed_counts",
+    "events_ab_test_ztest",
+    "curation_pareto_frontier",
+    "events_burst_windows",
+    "graph_label_propagation",
+    "emb_cov_pairs",
+    "emb_quantile_clip_bounds",
 ]
 
 

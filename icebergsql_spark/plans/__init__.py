@@ -38,6 +38,16 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 --
     "multimodal_pixel_stats",
     "managed_merge_snapshot_sync",
+    "curation_train_val_split",
+    "text_ttr_richness",
+    "events_user_overlap",
+    "events_decayed_counts",
+    "events_ab_test_ztest",
+    "curation_pareto_frontier",
+    "events_burst_windows",
+    "graph_label_propagation",
+    "emb_cov_pairs",
+    "emb_quantile_clip_bounds",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",
@@ -161,6 +171,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline4  # noqa: F401
     import icebergsql_spark.plans.pipeline5  # noqa: F401
     import icebergsql_spark.plans.pipeline6  # noqa: F401
+    import icebergsql_spark.plans.pipeline7  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

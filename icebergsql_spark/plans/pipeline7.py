@@ -1,0 +1,767 @@
+"""Round-6 operator wave: training-pipeline curation + analytics additions.
+
+Each query registers a PySpark callable plus a DuckDB oracle; names sit at
+the head of ``plans/__init__.WINDOW_PRIORITY`` so every one receives a
+driver CORRECTNESS row this round. Determinism contract as everywhere:
+integer arithmetic on the hot path, single final float ops in matching
+operand order, non-negative operands for integer division (Spark ``div``
+truncates, DuckDB ``//`` floors — identical only when non-negative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from icebergsql_spark.plans.registry import load_tables, register
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# DuckDB spelling of operators/curation.md5_bucket
+_MD5_BUCKET = "CAST('0x' || substr(md5({expr}), 1, 6) AS BIGINT) % {m}"
+
+
+@register(
+    "curation_train_val_split",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT source, n_chars,
+                 {_MD5_BUCKET.format(
+                     expr="'split:' || CAST(doc_id AS VARCHAR)", m=100)}
+                   AS b
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        FROM tagged
+        GROUP BY 1, 2
+        ORDER BY source, split
+    """,
+    doc="Deterministic hash-stratified train/val/test split (90/5/5 on "
+    "md5(doc_id)) with per-source accounting — the reproducible-split "
+    "primitive every training pipeline needs: membership is a pure "
+    "function of the id, so re-runs, backfills, and incremental appends "
+    "land each doc in the same split with no stored assignment table. "
+    "Scale: one narrow map + one partial-aggregated groupBy; no joins.",
+    tags=("curation", "pipeline"),
+)
+def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    b = md5_bucket(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string")), 100
+    )
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@register(
+    "text_ttr_richness",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS t
+          FROM documents
+        ),
+        per_tok AS (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT d.doc_id, d.lang,
+                 SUM(p.c) AS n_tok,
+                 COUNT(*) AS n_distinct,
+                 SUM(CASE WHEN p.c = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM per_tok p JOIN documents d USING (doc_id)
+          GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(n_tok) AS BIGINT) AS toks,
+               CAST(SUM(n_distinct) * 1000000 // SUM(n_tok) AS BIGINT)
+                 AS ttr_ppm,
+               CAST(SUM(n_hapax) * 1000000 // SUM(n_tok) AS BIGINT)
+                 AS hapax_ppm
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Vocabulary-richness quality signals per language: type-token "
+    "ratio and hapax-legomenon share (both ppm-integer) — low TTR flags "
+    "boilerplate/spam, high hapax share flags OCR noise; standard "
+    "corpus-curation filters. One explode + two partial-aggregated "
+    "groupBys; the (doc_id, token) aggregate is the same shuffle shape "
+    "the TF-IDF/BM25 path already pays, so the signal is nearly free in "
+    "a fused curation pipeline.",
+    tags=("text", "curation"),
+)
+def text_ttr_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    per_tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_tok").cast("bigint").alias("toks"),
+            F.expr(
+                "CAST(SUM(n_distinct) * 1000000 DIV SUM(n_tok) AS BIGINT)"
+            ).alias("ttr_ppm"),
+            F.expr(
+                "CAST(SUM(n_hapax) * 1000000 DIV SUM(n_tok) AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "events_user_overlap",
+    oracle="""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        ),
+        sizes AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM ut GROUP BY 1
+        ),
+        inter AS (
+          SELECT x.event_type AS t1, y.event_type AS t2,
+                 CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM ut x JOIN ut y
+            ON x.user_id = y.user_id AND x.event_type < y.event_type
+          GROUP BY 1, 2
+        )
+        SELECT i.t1, i.t2, s1.n AS n1, s2.n AS n2, i.n_both,
+               CAST(i.n_both * 1000000 //
+                    (s1.n + s2.n - i.n_both) AS BIGINT) AS jaccard_ppm
+        FROM inter i
+        JOIN sizes s1 ON s1.event_type = i.t1
+        JOIN sizes s2 ON s2.event_type = i.t2
+        ORDER BY i.t1, i.t2
+    """,
+    doc="Audience-overlap matrix: Jaccard similarity (ppm-integer) of the "
+    "user sets behind every event-type pair — the segment-overlap "
+    "question behind campaign targeting and funnel design. Scale shape: "
+    "the (user, type) distinct is one shuffle; the pair join is keyed on "
+    "user_id so co-located; the per-type audience sizes are a tiny "
+    "broadcast. Type cardinality is small, so the pair space never "
+    "explodes — the user dimension (the big one) is never crossed.",
+    tags=("events", "join"),
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    x, y = ut.alias("x"), ut.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("t1"),
+            F.col("y.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1", "t2", "n1", "n2", "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n1 + n2 - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+@register(
+    "events_decayed_counts",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        aged AS (
+          SELECT event_type, c,
+                 (MAX(day) OVER (PARTITION BY event_type) - day) // 7 AS k
+          FROM daily
+        ),
+        capped AS (
+          SELECT event_type, c, k,
+                 MAX(k) OVER (PARTITION BY event_type) AS maxk
+          FROM aged
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * (CAST(1 AS BIGINT) << (maxk - k))) AS BIGINT)
+                 AS decayed_num,
+               CAST(CAST(SUM(c * (CAST(1 AS BIGINT) << (maxk - k)))
+                         AS DOUBLE)
+                    / CAST(CAST(1 AS BIGINT) << MAX(maxk) AS DOUBLE)
+                 AS DOUBLE) AS decayed
+        FROM capped
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Exponentially time-decayed event counts (half-life = 1 week, "
+    "integer week buckets): the freshness-weighted popularity score "
+    "behind trending feeds and decayed frequency features. All-integer "
+    "trick: weight 2^-k becomes a bigint shift 2^(maxk-k) so the decayed "
+    "sum is EXACT integer arithmetic; the single final division by "
+    "2^maxk is a dyadic-rational double — bit-identical across engines "
+    "and summation orders. Mergeable across shards/micro-batches "
+    "(shift-renormalize then add), so the same sketch works in the "
+    "streaming twin.",
+    tags=("events", "agg"),
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select("event_type", F.expr("ts DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wt = W.partitionBy("event_type")
+    aged = daily.select(
+        "event_type",
+        "c",
+        F.expr(
+            "(MAX(day) OVER (PARTITION BY event_type) - day) DIV 7"
+        ).alias("k"),
+    )
+    capped = aged.withColumn("maxk", F.max("k").over(wt))
+    return (
+        capped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.expr(
+                "CAST(SUM(c * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(maxk - k AS INT))) AS BIGINT)"
+            ).alias("decayed_num"),
+            F.expr(
+                "CAST(CAST(SUM(c * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(maxk - k AS INT))) AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(MAX(maxk) AS INT)) AS DOUBLE) AS DOUBLE)"
+            ).alias("decayed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle=f"""
+        WITH assign AS (
+          SELECT DISTINCT user_id,
+                 {_MD5_BUCKET.format(
+                     expr="'ab:' || CAST(user_id AS VARCHAR)", m=2)} AS grp
+          FROM events
+        ),
+        conv AS (
+          SELECT user_id FROM events WHERE event_type = 'purchase'
+          GROUP BY 1 HAVING COUNT(*) >= 20
+        ),
+        cells AS (
+          SELECT a.grp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+                      AS BIGINT) AS x
+          FROM assign a LEFT JOIN conv c USING (user_id)
+          GROUP BY 1
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN grp = 0 THEN n END) AS na,
+            MAX(CASE WHEN grp = 0 THEN x END) AS xa,
+            MAX(CASE WHEN grp = 1 THEN n END) AS nb,
+            MAX(CASE WHEN grp = 1 THEN x END) AS xb
+          FROM cells
+        )
+        SELECT na, xa, nb, xb,
+               round((CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                        * (CAST(1 AS DOUBLE) / na
+                           + CAST(1 AS DOUBLE) / nb)), 6) AS z
+        FROM wide
+    """,
+    doc="Two-proportion z-test on a deterministic md5 A/B assignment "
+    "(purchase conversion, pooled-variance z): the experiment-readout "
+    "primitive. Integer sufficient statistics (n, x per arm) are the "
+    "only thing aggregated at scale; the z formula runs once on four "
+    "scalars in a pinned operand order (div/sqrt are bit-identical "
+    "across engines). The same cell-count shape extends to CUPED or "
+    "sequential tests by swapping the final scalar formula.",
+    tags=("events", "agg", "stats"),
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        md5_bucket(
+            F.concat(F.lit("ab:"), F.col("user_id").cast("string")), 2
+        ).alias("grp"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") >= 20)
+        .select("user_id", F.lit(1).alias("conv"))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0))).cast("bigint")
+            .alias("x"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("xb"),
+    )
+    return wide.select(
+        "na", "xa", "nb", "xb",
+        F.round(
+            (F.col("xa").cast("double") / F.col("na")
+             - F.col("xb").cast("double") / F.col("nb"))
+            / F.sqrt(
+                ((F.col("xa") + F.col("xb")).cast("double")
+                 / (F.col("na") + F.col("nb")))
+                * (F.lit(1.0)
+                   - (F.col("xa") + F.col("xb")).cast("double")
+                   / (F.col("na") + F.col("nb")))
+                * (F.lit(1).cast("double") / F.col("na")
+                   + F.lit(1).cast("double") / F.col("nb"))
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "curation_pareto_frontier",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+        ),
+        per_doc AS (
+          SELECT d.doc_id, d.n_chars AS x,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM tok JOIN documents d USING (doc_id)
+          GROUP BY 1, 2
+        ),
+        pts AS (
+          SELECT x, MAX(y) AS y FROM per_doc GROUP BY x
+        ),
+        flagged AS (
+          SELECT x, y,
+                 MAX(y) OVER (ORDER BY x
+                   RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS best_right
+          FROM pts
+        )
+        SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM flagged
+        WHERE best_right IS NULL OR y > best_right
+        ORDER BY x
+    """,
+    doc="2-D Pareto frontier of the corpus over (length, distinct "
+    "vocabulary): the non-dominated docs define the quality/length "
+    "trade-off curve curation sampling walks. The naive frontier is an "
+    "O(n^2) self-join; this is ONE sort-window pass — collapse to "
+    "distinct (x, max y) points, then a point is on the frontier iff "
+    "its y beats the running max over strictly larger x (RANGE frame "
+    "1 FOLLOWING..UNBOUNDED). At 100 TB the distinct-point set after "
+    "the (x -> max y) collapse is bounded by the x-domain, not the row "
+    "count, so the window runs on a tiny frame.",
+    tags=("curation", "window"),
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").alias("x"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+            ).alias("t"),
+        )
+        .groupBy("doc_id", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    pts = per_doc.groupBy("x").agg(F.max("y").alias("y"))
+    w = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    return (
+        pts.withColumn("best_right", F.max("y").over(w))
+        .filter(F.col("best_right").isNull() | (F.col("y") > F.col("best_right")))
+        .select(F.col("x").cast("bigint"), F.col("y").cast("bigint"))
+        .orderBy("x")
+    )
+
+
+@register(
+    "events_burst_windows",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT event_type, day, c,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail,
+                 COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+          FROM daily
+        ),
+        bursts AS (
+          SELECT event_type, day, c, trail,
+                 c * 7000000 // trail AS ratio_ppm
+          FROM base
+          WHERE n_prior = 7 AND c * 20 > 3 * trail
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_burst_days,
+               CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+               CAST(MIN(day) AS BIGINT) AS first_burst_day
+        FROM bursts
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Burst detection against a trailing-week baseline: a day is a "
+    "burst when its count exceeds the previous 7 calendar days' average "
+    "by >5% (integer cross-multiplied — c*20 > 3*trail — no "
+    "division on the hot path; the reported intensity ratio is ppm-"
+    "integer). The RANGE frame is calendar-correct across gaps, unlike "
+    "a ROWS frame. Scale shape: daily pre-aggregation shrinks the "
+    "window input to (types x days), so the window pass is trivial "
+    "regardless of raw event volume.",
+    tags=("events", "window"),
+)
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select("event_type", F.expr("ts DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-7, -1)
+    )
+    base = daily.select(
+        "event_type", "day", "c",
+        F.sum("c").over(w).alias("trail"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    bursts = base.filter(
+        (F.col("n_prior") == 7) & (F.col("c") * 20 > 3 * F.col("trail"))
+    ).select(
+        "event_type", "day",
+        F.expr("c * 7000000 DIV trail").alias("ratio_ppm"),
+    )
+    return (
+        bursts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_burst_days"),
+            F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
+            F.min("day").cast("bigint").alias("first_burst_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _labelprop_oracle(rounds: int = 3) -> str:
+    parts = [f"""
+        w AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS w
+          FROM documents WHERE doc_id < 120
+        ),
+        pairs AS (
+          SELECT x.w AS a, y.w AS b
+          FROM w x JOIN w y ON x.doc_id = y.doc_id AND x.w < y.w
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 74
+        ),
+        e AS (
+          SELECT a, b FROM pairs
+          UNION ALL SELECT b, a FROM pairs
+        ),
+        l0 AS (
+          SELECT DISTINCT a AS n, a AS lbl FROM e
+        )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+        l{r} AS (
+          SELECT l.n, LEAST(l.lbl, MIN(nb.lbl)) AS lbl
+          FROM l{p} l
+          JOIN e ON e.a = l.n
+          JOIN l{p} nb ON nb.n = e.b
+          GROUP BY l.n, l.lbl
+        )""")
+    return (
+        "WITH " + ",".join(parts)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(
+            f"""
+        SELECT {r} AS round,
+               CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_communities,
+               CAST(MAX(sz) AS BIGINT) AS largest
+        FROM (SELECT lbl, COUNT(*) AS sz FROM l{r} GROUP BY lbl)"""
+            for r in range(1, rounds + 1)
+        )
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_labelprop_oracle(),
+    doc="Min-label propagation (3 synchronous rounds) over the token "
+    "co-occurrence graph — the cheap community/connected-component "
+    "primitive: every node starts as its own label and each round takes "
+    "the min over its neighborhood, so labels flood the component from "
+    "its lexicographic root. Emits the convergence trace (distinct "
+    "labels, largest community) after each round. Scale "
+    "shape per round: one key-partitioned join edge->labels + one "
+    "groupBy-min — the same two-shuffle round as PageRank but with a "
+    "min (idempotent, re-execution-safe) instead of a sum; each round "
+    "localCheckpoints so the unrolled lineage never replicates the "
+    "edge build (the iterative-operator rule kcore/pagerank follow).",
+    tags=("graph", "dedup"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 74)
+        .select("a", "b")
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    lbl = e.select(F.col("a").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    trace = []
+    for r in range(1, 4):
+        nb_min = (
+            e.join(lbl.withColumnRenamed("n", "b_n"),
+                   F.col("b") == F.col("b_n"))
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        lbl = (
+            lbl.join(nb_min, "n")
+            .select("n", F.least(F.col("lbl"), F.col("nb_lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        trace.append(
+            lbl.groupBy("lbl")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.lit(r).alias("round"),
+                F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+                F.max("sz").cast("bigint").alias("largest"),
+            )
+        )
+    out = trace[0]
+    for t in trace[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("round")
+
+
+@register(
+    "emb_cov_pairs",
+    oracle="""
+        WITH q AS (
+          SELECT list_transform(embedding[1:8],
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS q
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT i.range AS i, j.range AS j
+          FROM range(0, 8) i CROSS JOIN range(0, 8) j
+          WHERE i.range <= j.range
+        )
+        SELECT p.i, p.j,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q[p.i + 1] * q[p.j + 1]) AS BIGINT) AS s_ij,
+               CAST(COUNT(*) * SUM(q[p.i + 1] * q[p.j + 1])
+                    - SUM(q[p.i + 1]) * SUM(q[p.j + 1]) AS BIGINT)
+                 AS cov_num
+        FROM q CROSS JOIN pairs p
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Exact integer covariance sufficient statistics over the first 8 "
+    "embedding dimensions (quantized 1e6): per pair (i<=j) the raw sums "
+    "and the covariance numerator n*S_ij - S_i*S_j — the whitening/PCA "
+    "input, computed EXACTLY (bigint products; shift-invariant form "
+    "needs no mean pass). Scale shape: ONE aggregate pass emits all 36 "
+    "pair sums as partial-aggregated columns (no explode shuffle of "
+    "n*36 rows); the single-row result unpivots via stack(). The full "
+    "64-dim matrix is the same plan with 2080 columns, chunked.",
+    tags=("embeddings", "agg", "ml"),
+)
+def emb_cov_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.select(
+        *[
+            F.expr(
+                f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000)"
+                f" AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(8)
+        ]
+    )
+    pairs = [(i, j) for i in range(8) for j in range(8) if i <= j]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(8)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i, j in pairs
+    ]
+    row = q.agg(*aggs)
+    stack = (
+        f"stack({len(pairs)}, "
+        + ", ".join(f"{i}, {j}, p{i}_{j}, s{i}, s{j}" for i, j in pairs)
+        + ") AS (i, j, s_ij, s_i, s_j)"
+    )
+    return (
+        row.selectExpr("n", stack)
+        .select(
+            "i", "j", "n",
+            F.col("s_ij").cast("bigint").alias("s_ij"),
+            (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
+            .cast("bigint")
+            .alias("cov_num"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@register(
+    "emb_quantile_clip_bounds",
+    oracle="""
+        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        x AS (
+          SELECT d.dim, CAST(e.embedding[d.dim + 1] AS DOUBLE) AS v
+          FROM embeddings e CROSS JOIN dims d
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               round(quantile_cont(v, 0.01), 6) AS p01,
+               round(quantile_cont(v, 0.99), 6) AS p99,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM x
+        GROUP BY dim
+        ORDER BY dim
+    """,
+    doc="Per-dimension p1/p99 clip bounds over the first 8 embedding "
+    "dimensions — the activation/feature clipping stats a training "
+    "pipeline computes before normalization (winsorizing outliers "
+    "without a second data pass). Spark `percentile` and DuckDB "
+    "`quantile_cont` share linear-interpolation semantics "
+    "(CLAUDE.md-locked parity). Scale shape: posexplode is a narrow "
+    "map; the aggregate is keyed by dim (64 groups) so partials "
+    "combine map-side; at 100 TB swap exact percentile for "
+    "percentile_approx with documented error, same plan.",
+    tags=("embeddings", "agg", "ml"),
+)
+def emb_quantile_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    x = emb.select(
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.round(F.expr("percentile(v, 0.01)"), 6).alias("p01"),
+            F.round(F.expr("percentile(v, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("dim")
+    )
