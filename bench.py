@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "graph_label_propagation",
     "emb_cov_pairs",
     "emb_quantile_clip_bounds",
+    "managed_delete_files_audit",
 ]
 
 
@@ -256,6 +257,7 @@ def main() -> None:
         "ml_kmeans_clusters",
         "managed_mor_churn_stress",
         "events_stream_cep",
+        "managed_delete_files_audit",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed

@@ -48,6 +48,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "emb_cov_pairs",
     "emb_quantile_clip_bounds",
+    "managed_delete_files_audit",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -765,3 +765,91 @@ def emb_quantile_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@register(
+    "managed_delete_files_audit",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey AS k FROM orders
+        ),
+        dv AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM base WHERE k % 7 = 0),
+        eq AS (SELECT CAST(COUNT(*) AS BIGINT) AS r FROM base WHERE k % 11 = 0),
+        live AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS r FROM base
+          WHERE k % 7 <> 0 AND k % 11 <> 0
+        )
+        SELECT * FROM (
+          VALUES ('eq_rows_pending',       (SELECT r FROM eq)),
+                 ('dv_rows_masked',        (SELECT r FROM dv)),
+                 ('live_before_maintenance', (SELECT r FROM live)),
+                 ('live_after_maintenance',  (SELECT r FROM live)),
+                 ('delete_files_after',    CAST(0 AS BIGINT))
+        ) t(label, rows)
+        ORDER BY label
+    """,
+    doc="The `$delete_files` metadata view (round-6; Iceberg "
+    "delete_files-table parity) audited end-to-end: a merge-on-read "
+    "table takes a predicate DELETE (position DVs; k%7 spreads over "
+    "every file so no file is metadata-dropped) then an equality "
+    "DELETE (k%11 key rowset, zero read-before-write); the view's "
+    "per-content record_count sums must equal the predicate "
+    "cardinalities, live_row_count must subtract both (the k%77 "
+    "overlap is masked by the DV first and must NOT double-count), "
+    "and convert_equality_deletes + rewrite_position_deletes must "
+    "drain the view to zero rows while count_from_stats returns the "
+    "exact live count metadata-only.",
+    tags=("managed", "mor", "metadata"),
+)
+def managed_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-delfwh-"))
+    tbl = eng.catalog.create_table(
+        "ord_delf",
+        "k bigint, st string",
+        partition_cols=["st"],
+        properties={
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    tbl.insert(
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    tbl.delete_where("k % 7 = 0")
+    tbl.delete_by_keys(
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    view = {
+        r["content"]: r["rows"]
+        for r in tbl.delete_files_df()
+        .groupBy("content")
+        .agg(F.sum("record_count").alias("rows"))
+        .collect()
+    }
+    live_before = tbl.live_row_count()
+    tbl.convert_equality_deletes()
+    tbl.rewrite_position_deletes()
+    tbl.refresh()
+    live_after = tbl.scan().count_from_stats()
+    assert live_after is not None, "count_from_stats must be exact post-fold"
+    n_view_after = tbl.delete_files_df().count()
+    rows = [
+        ("eq_rows_pending", int(view.get("equality_deletes", 0))),
+        ("dv_rows_masked", int(view.get("position_deletes", 0))),
+        ("live_before_maintenance", int(live_before)),
+        ("live_after_maintenance", int(live_after)),
+        ("delete_files_after", int(n_view_after)),
+    ]
+    return spark.createDataFrame(rows, "label string, rows bigint").orderBy(
+        "label"
+    )
