@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "emb_cov_pairs",
     "emb_quantile_clip_bounds",
     "managed_delete_files_audit",
+    "events_stream_decayed_counts",
 ]
 
 
@@ -258,6 +259,7 @@ def main() -> None:
         "managed_mor_churn_stress",
         "events_stream_cep",
         "managed_delete_files_audit",
+        "events_stream_decayed_counts",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed

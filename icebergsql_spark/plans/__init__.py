@@ -49,6 +49,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_cov_pairs",
     "emb_quantile_clip_bounds",
     "managed_delete_files_audit",
+    "events_stream_decayed_counts",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -853,3 +853,118 @@ def managed_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "label string, rows bigint").orderBy(
         "label"
     )
+
+
+@register(
+    "events_stream_decayed_counts",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        aged AS (
+          SELECT event_type, c,
+                 (MAX(day) OVER (PARTITION BY event_type) - day) // 7 AS k
+          FROM daily
+        ),
+        capped AS (
+          SELECT event_type, c, k,
+                 MAX(k) OVER (PARTITION BY event_type) AS maxk
+          FROM aged
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(SUM(c * (CAST(1 AS BIGINT) << (maxk - k))) AS BIGINT)
+                 AS decayed_num,
+               CAST(CAST(SUM(c * (CAST(1 AS BIGINT) << (maxk - k)))
+                         AS DOUBLE)
+                    / CAST(CAST(1 AS BIGINT) << MAX(maxk) AS DOUBLE)
+                 AS DOUBLE) AS decayed
+        FROM capped
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Streaming twin of events_decayed_counts: three chronological "
+    "micro-batches (availableNow, maxFilesPerTrigger=1) each fold their "
+    "events into per-(type, day) partial counts appended to the sink — "
+    "a SUM-mergeable sketch, so micro-batch chopping and arrival order "
+    "cannot change the final state (the round-3 stream-gate rule); the "
+    "read-side finalizer applies the half-life shift weights exactly as "
+    "the batch plan does (decay weights depend on the moving max day, "
+    "so they are finalize-time by construction — the state itself stays "
+    "integer and tiny: types x days rows, independent of event volume). "
+    "Bit-matches the batch oracle.",
+    tags=("events", "streaming", "agg"),
+)
+def events_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-decsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-decout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                "event_type", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-decck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    wt = W.partitionBy("event_type")
+    daily = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    capped = daily.select(
+        "event_type",
+        "c",
+        F.expr(
+            "(MAX(day) OVER (PARTITION BY event_type) - day) DIV 7"
+        ).alias("k"),
+    ).withColumn("maxk", F.max("k").over(wt))
+    return (
+        capped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.expr(
+                "CAST(SUM(c * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(maxk - k AS INT))) AS BIGINT)"
+            ).alias("decayed_num"),
+            F.expr(
+                "CAST(CAST(SUM(c * shiftleft(CAST(1 AS BIGINT),"
+                " CAST(maxk - k AS INT))) AS DOUBLE)"
+                " / CAST(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(MAX(maxk) AS INT)) AS DOUBLE) AS DOUBLE)"
+            ).alias("decayed"),
+        )
+        .orderBy("event_type")
+    )
