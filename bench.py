@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "emb_quantile_clip_bounds",
     "managed_delete_files_audit",
     "events_stream_decayed_counts",
+    "text_bpe_pair_stats",
+    "text_charset_profile",
 ]
 
 

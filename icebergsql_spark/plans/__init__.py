@@ -50,6 +50,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_quantile_clip_bounds",
     "managed_delete_files_audit",
     "events_stream_decayed_counts",
+    "text_bpe_pair_stats",
+    "text_charset_profile",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

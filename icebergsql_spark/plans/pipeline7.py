@@ -968,3 +968,134 @@ def events_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle="""
+        WITH pos AS (
+          SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+          FROM documents
+        ),
+        pairs AS (
+          SELECT substr(text, i, 1) AS c1, substr(text, i + 1, 1) AS c2
+          FROM pos
+        ),
+        counted AS (
+          SELECT c1 || c2 AS pair, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs
+          WHERE c1 <> ' ' AND c2 <> ' '
+          GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM counted),
+        ranked AS (
+          SELECT pair, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, pair) AS r
+          FROM counted
+        )
+        SELECT CAST(r AS INTEGER) AS rank, pair, c,
+               CAST(c * 1000000 // (SELECT t FROM tot) AS BIGINT)
+                 AS share_ppm
+        FROM ranked WHERE r <= 20
+        ORDER BY rank
+    """,
+    doc="The first BPE merge step, corpus-wide: count adjacent "
+    "non-space character pairs and rank the top 20 with corpus share "
+    "(ppm) — the inner loop of byte-pair-encoding tokenizer training. "
+    "Spark side is O(L) per doc (split-to-chars array + element_at "
+    "indexing, NOT substring-in-HOF which is O(L^2) by UTF8String "
+    "char seek — the CLAUDE.md-documented trap); one explode + one "
+    "partial-aggregated groupBy. At 100 TB the pair-count table is "
+    "bounded by alphabet^2, so the reduce side is trivial and each BPE "
+    "iteration is one linear scan — the production shape for "
+    "tokenizer training over a crawl.",
+    tags=("text", "curation"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    pair = (
+        docs.select(F.split(F.col("text"), "").alias("cs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1),"
+                    " i -> concat(element_at(cs, i), element_at(cs, i + 1)))"
+                )
+            ).alias("pair")
+        )
+        .filter(~F.col("pair").contains(" "))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = pair.agg(F.sum("c").cast("bigint").alias("t"))
+    w = Window.orderBy(F.desc("c"), "pair")
+    return (
+        pair.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank", "pair", "c",
+            F.expr("CAST(c * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "text_charset_profile",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(length(text)) AS BIGINT) AS chars_total,
+               CAST(SUM(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+                    * 1000000 // SUM(length(text)) AS BIGINT) AS alpha_ppm,
+               CAST(SUM(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                    * 1000000 // SUM(length(text)) AS BIGINT) AS digit_ppm,
+               CAST(SUM(length(text)
+                        - length(regexp_replace(text, ' ', '', 'g')))
+                    * 1000000 // SUM(length(text)) AS BIGINT) AS space_ppm,
+               CAST(SUM(length(regexp_replace(text, '[ -~]', '', 'g')))
+                    * 1000000 // SUM(length(text)) AS BIGINT)
+                 AS non_ascii_ppm
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Charset/character-class profile per source (ppm-integer alpha/"
+    "digit/space/non-ASCII shares): the encoding-sanity audit run before "
+    "ingesting a crawl source — a spike in non-ASCII or digit share "
+    "flags mojibake, markup debris, or table dumps. Pure narrow map "
+    "(regexp_replace length deltas) + one partial-aggregated groupBy; "
+    "zero joins, zero explodes — at 100 TB this is scan-bound and "
+    "embarrassingly parallel.",
+    tags=("text", "curation"),
+)
+def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ln = F.length("text")
+    return (
+        docs.select(
+            "source",
+            ln.alias("n"),
+            F.length(F.regexp_replace(F.col("text"), r"[^a-zA-Z]", "")).alias("n_alpha"),
+            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
+            (ln - F.length(F.regexp_replace(F.col("text"), r" ", ""))).alias("n_space"),
+            F.length(F.regexp_replace(F.col("text"), r"[ -~]", "")).alias("n_nonascii"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n").cast("bigint").alias("chars_total"),
+            F.expr("CAST(SUM(n_alpha) * 1000000 DIV SUM(n) AS BIGINT)").alias("alpha_ppm"),
+            F.expr("CAST(SUM(n_digit) * 1000000 DIV SUM(n) AS BIGINT)").alias("digit_ppm"),
+            F.expr("CAST(SUM(n_space) * 1000000 DIV SUM(n) AS BIGINT)").alias("space_ppm"),
+            F.expr("CAST(SUM(n_nonascii) * 1000000 DIV SUM(n) AS BIGINT)").alias("non_ascii_ppm"),
+        )
+        .orderBy("source")
+    )
