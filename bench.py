@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_stream_decayed_counts",
     "text_bpe_pair_stats",
     "text_charset_profile",
+    "sketch_kmv_intersection",
 ]
 
 

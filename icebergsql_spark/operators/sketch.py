@@ -314,3 +314,41 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         "harmonic_q",
         F.expr(f"CAST(round({est}) AS BIGINT)").alias("est"),
     )
+
+
+def kmv_intersection_estimate(
+    ska: DataFrame, skb: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-style intersection estimate from two KMV sketches: θ = the
+    smaller of the two sketches' k-th-smallest hash fractions (1.0 while
+    a sketch still holds its whole set — the estimate is then EXACT on
+    that side), the sample is the common hashes below θ, and the
+    estimate is |sample| / θ. One row, column ``est``. The entire
+    computation touches only the two k-row hash sets — the audience-
+    intersection answer at 100 TB costs two sketch scans that the
+    distinct-count pipeline already pays, plus a k-row join."""
+    scale = float(16**13)
+
+    def frac(c):
+        return (
+            F.conv(F.substring(c, 1, 13), 16, 10).cast("double")
+            / F.lit(scale)
+        )
+
+    astat = ska.agg(F.max("h").alias("ha"), F.count(F.lit(1)).alias("ma"))
+    bstat = skb.agg(F.max("h").alias("hb"), F.count(F.lit(1)).alias("mb"))
+    stats = astat.crossJoin(bstat).select(
+        F.least(
+            F.when(F.col("ma") >= k, frac(F.col("ha"))).otherwise(F.lit(1.0)),
+            F.when(F.col("mb") >= k, frac(F.col("hb"))).otherwise(F.lit(1.0)),
+        ).alias("theta")
+    )
+    sample = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(stats))
+        .filter(frac(F.col("h")) < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return sample.crossJoin(F.broadcast(stats)).select(
+        F.round(F.col("c") / F.col("theta")).cast("bigint").alias("est")
+    )

@@ -52,6 +52,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_stream_decayed_counts",
     "text_bpe_pair_stats",
     "text_charset_profile",
+    "sketch_kmv_intersection",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

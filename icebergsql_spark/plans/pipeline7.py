@@ -1099,3 +1099,117 @@ def text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KMV_SC = "4503599627370496.0"  # 16^13, exact in a double
+
+
+def _kmv_inter_oracle() -> str:
+    def sk(alias: str, etype: str) -> str:
+        return f"""
+        {alias} AS (
+          SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events WHERE event_type = '{etype}'
+          ORDER BY h LIMIT 256
+        ),
+        {alias}_s AS (SELECT MAX(h) AS hk, COUNT(*) AS m FROM {alias})"""
+
+    def pair(pid: str, t1: str, t2: str) -> str:
+        return f"""
+        {pid}_theta AS (
+          SELECT LEAST(
+            CASE WHEN a.m >= 256 THEN
+              CAST(CAST('0x' || substr(a.hk, 1, 13) AS BIGINT) AS DOUBLE)
+                / {_KMV_SC} ELSE 1.0 END,
+            CASE WHEN b.m >= 256 THEN
+              CAST(CAST('0x' || substr(b.hk, 1, 13) AS BIGINT) AS DOUBLE)
+                / {_KMV_SC} ELSE 1.0 END) AS th
+          FROM sk_{t1}_s a, sk_{t2}_s b
+        ),
+        {pid}_samp AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT h FROM sk_{t1} INTERSECT SELECT h FROM sk_{t2}
+          ) i, {pid}_theta t
+          WHERE CAST(CAST('0x' || substr(i.h, 1, 13) AS BIGINT) AS DOUBLE)
+                  / {_KMV_SC} < t.th
+        ),
+        {pid}_exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS x FROM (
+            SELECT DISTINCT user_id FROM events WHERE event_type = '{t1}'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = '{t2}'
+          )
+        ),
+        {pid}_row AS (
+          SELECT '{t1}' AS t1, '{t2}' AS t2, e.x AS exact_inter,
+                 CAST(round(s.c / t.th) AS BIGINT) AS est_inter
+          FROM {pid}_samp s, {pid}_theta t, {pid}_exact e
+        )"""
+
+    types = ["click", "purchase", "view"]
+    parts = [sk(f"sk_{t}", t) for t in types]
+    pairs = [("p1", "click", "purchase"), ("p2", "click", "view"),
+             ("p3", "purchase", "view")]
+    parts += [pair(pid, a, b) for pid, a, b in pairs]
+    sel = " UNION ALL ".join(f"SELECT * FROM {pid}_row" for pid, _, _ in pairs)
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT t1, t2, exact_inter, est_inter,"
+          f" CAST(abs(est_inter - exact_inter) * 1000000"
+          f" // (CASE WHEN exact_inter > 0 THEN exact_inter ELSE 1 END)"
+          f" AS BIGINT) AS err_ppm"
+          f" FROM ({sel}) ORDER BY t1, t2"
+    )
+
+
+@register(
+    "sketch_kmv_intersection",
+    oracle=_kmv_inter_oracle(),
+    doc="Theta-style KMV audience-intersection estimates, CALIBRATED "
+    "against the exact intersection in the same result (err_ppm): for "
+    "each event-type pair, θ = min of the two sketches' k-th-hash "
+    "fractions (1.0 while a sketch is exhaustive — the estimate is then "
+    "exact by construction, which the small-SF rows demonstrate), the "
+    "sample is common hashes below θ, estimate = |sample|/θ. The md5 "
+    "bottom-k construction is bit-identical in DuckDB, so even the "
+    "APPROXIMATE answer hash-matches. At 100 TB the estimate touches "
+    "only two 256-row hash sets per pair — the exact column is the "
+    "audit, not the production path.",
+    tags=("sketch", "events"),
+)
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    types = ["click", "purchase", "view"]
+    users = {
+        t: ev.filter(F.col("event_type") == t).select("user_id").distinct()
+        for t in types
+    }
+    sketches = {t: sketch.kmv_sketch(users[t], "user_id") for t in types}
+    rows = []
+    for t1, t2 in [("click", "purchase"), ("click", "view"),
+                   ("purchase", "view")]:
+        est = sketch.kmv_intersection_estimate(sketches[t1], sketches[t2])
+        exact = (
+            users[t1].join(users[t2], "user_id", "left_semi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+        )
+        rows.append(
+            exact.crossJoin(est).select(
+                F.lit(t1).alias("t1"), F.lit(t2).alias("t2"),
+                "exact_inter",
+                F.col("est").alias("est_inter"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.select(
+        "t1", "t2", "exact_inter", "est_inter",
+        F.expr(
+            "CAST(abs(est_inter - exact_inter) * 1000000"
+            " DIV (CASE WHEN exact_inter > 0 THEN exact_inter ELSE 1 END)"
+            " AS BIGINT)"
+        ).alias("err_ppm"),
+    ).orderBy("t1", "t2")
