@@ -515,3 +515,44 @@ def test_merge_insert_duplicate_column_rejected(spark, tmp_path):
             "MERGE INTO dupi t USING dupi_src s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k + 1)"
         )
+
+
+def test_merge_conditional_not_matched_insert_mor(spark, tmp_path):
+    """Conditional NOT MATCHED chains under merge-on-read: unfired source
+    rows are not inserted; fired ones append images (no rewrite)."""
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_cnm_m"))
+    t = cat.create_table(
+        "cnm_m",
+        "k bigint, v double, part int",
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, float(i), i % 2) for i in range(5)],
+            "k bigint, v double, part int",
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 9.0, 1), (10, 5.0, 0), (11, 50.0, 1), (12, -3.0, 0)],
+        "k bigint, v double, part int",
+    )
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    snap = t.merge(
+        src,
+        on=["k"],
+        matched_clauses=[(None, "update", {"v": "s.v"})],
+        when_not_matched_insert=[
+            ("s.v > 40", {"k": "s.k", "v": "s.v * 2"}),
+            ("s.v > 0", True),
+        ],
+    )
+    assert before <= {f.path for f in snap.live_files()}  # append-only
+    got = {r["k"]: (r["v"], r["part"]) for r in t.to_df().collect()}
+    assert got[1] == (9.0, 1)
+    assert got[10] == (5.0, 0)
+    assert got[11] == (100.0, None)
+    assert 12 not in got
+    assert len(got) == 7
