@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "text_bpe_pair_stats",
     "text_charset_profile",
     "sketch_kmv_intersection",
+    "events_pit_feature_join",
+    "curation_negative_sampling",
 ]
 
 

@@ -53,6 +53,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_bpe_pair_stats",
     "text_charset_profile",
     "sketch_kmv_intersection",
+    "events_pit_feature_join",
+    "curation_negative_sampling",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

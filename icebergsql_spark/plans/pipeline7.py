@@ -1213,3 +1213,203 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("err_ppm"),
     ).orderBy("t1", "t2")
+
+
+@register(
+    "events_pit_feature_join",
+    oracle="""
+        WITH daily AS (
+          SELECT user_id,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        feat AS (
+          SELECT user_id, day,
+                 CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY day)
+                      AS BIGINT) AS f
+          FROM daily
+        ),
+        labels AS (
+          SELECT user_id,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        merged AS (
+          SELECT user_id, day, 0 AS is_feat, NULL AS f, n FROM labels
+          UNION ALL
+          SELECT user_id, day, 1 AS is_feat, f, NULL FROM feat
+        ),
+        pit AS (
+          SELECT user_id, day, is_feat, n,
+                 LAST_VALUE(f IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day, is_feat
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS pit_f
+          FROM merged
+        )
+        SELECT CAST(COALESCE(pit_f // 50, -1) AS BIGINT) AS f_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_label_days,
+               CAST(SUM(n) AS BIGINT) AS purchases
+        FROM pit WHERE is_feat = 0
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Point-in-time-correct feature join (the feature-store primitive "
+    "that prevents training-serving leakage): per-user daily cumulative "
+    "activity snapshots join purchase 'label' days at the LATEST "
+    "snapshot STRICTLY BEFORE the label day — a same-day snapshot would "
+    "leak the label's own events into its feature. Implemented as the "
+    "union-sort trick: one user-keyed shuffle, labels sort before "
+    "features within a day, and LAST_VALUE(ignore nulls) over rows up "
+    "to 1 PRECEDING resolves the as-of lookup in a single window pass — "
+    "no per-label range join, no skew amplification; first-day labels "
+    "(no prior snapshot) land in the -1 bucket instead of silently "
+    "joining a leaked value.",
+    tags=("events", "join", "ml"),
+)
+def events_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.expr("ts DIV 86400000000000").alias("day")
+    daily = (
+        ev.select("user_id", day)
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    feat = daily.select(
+        "user_id", "day",
+        F.sum("c")
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .cast("bigint")
+        .alias("f"),
+    )
+    labels = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day)
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    merged = labels.select(
+        "user_id", "day", F.lit(0).alias("is_feat"),
+        F.lit(None).cast("bigint").alias("f"), "n",
+    ).unionAll(
+        feat.select(
+            "user_id", "day", F.lit(1).alias("is_feat"),
+            "f", F.lit(None).cast("bigint").alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day", "is_feat")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pit = merged.select(
+        "is_feat", "n",
+        F.last("f", ignorenulls=True).over(w).alias("pit_f"),
+    )
+    return (
+        pit.filter(F.col("is_feat") == 0)
+        .select(
+            F.coalesce(
+                F.expr("pit_f DIV 50"), F.lit(-1).cast("bigint")
+            ).alias("f_bucket"),
+            "n",
+        )
+        .groupBy("f_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_label_days"),
+            F.sum("n").cast("bigint").alias("purchases"),
+        )
+        .orderBy("f_bucket")
+    )
+
+
+@register(
+    "curation_negative_sampling",
+    oracle="""
+        WITH pmax AS (SELECT MAX(p_partkey) AS pm FROM part),
+        sampled AS (
+          SELECT o_orderkey AS ok FROM orders WHERE o_orderkey % 37 = 0
+        ),
+        cand AS (
+          SELECT ok, i,
+                 CAST('0x' || substr(md5('neg:' || CAST(ok AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)), 1, 6) AS BIGINT)
+                   % (SELECT pm FROM pmax) + 1 AS pk
+          FROM sampled, (SELECT unnest(generate_series(1, 6)) AS i)
+        ),
+        flagged AS (
+          SELECT c.ok, c.pk,
+                 CASE WHEN l.l_orderkey IS NULL THEN 0 ELSE 1 END AS hit
+          FROM cand c
+          LEFT JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+            ON l.l_orderkey = c.ok AND l.l_partkey = c.pk
+        )
+        SELECT CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(hit) AS BIGINT) AS n_rejected,
+               CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_kept,
+               CAST(COUNT(DISTINCT pk) AS BIGINT) AS distinct_parts
+        FROM flagged
+    """,
+    doc="Deterministic negative sampling with positive rejection — the "
+    "contrastive-pair generator for recommendation/retrieval training: "
+    "per sampled order, 6 candidate 'negative' parts drawn by md5 hash "
+    "(reproducible across runs and engines — no RNG state to ship), "
+    "then candidates that are actually positives (present in the order) "
+    "are rejected by an anti-join against the order's lineitems. Scale "
+    "shape: the candidate explode is a narrow map (6x the sampled "
+    "orders, not 6x lineitem); the rejection join is keyed on "
+    "(orderkey, partkey) so it co-partitions with the fact table; the "
+    "max-partkey bound is a 1-row broadcast.",
+    tags=("curation", "join", "ml"),
+)
+def curation_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem", "part"))
+    pmax = t["part"].agg(F.max("p_partkey").alias("pm"))
+    sampled = t["orders"].filter(F.col("o_orderkey") % 37 == 0).select(
+        F.col("o_orderkey").alias("ok")
+    )
+    cand = (
+        sampled.select("ok", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("i"))
+        .crossJoin(F.broadcast(pmax))
+        .select(
+            "ok",
+            (
+                # md5_bucket with a DYNAMIC modulus (pm is a column), so
+                # the same construction is spelled inline
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"), F.col("ok").cast("string"),
+                                F.lit(":"), F.col("i").cast("string"),
+                            )
+                        ),
+                        1, 6,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+                % F.col("pm")
+                + 1
+            ).alias("pk"),
+        )
+    )
+    pos = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    flagged = cand.join(
+        pos.withColumn("hit", F.lit(1)), ["ok", "pk"], "left"
+    ).select("ok", "pk", F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    n_orders = sampled.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum("hit").cast("bigint").alias("n_rejected"),
+        (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_kept"),
+        F.countDistinct("pk").cast("bigint").alias("distinct_parts"),
+    ).crossJoin(F.broadcast(n_orders)).select(
+        "n_orders", "n_candidates", "n_rejected", "n_kept", "distinct_parts"
+    )
