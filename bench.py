@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "sketch_kmv_intersection",
     "events_pit_feature_join",
     "curation_negative_sampling",
+    "emb_int8_quantization_error",
+    "dedup_minhash_calibration",
 ]
 
 

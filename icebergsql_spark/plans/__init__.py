@@ -55,6 +55,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_kmv_intersection",
     "events_pit_feature_join",
     "curation_negative_sampling",
+    "emb_int8_quantization_error",
+    "dedup_minhash_calibration",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -1413,3 +1413,221 @@ def curation_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_orders)).select(
         "n_orders", "n_candidates", "n_rejected", "n_kept", "distinct_parts"
     )
+
+
+@register(
+    "emb_int8_quantization_error",
+    oracle="""
+        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        x AS (
+          SELECT d.dim,
+                 CAST(round(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1000000)
+                      AS BIGINT) AS qx
+          FROM embeddings e CROSS JOIN dims d
+        ),
+        scales AS (
+          SELECT dim, CAST(MAX(abs(qx)) AS BIGINT) AS s FROM x GROUP BY dim
+        ),
+        coded AS (
+          SELECT x.dim, x.qx, sc.s,
+                 CAST(round(CAST(x.qx * 127 AS DOUBLE) / sc.s) AS BIGINT)
+                   AS q8
+          FROM x JOIN scales sc USING (dim)
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(MAX(s) AS BIGINT) AS scale_q,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(abs(q8)) AS BIGINT) AS max_code,
+               CAST(SUM((qx * 127 - q8 * s) * (qx * 127 - q8 * s))
+                    AS BIGINT) AS sq_err_sum
+        FROM coded
+        GROUP BY dim
+        ORDER BY dim
+    """,
+    doc="Int8 symmetric-quantization error audit over the first 8 "
+    "embedding dimensions — the compression check run before shipping "
+    "an int8 embedding index: per-dim scale = max|x| (absmax "
+    "quantization), codes = round(x*127/scale). The error is computed "
+    "EXACTLY: residual e = qx*127 - q8*scale lives in integer units of "
+    "1e-6/127, so the squared-error sum is bigint arithmetic — no "
+    "float-summation order anywhere (the single float op is the "
+    "per-element division inside round, bit-identical across engines). "
+    "Two passes (scales, then codes) with the 8-row scale table "
+    "broadcast — the standard shape for global-calibration quantization "
+    "at any corpus size.",
+    tags=("embeddings", "ml", "agg"),
+)
+def emb_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    x = emb.select(
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("dim", "v")
+    ).select(
+        "dim",
+        F.expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias(
+            "qx"
+        ),
+    )
+    scales = x.groupBy("dim").agg(F.max(F.abs("qx")).alias("s"))
+    coded = x.join(F.broadcast(scales), "dim").select(
+        "dim", "qx", "s",
+        F.expr(
+            "CAST(round(CAST(qx * 127 AS DOUBLE) / s) AS BIGINT)"
+        ).alias("q8"),
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.max("s").cast("bigint").alias("scale_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max(F.abs("q8")).cast("bigint").alias("max_code"),
+            F.sum(
+                (F.col("qx") * 127 - F.col("q8") * F.col("s"))
+                * (F.col("qx") * 127 - F.col("q8") * F.col("s"))
+            ).cast("bigint").alias("sq_err_sum"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _minhash_calibration_oracle() -> str:
+    from icebergsql_spark.operators import dedup
+    from icebergsql_spark.plans.pipeline import (
+        _BANDS_SQL,
+        _CAND_UNION,
+        _SIG_COLS,
+        _WORDS_CTE,
+    )
+
+    k = dedup.MINHASH_K
+    est_k = " + ".join(
+        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(k)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        {_WORDS_CTE},
+        sigs AS (SELECT doc_id, {_SIG_COLS} FROM words GROUP BY doc_id),
+        bands AS (SELECT doc_id, {_BANDS_SQL} FROM sigs),
+        cand AS ({_CAND_UNION}),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                  FROM words GROUP BY doc_id),
+        common AS (
+          SELECT wa.doc_id AS a, wb.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM words wa JOIN words wb
+            ON wa.w = wb.w AND wa.doc_id < wb.doc_id
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT cand.a, cand.b,
+                 CAST(({est_k}) * 1000000 // {k} AS BIGINT) AS est_ppm,
+                 CAST(COALESCE(common.c, 0) * 1000000
+                   // (sa2.sz + sb2.sz - COALESCE(common.c, 0)) AS BIGINT)
+                   AS exact_ppm
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = cand.a
+          JOIN sigs sb ON sb.doc_id = cand.b
+          JOIN sizes sa2 ON sa2.doc_id = cand.a
+          JOIN sizes sb2 ON sb2.doc_id = cand.b
+          LEFT JOIN common ON common.a = cand.a AND common.b = cand.b
+        )
+        SELECT CAST(abs(est_ppm - exact_ppm) // 100000 AS BIGINT)
+                 AS err_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+               CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm
+        FROM scored
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    doc="MinHash estimator calibration, in-result: for every LSH "
+    "candidate pair, the signature-agreement estimate (matching sigs / "
+    "k, ppm) sits next to the EXACT token-set Jaccard, histogrammed by "
+    "absolute-error decile — the measure-your-sketch audit that tells "
+    "you whether k and the band layout are adequate BEFORE trusting the "
+    "sketch at 100 TB (clone pairs must land in bucket 0; mid-Jaccard "
+    "pairs show the k=6 variance). All integer ppm arithmetic; the "
+    "exact side is candidate-driven (cost ∝ candidate set, not corpus²).",
+    tags=("dedup", "sketch"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import dedup
+
+    k = dedup.MINHASH_K
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(docs)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    sizes = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    common = (
+        wa.join(
+            wb,
+            (F.col("wa.w") == F.col("wb.w"))
+            & (F.col("wa.doc_id") < F.col("wb.doc_id")),
+        )
+        .groupBy(
+            F.col("wa.doc_id").alias("a"), F.col("wb.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    est_k = sum(
+        F.when(F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    scored = (
+        cand.join(sigs.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")),
+            "b",
+        )
+        .join(common, ["a", "b"], "left")
+        .select(
+            est_k.alias("ek"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c0"),
+            "sza", "szb",
+        )
+        .select(
+            F.expr("CAST(ek * 1000000 DIV " + str(k) + " AS BIGINT)").alias(
+                "est_ppm"
+            ),
+            F.expr(
+                "CAST(c0 * 1000000 DIV (sza + szb - c0) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                "CAST(abs(est_ppm - exact_ppm) DIV 100000 AS BIGINT)"
+            ).alias("err_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(est_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_est_ppm"
+            ),
+            F.expr("CAST(SUM(exact_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_exact_ppm"
+            ),
+        )
+        .orderBy("err_bucket")
+    )
