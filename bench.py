@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "curation_negative_sampling",
     "emb_int8_quantization_error",
     "dedup_minhash_calibration",
+    "events_cusum_changepoint",
+    "curation_weighted_sample",
+    "graph_common_neighbors",
 ]
 
 

@@ -57,6 +57,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_negative_sampling",
     "emb_int8_quantization_error",
     "dedup_minhash_calibration",
+    "events_cusum_changepoint",
+    "curation_weighted_sample",
+    "graph_common_neighbors",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -1631,3 +1631,285 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_bucket")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, day
+        ),
+        idx AS (
+          SELECT event_type, day, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+          FROM daily
+        ),
+        g AS (
+          SELECT event_type, CAST(MAX(i) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS tot
+          FROM idx GROUP BY event_type
+        ),
+        cu(event_type, i, s, m, md) AS (
+            SELECT x.event_type, 1,
+                   greatest(CAST(0 AS BIGINT), x.c * g.n - g.tot),
+                   greatest(CAST(0 AS BIGINT), x.c * g.n - g.tot),
+                   CASE WHEN x.c * g.n - g.tot > 0 THEN x.day
+                        ELSE CAST(-1 AS BIGINT) END
+            FROM idx x JOIN g ON g.event_type = x.event_type
+            WHERE x.i = 1
+          UNION ALL
+            SELECT cu.event_type, cu.i + 1,
+                   greatest(CAST(0 AS BIGINT),
+                            cu.s + (x.c * g.n - g.tot)),
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot)) > cu.m
+                        THEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot))
+                        ELSE cu.m END,
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot)) > cu.m
+                        THEN x.day ELSE cu.md END
+            FROM cu
+            JOIN idx x ON x.event_type = cu.event_type AND x.i = cu.i + 1
+            JOIN g ON g.event_type = cu.event_type
+        )
+        SELECT cu.event_type, g.n AS n_days, cu.m AS max_cusum,
+               cu.md AS peak_day, cu.s AS final_cusum
+        FROM cu JOIN g ON g.event_type = cu.event_type AND cu.i = g.n
+        ORDER BY cu.event_type
+    """,
+    doc="CUSUM changepoint scan over the per-type daily volume series — "
+    "the classic drift detector for pipeline monitoring: the one-sided "
+    "cumulative sum of deviations from the series mean, reset at zero, "
+    "peaks where an upward level shift begins. ALL-INTEGER trick: "
+    "deviations are scaled by n (d = c*n - total), so the recurrence "
+    "s' = max(0, s + d), its max, and the argmax day are exact bigint "
+    "arithmetic — no float drift, no tolerance in the oracle (a "
+    "recursive CTE replays the identical recurrence). Scale shape: the "
+    "event-scale work is one (type, day) aggregate; the sequential fold "
+    "runs over the tiny day series per key — same rule as Holt.",
+    tags=("events", "agg", "stats"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select("event_type", F.expr("ts DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "c"))).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          arr,
+          named_struct('s', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT),
+                       'md', CAST(-1 AS BIGINT)),
+          (acc, x) -> named_struct(
+            's', greatest(CAST(0 AS BIGINT), acc.s + (x.c * n - tot)),
+            'm', CASE WHEN greatest(CAST(0 AS BIGINT),
+                                    acc.s + (x.c * n - tot)) > acc.m
+                      THEN greatest(CAST(0 AS BIGINT),
+                                    acc.s + (x.c * n - tot))
+                      ELSE acc.m END,
+            'md', CASE WHEN greatest(CAST(0 AS BIGINT),
+                                     acc.s + (x.c * n - tot)) > acc.m
+                       THEN x.day ELSE acc.md END))
+        """
+    )
+    return (
+        g.select("event_type", F.col("n").alias("n_days"), fold.alias("f"))
+        .select(
+            "event_type", "n_days",
+            F.col("f.m").alias("max_cusum"),
+            F.col("f.md").alias("peak_day"),
+            F.col("f.s").alias("final_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "curation_weighted_sample",
+    oracle="""
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 ln(CAST(CAST('0x' || substr(
+                      md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS DOUBLE) / 4503599627370496.0) / n_chars
+                   AS k
+          FROM documents
+        ),
+        ranked AS (
+          SELECT source, n_chars,
+                 row_number() OVER (ORDER BY k DESC, doc_id) AS r
+          FROM keyed
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+        FROM ranked WHERE r <= 100
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-Res): key = ln(u)/w with u a per-doc md5 "
+    "fraction and w = n_chars; the global top-100 keys ARE a weighted "
+    "sample — reproducible across runs/engines (no RNG state), "
+    "mergeable (per-partition top-k then global top-k, the same "
+    "TakeOrdered shape as KMV), and restartable mid-crawl. ln and "
+    "division are bit-identical across engines (CLAUDE.md-locked), so "
+    "even the sample MEMBERSHIP hash-matches. The per-source rollup is "
+    "the mixture accounting a curation pipeline reports.",
+    tags=("curation", "sketch"),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        (
+            F.log(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ws:"), F.col("doc_id").cast("string")
+                            )
+                        ),
+                        1, 13,
+                    ),
+                    16, 10,
+                ).cast("double")
+                / F.lit(4503599627370496.0)
+            )
+            / F.col("n_chars")
+        ).alias("k"),
+    )
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS})) AS w
+          FROM documents WHERE doc_id < 120
+        ),
+        half AS (
+          SELECT x.w AS a, y.w AS b
+          FROM w x JOIN w y ON x.doc_id = y.doc_id AND x.w < y.w
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 74
+        ),
+        e AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half),
+        deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+                FROM e GROUP BY 1),
+        two_hop AS (
+          SELECT e1.a AS a, e2.b AS c, CAST(COUNT(*) AS BIGINT) AS common
+          FROM e e1 JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b
+          GROUP BY 1, 2
+        ),
+        nonadj AS (
+          SELECT t.a, t.c, t.common
+          FROM two_hop t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM half h WHERE h.a = t.a AND h.b = t.c
+          )
+        ),
+        scored AS (
+          SELECT n.a, n.c, n.common,
+                 CAST(n.common * 1000000
+                      // (da.d + dc.d - n.common) AS BIGINT) AS jaccard_ppm
+          FROM nonadj n
+          JOIN deg da ON da.n = n.a
+          JOIN deg dc ON dc.n = n.c
+        )
+        SELECT a, c, common, jaccard_ppm FROM scored
+        ORDER BY jaccard_ppm DESC, a, c
+        LIMIT 20
+    """,
+    doc="Common-neighbors link prediction on the token co-occurrence "
+    "graph: for each NON-adjacent 2-hop pair, the neighbor-set Jaccard "
+    "(ppm-integer) — the classic missing-edge/recommendation score. "
+    "Scale shape: the 2-hop enumeration is one self-join keyed on the "
+    "middle node (the only place degree skew bites — salting the "
+    "top-degree hubs bounds it), adjacency is removed by an anti-join "
+    "on the half-edge set, degrees are a tiny broadcast. Top-20 with a "
+    "total deterministic order.",
+    tags=("graph", "join"),
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    two_hop = (
+        e1.join(
+            e2,
+            (F.col("e1.b") == F.col("e2.a"))
+            & (F.col("e1.a") < F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    nonadj = two_hop.join(
+        half.withColumnRenamed("b", "c"), ["a", "c"], "left_anti"
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("n").alias("c"), F.col("d").alias("dc"))
+    return (
+        nonadj.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            "a", "c", "common",
+            F.expr(
+                "CAST(common * 1000000 DIV (da + dc - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "a", "c")
+        .limit(20)
+    )
