@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "events_cusum_changepoint",
     "curation_weighted_sample",
     "graph_common_neighbors",
+    "text_source_tv_distance",
+    "events_forecast_backtest",
 ]
 
 

@@ -60,6 +60,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_cusum_changepoint",
     "curation_weighted_sample",
     "graph_common_neighbors",
+    "text_source_tv_distance",
+    "events_forecast_backtest",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -1913,3 +1913,172 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_ppm"), "a", "c")
         .limit(20)
     )
+
+
+@register(
+    "text_source_tv_distance",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, unnest({_TOKS}) AS t FROM documents
+        ),
+        cnt AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS tt
+          FROM cnt GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2, a.tt AS t1, b.tt AS t2
+          FROM tot a JOIN tot b ON a.source < b.source
+        ),
+        num AS (
+          SELECT p.s1, p.s2, p.t1, p.t2,
+                 CAST(SUM(abs(COALESCE(c1.c, 0) * p.t2
+                              - COALESCE(c2.c, 0) * p.t1)) AS BIGINT) AS nm
+          FROM pairs p
+          JOIN (SELECT DISTINCT t FROM cnt) v ON TRUE
+          LEFT JOIN cnt c1 ON c1.source = p.s1 AND c1.t = v.t
+          LEFT JOIN cnt c2 ON c2.source = p.s2 AND c2.t = v.t
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT s1, s2,
+               CAST(round(CAST(nm AS DOUBLE) * 1000000.0
+                    / (2.0 * t1 * t2)) AS BIGINT) AS tv_ppm
+        FROM num
+        ORDER BY tv_ppm DESC, s1, s2
+        LIMIT 10
+    """,
+    doc="Pairwise total-variation distance between source unigram "
+    "distributions — the corpus-drift / mixture-shift metric curation "
+    "uses to see which crawl sources diverge: per term the numerator "
+    "|c1*T2 - c2*T1| is EXACT bigint (cross-multiplied, no per-term "
+    "division), summed exactly, with ONE final float division into ppm "
+    "— no float-summation order anywhere. Scale shape: one token count "
+    "per (source, term) — the TF table the text stack already builds — "
+    "then a term-keyed join per source pair; the pair space is "
+    "sources², never tokens².",
+    tags=("text", "curation", "agg"),
+)
+def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("tt"))
+    a = tot.select(F.col("source").alias("s1"), F.col("tt").alias("t1"))
+    b = tot.select(F.col("source").alias("s2"), F.col("tt").alias("t2"))
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    c1 = cnt.select(
+        F.col("source").alias("s1"), "t", F.col("c").alias("c1")
+    )
+    c2 = cnt.select(
+        F.col("source").alias("s2"), "t", F.col("c").alias("c2")
+    )
+    vocab = cnt.select("t").distinct()
+    num = (
+        F.broadcast(pairs)
+        .crossJoin(vocab)
+        .join(c1, ["s1", "t"], "left")
+        .join(c2, ["s2", "t"], "left")
+        .groupBy("s1", "s2", "t1", "t2")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("c1"), F.lit(0)) * F.col("t2")
+                    - F.coalesce(F.col("c2"), F.lit(0)) * F.col("t1")
+                )
+            ).cast("bigint").alias("nm")
+        )
+    )
+    return (
+        num.select(
+            "s1", "s2",
+            F.round(
+                F.col("nm").cast("double") * 1000000.0
+                / (2.0 * F.col("t1") * F.col("t2"))
+            ).cast("bigint").alias("tv_ppm"),
+        )
+        .orderBy(F.desc("tv_ppm"), "s1", "s2")
+        .limit(10)
+    )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, day, c,
+                 LAG(c) OVER (PARTITION BY event_type ORDER BY day)
+                   AS yhat,
+                 LAG(day) OVER (PARTITION BY event_type ORDER BY day)
+                   AS prev_day
+          FROM daily
+        ),
+        scored AS (
+          SELECT event_type, abs(c - yhat) AS ae, c
+          FROM lagged
+          WHERE yhat IS NOT NULL AND day = prev_day + 1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+               CAST(SUM(ae) AS BIGINT) AS abs_err_total,
+               CAST(SUM(ae) * 1000000 // SUM(c) AS BIGINT) AS mae_ppm
+        FROM scored
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Rolling-origin backtest of the naive persistence forecast "
+    "(yhat_t = c_{t-1}, consecutive days only): per type the MAE as a "
+    "ppm share of actual volume — the baseline every fancier forecast "
+    "(Holt, seasonal) must beat, and the standard way to VALIDATE a "
+    "forecasting operator instead of trusting it. All-integer (counts, "
+    "absolute errors, ppm by integer division). One window pass over "
+    "the tiny (type, day) series.",
+    tags=("events", "stats", "window"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select("event_type", F.expr("ts DIV 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "c",
+        F.lag("c").over(w).alias("yhat"),
+        F.lag("day").over(w).alias("prev_day"),
+    )
+    scored = lagged.filter(
+        F.col("yhat").isNotNull() & (F.col("day") == F.col("prev_day") + 1)
+    ).select("event_type", F.abs(F.col("c") - F.col("yhat")).alias("ae"), "c")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+            F.sum("ae").cast("bigint").alias("abs_err_total"),
+            F.expr(
+                "CAST(SUM(ae) * 1000000 DIV SUM(c) AS BIGINT)"
+            ).alias("mae_ppm"),
+        )
+        .orderBy("event_type")
+    )
