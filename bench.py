@@ -163,7 +163,6 @@ BENCH_QUERIES = [
     "emb_int8_quantization_error",
     "dedup_minhash_calibration",
     "events_cusum_changepoint",
-    "curation_weighted_sample",
     "graph_common_neighbors",
     "text_source_tv_distance",
     "events_forecast_backtest",

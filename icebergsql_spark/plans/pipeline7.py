@@ -1737,77 +1737,6 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "curation_weighted_sample",
-    oracle="""
-        WITH keyed AS (
-          SELECT doc_id, source, n_chars,
-                 ln(CAST(CAST('0x' || substr(
-                      md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 13)
-                    AS BIGINT) AS DOUBLE) / 4503599627370496.0) / n_chars
-                   AS k
-          FROM documents
-        ),
-        ranked AS (
-          SELECT source, n_chars,
-                 row_number() OVER (ORDER BY k DESC, doc_id) AS r
-          FROM keyed
-        )
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_sampled,
-               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
-        FROM ranked WHERE r <= 100
-        GROUP BY source
-        ORDER BY source
-    """,
-    doc="Deterministic weighted sampling without replacement "
-    "(Efraimidis-Spirakis A-Res): key = ln(u)/w with u a per-doc md5 "
-    "fraction and w = n_chars; the global top-100 keys ARE a weighted "
-    "sample — reproducible across runs/engines (no RNG state), "
-    "mergeable (per-partition top-k then global top-k, the same "
-    "TakeOrdered shape as KMV), and restartable mid-crawl. ln and "
-    "division are bit-identical across engines (CLAUDE.md-locked), so "
-    "even the sample MEMBERSHIP hash-matches. The per-source rollup is "
-    "the mixture accounting a curation pipeline reports.",
-    tags=("curation", "sketch"),
-)
-def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    keyed = docs.select(
-        "doc_id", "source", "n_chars",
-        (
-            F.log(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("ws:"), F.col("doc_id").cast("string")
-                            )
-                        ),
-                        1, 13,
-                    ),
-                    16, 10,
-                ).cast("double")
-                / F.lit(4503599627370496.0)
-            )
-            / F.col("n_chars")
-        ).alias("k"),
-    )
-    w = Window.orderBy(F.desc("k"), "doc_id")
-    return (
-        keyed.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 100)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
-        )
-        .orderBy("source")
-    )
-
-
-@register(
     "graph_common_neighbors",
     oracle=f"""
         WITH w AS (
