@@ -1224,6 +1224,13 @@ class Engine:
                 ],
                 "rewritten_data_files_count int, added_data_files_count int",
             )
+        if proc == "rewrite_manifests":
+            args = _parse_call_args(argtext, ["table"])
+            res = tbl(args).rewrite_manifests()
+            return spark.createDataFrame(
+                [(res["rewritten_manifests"], res["added_manifests"])],
+                "rewritten_manifests_count int, added_manifests_count int",
+            )
         if proc == "fast_forward":
             args = _parse_call_args(argtext, ["table", "branch"])
             t = tbl(args)

@@ -2300,6 +2300,73 @@ class ManagedTable:
         added = self._distributed_write(live)
         return self._commit_snapshot(parent, added, targets, operation="replace")
 
+    def rewrite_manifests(self, target_entries: int = 100_000) -> dict[str, int]:
+        """Consolidate the current snapshot's manifest list (Iceberg's
+        ``rewrite_manifests`` procedure): the live data-file set is
+        re-grouped into ~``target_entries``-entry manifests and committed
+        as a METADATA-ONLY 'replace' snapshot — zero data IO, identical
+        rows, identical per-file sequence numbers (so merge-on-read
+        equality-delete masking is unchanged), DV/eq manifests reused.
+
+        Why it matters at 100 TB: every commit appends one manifest
+        (manifest-reuse keeps commits O(changes)), so a long-lived table
+        accretes one manifest PER COMMIT and scan planning reads them
+        all — the planning-time analogue of small-file debris that
+        ``compact`` fixes for data. Time travel to pre-rewrite snapshots
+        still sees the old manifest list (manifests are immutable; expire
+        GCs them once unreferenced)."""
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        if parent is None:
+            return {"rewritten_manifests": 0, "added_manifests": 0}
+        old_n = len(parent.manifest_paths)
+        files = parent.live_files()
+        if old_n <= 1:
+            return {"rewritten_manifests": 0, "added_manifests": old_n}
+        meta_dir = self.meta.metadata_dir
+        new_paths: list[str] = []
+        for i in range(0, max(len(files), 1), target_entries):
+            chunk = files[i : i + target_entries]
+            if not chunk:
+                continue
+            new_paths.append(
+                Manifest.write(
+                    os.path.join(
+                        meta_dir, f"manifest-{uuid.uuid4().hex[:12]}.json"
+                    ),
+                    chunk,
+                ).path
+            )
+        ts_ms = int(time.time() * 1000)
+        if ts_ms <= parent.timestamp_ms:
+            ts_ms = parent.timestamp_ms + 1
+        snap = Snapshot(
+            snapshot_id=int(time.time() * 1000) * 1000
+            + len(self.meta.snapshots),
+            parent_id=parent.snapshot_id,
+            timestamp_ms=ts_ms,
+            operation="replace",
+            manifest_paths=new_paths,
+            num_added_files=0,
+            num_deleted_files=0,
+            summary={
+                "rewritten-manifests": str(old_n),
+                "added-manifests": str(len(new_paths)),
+            },
+            dv_manifest_paths=list(parent.dv_manifest_paths),
+            eq_manifest_paths=list(parent.eq_manifest_paths),
+            # metadata-only: data files keep their own seq values, and no
+            # new files exist to need a fresh one — inherit the parent's
+            sequence_number=parent.sequence_number,
+        )
+        self.meta.snapshots.append(snap)
+        self.meta.current_snapshot_id = snap.snapshot_id
+        self._commit_with_retry(snap, "replace", None)
+        return {
+            "rewritten_manifests": old_n,
+            "added_manifests": len(new_paths),
+        }
+
     def expire_snapshots(
         self,
         older_than_ms: int | None = None,

@@ -1044,3 +1044,57 @@ def test_churn_then_full_maintenance(spark, tmp_path):
     assert meta_dirs == [], meta_dirs
     assert sorted(tuple(r) for r in tbl.to_df().collect()) == expect
     assert tbl.scan().count_from_stats() == len(expect)
+
+
+def test_rewrite_manifests_consolidates_metadata_only(spark, tmp_path):
+    """rewrite_manifests (round 6): N commits -> N manifests; the rewrite
+    commits a metadata-only 'replace' snapshot with ONE manifest, the
+    identical live file/row set, preserved per-file sequence numbers
+    (MoR equality masking unchanged), reused DV manifests, and intact
+    time travel to the pre-rewrite layout."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_rwm"))
+    eng.sql(
+        "CREATE TABLE rwm (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    for i in range(5):
+        spark.range(i * 20, (i + 1) * 20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+        ).createOrReplaceTempView("rwm_src")
+        eng.sql("INSERT INTO rwm SELECT * FROM rwm_src")
+    t = eng.catalog.load_table("rwm")
+    t.set_properties({"write.delete.mode": "merge-on-read"})
+    t.delete_where("k % 7 = 0")          # DV debris must survive the rewrite
+    t.delete_by_keys(
+        spark.createDataFrame([(3,), (4,)], "k bigint")
+    )                                     # eq debris + seq-sensitive masking
+    pre = t.meta.current_snapshot()
+    n_manifests = len(pre.manifest_paths)
+    assert n_manifests >= 5
+    live_before = t.live_row_count()
+    files_before = {f.path for f in pre.live_files()}
+    seqs_before = {f.path: f.seq for f in pre.live_files()}
+
+    row = eng.sql("CALL system.rewrite_manifests(table => 'rwm')").collect()[0]
+    assert row["rewritten_manifests_count"] == n_manifests
+    assert row["added_manifests_count"] == 1
+    t.refresh()
+    cur = t.meta.current_snapshot()
+    assert cur.operation == "replace" and len(cur.manifest_paths) == 1
+    assert {f.path for f in cur.live_files()} == files_before
+    assert {f.path: f.seq for f in cur.live_files()} == seqs_before
+    assert t.live_row_count() == live_before
+    assert sorted(r["k"] for r in t.to_df().select("k").collect()) == sorted(
+        k for k in range(100) if k % 7 != 0 and k not in (3, 4)
+    )
+    # DV/eq manifests reused verbatim; time travel sees the old layout
+    assert cur.dv_manifest_paths == pre.dv_manifest_paths
+    assert cur.eq_manifest_paths == pre.eq_manifest_paths
+    old = t.scan(snapshot_id=pre.snapshot_id)
+    assert old.dataframe().count() == live_before
+    assert len(pre.manifest_paths) == n_manifests
+    # idempotent: a second run is a no-op
+    res2 = t.rewrite_manifests()
+    assert res2 == {"rewritten_manifests": 0, "added_manifests": 1}
