@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "graph_common_neighbors",
     "text_source_tv_distance",
     "events_forecast_backtest",
+    "agg_welch_ttest",
+    "text_sentence_stats",
+    "dedup_simhash_hamming_pairs",
 ]
 
 

@@ -61,6 +61,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_common_neighbors",
     "text_source_tv_distance",
     "events_forecast_backtest",
+    "agg_welch_ttest",
+    "text_sentence_stats",
+    "dedup_simhash_hamming_pairs",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -2011,3 +2011,250 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle=f"""
+        WITH cells AS (
+          SELECT {_MD5_BUCKET.format(
+              expr="'ab:' || CAST(user_id AS VARCHAR)", m=2)} AS grp,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS ssq
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        ),
+        wide AS (
+          SELECT MAX(CASE WHEN grp = 0 THEN n END) AS na,
+                 MAX(CASE WHEN grp = 0 THEN s END) AS sa,
+                 MAX(CASE WHEN grp = 0 THEN ssq END) AS qa,
+                 MAX(CASE WHEN grp = 1 THEN n END) AS nb,
+                 MAX(CASE WHEN grp = 1 THEN s END) AS sb,
+                 MAX(CASE WHEN grp = 1 THEN ssq END) AS qb
+          FROM cells
+        ),
+        v AS (
+          SELECT na, nb,
+                 (CAST(qa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * sa / na) / (na - 1) / na AS wa,
+                 (CAST(qb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) / nb AS wb,
+                 CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS md
+          FROM wide
+        )
+        SELECT na, nb, round(md / 100.0, 6) AS mean_diff_dollars,
+               round(md / sqrt(wa + wb), 6) AS t,
+               round((wa + wb) * (wa + wb)
+                     / (wa * wa / (na - 1) + wb * wb / (nb - 1)), 3) AS df
+        FROM v
+    """,
+    doc="Welch unequal-variance t-test on purchase value between the "
+    "deterministic md5 A/B arms (mean-metric counterpart of the "
+    "conversion z-test): the ONLY thing aggregated at event scale is "
+    "integer sufficient statistics (n, sum-of-cents, sum-of-squared-"
+    "cents — all exact bigint), so partial aggregation combines "
+    "map-side and the whole test is one reduce; the Welch statistic and "
+    "Satterthwaite df run once on six scalars in a pinned float-op "
+    "order (bit-identical across engines).",
+    tags=("events", "agg", "stats"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cells = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            md5_bucket(
+                F.concat(F.lit("ab:"), F.col("user_id").cast("string")), 2
+            ).alias("grp"),
+            cents.alias("c"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+        )
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("grp") == 0, F.col("ssq"))).alias("qa"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("grp") == 1, F.col("ssq"))).alias("qb"),
+    )
+    v = wide.select(
+        "na", "nb",
+        (
+            (F.col("qa").cast("double")
+             - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+            / (F.col("na") - 1) / F.col("na")
+        ).alias("wa"),
+        (
+            (F.col("qb").cast("double")
+             - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+            / (F.col("nb") - 1) / F.col("nb")
+        ).alias("wb"),
+        (
+            F.col("sa").cast("double") / F.col("na")
+            - F.col("sb").cast("double") / F.col("nb")
+        ).alias("md"),
+    )
+    return v.select(
+        "na", "nb",
+        F.round(F.col("md") / 100.0, 6).alias("mean_diff_dollars"),
+        F.round(F.col("md") / F.sqrt(F.col("wa") + F.col("wb")), 6).alias("t"),
+        F.round(
+            (F.col("wa") + F.col("wb")) * (F.col("wa") + F.col("wb"))
+            / (
+                F.col("wa") * F.col("wa") / (F.col("na") - 1)
+                + F.col("wb") * F.col("wb") / (F.col("nb") - 1)
+            ),
+            3,
+        ).alias("df"),
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+        WITH seg AS (
+          SELECT source,
+                 len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                 s -> length(trim(s)) > 0)) AS n_sent,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(n_sent) AS BIGINT) AS sentences,
+               CAST(SUM(n_chars) * 100 // SUM(n_sent) AS BIGINT)
+                 AS chars_per_sentence_x100
+        FROM seg
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Sentence-segmentation stats per source (punctuation-split, "
+    "empty segments dropped identically in both engines via an explicit "
+    "trimmed-length filter): sentences per doc and chars-per-sentence "
+    "(x100 integer) — the readability/fragmentation signal that "
+    "separates prose sources from listy or table-dump ones. Pure narrow "
+    "map + one partial-aggregated groupBy.",
+    tags=("text", "curation"),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            "source",
+            F.expr(
+                "size(filter(split(text, '[.!?]+'),"
+                " s -> length(trim(s)) > 0))"
+            ).alias("n_sent"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_sent").cast("bigint").alias("sentences"),
+            F.expr(
+                "CAST(SUM(n_chars) * 100 DIV SUM(n_sent) AS BIGINT)"
+            ).alias("chars_per_sentence_x100"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        votes AS (
+          SELECT doc_id, sum(CASE WHEN ascii(substr(md5(tok), 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_0, sum(CASE WHEN ascii(substr(md5(tok), 2, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_1, sum(CASE WHEN ascii(substr(md5(tok), 3, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_2, sum(CASE WHEN ascii(substr(md5(tok), 4, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_3, sum(CASE WHEN ascii(substr(md5(tok), 5, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_4, sum(CASE WHEN ascii(substr(md5(tok), 6, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_5, sum(CASE WHEN ascii(substr(md5(tok), 7, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_6, sum(CASE WHEN ascii(substr(md5(tok), 8, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_7, sum(CASE WHEN ascii(substr(md5(tok), 9, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_8, sum(CASE WHEN ascii(substr(md5(tok), 10, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_9, sum(CASE WHEN ascii(substr(md5(tok), 11, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_10, sum(CASE WHEN ascii(substr(md5(tok), 12, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_11, sum(CASE WHEN ascii(substr(md5(tok), 13, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_12, sum(CASE WHEN ascii(substr(md5(tok), 14, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_13, sum(CASE WHEN ascii(substr(md5(tok), 15, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_14, sum(CASE WHEN ascii(substr(md5(tok), 16, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v_15 FROM toks GROUP BY doc_id
+        ),
+        sh AS (
+          SELECT doc_id, CAST(CASE WHEN v_0 > 0 THEN 1 ELSE 0 END + CASE WHEN v_1 > 0 THEN 2 ELSE 0 END + CASE WHEN v_2 > 0 THEN 4 ELSE 0 END + CASE WHEN v_3 > 0 THEN 8 ELSE 0 END + CASE WHEN v_4 > 0 THEN 16 ELSE 0 END + CASE WHEN v_5 > 0 THEN 32 ELSE 0 END + CASE WHEN v_6 > 0 THEN 64 ELSE 0 END + CASE WHEN v_7 > 0 THEN 128 ELSE 0 END + CASE WHEN v_8 > 0 THEN 256 ELSE 0 END + CASE WHEN v_9 > 0 THEN 512 ELSE 0 END + CASE WHEN v_10 > 0 THEN 1024 ELSE 0 END + CASE WHEN v_11 > 0 THEN 2048 ELSE 0 END + CASE WHEN v_12 > 0 THEN 4096 ELSE 0 END + CASE WHEN v_13 > 0 THEN 8192 ELSE 0 END + CASE WHEN v_14 > 0 THEN 16384 ELSE 0 END + CASE WHEN v_15 > 0 THEN 32768 ELSE 0 END AS BIGINT) AS h FROM votes
+        ),
+        banded AS (
+          SELECT doc_id, h,
+                 h % 64 AS b0, (h // 64) % 32 AS b1, h // 2048 AS b2
+          FROM sh
+        ),
+        cand AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, x.h AS ha, y.h AS hb
+          FROM banded x JOIN banded y
+            ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+          UNION
+          SELECT x.doc_id, y.doc_id, x.h, y.h
+          FROM banded x JOIN banded y
+            ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+          UNION
+          SELECT x.doc_id, y.doc_id, x.h, y.h
+          FROM banded x JOIN banded y
+            ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+        )
+        SELECT CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 2
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="SimHash near-dup pairs at Hamming distance <= 2 via the "
+    "pigeonhole band trick (the crawl-dedup construction): split the "
+    "16-bit fingerprint into 3 bands (6/5/5 bits) — any pair within "
+    "Hamming 2 must agree on at least one band, so the band equi-joins "
+    "generate a COMPLETE candidate set (no recall loss, unlike minhash "
+    "LSH) and the exact bit_count(xor) filter keeps true pairs only. "
+    "Scale shape: three hash-keyed self-joins on band buckets, never a "
+    "cross product; candidate volume is sum of squared bucket sizes — "
+    "at 64-bit fingerprints and more bands the same plan holds.",
+    tags=("dedup", "sketch"),
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import dedup
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = dedup.simhash16(docs).withColumnRenamed("simhash", "h")
+    banded = sh.select(
+        "doc_id",
+        F.col("h").cast("bigint").alias("h"),
+        F.expr("CAST(h % 64 AS BIGINT)").alias("b0"),
+        F.expr("CAST((h DIV 64) % 32 AS BIGINT)").alias("b1"),
+        F.expr("CAST(h DIV 2048 AS BIGINT)").alias("b2"),
+    )
+    cand = None
+    for b in ("b0", "b1", "b2"):
+        x = banded.select(
+            F.col("doc_id").alias("a"), F.col("h").alias("ha"),
+            F.col(b).alias("bv"),
+        )
+        y = banded.select(
+            F.col("doc_id").alias("b"), F.col("h").alias("hb"),
+            F.col(b).alias("bv"),
+        )
+        p = (
+            x.join(y, "bv")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb")
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    return (
+        cand.distinct()
+        .select(F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
