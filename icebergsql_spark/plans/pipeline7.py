@@ -1886,8 +1886,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division), summed exactly, with ONE final float division into ppm "
     "— no float-summation order anywhere. Scale shape: one token count "
     "per (source, term) — the TF table the text stack already builds — "
-    "then a term-keyed join per source pair; the pair space is "
-    "sources², never tokens².",
+    "then ONE term-keyed self-join (terms present in both sources; the "
+    "one-sided mass falls out of the complement identity, so the "
+    "vocabulary is never crossed with the pair space).",
     tags=("text", "curation", "agg"),
 )
 def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,27 +1909,40 @@ def text_source_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = tot.select(F.col("source").alias("s1"), F.col("tt").alias("t1"))
     b = tot.select(F.col("source").alias("s2"), F.col("tt").alias("t2"))
     pairs = a.join(b, F.col("s1") < F.col("s2"))
-    c1 = cnt.select(
-        F.col("source").alias("s1"), "t", F.col("c").alias("c1")
-    )
-    c2 = cnt.select(
-        F.col("source").alias("s2"), "t", F.col("c").alias("c2")
-    )
-    vocab = cnt.select("t").distinct()
-    num = (
-        F.broadcast(pairs)
-        .crossJoin(vocab)
-        .join(c1, ["s1", "t"], "left")
-        .join(c2, ["s2", "t"], "left")
-        .groupBy("s1", "s2", "t1", "t2")
+    # Complement identity: terms present in only ONE source contribute
+    # |c*T_other|, and the sum of c1*T2 over s1's ENTIRE vocab is exactly
+    # T1*T2 — so the numerator needs only the terms present in BOTH:
+    #   nm = Σ_both |c1*T2 - c2*T1|
+    #      + (T1*T2 - Σ_both c1*T2) + (T1*T2 - Σ_both c2*T1)
+    # One term-keyed self-join; no vocab × pairs blow-up (the r6 first
+    # cut cross-joined the vocabulary against every source pair, which
+    # amplifies the term table |pairs|-fold at scale).
+    c1 = cnt.select(F.col("source").alias("s1"), "t", F.col("c").alias("c1"))
+    c2 = cnt.select(F.col("source").alias("s2"), "t", F.col("c").alias("c2"))
+    shared = (
+        c1.join(c2, "t")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(F.broadcast(pairs), ["s1", "s2"])
+        .groupBy("s1", "s2")
         .agg(
             F.sum(
-                F.abs(
-                    F.coalesce(F.col("c1"), F.lit(0)) * F.col("t2")
-                    - F.coalesce(F.col("c2"), F.lit(0)) * F.col("t1")
-                )
-            ).cast("bigint").alias("nm")
+                F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1"))
+            ).cast("bigint").alias("nm_both"),
+            F.sum(F.col("c1") * F.col("t2")).cast("bigint").alias("m1"),
+            F.sum(F.col("c2") * F.col("t1")).cast("bigint").alias("m2"),
         )
+    )
+    # a pair sharing ZERO terms has no `shared` row but a numerator of
+    # 2*T1*T2 (maximal divergence) — left-join from the pair table
+    num = pairs.join(shared, ["s1", "s2"], "left").select(
+        "s1", "s2", "t1", "t2",
+        (
+            F.coalesce(F.col("nm_both"), F.lit(0))
+            + (F.col("t1") * F.col("t2")
+               - F.coalesce(F.col("m1"), F.lit(0)))
+            + (F.col("t1") * F.col("t2")
+               - F.coalesce(F.col("m2"), F.lit(0)))
+        ).cast("bigint").alias("nm"),
     )
     return (
         num.select(
