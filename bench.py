@@ -194,11 +194,22 @@ def managed_overhead(spark, sf_dir: str) -> dict[str, float]:
             )
         )
 
+    def median3(fn) -> float:
+        # the stock/managed scan ratio is the BASELINE.md gate number —
+        # median-of-3 keeps one GC pause from swinging it 1.5x between
+        # rounds (the insert is timed once; it is write-bound, not jittery)
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[1], 3)
+
     out: dict[str, float] = {}
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    t0 = time.time()
-    agg(raw).write.format("noop").mode("overwrite").save()
-    out["stock_scan_agg"] = round(time.time() - t0, 3)
+    out["stock_scan_agg"] = median3(
+        lambda: agg(raw).write.format("noop").mode("overwrite").save()
+    )
 
     catalog = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-bench-wh-"))
     li = raw.withColumn("l_shipyear", F.year("l_shipdate"))
@@ -213,10 +224,13 @@ def managed_overhead(spark, sf_dir: str) -> dict[str, float]:
     tbl.insert(li)
     out["managed_insert"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    scan = tbl.scan(where="l_shipyear = 1996")
-    agg(scan.dataframe(apply_where=False)).write.format("noop").mode("overwrite").save()
-    out["managed_scan_agg"] = round(time.time() - t0, 3)
+    def managed_once():
+        scan = tbl.scan(where="l_shipyear = 1996")
+        agg(scan.dataframe(apply_where=False)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    out["managed_scan_agg"] = median3(managed_once)
     return out
 
 
