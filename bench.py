@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "agg_welch_ttest",
     "text_sentence_stats",
     "dedup_simhash_hamming_pairs",
+    "events_stream_kmv_distinct",
 ]
 
 
@@ -288,6 +289,7 @@ def main() -> None:
         "events_stream_cep",
         "managed_delete_files_audit",
         "events_stream_decayed_counts",
+        "events_stream_kmv_distinct",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed

@@ -64,6 +64,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_welch_ttest",
     "text_sentence_stats",
     "dedup_simhash_hamming_pairs",
+    "events_stream_kmv_distinct",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

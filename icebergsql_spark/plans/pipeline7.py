@@ -2272,3 +2272,108 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@register(
+    "events_stream_kmv_distinct",
+    oracle="""
+        WITH h AS (
+          SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+          FROM events
+        ),
+        ranked AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS r
+          FROM h
+        ),
+        agg AS (
+          SELECT event_type, MAX(h) AS hk, COUNT(*) AS m
+          FROM ranked WHERE r <= 256
+          GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(round(CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                    ELSE 255.0 / (CAST(CAST('0x' || substr(hk, 1, 13)
+                                   AS BIGINT) AS DOUBLE)
+                                  / 4503599627370496.0) END) AS BIGINT)
+                 AS dv_estimate
+        FROM agg
+        ORDER BY event_type
+    """,
+    doc="Streaming twin of the KMV distinct sketch: each micro-batch "
+    "appends its per-type bottom-k hash set to the sink (a SUM-free, "
+    "UNION-mergeable sketch — arrival order and batch chopping cannot "
+    "change bottom-k of the union, the associativity that makes KMV "
+    "the per-shard/per-day distinct counter at 100 TB); the finalizer "
+    "merges with one more bottom-k and applies the (k-1)/frac "
+    "estimator. Exact below k per key (the sf<=0.01 rows), estimate "
+    "above; both hash-match the batch oracle because md5 bottom-k is "
+    "deterministic.",
+    tags=("sketch", "events", "streaming"),
+)
+def events_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-kmvsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-kmvout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        w = Window.partitionBy("event_type").orderBy("h")
+        (
+            batch_df.select(
+                "event_type",
+                F.md5(F.col("user_id").cast("string")).alias("h"),
+            )
+            .distinct()
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 256)
+            .select("event_type", "h")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-kmvck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        spark.read.parquet(out)
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 256)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
+    )
+    frac = (
+        F.conv(F.substring("hk", 1, 13), 16, 10).cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    return merged.select(
+        "event_type",
+        F.round(
+            F.when(F.col("m") < 256, F.col("m").cast("double")).otherwise(
+                F.lit(255.0) / frac
+            )
+        ).cast("bigint").alias("dv_estimate"),
+    ).orderBy("event_type")
