@@ -556,3 +556,105 @@ def test_merge_conditional_not_matched_insert_mor(spark, tmp_path):
     assert got[11] == (100.0, None)
     assert 12 not in got
     assert len(got) == 7
+
+
+def test_merge_clause_semantics_fuzz(spark, tmp_path):
+    """Randomized conditional-clause chains (matched update/delete + NOT
+    MATCHED conditional inserts) against a pure-Python reference of the
+    first-firing-clause rule, under BOTH copy-on-write and merge-on-read.
+    Locks the round-6 ordered-insert-clause machinery the same way
+    test_mor_fuzz locks the delete model."""
+    import random
+
+    from icebergsql_spark.table import Catalog
+
+    rng = random.Random(60)
+    cat = Catalog(spark, str(tmp_path / "wh_mfz"))
+
+    M_CONDS = [
+        (None, lambda tv, tk, sv: True),
+        ("s.v > 15", lambda tv, tk, sv: sv > 15),
+        ("t.k % 3 = 0", lambda tv, tk, sv: tk % 3 == 0),
+        ("t.v < 10", lambda tv, tk, sv: tv < 10),
+    ]
+    M_ACTS = [
+        ("update", {"v": "t.v + s.v"}, lambda tv, sv: tv + sv),
+        ("update", {"v": "s.v"}, lambda tv, sv: sv),
+        ("delete", None, None),
+    ]
+    N_CONDS = [
+        (None, lambda sv: True),
+        ("s.v > 15", lambda sv: sv > 15),
+        ("s.v < 5", lambda sv: sv < 5),
+    ]
+    N_SPECS = [
+        (True, lambda k, v, p: (k, v, p)),
+        ({"k": "s.k", "v": "s.v * 2"}, lambda k, v, p: (k, 2 * v, None)),
+    ]
+
+    for case in range(8):
+        mor = case % 2 == 1
+        name = f"mfz{case}"
+        t = cat.create_table(
+            name,
+            "k bigint, v double, part int",
+            partition_cols=["part"],
+            properties=(
+                {"write.merge.mode": "merge-on-read"} if mor else {}
+            ),
+        )
+        tgt = {k: float(k) for k in range(30)}
+        t.insert(
+            spark.createDataFrame(
+                [(k, v, k % 2) for k, v in tgt.items()],
+                "k bigint, v double, part int",
+            )
+        )
+        src_keys = rng.sample(range(40), 12)
+        src = {k: float(rng.randrange(0, 30)) for k in src_keys}
+
+        mc = [
+            (*rng.choice(M_CONDS), rng.choice(M_ACTS))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        nc = [
+            (*rng.choice(N_CONDS), rng.choice(N_SPECS))
+            for _ in range(rng.randrange(0, 3))
+        ]
+
+        # ---- pure-Python reference (first-firing-clause rule) ----
+        expect: dict[int, tuple[float, object]] = {
+            k: (v, k % 2) for k, v in tgt.items()
+        }
+        for k, sv in src.items():
+            if k in tgt:
+                for cond_sql, cond_fn, (act, _sets, fn) in mc:
+                    if cond_fn(tgt[k], k, sv):
+                        if act == "delete":
+                            expect.pop(k, None)
+                        else:
+                            expect[k] = (fn(tgt[k], sv), k % 2)
+                        break
+            else:
+                for cond_sql, cond_fn, (spec, mk) in nc:
+                    if cond_fn(sv):
+                        expect[k] = mk(k, sv, k % 2)[1:]
+                        break
+
+        t.merge(
+            spark.createDataFrame(
+                [(k, v, k % 2) for k, v in src.items()],
+                "k bigint, v double, part int",
+            ),
+            on=["k"],
+            matched_clauses=[
+                (c, act, sets) for c, _f, (act, sets, _fn) in mc
+            ],
+            when_not_matched_insert=(
+                [(c, spec) for c, _f, (spec, _mk) in nc] or False
+            ),
+        )
+        got = {
+            r["k"]: (r["v"], r["part"]) for r in t.to_df().collect()
+        }
+        assert got == expect, (case, mor, mc, nc, got, expect)

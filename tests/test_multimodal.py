@@ -88,3 +88,34 @@ def test_pixel_stats_operator(spark):
     g = got[3]
     assert (g["width"], g["height"], g["channels"]) == (2, 2, 1)
     assert g["r_sum"] == g["g_sum"] == g["b_sum"] == 10
+
+
+# ----------------------------------------------------- property tests --
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 9),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_codec_roundtrip_property(w, h, data):
+        """For ANY dims and pixel bytes, encode->decode is identity for
+        both PPM and BMP (padding widths included)."""
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=3 * w * h,
+                    max_size=3 * w * h,
+                )
+            )
+        )
+        for enc in (encode_ppm, encode_bmp):
+            hh, ww, ch, arr = decode_image(enc(w, h, rgb))
+            assert (hh, ww, ch) == (h, w, 3)
+            assert bytes(arr.reshape(-1)) == rgb
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
