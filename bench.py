@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "text_sentence_stats",
     "dedup_simhash_hamming_pairs",
     "events_stream_kmv_distinct",
+    "multimodal_wav_stats",
 ]
 
 

@@ -65,6 +65,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_sentence_stats",
     "dedup_simhash_hamming_pairs",
     "events_stream_kmv_distinct",
+    "multimodal_wav_stats",
     # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
     "events_rolling_entropy",
     "events_seasonal_decompose",

@@ -2377,3 +2377,59 @@ def events_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("dv_estimate"),
     ).orderBy("event_type")
+
+
+@register(
+    "multimodal_wav_stats",
+    oracle="""
+        WITH amps AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 255),
+                   i -> (doc_id * 7 + i * 13) % 65536 - 32768) AS a
+          FROM documents
+        )
+        SELECT doc_id,
+               256 AS n_samples,
+               16000 AS sample_rate,
+               CAST(list_sum(a) AS BIGINT) AS amp_sum,
+               CAST(list_sum(list_transform(a, x -> abs(x))) AS BIGINT)
+                 AS abs_sum,
+               CAST(list_max(list_transform(a, x -> abs(x))) AS INTEGER)
+                 AS max_abs
+        FROM amps
+        ORDER BY doc_id
+    """,
+    doc="REAL audio decode end-to-end (the audio counterpart of "
+    "multimodal_pixel_stats): per doc a 256-sample int16 waveform "
+    "(s_i = (doc_id*7 + i*13) % 65536 - 32768) is ENCODED as a genuine "
+    "RIFF/PCM WAV payload and DECODED by operators/multimodal."
+    "decode_audio (chunk-walking RIFF parser — fmt/data located by "
+    "chunk id, padding honored), then reduced to exact int64 amplitude "
+    "sums. The oracle recomputes from the sample formula, so a "
+    "mis-parsed header field, byte order, or chunk offset "
+    "hash-mismatches. Both stages are Arrow-batched narrow maps.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                multimodal.encode_wav(
+                    ((int(d) * 7 + i * 13) % 65536 - 32768
+                     for i in range(256)),
+                    16000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return multimodal.audio_stats(blobs).orderBy("doc_id")

@@ -119,3 +119,49 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from icebergsql_spark.operators.multimodal import decode_audio, encode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456]
+    ch, rate, pcm = decode_audio(encode_wav(samples, 8000))
+    assert (ch, rate) == (1, 8000)
+    assert pcm.tolist() == samples
+    # extra RIFF chunk before data (LIST/INFO shape) is skipped; odd-sized
+    # chunks pad to even offsets
+    raw = encode_wav(samples, 8000)
+    fmt = raw[12:36]
+    data = raw[36:]
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    patched = (
+        b"RIFF"
+        + (len(fmt) + len(extra) + len(data) + 4).to_bytes(4, "little")
+        + b"WAVE" + fmt + extra + data
+    )
+    ch2, rate2, pcm2 = decode_audio(patched)
+    assert pcm2.tolist() == samples and (ch2, rate2) == (1, 8000)
+
+
+def test_wav_decode_errors():
+    from icebergsql_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(ValueError, match="PCM WAV only"):
+        decode_audio(b"OggS....")
+    with pytest.raises(ValueError, match="missing fmt"):
+        decode_audio(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_audio_stats_operator(spark):
+    from icebergsql_spark.operators.multimodal import audio_stats, encode_wav
+
+    rows = [
+        (1, encode_wav([10, -20, 30], 44100)),
+        (2, encode_wav([], 16000)),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in audio_stats(blobs).collect()}
+    assert got[1]["n_samples"] == 3 and got[1]["sample_rate"] == 44100
+    assert got[1]["amp_sum"] == 20 and got[1]["abs_sum"] == 60
+    assert got[1]["max_abs"] == 30
+    assert got[2]["n_samples"] == 0 and got[2]["max_abs"] == 0
