@@ -2240,14 +2240,19 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergsql_spark.operators import dedup
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from icebergsql_spark.operators.util import track_cache
+
     sh = dedup.simhash16(docs).withColumnRenamed("simhash", "h")
-    banded = sh.select(
+    # one 2-int row per doc, referenced SIX times (two sides x three
+    # band joins) — without a cache the token-explode vote aggregate
+    # behind simhash16 executes six times
+    banded = track_cache(sh.select(
         "doc_id",
         F.col("h").cast("bigint").alias("h"),
         F.expr("CAST(h % 64 AS BIGINT)").alias("b0"),
         F.expr("CAST((h DIV 64) % 32 AS BIGINT)").alias("b1"),
         F.expr("CAST(h DIV 2048 AS BIGINT)").alias("b2"),
-    )
+    ))
     cand = None
     for b in ("b0", "b1", "b2"):
         x = banded.select(
