@@ -1098,3 +1098,33 @@ def test_rewrite_manifests_consolidates_metadata_only(spark, tmp_path):
     # idempotent: a second run is a no-op
     res2 = t.rewrite_manifests()
     assert res2 == {"rewritten_manifests": 0, "added_manifests": 1}
+
+
+def test_expire_gcs_manifests_after_rewrite(spark, tmp_path):
+    """After rewrite_manifests, the old per-commit manifests are only
+    referenced by expired history — expire_snapshots must GC them while
+    the consolidated manifest and every data file survive."""
+    import os
+
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_rwgc"))
+    t = cat.create_table("rwgc", "k bigint, part int", partition_cols=["part"])
+    for i in range(4):
+        t.insert(
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 2).cast("int").alias("part"),
+            )
+        )
+    old_manifests = list(t.meta.current_snapshot().manifest_paths)
+    t.rewrite_manifests()
+    t.refresh()
+    kept = set(t.meta.current_snapshot().manifest_paths)
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] >= 4
+    for p in old_manifests:
+        assert not os.path.exists(p), p  # GC'd with the expired history
+    for p in kept:
+        assert os.path.exists(p)
+    assert t.to_df().count() == 40  # data intact
