@@ -190,6 +190,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline5  # noqa: F401
     import icebergsql_spark.plans.pipeline6  # noqa: F401
     import icebergsql_spark.plans.pipeline7  # noqa: F401
+    import icebergsql_spark.plans.pipeline8  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

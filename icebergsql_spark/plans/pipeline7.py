@@ -228,7 +228,8 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         aged AS (
           SELECT event_type, c,
-                 (MAX(day) OVER (PARTITION BY event_type) - day) // 7 AS k
+                 LEAST((MAX(day) OVER (PARTITION BY event_type) - day) // 7,
+                       40) AS k
           FROM daily
         ),
         capped AS (
@@ -271,8 +272,14 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aged = daily.select(
         "event_type",
         "c",
+        # Clamp the week-bucket age at 40: Spark shiftleft masks shifts
+        # mod 64 (silent wrap at >=64-week spans, where DuckDB's <<
+        # diverges instead of matching) and c * 2^k overflows bigint even
+        # earlier.  Weeks older than 40 half-lives carry weight 2^-40
+        # (~1e-12 of the newest week) — an exact, engine-identical floor.
         F.expr(
-            "(MAX(day) OVER (PARTITION BY event_type) - day) DIV 7"
+            "LEAST((MAX(day) OVER (PARTITION BY event_type) - day) DIV 7,"
+            " CAST(40 AS BIGINT))"
         ).alias("k"),
     )
     capped = aged.withColumn("maxk", F.max("k").over(wt))
@@ -866,7 +873,8 @@ def managed_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         aged AS (
           SELECT event_type, c,
-                 (MAX(day) OVER (PARTITION BY event_type) - day) // 7 AS k
+                 LEAST((MAX(day) OVER (PARTITION BY event_type) - day) // 7,
+                       40) AS k
           FROM daily
         ),
         capped AS (
@@ -946,8 +954,14 @@ def events_stream_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = daily.select(
         "event_type",
         "c",
+        # Clamp the week-bucket age at 40: Spark shiftleft masks shifts
+        # mod 64 (silent wrap at >=64-week spans, where DuckDB's <<
+        # diverges instead of matching) and c * 2^k overflows bigint even
+        # earlier.  Weeks older than 40 half-lives carry weight 2^-40
+        # (~1e-12 of the newest week) — an exact, engine-identical floor.
         F.expr(
-            "(MAX(day) OVER (PARTITION BY event_type) - day) DIV 7"
+            "LEAST((MAX(day) OVER (PARTITION BY event_type) - day) DIV 7,"
+            " CAST(40 AS BIGINT))"
         ).alias("k"),
     ).withColumn("maxk", F.max("k").over(wt))
     return (
@@ -1022,10 +1036,16 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         docs.select(F.split(F.col("text"), "").alias("cs"))
         .select(
+            # Guard docs that split to <2 chars: sequence(1, 0) in Spark
+            # is the DESCENDING [1, 0] and element_at(cs, 0) throws
+            # INVALID_INDEX_OF_ZERO (DuckDB's generate_series(1,0) is
+            # simply empty) — emit an empty pair array instead.
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(cs) - 1),"
+                    "CASE WHEN size(cs) < 2 THEN array()"
+                    " ELSE transform(sequence(1, size(cs) - 1),"
                     " i -> concat(element_at(cs, i), element_at(cs, i + 1)))"
+                    " END"
                 )
             ).alias("pair")
         )

@@ -124,7 +124,8 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_RE = re.compile(
-    r"^\s*merge\s+into\s+`?(?P<name>\w+)`?(?:\s+(?:as\s+)?(?P<talias>\w+))?"
+    r"^\s*merge\s+(?P<evolve>with\s+schema\s+evolution\s+)?"
+    r"into\s+`?(?P<name>\w+)`?(?:\s+(?:as\s+)?(?P<talias>\w+))?"
     r"\s+using\s+`?(?P<src>\w+)`?(?:\s+(?:as\s+)?(?P<salias>\w+))?"
     r"\s+on\s+(?P<on>.+?)"
     r"\s+(?P<clauses>when\s+.+)$",
@@ -954,13 +955,18 @@ class Engine:
         return self.spark.createDataFrame([], T.StructType([]))
 
     def _merge_managed(self, mg: re.Match) -> DataFrame:
-        """MERGE INTO t [AS a] USING src [AS b] ON a.k = b.k [AND ...]
+        """MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING src [AS b]
+        ON a.k = b.k [AND ...]
         WHEN MATCHED THEN UPDATE SET c = expr, ... | DELETE
         [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
 
         The supported subset is the CDC-upsert core; the ON condition must
         be a conjunction of alias-qualified key equalities (that is what
-        makes the affected-file discovery an equi-join at scale)."""
+        makes the affected-file discovery an equi-join at scale).
+        WITH SCHEMA EVOLUTION (the Spark 4.0 keyword) adds every
+        source-only column to the target before executing — NULL backfill
+        for pre-evolution files, and INSERT * NULL-fills target columns
+        the source lacks."""
         name = mg.group("name").strip("`")
         tbl = self.catalog.load_table(name)
         talias = (mg.group("talias") or name).lower()
@@ -1086,6 +1092,7 @@ class Engine:
             matched_clauses=matched_clauses,
             when_not_matched_insert=nm_inserts or False,
             not_matched_by_source_clauses=nmbs_clauses or None,
+            schema_evolution=bool(mg.group("evolve")),
         )
         return self.spark.createDataFrame(
             [(snap.num_added_files, snap.num_deleted_files)],

@@ -935,6 +935,7 @@ class ManagedTable:
             tuple[str | None, str, dict[str, str] | None]
         ]
         | None = None,
+        schema_evolution: bool = False,
     ) -> Snapshot:
         """Copy-on-write MERGE INTO (the CDC-upsert primitive).
 
@@ -975,6 +976,21 @@ class ManagedTable:
         import urllib.parse as _u
 
         self.refresh()
+        if schema_evolution:
+            # MERGE WITH SCHEMA EVOLUTION (Spark 4.0 grammar): every
+            # source-only column is added to the target schema up front —
+            # a metadata-only commit; rows in pre-evolution files read
+            # back NULL through the per-era path in ``read_files`` (the
+            # same NULL-backfill Iceberg gets from field-id mapping; cf.
+            # reference utils/TypeConversions.scala:26-35 where schema
+            # conversion assigns fresh field ids for new columns).
+            # Under evolution INSERT * also NULL-fills target columns the
+            # source lacks (Delta/Iceberg autoMerge semantics) instead of
+            # rejecting them.
+            existing = {f.name.lower() for f in self.schema.fields}
+            for f in source.schema.fields:
+                if f.name.lower() not in existing:
+                    self.add_column(f.name, f.dataType)
         parent = self.meta.current_snapshot()
         parent_files = parent.live_files() if parent else []
         schema = self.schema
@@ -1070,6 +1086,7 @@ class ManagedTable:
                 all_clauses,
                 when_not_matched_insert,
                 extra_summary,
+                allow_missing=schema_evolution,
             )
         rewritten = None
         if affected:
@@ -1092,7 +1109,11 @@ class ManagedTable:
                 )
             )
             inserts = self._merge_insert_df(
-                source, keys, when_not_matched_insert, all_keys
+                source,
+                keys,
+                when_not_matched_insert,
+                all_keys,
+                allow_missing=schema_evolution,
             )
         if rewritten is None and inserts is None:
             return parent
@@ -1114,6 +1135,7 @@ class ManagedTable:
         keys: list[str],
         spec: "bool | dict[str, str] | list",
         live_keys: DataFrame,
+        allow_missing: bool = False,
     ) -> DataFrame:
         """Not-matched insert rows: anti-join the source against the live
         target keys, then project per ``spec`` — ``True`` = INSERT *
@@ -1135,12 +1157,23 @@ class ManagedTable:
                     for f in schema.fields
                     if f.name not in source.columns
                 ]
-                if missing:
+                if missing and not allow_missing:
                     raise TableValidationError(
                         f"MERGE insert needs source columns {missing}"
                     )
+                # under schema evolution INSERT * NULL-fills target
+                # columns the source lacks (autoMerge semantics)
                 return df.select(
-                    *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+                    *[
+                        (
+                            F.col(f.name)
+                            if f.name in source.columns
+                            else F.lit(None)
+                        )
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ]
                 )
             bad = sorted(set(sp) - {f.name for f in schema.fields})
             if bad:
@@ -1251,6 +1284,7 @@ class ManagedTable:
         all_clauses,
         when_not_matched_insert: bool | dict[str, str] | list,
         extra_summary: dict[str, str] | None,
+        allow_missing: bool = False,
     ) -> Snapshot:
         """Merge-on-read MERGE: target rows whose clause FIRES are masked
         by a delete vector (positions via a key join + clause evaluation
@@ -1292,7 +1326,11 @@ class ManagedTable:
             ).select(*keys)
             new_parts.append(
                 self._merge_insert_df(
-                    source, keys, when_not_matched_insert, live_keys
+                    source,
+                    keys,
+                    when_not_matched_insert,
+                    live_keys,
+                    allow_missing=allow_missing,
                 )
             )
         added: list[DataFile] = []
@@ -2322,7 +2360,11 @@ class ManagedTable:
         old_n = len(parent.manifest_paths)
         files = parent.live_files()
         if old_n <= 1:
-            return {"rewritten_manifests": 0, "added_manifests": old_n}
+            # Iceberg's procedure reports 0/0 for a no-op: nothing was
+            # rewritten and no manifest was written, so reporting the
+            # surviving manifest as "added" would mislead anyone diffing
+            # manifest counts across CALLs.
+            return {"rewritten_manifests": 0, "added_manifests": 0}
         meta_dir = self.meta.metadata_dir
         new_paths: list[str] = []
         for i in range(0, max(len(files), 1), target_entries):

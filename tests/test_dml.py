@@ -658,3 +658,100 @@ def test_merge_clause_semantics_fuzz(spark, tmp_path):
             r["k"]: (r["v"], r["part"]) for r in t.to_df().collect()
         }
         assert got == expect, (case, mor, mc, nc, got, expect)
+
+
+def test_merge_schema_evolution_cow(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (Spark 4.0 grammar): source-only
+    columns are added to the target — pre-evolution rows read back NULL
+    (metadata-only, no rewrite of unaffected files), matched updates and
+    not-matched inserts carry the new column."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_mse"))
+    eng.sql(
+        "CREATE TABLE mse (k BIGINT, v DOUBLE, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(10)], "k bigint, v double, part int"
+    ).createOrReplaceTempView("mse_tgt")
+    eng.sql("INSERT INTO mse SELECT * FROM mse_tgt")
+    spark.createDataFrame(
+        [(1, 100.0, 1, "upd"), (20, 7.0, 0, "new")],
+        "k bigint, v double, part int, note string",
+    ).createOrReplaceTempView("mse_src")
+    eng.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO mse t USING mse_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    t = eng.catalog.load_table("mse")
+    assert [f.name for f in t.schema.fields] == ["k", "v", "part", "note"]
+    got = {r["k"]: (r["v"], r["note"]) for r in t.to_df().collect()}
+    assert got[1] == (100.0, "upd")
+    assert got[20] == (7.0, "new")
+    assert got[3] == (3.0, None)          # pre-evolution row: NULL backfill
+    assert len(got) == 11
+
+
+def test_merge_schema_evolution_insert_star_null_fills(spark, tmp_path):
+    """Under evolution INSERT * NULL-fills target columns the source
+    lacks (autoMerge semantics) instead of raising; without the keyword
+    the same statement still fails loudly."""
+    import pytest
+
+    from icebergsql_spark.table import Catalog, TableValidationError
+
+    cat = Catalog(spark, str(tmp_path / "wh_msen"))
+    t = cat.create_table("msen", "k bigint, v double, part int",
+                         partition_cols=["part"])
+    t.insert(spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(5)],
+        "k bigint, v double, part int"))
+    src = spark.createDataFrame(
+        [(7, 0, "x")], "k bigint, part int, note string")  # no v column
+    with pytest.raises(TableValidationError, match="needs source columns"):
+        t.merge(src, on=["k"], matched_clauses=[], when_not_matched_insert=True)
+    t.merge(src, on=["k"], matched_clauses=[], when_not_matched_insert=True,
+            schema_evolution=True)
+    got = {r["k"]: (r["v"], r["note"]) for r in t.to_df().collect()}
+    assert got[7] == (None, "x")
+    assert got[2] == (2.0, None)
+    assert len(got) == 6
+
+
+def test_merge_schema_evolution_mor(spark, tmp_path):
+    """Schema evolution under merge-on-read: the new column lands via
+    append-only images + DV masking; pre-evolution unfired rows stay in
+    their original files and NULL-backfill through the per-era read."""
+    from icebergsql_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh_msem"))
+    t = cat.create_table(
+        "msem",
+        "k bigint, v double, part int",
+        partition_cols=["part"],
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.insert(spark.createDataFrame(
+        [(i, float(i), i % 2) for i in range(10)],
+        "k bigint, v double, part int"))
+    before = {f.path for f in t.meta.current_snapshot().live_files()}
+    src = spark.createDataFrame(
+        [(1, 100.0, 1, "upd"), (20, 7.0, 0, "new")],
+        "k bigint, v double, part int, note string",
+    )
+    snap = t.merge(
+        src,
+        on=["k"],
+        matched_clauses=[(None, "update", None)],
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    assert before <= {f.path for f in snap.live_files()}  # append-only
+    assert sum(e.count for e in snap.dv_entries()) == 1   # only k=1 masked
+    got = {r["k"]: (r["v"], r["note"]) for r in t.to_df().collect()}
+    assert got[1] == (100.0, "upd")
+    assert got[20] == (7.0, "new")
+    assert got[3] == (3.0, None)
+    assert len(got) == 11

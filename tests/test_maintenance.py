@@ -1095,9 +1095,10 @@ def test_rewrite_manifests_consolidates_metadata_only(spark, tmp_path):
     old = t.scan(snapshot_id=pre.snapshot_id)
     assert old.dataframe().count() == live_before
     assert len(pre.manifest_paths) == n_manifests
-    # idempotent: a second run is a no-op
+    # idempotent: a second run is a no-op and reports 0/0 like Iceberg's
+    # procedure (no manifest was rewritten OR written)
     res2 = t.rewrite_manifests()
-    assert res2 == {"rewritten_manifests": 0, "added_manifests": 1}
+    assert res2 == {"rewritten_manifests": 0, "added_manifests": 0}
 
 
 def test_expire_gcs_manifests_after_rewrite(spark, tmp_path):

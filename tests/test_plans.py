@@ -408,3 +408,25 @@ def test_eq_delete_scan_masks_via_broadcast_joins(spark, tmp_path_factory):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert df.count() == 5000 - 50
+
+
+def test_bpe_pair_stats_survives_degenerate_docs(spark, tmp_path_factory):
+    """Round-7 ADVICE: a doc whose text splits to <2 chars made
+    sequence(1, 0) yield the DESCENDING [1, 0] and element_at(cs, 0)
+    throw INVALID_INDEX_OF_ZERO — the guard must emit zero pairs for it
+    (DuckDB's generate_series(1, 0) is empty) instead of crashing."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.plans.pipeline7 import text_bpe_pair_stats
+
+    d = tmp_path_factory.mktemp("bpe_degen")
+    spark.createDataFrame(
+        [
+            (1, "", "en", "web", 0),
+            (2, "x", "en", "web", 1),
+            (3, "abab", "en", "web", 4),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    rows = {r["pair"]: r["c"] for r in text_bpe_pair_stats(spark, str(d)).collect()}
+    assert rows == {"ab": 2, "ba": 1}
