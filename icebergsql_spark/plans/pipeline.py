@@ -1012,9 +1012,10 @@ def range_join_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         ORDER BY doc_id
     """,
-    doc="Video-shaped frame sampling: treat the payload as fixed-size "
-    "frames (16 B), sample every 4th — counts + first-frame byte verified; "
-    "the decode itself stays a deterministic stub (operators/multimodal).",
+    doc="Frame sampling for RAW fixed-size frame streams: treat the "
+    "payload as 16 B frames, sample every 4th — counts + first-frame "
+    "byte verified. Container media with a real frame index goes "
+    "through multimodal_riff_frames (RIFF chunk-walk parse).",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,25 +1027,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_resize",
     oracle="""
-        SELECT doc_id,
-               256 AS byte_len,
-               md5(CASE WHEN length(text) >= 256 THEN substr(text, 1, 256)
-                        ELSE text || repeat(chr(0), 256 - length(text)) END)
-                 AS payload_md5
+        SELECT doc_id, 4 AS width, 3 AS height, 1 AS channels,
+               23 AS byte_len,
+               CAST(list_sum(list_transform(generate_series(0, 11), p ->
+                    ( (doc_id * 29 + ((p // 4) * 2) * 8 + (p % 4) * 2) % 256
+                    + (doc_id * 29 + ((p // 4) * 2) * 8 + (p % 4) * 2 + 1)
+                      % 256
+                    + (doc_id * 29 + ((p // 4) * 2 + 1) * 8 + (p % 4) * 2)
+                      % 256
+                    + (doc_id * 29 + ((p // 4) * 2 + 1) * 8 + (p % 4) * 2
+                       + 1) % 256) // 4)) AS BIGINT) AS gray_sum
         FROM documents
         ORDER BY doc_id
     """,
-    doc="Resize stub: truncate/zero-pad payloads to a fixed size via "
-    "mapInPandas (real codec plugs into the same operator shape); verified "
-    "by payload md5.",
+    doc="REAL grayscale resize chain (round 7 — the byte-truncation stub "
+    "is gone): per doc an 8x6 P5 (netpbm graymap) raster with pixel "
+    "v(y,x) = (doc_id*29 + y*8 + x) % 256 is encoded to real bytes, "
+    "DECODED, box-filtered 2x2 by exact integer pixel-area mean "
+    "(truncated division), RE-ENCODED as P5, then decoded AGAIN by "
+    "pixel_stats — so the oracle's closed-form block-mean sum verifies "
+    "the full decode→resize→encode→decode round trip, and byte_len "
+    "checks the re-encoded header ('P5\\n4 3\\n255\\n' + 12 raster "
+    "bytes = 23). Both maps are Arrow-batched and shuffle-free.",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    resized = multimodal.resize_payloads(multimodal.to_blob_table(docs), 256)
-    return resized.select(
-        "doc_id", "byte_len", F.md5(F.col("payload")).alias("payload_md5")
-    ).orderBy("doc_id")
+    import pandas as pd
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                gray = bytes((int(d) * 29 + i) % 256 for i in range(48))
+                payloads.append(b"P5\n8 6\n255\n" + gray)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    resized = multimodal.resize_image(blobs, factor=2)
+    stats = multimodal.pixel_stats(resized.select("doc_id", "payload"))
+    return (
+        stats.join(resized.select("doc_id", "byte_len"), "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels", "byte_len",
+            F.col("r_sum").alias("gray_sum"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1062,14 +1094,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     doc="Multimodal plumbing: text→binary payload table, Arrow-batched "
-    "mapInPandas byte-level feature extraction over opaque payloads "
-    "(real image decode is multimodal_pixel_stats).",
+    "mapInPandas byte-level statistics over OPAQUE payloads — the honest "
+    "fallback when no codec applies (real decode paths: "
+    "multimodal_pixel_stats / multimodal_wav_stats / "
+    "multimodal_feature_real).",
     tags=("pipeline", "multimodal"),
 )
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     blobs = multimodal.to_blob_table(docs)
-    return multimodal.extract_features(blobs).orderBy("doc_id")
+    return multimodal.opaque_features(blobs).orderBy("doc_id")
 
 
 @register(

