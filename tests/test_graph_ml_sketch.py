@@ -231,3 +231,33 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert abs(total_kept - SCALE) < 4 * n * 100
     # the leaking variant is measurably below full mass (sink holds ~1/4)
     assert total_leaked < total_kept
+
+
+def test_semantic_dedup_adaptive_k_bounds_cells(spark):
+    """Round-7 scale fix: emb_semantic_dedup's blocking k follows the √n
+    rule, so cell count grows with the table instead of cell size. Locks
+    (a) k = max(8, isqrt(n)) — the same expression the DuckDB oracle
+    computes — and (b) the resulting blocking is non-degenerate: max cell
+    well under n (observed factor vs the n/k mean documented here; the
+    escalation path for pathological cells is recursive sub-clustering)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.operators.ml import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    k = max(8, math.isqrt(n))
+    assert k == 22  # 500 vectors -> 22 cells, not the fixed 8
+    sizes = (
+        kmeans_assign(emb, k=k, iterations=2)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sum(r["n"] for r in sizes) == n
+    assert len(sizes) >= k // 2          # most seeds survive as cells
+    # blocking actually bounds the verify stage: the biggest cell stays a
+    # small multiple of the n/k mean (observed ~3x here; guard at 8x)
+    assert max(r["n"] for r in sizes) <= 8 * (n // k + 1)
