@@ -348,3 +348,232 @@ def multimodal_riff_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
     return multimodal.riff_frame_index(blobs, every=2).orderBy("doc_id")
+
+
+@register(
+    "managed_all_files_audit",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n7,
+                 CAST(SUM(CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN k % 11 = 0 AND k % 7 <> 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n11l
+          FROM base
+        )
+        SELECT label, val FROM (
+          SELECT 'all_data_records' AS label, 2 * n - n7 AS val FROM m
+          UNION ALL
+          SELECT 'all_pos_delete_records', n7 FROM m
+          UNION ALL
+          SELECT 'all_eq_delete_records', n11 FROM m
+          UNION ALL
+          SELECT 'live_data_records', n - n7 FROM m
+          UNION ALL
+          SELECT 'entries_added_records', 0 FROM m
+          UNION ALL
+          SELECT 'live_rows', n - n7 - n11l FROM m
+        ) t ORDER BY label
+    """,
+    doc="The `$all_files` + `$entries` metadata views (round 7; completes "
+    "the family next to $snapshots/$history/$manifests/$partitions/"
+    "$delete_files — reference analogue: the $snapshots suffix-view "
+    "convention, parsing/IceParser.scala:91-106) audited end-to-end: "
+    "insert orders -> MoR predicate DELETE (k%7 DVs land on every file) "
+    "-> rewrite_position_deletes (every DV'd file rewritten, so "
+    "$all_files now carries BOTH eras: original n records non-live + "
+    "n-n7 live) -> equality DELETE (k%11 keyset). Locks: per-content "
+    "record sums over ALL retained snapshots match the predicate "
+    "cardinalities; live data records reconcile with $manifests; the "
+    "eq-delete commit adds no data files so $entries has zero "
+    "status=1 records; live_row_count subtracts DV'd-then-rewritten "
+    "and eq-masked rows exactly once.",
+    tags=("managed", "metadata", "mor"),
+)
+def managed_all_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-allfwh-"))
+    tbl = eng.catalog.create_table(
+        "ord_allf",
+        "k bigint, st string",
+        partition_cols=["st"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    tbl.insert(
+        orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    tbl.delete_where("k % 7 = 0")
+    tbl.rewrite_position_deletes()
+    tbl.delete_by_keys(
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    tbl.refresh()
+
+    af = {
+        (r["content"], bool(r["is_live"])): r["rc"]
+        for r in eng.sql(
+            "SELECT content, is_live, SUM(record_count) AS rc "
+            "FROM `ord_allf$all_files` GROUP BY content, is_live"
+        ).collect()
+    }
+    all_data = af.get(("data", True), 0) + af.get(("data", False), 0)
+    all_pos = af.get(("position_deletes", True), 0) + af.get(
+        ("position_deletes", False), 0
+    )
+    all_eq = af.get(("equality_deletes", True), 0) + af.get(
+        ("equality_deletes", False), 0
+    )
+    live_data = af.get(("data", True), 0)
+    # reconciliation invariants asserted in-query so the driver re-checks
+    # them every round (the round-5 plan-assert pattern)
+    man = eng.sql(
+        "SELECT SUM(record_count) AS rc FROM `ord_allf$manifests`"
+    ).collect()[0]["rc"]
+    assert man == live_data, f"$manifests {man} != $all_files live {live_data}"
+    delf = eng.sql(
+        "SELECT SUM(record_count) AS rc FROM `ord_allf$delete_files` "
+        "WHERE content = 'equality_deletes'"
+    ).collect()[0]["rc"]
+    assert delf == af.get(
+        ("equality_deletes", True), 0
+    ), "$delete_files eq sum must equal $all_files live eq sum"
+    added_rec = eng.sql(
+        "SELECT COALESCE(SUM(CASE WHEN status = 1 THEN record_count "
+        "ELSE 0 END), 0) AS rc FROM `ord_allf$entries`"
+    ).collect()[0]["rc"]
+    entries_total = eng.sql(
+        "SELECT SUM(record_count) AS rc FROM `ord_allf$entries`"
+    ).collect()[0]["rc"]
+    assert entries_total == live_data, "$entries must cover the live set"
+    rows = [
+        ("all_data_records", int(all_data)),
+        ("all_pos_delete_records", int(all_pos)),
+        ("all_eq_delete_records", int(all_eq)),
+        ("live_data_records", int(live_data)),
+        ("entries_added_records", int(added_rec)),
+        ("live_rows", int(tbl.live_row_count())),
+    ]
+    return spark.createDataFrame(rows, "label string, val bigint").orderBy(
+        "label"
+    )
+
+
+@register(
+    "managed_snapshot_totals",
+    oracle="""
+        WITH base AS (SELECT o_orderkey AS k FROM orders),
+        app AS (SELECT k FROM base WHERE k % 3 = 0),
+        m AS (
+          SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM app) AS a,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 5 = 0)
+              AS n5,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM app WHERE k % 5 = 0)
+              AS a5,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE k % 11 = 0)
+              AS n11,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+             WHERE k % 11 = 0 AND k % 5 <> 0) AS n11l,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM app
+             WHERE k % 11 = 0 AND k % 5 <> 0) AS a11l
+          FROM (VALUES (1)) v
+        )
+        SELECT label, total_records, pos_deletes, eq_deletes FROM (
+          SELECT 't0_insert' AS label, n AS total_records,
+                 CAST(0 AS BIGINT) AS pos_deletes,
+                 CAST(0 AS BIGINT) AS eq_deletes FROM m
+          UNION ALL
+          SELECT 't1_append', n + a, 0, 0 FROM m
+          UNION ALL
+          SELECT 't2_mor_delete', n + a, n5 + a5, 0 FROM m
+          UNION ALL
+          SELECT 't3_rewrite', n + a - n5 - a5, 0, 0 FROM m
+          UNION ALL
+          SELECT 't4_eq_delete', n + a - n5 - a5, 0, n11 FROM m
+          UNION ALL
+          SELECT 't5_live', n + a - n5 - a5 - n11l - a11l, 0, n11 FROM m
+        ) t ORDER BY label
+    """,
+    doc="Snapshot-summary running totals (round 7): _commit_snapshot "
+    "maintains total-records / total-data-files / total-position-deletes "
+    "/ total-equality-deletes incrementally (O(1) per commit from the "
+    "parent's totals — at 100 TB a monitor reads table growth from ONE "
+    "metadata row instead of scanning manifests; Iceberg summary parity: "
+    "totals count raw data-file records, live rows = totals minus "
+    "masked). Audited across a 5-commit DML sequence (insert, append, "
+    "MoR delete, rewrite_position_deletes, equality delete) via the "
+    "`$history` view, with the final row cross-checking live_row_count "
+    "against the totals algebra. Reference exposes per-snapshot "
+    "added/deleted counts (utils/TableUtils.scala:48-89); running totals "
+    "are the cumulative completion of that view.",
+    tags=("managed", "metadata", "mor"),
+)
+def managed_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-tot1wh-"))
+    tbl = eng.catalog.create_table(
+        "ord_tot",
+        "k bigint, st string",
+        partition_cols=["st"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
+    )
+    tbl.insert(src)
+    tbl.insert(src.filter(F.col("k") % 3 == 0))
+    tbl.delete_where("k % 5 = 0")
+    tbl.rewrite_position_deletes()
+    tbl.delete_by_keys(
+        orders.filter(F.col("o_orderkey") % 11 == 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    tbl.refresh()
+    hist = eng.sql(
+        "SELECT snapshot_id, total_records, total_position_deletes, "
+        "total_equality_deletes FROM `ord_tot$history` "
+        "ORDER BY made_current_at"
+    ).collect()
+    assert len(hist) == 5, f"expected 5 commits, saw {len(hist)}"
+    # history totals must agree with the metadata summaries they mirror
+    for r in hist:
+        s = tbl.meta.snapshot_by_id(r["snapshot_id"])
+        assert int(s.summary["total-records"]) == r["total_records"]
+    labels = [
+        "t0_insert", "t1_append", "t2_mor_delete", "t3_rewrite",
+        "t4_eq_delete",
+    ]
+    rows = [
+        (
+            lab,
+            int(r["total_records"]),
+            int(r["total_position_deletes"]),
+            int(r["total_equality_deletes"]),
+        )
+        for lab, r in zip(labels, hist)
+    ]
+    rows.append(("t5_live", int(tbl.live_row_count()), 0,
+                 int(hist[-1]["total_equality_deletes"])))
+    return spark.createDataFrame(
+        rows,
+        "label string, total_records bigint, pos_deletes bigint, "
+        "eq_deletes bigint",
+    ).orderBy("label")

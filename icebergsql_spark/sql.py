@@ -47,6 +47,8 @@ _PARTITIONS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$partitions`")
 _HISTORY_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$history`")
 _MANIFESTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$manifests`")
 _DELETE_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$delete_files`")
+_ENTRIES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$entries`")
+_ALL_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$all_files`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -429,6 +431,14 @@ class Engine:
         text = _DELETE_FILES_RE.sub(
             lambda mo: f"{mo.group(1)}__delete_files", text
         )
+        for m in set(_ENTRIES_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.entries_df().createOrReplaceTempView(f"{m}__entries")
+        text = _ENTRIES_RE.sub(lambda mo: f"{mo.group(1)}__entries", text)
+        for m in set(_ALL_FILES_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.all_files_df().createOrReplaceTempView(f"{m}__all_files")
+        text = _ALL_FILES_RE.sub(lambda mo: f"{mo.group(1)}__all_files", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

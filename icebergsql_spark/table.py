@@ -1529,6 +1529,34 @@ class ManagedTable:
         ts_ms = int(time.time() * 1000)
         if parent is not None and ts_ms <= parent.timestamp_ms:
             ts_ms = parent.timestamp_ms + 1
+        # Running totals (Iceberg snapshot-summary parity, the counters a
+        # table monitor actually reads): total-records / total-data-files
+        # count RAW data-file contents (not DV/eq-adjusted — Iceberg
+        # semantics; live rows = total-records − masked), maintained
+        # incrementally from the parent's totals in O(1) per commit. A
+        # pre-totals parent (old metadata) falls back to one manifest-list
+        # pass. Delete totals come from the merged manifest lists this
+        # commit just decided (re-read only when the list changed and the
+        # in-memory merge isn't at hand — metadata-bounded either way).
+        added_rec = sum(f.record_count for f in added)
+        deleted_rec = sum(f.record_count for f in deleted)
+        if parent is not None and "total-records" in parent.summary:
+            tot_rec = int(parent.summary["total-records"]) + added_rec - deleted_rec
+            tot_files = (
+                int(parent.summary["total-data-files"])
+                + len(added)
+                - len(deleted)
+            )
+        else:
+            base = parent.live_files() if parent is not None else []
+            tot_rec = sum(f.record_count for f in base) + added_rec - deleted_rec
+            tot_files = len(base) + len(added) - len(deleted)
+        tot_dv = sum(
+            e.count for p in dv_manifest_paths for e in DVManifest(p).entries()
+        )
+        tot_eq = sum(
+            e.count for p in eq_manifest_paths for e in EqManifest(p).entries()
+        )
         snap = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent.snapshot_id if parent else None,
@@ -1538,8 +1566,12 @@ class ManagedTable:
             num_added_files=len(added),
             num_deleted_files=len(deleted),
             summary={
-                "added-records": str(sum(f.record_count for f in added)),
-                "deleted-records": str(sum(f.record_count for f in deleted)),
+                "added-records": str(added_rec),
+                "deleted-records": str(deleted_rec),
+                "total-records": str(tot_rec),
+                "total-data-files": str(tot_files),
+                "total-position-deletes": str(tot_dv),
+                "total-equality-deletes": str(tot_eq),
                 # caller-supplied markers (e.g. streaming-batch-id) land in
                 # the SAME atomic commit as the data change — a crash can
                 # never leave the change applied but the marker missing
@@ -2338,13 +2370,21 @@ class ManagedTable:
         added = self._distributed_write(live)
         return self._commit_snapshot(parent, added, targets, operation="replace")
 
-    def rewrite_manifests(self, target_entries: int = 100_000) -> dict[str, int]:
+    def rewrite_manifests(
+        self, target_entries: int = 100_000, branch: str | None = None
+    ) -> dict[str, int]:
         """Consolidate the current snapshot's manifest list (Iceberg's
         ``rewrite_manifests`` procedure): the live data-file set is
         re-grouped into ~``target_entries``-entry manifests and committed
         as a METADATA-ONLY 'replace' snapshot — zero data IO, identical
         rows, identical per-file sequence numbers (so merge-on-read
         equality-delete masking is unchanged), DV/eq manifests reused.
+
+        ``branch`` scopes the rewrite to a named branch (round 7): the
+        branch HEAD's manifest list is consolidated and the branch ref
+        advances to the new metadata-only snapshot; main is untouched —
+        the maintenance shape for long-lived staging/audit branches that
+        accrete commits of their own.
 
         Why it matters at 100 TB: every commit appends one manifest
         (manifest-reuse keeps commits O(changes)), so a long-lived table
@@ -2354,7 +2394,13 @@ class ManagedTable:
         still sees the old manifest list (manifests are immutable; expire
         GCs them once unreferenced)."""
         self.refresh()
-        parent = self.meta.current_snapshot()
+        if branch is not None:
+            ref = self.meta.refs.get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(f"unknown branch '{branch}'")
+            parent = self.meta.snapshot_by_id(ref["snapshot_id"])
+        else:
+            parent = self.meta.current_snapshot()
         if parent is None:
             return {"rewritten_manifests": 0, "added_manifests": 0}
         old_n = len(parent.manifest_paths)
@@ -2394,6 +2440,17 @@ class ManagedTable:
             summary={
                 "rewritten-manifests": str(old_n),
                 "added-manifests": str(len(new_paths)),
+                # live set unchanged → running totals carry over verbatim
+                **{
+                    k: parent.summary[k]
+                    for k in (
+                        "total-records",
+                        "total-data-files",
+                        "total-position-deletes",
+                        "total-equality-deletes",
+                    )
+                    if k in parent.summary
+                },
             },
             dv_manifest_paths=list(parent.dv_manifest_paths),
             eq_manifest_paths=list(parent.eq_manifest_paths),
@@ -2402,8 +2459,11 @@ class ManagedTable:
             sequence_number=parent.sequence_number,
         )
         self.meta.snapshots.append(snap)
-        self.meta.current_snapshot_id = snap.snapshot_id
-        self._commit_with_retry(snap, "replace", None)
+        if branch is not None:
+            self.meta.refs[branch]["snapshot_id"] = snap.snapshot_id
+        else:
+            self.meta.current_snapshot_id = snap.snapshot_id
+        self._commit_with_retry(snap, "replace", None, branch=branch)
         return {
             "rewritten_manifests": old_n,
             "added_manifests": len(new_paths),
@@ -2966,13 +3026,22 @@ class ManagedTable:
                 s.parent_id if s.parent_id is not None else -1,
                 s.operation,
                 s.snapshot_id in ancestors,
+                int(s.summary.get("total-records", -1)),
+                int(s.summary.get("total-data-files", -1)),
+                int(s.summary.get("total-position-deletes", -1)),
+                int(s.summary.get("total-equality-deletes", -1)),
             )
             for s in self.meta.snapshots
         ]
         return self.spark.createDataFrame(
             rows,
             "made_current_at long, snapshot_id long, parent_id long, "
-            "operation string, is_current_ancestor boolean",
+            "operation string, is_current_ancestor boolean, "
+            # running snapshot-summary totals (round 7): raw data-file
+            # records/files plus delete-file record totals per snapshot —
+            # the counters a table monitor trends; -1 = pre-totals metadata
+            "total_records long, total_data_files long, "
+            "total_position_deletes long, total_equality_deletes long",
         )
 
     def manifests_df(self) -> DataFrame:
@@ -3095,6 +3164,106 @@ class ManagedTable:
             rows,
             "partition string, file_count long, record_count long, "
             "total_size long, position_deletes long",
+        )
+
+    def entries_df(self) -> DataFrame:
+        """The `<table>$entries` view (Iceberg ``db.tbl.entries`` metadata
+        table): one row per manifest ENTRY of the current snapshot, with
+        Iceberg's status encoding — 1 = ADDED by this snapshot (the file's
+        data sequence number equals the snapshot's), 0 = EXISTING (carried
+        forward from an earlier commit via manifest reuse). ``snapshot_id``
+        is the commit that added the file, recovered from the 1:1
+        sequence-number → snapshot mapping the commit protocol maintains
+        (`_commit_snapshot` derives seq as max(history)+1; cherry-picked
+        files keep their SOURCE seq, so they resolve to the staging commit
+        that wrote them — the honest provenance). Reference analogue: the
+        `$snapshots` suffix-view convention, parsing/IceParser.scala:91-106."""
+        snap = self.meta.current_snapshot()
+        seq_to_snap = {
+            s.sequence_number: s.snapshot_id for s in self.meta.snapshots
+        }
+        rows = []
+        for mp in snap.manifest_paths if snap else []:
+            for f in Manifest(mp).files():
+                rows.append(
+                    (
+                        1 if snap.sequence_number == f.seq else 0,
+                        seq_to_snap.get(f.seq, -1),
+                        f.seq,
+                        mp,
+                        f.path,
+                        __import__("json").dumps(f.partition, sort_keys=True),
+                        f.record_count,
+                        f.file_size,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, sequence_number long, "
+            "manifest_path string, file_path string, partition string, "
+            "record_count long, file_size long",
+        )
+
+    def all_files_df(self) -> DataFrame:
+        """The `<table>$all_files` view (Iceberg ``db.tbl.all_files``):
+        every file referenced by ANY retained snapshot — data files plus
+        position/equality delete files — deduplicated by path, each labeled
+        with Iceberg's content kind and whether the CURRENT snapshot still
+        references it. The audit surface for storage accounting: non-live
+        rows are exactly what ``expire_snapshots`` would GC once their
+        snapshots age out, and per-content sums must reconcile with
+        `$manifests` (live data) and `$delete_files` (live deletes) — the
+        invariant the managed_all_files_audit gate locks."""
+        cur = self.meta.current_snapshot()
+        live_data = {f.path for f in (cur.live_files() if cur else [])}
+        live_dv = {e.dv_path for e in (cur.dv_entries() if cur else [])}
+        live_eq = {e.eq_path for e in (cur.eq_entries() if cur else [])}
+        seen: dict[str, tuple] = {}
+        for s in self.meta.snapshots:
+            for f in s.live_files():
+                seen.setdefault(
+                    f.path,
+                    (
+                        "data",
+                        f.path,
+                        f.record_count,
+                        f.file_size,
+                        f.seq,
+                        f.path in live_data,
+                    ),
+                )
+            for e in s.dv_entries():
+                # one physical DV parquet serves every data file of its
+                # commit (an entry per data file, shared dv_path) — dedupe
+                # per (dv file, data file) so counts sum, not collapse
+                seen.setdefault(
+                    (e.dv_path, e.data_path),
+                    (
+                        "position_deletes",
+                        e.dv_path,
+                        e.count,
+                        None,
+                        None,
+                        e.dv_path in live_dv,
+                    ),
+                )
+            for e in s.eq_entries():
+                seen.setdefault(
+                    e.eq_path,
+                    (
+                        "equality_deletes",
+                        e.eq_path,
+                        e.count,
+                        None,
+                        e.seq,
+                        e.eq_path in live_eq,
+                    ),
+                )
+        rows = sorted(seen.values(), key=lambda r: (r[0], r[1]))
+        return self.spark.createDataFrame(
+            rows,
+            "content string, file_path string, record_count long, "
+            "file_size long, sequence_number long, is_live boolean",
         )
 
 

@@ -1129,3 +1129,87 @@ def test_expire_gcs_manifests_after_rewrite(spark, tmp_path):
     for p in kept:
         assert os.path.exists(p)
     assert t.to_df().count() == 40  # data intact
+
+
+def test_entries_view_status_and_provenance(spark, tmp_path):
+    """Round-7 `$entries`: status 1 marks files ADDED by the current
+    snapshot (seq equality), status 0 marks carried-forward entries, and
+    snapshot_id recovers the adding commit via the seq->snapshot map."""
+    tbl, snaps = _mk_table(spark, tmp_path, "te", n_inserts=2)
+    rows = tbl.entries_df().collect()
+    assert rows, "entries must be non-empty"
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["status"], []).append(r)
+    cur = tbl.meta.current_snapshot()
+    added = {f.path for f in cur.live_files() if f.seq == cur.sequence_number}
+    assert {r["file_path"] for r in by_status[1]} == added
+    for r in rows:
+        snap = tbl.meta.snapshot_by_id(r["snapshot_id"])
+        assert snap is not None and snap.sequence_number == r["sequence_number"]
+    # entries cover exactly the live set
+    assert sum(r["record_count"] for r in rows) == tbl.live_row_count()
+
+
+def test_all_files_spans_eras_and_shrinks_after_expire(spark, tmp_path):
+    """`$all_files` carries both pre- and post-compaction eras (non-live
+    rows = expire's GC candidates); after expire retires the old
+    snapshots, the view shrinks to the live set only."""
+    tbl, snaps = _mk_table(spark, tmp_path, "taf", n_inserts=2, rows=200)
+    n = tbl.live_row_count()
+    tbl.compact()
+    af = tbl.all_files_df().collect()
+    live = [r for r in af if r["is_live"]]
+    dead = [r for r in af if not r["is_live"]]
+    assert dead, "pre-compaction files must appear as non-live"
+    assert sum(r["record_count"] for r in live) == n
+    assert sum(r["record_count"] for r in dead) == n  # the old era
+    tbl.expire_snapshots(retain_last=1)
+    af2 = tbl.all_files_df().collect()
+    assert all(r["is_live"] for r in af2)
+    assert sum(r["record_count"] for r in af2) == n
+
+
+def test_rewrite_manifests_branch_scoped(spark, tmp_path):
+    """Round-7 branch-scoped maintenance: rewrite_manifests(branch=...)
+    consolidates the BRANCH head's manifest list and advances the branch
+    ref; main's head and manifest list are untouched."""
+    tbl, snaps = _mk_table(spark, tmp_path, "tbm", n_inserts=3)
+    main_before = tbl.meta.current_snapshot_id
+    tbl.create_branch("audit")
+    src = spark.range(300, 340).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    tbl.insert(src, branch="audit")
+    tbl.refresh()
+    head = tbl.meta.snapshot_by_id(tbl.meta.refs["audit"]["snapshot_id"])
+    old_n = len(head.manifest_paths)
+    assert old_n >= 2
+    rep = tbl.rewrite_manifests(branch="audit")
+    assert rep == {"rewritten_manifests": old_n, "added_manifests": 1}
+    tbl.refresh()
+    new_head = tbl.meta.snapshot_by_id(tbl.meta.refs["audit"]["snapshot_id"])
+    assert new_head.operation == "replace"
+    assert len(new_head.manifest_paths) == 1
+    assert tbl.meta.current_snapshot_id == main_before  # main untouched
+    # branch rows identical through the consolidation
+    assert tbl.to_df(ref="audit").count() == 340
+    with pytest.raises(ValueError, match="unknown branch"):
+        tbl.rewrite_manifests(branch="nope")
+
+
+def test_snapshot_totals_incremental_match_recompute(spark, tmp_path):
+    """Running summary totals (round 7) stay exact through insert /
+    delete / compact: total-records == sum over live files, and the
+    O(1) incremental path agrees with a from-scratch recompute."""
+    tbl, snaps = _mk_table(spark, tmp_path, "tst", n_inserts=3)
+    tbl.delete_where("k % 5 = 0")
+    tbl.compact()
+    tbl.refresh()
+    for s in tbl.meta.snapshots:
+        assert int(s.summary["total-records"]) == sum(
+            f.record_count for f in s.live_files()
+        )
+        assert int(s.summary["total-data-files"]) == len(s.live_files())
