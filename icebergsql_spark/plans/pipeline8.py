@@ -577,3 +577,226 @@ def managed_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label string, total_records bigint, pos_deletes bigint, "
         "eq_deletes bigint",
     ).orderBy("label")
+
+
+def _stream_daily_counts(spark, sf_dir: str):
+    """Shared day-partial sink scaffold for streaming twins of daily-count
+    analytics (the events_stream_decayed_counts template): the raw events
+    stream is replayed as 3 chronological micro-batches (time-split parquet
+    appends + maxFilesPerTrigger=1, the round-5 stream-gate rule), each
+    batch folds into per-(type, day) PARTIAL counts appended to a parquet
+    sink — a SUM-mergeable sketch, so micro-batch chopping and arrival
+    order cannot change the final state. Returns the merged daily frame
+    (event_type, day, c). State is types x days rows, independent of
+    event volume; at 100 TB the same sink is a managed table the
+    finalizer reads."""
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-dcsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-dcout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                "event_type", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-dcck-")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+@register(
+    "events_stream_cusum",
+    oracle="""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, day
+        ),
+        idx AS (
+          SELECT event_type, day, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   AS i
+          FROM daily
+        ),
+        g AS (
+          SELECT event_type, CAST(MAX(i) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS tot
+          FROM idx GROUP BY event_type
+        ),
+        cu(event_type, i, s, m, md) AS (
+            SELECT x.event_type, 1,
+                   greatest(CAST(0 AS BIGINT), x.c * g.n - g.tot),
+                   greatest(CAST(0 AS BIGINT), x.c * g.n - g.tot),
+                   CASE WHEN x.c * g.n - g.tot > 0 THEN x.day
+                        ELSE CAST(-1 AS BIGINT) END
+            FROM idx x JOIN g ON g.event_type = x.event_type
+            WHERE x.i = 1
+          UNION ALL
+            SELECT cu.event_type, cu.i + 1,
+                   greatest(CAST(0 AS BIGINT),
+                            cu.s + (x.c * g.n - g.tot)),
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot)) > cu.m
+                        THEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot))
+                        ELSE cu.m END,
+                   CASE WHEN greatest(CAST(0 AS BIGINT),
+                                      cu.s + (x.c * g.n - g.tot)) > cu.m
+                        THEN x.day ELSE cu.md END
+            FROM cu
+            JOIN idx x ON x.event_type = cu.event_type AND x.i = cu.i + 1
+            JOIN g ON g.event_type = cu.event_type
+        )
+        SELECT cu.event_type, g.n AS n_days, cu.m AS max_cusum,
+               cu.md AS peak_day, cu.s AS final_cusum
+        FROM cu JOIN g ON g.event_type = cu.event_type AND cu.i = g.n
+        ORDER BY cu.event_type
+    """,
+    doc="Streaming twin of events_cusum_changepoint (round 7): three "
+    "chronological micro-batches fold into per-(type, day) partial "
+    "counts (SUM-mergeable day-partial sink, the "
+    "events_stream_decayed_counts pattern), and the read-side finalizer "
+    "replays the IDENTICAL all-integer CUSUM recurrence (deviations "
+    "scaled by n, max-reset-at-zero bigint fold) over the merged "
+    "series. The detector needs the full-series mean, so it is "
+    "finalize-time by construction — the streaming state stays the "
+    "tiny mergeable count sketch. Bit-matches the batch recursive-CTE "
+    "oracle.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _stream_daily_counts(spark, sf_dir)
+    g = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "c"))).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          arr,
+          named_struct('s', CAST(0 AS BIGINT), 'm', CAST(0 AS BIGINT),
+                       'md', CAST(-1 AS BIGINT)),
+          (acc, x) -> named_struct(
+            's', greatest(CAST(0 AS BIGINT), acc.s + (x.c * n - tot)),
+            'm', CASE WHEN greatest(CAST(0 AS BIGINT),
+                                    acc.s + (x.c * n - tot)) > acc.m
+                      THEN greatest(CAST(0 AS BIGINT),
+                                    acc.s + (x.c * n - tot))
+                      ELSE acc.m END,
+            'md', CASE WHEN greatest(CAST(0 AS BIGINT),
+                                     acc.s + (x.c * n - tot)) > acc.m
+                       THEN x.day ELSE acc.md END))
+        """
+    )
+    return (
+        g.select("event_type", F.col("n").alias("n_days"), fold.alias("f"))
+        .select(
+            "event_type", "n_days",
+            F.col("f.m").alias("max_cusum"),
+            F.col("f.md").alias("peak_day"),
+            F.col("f.s").alias("final_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_stream_bursts",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT event_type, day, c,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trail,
+                 COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+          FROM daily
+        ),
+        bursts AS (
+          SELECT event_type, day, c, trail,
+                 c * 7000000 // trail AS ratio_ppm
+          FROM base
+          WHERE n_prior = 7 AND c * 20 > 3 * trail
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_burst_days,
+               CAST(MAX(ratio_ppm) AS BIGINT) AS max_ratio_ppm,
+               CAST(MIN(day) AS BIGINT) AS first_burst_day
+        FROM bursts
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Streaming twin of events_burst_windows (round 7): the same "
+    "day-partial sink feeds the calendar-correct RANGE-frame burst "
+    "detector (trailing-week baseline, integer cross-multiplied "
+    "threshold c*20 > 3*trail). A day straddling micro-batches arrives "
+    "as multiple partials and the SUM-merge reassembles it exactly — "
+    "the property that makes the detector replayable from any batch "
+    "chopping. Bit-matches the batch oracle.",
+    tags=("events", "streaming", "window"),
+)
+def events_stream_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _stream_daily_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-7, -1)
+    )
+    base = daily.select(
+        "event_type", "day", "c",
+        F.sum("c").over(w).alias("trail"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    bursts = base.filter(
+        (F.col("n_prior") == 7) & (F.col("c") * 20 > 3 * F.col("trail"))
+    ).select(
+        "event_type", "day",
+        F.expr("c * 7000000 DIV trail").alias("ratio_ppm"),
+    )
+    return (
+        bursts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_burst_days"),
+            F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"),
+            F.min("day").cast("bigint").alias("first_burst_day"),
+        )
+        .orderBy("event_type")
+    )
