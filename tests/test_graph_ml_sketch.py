@@ -261,3 +261,39 @@ def test_semantic_dedup_adaptive_k_bounds_cells(spark):
     # blocking actually bounds the verify stage: the biggest cell stays a
     # small multiple of the n/k mean (observed ~3x here; guard at 8x)
     assert max(r["n"] for r in sizes) <= 8 * (n // k + 1)
+
+
+def test_simhash64_production_width_invariants(spark):
+    """Round-7 production-width simhash: (a) identical texts collide in
+    both hash families; (b) the fingerprint really uses the full 64-bit
+    width (some doc sets a bit >= 32; the sign bit appears over a real
+    corpus — i.e. negative hashes exist); (c) banded Hamming pairs find
+    every exact-clone pair (hamming 0) in BOTH families and never emit a
+    pair whose true distance exceeds the bound."""
+    from icebergsql_spark.operators import dedup
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "wholly unrelated text body"), (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 300
+    )
+    for method in ("md5", "xxhash64"):
+        sh = {r.doc_id: r.simhash for r in
+              dedup.simhash64(dup, hash_method=method).collect()}
+        assert sh[1] == sh[2] == sh[4]
+        assert sh[3] != sh[1]
+        vals = [r.simhash for r in
+                dedup.simhash64(corpus, hash_method=method).collect()]
+        assert any(v < 0 for v in vals), f"{method}: sign bit never set"
+        assert any((v >> 32) & 0xFFFFFFFF not in (0, 0xFFFFFFFF)
+                   for v in vals), f"{method}: high word unused"
+        pairs = dedup.simhash64_band_pairs(
+            dedup.simhash64(dup, hash_method=method), max_hamming=3
+        ).collect()
+        got = {(r.a, r.b): r.hamming for r in pairs}
+        assert got.get((1, 2)) == 0 and got.get((1, 4)) == 0 \
+            and got.get((2, 4)) == 0
+        assert all(h <= 3 for h in got.values())
