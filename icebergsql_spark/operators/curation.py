@@ -96,6 +96,47 @@ def stratified_exact_sample(
     )
 
 
+def reservoir_sample_stratified(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — reservoir-sampling
+    semantics (uniform fixed-k without replacement) made DETERMINISTIC by
+    ranking on (md5(id), id): the hash order is a random permutation
+    independent of any payload column, so bottom-k by hash IS a uniform
+    k-subset, and reruns/engines agree bit-for-bit.
+
+    Scale shape (round 7): a single per-stratum window sorts the WHOLE
+    stratum on one reducer — the skew trap when one stratum holds 10^9
+    rows. Instead: tournament two-phase bottom-k. Phase 1 ranks within
+    (stratum, salt) — ``salt_buckets`` hash-derived subgroups — keeping
+    ≤ salt_buckets*k rows per stratum; phase 2 ranks the survivors per
+    stratum. Exact: every true bottom-k row is bottom-k within its salt
+    group too. Both phases are window functions over bounded groups, so
+    the max single-task sort is |stratum|/salt_buckets — turn the knob
+    with the skew. Same mergeable-bottom-k idea as the KMV sketch."""
+    hkey = F.md5(F.col(id_col).cast("string"))
+    salt = md5_bucket(
+        F.concat(F.lit("rs:"), F.col(id_col).cast("string")), salt_buckets
+    )
+    w1 = Window.partitionBy(strata_col, salt).orderBy(hkey, F.col(id_col))
+    phase1 = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(hkey, F.col(id_col))
+    return (
+        phase1.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .withColumn("sample_rank", F.col("_rn").cast("int"))
+        .drop("_rn")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     capacity: int,

@@ -879,3 +879,175 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+# Per-term Jensen-Shannon contribution, TEXTUALLY IDENTICAL in both
+# engines so every IEEE intermediate matches bit-for-bit (ln and double
+# division are bit-identical Spark vs DuckDB; only summation ORDER needs
+# pinning, which the sorted list fold provides).
+_JS_CONTRIB = (
+    "0.5 * ((CAST({c1} AS DOUBLE) / {t1})"
+    " * ln((CAST({c1} AS DOUBLE) / {t1})"
+    " / ((CAST({c1} AS DOUBLE) / {t1} + CAST({c2} AS DOUBLE) / {t2}) / 2.0))"
+    " + (CAST({c2} AS DOUBLE) / {t2})"
+    " * ln((CAST({c2} AS DOUBLE) / {t2})"
+    " / ((CAST({c1} AS DOUBLE) / {t1} + CAST({c2} AS DOUBLE) / {t2}) / 2.0)))"
+)
+
+
+@register(
+    "text_source_js_divergence",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, unnest({_TOKS}) AS t FROM documents
+        ),
+        cnt AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS tt FROM cnt GROUP BY 1
+        ),
+        pairs AS (
+          SELECT a.source AS s1, b.source AS s2, a.tt AS t1, b.tt AS t2
+          FROM tot a JOIN tot b ON a.source < b.source
+        ),
+        terms AS (
+          SELECT p.s1, p.s2, p.t1, p.t2, c1.t AS t, c1.c AS c1, c2.c AS c2,
+                 {_JS_CONTRIB.format(c1="c1.c", c2="c2.c",
+                                     t1="p.t1", t2="p.t2")} AS contrib
+          FROM pairs p
+          JOIN cnt c1 ON c1.source = p.s1
+          JOIN cnt c2 ON c2.source = p.s2 AND c2.t = c1.t
+        ),
+        shared AS (
+          SELECT s1, s2,
+                 list_sum(list(contrib ORDER BY t)) AS fold,
+                 CAST(SUM(c1) AS BIGINT) AS m1,
+                 CAST(SUM(c2) AS BIGINT) AS m2
+          FROM terms GROUP BY 1, 2
+        )
+        SELECT p.s1, p.s2,
+               CAST(round((COALESCE(sh.fold, 0.0)
+                 + 0.5 * ln(2.0)
+                   * (CAST(p.t1 - COALESCE(sh.m1, 0) AS DOUBLE) / p.t1
+                      + CAST(p.t2 - COALESCE(sh.m2, 0) AS DOUBLE) / p.t2))
+                 * 1000000.0) AS BIGINT) AS js_ppm
+        FROM pairs p LEFT JOIN shared sh ON sh.s1 = p.s1 AND sh.s2 = p.s2
+        ORDER BY js_ppm DESC, p.s1, p.s2
+        LIMIT 10
+    """,
+    doc="Pairwise Jensen-Shannon divergence between source unigram "
+    "distributions — the TV query's float sibling (round 7): the "
+    "smooth, symmetric mixture-shift metric curation dashboards trend. "
+    "Determinism: the per-term contribution p*ln(p/m)+q*ln(q/m) is a "
+    "textually identical IEEE expression in both engines, and the "
+    "per-pair sum runs as a TERM-SORTED sequential fold (Spark "
+    "aggregate() over a sorted struct array == DuckDB list_sum over "
+    "list(... ORDER BY t)) — no float-summation-order ambiguity. Terms "
+    "present in one source only reduce to the closed form "
+    "0.5*ln2*(one-sided mass), recovered from integer shared-mass sums "
+    "(the TV complement-identity trick), so the vocabulary is never "
+    "crossed with the pair space and zero-overlap pairs emit the exact "
+    "ln2 maximum. Scale shape: one (source, term) count table, one "
+    "term-keyed self-join, broadcast pair totals.",
+    tags=("text", "curation", "agg"),
+)
+def text_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    cnt = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("tt"))
+    a = tot.select(F.col("source").alias("s1"), F.col("tt").alias("t1"))
+    b = tot.select(F.col("source").alias("s2"), F.col("tt").alias("t2"))
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    c1 = cnt.select(F.col("source").alias("s1"), "t", F.col("c").alias("c1"))
+    c2 = cnt.select(F.col("source").alias("s2"), "t", F.col("c").alias("c2"))
+    terms = (
+        c1.join(c2, "t")
+        .join(F.broadcast(pairs), ["s1", "s2"])
+        .withColumn(
+            "contrib",
+            F.expr(_JS_CONTRIB.format(c1="c1", c2="c2", t1="t1", t2="t2")),
+        )
+    )
+    shared = terms.groupBy("s1", "s2").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(t, contrib))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+        ).alias("fold"),
+        F.sum("c1").cast("bigint").alias("m1"),
+        F.sum("c2").cast("bigint").alias("m2"),
+    )
+    return (
+        pairs.join(shared, ["s1", "s2"], "left")
+        .select(
+            "s1", "s2",
+            F.round(
+                (
+                    F.coalesce(F.col("fold"), F.lit(0.0))
+                    + F.lit(0.5) * F.expr("ln(2.0)")
+                    * (
+                        (F.col("t1") - F.coalesce(F.col("m1"), F.lit(0)))
+                        .cast("double") / F.col("t1")
+                        + (F.col("t2") - F.coalesce(F.col("m2"), F.lit(0)))
+                        .cast("double") / F.col("t2")
+                    )
+                )
+                * 1000000.0
+            ).cast("bigint").alias("js_ppm"),
+        )
+        .orderBy(F.desc("js_ppm"), "s1", "s2")
+        .limit(10)
+    )
+
+
+@register(
+    "curation_reservoir_stratified",
+    oracle="""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents
+        )
+        SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+        FROM ranked WHERE rn <= 25
+        ORDER BY doc_id
+    """,
+    doc="Fixed-k (25) per-stratum reservoir sample (round 7): uniform "
+    "k-without-replacement per lang, deterministic via (md5(id), id) "
+    "rank — the hash order is a payload-independent random permutation, "
+    "so bottom-k by hash IS a reservoir sample that reruns and engines "
+    "agree on. Spark side runs the TOURNAMENT two-phase bottom-k "
+    "(rank within (stratum, salt-16) first, survivors re-ranked per "
+    "stratum) so no single task ever sorts a whole stratum — the skew "
+    "trap of the naive window at 10^9-row strata; the oracle's one-pass "
+    "window proves the two-phase is exact.",
+    tags=("curation",),
+)
+def curation_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import curation
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    return (
+        curation.reservoir_sample_stratified(docs, 25, strata_col="lang")
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("doc_id")
+    )
