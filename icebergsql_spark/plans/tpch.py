@@ -70,22 +70,37 @@ from icebergsql_spark.plans.common import (  # noqa: F401  (re-exported)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale: single scan, partial+final hash agg over 6 groups — no shuffle
     # pressure at any SF. The shipdate filter pushes into the parquet scan.
+    # The integer-cents conversions (round(x*100) per money column) are
+    # projected ONCE before the aggregate: Catalyst does not CSE across
+    # aggregate expressions, so inlining them re-rounded each money column
+    # up to 3x per row inside the partial agg (~12% of query time at
+    # sf0.1, round-7 profile of the r6 bench drift — the rest of that
+    # drift was first-run codegen warm-up, not plan regression).
     t = load_tables(spark, sf_dir, ("lineitem",))
     li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-    qty = F.col("l_quantity").cast("bigint")  # quantity is integer-valued
-    disc_price_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    charge_c = disc_price_c * (F.lit(100) + cents("l_tax"))
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),  # integer-valued
+        cents("l_extendedprice").alias("ep_c"),
+        cents("l_discount").alias("d_c"),
+        cents("l_tax").alias("t_c"),
+    ).withColumn(
+        "disc_p", F.col("ep_c") * (F.lit(100) - F.col("d_c"))
+    ).withColumn(
+        "charge_p", F.col("disc_p") * (F.lit(100) + F.col("t_c"))
+    )
     n = F.count(F.lit(1))
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(disc_price_c).cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(charge_c).cast("double") / F.lit(1000000.0)).alias("sum_charge"),
-            (F.sum(qty).cast("double") / n).alias("avg_qty"),
-            (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0) / n).alias("avg_price"),
-            (F.sum(cents("l_discount")).cast("double") / F.lit(100.0) / n).alias("avg_disc"),
+            F.sum("qty").cast("double").alias("sum_qty"),
+            (F.sum("ep_c").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum("disc_p").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum("charge_p").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum("qty").cast("double") / n).alias("avg_qty"),
+            (F.sum("ep_c").cast("double") / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum("d_c").cast("double") / F.lit(100.0) / n).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
