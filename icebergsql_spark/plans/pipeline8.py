@@ -1051,3 +1051,63 @@ def curation_reservoir_stratified(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "lang", "sample_rank")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_audio_decimate",
+    oracle="""
+        WITH amps AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, 252, 4),
+                   i -> (doc_id * 7 + i * 13) % 65536 - 32768) AS a
+          FROM documents
+        )
+        SELECT doc_id,
+               64 AS n_samples,
+               4000 AS sample_rate,
+               CAST(list_sum(a) AS BIGINT) AS amp_sum,
+               CAST(list_sum(list_transform(a, x -> abs(x))) AS BIGINT)
+                 AS abs_sum,
+               CAST(list_max(list_transform(a, x -> abs(x))) AS INTEGER)
+                 AS max_abs
+        FROM amps
+        ORDER BY doc_id
+    """,
+    doc="REAL audio resample round trip (round 7; the audio counterpart "
+    "of multimodal_resize_stats): per doc a 256-sample int16 waveform "
+    "(s_i = (doc_id*7 + i*13) % 65536 - 32768) is encoded as genuine "
+    "RIFF/PCM WAV, DECIMATED by 4 via operators/multimodal."
+    "decimate_audio (decode -> every-4th-sample -> re-encode at "
+    "rate//4 = 4000 Hz — exact integer decimation, the deterministic "
+    "core a production anti-aliased resampler swaps into), then decoded "
+    "AGAIN by audio_stats. The oracle recomputes from the sample "
+    "formula at stride 4, so a wrong stride, rate header, or re-encode "
+    "byte order hash-mismatches. All stages Arrow-batched narrow maps.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = [
+                multimodal.encode_wav(
+                    ((int(d) * 7 + i * 13) % 65536 - 32768
+                     for i in range(256)),
+                    16000,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    small = multimodal.decimate_audio(blobs, factor=4)
+    return multimodal.audio_stats(small.select("doc_id", "payload")).orderBy(
+        "doc_id"
+    )

@@ -288,3 +288,29 @@ def test_riff_rejects_non_avi():
         parse_riff_frames(encode_wav([1, 2, 3]))
     with pytest.raises(ValueError, match="RIFF AVI"):
         parse_riff_frames(b"nope")
+
+
+def test_decimate_audio_roundtrip(spark):
+    """decode → every-4th-sample → re-encode at rate//4: the decimated
+    payload decodes back to exactly pcm[::4] and the new rate; byte_len
+    is the 44-byte header plus 2 bytes per kept sample."""
+    import numpy as np
+
+    from icebergsql_spark.operators.multimodal import (
+        decimate_audio,
+        decode_audio,
+        encode_wav,
+    )
+
+    samples = [((i * 37) % 65536) - 32768 for i in range(103)]  # odd length
+    blob = encode_wav(samples, 16000)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, payload binary")
+    row = decimate_audio(df, factor=4).collect()[0]
+    ch, rate, pcm = decode_audio(bytes(row["payload"]))
+    assert (ch, rate) == (1, 4000)
+    assert pcm.tolist() == samples[::4]
+    assert row["byte_len"] == 44 + 2 * len(samples[::4])
+    assert np.asarray(samples[::4], dtype="<i2").tobytes() in bytes(
+        row["payload"]
+    )
