@@ -1111,3 +1111,102 @@ def multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_stats(small.select("doc_id", "payload")).orderBy(
         "doc_id"
     )
+
+
+# Per-cell chi-square contribution — textually identical in both engines.
+# The residual d = O*N - r*c is EXACT bigint (|d| <= N^2, in range at any
+# realistic cell table); the square and the single division go to double,
+# and the cell sum is order-pinned by the sorted fold.
+_CHI2_CONTRIB = (
+    "CAST({d} AS DOUBLE) * CAST({d} AS DOUBLE)"
+    " / CAST({n} * {r} * {c} AS DOUBLE)"
+)
+
+
+@register(
+    "events_chi2_independence",
+    oracle=f"""
+        WITH base AS (
+          SELECT event_type AS t,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS b
+          FROM events
+        ),
+        cells AS (
+          SELECT t, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM base GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        cols_ AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        contribs AS (
+          SELECT cells.t, cells.b,
+                 {_CHI2_CONTRIB.format(
+                     d="(cells.o * tot.n - rows_.r * cols_.c)",
+                     n="tot.n", r="rows_.r", c="cols_.c")} AS contrib
+          FROM cells
+          JOIN rows_ USING (t) JOIN cols_ USING (b) CROSS JOIN tot
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM rows_) AS BIGINT) AS n_rows,
+          CAST((SELECT COUNT(*) FROM cols_) AS BIGINT) AS n_cols,
+          CAST(((SELECT COUNT(*) FROM rows_) - 1)
+               * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+          (SELECT n FROM tot) AS n,
+          CAST(round(list_sum(list(contrib ORDER BY t, b)) * 1000000.0)
+               AS BIGINT) AS chi2_micro
+        FROM contribs
+    """,
+    doc="Chi-square test of independence between event_type and a "
+    "props-derived category (k % 4) — the contingency-table audit a "
+    "feature pipeline runs to detect leakage/correlation between a "
+    "categorical feature and the label. Determinism (round 7, the JS "
+    "recipe): the per-cell residual O*N - r*c is EXACT bigint, the "
+    "squared-over-expected contribution is a textually identical IEEE "
+    "expression in both engines, and the cell sum runs as a "
+    "(type, bucket)-SORTED sequential fold (Spark aggregate() over a "
+    "sorted struct array == DuckDB list_sum over list(... ORDER BY)). "
+    "Scale shape: the contingency table is |types| x |buckets| rows "
+    "regardless of event volume — one groupBy plus broadcast margins.",
+    tags=("events", "stats", "agg"),
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cells = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 4).alias("b"),
+        )
+        .groupBy("t", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows_ = cells.groupBy("t").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    contribs = (
+        cells.join(F.broadcast(rows_), "t")
+        .join(F.broadcast(cols_), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib",
+            F.expr(
+                _CHI2_CONTRIB.format(
+                    d="(o * n - r * c)", n="n", r="r", c="c"
+                )
+            ),
+        )
+    )
+    return contribs.agg(
+        F.countDistinct("t").cast("bigint").alias("n_rows"),
+        F.countDistinct("b").cast("bigint").alias("n_cols"),
+        (
+            (F.countDistinct("t") - 1) * (F.countDistinct("b") - 1)
+        ).cast("bigint").alias("dof"),
+        F.max("n").cast("bigint").alias("n"),
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(t, b, contrib))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+            )
+            * 1000000.0
+        ).cast("bigint").alias("chi2_micro"),
+    )
