@@ -1210,3 +1210,247 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 1000000.0
         ).cast("bigint").alias("chi2_micro"),
     )
+
+
+@register(
+    "text_keyword_topk",
+    oracle=f"""
+        WITH tf AS (
+          SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents) x
+          GROUP BY 1, 2
+        ),
+        df_ AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.t,
+                 CAST(tf.tf AS DOUBLE)
+                   * ln(CAST((SELECT n FROM n_) AS DOUBLE) / df_.df)
+                   AS score
+          FROM tf JOIN df_ USING (t)
+        ),
+        ranked AS (
+          SELECT doc_id, t, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, t) AS rnk
+          FROM scored
+        )
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, t AS term,
+               CAST(round(score * 1000000.0) AS BIGINT) AS score_micro
+        FROM ranked WHERE rnk <= 3 AND doc_id < 100
+        ORDER BY doc_id, rnk
+    """,
+    doc="Per-document keyword extraction: top-3 terms by tf-idf — the "
+    "summarization/tagging primitive of a curation pipeline. "
+    "Determinism: tf and df are integers, idf = ln(N/df) is one "
+    "bit-identical IEEE op per term, score = tf * idf one multiply — "
+    "no float SUMS anywhere, so ranking (score DESC, term) agrees "
+    "across engines exactly; N rides in as a broadcast 1-row aggregate "
+    "(no driver count). Scale shape: the tf table is the text stack's "
+    "standard shuffle; ranking is a per-doc window over that doc's "
+    "distinct terms only.",
+    tags=("text", "curation"),
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_ = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scored = (
+        tf.join(df_, "t")
+        .crossJoin(F.broadcast(n_))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.expr("ln(CAST(n AS DOUBLE) / df)"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "t")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 100))
+        .select(
+            "doc_id", "rnk", F.col("t").alias("term"),
+            F.round(F.col("score") * 1000000.0).cast("bigint")
+            .alias("score_micro"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def _pca_oracle(dims: int = 8, iters: int = 3) -> str:
+    """Chained-CTE replica of the Spark power iteration: same quantized
+    integer covariance numerators, same all-ones start vector, same
+    j-ordered matrix-vector folds and i-ordered norm folds, same
+    per-iteration normalization — every IEEE op in the same order."""
+    parts = [
+        f"""q AS (
+          SELECT list_transform(embedding[1:{dims}],
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                 AS q
+          FROM embeddings
+        ),
+        pr AS (
+          SELECT i.range AS i, j.range AS j
+          FROM range(0, {dims}) i CROSS JOIN range(0, {dims}) j
+          WHERE i.range <= j.range
+        ),
+        cov0 AS (
+          SELECT pr.i, pr.j,
+                 CAST(COUNT(*) * SUM(q[pr.i + 1] * q[pr.j + 1])
+                      - SUM(q[pr.i + 1]) * SUM(q[pr.j + 1]) AS BIGINT)
+                   AS cn
+          FROM q CROSS JOIN pr GROUP BY 1, 2
+        ),
+        cov AS (
+          SELECT i, j, CAST(cn AS DOUBLE) AS c FROM cov0
+          UNION ALL
+          SELECT j, i, CAST(cn AS DOUBLE) FROM cov0 WHERE i < j
+        ),
+        v0 AS (SELECT range AS j, 1.0 AS v FROM range(0, {dims}))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        u{t} AS (
+          SELECT cov.i, list_sum(list(cov.c * v{t - 1}.v ORDER BY cov.j))
+                   AS u
+          FROM cov JOIN v{t - 1} ON v{t - 1}.j = cov.j
+          GROUP BY cov.i
+        ),
+        n{t} AS (SELECT sqrt(list_sum(list(u * u ORDER BY i))) AS nrm
+                 FROM u{t}),
+        v{t} AS (SELECT i AS j, u / (SELECT nrm FROM n{t}) AS v FROM u{t})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT CAST(j AS INTEGER) AS dim,
+               CAST(round(v * 1000000.0) AS BIGINT) AS loading_micro,
+               round((SELECT nrm FROM n{iters}) / 1000000000000000.0,
+                     6) AS eigval_scaled
+        FROM v{iters} ORDER BY dim"""
+    )
+
+
+@register(
+    "emb_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="Top principal component of the embedding covariance by POWER "
+    "ITERATION (round 7) — the PCA/whitening primitive a training "
+    "pipeline runs on activation/embedding stats. Data-scale work is "
+    "ONE aggregate pass: the exact integer covariance numerators "
+    "n*S_ij - S_i*S_j over 1e6-quantized values (the emb_cov_pairs "
+    "sufficient-statistic trick — bigint, no mean pass); the iteration "
+    "then runs on the tiny dims x dims matrix entirely in the DAG "
+    "(cached cov frame, 3 matrix-vector rounds, per-round "
+    "normalization) — no driver-side linear algebra. Determinism: "
+    "u_i folds C[i][j]*v_j in j order, the norm folds u_i^2 in i "
+    "order (Spark sorted-struct aggregate == DuckDB list_sum ORDER "
+    "BY), division and sqrt are single bit-identical IEEE ops, and "
+    "the all-ones start vector pins the eigenvector sign. At 100 TB "
+    "the same plan holds: the quantized one-pass aggregate is the only "
+    "thing that sees data.",
+    tags=("embeddings", "ml", "agg"),
+)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import track_cache
+
+    dims, iters = 8, 3
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = emb.select(
+        *[
+            F.expr(
+                f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * 1000000)"
+                f" AS BIGINT)"
+            ).alias(f"q{i}")
+            for i in range(dims)
+        ]
+    )
+    pairs = [(i, j) for i in range(dims) for j in range(dims) if i <= j]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(dims)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"p{i}_{j}")
+        for i, j in pairs
+    ]
+    row = q.agg(*aggs)
+    entries = [(i, j) for i, j in pairs] + [(j, i) for i, j in pairs if i < j]
+    stack = (
+        f"stack({len(entries)}, "
+        + ", ".join(
+            f"{i}, {j}, p{min(i, j)}_{max(i, j)}, s{i}, s{j}"
+            for i, j in entries
+        )
+        + ") AS (i, j, s_ij, s_i, s_j)"
+    )
+    # the dims^2-row covariance is referenced once per iteration — cache
+    # so the one-pass data aggregate behind it runs exactly once
+    cov = track_cache(
+        row.selectExpr("n", stack).select(
+            "i", "j",
+            (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
+            .cast("double")
+            .alias("c"),
+        )
+    )
+    v = spark.createDataFrame(
+        [(j, 1.0) for j in range(dims)], "j int, v double"
+    )
+    nrm = None
+    for _t in range(iters):
+        u = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "named_struct('j', j, 'cv', c * v))),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.cv)"
+                ).alias("u")
+            )
+        )
+        nrm = u.agg(
+            F.sqrt(
+                F.expr(
+                    "aggregate(array_sort(collect_list("
+                    "named_struct('i', i, 'u2', u * u))),"
+                    " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.u2)"
+                )
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("u") / F.col("nrm")).alias("v")
+        )
+    return (
+        v.crossJoin(
+            F.broadcast(
+                nrm.select(
+                    # quantized-unit norms are ~1e15; scale before rounding
+                    # (round() at that magnitude is engine-divergent noise)
+                    F.round(F.col("nrm") / F.lit(1e15), 6).alias(
+                        "eigval_scaled"
+                    )
+                )
+            )
+        )
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            F.round(F.col("v") * 1000000.0).cast("bigint")
+            .alias("loading_micro"),
+            "eigval_scaled",
+        )
+        .orderBy("dim")
+    )
