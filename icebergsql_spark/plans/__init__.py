@@ -17,68 +17,47 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-6 window: the 8 late-round-5 queries that have NEVER received a
-# driver CORRECTNESS row go first — a green round closes cumulative
-# driver coverage at 215/215. New round-6 operators follow, then queries
-# whose PLANS changed this round (the ADVICE day-bucket DIV fix, the
-# bloom-prefilter observe() rewrite, the BLAS tie guard, pq_codes DIV) so
-# the driver re-checks them post-change. Everything else rotates to the
-# tail, staying covered by the identical local oracle comparison in
+# Round-8 window: the 15 round-7 (pipeline8) queries that have NEVER
+# received a driver CORRECTNESS row go first — a green round closes
+# cumulative driver coverage at 259/259 (they are all green in the local
+# driver-sim at sf0.01 and in tests/test_queries.py; what's missing is
+# the durable driver row). New round-8 operators follow, then queries
+# whose PLANS change this round (the incremental delete-totals rewrite in
+# table.py touches every commit-heavy managed scenario; the resize_image
+# magic-byte dispatch touches the resize gates) so the driver re-checks
+# them post-change. The 48 round-6-green rows rotate to the tail,
+# staying covered by the identical local oracle comparison in
 # tests/test_queries.py.
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (late round-5; must close this round) --
-    "events_user_gini",
-    "text_zipf_fit",
-    "dedup_rate_by_source",
-    "events_rfm_segments",
-    "sketch_bloom_fpr_audit",
-    "events_session_stats",
-    "sketch_join_size_estimate",
-    "dedup_lsh_band_sweep",
-    # -- new in round 6 --
-    "multimodal_pixel_stats",
-    "managed_merge_snapshot_sync",
-    "curation_train_val_split",
-    "text_ttr_richness",
-    "events_user_overlap",
-    "events_decayed_counts",
-    "events_ab_test_ztest",
-    "curation_pareto_frontier",
-    "events_burst_windows",
-    "graph_label_propagation",
-    "emb_cov_pairs",
-    "emb_quantile_clip_bounds",
-    "managed_delete_files_audit",
-    "events_stream_decayed_counts",
-    "text_bpe_pair_stats",
-    "text_charset_profile",
-    "sketch_kmv_intersection",
-    "events_pit_feature_join",
-    "curation_negative_sampling",
-    "emb_int8_quantization_error",
-    "dedup_minhash_calibration",
-    "events_cusum_changepoint",
-    "graph_common_neighbors",
-    "text_source_tv_distance",
-    "events_forecast_backtest",
-    "agg_welch_ttest",
-    "text_sentence_stats",
-    "dedup_simhash_hamming_pairs",
-    "events_stream_kmv_distinct",
-    "multimodal_wav_stats",
-    # -- plans changed in round 6 (ADVICE fixes; re-check post-change) --
-    "events_rolling_entropy",
-    "events_seasonal_decompose",
-    "sketch_sliding_distinct",
-    "events_autocorrelation",
-    "events_holt_smoothing",
-    "events_path_conversion",
-    "events_stream_cep",
-    "emb_pq_codes",
-    "join_bloom_prefilter",
-    "ann_bruteforce_topk_blas",
-    # -- r5-green rows next (rotate back in only if slots remain) --
+    # -- never driver-checked (round 7 / pipeline8; must close this round) --
+    "managed_merge_schema_evolution",
+    "multimodal_resize_stats",
+    "multimodal_feature_real",
+    "multimodal_riff_frames",
+    "managed_all_files_audit",
+    "managed_snapshot_totals",
+    "events_stream_cusum",
+    "events_stream_bursts",
+    "dedup_simhash64_pairs",
+    "text_source_js_divergence",
+    "curation_reservoir_stratified",
+    "multimodal_audio_decimate",
+    "events_chi2_independence",
+    "text_keyword_topk",
+    "emb_pca_power_iteration",
+    # -- new in round 8 --
+    "multimodal_frame_pixels",
+    "managed_branch_expiry",
+    # -- plans changed in round 8 (incremental delete totals; resize
+    #    dispatch) — re-check post-change --
+    "managed_mor_merge_cdc",
+    "managed_eq_delete_cdc",
+    "managed_streaming_eq_upsert",
     "managed_mor_churn_stress",
+    "managed_delete_files_audit",
+    "managed_merge_snapshot_sync",
+    "multimodal_resize",
+    # -- r5-green rows next (rotate back in only if slots remain) --
     "text_lang_confidence",
     "dedup_semantic_centroid_pairs",
     "curation_dp_mixture",
@@ -118,9 +97,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_span_overlap",
     "text_domain_mix_report",
     "managed_rewrite_predicate_dv",
-    "managed_mor_merge_cdc",
-    "managed_eq_delete_cdc",
-    "managed_streaming_eq_upsert",
     "events_asof_nearest",
     "agg_weighted_quantiles",
     "text_minhash_containment",
@@ -159,10 +135,56 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_join_click_purchase",
     "range_join_click_window",
     "multimodal_frame_sample",
-    "multimodal_resize",
     "multimodal_blob_features",
     "events_funnel",
     "events_cohort_retention",
+    # -- round-6-green rows (driver-checked green in r6/r7; tail) --
+    "events_user_gini",
+    "text_zipf_fit",
+    "dedup_rate_by_source",
+    "events_rfm_segments",
+    "sketch_bloom_fpr_audit",
+    "events_session_stats",
+    "sketch_join_size_estimate",
+    "dedup_lsh_band_sweep",
+    "multimodal_pixel_stats",
+    "curation_train_val_split",
+    "text_ttr_richness",
+    "events_user_overlap",
+    "events_decayed_counts",
+    "events_ab_test_ztest",
+    "curation_pareto_frontier",
+    "events_burst_windows",
+    "graph_label_propagation",
+    "emb_cov_pairs",
+    "emb_quantile_clip_bounds",
+    "events_stream_decayed_counts",
+    "text_bpe_pair_stats",
+    "text_charset_profile",
+    "sketch_kmv_intersection",
+    "events_pit_feature_join",
+    "curation_negative_sampling",
+    "emb_int8_quantization_error",
+    "dedup_minhash_calibration",
+    "events_cusum_changepoint",
+    "graph_common_neighbors",
+    "text_source_tv_distance",
+    "events_forecast_backtest",
+    "agg_welch_ttest",
+    "text_sentence_stats",
+    "dedup_simhash_hamming_pairs",
+    "events_stream_kmv_distinct",
+    "multimodal_wav_stats",
+    "events_rolling_entropy",
+    "events_seasonal_decompose",
+    "sketch_sliding_distinct",
+    "events_autocorrelation",
+    "events_holt_smoothing",
+    "events_path_conversion",
+    "events_stream_cep",
+    "emb_pq_codes",
+    "join_bloom_prefilter",
+    "ann_bruteforce_topk_blas",
 )
 
 
