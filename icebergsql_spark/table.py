@@ -1401,6 +1401,32 @@ class ManagedTable:
             )
         return out
 
+    @staticmethod
+    def _parent_totals(parent: Snapshot | None) -> tuple[int, int, int, int]:
+        """(records, data-files, position-deletes, equality-deletes)
+        running totals of ``parent`` — O(1) summary carry-forward, with a
+        one-time manifest walk only for pre-totals metadata written before
+        the summary counters existed. The walk result lands in the child's
+        summary, so each legacy parent is paid for at most once per
+        lineage, not once per commit."""
+        if parent is None:
+            return 0, 0, 0, 0
+        s = parent.summary
+        if "total-records" in s:
+            rec, files = int(s["total-records"]), int(s["total-data-files"])
+        else:
+            base = parent.live_files()
+            rec, files = sum(f.record_count for f in base), len(base)
+        if "total-position-deletes" in s:
+            dv = int(s["total-position-deletes"])
+        else:
+            dv = sum(e.count for e in parent.dv_entries())
+        if "total-equality-deletes" in s:
+            eq = int(s["total-equality-deletes"])
+        else:
+            eq = sum(e.count for e in parent.eq_entries())
+        return rec, files, dv, eq
+
     def _commit_snapshot(
         self,
         parent: Snapshot | None,
@@ -1472,8 +1498,21 @@ class ManagedTable:
         from icebergsql_spark.catalog.metadata import DVManifest
 
         dv_manifest_paths: list[str] = []
+        # incremental running total of position-delete rows: resolved by
+        # whichever branch below actually touched the DV set; None means
+        # "unchanged from parent" and carries the parent's summary value
+        # forward in O(1) (walk fallback only for pre-totals metadata)
+        tot_dv: int | None = None
         parent_dv_paths = parent.dv_manifest_paths if parent else []
-        if parent_dv_paths or new_dv_entries:
+        if not parent_dv_paths and not new_dv_entries:
+            tot_dv = 0
+        elif not new_dv_entries and not deleted_paths:
+            # nothing can add a DV entry and no data file died, so no DV
+            # entry can change — reuse the parent's manifests without
+            # reading a single one (the commit-rate hot path: plain
+            # appends on a table carrying thousands of delete manifests)
+            dv_manifest_paths = list(parent_dv_paths)
+        else:
             inherited = [
                 e
                 for p in parent_dv_paths
@@ -1484,8 +1523,10 @@ class ManagedTable:
             ]
             if not new_dv_entries and len(survivors_dv) == len(inherited):
                 dv_manifest_paths = list(parent_dv_paths)  # untouched: reuse
+                tot_dv = sum(e.count for e in inherited)
             else:
                 merged = survivors_dv + list(new_dv_entries or [])
+                tot_dv = sum(e.count for e in merged)
                 if merged:
                     dv_manifest_paths.append(
                         DVManifest.write(
@@ -1504,7 +1545,10 @@ class ManagedTable:
         from icebergsql_spark.catalog.metadata import EqManifest
 
         eq_manifest_paths: list[str] = []
-        if not drop_eq:
+        tot_eq: int | None = None  # same carry-forward contract as tot_dv
+        if drop_eq:
+            tot_eq = 0
+        else:
             parent_eq_paths = parent.eq_manifest_paths if parent else []
             if new_eq_entries:
                 merged_eq = [
@@ -1512,6 +1556,7 @@ class ManagedTable:
                     for p in parent_eq_paths
                     for e in EqManifest(p).entries()
                 ] + list(new_eq_entries)
+                tot_eq = sum(e.count for e in merged_eq)
                 eq_manifest_paths.append(
                     EqManifest.write(
                         os.path.join(
@@ -1523,6 +1568,8 @@ class ManagedTable:
                 )
             else:
                 eq_manifest_paths = list(parent_eq_paths)
+                if not parent_eq_paths:
+                    tot_eq = 0
 
         # strictly-increasing snapshot timestamps so `as of <ts of snapshot N>`
         # always resolves to snapshot N even when commits land in the same ms
@@ -1533,30 +1580,20 @@ class ManagedTable:
         # table monitor actually reads): total-records / total-data-files
         # count RAW data-file contents (not DV/eq-adjusted — Iceberg
         # semantics; live rows = total-records − masked), maintained
-        # incrementally from the parent's totals in O(1) per commit. A
-        # pre-totals parent (old metadata) falls back to one manifest-list
-        # pass. Delete totals come from the merged manifest lists this
-        # commit just decided (re-read only when the list changed and the
-        # in-memory merge isn't at hand — metadata-bounded either way).
+        # incrementally from the parent's totals in O(1) per commit.
+        # Delete totals were resolved above from the in-memory merge when
+        # the DV/eq set changed; when it was reused untouched they carry
+        # forward from the parent's summary here. Only a pre-totals parent
+        # (old metadata) pays a manifest walk.
         added_rec = sum(f.record_count for f in added)
         deleted_rec = sum(f.record_count for f in deleted)
-        if parent is not None and "total-records" in parent.summary:
-            tot_rec = int(parent.summary["total-records"]) + added_rec - deleted_rec
-            tot_files = (
-                int(parent.summary["total-data-files"])
-                + len(added)
-                - len(deleted)
-            )
-        else:
-            base = parent.live_files() if parent is not None else []
-            tot_rec = sum(f.record_count for f in base) + added_rec - deleted_rec
-            tot_files = len(base) + len(added) - len(deleted)
-        tot_dv = sum(
-            e.count for p in dv_manifest_paths for e in DVManifest(p).entries()
-        )
-        tot_eq = sum(
-            e.count for p in eq_manifest_paths for e in EqManifest(p).entries()
-        )
+        prec, pfiles, pdv, peq = self._parent_totals(parent)
+        tot_rec = prec + added_rec - deleted_rec
+        tot_files = pfiles + len(added) - len(deleted)
+        if tot_dv is None:
+            tot_dv = pdv
+        if tot_eq is None:
+            tot_eq = peq
         snap = Snapshot(
             snapshot_id=snapshot_id,
             parent_id=parent.snapshot_id if parent else None,
@@ -1656,6 +1693,21 @@ class ManagedTable:
                 snap.eq_manifest_paths = (
                     list(parent.eq_manifest_paths) if parent else []
                 )
+                # the summary's running totals were computed against the
+                # STALE parent — rebase them too, or every rebased append
+                # under-counts the concurrent commits it now sits on top
+                # of (and carries the error forward through the O(1)
+                # incremental chain). Appends delete nothing, so the new
+                # totals are the rebased parent's plus this commit's adds.
+                prec, pfiles, pdv, peq = self._parent_totals(parent)
+                snap.summary["total-records"] = str(
+                    prec + int(snap.summary["added-records"])
+                )
+                snap.summary["total-data-files"] = str(
+                    pfiles + snap.num_added_files
+                )
+                snap.summary["total-position-deletes"] = str(pdv)
+                snap.summary["total-equality-deletes"] = str(peq)
                 # re-derive the data sequence number against the CURRENT
                 # history and restamp the appended files (rewriting this
                 # commit's own manifest — referenced by no one yet), so a
@@ -2132,7 +2184,13 @@ class ManagedTable:
             cleanup_on_failure=False,  # picked files belong to src snapshot
         )
 
-    def _create_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+    def _create_ref(
+        self,
+        name: str,
+        snapshot_id: int | None,
+        kind: str,
+        min_snapshots_to_keep: int | None = None,
+    ) -> None:
         self.refresh()
         sid = (
             snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
@@ -2141,7 +2199,10 @@ class ManagedTable:
             raise ValueError(f"unknown snapshot {sid} for {kind} {name!r}")
         if name in self.meta.refs:
             raise ValueError(f"ref {name!r} already exists on {self.name}")
-        self.meta.refs[name] = {"snapshot_id": sid, "type": kind}
+        ref: dict = {"snapshot_id": sid, "type": kind}
+        if min_snapshots_to_keep is not None:
+            ref["min_snapshots_to_keep"] = int(min_snapshots_to_keep)
+        self.meta.refs[name] = ref
         self.meta.commit()
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
@@ -2152,13 +2213,24 @@ class ManagedTable:
         training-set versions)."""
         self._create_ref(name, snapshot_id, "tag")
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+    ) -> None:
         """Create a WRITABLE ref (Iceberg ``create_branch``): appends with
         ``insert(df, branch=name)`` advance the branch head while the main
         pointer is untouched — the write-audit-publish staging pattern
         (write to a branch, validate its scan, ``fast_forward`` to
-        publish). Branch heads are pinned against expire GC."""
-        self._create_ref(name, snapshot_id, "branch")
+        publish). Branch heads are pinned against expire GC;
+        ``min_snapshots_to_keep`` additionally protects that many
+        snapshots of the head's ancestry from ``expire_snapshots``
+        (Iceberg's per-ref branch retention policy)."""
+        self._create_ref(
+            name, snapshot_id, "branch",
+            min_snapshots_to_keep=min_snapshots_to_keep,
+        )
 
     def drop_ref(self, name: str) -> None:
         self.refresh()
@@ -2508,8 +2580,24 @@ class ManagedTable:
         if meta.current_snapshot_id is not None:
             keep_ids.add(meta.current_snapshot_id)
         # tagged/branched snapshots are pinned: a named ref is a durable
-        # contract
-        keep_ids |= {r["snapshot_id"] for r in meta.refs.values()}
+        # contract. Branch refs additionally protect their head's ANCESTRY
+        # up to min-snapshots-to-keep (Iceberg's per-ref branch retention)
+        # so a branch keeps a usable history window while unreferenced
+        # main-line ancestors still age out.
+        for r in meta.refs.values():
+            keep_ids.add(r["snapshot_id"])
+            if r.get("type") == "branch":
+                n_keep = max(int(r.get("min_snapshots_to_keep", 1)), 1)
+                cur = meta.snapshot_by_id(r["snapshot_id"])
+                kept_n = 0
+                while cur is not None and kept_n < n_keep:
+                    keep_ids.add(cur.snapshot_id)
+                    kept_n += 1
+                    cur = (
+                        meta.snapshot_by_id(cur.parent_id)
+                        if cur.parent_id
+                        else None
+                    )
         if older_than_ms is not None:
             keep_ids |= {
                 s.snapshot_id for s in by_ts if s.timestamp_ms > older_than_ms
@@ -3109,13 +3197,26 @@ class ManagedTable:
         )
 
     def refs_df(self) -> DataFrame:
-        """The `<table>$refs` view: named refs → pinned snapshot + type."""
+        """The `<table>$refs` view: named refs → pinned snapshot + type,
+        plus the branch retention policy (min_snapshots_to_keep; NULL for
+        tags and policy-less branches)."""
         rows = [
-            (name, r["snapshot_id"], r["type"])
+            (
+                name,
+                r["snapshot_id"],
+                r["type"],
+                (
+                    int(r["min_snapshots_to_keep"])
+                    if "min_snapshots_to_keep" in r
+                    else None
+                ),
+            )
             for name, r in sorted(self.meta.refs.items())
         ]
         return self.spark.createDataFrame(
-            rows, "name string, snapshotId long, type string"
+            rows,
+            "name string, snapshotId long, type string, "
+            "minSnapshotsToKeep int",
         )
 
     def files_df(self) -> DataFrame:
@@ -3179,15 +3280,33 @@ class ManagedTable:
         that wrote them — the honest provenance). Reference analogue: the
         `$snapshots` suffix-view convention, parsing/IceParser.scala:91-106."""
         snap = self.meta.current_snapshot()
-        seq_to_snap = {
-            s.sequence_number: s.snapshot_id for s in self.meta.snapshots
-        }
+        # seq → the FIRST snapshot that introduced it: metadata-only
+        # 'replace' snapshots (rewrite_manifests) reuse their parent's
+        # sequence number, so a last-wins map would attribute the parent
+        # commit's files to a snapshot that added nothing
+        seq_to_snap: dict[int, int] = {}
+        for s in self.meta.snapshots:
+            seq_to_snap.setdefault(s.sequence_number, s.snapshot_id)
+        # status is judged against the latest DATA-BEARING ancestor's seq:
+        # a METADATA-ONLY replace (rewrite_manifests — zero files added,
+        # parent seq reused) added nothing, so its parent's commit keeps
+        # the ADDED attribution. A compaction replace ADDS files under a
+        # fresh seq and is data-bearing, so the walk stops there.
+        ref = snap
+        while (
+            ref is not None
+            and ref.operation == "replace"
+            and ref.num_added_files == 0
+            and ref.parent_id
+        ):
+            ref = self.meta.snapshot_by_id(ref.parent_id)
+        data_seq = ref.sequence_number if ref is not None else -1
         rows = []
         for mp in snap.manifest_paths if snap else []:
             for f in Manifest(mp).files():
                 rows.append(
                     (
-                        1 if snap.sequence_number == f.seq else 0,
+                        1 if data_seq == f.seq else 0,
                         seq_to_snap.get(f.seq, -1),
                         f.seq,
                         mp,

@@ -1213,3 +1213,43 @@ def test_snapshot_totals_incremental_match_recompute(spark, tmp_path):
             f.record_count for f in s.live_files()
         )
         assert int(s.summary["total-data-files"]) == len(s.live_files())
+
+
+def test_branch_retention_protects_ancestry(spark, tmp_path):
+    """expire_snapshots keeps a branch head's ANCESTRY up to the ref's
+    min_snapshots_to_keep while unreferenced main-line ancestors age out
+    (Iceberg per-ref branch retention)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    tbl = cat.create_table("br", DDL, ["part"])
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    s1 = tbl.insert(mk(0, 30))
+    s2 = tbl.insert(mk(30, 60))
+    tbl.create_tag("pin", s1.snapshot_id)
+    tbl.create_branch("audit", s2.snapshot_id, min_snapshots_to_keep=2)
+    s3 = tbl.insert(mk(60, 90), branch="audit")     # branch head
+    s4 = tbl.insert(mk(90, 120))                    # main
+    s5 = tbl.insert(mk(120, 150), overwrite=True)   # main overwrite
+
+    res = tbl.expire_snapshots(retain_last=1)
+    tbl.refresh()
+    ids = {s.snapshot_id for s in tbl.meta.snapshots}
+    # kept: current s5, tag s1, branch head s3 + 1 ancestor (s2 via
+    # min_snapshots_to_keep=2); expired: s4 (overwritten, unreferenced)
+    assert ids == {s1.snapshot_id, s2.snapshot_id, s3.snapshot_id,
+                   s5.snapshot_id}
+    assert res["expired_snapshots"] == 1
+    # s4's files were only reachable from s4 → GC'd
+    assert res["deleted_data_files"] >= 1
+    # every surviving lineage still scans
+    assert tbl.to_df().count() == 30                       # main (overwrite)
+    assert tbl.to_df(ref="pin").count() == 30              # tag
+    assert tbl.to_df(ref="audit").count() == 90            # branch lineage
+    assert tbl.to_df(snapshot_id=s2.snapshot_id).count() == 60
+    # $refs surfaces the retention policy
+    refs = {r["name"]: r for r in tbl.refs_df().collect()}
+    assert refs["audit"]["minSnapshotsToKeep"] == 2
+    assert refs["pin"]["minSnapshotsToKeep"] is None
