@@ -171,6 +171,32 @@ BENCH_QUERIES = [
     "dedup_simhash_hamming_pairs",
     "events_stream_kmv_distinct",
     "multimodal_wav_stats",
+    # round-7 additions (registered in r7 but never benched — closing the
+    # silent coverage cap the r7 verdict flagged)
+    "managed_merge_schema_evolution",
+    "multimodal_resize_stats",
+    "multimodal_feature_real",
+    "multimodal_riff_frames",
+    "managed_all_files_audit",
+    "managed_snapshot_totals",
+    "events_stream_cusum",
+    "events_stream_bursts",
+    "dedup_simhash64_pairs",
+    "text_source_js_divergence",
+    "curation_reservoir_stratified",
+    "multimodal_audio_decimate",
+    "events_chi2_independence",
+    "text_keyword_topk",
+    "emb_pca_power_iteration",
+    # round-8 additions
+    "multimodal_frame_pixels",
+    "managed_branch_expiry",
+    "events_mann_whitney_u",
+    "sketch_ams_f2",
+    "graph_bfs_distance",
+    "events_survival_km",
+    "emb_random_projection_jl",
+    "events_bootstrap_ci",
 ]
 
 
@@ -291,6 +317,14 @@ def main() -> None:
         "managed_delete_files_audit",
         "events_stream_decayed_counts",
         "events_stream_kmv_distinct",
+        # round-7/8 scenario queries (managed table build or stream per
+        # call — write-bound, one run each)
+        "managed_merge_schema_evolution",
+        "managed_all_files_audit",
+        "managed_snapshot_totals",
+        "events_stream_cusum",
+        "events_stream_bursts",
+        "managed_branch_expiry",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed
@@ -375,6 +409,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "n_queries": len(timings),
+                # no silent caps: how much of the registry this bench
+                # actually timed (gate queries not in BENCH_QUERIES have
+                # no timing signal — keep this visibly close to 1.0)
+                "benched_registered": f"{len(BENCH_QUERIES)}/{len(REGISTRY)}",
                 "runs_per_query": RUNS,
                 "stat": "p50",
                 "sf": sf,

@@ -152,7 +152,15 @@ def resize_image(blobs: DataFrame, factor: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                h, w, ch, arr = decode_image(bytes(payload))
+                b = bytes(payload)
+                if b[:2] not in (b"P6", b"P5", b"BM"):
+                    # same magic-byte dispatch as extract_features: a
+                    # non-image payload in a mixed-media column passes
+                    # through untouched instead of failing the whole
+                    # mapInPandas batch on a decode error
+                    rows.append((did, b, len(b), "application/octet-stream"))
+                    continue
+                h, w, ch, arr = decode_image(b)
                 hh, ww = h - h % factor, w - w % factor
                 oh, ow = hh // factor, ww // factor
                 block = (
@@ -494,7 +502,13 @@ def decimate_audio(blobs: DataFrame, factor: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _ch, rate, pcm = decode_audio(bytes(payload))
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    # non-WAV payloads pass through untouched (the same
+                    # mixed-media dispatch contract as resize_image)
+                    rows.append((did, b, len(b)))
+                    continue
+                _ch, rate, pcm = decode_audio(b)
                 out = encode_wav(pcm[::factor], rate // factor)
                 rows.append((did, out, len(out)))
             yield pd.DataFrame(
@@ -542,3 +556,61 @@ def audio_stats(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+FRAME_PIXEL_SCHEMA = (
+    "doc_id bigint, n_frames int, n_sampled int, n_decoded int, "
+    "r_sum bigint, g_sum bigint, b_sum bigint"
+)
+
+
+def riff_frame_pixels(blobs: DataFrame, every: int = 2) -> DataFrame:
+    """Decode a RIFF container's sampled frame PAYLOADS as embedded
+    images (round 8 — the frame bytes stop being opaque): walk the frame
+    index with ``parse_riff_frames``, keep every ``every``-th frame,
+    route each frame's bytes through the real ``decode_image``
+    (netpbm P6/P5, 24-bit BMP — the ``extract_features`` magic-byte
+    dispatch), and emit exact int64 per-channel pixel sums across the
+    decoded frames (grayscale frames report their channel in all three
+    sums; frames whose magic is not an image are counted sampled but not
+    decoded). One Arrow-batched narrow map — demux→decode→reduce runs
+    frame-local with no shuffle, so a 100 TB video corpus scales with
+    executors. Reference analogue: the blob/feature surface SURVEY.md §2
+    maps to multimodal columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                idx = parse_riff_frames(b)
+                picked = idx[::every]
+                n_dec = 0
+                r = g = bl = 0
+                for off, sz in picked:
+                    fr = b[off : off + sz]
+                    if fr[:2] not in (b"P6", b"P5", b"BM"):
+                        continue
+                    _h, _w, ch, arr = decode_image(fr)
+                    sums = arr.reshape(-1, ch).astype("int64").sum(axis=0)
+                    if ch == 3:
+                        r += int(sums[0])
+                        g += int(sums[1])
+                        bl += int(sums[2])
+                    else:
+                        r += int(sums[0])
+                        g += int(sums[0])
+                        bl += int(sums[0])
+                    n_dec += 1
+                rows.append(
+                    (did, len(idx), len(picked), n_dec, r, g, bl)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_sampled", "n_decoded",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=FRAME_PIXEL_SCHEMA)

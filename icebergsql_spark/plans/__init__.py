@@ -48,6 +48,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 8 --
     "multimodal_frame_pixels",
     "managed_branch_expiry",
+    "events_mann_whitney_u",
+    "sketch_ams_f2",
+    "graph_bfs_distance",
+    "events_survival_km",
+    "emb_random_projection_jl",
+    "events_bootstrap_ci",
     # -- plans changed in round 8 (incremental delete totals; resize
     #    dispatch) — re-check post-change --
     "managed_mor_merge_cdc",
@@ -213,6 +219,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline6  # noqa: F401
     import icebergsql_spark.plans.pipeline7  # noqa: F401
     import icebergsql_spark.plans.pipeline8  # noqa: F401
+    import icebergsql_spark.plans.pipeline9  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

@@ -1,0 +1,731 @@
+"""Round-8 operator wave: video frame-payload decoding, branch-retention
+expiry, rank/sketch/survival statistics, JL random projection, BFS
+distances, and a deterministic bootstrap.
+
+Each query registers a PySpark callable plus a DuckDB oracle; names sit at
+the head of ``plans/__init__.WINDOW_PRIORITY`` so every one receives a
+driver CORRECTNESS row this round. Determinism contract as everywhere:
+integer arithmetic on the hot path, sequential ``aggregate()`` folds for
+float reductions (bit-matching DuckDB ``list_sum``), single final float
+ops in matching operand order, and non-negative operands for integer
+division (Spark ``div`` truncates, DuckDB ``//`` floors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from icebergsql_spark.plans.registry import load_tables, register
+
+
+@register(
+    "multimodal_frame_pixels",
+    oracle="""
+        WITH f AS (
+          SELECT doc_id, CAST(3 + doc_id % 4 AS INTEGER) AS nf
+          FROM documents
+        ),
+        per AS (
+          SELECT doc_id, nf,
+                 CAST((nf + 1) // 2 AS INTEGER) AS ns,
+                 list_transform(generate_series(0, (nf - 1) // 2),
+                                s -> s * 2) AS sampled
+          FROM f
+        )
+        SELECT doc_id,
+               nf AS n_frames,
+               ns AS n_sampled,
+               ns AS n_decoded,
+               CAST(list_sum(list_transform(sampled, j ->
+                 list_sum(list_transform(generate_series(0, 7), p ->
+                   (doc_id * 7 + j * 13 + 3 * p) % 256)))) AS BIGINT)
+                 AS r_sum,
+               CAST(list_sum(list_transform(sampled, j ->
+                 list_sum(list_transform(generate_series(0, 7), p ->
+                   (doc_id * 7 + j * 13 + 3 * p + 1) % 256)))) AS BIGINT)
+                 AS g_sum,
+               CAST(list_sum(list_transform(sampled, j ->
+                 list_sum(list_transform(generate_series(0, 7), p ->
+                   (doc_id * 7 + j * 13 + 3 * p + 2) % 256)))) AS BIGINT)
+                 AS b_sum
+        FROM per
+        ORDER BY doc_id
+    """,
+    doc="Video frame PAYLOAD decode (round 8 — frames stop being opaque "
+    "bytes; closes the r7 verdict's video gap): each doc carries a RIFF "
+    "AVI container of 3+doc_id%4 frames, each frame an EMBEDDED 4x2 PPM "
+    "image (pixel byte b of frame j = (doc_id*7+j*13+b) % 256); "
+    "operators/multimodal.riff_frame_pixels walks the real chunk index, "
+    "samples every 2nd frame, routes each frame's bytes through the real "
+    "decode_image, and reduces to exact int64 per-channel sums. The "
+    "oracle recomputes every sampled frame's channel sums in closed "
+    "form, so a chunk-walk desync, header mis-parse, or channel swap "
+    "hash-mismatches. Demux→decode→reduce is one Arrow-batched narrow "
+    "map — frame-local, no shuffle, scales with executors at 100 TB.",
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_frame_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id"
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    multimodal.encode_ppm(
+                        4,
+                        2,
+                        bytes(
+                            (d * 7 + j * 13 + b) % 256 for b in range(24)
+                        ),
+                    )
+                    for j in range(3 + d % 4)
+                ]
+                payloads.append(multimodal.encode_rvid(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    return multimodal.riff_frame_pixels(blobs, every=2).orderBy("doc_id")
+
+
+@register(
+    "managed_branch_expiry",
+    oracle="""
+        WITH o AS (SELECT o_orderkey AS k,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders)
+        SELECT scope, n, total FROM (
+          SELECT 'branch' AS scope,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 5 IN (0, 1, 2)
+          UNION ALL
+          SELECT 'main' AS scope,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 5 = 4
+          UNION ALL
+          SELECT 'tag' AS scope,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 5 = 0
+        ) ORDER BY scope
+    """,
+    doc="Branch-aware snapshot retention (round 8 — the third leg next "
+    "to ref-pinned GC and branch-scoped rewrite_manifests): five commits "
+    "build main/tag/branch lineages (appends b0,b1 → tag v1@s1, branch "
+    "audit@s2 with min_snapshots_to_keep=2 → branch append b2 → main "
+    "append b3 → main OVERWRITE b4), then expire_snapshots(retain_last="
+    "1) runs. The query asserts in-DAG that exactly the unreferenced "
+    "overwritten snapshot (s4) expired — current, tag, branch head AND "
+    "its protected ancestor all survive — that s4's no-longer-referenced "
+    "files were GC'd from disk, and that every surviving lineage still "
+    "scans; it returns per-scope counts/totals the oracle recomputes "
+    "from the raw table. Retention policy: table.py expire_snapshots "
+    "(per-ref min_snapshots_to_keep walk) — metadata-only planning, no "
+    "data IO beyond the bounded GC delete set.",
+    tags=("managed", "maintenance"),
+)
+def managed_branch_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-brexp-"))
+    tbl = eng.catalog.create_table("ord_brexp", "k bigint, c bigint, m int",
+                                   ["m"])
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        (F.col("o_orderkey") % 5).cast("int").alias("m"),
+    )
+    s1 = tbl.insert(base.filter(F.col("m") == 0))
+    s2 = tbl.insert(base.filter(F.col("m") == 1))
+    tbl.create_tag("v1", s1.snapshot_id)
+    tbl.create_branch("audit", s2.snapshot_id, min_snapshots_to_keep=2)
+    s3 = tbl.insert(base.filter(F.col("m") == 2), branch="audit")
+    s4 = tbl.insert(base.filter(F.col("m") == 3))
+    s5 = tbl.insert(base.filter(F.col("m") == 4), overwrite=True)
+
+    res = tbl.expire_snapshots(retain_last=1)
+    tbl.refresh()
+    ids = {s.snapshot_id for s in tbl.meta.snapshots}
+    assert ids == {
+        s1.snapshot_id, s2.snapshot_id, s3.snapshot_id, s5.snapshot_id
+    }, f"retention kept the wrong set: {sorted(ids)}"
+    assert res["expired_snapshots"] == 1
+    # b3's files were reachable ONLY from the expired s4 → GC'd
+    assert res["deleted_data_files"] >= 1, "expected s4-only files GC'd"
+    refs = {r["name"]: r for r in tbl.refs_df().collect()}
+    assert refs["audit"]["minSnapshotsToKeep"] == 2
+    # time travel to the expired snapshot must now fail
+    try:
+        tbl.to_df(snapshot_id=s4.snapshot_id)
+        raise AssertionError("expired snapshot still resolvable")
+    except ValueError:
+        pass
+
+    def agg(df, scope):
+        return df.agg(
+            F.lit(scope).alias("scope"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+        )
+
+    return (
+        agg(tbl.to_df(ref="audit"), "branch")
+        .unionAll(agg(tbl.to_df(), "main"))
+        .unionAll(agg(tbl.to_df(ref="v1"), "tag"))
+        .orderBy("scope")
+    )
+
+
+@register(
+    "events_mann_whitney_u",
+    oracle="""
+        WITH pc AS (
+          SELECT user_id, CAST(user_id % 2 AS INTEGER) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT g,
+                 CAST(rank() OVER (ORDER BY c) AS BIGINT) AS m,
+                 CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS k
+          FROM pc
+        ),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN g = 0 THEN 2 * m + k - 1 ELSE 0 END)
+                 AS BIGINT) AS r1_2,
+            CAST(SUM(CASE WHEN g = 1 THEN 2 * m + k - 1 ELSE 0 END)
+                 AS BIGINT) AS r2_2
+          FROM rk
+        ),
+        u AS (
+          SELECT n1, n2,
+                 CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+                 CAST(r2_2 - n2 * (n2 + 1) AS BIGINT) AS u2_x2
+          FROM agg
+        )
+        SELECT n1, n2, u1_x2, u2_x2,
+               CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(n1 + n2 + 1 AS DOUBLE) / 3.0) AS z
+        FROM u
+    """,
+    doc="Mann-Whitney U rank-sum test between even/odd user cohorts on "
+    "per-user purchase counts — the nonparametric two-sample test a "
+    "curation pipeline runs when count distributions are skewed and the "
+    "Welch t-test's normality assumption is wrong (agg_welch_ttest's "
+    "sibling). Tie handling is EXACT in integers: doubled average ranks "
+    "2m+k-1 (min-rank window + per-value tie count), so U1/U2 are exact "
+    "bigints (x2) and U1+U2 == 2*n1*n2 by construction. The z "
+    "normalization is one sqrt/division in textually identical operand "
+    "order. Scale shape: per-user counts are one shuffle, the rank is a "
+    "single global sort of |users| rows (bounded, not event volume).",
+    tags=("events", "stats", "agg"),
+)
+def events_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH pc AS (
+          SELECT user_id, CAST(user_id % 2 AS INT) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT g,
+                 CAST(rank() OVER (ORDER BY c) AS BIGINT) AS m,
+                 CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS k
+          FROM pc
+        ),
+        agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN g = 0 THEN 2 * m + k - 1 ELSE 0 END)
+                 AS BIGINT) AS r1_2,
+            CAST(SUM(CASE WHEN g = 1 THEN 2 * m + k - 1 ELSE 0 END)
+                 AS BIGINT) AS r2_2
+          FROM rk
+        ),
+        u AS (
+          SELECT n1, n2,
+                 CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+                 CAST(r2_2 - n2 * (n2 + 1) AS BIGINT) AS u2_x2
+          FROM agg
+        )
+        SELECT n1, n2, u1_x2, u2_x2,
+               CAST(u1_x2 - n1 * n2 AS DOUBLE)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(n1 + n2 + 1 AS DOUBLE) / 3.0) AS z
+        FROM u
+    """)
+
+
+@register(
+    "sketch_ams_f2",
+    oracle="""
+        WITH pc AS (
+          SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1
+        ),
+        exact AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM pc),
+        signs AS (
+          SELECT pc.u, pc.c, r.r,
+                 CAST('0x' || substr(md5(CAST(pc.u AS VARCHAR) || '#'
+                      || CAST(r.r AS VARCHAR)), 1, 6) AS BIGINT)
+                   % 2 * 2 - 1 AS s
+          FROM pc CROSS JOIN
+               (SELECT unnest(generate_series(0, 8)) AS r) r
+        ),
+        ests AS (
+          SELECT r, CAST(SUM(s * c) AS BIGINT) AS sr
+          FROM signs GROUP BY 1
+        ),
+        med AS (
+          SELECT CAST(list_sort(list(sr * sr))[5] AS BIGINT) AS m
+          FROM ests
+        )
+        SELECT exact.f2 AS exact_f2,
+               med.m AS median_est,
+               CAST(abs(med.m - exact.f2) * 1000000 // exact.f2
+                    AS BIGINT) AS err_ppm
+        FROM exact CROSS JOIN med
+    """,
+    doc="AMS (Alon-Matias-Szegedy) F2 sketch of the per-user event-count "
+    "vector: 9 independent {-1,+1} hash streams (md5-derived, "
+    "bit-identical across engines), each collapsing the whole vector to "
+    "ONE bigint inner product whose square estimates the second moment; "
+    "the median of the 9 squares is the classic variance-bounded "
+    "estimate, compared against the exact F2 in integer ppm. The sketch "
+    "state is 9 numbers and merges by ADDITION across partitions/"
+    "batches — the self-join-size / skew estimator that runs where the "
+    "exact SUM(c^2) cannot (streaming, pre-shuffle planning). Everything "
+    "is exact bigint arithmetic (no floats anywhere), so Spark and "
+    "DuckDB agree to the last digit.",
+    tags=("sketch", "agg"),
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    pc = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    signs = pc.select(
+        "u", "c", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("r")
+    ).withColumn(
+        "s",
+        F.expr(
+            "conv(substr(md5(concat(CAST(u AS STRING), '#',"
+            " CAST(r AS STRING))), 1, 6), 16, 10) % 2 * 2 - 1"
+        ).cast("bigint"),
+    )
+    ests = signs.groupBy("r").agg(F.sum(F.col("s") * F.col("c")).cast("bigint").alias("sr"))
+    med = ests.agg(
+        F.expr("sort_array(collect_list(sr * sr))[4]").cast("bigint").alias("m")
+    )
+    exact = pc.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"))
+    return exact.crossJoin(med).select(
+        F.col("f2").alias("exact_f2"),
+        F.col("m").alias("median_est"),
+        F.expr("CAST(abs(m - f2) * 1000000 DIV f2 AS BIGINT)").alias(
+            "err_ppm"
+        ),
+    )
+
+
+_EDGE_SQL = """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   regexp_split_to_array(trim(text), '\\s+'))) AS w
+          FROM documents WHERE doc_id < 120
+        ),
+        half AS (
+          SELECT x.w AS a, y.w AS b
+          FROM w x JOIN w y ON x.doc_id = y.doc_id AND x.w < y.w
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 74
+        ),
+        e AS (SELECT a, b FROM half UNION ALL SELECT b, a FROM half)
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=_EDGE_SQL + """,
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        seeds AS (SELECT n FROM nodes ORDER BY n LIMIT 3),
+        f0 AS (SELECT n FROM seeds),
+        f1 AS (
+          SELECT DISTINCT e.b AS n FROM e JOIN f0 ON e.a = f0.n
+          WHERE e.b NOT IN (SELECT n FROM f0)
+        ),
+        f2 AS (
+          SELECT DISTINCT e.b AS n FROM e JOIN f1 ON e.a = f1.n
+          WHERE e.b NOT IN (SELECT n FROM f0)
+            AND e.b NOT IN (SELECT n FROM f1)
+        ),
+        f3 AS (
+          SELECT DISTINCT e.b AS n FROM e JOIN f2 ON e.a = f2.n
+          WHERE e.b NOT IN (SELECT n FROM f0)
+            AND e.b NOT IN (SELECT n FROM f1)
+            AND e.b NOT IN (SELECT n FROM f2)
+        ),
+        lv AS (
+          SELECT 0 AS dist, n FROM f0
+          UNION ALL SELECT 1, n FROM f1
+          UNION ALL SELECT 2, n FROM f2
+          UNION ALL SELECT 3, n FROM f3
+        )
+        SELECT CAST(dist AS INTEGER) AS dist,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST('0x' || substr(md5(n), 1, 6) AS BIGINT))
+                    AS BIGINT) AS node_digest
+        FROM lv GROUP BY dist ORDER BY dist
+    """,
+    doc="Multi-source BFS distances on the token co-occurrence graph "
+    "(3 frontier expansions from the 3 lexicographically-smallest "
+    "nodes): per-distance node counts plus an md5 node-set digest so a "
+    "single mis-leveled node hash-mismatches. The Spark plan is the "
+    "100-TB BFS shape — each round is ONE equi-join of the frontier "
+    "against the edge list plus an anti-join against the visited set, "
+    "with localCheckpoint per round to keep the unrolled lineage linear "
+    "(the graph_kcore_trace lesson); frontiers/visited stay DataFrames "
+    "end-to-end, no driver materialization. Oracle: unrolled frontier "
+    "CTEs over the same edge build.",
+    tags=("graph", "join"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    frontier = (
+        e.select(F.col("a").alias("n"))
+        .distinct()
+        .orderBy("n")
+        .limit(3)
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for d in range(1, 4):
+        frontier = (
+            e.join(frontier.select(F.col("n").alias("a")), "a")
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(frontier).localCheckpoint()
+    return (
+        visited.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(
+                F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            ).cast("bigint").alias("node_digest"),
+        )
+        .orderBy("dist")
+    )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+        WITH pd AS (
+          SELECT DISTINCT user_id,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mx AS (SELECT MAX(day) AS m FROM pd),
+        gaps AS (
+          SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS nxt
+          FROM pd
+        ),
+        obs AS (
+          SELECT CAST(COALESCE(nxt, mx.m) - day AS BIGINT) AS t,
+                 CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+          FROM gaps CROSS JOIN mx
+        ),
+        tbl AS (
+          SELECT o1.t AS t,
+                 CAST(SUM(o1.ev) AS BIGINT) AS d_t,
+                 MAX(r.n_risk) AS n_risk
+          FROM obs o1
+          JOIN (
+            SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_risk
+            FROM (SELECT DISTINCT t FROM obs) a JOIN obs b ON b.t >= a.t
+            GROUP BY a.t
+          ) r ON r.t = o1.t
+          GROUP BY o1.t
+          HAVING SUM(o1.ev) > 0
+        ),
+        tbl2 AS (SELECT * FROM tbl WHERE n_risk > d_t)
+        SELECT t, n_risk, d_t,
+               CAST(round(exp(SUM(ln(CAST(n_risk - d_t AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t)) * 1000000.0) AS BIGINT)
+                 AS surv_micro
+        FROM tbl2 ORDER BY t
+    """,
+    doc="Kaplan-Meier survival of inter-purchase gaps: each subject is "
+    "one (purchase-day -> next-purchase-day) interval per user, "
+    "RIGHT-CENSORED at the dataset end for the final open interval "
+    "(nxt IS NULL) — real censoring, unlike user lifetimes in this "
+    "synthetic corpus where every user stays active to the last week. "
+    "Per distinct gap t: risk set n_t (gaps >= t, censored included "
+    "until exit), deaths d_t, product-limit estimator computed as exp "
+    "of a CUMULATIVE ln-sum — the events_holt_smoothing determinism "
+    "recipe (ln/exp/div bit-identical; the window cumulative sum adds "
+    "in t-order on both sides; the estimate is emitted in rounded "
+    "micro-units, the chi2_micro convention, because the engines's "
+    "window accumulators differ in the last ulp). Day buckets from "
+    "events_ts_to_nanos bigint-nanos layer (DIV 86400e9, non-negative "
+    "operands). Scale shape: gaps are one window over purchase days; "
+    "the risk-set count is bounded by distinct t, not event volume.",
+    tags=("events", "stats", "window"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH pd AS (
+          SELECT DISTINCT user_id, ts DIV 86400000000000 AS day
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mx AS (SELECT MAX(day) AS m FROM pd),
+        gaps AS (
+          SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS nxt
+          FROM pd
+        ),
+        obs AS (
+          SELECT CAST(COALESCE(nxt, mx.m) - day AS BIGINT) AS t,
+                 CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+          FROM gaps CROSS JOIN mx
+        ),
+        tbl AS (
+          SELECT o1.t AS t,
+                 CAST(SUM(o1.ev) AS BIGINT) AS d_t,
+                 MAX(r.n_risk) AS n_risk
+          FROM obs o1
+          JOIN (
+            SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_risk
+            FROM (SELECT DISTINCT t FROM obs) a JOIN obs b ON b.t >= a.t
+            GROUP BY a.t
+          ) r ON r.t = o1.t
+          GROUP BY o1.t
+          HAVING SUM(o1.ev) > 0
+        ),
+        tbl2 AS (SELECT * FROM tbl WHERE n_risk > d_t)
+        SELECT t, n_risk, d_t,
+               CAST(round(exp(SUM(ln(CAST(n_risk - d_t AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t)) * 1000000.0) AS BIGINT)
+                 AS surv_micro
+        FROM tbl2 ORDER BY t
+    """)
+
+
+@register(
+    "emb_random_projection_jl",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+          FROM embeddings
+        ),
+        per AS (
+          SELECT vec_id,
+            list_sum(list_transform(ed, x -> x * x)) AS nrm,
+            list_transform(generate_series(0, 7), j ->
+              list_sum(list_transform(generate_series(1, len(ed)), i ->
+                (CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '#'
+                      || CAST(j AS VARCHAR)), 1, 6) AS BIGINT)
+                 % 2 * 2 - 1) * ed[i]))) AS pj
+          FROM e
+        ),
+        r AS (
+          SELECT vec_id,
+            list_sum(list_transform(pj, p -> p * p)) / (8.0 * nrm)
+              AS ratio
+          FROM per WHERE nrm > 0
+        )
+        SELECT CAST(floor(ratio * 4.0) AS INTEGER) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM r GROUP BY 1 ORDER BY 1
+    """,
+    doc="Johnson-Lindenstrauss random projection audit: every embedding "
+    "is projected to k=8 dimensions with a DETERMINISTIC +/-1 sign "
+    "matrix (sign(i,j) from md5 — bit-identical across engines, no RNG "
+    "state to ship), and the norm-preservation ratio "
+    "||Px||^2 / (k*||x||^2) (expectation 1 under JL) is histogrammed in "
+    "quarter-wide buckets. This is the dimensionality-reduction "
+    "pre-pass for 100-TB ANN — project once, bucket/index in k dims — "
+    "and the histogram is the check that the projection is usable "
+    "before committing the index build. Determinism: projections and "
+    "norms are sequential aggregate() folds (bit-matching DuckDB "
+    "list_sum), one division in fixed operand order, floor-bucketed. "
+    "Narrow map over vectors — no shuffle until the bounded histogram.",
+    tags=("embeddings", "similarity"),
+)
+def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    sign = (
+        "(CAST(conv(substr(md5(concat(CAST(i AS STRING), '#',"
+        " CAST(j AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2 * 2 - 1)"
+    )
+    return (
+        ensure_parallelism(emb)
+        .withColumn(
+            "ed", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        )
+        .withColumn(
+            "nrm", F.expr("aggregate(ed, 0.0D, (acc, x) -> acc + x * x)")
+        )
+        .filter(F.col("nrm") > 0)
+        .withColumn(
+            "pj",
+            F.expr(
+                "transform(sequence(0, 7), j ->"
+                " aggregate(sequence(1, size(ed)), 0.0D,"
+                f" (acc, i) -> acc + {sign} * element_at(ed, i)))"
+            ),
+        )
+        .withColumn(
+            "ratio",
+            F.expr("aggregate(pj, 0.0D, (acc, p) -> acc + p * p)")
+            / (F.lit(8.0) * F.col("nrm")),
+        )
+        .groupBy(
+            F.floor(F.col("ratio") * 4.0).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle="""
+        WITH dc AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dc),
+        idx AS (
+          SELECT c,
+                 CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+          FROM dc
+        ),
+        draws AS (
+          SELECT r.r,
+                 CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#'
+                      || CAST(d.i AS VARCHAR)), 1, 6) AS BIGINT)
+                   % nn.n AS pick
+          FROM (SELECT unnest(generate_series(0, 199)) AS r) r
+          CROSS JOIN idx d CROSS JOIN nn
+        ),
+        sums AS (
+          SELECT draws.r, CAST(SUM(idx.c) AS BIGINT) AS s
+          FROM draws JOIN idx ON idx.i = draws.pick
+          GROUP BY 1
+        ),
+        srt AS (SELECT list_sort(list(s)) AS l FROM sums)
+        SELECT (SELECT n FROM nn) AS n_days,
+               CAST(200 AS BIGINT) AS b,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM dc) AS obs_total,
+               CAST(l[6] AS BIGINT) AS lo_sum,
+               CAST(l[195] AS BIGINT) AS hi_sum
+        FROM srt
+    """,
+    doc="Deterministic bootstrap confidence interval for the daily "
+    "purchase volume: 200 resamples of the per-day count vector, where "
+    "resample r's i-th draw picks day md5(r#i) % n — a reproducible "
+    "'RNG' both engines compute bit-identically, so the bootstrap "
+    "needs no seed shipping and re-runs byte-stable (the "
+    "curation_negative_sampling recipe applied to uncertainty "
+    "estimation). The 95% percentile interval is read as EXACT order "
+    "statistics of the 200 bigint resample sums (1-based ranks 6 and "
+    "195) — no float quantile interpolation anywhere. Scale shape: "
+    "daily counts are one shuffle of |days| rows; the 200 x n draw "
+    "matrix is bounded by days, never event volume, and the final "
+    "order statistic is a 200-element sort.",
+    tags=("events", "stats", "agg"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH dc AS (
+          SELECT ts DIV 86400000000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dc),
+        idx AS (
+          SELECT c,
+                 CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+          FROM dc
+        ),
+        draws AS (
+          SELECT r.r,
+                 CAST(conv(substr(md5(concat(CAST(r.r AS STRING), '#',
+                      CAST(d.i AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                   % nn.n AS pick
+          FROM (SELECT explode(sequence(0, 199)) AS r) r
+          CROSS JOIN idx d CROSS JOIN nn
+        ),
+        sums AS (
+          SELECT draws.r, CAST(SUM(idx.c) AS BIGINT) AS s
+          FROM draws JOIN idx ON idx.i = draws.pick
+          GROUP BY 1
+        ),
+        srt AS (SELECT sort_array(collect_list(s)) AS l FROM sums)
+        SELECT (SELECT n FROM nn) AS n_days,
+               CAST(200 AS BIGINT) AS b,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM dc) AS obs_total,
+               CAST(l[5] AS BIGINT) AS lo_sum,
+               CAST(l[194] AS BIGINT) AS hi_sum
+        FROM srt
+    """)
