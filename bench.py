@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "events_survival_km",
     "emb_random_projection_jl",
     "events_bootstrap_ci",
+    "managed_wap_publish",
+    "curation_quality_funnel",
+    "graph_adamic_adar",
 ]
 
 
@@ -325,6 +328,7 @@ def main() -> None:
         "events_stream_cusum",
         "events_stream_bursts",
         "managed_branch_expiry",
+        "managed_wap_publish",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed

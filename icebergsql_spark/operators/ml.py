@@ -30,7 +30,7 @@ Iterations compose lazily — no driver actions in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 SCALE = 10**6
@@ -153,3 +153,115 @@ def kmeans_summary(
         )
         .orderBy("cell")
     )
+# --- to append to operators/ml.py after benches finish ---
+
+
+def _assign_grouped(mem: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-parent-cell 2-way assignment: centroids are keyed by (cell,
+    sub), broadcast (2 rows per oversized cell), argmin by the same
+    lexicographic (dist_q, sub) struct-min as ``_assign``."""
+    scored = mem.join(F.broadcast(cents), "cell").select(
+        "vid",
+        "cell",
+        F.struct(
+            F.expr(
+                "aggregate(zip_with(xq, cq, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dq"),
+            F.col("sub"),
+        ).alias("key"),
+    )
+    return scored.groupBy("vid", "cell").agg(
+        F.min("key").getField("sub").cast("int").alias("sub")
+    )
+
+
+def _update_grouped(mem: DataFrame, sub: DataFrame) -> DataFrame:
+    """Sub-centroid update keyed by (cell, sub) — the ``_update``
+    integer-mean shuffle with a composite key."""
+    exploded = mem.join(sub, ["vid", "cell"]).select(
+        "cell", "sub", F.posexplode("xq").alias("pos", "q")
+    )
+    percoord = exploded.groupBy("cell", "sub", "pos").agg(
+        F.expr("SUM(q) DIV COUNT(*)").alias("cq")
+    )
+    return percoord.groupBy("cell", "sub").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cq))),"
+            " s -> s.cq)"
+        ).alias("cq")
+    )
+
+
+def kmeans_assign_bounded(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    max_cell_size: int = 1024,
+    max_depth: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Size-bounded clustering: ``kmeans_assign`` rounds, then every cell
+    larger than ``max_cell_size`` is recursively BISECTED (2-way k-means
+    within the cell, seeded from its two smallest member ids) up to
+    ``max_depth`` levels — the escalation path for pathological cells the
+    sqrt(n)-adaptive semantic dedup documents (a near-duplicate-heavy
+    corpus can put a constant fraction of all vectors in one k-means
+    cell, and within-cell O(cell^2) pair work then defeats the blocking).
+
+    Cell ids stay deterministic and collision-free: every depth remaps
+    cell -> cell*2 (+ sub for split members), so unsplit lineages and
+    split halves never collide. Degenerate cells (identical vectors —
+    nothing separates) tie-break every member into sub 0 and stop
+    shrinking; ``max_depth`` bounds the recursion, so termination never
+    depends on separability.
+
+    Scale shape: the oversized-cell list is metadata-sized (cells over
+    the bound, not vectors), sub-centroids are a 2-rows-per-cell
+    broadcast, and each depth is one join + one integer-mean shuffle over
+    ONLY the oversized cells' members. localCheckpoint per depth keeps
+    the unrolled lineage linear (the iterative-operator rule)."""
+    from icebergsql_spark.operators.util import track_cache
+
+    xq = track_cache(_quantized(df, vec_col, id_col))
+    assign = _kmeans_core(xq, k, iterations)
+    for _depth in range(max_depth):
+        sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        big = [
+            r["cell"]
+            for r in sizes.filter(F.col("n") > max_cell_size).collect()
+        ]
+        if not big:
+            break
+        is_big = F.col("cell").isin(big)
+        mem = track_cache(xq.join(assign, "vid").filter(is_big))
+        w = W.partitionBy("cell").orderBy("vid")
+        cents = (
+            mem.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select(
+                "cell",
+                (F.col("rn") - 1).cast("int").alias("sub"),
+                F.col("xq").alias("cq"),
+            )
+        )
+        sub = None
+        for _i in range(iterations):
+            sub = _assign_grouped(mem, cents)
+            cents = _update_grouped(mem, sub)
+        sub = _assign_grouped(mem, cents)
+        assign = (
+            assign.filter(~is_big)
+            .select("vid", (F.col("cell") * 2).cast("int").alias("cell"))
+            .unionAll(
+                sub.select(
+                    "vid",
+                    (F.col("cell") * 2 + F.col("sub")).cast("int").alias(
+                        "cell"
+                    ),
+                )
+            )
+            .localCheckpoint()
+        )
+    return assign

@@ -54,6 +54,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_survival_km",
     "emb_random_projection_jl",
     "events_bootstrap_ci",
+    "managed_wap_publish",
+    "curation_quality_funnel",
+    "graph_adamic_adar",
     # -- plans changed in round 8 (incremental delete totals; resize
     #    dispatch) — re-check post-change --
     "managed_mor_merge_cdc",

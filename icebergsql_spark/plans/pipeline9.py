@@ -729,3 +729,329 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l[194] AS BIGINT) AS hi_sum
         FROM srt
     """)
+
+
+@register(
+    "managed_wap_publish",
+    oracle="""
+        WITH o AS (SELECT o_orderkey AS k,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders)
+        SELECT phase, n, total FROM (
+          SELECT 'audit_staging' AS phase,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 4 IN (0, 1)
+          UNION ALL
+          SELECT 'main_after' AS phase,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 4 IN (0, 1)
+          UNION ALL
+          SELECT 'main_before' AS phase,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 4 = 0
+        ) ORDER BY phase
+    """,
+    doc="Write-audit-publish (WAP), the staging flow Iceberg branches "
+    "exist for: the ingest lands on branch 'staging' (main pointer "
+    "untouched — asserted in-DAG), an AUDIT pass scans the BRANCH and "
+    "validates row count and a null-free invariant, and only then does "
+    "fast_forward publish the branch head to main — one atomic pointer "
+    "move, zero data IO. A second staging round that FAILS its audit is "
+    "dropped via drop_ref and the query asserts main never saw its "
+    "rows. Per-phase counts/totals are recomputed by the oracle from "
+    "the raw table. Reference analogue: branch-scoped appends + "
+    "pointer-move publish (the reference's snapshot-pointer commit, "
+    "SparkTableOperations.scala:96-119, applied to a named ref).",
+    tags=("managed", "maintenance", "dml"),
+)
+def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-wap-"))
+    tbl = eng.catalog.create_table("ord_wap", "k bigint, c bigint, m int",
+                                   ["m"])
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        (F.col("o_orderkey") % 4).cast("int").alias("m"),
+    )
+    tbl.insert(base.filter(F.col("m") == 0))
+    main_before = tbl.to_df().agg(
+        F.lit("main_before").alias("phase"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("c").cast("double") / 100.0).alias("total"),
+    ).collect()[0]
+    main_head = tbl.meta.current_snapshot_id
+
+    tbl.create_branch("staging")
+    tbl.insert(base.filter(F.col("m") == 1), branch="staging")
+    tbl.refresh()
+    assert tbl.meta.current_snapshot_id == main_head, (
+        "branch write moved the main pointer"
+    )
+    # AUDIT the branch scan before publishing
+    audit = tbl.to_df(ref="staging")
+    bad = audit.filter(F.col("c").isNull()).limit(1).count()
+    assert bad == 0, "staging audit failed: NULL totals"
+    staging = audit.agg(
+        F.lit("audit_staging").alias("phase"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("c").cast("double") / 100.0).alias("total"),
+    ).collect()[0]
+    tbl.fast_forward("staging")
+    tbl.drop_ref("staging")
+
+    # a second staging round whose audit REJECTS (simulated bad batch):
+    # drop the branch, main must never see its rows
+    tbl.create_branch("staging2")
+    tbl.insert(
+        base.filter(F.col("m") == 2).withColumn("c", F.col("c") * 0 - 1),
+        branch="staging2",
+    )
+    tbl.drop_ref("staging2")
+    tbl.refresh()
+    negatives = tbl.to_df().filter(F.col("c") < 0).limit(1).count()
+    assert negatives == 0, "rejected staging rows leaked into main"
+
+    rows = [
+        tuple(staging),
+        tuple(
+            tbl.to_df().agg(
+                F.lit("main_after").alias("phase"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                (F.sum("c").cast("double") / 100.0).alias("total"),
+            ).collect()[0]
+        ),
+        tuple(main_before),
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, n bigint, total double"
+    ).orderBy("phase")
+
+
+@register(
+    "curation_quality_funnel",
+    oracle="""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(toks) AS BIGINT) AS nt,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS uq,
+                 CAST(list_sum(list_transform(toks, w -> len(w)))
+                      AS BIGINT) AS charsum,
+                 CAST(len(list_filter(toks, w -> w IN
+                      ('the','a','of','and','to','in','is','it','for','on')
+                      )) AS BIGINT) AS sw
+          FROM t WHERE len(toks) > 0
+        ),
+        flags AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS f1,
+                 CASE WHEN charsum * 10 >= nt * 44 THEN 1 ELSE 0 END AS f2,
+                 CASE WHEN uq * 10 >= nt * 5 THEN 1 ELSE 0 END AS f3,
+                 CASE WHEN sw * 100 >= nt * 5 THEN 1 ELSE 0 END AS f4
+          FROM m
+        )
+        SELECT stage, survivors FROM (
+          SELECT '0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS survivors
+          FROM flags
+          UNION ALL
+          SELECT '1_min_length', CAST(SUM(f1) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT '2_word_shape',
+                 CAST(SUM(f1 * f2) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT '3_lexical_diversity',
+                 CAST(SUM(f1 * f2 * f3) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT '4_stopword_naturalness',
+                 CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) FROM flags
+        ) ORDER BY stage
+    """,
+    doc="Quality-filter funnel, the survivor accounting every LLM "
+    "training-data pipeline publishes next to its corpus: four chained "
+    "document filters — minimum length, mean word length >= 4.4 (word "
+    "shape), type-token ratio >= 0.5 (lexical diversity), stopword "
+    "ratio >= 5% (natural-language-ness) — with per-stage survivor "
+    "counts so the cost of each rule is visible (each stage was "
+    "probed to discriminate at all three SFs; no stage is a no-op). "
+    "All thresholds are INTEGER cross-multiplications (charsum*10 >= "
+    "nt*44, never a float ratio), so both engines agree exactly. One "
+    "tokenize pass, one bounded aggregate — no shuffle beyond the "
+    "5-row rollup; the per-doc flags pipeline into dedup/mixing "
+    "downstream (curation_dp_mixture's input shape).",
+    tags=("curation", "text"),
+)
+def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    m = (
+        ensure_parallelism(docs)
+        .withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("toks").cast("bigint").alias("nt"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias("uq"),
+            F.expr(
+                "aggregate(transform(toks, w -> CAST(length(w) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("charsum"),
+            F.expr(
+                "CAST(size(filter(toks, w -> w IN ('the','a','of','and',"
+                "'to','in','is','it','for','on'))) AS BIGINT)"
+            ).alias("sw"),
+        )
+    )
+    flags = m.select(
+        F.when(F.col("n_chars") >= 100, 1).otherwise(0).alias("f1"),
+        F.when(F.col("charsum") * 10 >= F.col("nt") * 44, 1)
+        .otherwise(0).alias("f2"),
+        F.when(F.col("uq") * 10 >= F.col("nt") * 5, 1)
+        .otherwise(0).alias("f3"),
+        F.when(F.col("sw") * 100 >= F.col("nt") * 5, 1)
+        .otherwise(0).alias("f4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s0"),
+        F.sum("f1").cast("bigint").alias("s1"),
+        F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("s2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3"))
+        .cast("bigint").alias("s3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4"))
+        .cast("bigint").alias("s4"),
+    )
+    def st(label, col):
+        return F.struct(
+            F.lit(label).alias("stage"), F.col(col).alias("survivors")
+        )
+
+    stages = F.array(
+        st("0_all", "s0"),
+        st("1_min_length", "s1"),
+        st("2_word_shape", "s2"),
+        st("3_lexical_diversity", "s3"),
+        st("4_stopword_naturalness", "s4"),
+    )
+    return (
+        agg.select(F.explode(stages).alias("x"))
+        .select(
+            F.col("x.stage").alias("stage"),
+            F.col("x.survivors").alias("survivors"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "graph_adamic_adar",
+    oracle=_EDGE_SQL + """,
+        deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+                FROM e GROUP BY 1),
+        wt AS (
+          SELECT n, CAST(floor(1000000000.0 / ln(CAST(d AS DOUBLE)))
+                         AS BIGINT) AS w
+          FROM deg WHERE d >= 2
+        ),
+        two_hop AS (
+          SELECT e1.a AS a, e2.b AS c,
+                 CAST(SUM(wt.w) AS BIGINT) AS aa_nano,
+                 CAST(COUNT(*) AS BIGINT) AS common
+          FROM e e1
+          JOIN e e2 ON e1.b = e2.a AND e1.a < e2.b
+          JOIN wt ON wt.n = e1.b
+          GROUP BY 1, 2
+        ),
+        nonadj AS (
+          SELECT t.a, t.c, t.common, t.aa_nano
+          FROM two_hop t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM half h WHERE h.a = t.a AND h.b = t.c
+          )
+        )
+        SELECT a, c, common, aa_nano FROM nonadj
+        ORDER BY aa_nano DESC, a, c
+        LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction on the token co-occurrence graph — "
+    "graph_common_neighbors' degree-weighted sibling: each shared "
+    "neighbor z contributes 1/ln(deg(z)), so hub neighbors count less. "
+    "Float-sum order would be engine-dependent, so the weight is "
+    "INTEGER-IZED first: floor(1e9 / ln(d)) per node (ln and the "
+    "division are bit-identical IEEE ops on both engines; floor makes "
+    "the per-node weight an exact bigint), then summed "
+    "order-independently. Scale shape identical to common_neighbors: "
+    "one 2-hop self-join keyed on the middle node with the weight "
+    "joined as a broadcast, adjacency removed by anti-join, top-20 "
+    "under a total deterministic order.",
+    tags=("graph", "join"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    wt = deg.filter(F.col("d") >= 2).select(
+        "n",
+        F.floor(F.lit(1000000000.0) / F.log(F.col("d").cast("double")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    two_hop = (
+        e1.join(
+            e2,
+            (F.col("e1.b") == F.col("e2.a"))
+            & (F.col("e1.a") < F.col("e2.b")),
+        )
+        .join(F.broadcast(wt), F.col("e1.b") == F.col("n"))
+        .groupBy(F.col("e1.a").alias("a"), F.col("e2.b").alias("c"))
+        .agg(
+            F.sum("w").cast("bigint").alias("aa_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+        )
+    )
+    nonadj = two_hop.join(
+        half.withColumnRenamed("b", "c"), ["a", "c"], "left_anti"
+    )
+    return (
+        nonadj.select("a", "c", "common", "aa_nano")
+        .orderBy(F.desc("aa_nano"), "a", "c")
+        .limit(20)
+    )
