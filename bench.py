@@ -200,6 +200,10 @@ BENCH_QUERIES = [
     "managed_wap_publish",
     "curation_quality_funnel",
     "graph_adamic_adar",
+    "events_did_uplift",
+    "text_heaps_law",
+    "sketch_theta_difference",
+    "events_cumulative_users",
 ]
 
 

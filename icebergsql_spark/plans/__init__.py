@@ -18,16 +18,18 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # tests/test_queries.py).
 #
 # Round-8 window: the 15 round-7 (pipeline8) queries that have NEVER
-# received a driver CORRECTNESS row go first — a green round closes
-# cumulative driver coverage at 259/259 (they are all green in the local
-# driver-sim at sf0.01 and in tests/test_queries.py; what's missing is
-# the durable driver row). New round-8 operators follow, then queries
-# whose PLANS change this round (the incremental delete-totals rewrite in
-# table.py touches every commit-heavy managed scenario; the resize_image
-# magic-byte dispatch touches the resize gates) so the driver re-checks
-# them post-change. The 48 round-6-green rows rotate to the tail,
-# staying covered by the identical local oracle comparison in
-# tests/test_queries.py.
+# received a driver CORRECTNESS row go first, then the 14 new round-8
+# (pipeline9) queries — a green round closes cumulative driver coverage
+# at 274/274 (all are green in the local driver-sim at sf0.01 and in
+# tests/test_queries.py; the driver row is the missing durable signal).
+# Then queries whose PLANS changed this round (the incremental
+# delete-totals rewrite in table.py touches every commit-heavy managed
+# scenario; the resize_image magic-byte dispatch touches the resize
+# gates) so the driver re-checks them post-change: 36 must-check rows,
+# inside the ~50-row window. The 48 round-6-green rows rotate to the
+# tail, staying covered by the identical local oracle comparison in
+# tests/test_queries.py. ROUND-9 RULE: rotate these 36 out before
+# registering anything new.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round 7 / pipeline8; must close this round) --
     "managed_merge_schema_evolution",
@@ -57,6 +59,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_wap_publish",
     "curation_quality_funnel",
     "graph_adamic_adar",
+    "events_did_uplift",
+    "text_heaps_law",
+    "sketch_theta_difference",
+    "events_cumulative_users",
     # -- plans changed in round 8 (incremental delete totals; resize
     #    dispatch) — re-check post-change --
     "managed_mor_merge_cdc",

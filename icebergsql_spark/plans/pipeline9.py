@@ -1055,3 +1055,371 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_nano"), "a", "c")
         .limit(20)
     )
+
+
+@register(
+    "events_did_uplift",
+    oracle="""
+        WITH span AS (
+          SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0,
+                 MAX(epoch_ns(ts) // 86400000000000) AS d1
+          FROM events
+        ),
+        base AS (
+          SELECT CAST(user_id % 2 AS INTEGER) AS grp,
+                 CASE WHEN epoch_ns(ts) // 86400000000000
+                      >= span.d0 + (span.d1 - span.d0 + 1) // 2
+                      THEN 1 ELSE 0 END AS period,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events CROSS JOIN span
+        ),
+        cells AS (
+          SELECT grp, period,
+                 CAST(SUM(y) AS BIGINT) AS conv,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN grp = 1 AND period = 0 THEN conv END) AS t0c,
+            MAX(CASE WHEN grp = 1 AND period = 0 THEN n END) AS t0n,
+            MAX(CASE WHEN grp = 1 AND period = 1 THEN conv END) AS t1c,
+            MAX(CASE WHEN grp = 1 AND period = 1 THEN n END) AS t1n,
+            MAX(CASE WHEN grp = 0 AND period = 0 THEN conv END) AS c0c,
+            MAX(CASE WHEN grp = 0 AND period = 0 THEN n END) AS c0n,
+            MAX(CASE WHEN grp = 0 AND period = 1 THEN conv END) AS c1c,
+            MAX(CASE WHEN grp = 0 AND period = 1 THEN n END) AS c1n
+          FROM cells
+        )
+        SELECT t0c, t0n, t1c, t1n, c0c, c0n, c1c, c1n,
+               CAST(round(
+                 ((CAST(t1c AS DOUBLE) / CAST(t1n AS DOUBLE)
+                   - CAST(t0c AS DOUBLE) / CAST(t0n AS DOUBLE))
+                  - (CAST(c1c AS DOUBLE) / CAST(c1n AS DOUBLE)
+                     - CAST(c0c AS DOUBLE) / CAST(c0n AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) AS did_micro
+        FROM wide
+    """,
+    doc="Difference-in-differences uplift on the purchase rate: odd "
+    "user_ids are the 'treatment' cohort, the dataset's second half "
+    "(by day, from min/max day span) is the 'post' period, and the DiD "
+    "estimate (treatment post-pre delta minus control post-pre delta) "
+    "is the causal-inference primitive every experimentation pipeline "
+    "reports next to the raw A/B z-test (events_ab_test_ztest's "
+    "sibling). The four cells are exact integer (conversions, trials) "
+    "sufficient stats; the estimate is four divisions and three "
+    "subtractions in textually identical operand order, emitted in "
+    "rounded micro-units. Scale shape: one groupBy to 4 cells, "
+    "pivoted by MAX-CASE — no joins, no window, volume-independent "
+    "state.",
+    tags=("events", "stats", "agg"),
+)
+def events_did_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH span AS (
+          SELECT MIN(ts DIV 86400000000000) AS d0,
+                 MAX(ts DIV 86400000000000) AS d1
+          FROM events
+        ),
+        base AS (
+          SELECT CAST(user_id % 2 AS INT) AS grp,
+                 CASE WHEN ts DIV 86400000000000
+                      >= span.d0 + (span.d1 - span.d0 + 1) DIV 2
+                      THEN 1 ELSE 0 END AS period,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events CROSS JOIN span
+        ),
+        cells AS (
+          SELECT grp, period,
+                 CAST(SUM(y) AS BIGINT) AS conv,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT
+            MAX(CASE WHEN grp = 1 AND period = 0 THEN conv END) AS t0c,
+            MAX(CASE WHEN grp = 1 AND period = 0 THEN n END) AS t0n,
+            MAX(CASE WHEN grp = 1 AND period = 1 THEN conv END) AS t1c,
+            MAX(CASE WHEN grp = 1 AND period = 1 THEN n END) AS t1n,
+            MAX(CASE WHEN grp = 0 AND period = 0 THEN conv END) AS c0c,
+            MAX(CASE WHEN grp = 0 AND period = 0 THEN n END) AS c0n,
+            MAX(CASE WHEN grp = 0 AND period = 1 THEN conv END) AS c1c,
+            MAX(CASE WHEN grp = 0 AND period = 1 THEN n END) AS c1n
+          FROM cells
+        )
+        SELECT t0c, t0n, t1c, t1n, c0c, c0n, c1c, c1n,
+               CAST(round(
+                 ((CAST(t1c AS DOUBLE) / CAST(t1n AS DOUBLE)
+                   - CAST(t0c AS DOUBLE) / CAST(t0n AS DOUBLE))
+                  - (CAST(c1c AS DOUBLE) / CAST(c1n AS DOUBLE)
+                     - CAST(c0c AS DOUBLE) / CAST(c0n AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) AS did_micro
+        FROM wide
+    """)
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+        WITH mx AS (
+          SELECT MAX(doc_id) + 1 AS nd FROM documents
+        ),
+        dec AS (SELECT unnest(generate_series(1, 10)) AS decile),
+        pref AS (
+          SELECT dec.decile,
+                 CAST(COUNT(DISTINCT w.w) AS BIGINT) AS vocab
+          FROM dec
+          JOIN (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+          ) w ON w.doc_id * 10 < (SELECT nd FROM mx) * dec.decile
+          GROUP BY 1
+        ),
+        toksum AS (
+          SELECT dec.decile,
+                 CAST(SUM(len(regexp_split_to_array(trim(t.text), '\\s+')))
+                      AS BIGINT) AS tokens
+          FROM dec
+          JOIN documents t
+            ON t.doc_id * 10 < (SELECT nd FROM mx) * dec.decile
+          GROUP BY 1
+        )
+        SELECT p.decile AS decile, t.tokens AS tokens, p.vocab AS vocab,
+               CAST(round(ln(CAST(p.vocab AS DOUBLE))
+                          / ln(CAST(t.tokens AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS beta_micro
+        FROM pref p JOIN toksum t ON t.decile = p.decile
+        ORDER BY decile
+    """,
+    doc="Heaps-law vocabulary growth curve: for each doc-id-prefix "
+    "decile of the corpus, total tokens, distinct vocabulary, and the "
+    "pointwise Heaps exponent ln(V)/ln(N) in micro-units — the "
+    "saturation diagnostic a corpus curator reads before deciding "
+    "whether more data still buys new vocabulary (text_zipf_fit's "
+    "growth-side sibling). Prefixes are doc-id ordered (deterministic, "
+    "not sample-order dependent); vocab is COUNT(DISTINCT token) per "
+    "decile via one explode + dedup-by-decile shuffle; ln/div are "
+    "bit-identical IEEE ops in fixed operand order. Scale shape: the "
+    "decile join is a 10-row broadcast against the token stream; "
+    "distinct-per-decile is the only real shuffle and is the point of "
+    "the measurement.",
+    tags=("text", "agg"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = ensure_parallelism(docs)
+    nd = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    dec = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    joined = toks.crossJoin(F.broadcast(nd)).join(
+        F.broadcast(dec),
+        F.col("doc_id") * 10 < F.col("nd") * F.col("decile"),
+    )
+    toksum = joined.groupBy("decile").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("tokens")
+    )
+    vocab = (
+        joined.select("decile", F.explode("toks").alias("w"))
+        .groupBy("decile")
+        .agg(F.countDistinct("w").cast("bigint").alias("vocab"))
+    )
+    return (
+        vocab.join(toksum, "decile")
+        .select(
+            "decile",
+            "tokens",
+            "vocab",
+            F.round(
+                F.log(F.col("vocab").cast("double"))
+                / F.log(F.col("tokens").cast("double"))
+                * 1000000.0
+            ).cast("bigint").alias("beta_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "sketch_theta_difference",
+    oracle="""
+        WITH a AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) || '#'
+                 || CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS k
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        b AS (
+          SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) || '#'
+                 || CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS k
+          FROM events WHERE event_type = 'purchase'
+        ),
+        ha AS (
+          SELECT k, CAST('0x' || substr(md5(k), 1, 12) AS BIGINT) AS h
+          FROM a
+        ),
+        hb AS (
+          SELECT k, CAST('0x' || substr(md5(k), 1, 12) AS BIGINT) AS h
+          FROM b
+        ),
+        bot AS (
+          SELECT h, k FROM ha ORDER BY h LIMIT 256
+        ),
+        theta AS (SELECT MAX(h) AS th FROM bot),
+        marked AS (
+          SELECT bot.h,
+                 CASE WHEN hb.k IS NULL THEN 1 ELSE 0 END AS only_a
+          FROM bot LEFT JOIN hb ON hb.k = bot.k
+        ),
+        est AS (
+          SELECT CAST(SUM(only_a) AS BIGINT) AS kd,
+                 (SELECT th FROM theta) AS th
+          FROM marked
+        ),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS diff_exact
+          FROM a LEFT JOIN hb ON hb.k = a.k WHERE hb.k IS NULL
+        )
+        SELECT est.kd AS sample_only_a,
+               CAST(256 AS BIGINT) AS k_bottom,
+               exact.diff_exact AS diff_exact,
+               CAST(round(CAST(est.kd AS DOUBLE) / 256.0
+                          * (255.0 * CAST(281474976710655 AS DOUBLE)
+                             / CAST(est.th AS DOUBLE))) AS BIGINT)
+                 AS diff_est
+        FROM est CROSS JOIN exact
+    """,
+    doc="Theta-sketch set DIFFERENCE estimate |A \\\\ B| over (user, day) "
+    "activity keys: A = click/view days, B = purchase days. The "
+    "bottom-256 hash sample of A fixes theta; members of the sample "
+    "absent from B estimate the difference as (k_onlyA / k) * "
+    "(k-1)/theta-normalized cardinality — the KMV/theta identity that "
+    "makes UNION/INTERSECT/DIFFERENCE all computable from mergeable "
+    "bottom-k state (sketch_kmv_intersection's third set operation). "
+    "Exact |A \\\\ B| rides along for the error check; both engines "
+    "hash with the same md5-prefix integers so the sample and theta "
+    "are bit-identical, and the single float normalization is in "
+    "fixed operand order. Scale shape: bottom-k is an ORDER BY h "
+    "LIMIT k (a top-k, not a global sort, under Spark's "
+    "TakeOrderedAndProject); the membership probe joins only the "
+    "256-row sample against B.",
+    tags=("sketch", "events"),
+)
+def sketch_theta_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH a AS (
+          SELECT DISTINCT concat('u', CAST(user_id AS STRING), '#',
+                 CAST(ts DIV 86400000000000 AS STRING)) AS k
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        b AS (
+          SELECT DISTINCT concat('u', CAST(user_id AS STRING), '#',
+                 CAST(ts DIV 86400000000000 AS STRING)) AS k
+          FROM events WHERE event_type = 'purchase'
+        ),
+        ha AS (
+          SELECT k,
+                 CAST(conv(substr(md5(k), 1, 12), 16, 10) AS BIGINT) AS h
+          FROM a
+        ),
+        hb AS (
+          SELECT k,
+                 CAST(conv(substr(md5(k), 1, 12), 16, 10) AS BIGINT) AS h
+          FROM b
+        ),
+        bot AS (
+          SELECT h, k FROM ha ORDER BY h LIMIT 256
+        ),
+        theta AS (SELECT MAX(h) AS th FROM bot),
+        marked AS (
+          SELECT bot.h,
+                 CASE WHEN hb.k IS NULL THEN 1 ELSE 0 END AS only_a
+          FROM bot LEFT JOIN hb ON hb.k = bot.k
+        ),
+        est AS (
+          SELECT CAST(SUM(only_a) AS BIGINT) AS kd,
+                 (SELECT th FROM theta) AS th
+          FROM marked
+        ),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS diff_exact
+          FROM a LEFT JOIN hb ON hb.k = a.k WHERE hb.k IS NULL
+        )
+        SELECT est.kd AS sample_only_a,
+               CAST(256 AS BIGINT) AS k_bottom,
+               exact.diff_exact AS diff_exact,
+               CAST(round(CAST(est.kd AS DOUBLE) / 256.0
+                          * (255.0 * CAST(281474976710655 AS DOUBLE)
+                             / CAST(est.th AS DOUBLE))) AS BIGINT)
+                 AS diff_est
+        FROM est CROSS JOIN exact
+    """)
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+        WITH fd AS (
+          SELECT user_id,
+                 MIN(epoch_ns(ts) // 86400000000000) AS first_day
+          FROM events GROUP BY 1
+        ),
+        days AS (
+          SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        cum AS (
+          SELECT d.day,
+                 CAST((SELECT COUNT(*) FROM fd
+                       WHERE fd.first_day <= d.day) AS BIGINT)
+                   AS users_to_date
+          FROM days d
+        )
+        SELECT CAST(day - (SELECT MIN(day) FROM days) AS BIGINT)
+                 AS day_idx,
+               users_to_date
+        FROM cum
+        WHERE (day - (SELECT MIN(day) FROM days)) % 7 = 0
+        ORDER BY day_idx
+    """,
+    doc="Cumulative-distinct-users growth curve (weekly samples): the "
+    "audience-growth metric computed WITHOUT a cumulative DISTINCT "
+    "window (which would keep per-user state per day) — each user "
+    "collapses to a first-seen day, and distinct-to-date(d) is just "
+    "the count of first_days <= d: one |users|-sized groupBy plus a "
+    "bounded day-spine join. Day indexes are emitted relative to "
+    "min(day) (the CLAUDE rule: never absolute epoch-day literals). "
+    "Everything is exact integers. Scale shape: the first-seen trick "
+    "turns an O(users x days) stateful window into one shuffle and a "
+    "days-sized broadcast join — the 100-TB way to compute any "
+    "'cumulative unique' curve.",
+    tags=("events", "agg", "window"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH fd AS (
+          SELECT user_id, MIN(ts DIV 86400000000000) AS first_day
+          FROM events GROUP BY 1
+        ),
+        days AS (
+          SELECT DISTINCT ts DIV 86400000000000 AS day FROM events
+        ),
+        mind AS (SELECT MIN(day) AS m FROM days),
+        cum AS (
+          SELECT d.day,
+                 CAST(COUNT(fd.user_id) AS BIGINT) AS users_to_date
+          FROM days d LEFT JOIN fd ON fd.first_day <= d.day
+          GROUP BY d.day
+        )
+        SELECT CAST(cum.day - mind.m AS BIGINT) AS day_idx,
+               cum.users_to_date AS users_to_date
+        FROM cum CROSS JOIN mind
+        WHERE (cum.day - mind.m) % 7 = 0
+        ORDER BY day_idx
+    """)
