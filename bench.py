@@ -204,6 +204,13 @@ BENCH_QUERIES = [
     "text_heaps_law",
     "sketch_theta_difference",
     "events_cumulative_users",
+    "events_stream_cumulative_users",
+    "graph_clustering_coefficient",
+    "sketch_hll_union",
+    "events_spearman_corr",
+    "events_ols_trend",
+    "text_readability_score",
+    "text_simpson_diversity",
 ]
 
 
@@ -333,6 +340,7 @@ def main() -> None:
         "events_stream_bursts",
         "managed_branch_expiry",
         "managed_wap_publish",
+        "events_stream_cumulative_users",
     }
     timings: dict[str, float] = {}
     # per-query [p50, min, max] over the runs — the r5 bench showed

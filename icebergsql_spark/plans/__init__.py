@@ -18,17 +18,17 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # tests/test_queries.py).
 #
 # Round-8 window: the 15 round-7 (pipeline8) queries that have NEVER
-# received a driver CORRECTNESS row go first, then the 14 new round-8
+# received a driver CORRECTNESS row go first, then the 21 new round-8
 # (pipeline9) queries — a green round closes cumulative driver coverage
-# at 274/274 (all are green in the local driver-sim at sf0.01 and in
+# at 281/281 (all are green in the local driver-sim at sf0.01 and in
 # tests/test_queries.py; the driver row is the missing durable signal).
 # Then queries whose PLANS changed this round (the incremental
 # delete-totals rewrite in table.py touches every commit-heavy managed
 # scenario; the resize_image magic-byte dispatch touches the resize
-# gates) so the driver re-checks them post-change: 36 must-check rows,
+# gates) so the driver re-checks them post-change: 43 must-check rows,
 # inside the ~50-row window. The 48 round-6-green rows rotate to the
 # tail, staying covered by the identical local oracle comparison in
-# tests/test_queries.py. ROUND-9 RULE: rotate these 36 out before
+# tests/test_queries.py. ROUND-9 RULE: rotate these 43 out before
 # registering anything new.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round 7 / pipeline8; must close this round) --
@@ -63,6 +63,13 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_heaps_law",
     "sketch_theta_difference",
     "events_cumulative_users",
+    "events_stream_cumulative_users",
+    "graph_clustering_coefficient",
+    "sketch_hll_union",
+    "events_spearman_corr",
+    "events_ols_trend",
+    "text_readability_score",
+    "text_simpson_diversity",
     # -- plans changed in round 8 (incremental delete totals; resize
     #    dispatch) — re-check post-change --
     "managed_mor_merge_cdc",

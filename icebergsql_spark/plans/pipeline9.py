@@ -1423,3 +1423,626 @@ def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE (cum.day - mind.m) % 7 = 0
         ORDER BY day_idx
     """)
+
+
+@register(
+    "events_stream_cumulative_users",
+    oracle="""
+        WITH fd AS (
+          SELECT user_id,
+                 MIN(epoch_ns(ts) // 86400000000000) AS first_day
+          FROM events GROUP BY 1
+        ),
+        days AS (
+          SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        cum AS (
+          SELECT d.day,
+                 CAST((SELECT COUNT(*) FROM fd
+                       WHERE fd.first_day <= d.day) AS BIGINT)
+                   AS users_to_date
+          FROM days d
+        )
+        SELECT CAST(day - (SELECT MIN(day) FROM days) AS BIGINT)
+                 AS day_idx,
+               users_to_date
+        FROM cum
+        WHERE (day - (SELECT MIN(day) FROM days)) % 7 = 0
+        ORDER BY day_idx
+    """,
+    doc="STREAMING twin of events_cumulative_users: the event stream is "
+    "replayed as 3 chronological micro-batches (time-split parquet "
+    "appends + maxFilesPerTrigger=1, the stream-gate rule) and each "
+    "batch folds to per-user MIN(first-seen-day) partials plus "
+    "distinct-day markers appended to a parquet sink. Both partials "
+    "are MIN/set-mergeable, so micro-batch chopping and arrival order "
+    "cannot change the final state — the finalizer merges mins and "
+    "rebuilds the identical weekly cumulative curve the batch oracle "
+    "computes from raw events. Sink state is |users| + |days| rows "
+    "per batch regardless of event volume; at 100 TB the same sink is "
+    "a managed table the finalizer reads (the "
+    "events_stream_decayed_counts pattern with MIN instead of SUM).",
+    tags=("events", "streaming"),
+)
+def events_stream_cumulative_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-scusrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-scuout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                "user_id", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .groupBy("user_id")
+            .agg(F.min("day").cast("bigint").alias("fd"))
+            .select("user_id", "fd", F.lit("user").alias("kind"))
+            .unionAll(
+                batch_df.select(
+                    F.lit(-1).cast("bigint").alias("user_id"),
+                    F.expr("ts DIV 86400000000000").alias("fd"),
+                    F.lit("day").alias("kind"),
+                ).distinct()
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-scuck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(out)
+    sink.filter(F.col("kind") == "user").groupBy("user_id").agg(
+        F.min("fd").alias("first_day")
+    ).createOrReplaceTempView("scu_fd")
+    sink.filter(F.col("kind") == "day").select(
+        F.col("fd").alias("day")
+    ).distinct().createOrReplaceTempView("scu_days")
+    return spark.sql("""
+        WITH mind AS (SELECT MIN(day) AS m FROM scu_days),
+        cum AS (
+          SELECT d.day,
+                 CAST(COUNT(fd.user_id) AS BIGINT) AS users_to_date
+          FROM scu_days d LEFT JOIN scu_fd fd ON fd.first_day <= d.day
+          GROUP BY d.day
+        )
+        SELECT CAST(cum.day - mind.m AS BIGINT) AS day_idx,
+               cum.users_to_date AS users_to_date
+        FROM cum CROSS JOIN mind
+        WHERE (cum.day - mind.m) % 7 = 0
+        ORDER BY day_idx
+    """)
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=_EDGE_SQL + """,
+        tri AS (
+          SELECT h1.a AS a, h1.b AS b, h2.b AS c
+          FROM half h1
+          JOIN half h2 ON h2.a = h1.b
+          JOIN half h3 ON h3.a = h1.a AND h3.b = h2.b
+        ),
+        pernode AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+          FROM (SELECT a AS n FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY 1
+        ),
+        deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+                FROM e GROUP BY 1)
+        SELECT deg.n AS node, deg.d AS degree,
+               CAST(COALESCE(pernode.t, 0) AS BIGINT) AS triangles,
+               CAST((2000000 * COALESCE(pernode.t, 0))
+                    // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_ppm
+        FROM deg LEFT JOIN pernode ON pernode.n = deg.n
+        WHERE deg.d >= 2
+        ORDER BY coeff_ppm DESC, node
+    """,
+    doc="Per-node local clustering coefficient on the token co-occurrence "
+    "graph (graph_kcore_trace / graph_adamic_adar's sibling): "
+    "2*triangles(n) / (deg(n)*(deg(n)-1)) in exact ppm integers. "
+    "Triangles are enumerated ONCE in canonical a<b<c orientation (the "
+    "standard two-path + closing-edge semi-join — never an all-pairs "
+    "neighborhood materialization), then unpivoted so each triangle "
+    "credits its three corners; integer floor-division keeps the ratio "
+    "engine-exact (non-negative operands, so Spark DIV == DuckDB //). "
+    "Scale shape: the closing join is an equi-join on (a, c) over the "
+    "bounded df-thresholded edge set; at 100 TB the same plan runs on a "
+    "degree-capped edge list, and the unpivot is a map-side explode of "
+    "3 rows per triangle.",
+    tags=("graph", "join"),
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    h1, h2, h3 = half.alias("h1"), half.alias("h2"), half.alias("h3")
+    tri = (
+        h1.join(h2, F.col("h2.a") == F.col("h1.b"))
+        .join(
+            h3,
+            (F.col("h3.a") == F.col("h1.a"))
+            & (F.col("h3.b") == F.col("h2.b")),
+        )
+        .select(
+            F.col("h1.a").alias("a"),
+            F.col("h1.b").alias("b"),
+            F.col("h2.b").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("a").alias("n"))
+        .unionAll(tri.select(F.col("b").alias("n")))
+        .unionAll(tri.select(F.col("c").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias(
+                "triangles"
+            ),
+            F.expr(
+                "CAST((2000000 * COALESCE(t, 0)) DIV (d * (d - 1)) "
+                "AS BIGINT)"
+            ).alias("coeff_ppm"),
+        )
+        .orderBy(F.desc("coeff_ppm"), "node")
+    )
+
+
+def _hll_reg_cte(pred: str) -> str:
+    """DuckDB register-table CTE body for the events.user_id HLL, filtered."""
+    from icebergsql_spark.plans.pipeline3 import _REG_SQL, _RHO_SQL
+
+    return f"""
+          SELECT CAST({_REG_SQL} AS INT) AS reg, MAX(CAST({_RHO_SQL} AS INT))
+                   AS max_rho
+          FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS md5_h
+                FROM events WHERE {pred})
+          GROUP BY 1
+    """
+
+
+@register(
+    "sketch_hll_union",
+    oracle=f"""
+        WITH a AS ({_hll_reg_cte("user_id % 2 = 0")}),
+        b AS ({_hll_reg_cte("user_id % 2 = 1")}),
+        g AS ({_hll_reg_cte("TRUE")}),
+        merged AS (
+          SELECT COALESCE(a.reg, b.reg) AS reg,
+                 CAST(COALESCE(a.max_rho, 0) AS INTEGER) AS rho_even,
+                 CAST(COALESCE(b.max_rho, 0) AS INTEGER) AS rho_odd,
+                 CAST(greatest(COALESCE(a.max_rho, 0),
+                               COALESCE(b.max_rho, 0)) AS INTEGER)
+                   AS rho_merged
+          FROM a FULL OUTER JOIN b ON a.reg = b.reg
+        )
+        SELECT m.reg, m.rho_even, m.rho_odd, m.rho_merged,
+               CAST(g.max_rho AS INTEGER) AS rho_global,
+               m.rho_merged = g.max_rho AS ok
+        FROM merged m JOIN g ON g.reg = m.reg
+        ORDER BY m.reg
+    """,
+    doc="HLL mergeability audit — the property that makes the sketch "
+    "usable at 100 TB: registers built independently on the even-user "
+    "and odd-user partitions, merged by per-register MAX, must equal the "
+    "registers built over the whole stream (sketch_hll_registers' "
+    "distributed-combine contract, exercised end-to-end). Every row "
+    "carries both partial registers, the merge, the global register, and "
+    "the equality verdict; the oracle replays the identical md5-nibble "
+    "register/rho pipeline in DuckDB. Scale shape: each partition's "
+    "register table is a 256-row partial aggregate (map-side combine), "
+    "the merge is a bounded 256-row join — state size is O(m), "
+    "independent of event volume.",
+    tags=("sketch", "agg"),
+)
+def sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    a = sketch.hll_registers(
+        ev.filter(F.col("user_id") % 2 == 0), "user_id"
+    ).select("reg", F.col("max_rho").alias("ra"))
+    b = sketch.hll_registers(
+        ev.filter(F.col("user_id") % 2 == 1), "user_id"
+    ).select("reg", F.col("max_rho").alias("rb"))
+    g = sketch.hll_registers(ev, "user_id").select(
+        "reg", F.col("max_rho").alias("rg")
+    )
+    merged = a.join(b, "reg", "full_outer").select(
+        "reg",
+        F.coalesce(F.col("ra"), F.lit(0)).cast("int").alias("rho_even"),
+        F.coalesce(F.col("rb"), F.lit(0)).cast("int").alias("rho_odd"),
+        F.greatest(
+            F.coalesce(F.col("ra"), F.lit(0)),
+            F.coalesce(F.col("rb"), F.lit(0)),
+        )
+        .cast("int")
+        .alias("rho_merged"),
+    )
+    return (
+        merged.join(g, "reg")
+        .select(
+            "reg",
+            "rho_even",
+            "rho_odd",
+            "rho_merged",
+            F.col("rg").cast("int").alias("rho_global"),
+            (F.col("rho_merged") == F.col("rg")).alias("ok"),
+        )
+        .orderBy("reg")
+    )
+
+
+@register(
+    "events_spearman_corr",
+    oracle="""
+        WITH daily AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END) AS BIGINT) AS e
+          FROM events GROUP BY 1
+        ),
+        rk AS (
+          SELECT
+            CAST(2 * rank() OVER (ORDER BY p)
+                 + COUNT(*) OVER (PARTITION BY p) - 1 AS BIGINT) AS rp,
+            CAST(2 * rank() OVER (ORDER BY e)
+                 + COUNT(*) OVER (PARTITION BY e) - 1 AS BIGINT) AS re
+          FROM daily
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rp) AS BIGINT) AS sx,
+                 CAST(SUM(re) AS BIGINT) AS sy,
+                 CAST(SUM(rp * rp) AS BIGINT) AS sxx,
+                 CAST(SUM(re * re) AS BIGINT) AS syy,
+                 CAST(SUM(rp * re) AS BIGINT) AS sxy
+          FROM rk
+        )
+        SELECT n AS n_days, sx, sy, sxx, syy, sxy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        FROM agg
+    """,
+    doc="Spearman rank correlation between the daily purchase-count and "
+    "daily error-count series — the monotone-association test a "
+    "monitoring pipeline runs when Pearson's linearity assumption is "
+    "wrong (events_autocorrelation's nonparametric sibling, tie handling "
+    "borrowed from events_mann_whitney_u): doubled average ranks "
+    "2*rank + tiecount - 1 keep every rank an exact bigint, so all six "
+    "sufficient statistics are integers and the only float work is the "
+    "final textually-mirrored division/sqrt. Scale shape: the rank is a "
+    "window over |days| rows (bounded, not event volume) after one "
+    "partial-aggregated groupBy.",
+    tags=("events", "stats", "agg"),
+)
+def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH daily AS (
+          SELECT ts DIV 86400000000000 AS day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS p,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                          END) AS BIGINT) AS e
+          FROM events GROUP BY 1
+        ),
+        rk AS (
+          SELECT
+            CAST(2 * rank() OVER (ORDER BY p)
+                 + COUNT(*) OVER (PARTITION BY p) - 1 AS BIGINT) AS rp,
+            CAST(2 * rank() OVER (ORDER BY e)
+                 + COUNT(*) OVER (PARTITION BY e) - 1 AS BIGINT) AS re
+          FROM daily
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rp) AS BIGINT) AS sx,
+                 CAST(SUM(re) AS BIGINT) AS sy,
+                 CAST(SUM(rp * rp) AS BIGINT) AS sxx,
+                 CAST(SUM(re * re) AS BIGINT) AS syy,
+                 CAST(SUM(rp * re) AS BIGINT) AS sxy
+          FROM rk
+        )
+        SELECT n AS n_days, sx, sy, sxx, syy, sxy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        FROM agg
+    """)
+
+
+@register(
+    "events_ols_trend",
+    oracle="""
+        WITH daily AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        xs AS (
+          SELECT CAST(day - (SELECT MIN(day) FROM daily) AS BIGINT) AS x, y
+          FROM daily
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM xs
+        )
+        SELECT n AS n_days,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        FROM agg
+    """,
+    doc="Ordinary-least-squares trend line over the daily purchase-count "
+    "series — the linear-regression primitive under drift detection and "
+    "capacity planning (events_holt_smoothing's closed-form sibling): "
+    "slope = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) from five exact-bigint "
+    "sufficient statistics, the rational numerator/denominator emitted "
+    "as exact integers alongside the one final float division (and the "
+    "intercept reuses the identical slope expression text so operand "
+    "order matches bit-for-bit). Scale shape: one partial-aggregated "
+    "groupBy to |days| rows, one scalar-subquery min, one single-row "
+    "aggregate — no windows, no sort.",
+    tags=("events", "stats", "agg"),
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH daily AS (
+          SELECT ts DIV 86400000000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        xs AS (
+          SELECT CAST(day - (SELECT MIN(day) FROM daily) AS BIGINT) AS x, y
+          FROM daily
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM xs
+        )
+        SELECT n AS n_days,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        FROM agg
+    """)
+
+
+@register(
+    "text_readability_score",
+    oracle=r"""
+        WITH per_doc AS (
+          SELECT source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS BIGINT) AS w,
+                 CAST(greatest(
+                   length(regexp_replace(text, '[.!?]+', '.', 'g'))
+                   - length(regexp_replace(text, '[.!?]+', '', 'g')), 1)
+                      AS BIGINT) AS snt,
+                 CAST(length(regexp_replace(lower(text), '[aeiou]+', 'a',
+                                            'g'))
+                      - length(regexp_replace(lower(text), '[aeiou]+', '',
+                                              'g')) AS BIGINT) AS syl
+          FROM documents
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS docs,
+                 CAST(SUM(w) AS BIGINT) AS tw,
+                 CAST(SUM(snt) AS BIGINT) AS tsnt,
+                 CAST(SUM(syl) AS BIGINT) AS tsyl
+          FROM per_doc GROUP BY source
+        )
+        SELECT source, docs, tw, tsnt, tsyl,
+               206.835 - 1.015 * (CAST(tw AS DOUBLE)
+                                  / CAST(tsnt AS DOUBLE))
+                       - 84.6 * (CAST(tsyl AS DOUBLE)
+                                 / CAST(tw AS DOUBLE)) AS fre
+        FROM agg ORDER BY source
+    """,
+    doc="Flesch-reading-ease readability score per source — the classic "
+    "quality-scoring signal a curation pipeline thresholds on (syllables "
+    "approximated as vowel-group runs, the standard heuristic). Group "
+    "counting is engine-exact via a LENGTH DIFFERENCE of two "
+    "regexp_replace passes over the same pattern (collapse-to-one-char "
+    "minus delete-all: groups = L1 - L2), avoiding any marker character "
+    "that could collide with document text; word counts reuse the "
+    "repo-wide split idiom and sentences are [.!?]+ runs floored at 1. "
+    "All three sufficient statistics aggregate as exact bigints; the "
+    "formula 206.835 - 1.015*(W/S) - 84.6*(Y/W) is one textually "
+    "mirrored float expression. Scale shape: narrow per-doc projection "
+    "fused into the scan, one partial-aggregated groupBy over |sources| "
+    "keys.",
+    tags=("text", "curation"),
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    low = F.lower(F.col("text"))
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("w"),
+        F.greatest(
+            F.length(F.regexp_replace(F.col("text"), r"[.!?]+", "."))
+            - F.length(F.regexp_replace(F.col("text"), r"[.!?]+", "")),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("snt"),
+        (
+            F.length(F.regexp_replace(low, "[aeiou]+", "a"))
+            - F.length(F.regexp_replace(low, "[aeiou]+", ""))
+        )
+        .cast("bigint")
+        .alias("syl"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs"),
+        F.sum("w").cast("bigint").alias("tw"),
+        F.sum("snt").cast("bigint").alias("tsnt"),
+        F.sum("syl").cast("bigint").alias("tsyl"),
+    )
+    return agg.select(
+        "source",
+        "docs",
+        "tw",
+        "tsnt",
+        "tsyl",
+        F.expr(
+            "206.835 - 1.015 * (CAST(tw AS DOUBLE)"
+            " / CAST(tsnt AS DOUBLE))"
+            " - 84.6 * (CAST(tsyl AS DOUBLE)"
+            " / CAST(tw AS DOUBLE))"
+        ).alias("fre"),
+    ).orderBy("source")
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents
+        ),
+        per_tok AS (
+          SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS toks,
+                 CAST(COUNT(*) AS BIGINT) AS distinct_toks,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS s2
+          FROM per_tok GROUP BY source
+        )
+        SELECT source, toks, distinct_toks,
+               CAST((1000000 * s2) // (toks * (toks - 1)) AS BIGINT)
+                 AS simpson_ppm
+        FROM agg ORDER BY source
+    """,
+    doc="Simpson concentration index per source over the token "
+    "distribution — sum c*(c-1) / (N*(N-1)) in exact ppm integers: the "
+    "repetitiveness/diversity signal complementary to text_ttr_richness "
+    "(TTR measures vocabulary breadth, Simpson measures how dominated "
+    "the mass is by the top tokens — boilerplate spikes it while barely "
+    "moving TTR). Both numerator and denominator are exact bigints from "
+    "one (source, token) partial-aggregated count, so the ppm "
+    "floor-division is engine-identical (non-negative operands). Scale "
+    "shape: the same explode + two-level groupBy shuffle the TF-IDF "
+    "path already pays; the final aggregate is |sources| rows.",
+    tags=("text", "curation"),
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    per_tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = per_tok.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("toks"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_toks"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "source",
+        "toks",
+        "distinct_toks",
+        F.expr(
+            "CAST((1000000 * s2) DIV (toks * (toks - 1)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    ).orderBy("source")
