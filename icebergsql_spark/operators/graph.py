@@ -134,3 +134,89 @@ def pagerank(
         if stepped.filter(F.col("moved")).isEmpty():
             break
     return scores.select("node", F.col("q").alias("score_q"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Integer-quantized personalized PageRank: teleport mass lands only
+    on the ``seeds`` node set instead of uniformly.
+
+    Same determinism contract as :func:`pagerank` — every round is exact
+    bigint arithmetic (``DIV`` truncation with non-negative operands), so
+    the result is independent of partitioning and matches a recursive-CTE
+    oracle bit-for-bit.  The teleport share per seed is
+    ``((SCALE DIV n_seeds) * (100-d)) DIV 100`` via a broadcast 1-row
+    seed-count aggregate; non-seeds get teleport 0, which is what makes
+    the stationary mass concentrate around the seed neighborhood (the
+    similar-item / related-query primitive).
+
+    Scale shape: identical to pagerank — the per-round cost is one
+    contribution join + one groupBy on the cached edge list; seeds ride
+    along as a broadcast-joined flag column, adding no shuffle.
+    """
+    from icebergsql_spark.operators.util import track_cache
+
+    e = track_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = track_cache(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    ns_row = seed_nodes.agg(F.count(F.lit(1)).alias("ns"))
+    flagged = track_cache(
+        nodes.join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(1))),
+            "node",
+            "left",
+        )
+        .crossJoin(F.broadcast(ns_row))
+        .select(
+            "node",
+            F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"),
+            "ns",
+        )
+    )
+    outdeg = track_cache(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
+    teleport = (
+        f"CASE WHEN is_seed = 1 THEN "
+        f"((({SCALE} DIV ns) * {100 - damping_pct}) DIV 100) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    # start from the teleport distribution itself (all mass on seeds)
+    scores = flagged.select(
+        "node", F.expr(f"CASE WHEN is_seed = 1 THEN {SCALE} DIV ns "
+                       f"ELSE CAST(0 AS BIGINT) END").alias("q")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                scores.select(
+                    F.col("node").alias("src"), F.col("q").alias("src_q")
+                ),
+                "src",
+            )
+            .join(outdeg, "src")
+            .select("dst", F.expr("src_q DIV od").alias("share"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
+        nxt = flagged.join(
+            inflow.withColumnRenamed("dst", "node"), "node", "left"
+        )
+        scores = nxt.select(
+            "node",
+            F.expr(
+                f"{teleport} + (({damping_pct} * "
+                f"coalesce(s, CAST(0 AS BIGINT))) DIV 100)"
+            ).alias("q"),
+        )
+    return scores.select("node", F.col("q").alias("score_q"))

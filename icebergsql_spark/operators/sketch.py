@@ -352,3 +352,52 @@ def kmv_intersection_estimate(
     return sample.crossJoin(F.broadcast(stats)).select(
         F.round(F.col("c") / F.col("theta")).cast("bigint").alias("est")
     )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    divisor: int = 16,
+    qs: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Deterministic, mergeable quantile sketch via hash row-sampling.
+
+    Rows whose ``md5(key)`` bucket lands on 0 mod ``divisor`` form the
+    sample (the repo-wide md5 idiom — no RNG, so the sample is a pure
+    function of the data and identical across engines, partitionings and
+    retries); quantiles are computed exactly over the sample.  The
+    sketch state IS the sampled row set, so merging two sketches is a
+    bare union — the property KLL/t-digest buy with randomized
+    compaction, bought here with determinism instead (sample size is
+    n/divisor in expectation rather than a hard cap; pick ``divisor``
+    so n/divisor fits the driver/exchange budget at the target scale).
+
+    Returns one row per requested quantile: (q_pct, sample_n, value).
+    ``value`` uses Spark ``percentile`` (exact over the sample, linear
+    interpolation — DuckDB ``quantile_cont`` is the bit-identical
+    oracle spelling per the engine-parity rules).
+    """
+    sample = df.filter(
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {divisor} = 0"
+        )
+    ).select(F.col(val_col).alias("v"))
+    q_arr = ", ".join(f"CAST({q} AS DOUBLE) / 100.0" for q in qs)
+    pct = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        F.expr(f"percentile(v, array({q_arr}))").alias("vals"),
+    )
+    return pct.select(
+        "sample_n",
+        F.expr(
+            "stack("
+            + str(len(qs))
+            + ", "
+            + ", ".join(
+                f"CAST({q} AS INT), vals[{i}]" for i, q in enumerate(qs)
+            )
+            + ") AS (q_pct, value)"
+        ),
+    ).select("q_pct", "sample_n", "value")

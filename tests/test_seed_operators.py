@@ -1,0 +1,95 @@
+"""Round-9 seed operators: deterministic hash-sample quantile sketch and
+personalized PageRank.
+
+Both follow the engine-wide determinism contract (md5-derived sampling,
+exact bigint rank arithmetic) so their round-9 gate queries can be
+oracled; these tests lock the operator-level invariants ahead of
+registration: mergeability and sampling determinism for the sketch,
+teleport-mass concentration and exactness-under-repartitioning for PPR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators.graph import pagerank, personalized_pagerank
+from icebergsql_spark.operators.sketch import hash_sample_quantiles
+
+
+def test_hash_sample_quantiles_mergeable(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = hash_sample_quantiles(ev, "event_id", "value", divisor=4)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hash_sample_quantiles(
+        a.unionAll(b), "event_id", "value", divisor=4
+    )
+    # merge == bare union: the sample is a pure row-local hash predicate,
+    # so chopping the input any way yields the identical sample set
+    assert whole.toPandas().equals(merged.toPandas())
+
+
+def test_hash_sample_quantiles_partitioning_invariant(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = hash_sample_quantiles(ev, "event_id", "value", divisor=4)
+    shuffled = hash_sample_quantiles(
+        ev.repartition(13, "user_id"), "event_id", "value", divisor=4
+    )
+    assert base.toPandas().equals(shuffled.toPandas())
+
+
+def test_hash_sample_quantiles_accuracy(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["q_pct"]: r["value"]
+        for r in hash_sample_quantiles(
+            ev, "event_id", "value", divisor=4, qs=(50,)
+        ).collect()
+    }
+    exact = ev.agg(
+        F.expr("percentile(value, CAST(50 AS DOUBLE) / 100.0)").alias("v")
+    ).collect()[0]["v"]
+    # ~n/4 sample of a 6k-row table: the median should land within 15%
+    assert abs(got[50] - exact) / exact < 0.15
+
+
+def test_personalized_pagerank_concentrates_on_seed(spark):
+    # two symmetric 2-cycles, disconnected: only the seeded one should
+    # hold mass (the unseeded side gets no teleport and decays ~0.85^k)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    scores = {
+        r["node"]: r["score_q"]
+        for r in personalized_pagerank(edges, seeds, iterations=6).collect()
+    }
+    assert scores[1] > 10 * scores[3]
+    assert scores[2] > 10 * scores[4]
+    # uniform pagerank scores the two symmetric cycles identically
+    uni = {
+        r["node"]: r["score_q"] for r in pagerank(edges, iterations=6).collect()
+    }
+    assert uni[1] == uni[3] and uni[2] == uni[4]
+
+
+def test_personalized_pagerank_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30) if i % 7 != (i * 3) % 7],
+        "src int, dst int",
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node int")
+    a = (
+        personalized_pagerank(edges, seeds, iterations=3)
+        .orderBy("node")
+        .toPandas()
+    )
+    b = (
+        personalized_pagerank(
+            edges.repartition(11, "dst"), seeds, iterations=3
+        )
+        .orderBy("node")
+        .toPandas()
+    )
+    # exact bigint rounds: any partitioning yields the identical scores
+    assert a.equals(b)
