@@ -25,10 +25,10 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # Then queries whose PLANS changed this round (the incremental
 # delete-totals rewrite in table.py touches every commit-heavy managed
 # scenario; the resize_image magic-byte dispatch touches the resize
-# gates) so the driver re-checks them post-change: 43 must-check rows,
+# gates) so the driver re-checks them post-change: 46 must-check rows,
 # inside the ~50-row window. The 48 round-6-green rows rotate to the
 # tail, staying covered by the identical local oracle comparison in
-# tests/test_queries.py. ROUND-9 RULE: rotate these 43 out before
+# tests/test_queries.py. ROUND-9 RULE: rotate these 46 out before
 # registering anything new.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round 7 / pipeline8; must close this round) --
@@ -71,7 +71,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_readability_score",
     "text_simpson_diversity",
     # -- plans changed in round 8 (incremental delete totals; resize
-    #    dispatch) — re-check post-change --
+    #    dispatch; per-ref retention fields in expire_snapshots) —
+    #    re-check post-change --
     "managed_mor_merge_cdc",
     "managed_eq_delete_cdc",
     "managed_streaming_eq_upsert",
@@ -79,6 +80,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_delete_files_audit",
     "managed_merge_snapshot_sync",
     "multimodal_resize",
+    "managed_compaction",
+    "managed_tagged_travel",
     # -- r5-green rows next (rotate back in only if slots remain) --
     "text_lang_confidence",
     "dedup_semantic_centroid_pairs",

@@ -49,6 +49,7 @@ _MANIFESTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$manifests`")
 _DELETE_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$delete_files`")
 _ENTRIES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$entries`")
 _ALL_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$all_files`")
+_METADATA_LOG_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$metadata_log`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -439,6 +440,12 @@ class Engine:
             tbl = self.catalog.load_table(m)
             tbl.all_files_df().createOrReplaceTempView(f"{m}__all_files")
         text = _ALL_FILES_RE.sub(lambda mo: f"{mo.group(1)}__all_files", text)
+        for m in set(_METADATA_LOG_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.metadata_log_df().createOrReplaceTempView(f"{m}__metadata_log")
+        text = _METADATA_LOG_RE.sub(
+            lambda mo: f"{mo.group(1)}__metadata_log", text
+        )
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

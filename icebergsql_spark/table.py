@@ -2239,6 +2239,46 @@ class ManagedTable:
         del self.meta.refs[name]
         self.meta.commit()
 
+    def set_ref_retention(
+        self,
+        name: str,
+        max_ref_age_ms: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+    ) -> None:
+        """Attach Iceberg-style per-ref retention policy fields to a ref.
+
+        ``max_ref_age_ms``: the ref ITSELF expires during
+        ``expire_snapshots`` once its head snapshot is older than this
+        (tags and branches; Iceberg's ``max-ref-age-ms``).
+        ``min_snapshots_to_keep`` / ``max_snapshot_age_ms``: branch-only
+        ancestry window — ``expire_snapshots`` keeps an ancestor while
+        EITHER fewer than min-snapshots have been kept OR the ancestor is
+        younger than max-snapshot-age (Iceberg's branch retention pair).
+        Only the fields passed are updated; ``None`` leaves a field as-is.
+        """
+        self.refresh()
+        if name not in self.meta.refs:
+            raise ValueError(f"no ref {name!r} on {self.name}")
+        ref = self.meta.refs[name]
+        if max_ref_age_ms is not None:
+            ref["max_ref_age_ms"] = int(max_ref_age_ms)
+        if min_snapshots_to_keep is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(
+                    f"min_snapshots_to_keep applies to branches; {name!r} "
+                    f"is a {ref.get('type')}"
+                )
+            ref["min_snapshots_to_keep"] = int(min_snapshots_to_keep)
+        if max_snapshot_age_ms is not None:
+            if ref.get("type") != "branch":
+                raise ValueError(
+                    f"max_snapshot_age_ms applies to branches; {name!r} "
+                    f"is a {ref.get('type')}"
+                )
+            ref["max_snapshot_age_ms"] = int(max_snapshot_age_ms)
+        self.meta.commit()
+
     # back-compat alias
     drop_tag = drop_ref
 
@@ -2545,6 +2585,7 @@ class ManagedTable:
         self,
         older_than_ms: int | None = None,
         retain_last: int = 1,
+        now_ms: int | None = None,
     ) -> dict[str, int]:
         """Expire old snapshots and garbage-collect the files only they
         reference (Iceberg's ``expire_snapshots`` maintenance op).
@@ -2579,18 +2620,48 @@ class ManagedTable:
         keep_ids = {s.snapshot_id for s in by_ts[: max(retain_last, 1)]}
         if meta.current_snapshot_id is not None:
             keep_ids.add(meta.current_snapshot_id)
+        # Per-ref retention FIRST (Iceberg max-ref-age-ms): a ref whose
+        # head snapshot is older than its own max age expires WITH this
+        # maintenance pass — its pin disappears before the keep-set is
+        # built, so the snapshots it protected age out normally below.
+        # ``now_ms`` exists so tests/procedures can evaluate age
+        # deterministically; default is wall clock, like Iceberg.
+        if now_ms is None:
+            import time as _time
+
+            now_ms = int(_time.time() * 1000)
+        expired_refs = []
+        for name, r in meta.refs.items():
+            max_age = r.get("max_ref_age_ms")
+            head = meta.snapshot_by_id(r["snapshot_id"])
+            if (
+                max_age is not None
+                and head is not None
+                and now_ms - head.timestamp_ms > int(max_age)
+            ):
+                expired_refs.append(name)
+        for name in expired_refs:
+            del meta.refs[name]
         # tagged/branched snapshots are pinned: a named ref is a durable
         # contract. Branch refs additionally protect their head's ANCESTRY
-        # up to min-snapshots-to-keep (Iceberg's per-ref branch retention)
-        # so a branch keeps a usable history window while unreferenced
-        # main-line ancestors still age out.
+        # while EITHER fewer than min-snapshots-to-keep have been kept OR
+        # the ancestor is younger than max-snapshot-age-ms (Iceberg's
+        # branch-retention pair) so a branch keeps a usable history window
+        # while unreferenced main-line ancestors still age out.
         for r in meta.refs.values():
             keep_ids.add(r["snapshot_id"])
             if r.get("type") == "branch":
                 n_keep = max(int(r.get("min_snapshots_to_keep", 1)), 1)
+                max_snap_age = r.get("max_snapshot_age_ms")
                 cur = meta.snapshot_by_id(r["snapshot_id"])
                 kept_n = 0
-                while cur is not None and kept_n < n_keep:
+                while cur is not None and (
+                    kept_n < n_keep
+                    or (
+                        max_snap_age is not None
+                        and now_ms - cur.timestamp_ms <= int(max_snap_age)
+                    )
+                ):
                     keep_ids.add(cur.snapshot_id)
                     kept_n += 1
                     cur = (
@@ -2605,10 +2676,15 @@ class ManagedTable:
         retained = [s for s in meta.snapshots if s.snapshot_id in keep_ids]
         expired = [s for s in meta.snapshots if s.snapshot_id not in keep_ids]
         if not expired:
+            # ref expiry alone still has to land: the pins are gone even
+            # though every snapshot happened to survive this pass
+            if expired_refs:
+                meta.commit()
             return {
                 "expired_snapshots": 0,
                 "deleted_data_files": 0,
                 "deleted_manifests": 0,
+                "expired_refs": len(expired_refs),
             }
 
         kept_manifests = {p for s in retained for p in s.manifest_paths}
@@ -2705,6 +2781,7 @@ class ManagedTable:
             "deleted_data_files": deleted_files,
             "deleted_manifests": deleted_manifests,
             "deleted_delete_files": deleted_delete_files,
+            "expired_refs": len(expired_refs),
         }
 
     def remove_orphan_files(
@@ -3198,8 +3275,9 @@ class ManagedTable:
 
     def refs_df(self) -> DataFrame:
         """The `<table>$refs` view: named refs → pinned snapshot + type,
-        plus the branch retention policy (min_snapshots_to_keep; NULL for
-        tags and policy-less branches)."""
+        plus the per-ref retention policy (min_snapshots_to_keep /
+        max_snapshot_age_ms for branches, max_ref_age_ms for any ref;
+        NULL where unset — Iceberg's ``refs`` metadata table columns)."""
         rows = [
             (
                 name,
@@ -3210,13 +3288,62 @@ class ManagedTable:
                     if "min_snapshots_to_keep" in r
                     else None
                 ),
+                (
+                    int(r["max_snapshot_age_ms"])
+                    if "max_snapshot_age_ms" in r
+                    else None
+                ),
+                (
+                    int(r["max_ref_age_ms"])
+                    if "max_ref_age_ms" in r
+                    else None
+                ),
             )
             for name, r in sorted(self.meta.refs.items())
         ]
         return self.spark.createDataFrame(
             rows,
             "name string, snapshotId long, type string, "
-            "minSnapshotsToKeep int",
+            "minSnapshotsToKeep int, maxSnapshotAgeMs long, "
+            "maxRefAgeMs long",
+        )
+
+    def metadata_log_df(self) -> DataFrame:
+        """The `<table>$metadata_log` view (Iceberg ``metadata_log_entries``):
+        one row per metadata.json version ever committed — the audit trail
+        of the METADATA pointer itself, distinct from `$history` (which
+        tracks the snapshot lineage): timestamp, file, the snapshot/schema/
+        sequence state that version made current. Reads only the bounded
+        metadata directory; no data files are touched."""
+        import glob as _glob
+        import json as _json
+
+        rows = []
+        for path in sorted(
+            _glob.glob(os.path.join(self.meta.metadata_dir, "v*.metadata.json")),
+            key=lambda p: int(
+                os.path.basename(p).split(".")[0].lstrip("v")
+            ),
+        ):
+            with open(path) as fh:
+                d = _json.load(fh)
+            snaps = d.get("snapshots", [])
+            rows.append(
+                (
+                    int(d.get("last_updated_ms", 0)),
+                    path,
+                    d.get("current_snapshot_id"),
+                    max(len(d.get("schemas", [])) - 1, 0),
+                    max(
+                        (int(s.get("seq", 0)) for s in snaps),
+                        default=0,
+                    ),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "timestamp_ms long, file string, latest_snapshot_id long, "
+            "latest_schema_id int, latest_sequence_number long",
         )
 
     def files_df(self) -> DataFrame:

@@ -1253,3 +1253,118 @@ def test_branch_retention_protects_ancestry(spark, tmp_path):
     refs = {r["name"]: r for r in tbl.refs_df().collect()}
     assert refs["audit"]["minSnapshotsToKeep"] == 2
     assert refs["pin"]["minSnapshotsToKeep"] is None
+
+
+# ------------------------------------------------- per-ref retention --
+
+
+def test_max_ref_age_expires_ref_and_releases_pin(spark, tmp_path):
+    """Iceberg max-ref-age-ms: an aged-out ref expires WITH the
+    maintenance pass, so the snapshot it pinned ages out normally."""
+    tbl, snaps = _mk_table(spark, tmp_path, "t_refage")
+    tbl.create_tag("old_pin", snaps[0].snapshot_id)
+    tbl.set_ref_retention("old_pin", max_ref_age_ms=1000)
+    head_ts = tbl.meta.snapshot_by_id(snaps[0].snapshot_id).timestamp_ms
+
+    # within the age window: ref survives, pin holds
+    res = tbl.expire_snapshots(retain_last=1, now_ms=head_ts + 500)
+    assert res["expired_refs"] == 0
+    assert "old_pin" in tbl.meta.refs
+    assert snaps[0].snapshot_id in {s.snapshot_id for s in tbl.meta.snapshots}
+
+    # past the age window: ref expires and its snapshot GCs in the SAME
+    # pass
+    res = tbl.expire_snapshots(retain_last=1, now_ms=head_ts + 5000)
+    assert res["expired_refs"] == 1
+    assert "old_pin" not in tbl.meta.refs
+    assert snaps[0].snapshot_id not in {
+        s.snapshot_id for s in tbl.meta.snapshots
+    }
+
+
+def test_max_ref_age_commits_even_without_snapshot_expiry(spark, tmp_path):
+    """Ref expiry must land in metadata even when every snapshot
+    survives the pass (the pin removal is itself a durable change)."""
+    tbl, snaps = _mk_table(spark, tmp_path, "t_refonly", n_inserts=1)
+    tbl.create_tag("pin", snaps[0].snapshot_id)
+    tbl.set_ref_retention("pin", max_ref_age_ms=10)
+    head_ts = tbl.meta.snapshot_by_id(snaps[0].snapshot_id).timestamp_ms
+    res = tbl.expire_snapshots(retain_last=5, now_ms=head_ts + 99999)
+    assert res["expired_snapshots"] == 0 and res["expired_refs"] == 1
+    tbl.refresh()
+    assert "pin" not in tbl.meta.refs
+
+
+def test_branch_max_snapshot_age_window(spark, tmp_path):
+    """Branch ancestry keeps min-snapshots-to-keep OR-age semantics: an
+    ancestor younger than max-snapshot-age-ms survives even past the
+    count window; older ancestors age out."""
+    tbl, snaps = _mk_table(spark, tmp_path, "t_brage", n_inserts=4)
+    tbl.create_branch("audit", snaps[3].snapshot_id, min_snapshots_to_keep=1)
+    ts = {s.snapshot_id: tbl.meta.snapshot_by_id(s.snapshot_id).timestamp_ms
+          for s in snaps}
+    # age cutoff chosen between snaps[1] and snaps[2]: with the head
+    # always kept, the age clause must additionally keep snaps[2] (and
+    # snaps[3]) while snaps[0] and snaps[1] fall out
+    cutoff_now = ts[snaps[2].snapshot_id] + 1000
+    tbl.set_ref_retention(
+        "audit", max_snapshot_age_ms=cutoff_now - ts[snaps[2].snapshot_id]
+    )
+    res = tbl.expire_snapshots(retain_last=1, now_ms=cutoff_now)
+    kept = {s.snapshot_id for s in tbl.meta.snapshots}
+    assert snaps[3].snapshot_id in kept and snaps[2].snapshot_id in kept
+    assert snaps[0].snapshot_id not in kept
+    assert snaps[1].snapshot_id not in kept
+    assert res["expired_snapshots"] == 2
+
+
+def test_ref_retention_validation(spark, tmp_path):
+    tbl, snaps = _mk_table(spark, tmp_path, "t_refval", n_inserts=1)
+    tbl.create_tag("v1", snaps[0].snapshot_id)
+    with pytest.raises(ValueError):
+        tbl.set_ref_retention("v1", min_snapshots_to_keep=3)  # tag
+    with pytest.raises(ValueError):
+        tbl.set_ref_retention("v1", max_snapshot_age_ms=10)  # tag
+    with pytest.raises(ValueError):
+        tbl.set_ref_retention("nope", max_ref_age_ms=10)  # unknown ref
+
+
+# --------------------------------------------------- $metadata_log --
+
+
+def test_metadata_log_view(spark, tmp_path):
+    """`$metadata_log` is the audit trail of the metadata POINTER: one row
+    per committed metadata.json version, monotone timestamps/versions,
+    and the final row reflects the current snapshot/sequence state."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_mlog"))
+    spark.sql("DROP TABLE IF EXISTS ml_log_audit")
+    eng.sql(
+        "CREATE TABLE ml_log_audit (k INT, v DOUBLE, part INT) "
+        "USING parquet OPTIONS (addTableManagement 'true') "
+        "PARTITIONED BY (part)"
+    )
+    try:
+        for i in range(3):
+            eng.sql(f"INSERT INTO ml_log_audit VALUES ({i}, {i}.5, {i})")
+        tbl = eng.catalog.load_table("ml_log_audit")
+        log = eng.sql("SELECT * FROM `ml_log_audit$metadata_log`").collect()
+        # create + 3 inserts = at least 4 metadata versions
+        assert len(log) >= 4
+        files = [r["file"] for r in log]
+        assert files == sorted(
+            files, key=lambda p: int(p.rsplit("v", 1)[1].split(".")[0])
+        )
+        ts = [r["timestamp_ms"] for r in log]
+        assert ts == sorted(ts)
+        last = log[-1]
+        assert last["latest_snapshot_id"] == tbl.meta.current_snapshot_id
+        assert (
+            last["latest_sequence_number"]
+            == tbl.meta.current_snapshot().sequence_number
+        )
+        # earliest version predates any snapshot
+        assert log[0]["latest_snapshot_id"] is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ml_log_audit")
