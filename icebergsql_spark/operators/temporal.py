@@ -269,3 +269,123 @@ def asof_nearest(
     return carried.select(
         *[F.col(c) for c in left.columns], nearest.alias("nearest_ts")
     )
+
+
+def markov_removal_effect(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    steps: int = 8,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain removal-effect attribution over per-user event paths.
+
+    The standard data-driven attribution model: each user's event
+    sequence (ordered by (ts, id), truncated at the FIRST conversion)
+    becomes a path START -> channel -> ... -> {CONV | NULL}; first-order
+    transition probabilities are estimated from pair counts; a channel's
+    removal effect is how much the chain's conversion probability drops
+    when that channel's outgoing mass is redirected to NULL:
+    ``removal_ppm = (P_base - P_removed) * 1e6 / P_base``.
+
+    Determinism contract: transition probabilities are exact ppm integers
+    (count * 1e6 DIV row-total), the absorption probability is a fixed
+    ``steps``-step integer recurrence (mass products floor-divide by 1e6
+    identically in any engine), so the result is a pure function of the
+    data — reproducible by a recursive-CTE oracle.
+
+    Scale shape: ONE shuffle builds the (cur, next) pair counts; the
+    chain itself is channels+2 states (bounded metadata, never event
+    volume), so the per-channel re-solve loops over tiny cached frames
+    and each absorbed-mass read is a 1-row action — the same
+    bounded-metadata pattern as the k-means centroid loop.
+    """
+    from icebergsql_spark.operators.util import track_cache
+
+    w = W.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.when(F.col(type_col) == conv_type, F.lit("CONV"))
+        .otherwise(F.col(type_col))
+        .alias("state"),
+        F.row_number().over(w).alias("rn"),
+    )
+    conv_rn = seq.filter(F.col("state") == "CONV").groupBy("u").agg(
+        F.min("rn").alias("crn")
+    )
+    path = (
+        seq.join(conv_rn, "u", "left")
+        .filter(F.col("crn").isNull() | (F.col("rn") <= F.col("crn")))
+        .withColumn(
+            "nxt",
+            F.lead("state").over(W.partitionBy("u").orderBy("rn")),
+        )
+    )
+    # START -> first state, interior pairs, dangling last state -> NULL
+    trans_rows = (
+        path.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("cur"), F.col("state").alias("nxt"))
+        .unionAll(
+            path.filter(F.col("nxt").isNotNull()).select(
+                F.col("state").alias("cur"), "nxt"
+            )
+        )
+        .unionAll(
+            path.filter(F.col("nxt").isNull() & (F.col("state") != "CONV"))
+            .select(F.col("state").alias("cur"), F.lit("NULL").alias("nxt"))
+        )
+    )
+    counts = trans_rows.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("cur").agg(F.sum("c").cast("bigint").alias("t"))
+    trans = track_cache(
+        counts.join(totals, "cur").select(
+            "cur", "nxt", F.expr("(c * 1000000) DIV t").alias("p_ppm")
+        )
+    )
+
+    channels = sorted(
+        r["cur"]
+        for r in trans.select("cur").distinct().collect()
+        if r["cur"] != "START"
+    )
+
+    def conv_mass(removed: str | None) -> int:
+        # redirect the removed channel's entire outgoing mass to NULL
+        t = trans.filter(F.col("cur") != F.lit(removed)) if removed else trans
+        spark = events.sparkSession
+        vec = spark.createDataFrame([("START", 1000000)], "s string, q long")
+        absorbed = 0
+        for _ in range(steps):
+            stepped = track_cache(
+                vec.join(t, vec["s"] == t["cur"])
+                .select("nxt", F.expr("(q * p_ppm) DIV 1000000").alias("q"))
+                .groupBy("nxt")
+                .agg(F.sum("q").cast("bigint").alias("q"))
+            )
+            got = {
+                r["nxt"]: r["q"]
+                for r in stepped.filter(
+                    F.col("nxt").isin("CONV", "NULL")
+                ).collect()
+            }
+            absorbed += int(got.get("CONV", 0))
+            vec = stepped.filter(~F.col("nxt").isin("CONV", "NULL")).select(
+                F.col("nxt").alias("s"), "q"
+            )
+        return absorbed
+
+    p_base = conv_mass(None)
+    rows = []
+    for ch in channels:
+        p_removed = conv_mass(ch)
+        eff = ((p_base - p_removed) * 1000000) // p_base if p_base else 0
+        rows.append((ch, p_base, p_removed, int(eff)))
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, p_base_ppm long, p_removed_ppm long, "
+        "removal_effect_ppm long",
+    )

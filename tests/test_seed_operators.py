@@ -93,3 +93,63 @@ def test_personalized_pagerank_partitioning_invariant(spark):
     )
     # exact bigint rounds: any partitioning yields the identical scores
     assert a.equals(b)
+
+
+def test_markov_removal_effect_hand_computed(spark):
+    """Four hand-built paths with exactly derivable transition ppms and
+    absorption masses (integer floor arithmetic throughout):
+      u1: view->click->purchase   u2: view->error
+      u3: click->purchase         u4: view->click
+    """
+    from icebergsql_spark.operators.temporal import markov_removal_effect
+
+    rows = []
+    paths = {
+        1: ["view", "click", "purchase"],
+        2: ["view", "error"],
+        3: ["click", "purchase"],
+        4: ["view", "click"],
+    }
+    eid = 0
+    for u, evs in paths.items():
+        for i, t in enumerate(evs):
+            rows.append((eid, u, i + 1, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_effect(ev, steps=4).collect()
+    }
+    assert set(out) == {"view", "click", "error"}
+    # P_base: START->click->CONV floor path 166666 plus
+    # START->view->click->CONV floor path 333332
+    assert out["view"]["p_base_ppm"] == 499998
+    assert out["click"]["p_removed_ppm"] == 0
+    assert out["click"]["removal_effect_ppm"] == 1000000
+    assert out["view"]["p_removed_ppm"] == 166666
+    assert out["view"]["removal_effect_ppm"] == (333332 * 1000000) // 499998
+    assert out["error"]["removal_effect_ppm"] == 0
+
+
+def test_markov_removal_effect_partitioning_invariant(spark):
+    from icebergsql_spark.operators.temporal import markov_removal_effect
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+            "event_type",
+        )
+    )
+    a = markov_removal_effect(ev, steps=4).orderBy("channel").toPandas()
+    b = (
+        markov_removal_effect(ev.repartition(17, "event_id"), steps=4)
+        .orderBy("channel")
+        .toPandas()
+    )
+    assert a.equals(b)
