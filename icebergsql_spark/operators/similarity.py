@@ -738,3 +738,99 @@ def ivf_pq_topk(
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    lambda_pct: int = 70,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity selection (Carbonell &
+    Goldstein 1998): greedily pick ``k`` items maximizing
+    ``lambda * rel(q, d) - (1 - lambda) * max_sim(d, selected)`` — the
+    retrieval-diversification primitive behind dedup-aware RAG context
+    packing and diverse training-example mining.
+
+    Two-phase 100-TB shape: phase 1 is a single narrow scan — top
+    ``candidates`` by exact cosine relevance (TakeOrderedAndProject, the
+    brute_force_topk plan); phase 2 computes the candidate×candidate
+    cosine matrix IN SPARK (bounded candidates² rows), quantizes every
+    score to integer nanos, and runs the inherently-sequential greedy
+    over the collected bounded matrix in pure integer arithmetic — so
+    the selection is a deterministic function of the data with all float
+    work done engine-side (oracle-replicable), and nothing unbounded
+    ever reaches the driver.
+
+    Returns (rank, vec_id, rel_nano, maxsim_nano, mmr_nano) for the k
+    selections in pick order.
+    """
+    base = with_double_vec_and_norm(df, vec_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel_nano",
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("vd", "qv")
+                / F.sqrt(F.col("nrm") * F.col("qn"))
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rel_nano"), F.asc(id_col))
+        .limit(candidates)
+        .select(id_col, "vd", "nrm", "rel_nano")
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("a.vd", "b.vd")
+                / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+            )
+            .cast("bigint")
+            .alias("sim_nano"),
+        )
+        .collect()
+    )
+    rel = {
+        r[id_col]: r["rel_nano"] for r in cand.select(id_col, "rel_nano").collect()
+    }
+    sim: dict[tuple, int] = {}
+    for r in pair_rows:
+        sim[(r["ia"], r["ib"])] = r["sim_nano"]
+        sim[(r["ib"], r["ia"])] = r["sim_nano"]
+    lam, inv = int(lambda_pct), 100 - int(lambda_pct)
+    selected: list = []
+    out_rows = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        best = None
+        # sorted iteration + strict > keeps the LOWEST id on score ties
+        for cid in sorted(remaining):
+            ms = max((sim[(cid, s)] for s in selected), default=0)
+            score = lam * rel[cid] - inv * ms  # nano*100 units, exact ints
+            if best is None or score > best[0]:
+                best = (score, cid, ms)
+        _, cid, ms = best
+        selected.append(cid)
+        remaining.discard(cid)
+        out_rows.append(
+            (len(selected), cid, rel[cid], ms, lam * rel[cid] - inv * ms)
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        f"rank int, {id_col} long, rel_nano long, maxsim_nano long, "
+        "mmr_nano long",
+    )

