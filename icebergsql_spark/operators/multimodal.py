@@ -614,3 +614,68 @@ def riff_frame_pixels(blobs: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=FRAME_PIXEL_SCHEMA)
+
+
+KEYFRAME_SCHEMA = (
+    "doc_id long, n_frames int, n_keyframes int, keyframe_idx string, "
+    "mean_jump_q long"
+)
+
+
+def keyframe_select(blobs: DataFrame, threshold_q: int = 10_000) -> DataFrame:
+    """Content-based keyframe selection over RIFF frame payloads — the
+    scene-change sampling policy a video curation pipeline uses instead
+    of blind striding (``riff_frame_index``'s every-k cousin): decode
+    each frame (netpbm/BMP via ``decode_image``; non-image frames are
+    skipped), track the per-frame mean pixel level as an EXACT scaled
+    integer (pixel_sum * 1e6 DIV pixel_count — engine-stable, no
+    floats), and keep frame 0 plus every frame whose level jumps by at
+    least ``threshold_q`` (millionths of a pixel level) versus the last
+    KEPT frame. Emits the kept index list (comma-joined, bounded by
+    frame count) and the max observed jump, so thresholds can be
+    calibrated from the output itself. One Arrow-batched narrow map,
+    frame-local — no shuffle at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                idx = parse_riff_frames(b)
+                kept: list[int] = []
+                last_level = None
+                max_jump = 0
+                for i, (off, sz) in enumerate(idx):
+                    fr = b[off : off + sz]
+                    if fr[:2] not in (b"P6", b"P5", b"BM"):
+                        continue
+                    _h, _w, _ch, arr = decode_image(fr)
+                    flat = arr.reshape(-1).astype("int64")
+                    level = int(flat.sum()) * 1_000_000 // int(flat.size)
+                    if last_level is None:
+                        kept.append(i)
+                        last_level = level
+                        continue
+                    jump = abs(level - last_level)
+                    max_jump = max(max_jump, jump)
+                    if jump >= threshold_q:
+                        kept.append(i)
+                        last_level = level
+                rows.append(
+                    (
+                        did,
+                        len(idx),
+                        len(kept),
+                        ",".join(str(i) for i in kept),
+                        max_jump,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_keyframes", "keyframe_idx",
+                    "mean_jump_q",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=KEYFRAME_SCHEMA)

@@ -314,3 +314,54 @@ def test_decimate_audio_roundtrip(spark):
     assert np.asarray(samples[::4], dtype="<i2").tobytes() in bytes(
         row["payload"]
     )
+
+
+def test_keyframe_select_scene_changes(spark):
+    """Hand-built video: flat gray frames with two level jumps — the
+    keyframe policy must keep frame 0 and exactly the jump frames, and
+    the kept-vs-last-KEPT semantics must ignore sub-threshold drift."""
+    from icebergsql_spark.operators.multimodal import (
+        encode_ppm,
+        encode_rvid,
+        keyframe_select,
+    )
+
+    def flat(level: int) -> bytes:
+        return encode_ppm(4, 4, bytes([level] * 48))
+
+    # levels: 10,10,10, 200 (jump), 201 (drift), 50 (jump), 50
+    frames = [flat(v) for v in (10, 10, 10, 200, 201, 50, 50)]
+    payload = encode_rvid(frames)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = keyframe_select(blobs, threshold_q=5_000_000).collect()[0]
+    assert out["n_frames"] == 7
+    # frame 0 always; 3 jumps 10->200; 5 jumps 200->50 (201 drift is
+    # below threshold AND measured against the last KEPT frame 3)
+    assert out["keyframe_idx"] == "0,3,5"
+    assert out["n_keyframes"] == 3
+    # max jump observed: |200-10| = 190 levels = 190e6 in q units
+    assert out["mean_jump_q"] == 190_000_000
+
+
+def test_keyframe_select_skips_non_image_frames(spark):
+    from icebergsql_spark.operators.multimodal import (
+        encode_ppm,
+        encode_rvid,
+        keyframe_select,
+    )
+
+    frames = [
+        encode_ppm(2, 2, bytes([10] * 12)),
+        b"\x00\x01garbage-not-an-image",
+        encode_ppm(2, 2, bytes([250] * 12)),
+    ]
+    payload = encode_rvid(frames)
+    blobs = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    out = keyframe_select(blobs, threshold_q=1_000_000).collect()[0]
+    assert out["n_frames"] == 3
+    # the opaque middle frame is invisible to the policy: kept = 0 and 2
+    assert out["keyframe_idx"] == "0,2"
