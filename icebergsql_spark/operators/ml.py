@@ -265,3 +265,93 @@ def kmeans_assign_bounded(
             .localCheckpoint()
         )
     return assign
+
+
+def cov_sufficient_stats(
+    df: DataFrame, dims: int = 8, vec_col: str = "embedding"
+) -> tuple[int, list[int], list[list[int]]]:
+    """EXACT integer covariance sufficient statistics over the first
+    ``dims`` vector dimensions: one aggregate pass over q = round(x*1e6)
+    bigints emits n, per-dim sums S_i, and per-pair product sums S_ij —
+    partitioning-invariant by construction (bigint additions commute),
+    so everything derived from them is a pure function of the data.
+    The single collected row is dims(dims+3)/2 + 1 integers: bounded
+    metadata, never row volume (the emb_cov_pairs gate plan, packaged
+    as an operator input for whitening/PCA)."""
+    qcols = [
+        F.expr(
+            f"CAST(round(CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" * {SCALE}) AS BIGINT)"
+        ).alias(f"q{i}")
+        for i in range(dims)
+    ]
+    q = df.select(*qcols)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(f"q{i}").cast("bigint").alias(f"s{i}") for i in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(
+                F.sum(F.col(f"q{i}") * F.col(f"q{j}"))
+                .cast("bigint")
+                .alias(f"s_{i}_{j}")
+            )
+    row = q.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    s = [int(row[f"s{i}"]) for i in range(dims)]
+    sij = [[0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            sij[i][j] = sij[j][i] = int(row[f"s_{i}_{j}"])
+    return n, s, sij
+
+
+def whitening_transform(
+    df: DataFrame, dims: int = 8, vec_col: str = "embedding", eps: float = 1e-9
+) -> tuple[list[float], list[list[float]]]:
+    """ZCA whitening from exact covariance stats: returns (mean, W) with
+    W = U diag(1/sqrt(l+eps)) U^T over the eigen-decomposition of the
+    empirical covariance. The covariance matrix is built from EXACT
+    bigint sufficient statistics (cov_sufficient_stats), so the numpy
+    eigh input — and therefore W — is identical under any partitioning
+    or retry; eigh itself is a deterministic bounded dims^3 solve on the
+    driver (the same bounded-metadata budget as a k-means centroid
+    table). Mean/W are in ORIGINAL units (quantization divides out)."""
+    import numpy as np
+
+    n, s, sij = cov_sufficient_stats(df, dims=dims, vec_col=vec_col)
+    mean = [si / (n * SCALE) for si in s]
+    cov = np.empty((dims, dims), dtype="float64")
+    for i in range(dims):
+        for j in range(dims):
+            # exact integers until this single final division
+            cov[i, j] = (n * sij[i][j] - s[i] * s[j]) / (
+                float(n) * n * SCALE * SCALE
+            )
+    vals, vecs = np.linalg.eigh(cov)
+    inv_sqrt = np.diag(1.0 / np.sqrt(np.maximum(vals, 0.0) + eps))
+    w = vecs @ inv_sqrt @ vecs.T
+    return mean, w.tolist()
+
+
+def apply_whitening(
+    df: DataFrame,
+    mean: list[float],
+    w: list[list[float]],
+    dims: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "white",
+) -> DataFrame:
+    """Project vectors through a whitening transform as a narrow map:
+    out_k = sum_i W[k][i] * (x_i - mean_i), expanded to a fixed
+    per-dimension expression (sequential adds in index order — the
+    deterministic fold idiom), with W/mean inlined as literals. Fuses
+    into the scan under codegen; no shuffle, no UDF."""
+    outs = []
+    for k in range(dims):
+        terms = " + ".join(
+            f"({w[k][i]!r} * (CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+            f" - {mean[i]!r}))"
+            for i in range(dims)
+        )
+        outs.append(F.expr(terms).alias(f"{out_col}_{k}"))
+    return df.select("*", *outs)

@@ -194,3 +194,29 @@ def test_mmr_select_partitioning_invariant(spark):
         emb.repartition(9, "vec_id"), query_id=7, k=5, candidates=30
     ).toPandas()
     assert a.equals(b)
+
+
+def test_whitening_identity_covariance(spark):
+    """Whitened data must have ~identity covariance; the transform is a
+    pure function of exact bigint stats, so any partitioning yields the
+    identical W."""
+    import numpy as np
+
+    from icebergsql_spark.operators.ml import (
+        apply_whitening,
+        whitening_transform,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, w = whitening_transform(emb, dims=6)
+    mean2, w2 = whitening_transform(
+        emb.repartition(13, "vec_id"), dims=6
+    )
+    assert mean == mean2 and w == w2  # bigint stats -> bitwise identical
+
+    white = apply_whitening(emb, mean, w, dims=6).select(
+        *[f"white_{k}" for k in range(6)]
+    )
+    x = np.array(white.collect(), dtype="float64")
+    cov = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(6), atol=0.05)
