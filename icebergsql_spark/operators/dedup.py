@@ -603,3 +603,62 @@ def span_overlap_pairs(
             ).alias("span_containment"),
         )
     )
+
+
+def neardup_tier_eval(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 1,
+    text_col: str = "text",
+    hash_method: str = "md5",
+) -> DataFrame:
+    """Precision/recall of the banded-LSH candidate tier against exact
+    n-gram Jaccard ground truth — the calibration harness that tells a
+    100 TB dedup pipeline whether its band configuration is recalling
+    the duplicates it claims to (dedup_minhash_calibration's decision-
+    level sibling: that gate audits the ESTIMATOR error, this one audits
+    the CANDIDATE SET itself).
+
+    Run it on a BOUNDED slice (the caller filters df): ground truth is
+    exact all-pairs Jaccard, so slice size governs cost; the verdict
+    transfers because band collision probability depends only on the
+    similarity, not the corpus size. Returns one row of exact integer
+    counts plus ppm precision/recall (floor division, engine-identical):
+    hits are truth pairs the LSH tier surfaced; precision penalizes
+    wasted verification work, recall is the miss rate of the tier.
+    """
+    truth = jaccard_pairs(
+        df, n=n, threshold=threshold, text_col=text_col
+    ).select("a", "b", F.lit(1).alias("in_truth"))
+    cand = lsh_candidate_pairs(
+        df, n=n, text_col=text_col, hash_method=hash_method
+    ).select("a", "b", F.lit(1).alias("in_cand"))
+    joined = truth.join(cand, ["a", "b"], "full_outer")
+    return joined.agg(
+        F.sum(F.coalesce(F.col("in_truth"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_truth"),
+        F.sum(F.coalesce(F.col("in_cand"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("in_truth").isNotNull() & F.col("in_cand").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (n_hits * 1000000) DIV n_candidates END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_truth = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE (n_hits * 1000000) DIV n_truth END"
+        ).alias("recall_ppm"),
+    )

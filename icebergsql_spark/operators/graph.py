@@ -220,3 +220,72 @@ def personalized_pagerank(
             ).alias("q"),
         )
     return scores.select("node", F.col("q").alias("score_q"))
+
+
+def modularity_q(
+    half_edges: DataFrame,
+    labels: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "n",
+    label_col: str = "lbl",
+) -> DataFrame:
+    """Newman modularity of a community assignment — EXACT integers.
+
+    ``half_edges`` lists each undirected edge once (a < b); ``labels``
+    maps node -> community. Q = sum_c (e_c/m - (d_c/2m)^2) is computed
+    as the exact rational  Q_num / (4 m^2)  with
+    ``Q_num = sum_c (4*m*e_c - d_c^2)``  — every term a bigint (edge
+    counts and degree sums), so the score is a pure function of the
+    data; the single final double division is the only float op. The
+    quality gate after any community detection (label propagation,
+    connected components): run detection, score it, compare runs.
+
+    Scale shape: one broadcast-joinable label lookup per edge endpoint,
+    two bounded groupBys (per-community intra-edge counts and degree
+    sums) — never an all-pairs term; the null-model d_c^2 comes from
+    the degree aggregate, not from enumerating non-edges.
+    """
+    la = labels.select(
+        F.col(node_col).alias(a), F.col(label_col).alias("ca")
+    )
+    lb = labels.select(
+        F.col(node_col).alias(b), F.col(label_col).alias("cb")
+    )
+    tagged = half_edges.join(la, a).join(lb, b)
+    m_row = tagged.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        tagged.select(F.col(a).alias("node"), F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col(b).alias("node"), F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_c"),
+        "d_c",
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m_row))
+        .agg(
+            F.max("m").cast("bigint").alias("m"),
+            F.sum(
+                F.expr("4 * m * e_c - d_c * d_c")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+        .select(
+            "m",
+            "q_num",
+            F.expr("4 * m * m").cast("bigint").alias("q_denom"),
+            F.expr(
+                "CAST(q_num AS DOUBLE) / CAST(4 * m * m AS DOUBLE)"
+            ).alias("q"),
+        )
+    )

@@ -220,3 +220,49 @@ def test_whitening_identity_covariance(spark):
     x = np.array(white.collect(), dtype="float64")
     cov = np.cov(x, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(6), atol=0.05)
+
+
+def test_modularity_exact_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge, labeled by clique:
+    m=7, intra e_c=3 each, degrees: bridge endpoints 3, others 2 ->
+    d_c = 7 per community. Q_num = 2*(4*7*3 - 49) = 70, denom 196."""
+    from icebergsql_spark.operators.graph import modularity_q
+
+    half = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "a int, b int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)], "n int, lbl int"
+    )
+    row = modularity_q(half, labels).collect()[0]
+    assert row["m"] == 7
+    assert row["q_num"] == 70 and row["q_denom"] == 196
+    assert abs(row["q"] - 70 / 196) < 1e-12
+    # the degenerate all-one-community labeling scores 0 exactly:
+    # e_c = m and d_c = 2m -> 4m*m - 4m^2 = 0
+    one = labels.select("n", F.lit(0).alias("lbl"))
+    assert modularity_q(half, one).collect()[0]["q_num"] == 0
+
+
+def test_neardup_tier_eval_counts(spark):
+    """On the clone-heavy documents slice the LSH tier must surface
+    every exact near-dup (recall 1e6 at the calibration threshold) and
+    the counts must be internally consistent."""
+    from icebergsql_spark.operators.dedup import neardup_tier_eval
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 150)
+    )
+    row = neardup_tier_eval(docs, threshold=0.5, n=1).collect()[0]
+    assert row["n_hits"] <= min(row["n_truth"], row["n_candidates"])
+    assert row["n_truth"] > 0 and row["n_candidates"] > 0
+    assert row["recall_ppm"] == (row["n_hits"] * 1000000) // row["n_truth"]
+    assert (
+        row["precision_ppm"]
+        == (row["n_hits"] * 1000000) // row["n_candidates"]
+    )
+    # clones are verbatim-ish: single-word shingle Jaccard >= 0.5 pairs
+    # collide in every band, so the tier recalls them all
+    assert row["recall_ppm"] >= 900000
