@@ -266,3 +266,144 @@ def test_neardup_tier_eval_counts(spark):
     # clones are verbatim-ish: single-word shingle Jaccard >= 0.5 pairs
     # collide in every band, so the tier recalls them all
     assert row["recall_ppm"] >= 900000
+
+
+def _py_markov_removal(paths, conv="purchase", steps=4):
+    """Pure-Python replica of markov_removal_effect's exact integer
+    recurrence — the reference a round-9 recursive-CTE oracle must also
+    match. paths: {user: [event_type, ...]} in time order."""
+    trans_counts: dict = {}
+    for evs in paths.values():
+        states = []
+        for t in evs:
+            states.append("CONV" if t == conv else t)
+            if t == conv:
+                break
+        seq = ["START"] + states
+        if states[-1] != "CONV":
+            seq.append("NULL")
+        for cur, nxt in zip(seq, seq[1:]):
+            trans_counts[(cur, nxt)] = trans_counts.get((cur, nxt), 0) + 1
+    totals: dict = {}
+    for (cur, _), c in trans_counts.items():
+        totals[cur] = totals.get(cur, 0) + c
+    trans = {
+        pair: (c * 1000000) // totals[pair[0]]
+        for pair, c in trans_counts.items()
+    }
+
+    def conv_mass(removed):
+        vec = {"START": 1000000}
+        absorbed = 0
+        for _ in range(steps):
+            nxt_vec: dict = {}
+            for (cur, nxt), p in trans.items():
+                if cur == removed or cur not in vec:
+                    continue
+                q = (vec[cur] * p) // 1000000
+                nxt_vec[nxt] = nxt_vec.get(nxt, 0) + q
+            absorbed += nxt_vec.pop("CONV", 0)
+            nxt_vec.pop("NULL", None)
+            vec = nxt_vec
+        return absorbed
+
+    p_base = conv_mass(None)
+    out = {}
+    for ch in sorted(totals):
+        if ch == "START":
+            continue
+        p_rem = conv_mass(ch)
+        eff = ((p_base - p_rem) * 1000000) // p_base if p_base else 0
+        out[ch] = (p_base, p_rem, eff)
+    return out
+
+
+def test_markov_removal_effect_fuzz_vs_python(spark):
+    """Random path sets: the Spark operator must BIT-match the pure
+    Python integer recurrence (the pre-oracle contract; same pattern as
+    the MERGE clause-semantics fuzz)."""
+    import random
+
+    from icebergsql_spark.operators.temporal import markov_removal_effect
+
+    rng = random.Random(42)
+    channels = ["view", "click", "signup", "error"]
+    for trial in range(3):
+        paths = {}
+        for u in range(1, rng.randint(8, 20)):
+            length = rng.randint(1, 6)
+            evs = [rng.choice(channels) for _ in range(length)]
+            if rng.random() < 0.5:
+                evs.append("purchase")
+            paths[u] = evs
+        rows, eid = [], 0
+        for u, evs in paths.items():
+            for i, t in enumerate(evs):
+                rows.append((eid, u, i + 1, t))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts long, event_type string"
+        )
+        got = {
+            r["channel"]: (
+                r["p_base_ppm"], r["p_removed_ppm"], r["removal_effect_ppm"]
+            )
+            for r in markov_removal_effect(ev, steps=4).collect()
+        }
+        want = _py_markov_removal(paths, steps=4)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_personalized_pagerank_fuzz_vs_python(spark):
+    """Random digraphs: bit-match the pure-Python integer PPR rounds."""
+    import random
+
+    SCALE = 10**12
+
+    def py_ppr(edge_list, seed_nodes, iterations=3, d=85):
+        e = sorted(set(edge_list))
+        nodes = sorted({a for a, _ in e} | {b for _, b in e})
+        ns = len(seed_nodes)
+        outdeg: dict = {}
+        for a, _ in e:
+            outdeg[a] = outdeg.get(a, 0) + 1
+        tele = {
+            n: ((SCALE // ns) * 15) // 100 if n in seed_nodes else 0
+            for n in nodes
+        }
+        q = {
+            n: SCALE // ns if n in seed_nodes else 0 for n in nodes
+        }
+        for _ in range(iterations):
+            inflow = {n: 0 for n in nodes}
+            for a, b in e:
+                inflow[b] += q[a] // outdeg[a]
+            q = {n: tele[n] + (d * inflow[n]) // 100 for n in nodes}
+        return q
+
+    from icebergsql_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(5, 12)
+        edge_list = list(
+            {
+                (rng.randrange(n_nodes), rng.randrange(n_nodes))
+                for _ in range(rng.randint(8, 30))
+            }
+        )
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        nodes_present = {a for a, _ in edge_list} | {b for _, b in edge_list}
+        seeds = sorted(nodes_present)[:2]
+        edges = spark.createDataFrame(edge_list, "src int, dst int")
+        seeds_df = spark.createDataFrame(
+            [(s,) for s in seeds], "node int"
+        )
+        got = {
+            r["node"]: r["score_q"]
+            for r in personalized_pagerank(
+                edges, seeds_df, iterations=3
+            ).collect()
+        }
+        want = py_ppr(edge_list, set(seeds))
+        assert got == want, f"trial {trial}"
