@@ -172,3 +172,42 @@ def test_interleaved_append_fuzz(spark, tmp_path):
         assert int(s.summary["total-records"]) == sum(
             f.record_count for f in s.live_files()
         )
+
+
+def test_expire_racing_append_surfaces_conflict(spark, tmp_path):
+    """Maintenance racing a writer: expire_snapshots commits via the same
+    optimistic metadata protocol, so a concurrent append moving the base
+    between expire's refresh and its commit must surface CommitConflict
+    (never silently clobber the writer's snapshot) — and a clean retry
+    after refresh succeeds with both effects intact."""
+    tbl_a, tbl_b = _mk(spark, tmp_path, "t_exp_race")
+    for lo in (0, 10, 20):
+        tbl_a.insert(_rows(spark, lo, lo + 10))
+
+    # handle B prepares expire against the current base; handle A then
+    # lands an append FIRST — B's metadata version is stale on commit
+    tbl_b.refresh()
+    base_version = tbl_b.meta.version
+
+    real_commit = type(tbl_b.meta).commit
+    tbl_a.insert(_rows(spark, 30, 40))  # A moves the base
+
+    # B's expire starts from the stale in-memory meta: patch refresh to a
+    # no-op so the race window is deterministic instead of timing-based
+    orig_refresh = tbl_b.refresh
+    tbl_b.refresh = lambda: None
+    try:
+        with pytest.raises(CommitConflict):
+            tbl_b.expire_snapshots(retain_last=1)
+    finally:
+        tbl_b.refresh = orig_refresh
+    assert tbl_b.meta.version == base_version  # failed commit rolled back
+
+    # post-conflict: a real refresh sees A's append; expire then succeeds
+    tbl_b.refresh()
+    res = tbl_b.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 3
+    tbl_a.refresh()
+    assert tbl_a.to_df().count() == 40  # all four appends' rows live
+    assert len(tbl_a.meta.snapshots) == 1
+    assert real_commit is type(tbl_b.meta).commit  # nothing monkeypatched
