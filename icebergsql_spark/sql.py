@@ -73,9 +73,18 @@ _INSERT_RE = re.compile(
 _ALTER_REF_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?P<action>create|drop)\s+"
     r"(?P<kind>tag|branch)\s+`?(?P<ref>\w+)`?"
-    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?\s*$",
+    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?"
+    # Iceberg retention clauses: RETAIN n DAYS|HOURS|MINUTES bounds the
+    # ref's own lifetime; branches add WITH SNAPSHOT RETENTION
+    # [m SNAPSHOTS] [k DAYS|HOURS|MINUTES] for their ancestry window
+    r"(?:\s+retain\s+(?P<retain>\d+)\s+(?P<retain_unit>days|hours|minutes))?"
+    r"(?:\s+with\s+snapshot\s+retention"
+    r"(?:\s+(?P<minsnaps>\d+)\s+snapshots)?"
+    r"(?:\s+(?P<maxage>\d+)\s+(?P<maxage_unit>days|hours|minutes))?)?"
+    r"\s*$",
     re.IGNORECASE,
 )
+_UNIT_MS = {"days": 86_400_000, "hours": 3_600_000, "minutes": 60_000}
 _TYPE = r"\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 _ALTER_COL_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?:"
@@ -713,9 +722,30 @@ class Engine:
             kind = am.group("kind").lower()
             if am.group("action").lower() == "create":
                 sid = int(am.group("ver")) if am.group("ver") else None
+                if (am.group("minsnaps") or am.group("maxage")) and kind == "tag":
+                    raise ValueError(
+                        "WITH SNAPSHOT RETENTION applies to branches only"
+                    )
                 (tbl.create_tag if kind == "tag" else tbl.create_branch)(
                     am.group("ref"), sid
                 )
+                if am.group("retain"):
+                    tbl.set_ref_retention(
+                        am.group("ref"),
+                        max_ref_age_ms=int(am.group("retain"))
+                        * _UNIT_MS[am.group("retain_unit").lower()],
+                    )
+                if am.group("minsnaps"):
+                    tbl.set_ref_retention(
+                        am.group("ref"),
+                        min_snapshots_to_keep=int(am.group("minsnaps")),
+                    )
+                if am.group("maxage"):
+                    tbl.set_ref_retention(
+                        am.group("ref"),
+                        max_snapshot_age_ms=int(am.group("maxage"))
+                        * _UNIT_MS[am.group("maxage_unit").lower()],
+                    )
             else:
                 tbl.drop_ref(am.group("ref"))
             return self.spark.createDataFrame([], T.StructType([]))

@@ -1368,3 +1368,44 @@ def test_metadata_log_view(spark, tmp_path):
         assert log[0]["latest_snapshot_id"] is None
     finally:
         spark.sql("DROP TABLE IF EXISTS ml_log_audit")
+
+
+def test_create_ref_retention_sql_surface(spark, tmp_path):
+    """Iceberg's CREATE TAG/BRANCH retention clauses through Engine.sql:
+    RETAIN bounds the ref's lifetime; WITH SNAPSHOT RETENTION sets the
+    branch ancestry window — all land as $refs-visible policy fields."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_refsql"))
+    eng.sql(
+        "CREATE TABLE rt (k BIGINT, part INT) USING parquet "
+        "OPTIONS (addTableManagement 'true') PARTITIONED BY (part)"
+    )
+    src = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    src.createOrReplaceTempView("rt_src")
+    eng.sql("INSERT INTO rt SELECT * FROM rt_src")
+    eng.sql("ALTER TABLE rt CREATE TAG pin RETAIN 3 DAYS")
+    eng.sql(
+        "ALTER TABLE rt CREATE BRANCH audit RETAIN 12 HOURS "
+        "WITH SNAPSHOT RETENTION 2 SNAPSHOTS 30 MINUTES"
+    )
+    refs = {r["name"]: r for r in eng.sql("SELECT * FROM `rt$refs`").collect()}
+    assert refs["pin"]["maxRefAgeMs"] == 3 * 86_400_000
+    assert refs["pin"]["minSnapshotsToKeep"] is None
+    assert refs["audit"]["maxRefAgeMs"] == 12 * 3_600_000
+    assert refs["audit"]["minSnapshotsToKeep"] == 2
+    assert refs["audit"]["maxSnapshotAgeMs"] == 30 * 60_000
+    # snapshot-retention clauses are branch-only
+    with pytest.raises(ValueError):
+        eng.sql(
+            "ALTER TABLE rt CREATE TAG bad WITH SNAPSHOT RETENTION "
+            "2 SNAPSHOTS"
+        )
+    # plain forms unaffected
+    eng.sql("ALTER TABLE rt CREATE TAG plain")
+    refs2 = {
+        r["name"]: r for r in eng.sql("SELECT * FROM `rt$refs`").collect()
+    }
+    assert refs2["plain"]["maxRefAgeMs"] is None
