@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "sketch_theta_difference",
     "events_cumulative_users",
     "events_stream_cumulative_users",
+    "events_stream_survival_km",
     "graph_clustering_coefficient",
     "sketch_hll_union",
     "events_spearman_corr",
@@ -341,6 +342,7 @@ def main() -> None:
         "managed_branch_expiry",
         "managed_wap_publish",
         "events_stream_cumulative_users",
+        "events_stream_survival_km",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -18,17 +18,17 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # tests/test_queries.py).
 #
 # Round-8 window: the 15 round-7 (pipeline8) queries that have NEVER
-# received a driver CORRECTNESS row go first, then the 21 new round-8
+# received a driver CORRECTNESS row go first, then the 22 new round-8
 # (pipeline9) queries — a green round closes cumulative driver coverage
-# at 281/281 (all are green in the local driver-sim at sf0.01 and in
+# at 282/282 (all are green in the local driver-sim at sf0.01 and in
 # tests/test_queries.py; the driver row is the missing durable signal).
 # Then queries whose PLANS changed this round (the incremental
 # delete-totals rewrite in table.py touches every commit-heavy managed
 # scenario; the resize_image magic-byte dispatch touches the resize
-# gates) so the driver re-checks them post-change: 46 must-check rows,
+# gates) so the driver re-checks them post-change: 47 must-check rows,
 # inside the ~50-row window. The 48 round-6-green rows rotate to the
 # tail, staying covered by the identical local oracle comparison in
-# tests/test_queries.py. ROUND-9 RULE: rotate these 46 out before
+# tests/test_queries.py. ROUND-9 RULE: rotate these 47 out before
 # registering anything new.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round 7 / pipeline8; must close this round) --
@@ -70,6 +70,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_ols_trend",
     "text_readability_score",
     "text_simpson_diversity",
+    "events_stream_survival_km",
     # -- plans changed in round 8 (incremental delete totals; resize
     #    dispatch; per-ref retention fields in expire_snapshots) —
     #    re-check post-change --

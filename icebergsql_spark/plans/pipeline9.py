@@ -2046,3 +2046,134 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * s2) DIV (toks * (toks - 1)) AS BIGINT)"
         ).alias("simpson_ppm"),
     ).orderBy("source")
+
+
+@register(
+    "events_stream_survival_km",
+    oracle="""
+        WITH pd AS (
+          SELECT DISTINCT user_id,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mx AS (SELECT MAX(day) AS m FROM pd),
+        gaps AS (
+          SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS nxt
+          FROM pd
+        ),
+        obs AS (
+          SELECT CAST(COALESCE(nxt, mx.m) - day AS BIGINT) AS t,
+                 CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+          FROM gaps CROSS JOIN mx
+        ),
+        tbl AS (
+          SELECT o1.t AS t,
+                 CAST(SUM(o1.ev) AS BIGINT) AS d_t,
+                 MAX(r.n_risk) AS n_risk
+          FROM obs o1
+          JOIN (
+            SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_risk
+            FROM (SELECT DISTINCT t FROM obs) a JOIN obs b ON b.t >= a.t
+            GROUP BY a.t
+          ) r ON r.t = o1.t
+          GROUP BY o1.t
+          HAVING SUM(o1.ev) > 0
+        ),
+        tbl2 AS (SELECT * FROM tbl WHERE n_risk > d_t)
+        SELECT t, n_risk, d_t,
+               CAST(round(exp(SUM(ln(CAST(n_risk - d_t AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t)) * 1000000.0) AS BIGINT)
+                 AS surv_micro
+        FROM tbl2 ORDER BY t
+    """,
+    doc="STREAMING twin of events_survival_km (the last round-8 stream "
+    "twin): the event stream replays as 3 chronological micro-batches "
+    "(time-split parquet appends + maxFilesPerTrigger=1, the stream-gate "
+    "rule) and each batch appends its DISTINCT (user, purchase-day) "
+    "markers to a parquet sink — a set-mergeable partial (set union is "
+    "idempotent/commutative), so micro-batch chopping, replays and "
+    "arrival order cannot change the merged day set. The finalizer "
+    "distinct-merges the sink and computes the identical Kaplan-Meier "
+    "product-limit curve the batch oracle derives from raw events "
+    "(censoring at the merged max day == the batch max day once all "
+    "batches land). Sink state is |user x purchase-day| pairs per batch "
+    "regardless of event volume; at 100 TB the sink is a managed table "
+    "and the finalizer is the batch KM over it.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-skmsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-skmout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-skmck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).distinct().createOrReplaceTempView("skm_pd")
+    return spark.sql("""
+        WITH mx AS (SELECT MAX(day) AS m FROM skm_pd),
+        gaps AS (
+          SELECT user_id, day,
+                 lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                   AS nxt
+          FROM skm_pd
+        ),
+        obs AS (
+          SELECT CAST(COALESCE(nxt, mx.m) - day AS BIGINT) AS t,
+                 CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+          FROM gaps CROSS JOIN mx
+        ),
+        tbl AS (
+          SELECT o1.t AS t,
+                 CAST(SUM(o1.ev) AS BIGINT) AS d_t,
+                 MAX(r.n_risk) AS n_risk
+          FROM obs o1
+          JOIN (
+            SELECT a.t, CAST(COUNT(*) AS BIGINT) AS n_risk
+            FROM (SELECT DISTINCT t FROM obs) a JOIN obs b ON b.t >= a.t
+            GROUP BY a.t
+          ) r ON r.t = o1.t
+          GROUP BY o1.t
+          HAVING SUM(o1.ev) > 0
+        ),
+        tbl2 AS (SELECT * FROM tbl WHERE n_risk > d_t)
+        SELECT t, n_risk, d_t,
+               CAST(round(exp(SUM(ln(CAST(n_risk - d_t AS DOUBLE)
+                          / CAST(n_risk AS DOUBLE)))
+                   OVER (ORDER BY t)) * 1000000.0) AS BIGINT)
+                 AS surv_micro
+        FROM tbl2 ORDER BY t
+    """)
