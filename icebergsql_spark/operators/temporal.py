@@ -389,3 +389,58 @@ def markov_removal_effect(
         "channel string, p_base_ppm long, p_removed_ppm long, "
         "removal_effect_ppm long",
     )
+
+
+def theil_sen_slope(
+    series: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Theil–Sen robust trend estimator: the median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j — the outlier-proof
+    sibling of the OLS trend (a single corrupted day can move OLS
+    arbitrarily; Theil–Sen has a 29% breakdown point, so it is the
+    right trend estimate over volatile pipeline telemetry).
+
+    Determinism: the numerator/denominator of every pairwise slope are
+    exact bigints; the LOWER median is selected by a total order
+    (double ratio, then num, then den — the double is only a sort key,
+    the exact rational rides along), so the chosen (med_num, med_den)
+    pair is a pure function of the data and the final float division is
+    one op. Scale shape: pairs are a self-join over the AGGREGATED
+    series (|days|^2 rows, bounded by the calendar, never event
+    volume) and the median is one sort of that bounded set.
+    """
+    a = series.select(
+        F.col(x_col).cast("bigint").alias("xa"),
+        F.col(y_col).cast("bigint").alias("ya"),
+    )
+    b = series.select(
+        F.col(x_col).cast("bigint").alias("xb"),
+        F.col(y_col).cast("bigint").alias("yb"),
+    )
+    pairs = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .select(
+            (F.col("yb") - F.col("ya")).alias("num"),
+            (F.col("xb") - F.col("xa")).alias("den"),
+        )
+        .withColumn(
+            "r", F.col("num").cast("double") / F.col("den").cast("double")
+        )
+    )
+    w = W.orderBy("r", "num", "den")
+    ranked = pairs.select(
+        "num",
+        "den",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("num").cast("bigint").alias("med_num"),
+        F.col("den").cast("bigint").alias("med_den"),
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "slope"
+        ),
+    )

@@ -407,3 +407,42 @@ def test_personalized_pagerank_fuzz_vs_python(spark):
         }
         want = py_ppr(edge_list, set(seeds))
         assert got == want, f"trial {trial}"
+
+
+def test_theil_sen_exact_and_robust(spark):
+    """Hand-computed series with one gross outlier: OLS moves, Theil-Sen
+    doesn't. Series y = 2x at x=0..4 except y(2)=100: pairwise slopes
+    are mostly 2; the lower median must be exactly 2 (num/den reported
+    as an exact rational)."""
+    from icebergsql_spark.operators.temporal import theil_sen_slope
+
+    rows = [(0, 0), (1, 2), (2, 100), (3, 6), (4, 8)]
+    s = spark.createDataFrame(rows, "x long, y long")
+    got = theil_sen_slope(s).collect()[0]
+    assert got["n_pairs"] == 10
+    assert got["med_num"] / got["med_den"] == 2.0
+    assert got["slope"] == 2.0
+    # clean series: exact slope 3
+    clean = spark.createDataFrame(
+        [(i, 3 * i + 7) for i in range(6)], "x long, y long"
+    )
+    g2 = theil_sen_slope(clean).collect()[0]
+    assert g2["slope"] == 3.0 and g2["n_pairs"] == 15
+
+
+def test_theil_sen_partitioning_invariant(spark):
+    from icebergsql_spark.operators.temporal import theil_sen_slope
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        .select(F.expr("us DIV 86400000000").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    a = theil_sen_slope(daily).toPandas()
+    b = theil_sen_slope(daily.repartition(7, "x")).toPandas()
+    assert a.equals(b)
