@@ -12,7 +12,7 @@ module imported explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.registry import load_tables, register
@@ -813,3 +813,178 @@ def managed_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(agg(tbl.to_df(), "main"))
         .orderBy("scope")
     )
+
+
+@register(
+    "text_burstiness",
+    oracle="""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS t,
+                 generate_subscripts(
+                   regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+          FROM documents
+        ),
+        seq AS (
+          SELECT t,
+                 row_number() OVER (ORDER BY doc_id, pos) AS gi
+          FROM tok
+        ),
+        top AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+          FROM seq GROUP BY t ORDER BY c DESC, t LIMIT 20
+        ),
+        gaps AS (
+          SELECT s.t,
+                 CAST(s.gi - lag(s.gi) OVER (PARTITION BY s.t ORDER BY s.gi)
+                      AS BIGINT) AS g
+          FROM seq s JOIN top ON top.t = s.t
+        ),
+        agg AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(g) AS BIGINT) AS sg,
+                 CAST(SUM(g * g) AS BIGINT) AS sgg
+          FROM gaps WHERE g IS NOT NULL GROUP BY t
+        )
+        SELECT t AS token, n AS n_gaps, sg AS gap_sum,
+               CAST(((n * sgg - sg * sg) * 1000000) // (n * sg) AS BIGINT)
+                 AS fano_ppm
+        FROM agg
+        ORDER BY fano_ppm DESC, token
+    """,
+    doc="Token burstiness via the Fano factor of recurrence gaps: for "
+    "the 20 most frequent tokens, the gap series between consecutive "
+    "occurrences (global corpus position = row_number over (doc, pos)) "
+    "yields var/mean = (n*Sgg - Sg^2)/(n*Sg) in exact ppm integers — "
+    "bursty tokens (topic words, boilerplate runs) score far above "
+    "Poisson (1x mean in position units), the classic signal separating "
+    "content words from function words and flagging template spam. One "
+    "explode + one global position window + bounded top-20 join; gap "
+    "stats are exact bigints, engine-identical.",
+    tags=("text", "stats"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos0", "t"
+        ),
+    )
+    seq = tok.select(
+        "t",
+        F.row_number().over(W.orderBy("doc_id", "pos0")).alias("gi"),
+    )
+    top = (
+        seq.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(20)
+        .select("t")
+    )
+    gaps = (
+        seq.join(F.broadcast(top), "t")
+        .withColumn(
+            "g",
+            (
+                F.col("gi")
+                - F.lag("gi").over(W.partitionBy("t").orderBy("gi"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sgg"),
+    )
+    return agg.select(
+        F.col("t").alias("token"),
+        F.col("n").alias("n_gaps"),
+        F.col("sg").alias("gap_sum"),
+        F.expr(
+            "CAST(((n * sgg - sg * sg) * 1000000) DIV (n * sg) AS BIGINT)"
+        ).alias("fano_ppm"),
+    ).orderBy(F.desc("fano_ppm"), "token")
+
+
+@register(
+    "events_gini_trend",
+    oracle="""
+        WITH pc AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mind AS (SELECT MIN(day) AS m FROM pc),
+        weekly AS (
+          SELECT CAST((day - mind.m) // 7 AS BIGINT) AS week, user_id,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM pc CROSS JOIN mind
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT week, x,
+                 CAST(row_number() OVER (
+                   PARTITION BY week ORDER BY x, user_id) AS BIGINT) AS i
+          FROM weekly
+        ),
+        agg AS (
+          SELECT week, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(i * x) AS BIGINT) AS six
+          FROM ranked GROUP BY week
+        )
+        SELECT week, n AS n_users, sx AS purchases,
+               CAST(((2 * six - (n + 1) * sx) * 1000000) // (n * sx)
+                    AS BIGINT) AS gini_ppm
+        FROM agg
+        ORDER BY week
+    """,
+    doc="Weekly Gini trend of per-user purchase concentration — "
+    "events_user_gini's time axis: is engagement concentrating into "
+    "power users week over week? Gini from the rank formulation "
+    "G = (2*Sum(i*x_i) - (n+1)*Sum(x)) / (n*Sum(x)) over counts ranked "
+    "by (x, user_id) — the tiebreak makes the rank a total order, so "
+    "both engines rank identically and every term is an exact bigint "
+    "(ppm floor division at the end; numerator non-negative by the "
+    "rearrangement inequality). Scale shape: one groupBy to per-user "
+    "weekly counts, a per-week window over bounded user rows, one "
+    "aggregate per week.",
+    tags=("events", "stats", "window"),
+)
+def events_gini_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH pc AS (
+          SELECT ts DIV 86400000000000 AS day, user_id
+          FROM events WHERE event_type = 'purchase'
+        ),
+        mind AS (SELECT MIN(day) AS m FROM pc),
+        weekly AS (
+          SELECT CAST((day - mind.m) DIV 7 AS BIGINT) AS week, user_id,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM pc CROSS JOIN mind
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT week, x,
+                 CAST(row_number() OVER (
+                   PARTITION BY week ORDER BY x, user_id) AS BIGINT) AS i
+          FROM weekly
+        ),
+        agg AS (
+          SELECT week, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(i * x) AS BIGINT) AS six
+          FROM ranked GROUP BY week
+        )
+        SELECT week, n AS n_users, sx AS purchases,
+               CAST(((2 * six - (n + 1) * sx) * 1000000) DIV (n * sx)
+                    AS BIGINT) AS gini_ppm
+        FROM agg
+        ORDER BY week
+    """)
