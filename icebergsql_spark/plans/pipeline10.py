@@ -988,3 +988,161 @@ def events_gini_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg
         ORDER BY week
     """)
+
+
+@register(
+    "sketch_stream_sample_quantiles",
+    oracle="""
+        WITH s AS (
+          SELECT value AS v FROM events
+          WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                       1, 8) AS BIGINT) % 16 = 0
+        ),
+        q AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS sample_n,
+                 quantile_cont(v, [CAST(25 AS DOUBLE) / 100.0,
+                                   CAST(50 AS DOUBLE) / 100.0,
+                                   CAST(75 AS DOUBLE) / 100.0,
+                                   CAST(90 AS DOUBLE) / 100.0,
+                                   CAST(99 AS DOUBLE) / 100.0]) AS vals
+          FROM s
+        ),
+        idx AS (SELECT unnest([1, 2, 3, 4, 5]) AS i,
+                       unnest([25, 50, 75, 90, 99]) AS q_pct)
+        SELECT CAST(idx.q_pct AS INTEGER) AS q_pct,
+               q.sample_n,
+               q.vals[idx.i] AS value
+        FROM q CROSS JOIN idx
+        ORDER BY q_pct
+    """,
+    doc="STREAMING twin of sketch_sample_quantiles — the union-merge "
+    "property exercised end-to-end: the event stream replays as 3 "
+    "chronological micro-batches and each batch appends ITS OWN "
+    "hash-sampled rows (md5(event_id) % 16 = 0 — a row-local predicate, "
+    "so the union of per-batch samples IS the batch sample, independent "
+    "of chopping, replay or arrival order) to a parquet sink; the "
+    "finalizer computes exact interpolated quantiles over the merged "
+    "sample and must hash-match the batch oracle. Sink state is n/16 "
+    "rows; at 100 TB the sink is a managed table and the divisor sets "
+    "the budget.",
+    tags=("sketch", "streaming"),
+)
+def sketch_stream_sample_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sqsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-sqout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.filter(
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(event_id AS STRING)),"
+                    " 1, 8), 16, 10) AS BIGINT) % 16 = 0"
+                )
+            )
+            .select(F.col("value").alias("v"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-sqck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sample = spark.read.parquet(out)
+    qs = (25, 50, 75, 90, 99)
+    q_arr = ", ".join(f"CAST({p} AS DOUBLE) / 100.0" for p in qs)
+    pct = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        F.expr(f"percentile(v, array({q_arr}))").alias("vals"),
+    )
+    return pct.select(
+        "sample_n",
+        F.expr(
+            "stack("
+            + str(len(qs))
+            + ", "
+            + ", ".join(
+                f"CAST({p} AS INT), vals[{i}]" for i, p in enumerate(qs)
+            )
+            + ") AS (q_pct, value)"
+        ),
+    ).select("q_pct", "sample_n", "value").orderBy("q_pct")
+
+
+@register(
+    "curation_importance_weights",
+    oracle="""
+        WITH per AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM per
+        )
+        SELECT per.source, per.n_docs,
+               CAST((tot.total * 1000000) // (tot.k * per.n_docs)
+                    AS BIGINT) AS weight_ppm,
+               CAST(per.n_docs * ((tot.total * 1000000)
+                    // (tot.k * per.n_docs)) AS BIGINT) AS mass_ppm
+        FROM per CROSS JOIN tot
+        ORDER BY per.source
+    """,
+    doc="Importance weights toward a UNIFORM source mixture: "
+    "w(s) = target_share / empirical_share = N/(k*n_s), the reweighting "
+    "a curation pipeline applies when one crawl dominates the corpus "
+    "(curation_dp_mixture's importance-sampling dual — that gate "
+    "RESAMPLES to a target, this one weights in place). Exact ppm "
+    "integer weights from one bounded groupBy; mass_ppm = n_s * w(s) "
+    "shows each source's post-weighting share is ~total/k by "
+    "construction (floor-division exactness, engine-identical).",
+    tags=("curation", "agg"),
+)
+def curation_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "CAST((total * 1000000) DIV (k * n_docs) AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr(
+                "CAST((n_docs * ((total * 1000000) DIV (k * n_docs)))"
+                " AS BIGINT)"
+            ).alias("mass_ppm"),
+        )
+        .orderBy("source")
+    )
