@@ -1146,3 +1146,77 @@ def curation_importance_weights(
         )
         .orderBy("source")
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderkey AS k
+          FROM orders
+        ),
+        ranked AS (
+          SELECT pri, c,
+                 CAST(row_number() OVER (
+                   PARTITION BY pri ORDER BY c, k) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+          FROM o
+        ),
+        kept AS (
+          SELECT pri, c, n FROM ranked
+          WHERE i > n // 10 AND i <= n - n // 10
+        )
+        SELECT pri AS priority,
+               CAST(MAX(n) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(c) AS BIGINT) AS kept_cents,
+               CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+        FROM kept
+        GROUP BY pri
+        ORDER BY pri
+    """,
+    doc="10% two-sided trimmed mean of order value per priority — the "
+    "robust location estimate next to median/MAD for heavy-tailed "
+    "money columns (a handful of mega-orders move the plain mean; the "
+    "trimmed mean ignores exactly floor(n/10) rows per tail). "
+    "Determinism: integer-cents values ranked under a total order "
+    "(value, orderkey tiebreak) so both engines drop the identical row "
+    "SET; the kept-sum is an exact bigint and the mean is two mirrored "
+    "float divisions. Scale shape: one per-group sort window over the "
+    "grouped rows — the same shape as agg_weighted_quantiles; no "
+    "driver-side percentile collection.",
+    tags=("agg", "stats", "window"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderkey AS k
+          FROM orders
+        ),
+        ranked AS (
+          SELECT pri, c,
+                 CAST(row_number() OVER (
+                   PARTITION BY pri ORDER BY c, k) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+          FROM o
+        ),
+        kept AS (
+          SELECT pri, c, n FROM ranked
+          WHERE i > n DIV 10 AND i <= n - n DIV 10
+        )
+        SELECT pri AS priority,
+               CAST(MAX(n) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(c) AS BIGINT) AS kept_cents,
+               CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+        FROM kept
+        GROUP BY pri
+        ORDER BY pri
+    """)
