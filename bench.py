@@ -212,6 +212,22 @@ BENCH_QUERIES = [
     "events_ols_trend",
     "text_readability_score",
     "text_simpson_diversity",
+    # round-9 additions (pipeline10 wave)
+    "events_theil_sen",
+    "sketch_sample_quantiles",
+    "events_markov_attribution",
+    "graph_personalized_pagerank",
+    "dedup_tier_eval",
+    "multimodal_keyframes",
+    "curation_mmr_topk",
+    "graph_modularity",
+    "emb_whitening_audit",
+    "managed_ref_retention",
+    "text_burstiness",
+    "events_gini_trend",
+    "sketch_stream_sample_quantiles",
+    "curation_importance_weights",
+    "agg_trimmed_mean",
 ]
 
 
@@ -343,6 +359,9 @@ def main() -> None:
         "managed_wap_publish",
         "events_stream_cumulative_users",
         "events_stream_survival_km",
+        # round-9 scenario queries (managed table build / stream per call)
+        "managed_ref_retention",
+        "sketch_stream_sample_quantiles",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -17,76 +17,32 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-8 window: the 15 round-7 (pipeline8) queries that have NEVER
-# received a driver CORRECTNESS row go first, then the 22 new round-8
-# (pipeline9) queries — a green round closes cumulative driver coverage
-# at 282/282 (all are green in the local driver-sim at sf0.01 and in
-# tests/test_queries.py; the driver row is the missing durable signal).
-# Then queries whose PLANS changed this round (the incremental
-# delete-totals rewrite in table.py touches every commit-heavy managed
-# scenario; the resize_image magic-byte dispatch touches the resize
-# gates) so the driver re-checks them post-change: 47 must-check rows,
-# inside the ~50-row window. The 48 round-6-green rows rotate to the
-# tail, staying covered by the identical local oracle comparison in
-# tests/test_queries.py. ROUND-9 RULE: rotate these 47 out before
-# registering anything new.
+# Round-9 window: the 15 staged pipeline10 queries (authored + verified
+# at all three SFs in round 8, NEVER driver-checked) go first.  The 47
+# round-8 rows are all green in CORRECTNESS_r08 and rotate to the tail
+# per the round-8 ROUND-9 RULE.  Remaining window slots re-confirm the
+# OLDEST green rows (r5-era tail, last driver-checked in round 5).
+# ROUND-10 RULE: rotate the round-9 head out before registering
+# anything new; grep plans/ for each new name first (register() shadows
+# silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (round 7 / pipeline8; must close this round) --
-    "managed_merge_schema_evolution",
-    "multimodal_resize_stats",
-    "multimodal_feature_real",
-    "multimodal_riff_frames",
-    "managed_all_files_audit",
-    "managed_snapshot_totals",
-    "events_stream_cusum",
-    "events_stream_bursts",
-    "dedup_simhash64_pairs",
-    "text_source_js_divergence",
-    "curation_reservoir_stratified",
-    "multimodal_audio_decimate",
-    "events_chi2_independence",
-    "text_keyword_topk",
-    "emb_pca_power_iteration",
-    # -- new in round 8 --
-    "multimodal_frame_pixels",
-    "managed_branch_expiry",
-    "events_mann_whitney_u",
-    "sketch_ams_f2",
-    "graph_bfs_distance",
-    "events_survival_km",
-    "emb_random_projection_jl",
-    "events_bootstrap_ci",
-    "managed_wap_publish",
-    "curation_quality_funnel",
-    "graph_adamic_adar",
-    "events_did_uplift",
-    "text_heaps_law",
-    "sketch_theta_difference",
-    "events_cumulative_users",
-    "events_stream_cumulative_users",
-    "graph_clustering_coefficient",
-    "sketch_hll_union",
-    "events_spearman_corr",
-    "events_ols_trend",
-    "text_readability_score",
-    "text_simpson_diversity",
-    "events_stream_survival_km",
-    # -- plans changed in round 8 (incremental delete totals; resize
-    #    dispatch; per-ref retention fields in expire_snapshots) —
-    #    re-check post-change --
-    "managed_mor_merge_cdc",
-    "managed_eq_delete_cdc",
-    "managed_streaming_eq_upsert",
-    "managed_mor_churn_stress",
-    "managed_delete_files_audit",
-    "managed_merge_snapshot_sync",
-    "multimodal_resize",
-    "managed_compaction",
-    "managed_tagged_travel",
-    # -- r5-green rows next (rotate back in only if slots remain) --
-    "text_lang_confidence",
-    "dedup_semantic_centroid_pairs",
-    "curation_dp_mixture",
+    # -- never driver-checked (round-9 pipeline10 wave; must close) --
+    "events_theil_sen",
+    "sketch_sample_quantiles",
+    "events_markov_attribution",
+    "graph_personalized_pagerank",
+    "dedup_tier_eval",
+    "multimodal_keyframes",
+    "curation_mmr_topk",
+    "graph_modularity",
+    "emb_whitening_audit",
+    "managed_ref_retention",
+    "text_burstiness",
+    "events_gini_trend",
+    "sketch_stream_sample_quantiles",
+    "curation_importance_weights",
+    "agg_trimmed_mean",
+    # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",
     "text_ngram_lm_perplexity",
@@ -211,6 +167,57 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_pq_codes",
     "join_bloom_prefilter",
     "ann_bruteforce_topk_blas",
+    # -- round-8-green rows (all green in CORRECTNESS_r08; tail) --
+    "managed_merge_schema_evolution",
+    "multimodal_resize_stats",
+    "multimodal_feature_real",
+    "multimodal_riff_frames",
+    "managed_all_files_audit",
+    "managed_snapshot_totals",
+    "events_stream_cusum",
+    "events_stream_bursts",
+    "dedup_simhash64_pairs",
+    "text_source_js_divergence",
+    "curation_reservoir_stratified",
+    "multimodal_audio_decimate",
+    "events_chi2_independence",
+    "text_keyword_topk",
+    "emb_pca_power_iteration",
+    "multimodal_frame_pixels",
+    "managed_branch_expiry",
+    "events_mann_whitney_u",
+    "sketch_ams_f2",
+    "graph_bfs_distance",
+    "events_survival_km",
+    "emb_random_projection_jl",
+    "events_bootstrap_ci",
+    "managed_wap_publish",
+    "curation_quality_funnel",
+    "graph_adamic_adar",
+    "events_did_uplift",
+    "text_heaps_law",
+    "sketch_theta_difference",
+    "events_cumulative_users",
+    "events_stream_cumulative_users",
+    "graph_clustering_coefficient",
+    "sketch_hll_union",
+    "events_spearman_corr",
+    "events_ols_trend",
+    "text_readability_score",
+    "text_simpson_diversity",
+    "events_stream_survival_km",
+    "managed_mor_merge_cdc",
+    "managed_eq_delete_cdc",
+    "managed_streaming_eq_upsert",
+    "managed_mor_churn_stress",
+    "managed_delete_files_audit",
+    "managed_merge_snapshot_sync",
+    "multimodal_resize",
+    "managed_compaction",
+    "managed_tagged_travel",
+    "text_lang_confidence",
+    "dedup_semantic_centroid_pairs",
+    "curation_dp_mixture",
 )
 
 
@@ -240,6 +247,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline7  # noqa: F401
     import icebergsql_spark.plans.pipeline8  # noqa: F401
     import icebergsql_spark.plans.pipeline9  # noqa: F401
+    import icebergsql_spark.plans.pipeline10  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
