@@ -378,6 +378,14 @@ def main() -> None:
     # 1.2-1.5x round-over-round swings on untouched code; the spread lets
     # the judge separate jitter from plan regressions without re-running
     spread: dict[str, list[float]] = {}
+    # Scenario gates that build a fixture table inside the timed callable
+    # call util.mark_setup_done() when the fixture is ready; for those,
+    # report [setup_p50, query_p50] so scale reasoning tracks the operator
+    # under test, not the fixture insert (timings[] stays END-TO-END for
+    # stable round-over-round diffs).
+    from icebergsql_spark.operators.util import pop_setup_mark
+
+    setup_split: dict[str, list[float]] = {}
     for name in BENCH_QUERIES + coverage_tier:
         spec = REGISTRY[name]
         runs = (
@@ -386,14 +394,24 @@ def main() -> None:
             else RUNS
         )
         samples = []
+        setups = []
         for _ in range(runs):
+            pop_setup_mark()  # clear any stale mark from a prior query
             t0 = time.time()
             df = spec.spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
+            t1 = time.time()
+            samples.append(t1 - t0)
+            mark = pop_setup_mark()
+            if mark is not None:
+                setups.append((mark - t0, t1 - mark))
             release_caches()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
+        if setups:
+            setups.sort()
+            s, q = setups[len(setups) // 2]
+            setup_split[name] = [round(s, 3), round(q, 3)]
 
     overhead = managed_overhead(spark, sf_dir)
     timings.update(overhead)
@@ -413,7 +431,8 @@ def main() -> None:
     ) as fh:
         json.dump(
             {"metric": "per_query_wall_p50", "unit": "sec", "sf": sf,
-             "queries": timings, "spread_min_max": spread},
+             "queries": timings, "spread_min_max": spread,
+             "setup_query_split_p50": setup_split},
             fh,
             indent=1,
             sort_keys=True,
@@ -440,6 +459,27 @@ def main() -> None:
                 }
             )
         )
+    if setup_split:
+        sp_items = sorted(setup_split.items())
+        sp_chunks: list[dict[str, list[float]]] = [{}]
+        for k, v in sp_items:
+            sp_chunks[-1][k] = v
+            if len(json.dumps(sp_chunks[-1])) > 1500:
+                sp_chunks.append({})
+        sp_chunks = [c for c in sp_chunks if c]
+        for i, c in enumerate(sp_chunks):
+            print(
+                json.dumps(
+                    {
+                        "metric": "scenario_setup_query_split",
+                        "part": i + 1,
+                        "parts": len(sp_chunks),
+                        "unit": "sec",
+                        "stat": "[setup_p50, query_p50]",
+                        "queries": c,
+                    }
+                )
+            )
     headline = {
         k: timings[k]
         for k in (

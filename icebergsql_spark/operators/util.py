@@ -38,6 +38,32 @@ def release_caches() -> int:
     return n
 
 
+# Scenario gate queries (fresh managed table + inserts built INSIDE the
+# timed callable) dominate their bench row with fixture cost, which the
+# 100×-scale reading misattributes to the operator under test.  Gates
+# call mark_setup_done() after the fixture is built; bench.py pops the
+# mark and reports [setup, query] separately for those rows.  A no-op
+# everywhere else — correctness comparisons ignore it entirely.
+_SETUP_MARK: list[float] = []
+
+
+def mark_setup_done() -> None:
+    """Record 'the scenario fixture is built; what follows is the query'."""
+    import time
+
+    _SETUP_MARK.clear()
+    _SETUP_MARK.append(time.time())
+
+
+def pop_setup_mark() -> float | None:
+    """Return and clear the last mark (None if the gate never set one)."""
+    if _SETUP_MARK:
+        t = _SETUP_MARK[0]
+        _SETUP_MARK.clear()
+        return t
+    return None
+
+
 def ensure_parallelism(df: DataFrame, min_rows_per_split: int = 1) -> DataFrame:
     """Spread a narrow-input DataFrame across all cores before a CPU-heavy
     per-row map.

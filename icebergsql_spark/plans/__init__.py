@@ -42,6 +42,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_stream_sample_quantiles",
     "curation_importance_weights",
     "agg_trimmed_mean",
+    # -- plan changed in round 9 (COUNT(*) fast path now returns a JVM
+    #    OneRowRelation instead of a Python-RDD local frame) — re-check --
+    "managed_metadata_count",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",

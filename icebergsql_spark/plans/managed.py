@@ -19,6 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import register
 from icebergsql_spark.plans.common import money
 from icebergsql_spark.table import Catalog
@@ -168,6 +169,7 @@ def managed_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("o_year"),
     )
     ord_tbl.insert(orders)
+    mark_setup_done()  # both fixtures built; the pruned join is the op
     df = eng.sql(
         "SELECT o_orderpriority, COUNT(*) AS n "
         "FROM li_j l JOIN ord_j o ON l.l_orderkey = o.o_orderkey "
@@ -202,6 +204,7 @@ def managed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem_with_year(spark, sf_dir)
     for i in range(3):
         tbl.insert(li.filter(F.col("l_orderkey") % 3 == i))
+    mark_setup_done()  # small files accreted; compact + expire is the op
     before = len(tbl.meta.current_snapshot().live_files())
     snap = tbl.compact()
     assert snap is not None and snap.operation == "replace"
@@ -241,6 +244,7 @@ def managed_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_cl", _LI_DDL, partition_cols=["l_shipyear"]
     )
     tbl.insert(_lineitem_with_year(spark, sf_dir))
+    mark_setup_done()  # fixture built; sorted compact + pruned scan is the op
     files = tbl.meta.current_snapshot().live_files()
     n_parts = len({tuple(f.partition.items()) for f in files})
     target = max(1 << 16, sum(f.file_size for f in files) // (n_parts * 4))
@@ -303,7 +307,8 @@ def managed_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="COUNT(*) answered from manifest metadata alone (Trino/Iceberg "
     "stats-aggregate): partition-aligned predicate and the bare count both "
-    "plan as LocalTableScan — zero data IO — and must equal the oracle's "
+    "plan as a driver-local relation (OneRowRelation) — zero data IO — "
+    "and must equal the oracle's "
     "scan-computed counts.",
     tags=("managed", "metadata"),
 )
@@ -314,11 +319,16 @@ def managed_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem_with_year(spark, sf_dir)
     tbl = eng.catalog.create_table("li_mc", _LI_DDL, partition_cols=["l_shipyear"])
     tbl.insert(li)
+    mark_setup_done()  # fixture built; the metadata count is the operator
     d1 = eng.sql("SELECT count(*) AS n_1996 FROM li_mc WHERE l_shipyear = 1996")
     d2 = eng.sql("SELECT count(*) AS n_total FROM li_mc")
     for d in (d1, d2):
         plan = d._jdf.queryExecution().executedPlan().toString()
-        assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+        assert (
+            "LocalTableScan" in plan
+            or "OneRowRelation" in plan
+            or "Scan ExistingRDD" in plan
+        ), plan
     return d1.crossJoin(d2)
 
 
@@ -344,6 +354,7 @@ def managed_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_z", _LI_DDL, partition_cols=["l_shipyear"]
     )
     tbl.insert(_lineitem_with_year(spark, sf_dir))
+    mark_setup_done()  # fixture built; z-order compact + scan is the op
     files = tbl.meta.current_snapshot().live_files()
     n_parts = len({tuple(f.partition.items()) for f in files})
     target = max(1 << 16, sum(f.file_size for f in files) // (n_parts * 4))
@@ -468,6 +479,7 @@ def managed_tagged_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.create_tag("first_third")
     tbl.insert(li.filter(F.col("l_orderkey") % 3 == 1))
     tbl.insert(li.filter(F.col("l_orderkey") % 3 == 2))
+    mark_setup_done()  # history built; expire + tagged travel is the op
     gc = tbl.expire_snapshots(retain_last=1)
     assert gc["expired_snapshots"] == 1  # middle snapshot; tag pins first
     return eng.sql(
@@ -673,6 +685,7 @@ def managed_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tbl.insert(base.filter(F.col("ok") % 4 <= 1))
+    mark_setup_done()  # seed built; the MERGE is the operator under test
     base.filter(F.col("ok") % 2 == 0).withColumn(
         "qty", F.col("qty") * 2
     ).createOrReplaceTempView("li_mg_src")
@@ -722,6 +735,7 @@ def managed_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = eng.catalog.create_table("li_dml", _LI_DDL, partition_cols=["l_shipyear"])
     li = _lineitem_with_year(spark, sf_dir)
     tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    mark_setup_done()  # seed built; DELETE/UPDATE DML is the op
     # partition-aligned: whole-file metadata drop (assert no rewrite)
     s1 = tbl.delete_where("l_shipyear = 1997")
     assert s1.num_added_files == 0
@@ -798,6 +812,7 @@ def managed_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    mark_setup_done()  # source staged + mart created; the stream is the op
     writer = ManagedTableUpsertWriter(
         tbl,
         keys=["user_id"],
@@ -877,6 +892,7 @@ def managed_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ok", "qty", (F.col("ok") % 4).cast("int").alias("okb"))
     )
     s1 = tbl.insert(base.filter(F.col("ok") % 4 <= 1))
+    mark_setup_done()  # seed built; MERGE/DELETE + diff() is the op
     base.filter(F.col("ok") % 2 == 0).withColumn(
         "qty", F.col("qty") * 2
     ).createOrReplaceTempView("li_cdc_src")
@@ -931,6 +947,7 @@ def managed_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.insert(
         _lineitem_with_year(spark, sf_dir), distribute_by=["l_orderkey"]
     )
+    mark_setup_done()  # fixture built; the bloom-pruned point scan is the op
     scan = tbl.scan(where="l_orderkey IN (1, 2, 32)")
     live = len(tbl.meta.current_snapshot().live_files())
     # bloom pruning must beat min/max: at most one file per probed key per

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 
@@ -780,6 +781,7 @@ def managed_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = tbl.insert(src.filter(F.col("part") == 0))
     s2 = tbl.insert(src.filter(F.col("part") == 1))
     s3 = tbl.insert(src.filter(F.col("part") == 2))
+    mark_setup_done()  # history built; ref retention + expiry is the op
     eng.sql(
         f"ALTER TABLE refret CREATE TAG pin AS OF VERSION "
         f"{s1.snapshot_id} RETAIN 1 MINUTES"
@@ -800,6 +802,19 @@ def managed_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("time travel to the GC'd s1 must raise")
     except ValueError:
         pass
+    # `$metadata_log` audit trail (table.py:3311): one row per committed
+    # metadata.json version — create + 3 inserts + tag + branch + expire.
+    # The POINTER trail is append-only: it still remembers the era whose
+    # snapshot (s1) the expire pass just GC'd, and its final row reflects
+    # the post-expire current state.
+    log = eng.sql("SELECT * FROM `refret$metadata_log`").collect()
+    assert len(log) >= 7, len(log)
+    ts = [r["timestamp_ms"] for r in log]
+    assert ts == sorted(ts), ts
+    assert log[0]["latest_snapshot_id"] is None, log[0]
+    assert any(r["latest_snapshot_id"] == s1.snapshot_id for r in log)
+    assert log[-1]["latest_snapshot_id"] == tbl.meta.current_snapshot_id
+    assert log[-1]["latest_sequence_number"] == s3.sequence_number, log[-1]
 
     def agg(df, scope):
         return df.agg(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 from icebergsql_spark.operators import dedup, sketch
 
@@ -457,6 +458,7 @@ def datasource_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, tempfile.mkdtemp(prefix="icebergsql-dswh-"))
     tbl = cat.create_table("li_ds", li.schema, partition_cols=["l_shipyear"])
     tbl.insert(li)
+    mark_setup_done()  # fixture built; the pruned DataSource read is the op
     register_datasource(spark)
     return (
         spark.read.format("icebergsql")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from icebergsql_spark.operators import dedup
 from icebergsql_spark.plans.pipeline import _DFCAP_PAIRS_CTES
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 # ------------------------------------------------------------- chunking --
@@ -592,6 +593,7 @@ def managed_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch 1: build the index from scratch
     s1 = corpus.insert(with_db(docs.filter(F.col("doc_id") % 2 == 0)))
     index.insert(sign(corpus.to_df()))
+    mark_setup_done()  # initial index built; the incremental delta is the op
     # batch 2: sign ONLY the delta (changes() since the recorded snapshot)
     corpus.insert(with_db(docs.filter(F.col("doc_id") % 2 == 1)))
     delta = corpus.changes(s1.snapshot_id)

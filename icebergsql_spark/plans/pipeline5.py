@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 # ±6 h in epoch micros — the nearest-match tolerance
@@ -287,6 +288,7 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _lineitem_with_year(spark, sf_dir)
     tbl.insert(li.filter(F.col("l_orderkey") % 4 == 1))
+    mark_setup_done()  # fixture built; MoR delete + rewrite is the op
     before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     snap = tbl.delete_where("l_quantity < 5")
     assert snap.num_added_files == 0, "MoR delete must not write data files"
@@ -495,6 +497,7 @@ def managed_mor_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties={"write.merge.mode": "merge-on-read"},
     )
     tbl.insert(base.filter(F.col("o_orderkey") % 2 == 0))
+    mark_setup_done()  # seed built; the MoR MERGE is the op
     before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     snap = tbl.merge(
         base.filter(F.col("o_orderkey") % 4 < 2),
@@ -578,6 +581,7 @@ def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["o_orderstatus"],
     )
     tbl.insert(base)
+    mark_setup_done()  # seed built; eq-delete CDC + conversion is the op
     written = {f.path for f in tbl.meta.current_snapshot().live_files()}
     tbl.upsert_by_keys(
         base.filter(F.col("k") % 6 == 0).withColumn("c", F.col("c") + 1),
@@ -814,6 +818,7 @@ def managed_streaming_eq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    mark_setup_done()  # source staged + baseline built; the stream is the op
     writer = ManagedTableCDCWriter(tbl, keys=["user_id"], prepare=prepare)
     stream = (
         spark.readStream.schema(ev.schema)

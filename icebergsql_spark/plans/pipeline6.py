@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 
@@ -72,6 +73,7 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _lineitem_with_year(spark, sf_dir)
     tbl.insert(li.filter(F.col("l_orderkey") % 3 == 0))
+    mark_setup_done()  # base built; 9 churn commits + masked reads are the op
     n_files = len(tbl.meta.current_snapshot().live_files())
 
     # -- churn: 6 predicate-delete commits; each predicate matches ~1% of

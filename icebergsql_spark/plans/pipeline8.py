@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 # DuckDB spelling of operators/curation.md5_bucket
@@ -87,6 +88,7 @@ def managed_merge_schema_evolution(
         F.col("o_orderstatus").alias("st"),
     )
     tbl.insert(base.filter(F.col("k") % 2 == 0))
+    mark_setup_done()  # seed built; the evolving MERGE is the op
     files_before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     base.filter(F.col("k") % 3 == 0).select(
         "k",
@@ -412,6 +414,7 @@ def managed_all_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").alias("st"),
         )
     )
+    mark_setup_done()  # base built; churn + $all_files audit is the op
     tbl.delete_where("k % 7 = 0")
     tbl.rewrite_position_deletes()
     tbl.delete_by_keys(
@@ -538,6 +541,7 @@ def managed_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("st")
     )
     tbl.insert(src)
+    mark_setup_done()  # base built; commit-chain totals are the op
     tbl.insert(src.filter(F.col("k") % 3 == 0))
     tbl.delete_where("k % 5 = 0")
     tbl.rewrite_position_deletes()

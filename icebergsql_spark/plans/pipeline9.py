@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from icebergsql_spark.operators.util import mark_setup_done
 from icebergsql_spark.plans.registry import load_tables, register
 
 
@@ -150,6 +151,7 @@ def managed_branch_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = tbl.insert(base.filter(F.col("m") == 0))
     s2 = tbl.insert(base.filter(F.col("m") == 1))
+    mark_setup_done()  # history built; branch-aware expiry is the op
     tbl.create_tag("v1", s1.snapshot_id)
     tbl.create_branch("audit", s2.snapshot_id, min_snapshots_to_keep=2)
     s3 = tbl.insert(base.filter(F.col("m") == 2), branch="audit")
@@ -782,6 +784,7 @@ def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 4).cast("int").alias("m"),
     )
     tbl.insert(base.filter(F.col("m") == 0))
+    mark_setup_done()  # main seeded; stage/audit/publish is the op
     main_before = tbl.to_df().agg(
         F.lit("main_before").alias("phase"),
         F.count(F.lit(1)).cast("bigint").alias("n"),

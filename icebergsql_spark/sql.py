@@ -962,7 +962,16 @@ class Engine:
             n = scan.count_from_stats()
             if n is not None:
                 alias = cs.group("alias") or "count(1)"
-                return self.spark.createDataFrame([(n,)], f"`{alias}` long")
+                # JVM-side OneRowRelation, NOT createDataFrame: a Python
+                # local frame is an RDD-backed scan with defaultParallelism
+                # partitions, so composing two (e.g. crossJoin of two
+                # metadata counts) plans a 32×32-task CartesianProduct of
+                # Python runners — ~16s of overhead for two driver-known
+                # numbers. SELECT <literal> folds to a single-partition
+                # LocalTableScan.
+                return self.spark.sql(
+                    f"SELECT CAST({int(n)} AS BIGINT) AS `{alias}`"
+                )
 
         text = self._register_views(text, as_of_millis, as_of_ref)
         return self.spark.sql(text)

@@ -25,7 +25,11 @@ def engine(spark, tmp_path):
 
 def _is_metadata_plan(df) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    return (
+        "LocalTableScan" in plan
+        or "OneRowRelation" in plan
+        or "Scan ExistingRDD" in plan
+    )
 
 
 def test_plain_count_is_metadata_only(engine):
