@@ -43,8 +43,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_importance_weights",
     "agg_trimmed_mean",
     # -- plan changed in round 9 (COUNT(*) fast path now returns a JVM
-    #    OneRowRelation instead of a Python-RDD local frame) — re-check --
+    #    OneRowRelation; fast_forward enforces the Iceberg ancestor rule)
+    #    — re-check --
     "managed_metadata_count",
+    "managed_wap_publish",
+    "managed_branch_wap",
+    "managed_branch_expiry",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",

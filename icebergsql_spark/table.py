@@ -2284,7 +2284,16 @@ class ManagedTable:
 
     def fast_forward(self, branch: str) -> Snapshot:
         """Publish a branch: point the main table at the branch head (the
-        WAP 'publish' step — pointer move only, like rollback_to)."""
+        WAP 'publish' step — pointer move only, like rollback_to).
+
+        Iceberg ``fast_forward`` semantics: the move is legal only while
+        the CURRENT main head is an ancestor of the branch head.  If a
+        concurrent writer advanced main after the branch forked, the
+        pointer move would silently discard that writer's commit — so it
+        raises instead (the publisher must rebase/merge, e.g. re-stage on
+        a fresh branch).  Reference analogue: the optimistic-commit
+        correctness rule of SparkTableOperations.scala:91-149, applied to
+        ref pointers."""
         self.refresh()
         ref = self.meta.refs.get(branch)
         if ref is None or ref["type"] != "branch":
@@ -2292,6 +2301,22 @@ class ManagedTable:
         snap = self.meta.snapshot_by_id(ref["snapshot_id"])
         if snap is None:
             raise ValueError(f"branch {branch!r} head missing")
+        main_head = self.meta.current_snapshot_id
+        if main_head is not None:
+            cur: Snapshot | None = snap
+            while cur is not None and cur.snapshot_id != main_head:
+                cur = (
+                    self.meta.snapshot_by_id(cur.parent_id)
+                    if cur.parent_id is not None
+                    else None
+                )
+            if cur is None:
+                raise ValueError(
+                    f"cannot fast-forward: main ({main_head}) is not an "
+                    f"ancestor of branch {branch!r} head "
+                    f"({snap.snapshot_id}) — a concurrent commit advanced "
+                    "main; re-stage the branch on the new head"
+                )
         self.meta.current_snapshot_id = snap.snapshot_id
         self.meta.commit()
         return snap

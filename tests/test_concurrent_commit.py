@@ -174,6 +174,96 @@ def test_interleaved_append_fuzz(spark, tmp_path):
         )
 
 
+def test_three_writer_interleave_fuzz(spark, tmp_path):
+    """Three handles on one table, each committing against a base the
+    OTHER TWO have already moved: every attempt rebases through two
+    conflicts in _commit_with_retry, no rows are lost, sequence numbers
+    stay strictly increasing, and every snapshot's running totals equal
+    a full replay of its lineage."""
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    cat.create_table("race3", DDL, ["part"])
+    handles = [Catalog(spark, wh).load_table("race3") for _ in range(3)]
+    handles[0].insert(_rows(spark, 0, 10))
+    expected = 10
+
+    for rnd in range(3):
+        writer = handles[rnd % 3]
+        others = [h for h in handles if h is not writer]
+        writer.refresh()
+        parent = writer.meta.current_snapshot()
+        lo = 1000 * (rnd + 1)
+        added = writer._distributed_write(_rows(spark, lo, lo + 10))
+        # BOTH other writers land commits before writer's attempt: the
+        # rebase loop must walk two conflicts, re-deriving parent and
+        # totals each time
+        others[0].insert(_rows(spark, lo + 100, lo + 105))
+        others[1].insert(_rows(spark, lo + 200, lo + 207))
+        writer._commit_snapshot(parent, added, [])
+        expected += 10 + 5 + 7
+
+    h = handles[0]
+    h.refresh()
+    assert h.to_df().count() == expected
+    seqs = [s.sequence_number for s in h.meta.snapshots]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    for s in h.meta.snapshots:
+        assert int(s.summary["total-records"]) == sum(
+            f.record_count for f in s.live_files()
+        )
+        assert int(s.summary["total-data-files"]) == len(s.live_files())
+
+
+def test_fast_forward_racing_main_append_refuses(spark, tmp_path):
+    """The WAP publish race: writer A stages on a branch while writer B
+    appends to main. fast_forward(main -> branch head) would silently
+    DISCARD B's commit (the branch forked before it), so it must refuse
+    (Iceberg fast-forward's ancestor rule). Re-staging on the new head
+    then publishes cleanly with both writers' rows."""
+    tbl_a, tbl_b = _mk(spark, tmp_path, "race_ff")
+    tbl_a.insert(_rows(spark, 0, 20))
+
+    tbl_a.create_branch("staging")
+    tbl_a.insert(_rows(spark, 100, 110), branch="staging")
+    # B advances MAIN after the branch forked
+    tbl_b.refresh()
+    tbl_b.insert(_rows(spark, 200, 205))
+
+    tbl_a.refresh()
+    with pytest.raises(ValueError, match="not an ancestor"):
+        tbl_a.fast_forward("staging")
+    tbl_b.refresh()
+    assert tbl_b.to_df().count() == 25  # B's append intact on main
+
+    # recovery: re-stage the same payload on a branch forked from the NEW
+    # head, then publish — all three commits' rows visible
+    tbl_a.refresh()
+    tbl_a.drop_ref("staging")
+    tbl_a.create_branch("staging")
+    tbl_a.insert(_rows(spark, 100, 110), branch="staging")
+    tbl_a.fast_forward("staging")
+    tbl_a.refresh()
+    assert tbl_a.to_df().count() == 35
+
+
+def test_fast_forward_noop_and_descendant_ok(spark, tmp_path):
+    """The legal fast-forward shapes still work: branch head == main head
+    (no-op move) and branch strictly ahead of main (the normal WAP
+    publish)."""
+    tbl_a, _ = _mk(spark, tmp_path, "race_ff_ok")
+    tbl_a.insert(_rows(spark, 0, 10))
+    tbl_a.create_branch("b")
+    # no-op: branch head IS main head
+    snap = tbl_a.fast_forward("b")
+    assert snap.snapshot_id == tbl_a.meta.current_snapshot_id
+    # descendant: two staged commits ahead
+    tbl_a.insert(_rows(spark, 10, 20), branch="b")
+    tbl_a.insert(_rows(spark, 20, 30), branch="b")
+    tbl_a.fast_forward("b")
+    tbl_a.refresh()
+    assert tbl_a.to_df().count() == 30
+
+
 def test_expire_racing_append_surfaces_conflict(spark, tmp_path):
     """Maintenance racing a writer: expire_snapshots commits via the same
     optimistic metadata protocol, so a concurrent append moving the base
