@@ -228,6 +228,13 @@ BENCH_QUERIES = [
     "sketch_stream_sample_quantiles",
     "curation_importance_weights",
     "agg_trimmed_mean",
+    # round-9 pipeline11 wave
+    "sketch_hll_sliding",
+    "graph_louvain_onelevel",
+    "graph_neighbor_jaccard",
+    "events_psi_drift",
+    "events_stream_theil_sen",
+    "curation_facility_location",
 ]
 
 
@@ -362,6 +369,7 @@ def main() -> None:
         # round-9 scenario queries (managed table build / stream per call)
         "managed_ref_retention",
         "sketch_stream_sample_quantiles",
+        "events_stream_theil_sen",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

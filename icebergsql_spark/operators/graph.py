@@ -289,3 +289,105 @@ def modularity_q(
             ).alias("q"),
         )
     )
+
+
+def louvain_gain_round(
+    half_edges: DataFrame,
+    labels: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "n",
+    label_col: str = "lbl",
+) -> DataFrame:
+    """One synchronous Louvain refinement round — EXACT integers.
+
+    For every node i (community D) and every community C found among its
+    neighbors, the modularity gain of moving i to C is, scaled by 2m^2
+    so every term is a bigint (Blondel et al. 2008, eq. 2, unweighted):
+
+        gain_num(i -> C) = 2m*(k_iC - k_iD) - k_i*(tot_C - (tot_D - k_i))
+
+    with k_iC = edges from i into C, k_iD = edges from i into its own
+    community (i excluded), tot_C = total degree of C.  Each node takes
+    its best strictly-positive move under a total order (gain DESC,
+    target community ASC) — all nodes move SIMULTANEOUSLY, making the
+    round a deterministic pure function of (graph, labels) that an SQL
+    oracle can replay row-for-row, unlike the sequential sweep of
+    textbook Louvain (whose result depends on visit order).
+
+    Returns (n, lbl_old, lbl_new, gain_num): gain_num = 0 for stayers.
+
+    Scale shape: degree/label joins and two bounded groupBys — state is
+    O(nodes + edges); candidate moves are bounded by the neighbor-
+    community fan-out, never all (node, community) pairs.  Reference has
+    no graph surface; beyond-reference for the dedup-cluster /
+    community-curation pipelines (cites operators/graph.py:225
+    modularity_q as the scoring twin).
+    """
+    from pyspark.sql import Window
+
+    sym = half_edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).unionAll(half_edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    lab_src = labels.select(
+        F.col(node_col).alias("src"), F.col(label_col).alias("d")
+    )
+    lab_dst = labels.select(
+        F.col(node_col).alias("dst"), F.col(label_col).alias("c")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    node = deg.join(lab_src, "src")
+    ctot = node.groupBy(F.col("d").alias("c")).agg(
+        F.sum("k").cast("bigint").alias("tot")
+    )
+    m_row = half_edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    nbrc = (
+        sym.join(lab_dst, "dst")
+        .groupBy("src", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k_ic"))
+    )
+    base = (
+        node.join(
+            ctot.select(F.col("c").alias("d"), F.col("tot").alias("tot_d")),
+            "d",
+        )
+        .join(
+            nbrc.select("src", F.col("c").alias("d"), F.col("k_ic").alias("k_id")),
+            ["src", "d"],
+            "left",
+        )
+        .select(
+            "src", "k", "d", "tot_d",
+            F.coalesce(F.col("k_id"), F.lit(0)).cast("bigint").alias("k_id"),
+        )
+    )
+    cand = (
+        nbrc.join(base, "src")
+        .filter(F.col("c") != F.col("d"))
+        .join(ctot, "c")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "src", "d", "c",
+            (
+                F.lit(2) * F.col("m") * (F.col("k_ic") - F.col("k_id"))
+                - F.col("k") * (F.col("tot") - (F.col("tot_d") - F.col("k")))
+            ).cast("bigint").alias("gain_num"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("gain_num"), F.asc("c"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("gain_num") > 0))
+        .select("src", F.col("c").alias("move_to"), "gain_num")
+    )
+    return (
+        base.join(best, "src", "left")
+        .select(
+            F.col("src").alias(node_col),
+            F.col("d").alias("lbl_old"),
+            F.coalesce(F.col("move_to"), F.col("d")).alias("lbl_new"),
+            F.coalesce(F.col("gain_num"), F.lit(0))
+            .cast("bigint")
+            .alias("gain_num"),
+        )
+    )

@@ -834,3 +834,99 @@ def mmr_select(
         f"rank int, {id_col} long, rel_nano long, maxsim_nano long, "
         "mmr_nano long",
     )
+
+
+def facility_location_select(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy facility-location (max-coverage) subset selection.
+
+    Picks ``k`` items from a bounded candidate pool maximizing
+    ``sum_u max_{s in selected} sim(u, s)`` over the pool — the
+    submodular representativeness objective behind coreset /
+    diverse-exemplar mining (Nemhauser et al. 1978 greedy, 1-1/e
+    guarantee), where MMR (operators/similarity.py:mmr_select) trades
+    relevance against redundancy, this maximizes how well the picks
+    COVER the pool.
+
+    Same two-phase 100-TB shape as mmr_select: phase 1 narrows to the
+    top ``candidates`` by exact cosine relevance to ``query_id`` (one
+    TakeOrdered scan); phase 2 computes the bounded candidates^2 cosine
+    matrix engine-side quantized to integer nanos (self-sim = 1e9), and
+    the inherently-sequential greedy runs over the collected bounded
+    matrix in pure integer arithmetic — deterministic, oracle-
+    replicable, nothing unbounded on the driver.
+
+    Returns (rank, vec_id, coverage_gain, coverage_total) in pick order;
+    ties break to the lowest id (sorted iteration + strict >).
+    """
+    base = with_double_vec_and_norm(df, vec_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel_nano",
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("vd", "qv")
+                / F.sqrt(F.col("nrm") * F.col("qn"))
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rel_nano"), F.asc(id_col))
+        .limit(candidates)
+        .select(id_col, "vd", "nrm")
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("a.vd", "b.vd")
+                / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+            )
+            .cast("bigint")
+            .alias("sim_nano"),
+        )
+        .collect()
+    )
+    ids = sorted(r[id_col] for r in cand.select(id_col).collect())
+    sim: dict[tuple, int] = {(i, i): 10**9 for i in ids}
+    for r in pair_rows:
+        sim[(r["ia"], r["ib"])] = r["sim_nano"]
+        sim[(r["ib"], r["ia"])] = r["sim_nano"]
+    covered = {u: 0 for u in ids}  # current best sim to the selected set
+    selected: list = []
+    out_rows = []
+    while len(selected) < min(k, len(ids)):
+        best = None
+        for cid in ids:
+            if cid in selected:
+                continue
+            gain = sum(
+                max(covered[u], sim[(u, cid)]) - covered[u] for u in ids
+            )
+            if best is None or gain > best[0]:
+                best = (gain, cid)
+        gain, cid = best
+        selected.append(cid)
+        for u in ids:
+            covered[u] = max(covered[u], sim[(u, cid)])
+        out_rows.append(
+            (len(selected), cid, int(gain), int(sum(covered.values())))
+        )
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        f"rank int, {id_col} long, coverage_gain long, coverage_total long",
+    )

@@ -401,3 +401,88 @@ def hash_sample_quantiles(
             + ") AS (q_pct, value)"
         ),
     ).select("q_pct", "sample_n", "value")
+
+
+def hll_daily_registers(df: DataFrame, col: str, day_col: str) -> DataFrame:
+    """Per-day HLL register table: (day, reg, max_rho).
+
+    The per-day state is the unit a windowed distinct-count pipeline
+    stores at scale: one <=m-row register set per (day, shard) that any
+    later window can MAX-merge without touching raw events again."""
+    reg = (
+        "(instr('0123456789abcdef', substring(md5_h, 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5_h, 2, 1)) - 1)"
+    )
+    return (
+        df.select(
+            F.col(day_col).cast("long").alias("day"),
+            F.md5(F.col(col).cast("string")).alias("md5_h"),
+        )
+        .select(
+            "day",
+            F.expr(f"CAST({reg} AS INT)").alias("reg"),
+            F.expr(
+                f"CAST({_rho_rank_expr('substring(md5_h, 3, 12)')} AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_sliding_estimate(
+    df: DataFrame, col: str, day_col: str, window_days: int = 7
+) -> DataFrame:
+    """Sliding-window distinct estimate from MAX-merged daily HLLs.
+
+    Each day's register set contributes to the ``window_days`` windows
+    ending on days [day, day + window_days - 1]; merging across a window
+    is register-wise MAX (the HLL union property the sketch_hll_union
+    gate proves end-to-end), then the standard estimate with the
+    small-range linear-counting correction.  Only windows whose END day
+    exists in the data are emitted (no phantom trailing windows).
+
+    Scale shape: the slide operates on per-day register tables —
+    O(days × m) rows total, never the raw events — so a year of 100 TB
+    event data costs 365 × 256 rows to window any way you like.  This is
+    the time-dimension twin of sliding_distinct (exact dyadic windows):
+    there the state is per-key, here it is O(m) regardless of
+    cardinality.
+    """
+    daily = hll_daily_registers(df, col, day_col)
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    slid = daily.select(
+        "day",
+        "reg",
+        "max_rho",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("off"),
+    ).select((F.col("day") + F.col("off")).alias("wday"), "reg", "max_rho")
+    merged = (
+        slid.join(days, "wday")
+        .groupBy("wday", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = (
+        f"CASE WHEN ({_RAW_EST_SQL}) <= {2.5 * HLL_M} AND m_used < {HLL_M}"
+        f" THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - m_used))"
+        f" ELSE ({_RAW_EST_SQL}) END"
+    )
+    return (
+        merged.groupBy("wday")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {HLL_BITS + 1} - max_rho)"
+                )
+            ).alias("harmonic_q"),
+        )
+        .select(
+            "wday",
+            "m_used",
+            "harmonic_q",
+            F.expr(f"CAST(round({est}) AS BIGINT)").alias("est"),
+        )
+    )

@@ -26,6 +26,13 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # anything new; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (round-9 pipeline11 operator wave) --
+    "sketch_hll_sliding",
+    "graph_louvain_onelevel",
+    "graph_neighbor_jaccard",
+    "events_psi_drift",
+    "events_stream_theil_sen",
+    "curation_facility_location",
     # -- never driver-checked (round-9 pipeline10 wave; must close) --
     "events_theil_sen",
     "sketch_sample_quantiles",
@@ -255,6 +262,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline8  # noqa: F401
     import icebergsql_spark.plans.pipeline9  # noqa: F401
     import icebergsql_spark.plans.pipeline10  # noqa: F401
+    import icebergsql_spark.plans.pipeline11  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

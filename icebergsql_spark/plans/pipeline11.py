@@ -1,0 +1,668 @@
+"""Round-9 operator wave: sliding-window HLL, synchronous Louvain
+refinement, neighbor-Jaccard link prediction, PSI drift, the streaming
+Theil-Sen twin, and facility-location subset selection.
+
+Each entry follows the engine-wide determinism contract (exact integer
+counts, quantized scores, single final float ops in matching operand
+order, term-sorted sequential folds for multi-term float sums) so DuckDB
+hash-matches the Spark result bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators import sketch
+from icebergsql_spark.plans.pipeline3 import _REG_SQL, _RHO_SQL
+from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+from icebergsql_spark.plans.registry import load_tables, register
+
+
+# ------------------------------------------------------- sliding HLL --
+
+
+@register(
+    "sketch_hll_sliding",
+    oracle=f"""
+        WITH h AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day,
+                 md5(CAST(user_id AS VARCHAR)) AS md5_h
+          FROM events
+        ),
+        r AS (
+          SELECT day, CAST({_REG_SQL} AS INT) AS reg,
+                 CAST({_RHO_SQL} AS INT) AS rho
+          FROM h
+        ),
+        daily AS (
+          SELECT day, reg, MAX(rho) AS max_rho FROM r GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day AS wday FROM daily),
+        slid AS (
+          SELECT d2.wday, daily.reg, daily.max_rho
+          FROM daily JOIN days d2
+            ON d2.wday BETWEEN daily.day AND daily.day + 6
+        ),
+        merged AS (
+          SELECT wday, reg, MAX(max_rho) AS max_rho
+          FROM slid GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT wday, CAST(COUNT(*) AS BIGINT) AS m_used,
+                 CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                   AS harmonic_q
+          FROM merged GROUP BY 1
+        )
+        SELECT CAST(wday AS BIGINT) AS wday, m_used, harmonic_q,
+               CAST(round(
+                 CASE WHEN ({sketch._RAW_EST_SQL}) <= {2.5 * sketch.HLL_M}
+                           AND m_used < {sketch.HLL_M}
+                      THEN {sketch.HLL_M} * ln(CAST({sketch.HLL_M} AS DOUBLE)
+                                               / ({sketch.HLL_M} - m_used))
+                      ELSE ({sketch._RAW_EST_SQL}) END
+               ) AS BIGINT) AS est
+        FROM agg ORDER BY wday
+    """,
+    doc="7-day sliding distinct-user estimate from MAX-merged per-day "
+    "HLL register tables (operators/sketch.py:hll_sliding_estimate) — "
+    "the time-dimension twin of sketch_sliding_distinct, with O(m) "
+    "state per day instead of per-key state: a year of 100 TB events "
+    "windows any way you like from 365 x 256 register rows, never "
+    "re-touching raw data. The slide is a bounded day-spine join "
+    "(each day's registers fan out to the <=7 windows they feed), the "
+    "merge is register-wise MAX (the union contract sketch_hll_union "
+    "proves end-to-end), and the estimate is the standard small-range-"
+    "corrected HLL over an exact bigint harmonic sum. Deterministic "
+    "md5 registers make even the windowed sketch STATE oracle-"
+    "checkable. Flajolet et al. 2007.",
+    tags=("sketch", "hll", "window"),
+)
+def sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", F.expr("ts DIV 86400000000000").alias("day"))
+    return sketch.hll_sliding_estimate(ev, "user_id", "day", 7).orderBy(
+        "wday"
+    )
+
+
+# --------------------------------------------------- Louvain one level --
+
+_SEED_LBL_SQL = "CAST('0x' || substr(md5({n}), 1, 6) AS BIGINT) % 4"
+
+
+@register(
+    "graph_louvain_onelevel",
+    oracle=_EDGE_SQL + f""",
+        lab AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        node AS (
+          SELECT deg.n, deg.k, lab.lbl AS d
+          FROM deg JOIN lab ON lab.n = deg.n
+        ),
+        ctot AS (
+          SELECT d AS c, CAST(SUM(k) AS BIGINT) AS tot
+          FROM node GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        nbrc AS (
+          SELECT e.a AS n, lab.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k_ic
+          FROM e JOIN lab ON lab.n = e.b GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT node.n, node.k, node.d, td.tot AS tot_d,
+                 CAST(COALESCE(kid.k_ic, 0) AS BIGINT) AS k_id
+          FROM node
+          JOIN ctot td ON td.c = node.d
+          LEFT JOIN nbrc kid ON kid.n = node.n AND kid.c = node.d
+        ),
+        cand AS (
+          SELECT base.n, base.d, nbrc.c,
+                 CAST(2 * m.m * (nbrc.k_ic - base.k_id)
+                      - base.k * (ctot.tot - (base.tot_d - base.k))
+                      AS BIGINT) AS gain_num,
+                 row_number() OVER (
+                   PARTITION BY base.n
+                   ORDER BY 2 * m.m * (nbrc.k_ic - base.k_id)
+                            - base.k * (ctot.tot - (base.tot_d - base.k))
+                            DESC, nbrc.c ASC
+                 ) AS rn
+          FROM nbrc
+          JOIN base ON base.n = nbrc.n AND nbrc.c <> base.d
+          JOIN ctot ON ctot.c = nbrc.c
+          CROSS JOIN m
+        ),
+        best AS (
+          SELECT n, c AS move_to, gain_num FROM cand
+          WHERE rn = 1 AND gain_num > 0
+        ),
+        moved AS (
+          SELECT base.n, base.d AS lbl_old,
+                 COALESCE(best.move_to, base.d) AS lbl_new,
+                 CAST(COALESCE(best.gain_num, 0) AS BIGINT) AS gain_num
+          FROM base LEFT JOIN best ON best.n = base.n
+        )
+        SELECT CAST(lbl_old AS BIGINT) AS lbl_old,
+               CAST(lbl_new AS BIGINT) AS lbl_new,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(gain_num) AS BIGINT) AS sum_gain,
+               CAST(SUM(CAST('0x' || substr(md5(n), 1, 6) AS BIGINT))
+                    AS BIGINT) AS node_digest
+        FROM moved GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="One synchronous Louvain refinement round on the token "
+    "co-occurrence graph (operators/graph.py:louvain_gain_round), "
+    "seeded with an md5-hash 4-way split: every node takes its best "
+    "strictly-positive modularity-gain move simultaneously, gains as "
+    "EXACT 2m^2-scaled bigints (Blondel et al. 2008), total-ordered "
+    "tiebreaks (gain DESC, target ASC) — a deterministic pure function "
+    "of the graph that the SQL oracle replays move-for-move, unlike "
+    "visit-order-dependent textbook Louvain. Result: the (old, new) "
+    "community transition matrix with gain sums and an md5 node-set "
+    "digest so one mis-moved node hash-mismatches. Scale shape: "
+    "degree/label equi-joins + bounded groupBys, candidate moves "
+    "bounded by neighbor-community fan-out. The refinement sibling of "
+    "graph_modularity's scoring.",
+    tags=("graph", "dedup", "window"),
+)
+def graph_louvain_onelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.graph import louvain_gain_round
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    moved = louvain_gain_round(half, labels)
+    return (
+        moved.groupBy(
+            F.col("lbl_old").cast("bigint").alias("lbl_old"),
+            F.col("lbl_new").cast("bigint").alias("lbl_new"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("gain_num").cast("bigint").alias("sum_gain"),
+            F.sum(
+                F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            ).cast("bigint").alias("node_digest"),
+        )
+        .orderBy("lbl_old", "lbl_new")
+    )
+
+
+def _token_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared token co-occurrence half-edge build (a < b, >= 74
+    shared docs among doc_id < 120) — the varied-degree graph fixture
+    every graph gate uses (round-5 lesson: the doc-similarity graph is a
+    clone clique)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+
+
+# ------------------------------------------------ neighbor Jaccard --
+
+
+@register(
+    "graph_neighbor_jaccard",
+    oracle=_EDGE_SQL + """,
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        wedges AS (
+          SELECT e1.b AS pa, e2.b AS pb, CAST(COUNT(*) AS BIGINT) AS common
+          FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT w.pa, w.pb, w.common,
+                 CAST((w.common * 1000000)
+                      // (da.k + db.k - w.common) AS BIGINT) AS jac_ppm
+          FROM wedges w
+          JOIN deg da ON da.n = w.pa
+          JOIN deg db ON db.n = w.pb
+          WHERE w.common >= 2
+        )
+        SELECT pa, pb, common, jac_ppm
+        FROM scored
+        ORDER BY jac_ppm DESC, pa, pb
+        LIMIT 30
+    """,
+    doc="Neighbor-set Jaccard link prediction on the token co-occurrence "
+    "graph — the normalized sibling of graph_common_neighbors / "
+    "graph_adamic_adar: jac = |N(a) int N(b)| / |N(a) un N(b)| in exact "
+    "ppm (integer floor-div over non-negative operands, identical in "
+    "both engines), union size from the inclusion-exclusion identity "
+    "deg_a + deg_b - common so only the wedge enumeration is ever "
+    "computed (candidate pairs = 2-hop pairs with >= 2 common "
+    "neighbors; non-adjacent pairs with empty intersections never "
+    "materialize). Scale shape: one wedge self-join bounded by "
+    "sum-of-degrees-squared, two broadcast degree lookups.",
+    tags=("graph", "join"),
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half = _token_half_edges(spark, sf_dir)
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a"))
+            & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.b").alias("pa"), F.col("e2.b").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    return (
+        wedges.join(deg.select(F.col("n").alias("pa"), F.col("k").alias("ka")), "pa")
+        .join(deg.select(F.col("n").alias("pb"), F.col("k").alias("kb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            "common",
+            F.expr(
+                "CAST((common * 1000000) DIV (ka + kb - common) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+        .orderBy(F.desc("jac_ppm"), "pa", "pb")
+        .limit(30)
+    )
+
+
+# ------------------------------------------------------- PSI drift --
+
+# per-bucket PSI contribution with add-one smoothing — a textually
+# identical IEEE expression in both engines; {cw}/{tw} = week counts,
+# {cr}/{tr} = reference-week counts, 10 = bucket count
+_PSI_CONTRIB = (
+    "(CAST({cw} + 1 AS DOUBLE) / CAST({tw} + 10 AS DOUBLE)"
+    " - CAST({cr} + 1 AS DOUBLE) / CAST({tr} + 10 AS DOUBLE))"
+    " * ln((CAST({cw} + 1 AS DOUBLE) / CAST({tw} + 10 AS DOUBLE))"
+    "      / (CAST({cr} + 1 AS DOUBLE) / CAST({tr} + 10 AS DOUBLE)))"
+)
+
+
+@register(
+    "events_psi_drift",
+    oracle=f"""
+        WITH ev AS (
+          SELECT value,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        lims AS (
+          SELECT MIN(day) AS d0, MAX(value) AS vmax FROM ev
+        ),
+        bucketed AS (
+          SELECT CAST((ev.day - lims.d0) // 7 AS BIGINT) AS week,
+                 LEAST(9, CAST(floor(ev.value * 10.0 / lims.vmax)
+                               AS BIGINT)) AS b
+          FROM ev CROSS JOIN lims
+        ),
+        cnt AS (
+          SELECT week, b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bucketed GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT w.week, gb.b
+          FROM (SELECT DISTINCT week FROM cnt) w
+          CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) gb
+        ),
+        full_cnt AS (
+          SELECT spine.week, spine.b,
+                 CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+          FROM spine LEFT JOIN cnt
+            ON cnt.week = spine.week AND cnt.b = spine.b
+        ),
+        tot AS (
+          SELECT week, CAST(SUM(c) AS BIGINT) AS t
+          FROM full_cnt GROUP BY 1
+        ),
+        ref AS (
+          SELECT fc.b, fc.c AS cr, tot.t AS tr
+          FROM full_cnt fc JOIN tot ON tot.week = fc.week
+          WHERE fc.week = 0
+        ),
+        terms AS (
+          SELECT fc.week, fc.b,
+                 {_PSI_CONTRIB.format(cw="fc.c", tw="tot.t",
+                                      cr="ref.cr", tr="ref.tr")} AS contrib
+          FROM full_cnt fc
+          JOIN tot ON tot.week = fc.week
+          JOIN ref ON ref.b = fc.b
+          WHERE fc.week > 0
+        ),
+        psi AS (
+          SELECT week,
+                 list_sum(list(contrib ORDER BY b)) AS fold
+          FROM terms GROUP BY week
+        )
+        SELECT CAST(week AS BIGINT) AS week,
+               CAST(round(fold * 1000000.0) AS BIGINT) AS psi_ppm
+        FROM psi ORDER BY week
+    """,
+    doc="Population-stability-index drift of the events.value "
+    "distribution, week over reference week 0 — the standard model-"
+    "monitoring drift score (PSI = sum_b (p_b - q_b) ln(p_b/q_b), "
+    "add-one smoothed so empty buckets are defined). Ten equal-width "
+    "value buckets from the global max; every count is an exact bigint "
+    "on a (week x bucket) spine, the per-bucket contribution is a "
+    "textually identical IEEE expression in both engines, and the "
+    "10-term sum runs as a BUCKET-SORTED sequential fold (Spark "
+    "aggregate() over a sorted struct array == DuckDB list_sum over "
+    "list(... ORDER BY b)) — the JS-divergence determinism recipe. "
+    "Scale shape: one groupBy to (weeks x 10) cells, a broadcast "
+    "reference join; raw volume never crosses the fold.",
+    tags=("events", "stats", "curation"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("value", F.expr("ts DIV 86400000000000").alias("day"))
+    lims = ev.agg(
+        F.min("day").alias("d0"), F.max("value").alias("vmax")
+    )
+    bucketed = ev.crossJoin(F.broadcast(lims)).select(
+        F.expr("CAST((day - d0) DIV 7 AS BIGINT)").alias("week"),
+        F.least(
+            F.lit(9),
+            F.floor(F.col("value") * 10.0 / F.col("vmax")).cast("bigint"),
+        ).alias("b"),
+    )
+    cnt = bucketed.groupBy("week", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    spine = (
+        cnt.select("week")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("b")))
+    )
+    full_cnt = spine.join(cnt, ["week", "b"], "left").select(
+        "week", "b", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c")
+    )
+    tot = full_cnt.groupBy("week").agg(F.sum("c").cast("bigint").alias("t"))
+    ref = (
+        full_cnt.filter(F.col("week") == 0)
+        .join(tot.filter(F.col("week") == 0), "week")
+        .select("b", F.col("c").alias("cr"), F.col("t").alias("tr"))
+    )
+    terms = (
+        full_cnt.filter(F.col("week") > 0)
+        .join(tot, "week")
+        .join(F.broadcast(ref), "b")
+        .withColumn(
+            "contrib",
+            F.expr(
+                _PSI_CONTRIB.format(cw="c", tw="t", cr="cr", tr="tr")
+            ),
+        )
+    )
+    return (
+        terms.groupBy("week")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(b, contrib))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+            ).alias("fold")
+        )
+        .select(
+            F.col("week").cast("bigint"),
+            F.round(F.col("fold") * 1000000.0).cast("bigint").alias("psi_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+# ------------------------------------------- streaming Theil-Sen twin --
+
+
+@register(
+    "events_stream_theil_sen",
+    oracle="""
+        WITH daily AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS x,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        pairs AS (
+          SELECT CAST(b.y - a.y AS BIGINT) AS num,
+                 CAST(b.x - a.x AS BIGINT) AS den,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS r
+          FROM daily a JOIN daily b ON a.x < b.x
+        ),
+        ranked AS (
+          SELECT num, den,
+                 row_number() OVER (ORDER BY r, num, den) AS rn,
+                 COUNT(*) OVER () AS n_pairs
+          FROM pairs
+        )
+        SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(num AS BIGINT) AS med_num,
+               CAST(den AS BIGINT) AS med_den,
+               CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+        FROM ranked
+        WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc="STREAMING twin of events_theil_sen over the daily click series: "
+    "the stream arrives as 3 chronological micro-batches "
+    "(maxFilesPerTrigger=1, availableNow); each batch appends per-day "
+    "partial counts to a parquet sink (counts are SUM-mergeable, so "
+    "batch chopping/replay cannot change the merged series), and the "
+    "finalizer merges the partials and runs the identical Theil-Sen "
+    "lower-median over exact rational pairwise slopes "
+    "(operators/temporal.py:theil_sen_slope) — converging to the batch "
+    "answer the oracle computes directly. The day-partial sink pattern "
+    "(events_stream_cusum template): no state store, recovery-safe by "
+    "algebra.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.temporal import theil_sen_slope
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).filter(F.col("event_type") == "click")
+    src = tempfile.mkdtemp(prefix="icebergsql-tssrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-tsout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-tsck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(out)
+        .groupBy(F.col("day").alias("x"))
+        .agg(F.sum("cnt").cast("bigint").alias("y"))
+    )
+    return theil_sen_slope(daily)
+
+
+# -------------------------------------------- facility location --
+
+
+def _facility_oracle(query_id: int = 1, k: int = 5,
+                     candidates: int = 24) -> str:
+    """Unrolled greedy max-coverage: cov_r tracks each pool element's
+    best similarity to the selected set; pick_{r} scans the bounded
+    pool x pool matrix for the max marginal gain. AS MATERIALIZED on
+    every step (the curation_mmr_topk lesson: DuckDB inlines chained
+    non-materialized CTEs exponentially)."""
+    dot_ab = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+
+    def sq(t: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {t}.embedding[i]::DOUBLE * {t}.embedding[i]::DOUBLE))"
+        )
+
+    steps = []
+    for r in range(1, k + 1):
+        steps.append(f"""
+        pick{r} AS MATERIALIZED (
+          SELECT {r} AS rank, c.vec_id,
+                 CAST(SUM(GREATEST(cov{r - 1}.cv, sf.s) - cov{r - 1}.cv)
+                      AS BIGINT) AS coverage_gain
+          FROM cand c
+          JOIN simfull sf ON sf.ib = c.vec_id
+          JOIN cov{r - 1} ON cov{r - 1}.u = sf.ia
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+          GROUP BY c.vec_id
+          ORDER BY coverage_gain DESC, c.vec_id
+          LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (
+          SELECT vec_id FROM sel{r - 1} UNION ALL
+          SELECT vec_id FROM pick{r}
+        ),
+        cov{r} AS MATERIALIZED (
+          SELECT cov{r - 1}.u,
+                 GREATEST(cov{r - 1}.cv, sf.s) AS cv
+          FROM cov{r - 1}
+          JOIN simfull sf ON sf.ia = cov{r - 1}.u
+          JOIN pick{r} p ON p.vec_id = sf.ib
+        ),
+        tot{r} AS MATERIALIZED (
+          SELECT CAST(SUM(cv) AS BIGINT) AS t FROM cov{r}
+        )""")
+    finals = " UNION ALL ".join(
+        f"SELECT pick{r}.rank, pick{r}.vec_id, pick{r}.coverage_gain, "
+        f"tot{r}.t AS coverage_total FROM pick{r} CROSS JOIN tot{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings
+                   WHERE vec_id = {query_id}),
+        cand AS MATERIALIZED (
+          SELECT b.vec_id, b.embedding
+          FROM q a CROSS JOIN embeddings b
+          WHERE b.vec_id != {query_id}
+          ORDER BY CAST(floor(1000000000.0 * {dot_ab}
+                        / sqrt({sq('b')} * {sq('a')})) AS BIGINT) DESC,
+                   b.vec_id
+          LIMIT {candidates}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(floor(1000000000.0 * {dot_ab}
+                      / sqrt({sq('a')} * {sq('b')})) AS BIGINT) AS s
+          FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+        ),
+        simfull AS MATERIALIZED (
+          SELECT ia, ib, s FROM sims
+          UNION ALL SELECT ib, ia, s FROM sims
+          UNION ALL SELECT vec_id AS ia, vec_id AS ib,
+                           CAST(1000000000 AS BIGINT) AS s
+          FROM cand
+        ),
+        sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0),
+        cov0 AS MATERIALIZED (
+          SELECT vec_id AS u, CAST(0 AS BIGINT) AS cv FROM cand
+        ),{",".join(steps)}
+        SELECT CAST(rank AS INTEGER) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               coverage_gain, coverage_total
+        FROM ({finals}) ORDER BY rank
+    """
+
+
+@register(
+    "curation_facility_location",
+    oracle=_facility_oracle(query_id=1, k=5, candidates=24),
+    doc="Greedy facility-location (max-coverage) subset selection over "
+    "the embedding pool (operators/similarity.py:"
+    "facility_location_select): pick 5 of the 24 nearest neighbors of "
+    "vec 1 maximizing sum_u max_s sim(u, s) — the submodular "
+    "representativeness objective behind coreset / diverse-exemplar "
+    "mining (Nemhauser 1978 greedy, 1-1/e), complementing "
+    "curation_mmr_topk's relevance-redundancy tradeoff. Two-phase "
+    "100-TB shape (one TakeOrdered relevance scan, then a bounded "
+    "candidates^2 integer-nano sim matrix engine-side; the inherently-"
+    "sequential greedy runs over <=24 collected ids in pure integer "
+    "arithmetic). Oracle: ALL 5 greedy steps unrolled as MATERIALIZED "
+    "CTEs tracking per-element best-coverage state.",
+    tags=("curation", "embeddings", "similarity"),
+)
+def curation_facility_location(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.similarity import (
+        facility_location_select,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return facility_location_select(
+        emb, query_id=1, k=5, candidates=24
+    ).orderBy("rank")

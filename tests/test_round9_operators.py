@@ -1,0 +1,291 @@
+"""Round-9 wave operators: sliding-window HLL, synchronous Louvain
+refinement, facility-location selection.
+
+Each is locked against a pure-Python replica (bit-equality on real
+fixture data) ahead of its pipeline11 gate registration, per the
+pre-oracle contract: the gate's SQL oracle must match the same exact
+recurrence these replicas encode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from icebergsql_spark.operators.graph import louvain_gain_round
+from icebergsql_spark.operators.similarity import facility_location_select
+from icebergsql_spark.operators.sketch import (
+    HLL_BITS,
+    HLL_M,
+    hll_sliding_estimate,
+)
+
+
+# ------------------------------------------------------------ sliding HLL --
+
+
+def _py_registers(values):
+    regs = {}
+    for v in values:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        t = h[2:14].lstrip("0")
+        if not t:
+            rho = HLL_BITS + 1
+        else:
+            nib = int(t[0], 16)
+            lead = (
+                0 if nib >= 8 else 1 if nib >= 4 else 2 if nib >= 2 else 3
+            )
+            rho = (12 - len(t)) * 4 + lead + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def _py_estimate(regs):
+    m_used = len(regs)
+    harmonic_q = sum(1 << (HLL_BITS + 1 - r) for r in regs.values())
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    raw = (
+        alpha
+        * HLL_M
+        * HLL_M
+        / ((harmonic_q / 2.0 ** (HLL_BITS + 1)) + (HLL_M - m_used))
+    )
+    if raw <= 2.5 * HLL_M and m_used < HLL_M:
+        return round(HLL_M * math.log(HLL_M / (HLL_M - m_used)))
+    return round(raw)
+
+
+def test_hll_sliding_matches_python_replica(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(ev).select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day")
+    )
+    got = {
+        r["wday"]: (r["m_used"], r["harmonic_q"], r["est"])
+        for r in hll_sliding_estimate(ev, "user_id", "day", 7).collect()
+    }
+    rows = ev.collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["user_id"])
+    days = sorted(by_day)
+    for d in days:
+        vals = [
+            v
+            for dd in range(d - 6, d + 1)
+            for v in by_day.get(dd, [])
+        ]
+        regs = _py_registers(vals)
+        hq = sum(1 << (HLL_BITS + 1 - r) for r in regs.values())
+        assert got[d] == (len(regs), hq, _py_estimate(regs)), d
+
+
+def test_hll_sliding_partitioning_invariant(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(ev).select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day")
+    )
+    a = hll_sliding_estimate(ev, "user_id", "day", 7).orderBy("wday")
+    b = hll_sliding_estimate(
+        ev.repartition(13, "user_id"), "user_id", "day", 7
+    ).orderBy("wday")
+    assert a.toPandas().equals(b.toPandas())
+
+
+def test_hll_sliding_window_one_equals_daily(spark):
+    """window_days=1 degenerates to the per-day estimate — each window
+    holds exactly its own day's registers."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(ev).select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day")
+    )
+    got = {
+        r["wday"]: r["est"]
+        for r in hll_sliding_estimate(ev, "user_id", "day", 1).collect()
+    }
+    rows = ev.collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["user_id"])
+    for d, vals in by_day.items():
+        assert got[d] == _py_estimate(_py_registers(vals)), d
+
+
+# -------------------------------------------------------- Louvain round --
+
+
+def _py_louvain_round(half, labels):
+    sym = {}
+    for a, b in half:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    m = len(half)
+    k = {n: len(vs) for n, vs in sym.items()}
+    tot = {}
+    for n in sym:
+        tot[labels[n]] = tot.get(labels[n], 0) + k[n]
+    out = {}
+    for n in sym:
+        d = labels[n]
+        nbr_c = {}
+        for v in sym[n]:
+            nbr_c[labels[v]] = nbr_c.get(labels[v], 0) + 1
+        k_id = nbr_c.get(d, 0)
+        best = None
+        for c in sorted(cc for cc in nbr_c if cc != d):
+            gain = 2 * m * (nbr_c[c] - k_id) - k[n] * (
+                tot[c] - (tot[d] - k[n])
+            )
+            if best is None or gain > best[0]:
+                best = (gain, c)
+        if best is not None and best[0] > 0:
+            out[n] = (d, best[1], best[0])
+        else:
+            out[n] = (d, d, 0)
+    return out
+
+
+def test_louvain_round_matches_python_replica(spark):
+    # two 4-cliques joined by one bridge edge, seeded with a BAD split
+    # that straddles the cliques — the round must repair it
+    cliq1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cliq2 = [(i, j) for i in range(4, 8) for j in range(i + 1, 8)]
+    half = cliq1 + cliq2 + [(3, 4)]
+    labels = {n: n % 2 for n in range(8)}
+    he = spark.createDataFrame(half, "a long, b long")
+    lab = spark.createDataFrame(list(labels.items()), "n long, lbl long")
+    got = {
+        r["n"]: (r["lbl_old"], r["lbl_new"], r["gain_num"])
+        for r in louvain_gain_round(he, lab).collect()
+    }
+    assert got == _py_louvain_round(half, labels)
+    # at least one node moved (the seed split is strictly improvable)
+    assert any(o != n for (o, n, _) in got.values())
+
+
+def test_louvain_round_fuzz_random_graphs(spark):
+    import random
+
+    rng = random.Random(9)
+    for trial in range(4):
+        n = 14
+        half = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.3
+            }
+        )
+        if not half:
+            continue
+        nodes = sorted({x for e in half for x in e})
+        labels = {v: v % 3 for v in nodes}
+        he = spark.createDataFrame(half, "a long, b long")
+        lab = spark.createDataFrame(
+            list(labels.items()), "n long, lbl long"
+        )
+        got = {
+            r["n"]: (r["lbl_old"], r["lbl_new"], r["gain_num"])
+            for r in louvain_gain_round(he, lab).collect()
+        }
+        assert got == _py_louvain_round(half, labels), trial
+
+
+# ------------------------------------------------- facility location --
+
+
+def test_facility_location_matches_python_replica(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["rank"], r["vec_id"], r["coverage_gain"], r["coverage_total"])
+        for r in facility_location_select(
+            emb, query_id=1, k=4, candidates=10
+        ).collect()
+    ]
+    # python replica over the exact same quantized sims
+    from icebergsql_spark.operators.similarity import (
+        dot_expr,
+        with_double_vec_and_norm,
+    )
+
+    base = with_double_vec_and_norm(emb, "embedding")
+    q = base.filter(F.col("vec_id") == 1).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        base.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel_nano",
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("vd", "qv")
+                / F.sqrt(F.col("nrm") * F.col("qn"))
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rel_nano"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "vd", "nrm")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("a.vd", "b.vd")
+                / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .collect()
+    )
+    ids = sorted(r["vec_id"] for r in cand.select("vec_id").collect())
+    sim = {(i, i): 10**9 for i in ids}
+    for r in pairs:
+        sim[(r["ia"], r["ib"])] = r["s"]
+        sim[(r["ib"], r["ia"])] = r["s"]
+    covered = {u: 0 for u in ids}
+    sel, expect = [], []
+    while len(sel) < 4:
+        best = None
+        for cid in ids:
+            if cid in sel:
+                continue
+            g = sum(max(covered[u], sim[(u, cid)]) - covered[u] for u in ids)
+            if best is None or g > best[0]:
+                best = (g, cid)
+        g, cid = best
+        sel.append(cid)
+        for u in ids:
+            covered[u] = max(covered[u], sim[(u, cid)])
+        expect.append((len(sel), cid, g, sum(covered.values())))
+    assert got == expect
+
+
+def test_facility_location_monotone_submodular(spark):
+    """Coverage totals are nondecreasing and marginal gains nonincreasing
+    (submodularity of max-coverage) — the property the 1-1/e greedy
+    guarantee rests on."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = facility_location_select(
+        emb, query_id=2, k=6, candidates=16
+    ).collect()
+    gains = [r["coverage_gain"] for r in rows]
+    totals = [r["coverage_total"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert totals == sorted(totals)
