@@ -235,6 +235,9 @@ BENCH_QUERIES = [
     "events_psi_drift",
     "events_stream_theil_sen",
     "curation_facility_location",
+    "sketch_stream_hll_sliding",
+    "events_stream_psi_drift",
+    "multimodal_audio_vad",
 ]
 
 
@@ -370,6 +373,8 @@ def main() -> None:
         "managed_ref_retention",
         "sketch_stream_sample_quantiles",
         "events_stream_theil_sen",
+        "sketch_stream_hll_sliding",
+        "events_stream_psi_drift",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -679,3 +679,81 @@ def keyframe_select(blobs: DataFrame, threshold_q: int = 10_000) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
+VAD_FRAME_SCHEMA = "doc_id bigint, frame_idx int, energy bigint"
+
+
+def audio_frame_energy(blobs: DataFrame, frame_len: int = 16) -> DataFrame:
+    """Per-frame energy of decoded WAV payloads: decode with the REAL
+    ``decode_audio`` (RIFF chunk walker), split the PCM stream into
+    ``frame_len``-sample frames, emit the exact int64 sum of squares per
+    frame.  Arrow-batched narrow map — the framing step every
+    speech-pipeline front end (VAD, diarization, feature windows) runs
+    before anything model-shaped.  Trailing partial frames are kept
+    (energy over however many samples remain)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                a = pcm.astype("int64")
+                for f in range(0, (len(a) + frame_len - 1) // frame_len):
+                    seg = a[f * frame_len: (f + 1) * frame_len]
+                    rows.append((did, f, int((seg * seg).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "energy"]
+            )
+
+    return blobs.mapInPandas(run, schema=VAD_FRAME_SCHEMA)
+
+
+def audio_vad_segments(
+    frames: DataFrame, threshold: int = 0
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over per-frame
+    energies: frames with ``energy > threshold`` are active; consecutive
+    active frames form a segment (gaps-and-islands: frame_idx minus the
+    active-frame row_number is constant within an island — the
+    session_window-equivalent for integer indexes).  Returns per doc the
+    exact (n_frames, n_active, n_segments, max_segment_len,
+    first_active_frame) — every column an exact integer, so the whole
+    VAD decision is oracle-checkable.  Scale shape: one window over
+    (doc, frame_idx) — partitioned by doc, never global — plus two
+    bounded groupBys."""
+    from pyspark.sql import Window
+
+    totals = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames")
+    )
+    active = frames.filter(F.col("energy") > threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = active.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    per_seg = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("int").alias("seg_len"),
+        F.min("frame_idx").alias("seg_start"),
+    )
+    per_doc = per_seg.groupBy("doc_id").agg(
+        F.sum("seg_len").cast("int").alias("n_active"),
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.max("seg_len").cast("int").alias("max_segment_len"),
+        F.min("seg_start").cast("int").alias("first_active_frame"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce("n_active", F.lit(0)).cast("int").alias("n_active"),
+            F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+            F.coalesce("max_segment_len", F.lit(0))
+            .cast("int")
+            .alias("max_segment_len"),
+            F.coalesce("first_active_frame", F.lit(-1))
+            .cast("int")
+            .alias("first_active_frame"),
+        )
+    )

@@ -27,6 +27,9 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-9 pipeline11 operator wave) --
+    "sketch_stream_hll_sliding",
+    "events_stream_psi_drift",
+    "multimodal_audio_vad",
     "sketch_hll_sliding",
     "graph_louvain_onelevel",
     "graph_neighbor_jaccard",

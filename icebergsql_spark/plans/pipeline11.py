@@ -22,9 +22,9 @@ from icebergsql_spark.plans.registry import load_tables, register
 # ------------------------------------------------------- sliding HLL --
 
 
-@register(
-    "sketch_hll_sliding",
-    oracle=f"""
+# shared by sketch_hll_sliding and its streaming twin (the twin's
+# MAX-merged per-batch register partials converge to the identical state)
+_HLL_SLIDING_ORACLE = f"""
         WITH h AS (
           SELECT epoch_ns(ts) // 86400000000000 AS day,
                  md5(CAST(user_id AS VARCHAR)) AS md5_h
@@ -63,7 +63,12 @@ from icebergsql_spark.plans.registry import load_tables, register
                       ELSE ({sketch._RAW_EST_SQL}) END
                ) AS BIGINT) AS est
         FROM agg ORDER BY wday
-    """,
+    """
+
+
+@register(
+    "sketch_hll_sliding",
+    oracle=_HLL_SLIDING_ORACLE,
     doc="7-day sliding distinct-user estimate from MAX-merged per-day "
     "HLL register tables (operators/sketch.py:hll_sliding_estimate) — "
     "the time-dimension twin of sketch_sliding_distinct, with O(m) "
@@ -666,3 +671,370 @@ def curation_facility_location(
     return facility_location_select(
         emb, query_id=1, k=5, candidates=24
     ).orderBy("rank")
+
+
+# ------------------------------------------- streaming twins (wave 2) --
+
+
+@register(
+    "sketch_stream_hll_sliding",
+    oracle=_HLL_SLIDING_ORACLE,
+    doc="STREAMING twin of sketch_hll_sliding: each of 3 chronological "
+    "micro-batches appends its per-day HLL register partials "
+    "(day, reg, max_rho) to a parquet sink; the finalizer MAX-merges "
+    "the partials per (day, reg) and runs the identical slide + "
+    "estimate — register-wise MAX is idempotent and commutative, so "
+    "batch chopping/replay cannot change the merged state and the "
+    "stream converges to the batch oracle bit-for-bit. This is the "
+    "distributed-combine contract (sketch_hll_union) exercised through "
+    "time: a live dashboard keeps <=256 rows per day per shard and "
+    "windows them on read. Day-partial sink pattern, no state store.",
+    tags=("sketch", "hll", "streaming", "window"),
+)
+def sketch_stream_hll_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-shsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-shout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            sketch.hll_daily_registers(
+                batch_df.select(
+                    "user_id",
+                    F.expr("ts DIV 86400000000000").alias("day"),
+                ),
+                "user_id",
+                "day",
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-shck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(out)
+        .groupBy("day", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    slid = daily.select(
+        "day", "reg", "max_rho",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).select((F.col("day") + F.col("off")).alias("wday"), "reg", "max_rho")
+    merged = (
+        slid.join(days, "wday")
+        .groupBy("wday", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = (
+        f"CASE WHEN ({sketch._RAW_EST_SQL}) <= {2.5 * sketch.HLL_M}"
+        f" AND m_used < {sketch.HLL_M}"
+        f" THEN {sketch.HLL_M} * ln(CAST({sketch.HLL_M} AS DOUBLE)"
+        f" / ({sketch.HLL_M} - m_used))"
+        f" ELSE ({sketch._RAW_EST_SQL}) END"
+    )
+    return (
+        merged.groupBy("wday")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_used"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" {sketch.HLL_BITS + 1} - max_rho)"
+                )
+            ).alias("harmonic_q"),
+        )
+        .select(
+            F.col("wday").cast("bigint").alias("wday"),
+            "m_used",
+            "harmonic_q",
+            F.expr(f"CAST(round({est}) AS BIGINT)").alias("est"),
+        )
+        .orderBy("wday")
+    )
+
+
+@register(
+    "events_stream_psi_drift",
+    oracle=f"""
+        WITH ev AS (
+          SELECT value,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        bucketed AS (
+          SELECT day,
+                 LEAST(9, CAST(floor(value / 50.0) AS BIGINT)) AS b
+          FROM ev
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM bucketed),
+        cnt AS (
+          SELECT CAST((bucketed.day - d0.d0) // 7 AS BIGINT) AS week,
+                 b, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bucketed CROSS JOIN d0 GROUP BY 1, 2
+        ),
+        spine AS (
+          SELECT w.week, gb.b
+          FROM (SELECT DISTINCT week FROM cnt) w
+          CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) gb
+        ),
+        full_cnt AS (
+          SELECT spine.week, spine.b,
+                 CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+          FROM spine LEFT JOIN cnt
+            ON cnt.week = spine.week AND cnt.b = spine.b
+        ),
+        tot AS (
+          SELECT week, CAST(SUM(c) AS BIGINT) AS t
+          FROM full_cnt GROUP BY 1
+        ),
+        ref AS (
+          SELECT fc.b, fc.c AS cr, tot.t AS tr
+          FROM full_cnt fc JOIN tot ON tot.week = fc.week
+          WHERE fc.week = 0
+        ),
+        terms AS (
+          SELECT fc.week, fc.b,
+                 {_PSI_CONTRIB.format(cw="fc.c", tw="tot.t",
+                                      cr="ref.cr", tr="ref.tr")} AS contrib
+          FROM full_cnt fc
+          JOIN tot ON tot.week = fc.week
+          JOIN ref ON ref.b = fc.b
+          WHERE fc.week > 0
+        ),
+        psi AS (
+          SELECT week,
+                 list_sum(list(contrib ORDER BY b)) AS fold
+          FROM terms GROUP BY week
+        )
+        SELECT CAST(week AS BIGINT) AS week,
+               CAST(round(fold * 1000000.0) AS BIGINT) AS psi_ppm
+        FROM psi ORDER BY week
+    """,
+    doc="STREAMING twin of events_psi_drift with FIXED bucket edges "
+    "(floor(value/50) clamp 9 — a streaming pipeline cannot know the "
+    "global max upfront, so the production shape pins edges a priori): "
+    "each of 3 chronological micro-batches appends per-(day, bucket) "
+    "count partials to a parquet sink (SUM-mergeable — chopping/replay "
+    "safe by algebra); the finalizer merges, derives weeks from the "
+    "merged min day, and computes the identical smoothed PSI with the "
+    "bucket-sorted sequential fold. Converges to the batch oracle "
+    "bit-for-bit. State: weeks x 10 cells, never raw volume.",
+    tags=("events", "streaming", "stats", "curation"),
+)
+def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-pssrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-psout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.expr("ts DIV 86400000000000").alias("day"),
+                F.least(
+                    F.lit(9),
+                    F.floor(F.col("value") / 50.0).cast("bigint"),
+                ).alias("b"),
+            )
+            .groupBy("day", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-psck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.read.parquet(out)
+    mind = sink.agg(F.min("day").alias("d0"))
+    cnt = (
+        sink.crossJoin(F.broadcast(mind))
+        .select(
+            F.expr("CAST((day - d0) DIV 7 AS BIGINT)").alias("week"),
+            "b",
+            "c",
+        )
+        .groupBy("week", "b")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    spine = (
+        cnt.select("week")
+        .distinct()
+        .crossJoin(spark.range(10).select(F.col("id").alias("b")))
+    )
+    full_cnt = spine.join(cnt, ["week", "b"], "left").select(
+        "week", "b",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+    )
+    tot = full_cnt.groupBy("week").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    ref = (
+        full_cnt.filter(F.col("week") == 0)
+        .join(tot.filter(F.col("week") == 0), "week")
+        .select("b", F.col("c").alias("cr"), F.col("t").alias("tr"))
+    )
+    terms = (
+        full_cnt.filter(F.col("week") > 0)
+        .join(tot, "week")
+        .join(F.broadcast(ref), "b")
+        .withColumn(
+            "contrib",
+            F.expr(_PSI_CONTRIB.format(cw="c", tw="t", cr="cr", tr="tr")),
+        )
+    )
+    return (
+        terms.groupBy("week")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(b, contrib))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)"
+            ).alias("fold")
+        )
+        .select(
+            F.col("week").cast("bigint"),
+            F.round(F.col("fold") * 1000000.0)
+            .cast("bigint")
+            .alias("psi_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+# ------------------------------------------------------- audio VAD --
+
+
+@register(
+    "multimodal_audio_vad",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id, f.f AS frame_idx,
+                 list_sum(list_transform(generate_series(0, 15), j ->
+                   CASE WHEN (doc_id + f.f) % 3 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(((doc_id * 7 + (f.f * 16 + j) * 13)
+                                   % 4096 - 2048)
+                                  * ((doc_id * 7 + (f.f * 16 + j) * 13)
+                                     % 4096 - 2048) AS BIGINT)
+                   END)) AS energy
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS f) f
+          WHERE doc_id < 500
+        ),
+        active AS (
+          SELECT doc_id, frame_idx,
+                 frame_idx - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx
+                 ) AS grp
+          FROM frames WHERE energy > 0
+        ),
+        per_seg AS (
+          SELECT doc_id, grp, CAST(COUNT(*) AS INTEGER) AS seg_len,
+                 MIN(frame_idx) AS seg_start
+          FROM active GROUP BY 1, 2
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(seg_len) AS INTEGER) AS n_active,
+                 CAST(COUNT(*) AS INTEGER) AS n_segments,
+                 CAST(MAX(seg_len) AS INTEGER) AS max_segment_len,
+                 CAST(MIN(seg_start) AS INTEGER) AS first_active_frame
+          FROM per_seg GROUP BY 1
+        )
+        SELECT d.doc_id, 16 AS n_frames,
+               COALESCE(p.n_active, 0) AS n_active,
+               COALESCE(p.n_segments, 0) AS n_segments,
+               COALESCE(p.max_segment_len, 0) AS max_segment_len,
+               COALESCE(p.first_active_frame, -1) AS first_active_frame
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="Energy-threshold voice-activity detection end-to-end over REAL "
+    "WAV payloads: per doc a 256-sample waveform with deterministic "
+    "SILENT frames (every frame f with (doc_id+f)%3==0 is zeroed; "
+    "active samples follow s_i=(doc_id*7+i*13)%4096-2048) is encoded "
+    "as genuine RIFF/PCM by encode_wav, decoded by the chunk-walking "
+    "decode_audio, framed into 16x16-sample frames with exact int64 "
+    "energies (operators/multimodal.py:audio_frame_energy), and "
+    "segmented by gaps-and-islands (audio_vad_segments) — n_active / "
+    "n_segments / max_run / first_active per doc, all exact integers. "
+    "The oracle recomputes from the sample formula, so a mis-parsed "
+    "chunk, off-by-one framing, or broken island grouping "
+    "hash-mismatches. Both stages Arrow-batched narrow maps + one "
+    "doc-partitioned window.",
+    tags=("multimodal", "window"),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [
+                    0
+                    if (d + (i // 16)) % 3 == 0
+                    else (d * 7 + i * 13) % 4096 - 2048
+                    for i in range(256)
+                ]
+                payloads.append(multimodal.encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    frames = multimodal.audio_frame_energy(blobs, frame_len=16)
+    return multimodal.audio_vad_segments(frames, threshold=0).orderBy(
+        "doc_id"
+    )

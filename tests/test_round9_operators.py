@@ -289,3 +289,72 @@ def test_facility_location_monotone_submodular(spark):
     totals = [r["coverage_total"] for r in rows]
     assert gains == sorted(gains, reverse=True)
     assert totals == sorted(totals)
+
+
+# ----------------------------------------------------------- audio VAD --
+
+
+def test_audio_vad_segments_edges(spark):
+    """Island grouping edge cases: all-silent doc (zero segments,
+    first_active=-1), leading/trailing silence, single-frame islands,
+    and a trailing PARTIAL frame (17 samples -> 2 frames)."""
+    from icebergsql_spark.operators import multimodal
+
+    import pandas as pd
+
+    cases = {
+        1: [0] * 64,                     # all silent: 4 frames, 0 active
+        2: [0] * 16 + [100] * 16 + [0] * 16 + [5] * 16,  # two islands
+        3: [7] * 17,                     # 2 frames incl. 1-sample tail
+    }
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.encode_wav(cases[int(d)], 8000)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    frames = multimodal.audio_frame_energy(blobs, frame_len=16)
+    got = {
+        r["doc_id"]: (
+            r["n_frames"], r["n_active"], r["n_segments"],
+            r["max_segment_len"], r["first_active_frame"],
+        )
+        for r in multimodal.audio_vad_segments(frames, threshold=0).collect()
+    }
+    assert got[1] == (4, 0, 0, 0, -1)
+    assert got[2] == (4, 2, 2, 1, 1)   # frames 1 and 3 active, separated
+    assert got[3] == (2, 2, 1, 2, 0)   # both frames active, one island
+
+
+def test_audio_vad_threshold(spark):
+    """Threshold splits on exact integer energy: a frame of sixteen 1s
+    has energy 16 — threshold 15 keeps it, 16 drops it."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [multimodal.encode_wav([1] * 16, 8000)],
+                }
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    frames = multimodal.audio_frame_energy(blobs, frame_len=16)
+    keep = multimodal.audio_vad_segments(frames, threshold=15).collect()[0]
+    drop = multimodal.audio_vad_segments(frames, threshold=16).collect()[0]
+    assert keep["n_active"] == 1 and drop["n_active"] == 0
