@@ -238,6 +238,9 @@ BENCH_QUERIES = [
     "sketch_stream_hll_sliding",
     "events_stream_psi_drift",
     "multimodal_audio_vad",
+    "managed_add_files_import",
+    "sketch_cms_sliding",
+    "agg_winsorized_mean",
 ]
 
 
@@ -375,6 +378,7 @@ def main() -> None:
         "events_stream_theil_sen",
         "sketch_stream_hll_sliding",
         "events_stream_psi_drift",
+        "managed_add_files_import",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -486,3 +486,85 @@ def hll_sliding_estimate(
             F.expr(f"CAST(round({est}) AS BIGINT)").alias("est"),
         )
     )
+
+
+def cms_daily_build(
+    df: DataFrame, col: str, day_col: str, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Per-day Count-Min counter table: (day, depth, bucket, cnt) — the
+    unit a windowed heavy-hitter pipeline stores at scale (CMS counters
+    merge by ADDITION, so any day range sums into a window sketch
+    without re-touching raw events; O(days x d x w) rows total)."""
+    rows = df.select(
+        F.col(day_col).cast("long").alias("day"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_bucket(F.col(col), j).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("db"),
+    )
+    return rows.groupBy("day", "db.depth", "db.bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_sliding_estimate(
+    df: DataFrame,
+    col: str,
+    day_col: str,
+    probes: DataFrame,
+    window_days: int = 7,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """Sliding-window Count-Min estimates from SUM-merged daily counters
+    — the additive-merge twin of hll_sliding_estimate's MAX-merge: each
+    day's counters feed the ``window_days`` windows ending on days
+    [day, day + window_days - 1]; a window's sketch is the plain sum,
+    and each probe key reads min-over-depths as usual (estimate >= true
+    windowed count is the structural CMS guarantee).  Only windows whose
+    end day exists in the data are emitted.
+
+    ``probes`` is a one-column DataFrame of keys (column name ``col``).
+    Returns (wday, <col>, cms_estimate).
+    """
+    daily = cms_daily_build(df, col, day_col, depth=depth)
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    slid = daily.select(
+        "day", "depth", "bucket", "cnt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window_days) - 1))
+        ).alias("off"),
+    ).select(
+        (F.col("day") + F.col("off")).alias("wday"),
+        "depth", "bucket", "cnt",
+    )
+    win = (
+        slid.join(days, "wday")
+        .groupBy("wday", "depth", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    probe_rows = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        _cms_bucket(F.col(col), j).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(col, "db.depth", "db.bucket")
+    return (
+        win.join(F.broadcast(probe_rows), ["depth", "bucket"])
+        .groupBy("wday", col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )

@@ -27,6 +27,9 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-9 pipeline11 operator wave) --
+    "managed_add_files_import",
+    "sketch_cms_sliding",
+    "agg_winsorized_mean",
     "sketch_stream_hll_sliding",
     "events_stream_psi_drift",
     "multimodal_audio_vad",

@@ -1038,3 +1038,290 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_vad_segments(frames, threshold=0).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------------- add_files --
+
+
+@register(
+    "managed_add_files_import",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Iceberg's add_files import procedure end-to-end (table.py:"
+    "add_files + CALL system.add_files): orders staged as plain "
+    "partition-aligned parquet (one file per order-year), then "
+    "REGISTERED into a managed table at metadata cost only — per-file "
+    "partition membership INFERRED from footer min==max stats, zero "
+    "data copy (in-DAG assert: every live path is the staged path), "
+    "footer stats real enough that COUNT(*) answers from manifests and "
+    "a partition predicate prunes to one file, duplicate re-import "
+    "raises, and a post-import insert() coexists. The migrate-in-place "
+    "path: at 100 TB the difference between an import and a "
+    "re-ingestion. Result: the imported table's per-year rollup vs the "
+    "raw-parquet oracle.",
+    tags=("managed", "import", "pruning"),
+)
+def managed_add_files_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    src = tempfile.mkdtemp(prefix="icebergsql-addfsrc-")
+    years = sorted(
+        r["o_year"] for r in orders.select("o_year").distinct().collect()
+    )
+    for y in years:
+        orders.filter(F.col("o_year") == y).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-addfwh-"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
+    )
+    tbl = eng.catalog.create_table("ord_imp", ddl, ["o_year"])
+    mark_setup_done()  # staging done; the metadata-only import is the op
+    res = eng.sql(
+        f"CALL system.add_files(table => 'ord_imp', source_dir => '{src}')"
+    ).collect()[0]
+    assert res["added_files_count"] == len(years), res
+    tbl.refresh()
+    snap = tbl.meta.current_snapshot()
+    paths = {f.path for f in snap.live_files()}
+    assert all(p.startswith(src) for p in paths), "import must not copy"
+    # footer stats are real: metadata COUNT(*) and partition pruning work
+    assert tbl.scan().count_from_stats() == orders.count()
+    assert tbl.scan(where=f"o_year = {years[0]}").files_scanned == 1
+    try:
+        tbl.add_files(src)
+        raise AssertionError("duplicate re-import must raise")
+    except Exception as e:  # noqa: BLE001
+        assert "already registered" in str(e)
+    return eng.sql(
+        "SELECT o_year, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS total "
+        "FROM ord_imp GROUP BY o_year ORDER BY o_year"
+    )
+
+
+# ------------------------------------------------------ sliding CMS --
+
+
+def _cms_sliding_oracle() -> str:
+    from icebergsql_spark.plans.pipeline2 import _cms_bucket_sql
+
+    key = "CAST(user_id AS VARCHAR)"
+    daily_union = " UNION ALL ".join(
+        f"SELECT day, {j} AS depth, {_cms_bucket_sql(key, j)} AS bucket "
+        f"FROM ev" for j in range(3)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS depth, "
+        f"{_cms_bucket_sql(key, j)} AS bucket FROM top"
+        for j in range(3)
+    )
+    return f"""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        daily AS (
+          SELECT day, depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ({daily_union}) x GROUP BY 1, 2, 3
+        ),
+        days AS (SELECT DISTINCT day AS wday FROM daily),
+        win AS (
+          SELECT d2.wday, daily.depth, daily.bucket,
+                 CAST(SUM(daily.cnt) AS BIGINT) AS cnt
+          FROM daily JOIN days d2
+            ON d2.wday BETWEEN daily.day AND daily.day + 6
+          GROUP BY 1, 2, 3
+        ),
+        top AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_total
+          FROM ev GROUP BY 1 ORDER BY exact_total DESC, user_id LIMIT 5
+        ),
+        probes AS ({probe_union}),
+        est AS (
+          SELECT win.wday, probes.user_id,
+                 CAST(MIN(win.cnt) AS BIGINT) AS cms_estimate
+          FROM win JOIN probes USING (depth, bucket)
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT d2.wday, ev.user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+          FROM ev JOIN days d2
+            ON d2.wday BETWEEN ev.day AND ev.day + 6
+          GROUP BY 1, 2
+        )
+        SELECT est.wday, est.user_id, est.cms_estimate,
+               CAST(COALESCE(exact.exact_n, 0) AS BIGINT) AS exact_n
+        FROM est LEFT JOIN exact
+          ON exact.wday = est.wday AND exact.user_id = est.user_id
+        ORDER BY est.wday, est.user_id
+    """
+
+
+@register(
+    "sketch_cms_sliding",
+    oracle=_cms_sliding_oracle(),
+    doc="7-day sliding heavy-hitter counts from SUM-merged per-day "
+    "Count-Min counters (operators/sketch.py:cms_sliding_estimate) — "
+    "the additive-merge twin of sketch_hll_sliding's MAX-merge: daily "
+    "(depth, bucket) counter tables sum into any window without "
+    "re-touching raw events (O(days x 3 x 256) state), the 5 globally "
+    "most-active users are probed per window via min-over-depths, and "
+    "the exact windowed count rides along (estimate >= exact is the "
+    "structural CMS guarantee — and hash-checked, since md5-derived "
+    "buckets make even the over-estimates deterministic). Scale shape: "
+    "bounded day-spine fan-out joins over counter tables, one broadcast "
+    "probe join.",
+    tags=("sketch", "countmin", "window"),
+)
+def sketch_cms_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.col("user_id"),
+        F.expr("ts DIV 86400000000000").alias("day"),
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_total"))
+        .orderBy(F.desc("exact_total"), "user_id")
+        .limit(5)
+        .select(F.col("user_id").cast("string").alias("uid"), "user_id")
+        .localCheckpoint()
+    )
+    est = sketch.cms_sliding_estimate(
+        ev, "uid", "day", top.select("uid"), window_days=7
+    )
+    days = ev.select(F.col("day").alias("wday")).distinct()
+    exact = (
+        ev.select("user_id", "day")
+        .join(
+            days,
+            (F.col("wday") >= F.col("day"))
+            & (F.col("wday") <= F.col("day") + 6),
+        )
+        .groupBy("wday", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    )
+    return (
+        est.join(top, "uid")
+        .join(exact, ["wday", "user_id"], "left")
+        .select(
+            F.col("wday").cast("bigint").alias("wday"),
+            "user_id",
+            "cms_estimate",
+            F.coalesce("exact_n", F.lit(0)).cast("bigint").alias("exact_n"),
+        )
+        .orderBy("wday", "user_id")
+    )
+
+
+# -------------------------------------------------- winsorized mean --
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderkey AS k
+          FROM orders
+        ),
+        ranked AS (
+          SELECT pri, c,
+                 CAST(row_number() OVER (
+                   PARTITION BY pri ORDER BY c, k) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+          FROM o
+        ),
+        bounds AS (
+          SELECT pri,
+                 CAST(MAX(CASE WHEN i = n // 10 + 1 THEN c END)
+                      AS BIGINT) AS lo_val,
+                 CAST(MAX(CASE WHEN i = n - n // 10 THEN c END)
+                      AS BIGINT) AS hi_val
+          FROM ranked GROUP BY pri
+        ),
+        wins AS (
+          SELECT r.pri,
+                 LEAST(GREATEST(r.c, b.lo_val), b.hi_val) AS c
+          FROM ranked r JOIN bounds b ON b.pri = r.pri
+        )
+        SELECT w.pri AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               b.lo_val, b.hi_val,
+               CAST(SUM(w.c) AS BIGINT) AS wins_cents,
+               CAST(CAST(SUM(w.c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0 AS winsorized_mean
+        FROM wins w JOIN bounds b ON b.pri = w.pri
+        GROUP BY w.pri, b.lo_val, b.hi_val
+        ORDER BY w.pri
+    """,
+    doc="10% two-sided WINSORIZED mean of order value per priority — "
+    "agg_trimmed_mean's sibling that CLAMPS the floor(n/10) tail rows "
+    "to the boundary values instead of dropping them (keeps n, bounds "
+    "influence — the robust-location choice when downstream needs "
+    "every row weighted). Same determinism mechanics: integer cents "
+    "under a total order (value, orderkey), rank-based boundaries "
+    "(identical clamp SET in both engines), exact bigint clamped sum, "
+    "two mirrored final float divisions. Scale shape: one per-group "
+    "sort window + a broadcast bounds join.",
+    tags=("agg", "stats", "window"),
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH o AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                 o_orderkey AS k
+          FROM orders
+        ),
+        ranked AS (
+          SELECT pri, c,
+                 CAST(row_number() OVER (
+                   PARTITION BY pri ORDER BY c, k) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+          FROM o
+        ),
+        bounds AS (
+          SELECT pri,
+                 CAST(MAX(CASE WHEN i = n DIV 10 + 1 THEN c END)
+                      AS BIGINT) AS lo_val,
+                 CAST(MAX(CASE WHEN i = n - n DIV 10 THEN c END)
+                      AS BIGINT) AS hi_val
+          FROM ranked GROUP BY pri
+        ),
+        wins AS (
+          SELECT r.pri,
+                 LEAST(GREATEST(r.c, b.lo_val), b.hi_val) AS c
+          FROM ranked r JOIN bounds b ON b.pri = r.pri
+        )
+        SELECT w.pri AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               b.lo_val, b.hi_val,
+               CAST(SUM(w.c) AS BIGINT) AS wins_cents,
+               CAST(CAST(SUM(w.c) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0 AS winsorized_mean
+        FROM wins w JOIN bounds b ON b.pri = w.pri
+        GROUP BY w.pri, b.lo_val, b.hi_val
+        ORDER BY w.pri
+    """)

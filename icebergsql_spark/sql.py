@@ -1287,6 +1287,25 @@ class Engine:
                 ],
                 "rewritten_data_files_count int, added_data_files_count int",
             )
+        if proc == "add_files":
+            args = _parse_call_args(
+                argtext, ["table", "source_dir", "check_duplicate_files"]
+            )
+            kwargs = {}
+            if args.get("check_duplicate_files", "").lower() == "false":
+                kwargs["check_duplicate_files"] = False
+            snap = tbl(args).add_files(
+                args["source_dir"].strip("'\""), **kwargs
+            )
+            return spark.createDataFrame(
+                [
+                    (
+                        snap.num_added_files,
+                        int(snap.summary.get("added-records", 0)),
+                    )
+                ],
+                "added_files_count int, added_records_count long",
+            )
         if proc == "rewrite_manifests":
             args = _parse_call_args(argtext, ["table"])
             res = tbl(args).rewrite_manifests()

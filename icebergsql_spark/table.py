@@ -522,6 +522,137 @@ class ManagedTable:
         )
         return self._build_data_files(out_dir)
 
+    def add_files(
+        self,
+        source_dir: str,
+        partition_values: dict | None = None,
+        check_duplicate_files: bool = True,
+    ) -> Snapshot:
+        """Register EXISTING data files into the table (Iceberg's
+        ``add_files`` import procedure): per-file footer stats are
+        collected, and a plain 'append' snapshot references the files IN
+        PLACE — zero data copy, zero rewrite.  The migrate-in-place path
+        that turns a directory of raw parquet into a managed table at
+        metadata cost only (at 100 TB, the difference between an import
+        and a re-ingestion).
+
+        Files must carry the table's FULL column set (name + type — this
+        engine's layout keeps partition columns in the data files; the
+        ``__p_`` dirs are duplicated metadata).  Each file's partition
+        membership is INFERRED from its own footer stats: a file belongs
+        to partition v on column c iff min(c) == max(c) == v — the
+        honest, stats-driven import.  A file that straddles partition
+        values is rejected (registering it under any single value would
+        corrupt manifest pruning); pass ``partition_values`` to
+        additionally ASSERT that every file lands in that one expected
+        partition (the Iceberg partition_filter shape).  Re-registering
+        a live file raises unless ``check_duplicate_files=False``
+        (Iceberg's same-named guard).  Imported files live OUTSIDE the
+        table's data dir, so ``remove_orphan_files`` — which only scans
+        the table's own tree — never touches them; expire GC deletes by
+        manifest reference and applies as usual.
+        """
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        fmt = self.file_format
+        paths = []
+        for root, _dirs, files in os.walk(source_dir):
+            for fn in files:
+                if fn.endswith(f".{fmt}"):
+                    paths.append(os.path.join(root, fn))
+        paths.sort()
+        if not paths:
+            raise TableValidationError(
+                f"add_files: no .{fmt} files under {source_dir!r}"
+            )
+        if check_duplicate_files and parent is not None:
+            live = {f.path for f in parent.live_files()}
+            dups = [p for p in paths if p in live]
+            if dups:
+                raise TableValidationError(
+                    f"add_files: {len(dups)} file(s) already registered "
+                    f"(first: {dups[0]}); pass check_duplicate_files=False "
+                    "to force"
+                )
+        part_cols = self.meta.partition_cols
+        pv = {
+            k: (None if v is None else str(v))
+            for k, v in (partition_values or {}).items()
+        }
+        if pv and set(pv) - set(part_cols):
+            raise TableValidationError(
+                f"add_files: partition_values names non-partition columns "
+                f"{sorted(set(pv) - set(part_cols))}"
+            )
+        expect = {
+            f.name: f.dataType.simpleString() for f in self.schema.fields
+        }
+        src_schema = self.spark.read.format(fmt).load(paths).schema
+        got = {f.name: f.dataType.simpleString() for f in src_schema.fields}
+        if got != expect:
+            raise TableValidationError(
+                f"add_files: file schema {got} != table columns {expect}"
+            )
+        stats_map = collect_stats(paths, spark=self.spark, file_format=fmt)
+        bloom_cols = self.bloom_filter_cols if fmt == "parquet" else []
+        blooms: dict = {}
+        if bloom_cols:
+            from icebergsql_spark.catalog.stats import collect_blooms
+
+            present = {f.name for f in src_schema.fields}
+            blooms = collect_blooms(
+                self.spark, paths, [c for c in bloom_cols if c in present]
+            )
+        added = []
+        for p in paths:
+            n_rows, size, stats = stats_map[p]
+            partition: dict = {}
+            for pc in part_cols:
+                cs = stats.get(pc)
+                if (
+                    cs is None
+                    or cs.min is None
+                    or cs.max is None
+                    or cs.min != cs.max
+                    or (cs.null_count or 0) > 0
+                ):
+                    raise TableValidationError(
+                        f"add_files: {p} straddles partition column "
+                        f"{pc!r} (min={getattr(cs, 'min', None)}, "
+                        f"max={getattr(cs, 'max', None)}) — import "
+                        "requires partition-aligned files"
+                    )
+                val = str(cs.min)
+                if pc in pv and pv[pc] != val:
+                    raise TableValidationError(
+                        f"add_files: {p} belongs to {pc}={val}, not the "
+                        f"asserted {pc}={pv[pc]}"
+                    )
+                partition[pc] = val
+            for c, b64 in (blooms.get(p) or {}).items():
+                stats.setdefault(c, ColStats()).bloom = b64
+            added.append(
+                DataFile(
+                    path=p,
+                    partition=partition,
+                    record_count=n_rows,
+                    file_size=size,
+                    stats=stats,
+                    schema_id=self.meta.current_schema_id,
+                )
+            )
+        return self._commit_snapshot(
+            parent,
+            added,
+            [],
+            operation="append",
+            # imported files are NOT ours to delete on a failed commit —
+            # they exist independently of this table (same rule as
+            # cherry-picked files)
+            cleanup_on_failure=False,
+            extra_summary={"added-files-by-import": str(len(added))},
+        )
+
     # ------------------------------------------------------------ DML --
     # Row-level DELETE / UPDATE / MERGE as copy-on-write, the Iceberg v1
     # strategy the reference's snapshot model implies (old files are never
