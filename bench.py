@@ -241,6 +241,11 @@ BENCH_QUERIES = [
     "managed_add_files_import",
     "sketch_cms_sliding",
     "agg_winsorized_mean",
+    "managed_stream_wap",
+    "multimodal_image_ahash",
+    "curation_temperature_mix",
+    "events_hill_tail_index",
+    "events_bot_regularity",
 ]
 
 
@@ -379,6 +384,7 @@ def main() -> None:
         "sketch_stream_hll_sliding",
         "events_stream_psi_drift",
         "managed_add_files_import",
+        "managed_stream_wap",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -757,3 +757,57 @@ def audio_vad_segments(
             .alias("first_active_frame"),
         )
     )
+
+
+AHASH_SCHEMA = (
+    "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint, "
+    "popcount int"
+)
+
+
+def image_average_hash(blobs: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash of decoded images — the image-dedup
+    fingerprint (aHash): decode with the REAL ``decode_image``
+    (netpbm/BMP), sum channels to an integer grayscale, split the
+    raster into a ``grid x grid`` cell matrix (image dims must divide
+    by ``grid``), and set bit k iff cell_sum * grid^2 > total_sum —
+    the exact-integer form of "cell mean above global mean", no float
+    anywhere.  The 64 bits are emitted as four 16-bit band integers
+    (b0..b3, little-endian within a band) — the same banding the
+    SimHash pipeline uses, so near-duplicate candidate pairs come from
+    band equi-joins, never an all-pairs scan.  Arrow-batched narrow
+    map; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _c, px = decode_image(bytes(payload))
+                a = px.astype("int64")
+                if a.ndim == 2:  # grayscale: (h, w)
+                    gray = a
+                else:  # (h, w, c)
+                    gray = a.sum(axis=2)
+                ch, cw = h // grid, w // grid
+                cells = (
+                    gray.reshape(grid, ch, grid, cw).sum(axis=(1, 3))
+                )
+                total = int(gray.sum())
+                bits = (cells * (grid * grid) > total).astype("int64")
+                flat = bits.reshape(-1)
+                bands = []
+                for j in range(4):
+                    v = 0
+                    for t in range(16):
+                        v |= int(flat[j * 16 + t]) << t
+                    bands.append(v)
+                rows.append(
+                    (did, bands[0], bands[1], bands[2], bands[3],
+                     int(flat.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "b0", "b1", "b2", "b3", "popcount"],
+            )
+
+    return blobs.mapInPandas(run, schema=AHASH_SCHEMA)

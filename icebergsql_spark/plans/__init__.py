@@ -27,6 +27,11 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-9 pipeline11 operator wave) --
+    "events_hill_tail_index",
+    "events_bot_regularity",
+    "managed_stream_wap",
+    "multimodal_image_ahash",
+    "curation_temperature_mix",
     "managed_add_files_import",
     "sketch_cms_sliding",
     "agg_winsorized_mean",

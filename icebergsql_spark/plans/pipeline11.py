@@ -1325,3 +1325,435 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY w.pri, b.lo_val, b.hi_val
         ORDER BY w.pri
     """)
+
+
+# --------------------------------------------------- image aHash --
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 16) * 37 + i.i * 11) % 256 AS v,
+                 ((i.i // 3) // 16) // 2 * 8 + ((i.i // 3) % 16) // 2
+                   AS cell
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < 1000
+        ),
+        cells AS (
+          SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS t
+          FROM cells GROUP BY 1
+        ),
+        bits AS (
+          SELECT c.doc_id, c.cell,
+                 CASE WHEN c.cs * 64 > tot.t THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot ON tot.doc_id = c.doc_id
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN cell // 16 = 0
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b0,
+                 CAST(SUM(CASE WHEN cell // 16 = 1
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b1,
+                 CAST(SUM(CASE WHEN cell // 16 = 2
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b2,
+                 CAST(SUM(CASE WHEN cell // 16 = 3
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b3,
+                 CAST(SUM(bit) AS INTEGER) AS popcount
+          FROM bits GROUP BY doc_id
+        )
+        SELECT b0, b1, b2, b3, CAST(MAX(popcount) AS INTEGER) AS popcount,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM hashes
+        GROUP BY b0, b1, b2, b3
+        ORDER BY b0, b1, b2, b3
+    """,
+    doc="Perceptual average-hash image dedup end-to-end (operators/"
+    "multimodal.py:image_average_hash): per doc a REAL 16x16 RGB image "
+    "(byte i = ((doc_id%16)*37 + i*11) % 256 — exactly 16 distinct "
+    "images across the corpus) encoded as PPM/BMP by parity, decoded "
+    "by decode_image, integer-grayscaled, 8x8-cell aHash with the "
+    "exact-integer mean test (cell_sum*64 > total_sum — no float "
+    "anywhere), bits packed into four 16-bit bands (the SimHash "
+    "banding, so near-dup candidates come from band equi-joins at "
+    "scale). The gate groups by full hash: the 16 planted image "
+    "classes collapse to a fixed set of hash groups (12 — aHash "
+    "collides some classes by design, that IS the near-dup behavior) "
+    "with exact membership counts — the image near-dup clustering "
+    "primitive. Oracle recomputes everything from the pixel formula.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 256 for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    hashes = multimodal.image_average_hash(blobs, grid=8)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.max("popcount").cast("int").alias("popcount"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("b0", "b1", "b2", "b3")
+    )
+
+
+# --------------------------------------------- temperature mixing --
+
+
+@register(
+    "curation_temperature_mix",
+    oracle="""
+        WITH cnt AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+        fold AS (
+          SELECT list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY source))
+            AS s
+          FROM cnt
+        )
+        SELECT cnt.source, cnt.c AS n_docs,
+               CAST((cnt.c * 1000000) // tot.t AS BIGINT) AS p_nat_ppm,
+               CAST(round(1000000.0 * sqrt(CAST(cnt.c AS DOUBLE)) / fold.s)
+                    AS BIGINT) AS p_temp_ppm,
+               CAST(round(1000000.0 * sqrt(CAST(cnt.c AS DOUBLE)) / fold.s)
+                    AS BIGINT)
+                 - CAST((cnt.c * 1000000) // tot.t AS BIGINT) AS boost_ppm
+        FROM cnt CROSS JOIN tot CROSS JOIN fold
+        ORDER BY cnt.source
+    """,
+    doc="Temperature-based source mixing weights (T5/mT5 ss 3.1 "
+    "temperature sampling, alpha = 0.5): sampling probability "
+    "proportional to count^alpha flattens the natural source mix so "
+    "low-resource sources are upsampled — THE standard multi-source "
+    "LLM pretraining mix knob. alpha = 0.5 keeps the gate exact: "
+    "sqrt() is bit-identical across engines and the normalizer is a "
+    "SOURCE-SORTED sequential fold over the handful of per-source "
+    "terms (Spark aggregate() over sorted structs == DuckDB list_sum "
+    "over list(... ORDER BY source)). Emits natural vs temperature "
+    "ppm weights and the boost delta per source. Scale shape: one "
+    "count aggregate; the fold runs over |sources| rows.",
+    tags=("curation", "agg"),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    cnt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.agg(F.sum("c").cast("bigint").alias("t"))
+    fold = cnt.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source,"
+            " sqrt(CAST(c AS DOUBLE)) AS sq))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sq)"
+        ).alias("s")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(fold))
+        .select(
+            "source",
+            F.col("c").alias("n_docs"),
+            F.expr("CAST((c * 1000000) DIV t AS BIGINT)").alias(
+                "p_nat_ppm"
+            ),
+            F.round(
+                F.lit(1000000.0) * F.sqrt(F.col("c").cast("double"))
+                / F.col("s")
+            ).cast("bigint").alias("p_temp_ppm"),
+            (
+                F.round(
+                    F.lit(1000000.0) * F.sqrt(F.col("c").cast("double"))
+                    / F.col("s")
+                ).cast("bigint")
+                - F.expr("CAST((c * 1000000) DIV t AS BIGINT)")
+            ).alias("boost_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------------ streaming WAP --
+
+
+@register(
+    "managed_stream_wap",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Streaming write-audit-publish: the stream lands on a BRANCH, "
+    "never on main. Seed main with the o_orderkey%4==3 quarter, fork "
+    "'staging', then 3 micro-batches (%4 in 0,1,2; maxFilesPerTrigger"
+    "=1, availableNow) each append to the branch via foreachBatch. "
+    "In-DAG asserts: the main pointer is UNTOUCHED after the whole "
+    "stream (reader isolation — the WAP property), the branch carries "
+    "exactly 3 streamed snapshots, and the audited branch scan "
+    "matches full orders; then fast_forward publishes (the round-9 "
+    "ancestor rule holds: main never moved, so the move is legal) "
+    "and the published table equals the raw-parquet oracle. Composes "
+    "round-4 streaming ingest + round-8 branch refs + the round-9 "
+    "fast-forward ancestor check into the production streaming-"
+    "staging pipeline shape.",
+    tags=("managed", "streaming", "branches"),
+)
+def managed_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 4).cast("int").alias("m"),
+    )
+    src = tempfile.mkdtemp(prefix="icebergsql-swapsrc-")
+    for i in range(3):
+        base.filter(F.col("m") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-swapwh-"))
+    tbl = eng.catalog.create_table(
+        "ord_swap", "k bigint, c bigint, st string, m int", ["st"]
+    )
+    tbl.insert(base.filter(F.col("m") == 3))
+    tbl.create_branch("staging")
+    main_head = tbl.meta.current_snapshot_id
+    mark_setup_done()  # seed + fork done; the streamed WAP is the op
+
+    def land(batch_df, batch_id):
+        tbl.insert(batch_df, branch="staging")
+
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-swapck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl.refresh()
+    assert tbl.meta.current_snapshot_id == main_head, (
+        "streamed branch writes moved the main pointer"
+    )
+    ref = tbl.meta.refs["staging"]
+    # branch head is exactly 3 streamed commits above the fork point
+    depth, cur = 0, tbl.meta.snapshot_by_id(ref["snapshot_id"])
+    while cur is not None and cur.snapshot_id != main_head:
+        depth += 1
+        cur = (
+            tbl.meta.snapshot_by_id(cur.parent_id)
+            if cur.parent_id is not None
+            else None
+        )
+    assert depth == 3, f"expected 3 streamed branch commits, got {depth}"
+    audit = tbl.to_df(ref="staging")
+    assert audit.filter(F.col("c").isNull()).limit(1).count() == 0
+    tbl.fast_forward("staging")
+    tbl.drop_ref("staging")
+    return eng.sql(
+        "SELECT st AS o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(c) AS DOUBLE) / 100.0 AS total "
+        "FROM ord_swap GROUP BY st ORDER BY st"
+    )
+
+
+# --------------------------------------------------- Hill tail index --
+
+
+@register(
+    "events_hill_tail_index",
+    oracle="""
+        WITH ranked AS (
+          SELECT value AS v,
+                 row_number() OVER (ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ),
+        topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
+        xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
+        terms AS (
+          SELECT t.rn, ln(t.v / xk.x_k) AS lr
+          FROM topk t CROSS JOIN xk WHERE t.rn <= 100
+        ),
+        fold AS (SELECT list_sum(list(lr ORDER BY rn)) AS s FROM terms)
+        SELECT CAST(100 AS BIGINT) AS k,
+               xk.x_k AS x_k,
+               fold.s / 100.0 AS hill_mean,
+               100.0 / fold.s AS alpha_hat
+        FROM fold CROSS JOIN xk
+    """,
+    doc="Hill estimator of the value distribution's power-law tail index "
+    "(Hill 1975) over the top k=100 order statistics: hill = mean of "
+    "ln(x_i / x_(k+1)), alpha_hat = 1/hill — the standard heavy-tail "
+    "diagnostic for the skewed size/degree/value distributions every "
+    "data-curation pipeline meets (doc lengths, user activity, order "
+    "values; alpha < 2 means infinite variance, sampling strategies "
+    "must change). Determinism: order statistics under a total order "
+    "(value DESC, event_id), per-term ln of the SAME division "
+    "expression in both engines, RANK-SORTED sequential fold, two "
+    "mirrored final divisions. Scale shape: one TakeOrdered top-101 "
+    "scan — no global sort materialized.",
+    tags=("events", "stats", "agg"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("events",))
+    return spark.sql("""
+        WITH ranked AS (
+          SELECT value AS v,
+                 row_number() OVER (ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ),
+        topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
+        xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
+        terms AS (
+          SELECT t.rn, ln(t.v / xk.x_k) AS lr
+          FROM topk t CROSS JOIN xk WHERE t.rn <= 100
+        ),
+        fold AS (
+          SELECT aggregate(array_sort(collect_list(struct(rn, lr))),
+                           CAST(0.0 AS DOUBLE),
+                           (acc, x) -> acc + x.lr) AS s
+          FROM terms
+        )
+        SELECT CAST(100 AS BIGINT) AS k,
+               xk.x_k AS x_k,
+               fold.s / 100.0 AS hill_mean,
+               100.0 / fold.s AS alpha_hat
+        FROM fold CROSS JOIN xk
+    """)
+
+
+# ------------------------------------------------ bot regularity --
+
+
+@register(
+    "events_bot_regularity",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) AS ts, event_id FROM events
+        ),
+        gaps AS (
+          SELECT user_id,
+                 (ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                 )) // 1000000000 AS g
+          FROM e
+        ),
+        g2 AS (SELECT user_id, CAST(g AS BIGINT) AS g FROM gaps
+               WHERE g IS NOT NULL),
+        stats AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(g * g) AS BIGINT) AS s2
+          FROM g2 GROUP BY 1
+        )
+        SELECT user_id, n_gaps,
+               CAST(s1 // n_gaps AS BIGINT) AS mean_gap_s,
+               CAST(n_gaps * s2 - s1 * s1 AS BIGINT) AS var_num,
+               CAST(n_gaps * n_gaps AS BIGINT) AS var_den
+        FROM stats
+        WHERE n_gaps >= 5
+        ORDER BY CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n_gaps * n_gaps AS DOUBLE),
+                 user_id
+        LIMIT 20
+    """,
+    doc="Bot / automation detection by inter-arrival regularity: per "
+    "user the exact integer variance of event gaps (seconds; "
+    "var_num/var_den = (n*sum(g^2) - sum(g)^2) / n^2 kept as an exact "
+    "rational — humans are bursty, schedulers are metronomes, so the "
+    "20 lowest-variance users with >= 5 gaps are the automation "
+    "shortlist every abuse/curation pipeline maintains. Determinism: "
+    "gaps under a total per-user order (ts, event_id), second-level "
+    "truncation keeps every square inside int64 at any realistic "
+    "horizon, ranking key is the exact scaled rational. Scale shape: "
+    "one per-user window + sufficient-stats aggregate; the sort is "
+    "TakeOrdered top-20.",
+    tags=("events", "stats", "curation"),
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_botreg")
+    return spark.sql("""
+        WITH gaps AS (
+          SELECT user_id,
+                 (ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                 )) DIV 1000000000 AS g
+          FROM ev_botreg
+        ),
+        g2 AS (SELECT user_id, CAST(g AS BIGINT) AS g FROM gaps
+               WHERE g IS NOT NULL),
+        stats AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS s1,
+                 CAST(SUM(g * g) AS BIGINT) AS s2
+          FROM g2 GROUP BY 1
+        )
+        SELECT user_id, n_gaps,
+               CAST(s1 DIV n_gaps AS BIGINT) AS mean_gap_s,
+               CAST(n_gaps * s2 - s1 * s1 AS BIGINT) AS var_num,
+               CAST(n_gaps * n_gaps AS BIGINT) AS var_den
+        FROM stats
+        WHERE n_gaps >= 5
+        ORDER BY CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                   / CAST(n_gaps * n_gaps AS DOUBLE),
+                 user_id
+        LIMIT 20
+    """)
