@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "curation_temperature_mix",
     "events_hill_tail_index",
     "events_bot_regularity",
+    "events_cuped_adjustment",
+    "graph_hits_scores",
 ]
 
 

@@ -27,6 +27,8 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-9 pipeline11 operator wave) --
+    "events_cuped_adjustment",
+    "graph_hits_scores",
     "events_hill_tail_index",
     "events_bot_regularity",
     "managed_stream_wap",

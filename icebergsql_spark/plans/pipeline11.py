@@ -1757,3 +1757,214 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  user_id
         LIMIT 20
     """)
+
+
+# ------------------------------------------------------------ CUPED --
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(SUM(CASE WHEN ev.day < d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.day >= d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_mean
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """,
+    doc="CUPED variance-reduced A/B metric (Deng et al. WSDM 2013 — the "
+    "industry-standard experiment readout): per user, pre-period "
+    "(first 2 weeks) purchase count X is the covariate for the "
+    "post-period metric Y; theta = cov(X,Y)/var(X) from POOLED exact "
+    "integer sufficient stats (cov_num/var_num emitted as the exact "
+    "bigint rationals), and each arm (user_id parity) reports "
+    "mean(Y_g) - theta * (mean(X_g) - mean(X)) — same expected value "
+    "as the plain mean, strictly lower variance. Determinism: one "
+    "textually mirrored float expression over exact bigints. Scale "
+    "shape: one per-user aggregate, one 2-row arm aggregate, a "
+    "broadcast pooled row — the sufficient-stats pattern of "
+    "agg_welch_ttest.",
+    tags=("events", "stats", "curation"),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_cuped")
+    return spark.sql("""
+        WITH ev AS (
+          SELECT user_id, event_type, ts DIV 86400000000000 AS day
+          FROM ev_cuped
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INT) AS arm,
+                 CAST(SUM(CASE WHEN ev.day < d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.day >= d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_mean
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """)
+
+
+# ------------------------------------------------------------- HITS --
+
+
+@register(
+    "graph_hits_scores",
+    oracle=_EDGE_SQL + """,
+        de AS (SELECT a AS src, b AS dst FROM half),
+        nodes AS (
+          SELECT DISTINCT n FROM (
+            SELECT src AS n FROM de UNION ALL SELECT dst FROM de
+          ) x
+        ),
+        a1 AS (
+          SELECT dst AS n, CAST(COUNT(*) AS BIGINT) AS s
+          FROM de GROUP BY 1
+        ),
+        h1 AS (
+          SELECT de.src AS n, CAST(SUM(a1.s) AS BIGINT) AS s
+          FROM de JOIN a1 ON a1.n = de.dst GROUP BY 1
+        ),
+        a2 AS (
+          SELECT de.dst AS n, CAST(SUM(h1.s) AS BIGINT) AS s
+          FROM de JOIN h1 ON h1.n = de.src GROUP BY 1
+        ),
+        h2 AS (
+          SELECT de.src AS n, CAST(SUM(a2.s) AS BIGINT) AS s
+          FROM de JOIN a2 ON a2.n = de.dst GROUP BY 1
+        )
+        SELECT nodes.n,
+               CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_2,
+               CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_2
+        FROM nodes
+        LEFT JOIN a2 ON a2.n = nodes.n
+        LEFT JOIN h2 ON h2.n = nodes.n
+        ORDER BY auth_2 DESC, hub_2 DESC, nodes.n
+        LIMIT 25
+    """,
+    doc="HITS hub/authority scores (Kleinberg 1999), two UNNORMALIZED "
+    "power-iteration rounds over the lexicographically-directed token "
+    "graph (edge a -> b iff a < b co-occur): auth_k = sum of in-"
+    "neighbor hubs, hub_k = sum of out-neighbor auths, every score an "
+    "EXACT bigint (normalization only rescales the ranking, so "
+    "dropping it keeps the fixed-round scores oracle-checkable; "
+    "production runs normalized floats to convergence — documented "
+    "trade). Top-25 under a total order. Complements pagerank/PPR "
+    "with the bipartite-influence view link-farm and citation "
+    "analyses use. Scale shape: each round is one equi-join + "
+    "groupBy over the edge list.",
+    tags=("graph", "join"),
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    half = _token_half_edges(spark, sf_dir)
+    de = half.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = (
+        de.select(F.col("src").alias("n"))
+        .unionAll(de.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    a1 = de.groupBy(F.col("dst").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    h1 = (
+        de.join(a1.withColumnRenamed("n", "dst"), "dst")
+        .groupBy(F.col("src").alias("n"))
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    a2 = (
+        de.join(
+            h1.select(F.col("n").alias("src"), F.col("s").alias("hs")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("n"))
+        .agg(F.sum("hs").cast("bigint").alias("s"))
+    )
+    h2 = (
+        de.join(
+            a2.select(F.col("n").alias("dst"), F.col("s").alias("as2")),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("n"))
+        .agg(F.sum("as2").cast("bigint").alias("s"))
+    )
+    return (
+        nodes.join(a2.withColumnRenamed("s", "auth_2"), "n", "left")
+        .join(h2.withColumnRenamed("s", "hub_2"), "n", "left")
+        .select(
+            "n",
+            F.coalesce("auth_2", F.lit(0)).cast("bigint").alias("auth_2"),
+            F.coalesce("hub_2", F.lit(0)).cast("bigint").alias("hub_2"),
+        )
+        .orderBy(F.desc("auth_2"), F.desc("hub_2"), "n")
+        .limit(25)
+    )
