@@ -1,0 +1,914 @@
+"""Round-10 gate wave, PRE-AUTHORED in late round 9 (not yet imported by
+``plans/__init__.load_all`` — importing it is round 10's registration
+step, after the WINDOW_PRIORITY rotation the round-9 comment mandates).
+
+Gates composed over already-tested round-9 operators (louvain_gain_round,
+audio_frame_energy, image_average_hash, decontaminate, branch-scoped
+rewrite_manifests) plus SQL-only additions: ROUGE overlap, Poisson rate
+CIs, the CUPED streaming twin.  Every oracle verified green at
+sf0.001 + sf0.01 + sf0.1 via the driver-sim recipe with this module
+imported explicitly (see CLAUDE.md round-9 notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL, _token_half_edges
+from icebergsql_spark.plans.registry import load_tables, register
+
+
+# ------------------------------------------------- Louvain 2-round trace --
+
+
+def _louvain_round_sql(k: int, lab: str) -> str:
+    """CTE block for one synchronous Louvain round over label table
+    ``lab`` (columns n, lbl) — textually the same recurrence
+    operators/graph.py:louvain_gain_round runs; suffix ``k`` namespaces
+    the round."""
+    return f"""
+        node{k} AS (
+          SELECT deg.n, deg.k, {lab}.lbl AS d
+          FROM deg JOIN {lab} ON {lab}.n = deg.n
+        ),
+        ctot{k} AS (
+          SELECT d AS c, CAST(SUM(k) AS BIGINT) AS tot
+          FROM node{k} GROUP BY 1
+        ),
+        nbrc{k} AS (
+          SELECT e.a AS n, {lab}.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k_ic
+          FROM e JOIN {lab} ON {lab}.n = e.b GROUP BY 1, 2
+        ),
+        base{k} AS (
+          SELECT node{k}.n, node{k}.k, node{k}.d, td.tot AS tot_d,
+                 CAST(COALESCE(kid.k_ic, 0) AS BIGINT) AS k_id
+          FROM node{k}
+          JOIN ctot{k} td ON td.c = node{k}.d
+          LEFT JOIN nbrc{k} kid
+            ON kid.n = node{k}.n AND kid.c = node{k}.d
+        ),
+        cand{k} AS (
+          SELECT base{k}.n, base{k}.d, nbrc{k}.c,
+                 CAST(2 * m.m * (nbrc{k}.k_ic - base{k}.k_id)
+                      - base{k}.k * (ctot{k}.tot
+                                     - (base{k}.tot_d - base{k}.k))
+                      AS BIGINT) AS gain_num,
+                 row_number() OVER (
+                   PARTITION BY base{k}.n
+                   ORDER BY 2 * m.m * (nbrc{k}.k_ic - base{k}.k_id)
+                            - base{k}.k * (ctot{k}.tot
+                                           - (base{k}.tot_d - base{k}.k))
+                            DESC, nbrc{k}.c ASC
+                 ) AS rn
+          FROM nbrc{k}
+          JOIN base{k} ON base{k}.n = nbrc{k}.n AND nbrc{k}.c <> base{k}.d
+          JOIN ctot{k} ON ctot{k}.c = nbrc{k}.c
+          CROSS JOIN m
+        ),
+        best{k} AS (
+          SELECT n, c AS move_to, gain_num FROM cand{k}
+          WHERE rn = 1 AND gain_num > 0
+        ),
+        moved{k} AS (
+          SELECT base{k}.n, base{k}.d AS lbl_old,
+                 COALESCE(best{k}.move_to, base{k}.d) AS lbl_new,
+                 CAST(COALESCE(best{k}.gain_num, 0) AS BIGINT) AS gain_num
+          FROM base{k} LEFT JOIN best{k} ON best{k}.n = base{k}.n
+        )"""
+
+
+@register(
+    "graph_louvain_trace",
+    oracle=_EDGE_SQL + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (SELECT n, lbl_new AS lbl FROM moved1),
+        {_louvain_round_sql(2, 'lab2')},
+        trace AS (
+          SELECT 1 AS round, lbl_old, lbl_new, gain_num, n FROM moved1
+          UNION ALL
+          SELECT 2, lbl_old, lbl_new, gain_num, n FROM moved2
+        )
+        SELECT CAST(round AS INTEGER) AS round,
+               CAST(lbl_old AS BIGINT) AS lbl_old,
+               CAST(lbl_new AS BIGINT) AS lbl_new,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(gain_num) AS BIGINT) AS sum_gain,
+               CAST(SUM(CAST('0x' || substr(md5(n), 1, 6) AS BIGINT))
+                    AS BIGINT) AS node_digest
+        FROM trace GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="TWO chained synchronous Louvain rounds on the token "
+    "co-occurrence graph: round 2 refines the communities round 1 "
+    "produced (labels relabeled between rounds — the multi-round "
+    "convergence loop of real Louvain, deterministic because every "
+    "round is the simultaneous-move pure function the single-round "
+    "gate proves). Emits both rounds' (old, new) transition matrices "
+    "with gain sums and md5 node-set digests; the oracle chains two "
+    "textually identical round CTE blocks through the relabel. Scale "
+    "shape: each round is the bounded-join round of "
+    "graph_louvain_onelevel; the Spark side localCheckpoints between "
+    "rounds so the unrolled lineage stays linear (the kcore lesson).",
+    tags=("graph", "dedup", "window"),
+)
+def graph_louvain_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.graph import louvain_gain_round
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    out = []
+    for rnd in (1, 2):
+        moved = louvain_gain_round(half, labels).localCheckpoint()
+        out.append(moved.withColumn("round", F.lit(rnd)))
+        labels = moved.select("n", F.col("lbl_new").alias("lbl"))
+    trace = out[0].unionAll(out[1])
+    return (
+        trace.groupBy(
+            F.col("round").cast("int").alias("round"),
+            F.col("lbl_old").cast("bigint").alias("lbl_old"),
+            F.col("lbl_new").cast("bigint").alias("lbl_new"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("gain_num").cast("bigint").alias("sum_gain"),
+            F.sum(
+                F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            ).cast("bigint").alias("node_digest"),
+        )
+        .orderBy("round", "lbl_old", "lbl_new")
+    )
+
+
+# ----------------------------------------------------------- audio SNR --
+
+
+@register(
+    "multimodal_audio_snr",
+    oracle="""
+        WITH frames AS (
+          SELECT doc_id, f.f AS frame_idx,
+                 CASE WHEN (doc_id + f.f) % 3 = 0
+                      THEN CAST(16 AS BIGINT)
+                      ELSE list_sum(list_transform(
+                             generate_series(0, 15), j ->
+                             CAST(((doc_id * 7 + (f.f * 16 + j) * 13)
+                                   % 4096 - 2048)
+                                  * ((doc_id * 7 + (f.f * 16 + j) * 13)
+                                     % 4096 - 2048) AS BIGINT)))
+                 END AS energy
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS f) f
+          WHERE doc_id < 500
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN energy > 64 THEN energy ELSE 0 END)
+                      AS BIGINT) AS act_energy,
+                 CAST(SUM(CASE WHEN energy > 64 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS act_frames,
+                 CAST(SUM(CASE WHEN energy <= 64 THEN energy ELSE 0 END)
+                      AS BIGINT) AS sil_energy,
+                 CAST(SUM(CASE WHEN energy <= 64 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS sil_frames
+          FROM frames GROUP BY 1
+        )
+        SELECT doc_id, act_frames, sil_frames, act_energy, sil_energy,
+               (CAST(act_energy AS DOUBLE) / CAST(act_frames AS DOUBLE))
+                 / (CAST(sil_energy AS DOUBLE)
+                    / CAST(sil_frames AS DOUBLE)) AS snr_ratio
+        FROM per_doc
+        WHERE act_frames > 0 AND sil_frames > 0
+        ORDER BY doc_id
+    """,
+    doc="Per-document signal-to-noise estimate over REAL WAV payloads: "
+    "the VAD fixture's silent frames carry a +/-1 noise floor "
+    "(energy exactly 16/frame) while active frames follow the loud "
+    "formula; frames split at energy > 64, SNR emitted as the RAW "
+    "active/silent mean-energy ratio — exact int64 energy sums from "
+    "decode_audio + audio_frame_energy, mirrored float divisions "
+    "only (an ln() here is NOT safe: JVM Math.log and glibc log "
+    "differ by 1 ulp on some inputs — measured in round 9; callers "
+    "take the log downstream if they want dB). The audio-quality "
+    "filter a speech-data curation pipeline thresholds on. Oracle "
+    "recomputes from the sample formula (noise frames: 16 samples "
+    "of amplitude 1).",
+    tags=("multimodal", "curation"),
+)
+def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [
+                    ((i % 2) * 2 - 1)
+                    if (d + (i // 16)) % 3 == 0
+                    else (d * 7 + i * 13) % 4096 - 2048
+                    for i in range(256)
+                ]
+                payloads.append(multimodal.encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    frames = multimodal.audio_frame_energy(blobs, frame_len=16)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("energy") > 64, F.col("energy")).otherwise(0))
+        .cast("bigint").alias("act_energy"),
+        F.sum(F.when(F.col("energy") > 64, 1).otherwise(0))
+        .cast("bigint").alias("act_frames"),
+        F.sum(F.when(F.col("energy") <= 64, F.col("energy")).otherwise(0))
+        .cast("bigint").alias("sil_energy"),
+        F.sum(F.when(F.col("energy") <= 64, 1).otherwise(0))
+        .cast("bigint").alias("sil_frames"),
+    )
+    return (
+        per_doc.filter((F.col("act_frames") > 0) & (F.col("sil_frames") > 0))
+        .select(
+            "doc_id", "act_frames", "sil_frames", "act_energy",
+            "sil_energy",
+            F.expr(
+                "(CAST(act_energy AS DOUBLE)"
+                " / CAST(act_frames AS DOUBLE))"
+                " / (CAST(sil_energy AS DOUBLE)"
+                " / CAST(sil_frames AS DOUBLE))"
+            ).alias("snr_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------- contamination by source --
+
+_SHINGLE3_12 = (
+    "list_transform(generate_series(1, greatest(len(string_split("
+    "trim(text), ' ')) - 2, 1)), i -> array_to_string(string_split("
+    "trim(text), ' ')[i:i+2], ' '))"
+)
+
+
+@register(
+    "curation_contamination_by_source",
+    oracle=f"""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents WHERE doc_id < 480
+        ),
+        bench AS (
+          SELECT DISTINCT unnest(list_distinct({_SHINGLE3_12})) AS shingle
+          FROM documents WHERE doc_id >= 480
+        ),
+        csh AS (
+          SELECT doc_id, unnest(list_distinct({_SHINGLE3_12})) AS shingle
+          FROM corpus
+        ),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS hit_shingles
+          FROM csh WHERE shingle IN (SELECT shingle FROM bench)
+          GROUP BY 1
+        )
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(h.hit_shingles, 0) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS contaminated,
+               CAST(SUM(COALESCE(h.hit_shingles, 0)) AS BIGINT)
+                 AS total_hits,
+               CAST((SUM(CASE WHEN COALESCE(h.hit_shingles, 0) > 0
+                         THEN 1 ELSE 0 END) * 1000000)
+                    // COUNT(*) AS BIGINT) AS rate_ppm
+        FROM corpus c LEFT JOIN hits h USING (doc_id)
+        GROUP BY c.source
+        ORDER BY c.source
+    """,
+    doc="Benchmark-contamination rate PER SOURCE (the dashboard view of "
+    "curation_decontaminate): corpus docs sharing any word 3-gram with "
+    "the held-out benchmark slice, rolled up to per-source counts and "
+    "exact ppm rates — the report a data-sourcing review reads before "
+    "deciding which feed to quarantine. Scale shape unchanged from the "
+    "operator (broadcast benchmark shingles, map-side semi-join); the "
+    "rollup adds one bounded groupBy.",
+    tags=("curation", "decontamination"),
+)
+def curation_contamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators import curation
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = docs.filter(F.col("doc_id") < 480)
+    hits = curation.decontaminate(
+        corpus, docs.filter(F.col("doc_id") >= 480), n=3
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("hit_shingles") > 0, 1).otherwise(0))
+            .cast("bigint").alias("contaminated"),
+            F.sum("hit_shingles").cast("bigint").alias("total_hits"),
+            F.expr(
+                "CAST((SUM(CASE WHEN hit_shingles > 0 THEN 1 ELSE 0 END)"
+                " * 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- branch-scoped rewrite --
+
+
+@register(
+    "managed_branch_rewrite",
+    oracle="""
+        WITH o AS (SELECT o_orderkey AS k,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders)
+        SELECT scope, n, total FROM (
+          SELECT 'branch' AS scope,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 4 IN (0, 1, 2)
+          UNION ALL
+          SELECT 'main' AS scope,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS DOUBLE) / 100.0 AS total
+          FROM o WHERE k % 4 = 0
+        ) ORDER BY scope
+    """,
+    doc="Branch-scoped rewrite_manifests (round-7 seed, table.py:"
+    "rewrite_manifests(branch=...)): a staging branch accretes 2 "
+    "commits of its own (one manifest each), the branch-scoped rewrite "
+    "consolidates the branch HEAD's manifest list as a metadata-only "
+    "snapshot and advances ONLY the branch ref — in-DAG asserts: main "
+    "pointer + main manifest count untouched, branch manifest count "
+    "dropped to 1, branch data identical through the rewrite, branch "
+    "lineage gains exactly one 'replace' snapshot. The maintenance "
+    "shape for long-lived audit branches whose planning would "
+    "otherwise read one manifest per staged commit. Result: main + "
+    "branch scan aggregates vs raw orders.",
+    tags=("managed", "maintenance", "branches"),
+)
+def managed_branch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        (F.col("o_orderkey") % 4).cast("int").alias("m"),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-brrw-"))
+    tbl = eng.catalog.create_table(
+        "ord_brrw", "k bigint, c bigint, m int", ["m"]
+    )
+    tbl.insert(src.filter(F.col("m") == 0))
+    tbl.create_branch("staging")
+    tbl.insert(src.filter(F.col("m") == 1), branch="staging")
+    tbl.insert(src.filter(F.col("m") == 2), branch="staging")
+    mark_setup_done()  # branch history built; the scoped rewrite is the op
+    main_head = tbl.meta.current_snapshot_id
+    main_manifests = len(tbl.meta.current_snapshot().manifest_paths)
+    branch_head = tbl.meta.refs["staging"]["snapshot_id"]
+    b_before = len(
+        tbl.meta.snapshot_by_id(branch_head).manifest_paths
+    )
+    assert b_before == 3, b_before  # fork + 2 staged commits
+    res = tbl.rewrite_manifests(branch="staging")
+    assert res["rewritten_manifests"] == 3 and res["added_manifests"] == 1
+    tbl.refresh()
+    assert tbl.meta.current_snapshot_id == main_head, "main moved"
+    assert (
+        len(tbl.meta.current_snapshot().manifest_paths) == main_manifests
+    )
+    new_head = tbl.meta.snapshot_by_id(tbl.meta.refs["staging"]["snapshot_id"])
+    assert new_head.snapshot_id != branch_head
+    assert new_head.operation == "replace"
+    assert new_head.parent_id == branch_head
+    assert len(new_head.manifest_paths) == 1
+
+    def agg(df, scope):
+        return df.agg(
+            F.lit(scope).alias("scope"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+        )
+
+    return (
+        agg(tbl.to_df(ref="staging"), "branch")
+        .unionAll(agg(tbl.to_df(), "main"))
+        .orderBy("scope")
+    )
+
+
+# ---------------------------------------------------- ROUGE overlap --
+
+
+@register(
+    "text_rouge_overlap",
+    oracle="""
+        WITH pairs AS (
+          SELECT doc_id AS ref_id, doc_id + 1 AS cand_id
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200
+        ),
+        uni AS (
+          SELECT doc_id,
+                 list_distinct(string_split(trim(text), ' ')) AS u
+          FROM documents WHERE doc_id <= 200
+        ),
+        bi AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(
+                     trim(text), ' ')) - 1, 1)),
+                   i -> array_to_string(string_split(
+                     trim(text), ' ')[i:i+1], ' '))) AS b
+          FROM documents WHERE doc_id <= 200
+        ),
+        r1 AS (
+          SELECT p.ref_id, p.cand_id,
+                 CAST(len(list_intersect(ur.u, uc.u)) AS BIGINT) AS o1,
+                 CAST(len(ur.u) AS BIGINT) AS n1
+          FROM pairs p
+          JOIN uni ur ON ur.doc_id = p.ref_id
+          JOIN uni uc ON uc.doc_id = p.cand_id
+        ),
+        r2 AS (
+          SELECT p.ref_id,
+                 CAST(len(list_intersect(br.b, bc.b)) AS BIGINT) AS o2,
+                 CAST(len(br.b) AS BIGINT) AS n2
+          FROM pairs p
+          JOIN bi br ON br.doc_id = p.ref_id
+          JOIN bi bc ON bc.doc_id = p.cand_id
+        )
+        SELECT r1.ref_id, r1.cand_id, r1.o1, r1.n1, r2.o2, r2.n2,
+               CAST(r1.o1 AS DOUBLE) / CAST(r1.n1 AS DOUBLE) AS rouge1,
+               CAST(r2.o2 AS DOUBLE) / CAST(r2.n2 AS DOUBLE) AS rouge2
+        FROM r1 JOIN r2 ON r2.ref_id = r1.ref_id
+        ORDER BY r1.ref_id
+    """,
+    doc="ROUGE-1/ROUGE-2 recall between paired documents (even doc -> "
+    "its successor; distinct-n-gram overlap over reference size — the "
+    "summarization/grounding eval primitive run at corpus scale when "
+    "scoring model outputs against references): exact integer overlap "
+    "and size counts with two mirrored final divisions. ROUGE-2 here "
+    "uses distinct word bigrams built with the engine-parity slice "
+    "idiom. Scale shape: per-doc distinct n-gram arrays, one "
+    "pair-keyed equi-join — never a token-level shuffle.",
+    tags=("text", "agg"),
+)
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH pairs AS (
+          SELECT doc_id AS ref_id, doc_id + 1 AS cand_id
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 200
+        ),
+        uni AS (
+          SELECT doc_id,
+                 array_distinct(split(trim(text), ' ')) AS u
+          FROM documents WHERE doc_id <= 200
+        ),
+        bi AS (
+          SELECT doc_id,
+                 array_distinct(transform(
+                   sequence(1, greatest(size(split(trim(text), ' '))
+                                        - 1, 1)),
+                   i -> array_join(slice(split(trim(text), ' '), i, 2),
+                                   ' '))) AS b
+          FROM documents WHERE doc_id <= 200
+        ),
+        r1 AS (
+          SELECT p.ref_id, p.cand_id,
+                 CAST(size(array_intersect(ur.u, uc.u)) AS BIGINT) AS o1,
+                 CAST(size(ur.u) AS BIGINT) AS n1
+          FROM pairs p
+          JOIN uni ur ON ur.doc_id = p.ref_id
+          JOIN uni uc ON uc.doc_id = p.cand_id
+        ),
+        r2 AS (
+          SELECT p.ref_id,
+                 CAST(size(array_intersect(br.b, bc.b)) AS BIGINT) AS o2,
+                 CAST(size(br.b) AS BIGINT) AS n2
+          FROM pairs p
+          JOIN bi br ON br.doc_id = p.ref_id
+          JOIN bi bc ON bc.doc_id = p.cand_id
+        )
+        SELECT r1.ref_id, r1.cand_id, r1.o1, r1.n1, r2.o2, r2.n2,
+               CAST(r1.o1 AS DOUBLE) / CAST(r1.n1 AS DOUBLE) AS rouge1,
+               CAST(r2.o2 AS DOUBLE) / CAST(r2.n2 AS DOUBLE) AS rouge2
+        FROM r1 JOIN r2 ON r2.ref_id = r1.ref_id
+        ORDER BY r1.ref_id
+    """)
+
+
+# ---------------------------------------------- Poisson rate CIs --
+
+
+@register(
+    "events_poisson_rate_ci",
+    oracle="""
+        WITH ev AS (
+          SELECT event_type, epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        span AS (
+          SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS days FROM ev
+        ),
+        cnt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+          GROUP BY 1
+        )
+        SELECT cnt.event_type, cnt.n, span.days,
+               CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE) AS rate,
+               (CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE))
+                 - 1.96 * sqrt(CAST(cnt.n AS DOUBLE))
+                   / CAST(span.days AS DOUBLE) AS ci_lo,
+               (CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE))
+                 + 1.96 * sqrt(CAST(cnt.n AS DOUBLE))
+                   / CAST(span.days AS DOUBLE) AS ci_hi
+        FROM cnt CROSS JOIN span
+        ORDER BY cnt.event_type
+    """,
+    doc="Per-event-type Poisson rate with a normal-approximation 95% CI "
+    "(rate = n/days, half-width 1.96*sqrt(n)/days — the count-metric "
+    "uncertainty readout monitoring dashboards band their charts "
+    "with): exact bigint counts and day span, three textually "
+    "mirrored float expressions (sqrt is bit-identical). Scale shape: "
+    "one groupBy + a broadcast 1-row span.",
+    tags=("events", "stats"),
+)
+def events_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_poisson")
+    return spark.sql("""
+        WITH ev AS (
+          SELECT event_type, ts DIV 86400000000000 AS day FROM ev_poisson
+        ),
+        span AS (
+          SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS days FROM ev
+        ),
+        cnt AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+          GROUP BY 1
+        )
+        SELECT cnt.event_type, cnt.n, span.days,
+               CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE) AS rate,
+               (CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE))
+                 - 1.96 * sqrt(CAST(cnt.n AS DOUBLE))
+                   / CAST(span.days AS DOUBLE) AS ci_lo,
+               (CAST(cnt.n AS DOUBLE) / CAST(span.days AS DOUBLE))
+                 + 1.96 * sqrt(CAST(cnt.n AS DOUBLE))
+                   / CAST(span.days AS DOUBLE) AS ci_hi
+        FROM cnt CROSS JOIN span
+        ORDER BY cnt.event_type
+    """)
+
+
+# ------------------------------------------ aHash near-dup pairs --
+
+
+@register(
+    "dedup_ahash_hamming_pairs",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 16) * 37 + i.i * 11) % 256 AS v,
+                 ((i.i // 3) // 16) // 2 * 8 + ((i.i // 3) % 16) // 2
+                   AS cell
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < 1000
+        ),
+        cells AS (
+          SELECT doc_id, cell, CAST(SUM(v) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT doc_id, CAST(SUM(cs) AS BIGINT) AS t
+          FROM cells GROUP BY 1
+        ),
+        bits AS (
+          SELECT c.doc_id, c.cell,
+                 CASE WHEN c.cs * 64 > tot.t THEN 1 ELSE 0 END AS bit
+          FROM cells c JOIN tot ON tot.doc_id = c.doc_id
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN cell // 16 = 0
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b0,
+                 CAST(SUM(CASE WHEN cell // 16 = 1
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b1,
+                 CAST(SUM(CASE WHEN cell // 16 = 2
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b2,
+                 CAST(SUM(CASE WHEN cell // 16 = 3
+                          THEN bit << (cell % 16) ELSE 0 END) AS BIGINT)
+                   AS b3
+          FROM bits GROUP BY doc_id
+        ),
+        classes AS (
+          SELECT b0, b1, b2, b3, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MIN(doc_id) AS BIGINT) AS rep
+          FROM hashes GROUP BY 1, 2, 3, 4
+        ),
+        cand AS (
+          SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+          FROM classes x JOIN classes y ON x.rep < y.rep
+          WHERE x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3
+        ),
+        scored AS (
+          SELECT c.rep_a, c.rep_b,
+                 CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+                      + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+                      + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+                      + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT))
+                      AS INTEGER) AS hamming,
+                 a.n_docs * b.n_docs AS n_pairs
+          FROM cand c
+          JOIN classes a ON a.rep = c.rep_a
+          JOIN classes b ON b.rep = c.rep_b
+        )
+        SELECT rep_a, rep_b, hamming, CAST(n_pairs AS BIGINT) AS n_pairs
+        FROM scored WHERE hamming <= 8
+        ORDER BY hamming, rep_a, rep_b
+    """,
+    doc="Image near-duplicate candidate pairs from aHash BANDING: the 16 "
+    "planted image classes hash to 12 distinct aHashes; classes "
+    "sharing ANY 16-bit band are candidates (4-band pigeonhole — "
+    "every pair with hamming <= 3 is guaranteed caught, wider ones "
+    "best-effort, the dedup_simhash_hamming_pairs contract applied "
+    "to images), exact Hamming distance via per-band XOR popcounts, "
+    "pairs kept at hamming <= 8 with the exact cross-class pair "
+    "count. Candidates come from band equi-joins over the CLASS "
+    "table (distinct hashes), never doc x doc. Oracle recomputes "
+    "hashes from the pixel formula and mirrors the banding.",
+    tags=("multimodal", "dedup"),
+)
+def dedup_ahash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    docs = (
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 256 for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    classes = (
+        multimodal.image_average_hash(blobs, grid=8)
+        .groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    x, y = classes.alias("x"), classes.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.rep") < F.col("y.rep"))
+            & (
+                (F.col("x.b0") == F.col("y.b0"))
+                | (F.col("x.b1") == F.col("y.b1"))
+                | (F.col("x.b2") == F.col("y.b2"))
+                | (F.col("x.b3") == F.col("y.b3"))
+            ),
+        )
+        .select(
+            F.col("x.rep").alias("rep_a"),
+            F.col("y.rep").alias("rep_b"),
+            (
+                F.bit_count(F.col("x.b0").bitwiseXOR(F.col("y.b0")))
+                + F.bit_count(F.col("x.b1").bitwiseXOR(F.col("y.b1")))
+                + F.bit_count(F.col("x.b2").bitwiseXOR(F.col("y.b2")))
+                + F.bit_count(F.col("x.b3").bitwiseXOR(F.col("y.b3")))
+            ).cast("int").alias("hamming"),
+            (F.col("x.n_docs") * F.col("y.n_docs"))
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.col("hamming") <= 8)
+        .orderBy("hamming", "rep_a", "rep_b")
+    )
+
+
+# --------------------------------------------- streaming CUPED twin --
+
+
+@register(
+    "events_stream_cuped",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(SUM(CASE WHEN ev.day < d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.day >= d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_mean
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """,
+    doc="STREAMING twin of events_cuped_adjustment: each of 3 "
+    "chronological micro-batches appends per-user (x_partial, "
+    "y_partial) purchase-count partials (each event lands in exactly "
+    "one batch, so the per-user sums are SUM-mergeable — replay/"
+    "chopping safe by algebra; the pre/post boundary day is fixed "
+    "up-front like every stream gate's day offsets); the finalizer "
+    "merges partials per user and computes the identical pooled-"
+    "theta CUPED readout — the LIVE experiment dashboard shape, "
+    "converging to the batch oracle bit-for-bit.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-cupsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-cupout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                "user_id",
+                F.expr("ts DIV 86400000000000").alias("day"),
+                "event_type",
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("day") < d0 + 14)
+                        & (F.col("event_type") == "purchase"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("x"),
+                F.sum(
+                    F.when(
+                        (F.col("day") >= d0 + 14)
+                        & (F.col("event_type") == "purchase"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("y"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-cupck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.sum("x").cast("bigint").alias("x"),
+            F.sum("y").cast("bigint").alias("y"),
+        )
+        .createOrReplaceTempView("cuped_partials")
+    )
+    return spark.sql("""
+        WITH per_user AS (
+          SELECT user_id, CAST(user_id % 2 AS INT) AS arm, x, y
+          FROM cuped_partials
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_mean
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """)
