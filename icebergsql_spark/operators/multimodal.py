@@ -782,12 +782,9 @@ def image_average_hash(blobs: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _c, px = decode_image(bytes(payload))
-                a = px.astype("int64")
-                if a.ndim == 2:  # grayscale: (h, w)
-                    gray = a
-                else:  # (h, w, c)
-                    gray = a.sum(axis=2)
+                h, w, _c, px = decode_image(bytes(payload))
+                # px is always (h, w, ch) — grayscale arrives as ch=1
+                gray = px.astype("int64").sum(axis=2)
                 ch, cw = h // grid, w // grid
                 cells = (
                     gray.reshape(grid, ch, grid, cw).sum(axis=(1, 3))

@@ -358,3 +358,50 @@ def test_audio_vad_threshold(spark):
     keep = multimodal.audio_vad_segments(frames, threshold=15).collect()[0]
     drop = multimodal.audio_vad_segments(frames, threshold=16).collect()[0]
     assert keep["n_active"] == 1 and drop["n_active"] == 0
+
+
+def test_image_ahash_nonsquare(spark):
+    """decode_image returns (h, w, ch, px) — a non-square image locks
+    the unpack order (a square fixture masks a swapped h/w)."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    w, h = 24, 16  # cells are 3x2 pixels on an 8x8 grid
+    rgb = bytes((i * 7) % 256 for i in range(w * h * 3))
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [multimodal.encode_ppm(w, h, rgb)],
+                }
+            )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    got = multimodal.image_average_hash(blobs, grid=8).collect()[0]
+
+    # pure-python replica straight from the byte formula
+    gray = [[0] * w for _ in range(h)]
+    for i in range(w * h * 3):
+        p = i // 3
+        gray[p // w][p % w] += (i * 7) % 256
+    ch, cw = h // 8, w // 8
+    cells = [
+        sum(
+            gray[r][c]
+            for r in range(gy * ch, (gy + 1) * ch)
+            for c in range(gx * cw, (gx + 1) * cw)
+        )
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    total = sum(cells)
+    bits = [1 if cs * 64 > total else 0 for cs in cells]
+    bands = [
+        sum(bits[j * 16 + t] << t for t in range(16)) for j in range(4)
+    ]
+    assert (got["b0"], got["b1"], got["b2"], got["b3"]) == tuple(bands)
+    assert got["popcount"] == sum(bits)
