@@ -17,13 +17,15 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-9 window: the 15 staged pipeline10 queries (authored + verified
-# at all three SFs in round 8, NEVER driver-checked) go first.  The 47
-# round-8 rows are all green in CORRECTNESS_r08 and rotate to the tail
-# per the round-8 ROUND-9 RULE.  Remaining window slots re-confirm the
-# OLDEST green rows (r5-era tail, last driver-checked in round 5).
-# ROUND-10 RULE: rotate the round-9 head out before registering
-# anything new; grep plans/ for each new name first (register() shadows
+# Round-9 window: 38 must-check rows — the 19 new pipeline11 gates,
+# the 15 pipeline10 gates registered this round (all pre-verified at
+# three SFs, none with a driver row yet), and 4 plan-changed re-checks
+# (COUNT(*) fast path -> OneRowRelation; fast_forward ancestor rule).
+# The 47 round-8 rows are green in CORRECTNESS_r08 and sit at the tail;
+# remaining slots re-confirm the oldest (r5-era) green rows.
+# ROUND-10 RULE: rotate the 38 round-9 head rows out FIRST, then
+# register plans/pipeline12.py's 8 staged gates at the head (steps in
+# CLAUDE.md); grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-9 pipeline11 operator wave) --
@@ -211,14 +213,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_keyword_topk",
     "emb_pca_power_iteration",
     "multimodal_frame_pixels",
-    "managed_branch_expiry",
     "events_mann_whitney_u",
     "sketch_ams_f2",
     "graph_bfs_distance",
     "events_survival_km",
     "emb_random_projection_jl",
     "events_bootstrap_ci",
-    "managed_wap_publish",
     "curation_quality_funnel",
     "graph_adamic_adar",
     "events_did_uplift",
