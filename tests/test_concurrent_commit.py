@@ -301,3 +301,60 @@ def test_expire_racing_append_surfaces_conflict(spark, tmp_path):
     assert tbl_a.to_df().count() == 40  # all four appends' rows live
     assert len(tbl_a.meta.snapshots) == 1
     assert real_commit is type(tbl_b.meta).commit  # nothing monkeypatched
+
+
+def test_add_files_racing_append_rebases(spark, tmp_path):
+    """An add_files import prepared against a base a concurrent writer
+    then moves must REBASE like any append (imported files are new
+    paths, so no conflict is possible) — both the import and the
+    concurrent insert survive, totals replay, and cleanup-on-failure
+    never touches the external source files."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    tbl_a, tbl_b = _mk(spark, tmp_path, "race_import")
+    tbl_a.insert(_rows(spark, 0, 20))
+
+    src = tempfile.mkdtemp(prefix="icebergsql-raceimp-")
+    for part in (0, 1):
+        _rows(spark, 100, 120).filter(
+            F2.col("part") == part
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # B refreshes (sees the 20-row base) ... then A moves the base
+    tbl_b.refresh()
+    tbl_a.insert(_rows(spark, 50, 60))
+    # ... and B's import commits against its stale in-memory parent.
+    # Freeze ONLY add_files' own upfront refresh (the deterministic race
+    # window); the rebase loop's refreshes must still see A's commit.
+    orig_refresh = tbl_b.refresh
+    calls = {"n": 0}
+
+    def stale_once():
+        if calls["n"] == 0:
+            calls["n"] += 1
+            return None
+        return orig_refresh()
+
+    tbl_b.refresh = stale_once
+    try:
+        snap = tbl_b.add_files(src)
+    finally:
+        tbl_b.refresh = orig_refresh
+    assert calls["n"] == 1  # the race window actually fired
+    assert snap.operation == "append"
+
+    tbl_a.refresh()
+    assert tbl_a.meta.current_snapshot().snapshot_id == snap.snapshot_id
+    assert tbl_a.to_df().count() == 50  # 20 base + 10 concurrent + 20 import
+    for s in tbl_a.meta.snapshots:
+        assert int(s.summary["total-records"]) == sum(
+            f.record_count for f in s.live_files()
+        )
+    # the external source files are intact regardless of commit path
+    assert all(
+        os.path.exists(p) for p in glob.glob(f"{src}/*.parquet")
+    )
