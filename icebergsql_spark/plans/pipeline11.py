@@ -1011,7 +1011,9 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icebergsql_spark.operators import multimodal
 
-    docs = (
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
         load_tables(spark, sf_dir, ("documents",))["documents"]
         .filter(F.col("doc_id") < 500)
         .select("doc_id")
@@ -1399,7 +1401,9 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icebergsql_spark.operators import multimodal
 
-    docs = (
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
         load_tables(spark, sf_dir, ("documents",))["documents"]
         .filter(F.col("doc_id") < 1000)
         .select("doc_id")

@@ -219,7 +219,9 @@ def multimodal_audio_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icebergsql_spark.operators import multimodal
 
-    docs = (
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
         load_tables(spark, sf_dir, ("documents",))["documents"]
         .filter(F.col("doc_id") < 500)
         .select("doc_id")
@@ -690,7 +692,9 @@ def dedup_ahash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from icebergsql_spark.operators import multimodal
 
-    docs = (
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
         load_tables(spark, sf_dir, ("documents",))["documents"]
         .filter(F.col("doc_id") < 1000)
         .select("doc_id")
