@@ -808,3 +808,47 @@ def image_average_hash(blobs: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def image_difference_hash(blobs: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) of decoded images — the
+    gradient sibling of ``image_average_hash``: bit (r, c) is set iff
+    cell(r, c+1) > cell(r, c) on the integer-grayscale ``grid x grid``
+    cell matrix, so the fingerprint tracks horizontal luminance
+    GRADIENTS (robust to global brightness shifts that flip aHash
+    bits).  grid x (grid-1) = 56 bits, emitted as four 14-bit band
+    integers for the same band-equi-join candidate generation.  All
+    comparisons are exact integers on exact cell sums.  Arrow-batched
+    narrow map; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, _c, px = decode_image(bytes(payload))
+                gray = px.astype("int64").sum(axis=2)
+                ch, cw = h // grid, w // grid
+                cells = gray.reshape(grid, ch, grid, cw).sum(axis=(1, 3))
+                bits = []
+                for r in range(grid):
+                    for c in range(grid - 1):
+                        bits.append(
+                            1 if int(cells[r][c + 1]) > int(cells[r][c])
+                            else 0
+                        )
+                bands = []
+                for j in range(4):
+                    v = 0
+                    for t in range(14):
+                        v |= bits[j * 14 + t] << t
+                    bands.append(v)
+                rows.append(
+                    (did, bands[0], bands[1], bands[2], bands[3],
+                     int(sum(bits)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "b0", "b1", "b2", "b3", "popcount"],
+            )
+
+    return blobs.mapInPandas(run, schema=AHASH_SCHEMA)

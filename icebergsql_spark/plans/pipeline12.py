@@ -3,9 +3,11 @@
 step, after the WINDOW_PRIORITY rotation the round-9 comment mandates).
 
 Gates composed over already-tested round-9 operators (louvain_gain_round,
-audio_frame_energy, image_average_hash, decontaminate, branch-scoped
-rewrite_manifests) plus SQL-only additions: ROUGE overlap, Poisson rate
-CIs, the CUPED streaming twin.  Every oracle verified green at
+audio_frame_energy, image_average_hash / image_difference_hash,
+decontaminate, branch-scoped rewrite_manifests, the bloom bit idiom,
+$partitions) plus SQL-only additions: ROUGE overlap, Poisson rate CIs,
+the CUPED streaming twin, sliding OR-merged bloom, the partition-skew
+report.  Every oracle verified green at
 sf0.001 + sf0.01 + sf0.1 via the driver-sim recipe with this module
 imported explicitly (see CLAUDE.md round-9 notes).
 """
@@ -916,3 +918,391 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM arms a CROSS JOIN pooled p
         ORDER BY a.arm
     """)
+
+
+# ---------------------------------------------------- sliding bloom --
+
+
+def _bloom_probe_keys_sql() -> str:
+    """3 most + 3 least active users globally, total-ordered."""
+    return """
+        ucnt AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1
+        ),
+        probes AS (
+          SELECT user_id FROM (
+            SELECT user_id, row_number() OVER
+              (ORDER BY cnt DESC, user_id) AS r1,
+              row_number() OVER (ORDER BY cnt ASC, user_id) AS r2
+            FROM ucnt
+          ) x WHERE r1 <= 3 OR r2 <= 3
+        )"""
+
+
+@register(
+    "sketch_bloom_sliding",
+    oracle=f"""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        {_bloom_probe_keys_sql()},
+        du AS (SELECT DISTINCT day, user_id FROM ev),
+        bpos AS (
+          SELECT day,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1 + 3 * j.j, 3) AS BIGINT) AS p
+          FROM du CROSS JOIN
+               (SELECT unnest(generate_series(0, 2)) AS j) j
+        ),
+        daily AS (
+          SELECT day, p // 32 AS word_idx,
+                 BIT_OR(CAST(1 AS BIGINT)
+                        << CAST(p % 32 AS INTEGER)) AS bits
+          FROM bpos GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day AS wday FROM daily),
+        win AS (
+          SELECT d2.wday, daily.word_idx, BIT_OR(daily.bits) AS bits
+          FROM daily JOIN days d2
+            ON d2.wday BETWEEN daily.day AND daily.day + 6
+          GROUP BY 1, 2
+        ),
+        ppos AS (
+          SELECT user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                     1 + 3 * j.j, 3) AS BIGINT) AS p
+          FROM probes CROSS JOIN
+               (SELECT unnest(generate_series(0, 2)) AS j) j
+        ),
+        hits AS (
+          SELECT win.wday, ppos.user_id,
+                 SUM(CASE WHEN win2.bits
+                          & (CAST(1 AS BIGINT)
+                             << CAST(ppos.p % 32 AS INTEGER))
+                          = (CAST(1 AS BIGINT)
+                             << CAST(ppos.p % 32 AS INTEGER))
+                     THEN 1 ELSE 0 END) AS n_hit
+          FROM (SELECT DISTINCT wday FROM win) win
+          CROSS JOIN ppos
+          LEFT JOIN win win2
+            ON win2.wday = win.wday AND win2.word_idx = ppos.p // 32
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT d2.wday, du.user_id
+          FROM du JOIN days d2
+            ON d2.wday BETWEEN du.day AND du.day + 6
+          GROUP BY 1, 2
+        )
+        SELECT h.wday, h.user_id,
+               CAST(CASE WHEN h.n_hit = 3 THEN 1 ELSE 0 END AS INTEGER)
+                 AS bloom_hit,
+               CAST(CASE WHEN e.user_id IS NULL THEN 0 ELSE 1 END
+                    AS INTEGER) AS exact_present
+        FROM hits h
+        LEFT JOIN exact e
+          ON e.wday = h.wday AND e.user_id = h.user_id
+        ORDER BY h.wday, h.user_id
+    """,
+    doc="7-day sliding Bloom membership from OR-merged per-day bitmaps — "
+    "the third mergeable-through-time sketch twin (HLL merges by MAX, "
+    "CMS by SUM, Bloom by OR): per-day 4096-bit/3-hash bitmaps fan out "
+    "to the windows they feed and OR into a window filter; the 3 most "
+    "and 3 least active users are probed per window with the exact "
+    "windowed presence alongside (hit >= present is the structural "
+    "guarantee; md5-derived bits make even the false positives "
+    "hash-checkable). Scale shape: window state is <=128 bitmap words "
+    "per day regardless of user cardinality; probes are a broadcast "
+    "join.",
+    tags=("sketch", "bloom", "window", "streaming"),
+)
+def sketch_bloom_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", F.expr("ts DIV 86400000000000").alias("day"))
+    ucnt = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    probes = (
+        ucnt.withColumn(
+            "r1", F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
+        )
+        .withColumn(
+            "r2", F.row_number().over(W.orderBy(F.asc("cnt"), "user_id"))
+        )
+        .filter((F.col("r1") <= 3) | (F.col("r2") <= 3))
+        .select("user_id")
+        .localCheckpoint()
+    )
+    du = ev.distinct()
+
+    def pos(col):
+        return [
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1 + 3 * j, 3),
+                16, 10,
+            ).cast("bigint").alias(f"p{j}")
+            for j in range(3)
+        ]
+
+    bpos = du.select(
+        "day",
+        F.explode(F.array(*pos(F.col("user_id")))).alias("p"),
+    )
+    daily = bpos.select(
+        "day",
+        F.expr("p DIV 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "m"
+        ),
+    ).groupBy("day", "word_idx").agg(F.bit_or("m").alias("bits"))
+    days = daily.select(F.col("day").alias("wday")).distinct()
+    win = (
+        daily.select(
+            "day", "word_idx", "bits",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        )
+        .select((F.col("day") + F.col("off")).alias("wday"), "word_idx",
+                "bits")
+        .join(days, "wday")
+        .groupBy("wday", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    ppos = probes.select(
+        "user_id",
+        F.explode(F.array(*pos(F.col("user_id")))).alias("p"),
+    )
+    w2 = win.select(
+        F.col("wday").alias("wwday"),
+        F.col("word_idx").alias("widx"),
+        F.col("bits").alias("wbits"),
+    )
+    hits = (
+        win.select("wday").distinct()
+        .crossJoin(F.broadcast(ppos))
+        .join(
+            w2,
+            (F.col("wday") == F.col("wwday"))
+            & (F.expr("p DIV 32") == F.col("widx")),
+            "left",
+        )
+        .groupBy("wday", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        "wbits & shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(p % 32 AS INT))"
+                        " = shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(p % 32 AS INT))"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_hit")
+        )
+    )
+    exact = (
+        du.select(
+            "user_id", "day",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        )
+        .select((F.col("day") + F.col("off")).alias("wday"), "user_id")
+        .join(days, "wday")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    return (
+        hits.join(exact, ["wday", "user_id"], "left")
+        .select(
+            F.col("wday").cast("bigint").alias("wday"),
+            "user_id",
+            F.when(F.col("n_hit") == 3, 1).otherwise(0)
+            .cast("int").alias("bloom_hit"),
+            F.coalesce(F.col("present"), F.lit(0))
+            .cast("int").alias("exact_present"),
+        )
+        .orderBy("wday", "user_id")
+    )
+
+
+# ---------------------------------------------- partitions skew report --
+
+
+@register(
+    "managed_partitions_skew",
+    oracle="""
+        WITH cnt AS (
+          SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders WHERE o_orderkey % 3 != 2 GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(MAX(n) AS BIGINT) AS max_n
+          FROM cnt
+        )
+        SELECT cnt.pri, cnt.n AS record_count,
+               CAST((tot.max_n * tot.n_parts * 1000000) // tot.t
+                    AS BIGINT) AS skew_ppm
+        FROM cnt CROSS JOIN tot
+        ORDER BY cnt.pri
+    """,
+    doc="Partition-skew report straight from the `$partitions` metadata "
+    "view (table.py:partitions_df — per-partition totals aggregated "
+    "from manifests, zero data IO): a priority-partitioned managed "
+    "table's per-partition record counts plus the skew ratio "
+    "max/mean in exact ppm (max_n * n_parts * 1e6 // total) — the "
+    "number a repartition/salting decision reads before a big join. "
+    "The metadata view's counts are oracled against the raw data "
+    "(two appends so manifests span commits), proving $partitions "
+    "aggregates the LIVE file set correctly across manifest reuse.",
+    tags=("managed", "metadata", "stats"),
+)
+def managed_partitions_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    src = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.col("o_orderpriority").alias("pri"),
+        (F.col("o_orderkey") % 3).cast("int").alias("m"),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-pskew-"))
+    tbl = eng.catalog.create_table(
+        "ord_skew", "k bigint, c bigint, pri string", ["pri"]
+    )
+    tbl.insert(src.filter(F.col("m") == 0).drop("m"))
+    tbl.insert(src.filter(F.col("m") == 1).drop("m"))
+    mark_setup_done()  # two appends in; the metadata read is the op
+    parts = eng.sql(
+        "SELECT get_json_object(partition, '$.pri') AS pri, "
+        "record_count FROM `ord_skew$partitions`"
+    )
+    return spark.sql(
+        """
+        WITH cnt AS (SELECT pri, CAST(SUM(record_count) AS BIGINT) AS n
+                     FROM {parts} GROUP BY pri),
+        tot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS t,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts,
+                 CAST(MAX(n) AS BIGINT) AS max_n
+          FROM cnt
+        )
+        SELECT cnt.pri, cnt.n AS record_count,
+               CAST((tot.max_n * tot.n_parts * 1000000) DIV tot.t
+                    AS BIGINT) AS skew_ppm
+        FROM cnt CROSS JOIN tot
+        ORDER BY cnt.pri
+        """,
+        parts=parts,
+    )
+
+
+# ---------------------------------------------------- image dHash --
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 16) * 37 + i.i * 11) % 256 AS v,
+                 ((i.i // 3) // 16) // 2 AS gr,
+                 (((i.i // 3) % 16) // 2) AS gc
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < 1000
+        ),
+        cells AS (
+          SELECT doc_id, gr, gc, CAST(SUM(v) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT a.doc_id, a.gr * 7 + a.gc AS k,
+                 CASE WHEN b.cs > a.cs THEN 1 ELSE 0 END AS bit
+          FROM cells a
+          JOIN cells b ON b.doc_id = a.doc_id AND b.gr = a.gr
+                      AND b.gc = a.gc + 1
+          WHERE a.gc < 7
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k // 14 = 0
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN k // 14 = 1
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN k // 14 = 2
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN k // 14 = 3
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b3,
+                 CAST(SUM(bit) AS INTEGER) AS popcount
+          FROM bits GROUP BY doc_id
+        )
+        SELECT b0, b1, b2, b3, CAST(MAX(popcount) AS INTEGER) AS popcount,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM hashes
+        GROUP BY b0, b1, b2, b3
+        ORDER BY b0, b1, b2, b3
+    """,
+    doc="Perceptual difference-hash (dHash) image dedup — "
+    "image_average_hash's gradient sibling (operators/multimodal.py:"
+    "image_difference_hash): bit (r, c) set iff the integer-grayscale "
+    "cell to the RIGHT is brighter, so the fingerprint tracks "
+    "horizontal luminance gradients and survives global brightness "
+    "shifts that flip aHash bits; 56 bits as four 14-bit bands for "
+    "band-equi-join candidate generation. Same planted 16-class "
+    "fixture as the aHash gates; the oracle recomputes the gradient "
+    "matrix straight from the pixel formula via a cell self-join.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 256 for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    hashes = multimodal.image_difference_hash(blobs, grid=8)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.max("popcount").cast("int").alias("popcount"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("b0", "b1", "b2", "b3")
+    )
