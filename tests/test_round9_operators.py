@@ -405,3 +405,54 @@ def test_image_ahash_nonsquare(spark):
     ]
     assert (got["b0"], got["b1"], got["b2"], got["b3"]) == tuple(bands)
     assert got["popcount"] == sum(bits)
+
+
+def test_image_dhash_nonsquare(spark):
+    """dHash gradient bits from a pure-python replica on a non-square
+    image (locks unpack order and the row-major bit layout)."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+
+    w, h = 24, 16
+    rgb = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [multimodal.encode_ppm(w, h, rgb)],
+                }
+            )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    got = multimodal.image_difference_hash(blobs, grid=8).collect()[0]
+
+    gray = [[0] * w for _ in range(h)]
+    for i in range(w * h * 3):
+        p = i // 3
+        gray[p // w][p % w] += (i * 13 + 5) % 256
+    ch, cw = h // 8, w // 8
+    cells = [
+        [
+            sum(
+                gray[r][c]
+                for r in range(gy * ch, (gy + 1) * ch)
+                for c in range(gx * cw, (gx + 1) * cw)
+            )
+            for gx in range(8)
+        ]
+        for gy in range(8)
+    ]
+    bits = [
+        1 if cells[r][c + 1] > cells[r][c] else 0
+        for r in range(8)
+        for c in range(7)
+    ]
+    bands = [
+        sum(bits[j * 14 + t] << t for t in range(14)) for j in range(4)
+    ]
+    assert (got["b0"], got["b1"], got["b2"], got["b3"]) == tuple(bands)
+    assert got["popcount"] == sum(bits)
