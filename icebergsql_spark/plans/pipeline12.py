@@ -1306,3 +1306,358 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b0", "b1", "b2", "b3")
     )
+
+
+# ------------------------------------------ image dedup tier eval --
+
+
+@register(
+    "dedup_image_tier_eval",
+    oracle="""
+        WITH px AS (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 16) * 37 + i.i * 11) % 256 AS v,
+                 ((i.i // 3) // 16) // 2 AS gr,
+                 (((i.i // 3) % 16) // 2) AS gc
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < 1000
+        ),
+        cells AS (
+          SELECT doc_id, gr, gc, CAST(SUM(v) AS BIGINT) AS cs
+          FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT a.doc_id, a.gr * 7 + a.gc AS k,
+                 CASE WHEN b.cs > a.cs THEN 1 ELSE 0 END AS bit
+          FROM cells a
+          JOIN cells b ON b.doc_id = a.doc_id AND b.gr = a.gr
+                      AND b.gc = a.gc + 1
+          WHERE a.gc < 7
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k // 14 = 0
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN k // 14 = 1
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN k // 14 = 2
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN k // 14 = 3
+                          THEN bit << (k % 14) ELSE 0 END) AS BIGINT) AS b3
+          FROM bits GROUP BY doc_id
+        ),
+        tagged AS (
+          SELECT doc_id, doc_id % 16 AS cls, b0, b1, b2, b3 FROM hashes
+        ),
+        pairs AS (
+          SELECT x.doc_id AS da, y.doc_id AS db,
+                 CASE WHEN x.cls = y.cls THEN 1 ELSE 0 END AS is_dup,
+                 CASE WHEN x.b0 = y.b0 OR x.b1 = y.b1
+                        OR x.b2 = y.b2 OR x.b3 = y.b3
+                      THEN 1 ELSE 0 END AS is_cand
+          FROM tagged x JOIN tagged y ON x.doc_id < y.doc_id
+        ),
+        conf AS (
+          SELECT CAST(SUM(is_dup * is_cand) AS BIGINT) AS tp,
+                 CAST(SUM((1 - is_dup) * is_cand) AS BIGINT) AS fp,
+                 CAST(SUM(is_dup * (1 - is_cand)) AS BIGINT) AS fn,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pairs
+        )
+        SELECT tp, fp, fn, n_pairs,
+               CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+                 AS precision_ppm,
+               CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+                 AS recall_ppm
+        FROM conf
+    """,
+    doc="Candidate-tier evaluation for IMAGE near-dup detection (the "
+    "dedup_tier_eval pattern applied to perceptual hashing): ground "
+    "truth = the planted pixel-identity classes (doc_id % 16), "
+    "candidate tier = any shared 14-bit dHash band; exact-integer "
+    "TP/FP/FN over all doc pairs with precision/recall in ppm — the "
+    "measurement that decides band width before scaling an image-"
+    "dedup pass to a billion images. The pair enumeration here is "
+    "bounded for audit (1000 docs); the production tier generates "
+    "candidates from the band equi-join only.",
+    tags=("multimodal", "dedup", "stats"),
+)
+def dedup_image_tier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 256 for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    tagged = (
+        multimodal.image_difference_hash(blobs, grid=8)
+        .select(
+            "doc_id", (F.col("doc_id") % 16).alias("cls"),
+            "b0", "b1", "b2", "b3",
+        )
+        .localCheckpoint()
+    )
+    x, y = tagged.alias("x"), tagged.alias("y")
+    pairs = x.join(y, F.col("x.doc_id") < F.col("y.doc_id")).select(
+        F.when(F.col("x.cls") == F.col("y.cls"), 1).otherwise(0)
+        .alias("is_dup"),
+        F.when(
+            (F.col("x.b0") == F.col("y.b0"))
+            | (F.col("x.b1") == F.col("y.b1"))
+            | (F.col("x.b2") == F.col("y.b2"))
+            | (F.col("x.b3") == F.col("y.b3")),
+            1,
+        ).otherwise(0).alias("is_cand"),
+    )
+    return pairs.agg(
+        F.sum(F.expr("is_dup * is_cand")).cast("bigint").alias("tp"),
+        F.sum(F.expr("(1 - is_dup) * is_cand")).cast("bigint").alias("fp"),
+        F.sum(F.expr("is_dup * (1 - is_cand)")).cast("bigint").alias("fn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).select(
+        "tp", "fp", "fn", "n_pairs",
+        F.expr("CAST((tp * 1000000) DIV (tp + fp) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST((tp * 1000000) DIV (tp + fn) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+# ------------------------------------------ streaming add_files --
+
+
+@register(
+    "managed_stream_add_files",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Streaming zero-copy ingestion: each of 3 micro-batches is "
+    "written partition-aligned to its own landing dir and REGISTERED "
+    "into the managed table via add_files — metadata-cost-only "
+    "streaming ingestion (the landing write is the producer's; the "
+    "table never copies). In-DAG asserts: exactly 3 import snapshots "
+    "each tagged added-files-by-import, every live path is a landing "
+    "path outside the table tree, and the manifest COUNT(*) answers "
+    "without IO. The continuous-migrate shape: a feed drops parquet, "
+    "the table tracks it at O(metadata). Composes round-9 add_files "
+    "with the stream-batch commit pattern; oracle = raw orders "
+    "rollup.",
+    tags=("managed", "streaming", "import"),
+)
+def managed_stream_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_orderkey") % 3).cast("int").alias("m"),
+    )
+    src = tempfile.mkdtemp(prefix="icebergsql-saddsrc-")
+    for i in range(3):
+        base.filter(F.col("m") == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-saddwh-"))
+    tbl = eng.catalog.create_table(
+        "ord_sadd", "k bigint, c bigint, st string, m int", ["st"]
+    )
+    land_root = tempfile.mkdtemp(prefix="icebergsql-saddland-")
+    mark_setup_done()  # source staged; the streamed imports are the op
+
+    def land(batch_df, batch_id):
+        import os
+
+        landing = os.path.join(land_root, f"batch-{batch_id}")
+        # the producer writes partition-aligned files (one per status);
+        # the table only ever registers them
+        for row in batch_df.select("st").distinct().collect():
+            batch_df.filter(F.col("st") == row["st"]).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        tbl.add_files(landing)
+
+    q = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(land)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-saddck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tbl.refresh()
+    imports = [
+        s
+        for s in tbl.meta.snapshots
+        if "added-files-by-import" in s.summary
+    ]
+    assert len(imports) == 3, f"expected 3 import commits, got {len(imports)}"
+    live = tbl.meta.current_snapshot().live_files()
+    assert all(f.path.startswith(land_root) for f in live), (
+        "streamed import must never copy into the table tree"
+    )
+    assert tbl.scan().count_from_stats() == orders.count()
+    return eng.sql(
+        "SELECT st AS o_orderstatus, COUNT(*) AS n, "
+        "CAST(SUM(c) AS DOUBLE) / 100.0 AS total "
+        "FROM ord_sadd GROUP BY st ORDER BY st"
+    )
+
+
+# ------------------------------------------------- binary CUPED --
+
+
+@register(
+    "events_cuped_binary",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.day < d0.d0 + 14
+                                    AND ev.event_type = 'error'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS x,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.day >= d0.d0 + 14
+                                    AND ev.event_type = 'error'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_rate
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """,
+    doc="CUPED on a BINARY metric (regression-adjusted proportions, the "
+    "Deng et al. extension experimentation platforms run for "
+    "conversion/error rates): x = had an error in the pre-period, "
+    "y = had one post (0/1 via MAX), theta from the same pooled exact "
+    "bigint sufficient stats — for binaries sxx = sx, and the "
+    "adjusted rate stays a plain mirrored float expression. "
+    "Complements events_cuped_adjustment's count metric; the indicator "
+    "is >= 5 pre/post errors (the round-6 lesson squared: EVERY user "
+    "errors at least once at every SF, so a did-it-once flag is "
+    "all-ones and var(x) = 0 — ANSI mode then throws on the theta "
+    "division; a count threshold keeps incidence at 60-80%).",
+    tags=("events", "stats", "curation"),
+)
+def events_cuped_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_cupedb")
+    return spark.sql("""
+        WITH ev AS (
+          SELECT user_id, event_type, ts DIV 86400000000000 AS day
+          FROM ev_cupedb
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INT) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.day < d0.d0 + 14
+                                    AND ev.event_type = 'error'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS x,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.day >= d0.d0 + 14
+                                    AND ev.event_type = 'error'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        pooled AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM per_user
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM per_user GROUP BY arm
+        )
+        SELECT a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_rate
+        FROM arms a CROSS JOIN pooled p
+        ORDER BY a.arm
+    """)
