@@ -456,3 +456,91 @@ def test_image_dhash_nonsquare(spark):
     ]
     assert (got["b0"], got["b1"], got["b2"], got["b3"]) == tuple(bands)
     assert got["popcount"] == sum(bits)
+
+
+# ------------------------------------------------------- sliding CMS --
+
+
+def test_cms_sliding_matches_python_replica(spark):
+    from icebergsql_spark.operators.sketch import (
+        CMS_DEPTH,
+        cms_sliding_estimate,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(ev).select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.expr("ts DIV 86400000000000").alias("day"),
+    )
+    probes = ev.select("uid").distinct().orderBy("uid").limit(4)
+    got = {
+        (r["wday"], r["uid"]): r["cms_estimate"]
+        for r in cms_sliding_estimate(
+            ev, "uid", "day", probes, window_days=7
+        ).collect()
+    }
+
+    rows = ev.collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["uid"])
+    days = sorted(by_day)
+    probe_ids = [r["uid"] for r in probes.collect()]
+
+    def bucket(key, j):
+        return int(
+            hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:2], 16
+        )
+
+    for d in days:
+        vals = [
+            v for dd in range(d - 6, d + 1) for v in by_day.get(dd, [])
+        ]
+        counters = {}
+        for v in vals:
+            for j in range(CMS_DEPTH):
+                k = (j, bucket(v, j))
+                counters[k] = counters.get(k, 0) + 1
+        for pid in probe_ids:
+            est = min(
+                counters.get((j, bucket(pid, j)), 0)
+                for j in range(CMS_DEPTH)
+            )
+            # the operator only emits probes whose buckets were hit
+            assert got.get((d, pid), 0) == est or (
+                (d, pid) not in got and est == 0
+            ), (d, pid)
+
+
+def test_cms_sliding_overestimates_exact(spark):
+    """estimate >= exact windowed count — the structural CMS guarantee,
+    held per (window, key)."""
+    from icebergsql_spark.operators.sketch import cms_sliding_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(ev).select(
+        F.col("user_id").cast("string").alias("uid"),
+        F.expr("ts DIV 86400000000000").alias("day"),
+    )
+    probes = ev.select("uid").distinct().orderBy("uid").limit(6)
+    est = {
+        (r["wday"], r["uid"]): r["cms_estimate"]
+        for r in cms_sliding_estimate(
+            ev, "uid", "day", probes, window_days=7
+        ).collect()
+    }
+    rows = ev.collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["uid"])
+    for d in sorted(by_day):
+        window = [
+            v for dd in range(d - 6, d + 1) for v in by_day.get(dd, [])
+        ]
+        for r in probes.collect():
+            exact = sum(1 for v in window if v == r["uid"])
+            assert est.get((d, r["uid"]), 0) >= exact
