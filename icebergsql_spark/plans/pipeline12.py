@@ -1661,3 +1661,237 @@ def events_cuped_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM arms a CROSS JOIN pooled p
         ORDER BY a.arm
     """)
+
+
+# ------------------------------------------------ sequential A/B --
+
+# O'Brien-Fleming-style critical values for 3 equally-spaced looks at
+# overall alpha 0.05 (Pocock/OBF tables) — literals shared by both sides
+_OBF_CRITS = (3.471, 2.454, 2.004)
+
+_SEQ_AB_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 {day_expr} AS day
+          FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        pu AS (
+          SELECT looks.k, ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.day < d0.d0 + 7 * looks.k
+                                    AND ev.event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          GROUP BY looks.k, ev.user_id
+        ),
+        arms AS (
+          SELECT k, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM pu GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT k,
+                 MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN c END) AS c1
+          FROM arms GROUP BY k
+        ),
+        z AS (
+          SELECT k, n0, c0, n1, c1,
+                 CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                           / sqrt((CAST(c0 + c1 AS DOUBLE)
+                                   / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                         / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 / CAST(n0 AS DOUBLE)
+                                     + 1.0 / CAST(n1 AS DOUBLE)))
+                 END AS z
+          FROM wide
+        )
+        SELECT CAST(k AS INTEGER) AS look, n0, c0, n1, c1, z,
+               CASE k WHEN 1 THEN {c1} WHEN 2 THEN {c2}
+                      ELSE {c3} END AS crit,
+               CAST(CASE WHEN abs(z) > (CASE k WHEN 1 THEN {c1}
+                                        WHEN 2 THEN {c2}
+                                        ELSE {c3} END)
+                    THEN 1 ELSE 0 END AS INTEGER) AS reject
+        FROM z ORDER BY look
+"""
+
+
+@register(
+    "events_sequential_ab",
+    oracle=_SEQ_AB_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        c1=_OBF_CRITS[0], c2=_OBF_CRITS[1], c3=_OBF_CRITS[2],
+    ),
+    doc="Group-sequential A/B test with O'Brien-Fleming-style spending "
+    "(3 equally-spaced looks at weeks 1/2/3, critical values 3.471/"
+    "2.454/2.004 for overall alpha 0.05): at each look, the cumulative "
+    "conversion z-statistic (>= 5 purchases to date — the round-6 "
+    "non-degeneracy rule cumulatively; the zero/full-conversion guard "
+    "keeps ANSI division defined at tiny SFs) against that look's "
+    "boundary — the peeking-safe experiment readout every platform "
+    "implements on top of the plain z-test. Exact bigint counts, one "
+    "mirrored float z expression per look. Scale shape: one per-"
+    "(look, user) aggregate + a 6-row arm rollup.",
+    tags=("events", "stats", "curation"),
+)
+def events_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_seqab")
+    return spark.sql(
+        _SEQ_AB_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_seqab",
+            unnest_looks="explode(sequence(1, 3))",
+            c1=_OBF_CRITS[0], c2=_OBF_CRITS[1], c3=_OBF_CRITS[2],
+        )
+    )
+
+
+# ------------------------------------------- tokenizer fertility --
+
+_SUBWORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(string_split(trim(lower(text)), ' '))
+                      AS BIGINT) AS words,
+                 CAST(len(regexp_extract_all(trim(lower(text)),
+                                             '{_SUBWORD_RE}'))
+                      AS BIGINT) AS subwords
+          FROM documents
+        )
+        SELECT source,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(subwords) AS BIGINT) AS subwords,
+               CAST((SUM(subwords) * 1000000) // SUM(words) AS BIGINT)
+                 AS fertility_ppm
+        FROM t GROUP BY source ORDER BY source
+    """,
+    doc="Tokenizer fertility per source (subword tokens per whitespace "
+    "word — THE tokenizer-evaluation metric for multilingual/"
+    "domain-shift corpora; high fertility = the tokenizer fragments "
+    "this source, inflating training cost): subword count via a "
+    "GPT-2-ish pre-tokenizer split (letter runs | digit runs | single "
+    "punctuation — the regex is engine-portable: no \\s class, whose "
+    "vertical-tab membership differs between Java regex and RE2), "
+    "exact bigint counts, ppm ratio via non-negative floor division. "
+    "Scale shape: one narrow map + a per-source aggregate.",
+    tags=("text", "curation", "agg"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    t = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), " "))
+        .cast("bigint").alias("words"),
+        F.size(
+            F.expr(
+                f"regexp_extract_all(trim(lower(text)), '{_SUBWORD_RE}', 0)"
+            )
+        ).cast("bigint").alias("subwords"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.sum("words").cast("bigint").alias("words"),
+            F.sum("subwords").cast("bigint").alias("subwords"),
+            F.expr(
+                "CAST((SUM(subwords) * 1000000) DIV SUM(words) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------- per-source ROUGE --
+
+
+@register(
+    "text_rouge_by_source",
+    oracle="""
+        WITH pairs AS (
+          SELECT doc_id AS ref_id, doc_id + 1 AS cand_id
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 400
+        ),
+        uni AS (
+          SELECT doc_id, source,
+                 list_distinct(string_split(trim(text), ' ')) AS u
+          FROM documents WHERE doc_id <= 400
+        ),
+        r1 AS (
+          SELECT ur.source,
+                 CAST(len(list_intersect(ur.u, uc.u)) AS BIGINT) AS o1,
+                 CAST(len(ur.u) AS BIGINT) AS n1
+          FROM pairs p
+          JOIN uni ur ON ur.doc_id = p.ref_id
+          JOIN uni uc ON uc.doc_id = p.cand_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(o1) AS BIGINT) AS overlap_sum,
+               CAST(SUM(n1) AS BIGINT) AS ref_sum,
+               CAST((SUM(o1) * 1000000) // SUM(n1) AS BIGINT)
+                 AS micro_rouge1_ppm
+        FROM r1 GROUP BY source ORDER BY source
+    """,
+    doc="Micro-averaged ROUGE-1 recall rolled up per reference SOURCE "
+    "(the eval dashboard view of text_rouge_overlap: which feed's "
+    "references are best covered by their paired candidates): exact "
+    "overlap/size sums per source with one ppm floor division — "
+    "micro averaging (sum of overlaps over sum of sizes) rather than "
+    "a float mean-of-ratios, so the whole rollup stays integer-exact. "
+    "Scale shape unchanged: per-doc distinct-unigram arrays, one "
+    "pair-keyed equi-join, a per-source aggregate.",
+    tags=("text", "agg", "curation"),
+)
+def text_rouge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql("""
+        WITH pairs AS (
+          SELECT doc_id AS ref_id, doc_id + 1 AS cand_id
+          FROM documents WHERE doc_id % 2 = 0 AND doc_id < 400
+        ),
+        uni AS (
+          SELECT doc_id, source,
+                 array_distinct(split(trim(text), ' ')) AS u
+          FROM documents WHERE doc_id <= 400
+        ),
+        r1 AS (
+          SELECT ur.source,
+                 CAST(size(array_intersect(ur.u, uc.u)) AS BIGINT) AS o1,
+                 CAST(size(ur.u) AS BIGINT) AS n1
+          FROM pairs p
+          JOIN uni ur ON ur.doc_id = p.ref_id
+          JOIN uni uc ON uc.doc_id = p.cand_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(o1) AS BIGINT) AS overlap_sum,
+               CAST(SUM(n1) AS BIGINT) AS ref_sum,
+               CAST((SUM(o1) * 1000000) DIV SUM(n1) AS BIGINT)
+                 AS micro_rouge1_ppm
+        FROM r1 GROUP BY source ORDER BY source
+    """)
