@@ -248,6 +248,24 @@ BENCH_QUERIES = [
     "events_bot_regularity",
     "events_cuped_adjustment",
     "graph_hits_scores",
+    # round-10 pipeline12 wave
+    "graph_louvain_trace",
+    "multimodal_audio_snr",
+    "curation_contamination_by_source",
+    "managed_branch_rewrite",
+    "text_rouge_overlap",
+    "events_poisson_rate_ci",
+    "dedup_ahash_hamming_pairs",
+    "events_stream_cuped",
+    "sketch_bloom_sliding",
+    "managed_partitions_skew",
+    "multimodal_image_dhash",
+    "dedup_image_tier_eval",
+    "managed_stream_add_files",
+    "events_cuped_binary",
+    "events_sequential_ab",
+    "text_tokenizer_fertility",
+    "text_rouge_by_source",
 ]
 
 
@@ -387,6 +405,11 @@ def main() -> None:
         "events_stream_psi_drift",
         "managed_add_files_import",
         "managed_stream_wap",
+        # round-10 scenario queries (managed table build / stream per call)
+        "managed_branch_rewrite",
+        "events_stream_cuped",
+        "managed_partitions_skew",
+        "managed_stream_add_files",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

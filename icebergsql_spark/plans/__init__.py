@@ -17,60 +17,40 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # the tail (they stay covered by the identical local oracle comparison in
 # tests/test_queries.py).
 #
-# Round-9 window: 38 must-check rows — the 19 new pipeline11 gates,
-# the 15 pipeline10 gates registered this round (all pre-verified at
-# three SFs, none with a driver row yet), and 4 plan-changed re-checks
-# (COUNT(*) fast path -> OneRowRelation; fast_forward ancestor rule).
-# The 47 round-8 rows are green in CORRECTNESS_r08 and sit at the tail;
-# remaining slots re-confirm the oldest (r5-era) green rows.
-# ROUND-10 RULE: rotate the 38 round-9 head rows out FIRST, then
-# register plans/pipeline12.py's 8 staged gates at the head (steps in
-# CLAUDE.md); grep plans/ for each new name first (register() shadows
+# Round-10 window: the 17 pipeline12 gates (pre-authored + pre-verified
+# at three SFs in late round 9, never driver-checked) go first, followed
+# by plan-changed re-checks (markov-attribution rewrite; add_files bloom
+# sizing + per-file schema guard per ADVICE_r09).  The 38 round-9 head
+# rows are all green in CORRECTNESS_r09 (49 match + 1 rows-only-by-
+# design) and rotate to the tail; remaining slots re-confirm the oldest
+# (r5-era) green rows.
+# ROUND-11 RULE: rotate the round-10 head rows out FIRST before adding
+# new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
 WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (round-9 pipeline11 operator wave) --
-    "events_cuped_adjustment",
-    "graph_hits_scores",
-    "events_hill_tail_index",
-    "events_bot_regularity",
-    "managed_stream_wap",
-    "multimodal_image_ahash",
-    "curation_temperature_mix",
-    "managed_add_files_import",
-    "sketch_cms_sliding",
-    "agg_winsorized_mean",
-    "sketch_stream_hll_sliding",
-    "events_stream_psi_drift",
-    "multimodal_audio_vad",
-    "sketch_hll_sliding",
-    "graph_louvain_onelevel",
-    "graph_neighbor_jaccard",
-    "events_psi_drift",
-    "events_stream_theil_sen",
-    "curation_facility_location",
-    # -- never driver-checked (round-9 pipeline10 wave; must close) --
-    "events_theil_sen",
-    "sketch_sample_quantiles",
+    # -- never driver-checked (round-10 pipeline12 wave) --
+    "graph_louvain_trace",
+    "multimodal_audio_snr",
+    "curation_contamination_by_source",
+    "managed_branch_rewrite",
+    "text_rouge_overlap",
+    "events_poisson_rate_ci",
+    "dedup_ahash_hamming_pairs",
+    "events_stream_cuped",
+    "sketch_bloom_sliding",
+    "managed_partitions_skew",
+    "multimodal_image_dhash",
+    "dedup_image_tier_eval",
+    "managed_stream_add_files",
+    "events_cuped_binary",
+    "events_sequential_ab",
+    "text_tokenizer_fertility",
+    "text_rouge_by_source",
+    # -- plan changed in round 10 (markov attribution: bounded-collect
+    #    absorption loop replaces the per-step job loop; add_files:
+    #    table bloom sizing + per-file footer schema guard) — re-check --
     "events_markov_attribution",
-    "graph_personalized_pagerank",
-    "dedup_tier_eval",
-    "multimodal_keyframes",
-    "curation_mmr_topk",
-    "graph_modularity",
-    "emb_whitening_audit",
-    "managed_ref_retention",
-    "text_burstiness",
-    "events_gini_trend",
-    "sketch_stream_sample_quantiles",
-    "curation_importance_weights",
-    "agg_trimmed_mean",
-    # -- plan changed in round 9 (COUNT(*) fast path now returns a JVM
-    #    OneRowRelation; fast_forward enforces the Iceberg ancestor rule)
-    #    — re-check --
-    "managed_metadata_count",
-    "managed_wap_publish",
-    "managed_branch_wap",
-    "managed_branch_expiry",
+    "managed_add_files_import",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",
@@ -245,6 +225,43 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "text_lang_confidence",
     "dedup_semantic_centroid_pairs",
     "curation_dp_mixture",
+    # -- round-9-green rows (all green in CORRECTNESS_r09; tail) --
+    "events_cuped_adjustment",
+    "graph_hits_scores",
+    "events_hill_tail_index",
+    "events_bot_regularity",
+    "managed_stream_wap",
+    "multimodal_image_ahash",
+    "curation_temperature_mix",
+    "sketch_cms_sliding",
+    "agg_winsorized_mean",
+    "sketch_stream_hll_sliding",
+    "events_stream_psi_drift",
+    "multimodal_audio_vad",
+    "sketch_hll_sliding",
+    "graph_louvain_onelevel",
+    "graph_neighbor_jaccard",
+    "events_psi_drift",
+    "events_stream_theil_sen",
+    "curation_facility_location",
+    "events_theil_sen",
+    "sketch_sample_quantiles",
+    "graph_personalized_pagerank",
+    "dedup_tier_eval",
+    "multimodal_keyframes",
+    "curation_mmr_topk",
+    "graph_modularity",
+    "emb_whitening_audit",
+    "managed_ref_retention",
+    "text_burstiness",
+    "events_gini_trend",
+    "sketch_stream_sample_quantiles",
+    "curation_importance_weights",
+    "agg_trimmed_mean",
+    "managed_metadata_count",
+    "managed_wap_publish",
+    "managed_branch_wap",
+    "managed_branch_expiry",
 )
 
 
@@ -276,6 +293,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline9  # noqa: F401
     import icebergsql_spark.plans.pipeline10  # noqa: F401
     import icebergsql_spark.plans.pipeline11  # noqa: F401
+    import icebergsql_spark.plans.pipeline12  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
