@@ -297,13 +297,14 @@ def markov_removal_effect(
     data — reproducible by a recursive-CTE oracle.
 
     Scale shape: ONE shuffle builds the (cur, next) pair counts; the
-    chain itself is channels+2 states (bounded metadata, never event
-    volume), so the per-channel re-solve loops over tiny cached frames
-    and each absorbed-mass read is a 1-row action — the same
-    bounded-metadata pattern as the k-means centroid loop.
+    transition matrix after that aggregate is bounded at (channels+2)^2
+    rows — pure metadata, never event volume — so it is collected ONCE
+    and the per-channel absorption re-solves run in pure Python integer
+    arithmetic (the bounded-collect pattern of similarity.mmr_select).
+    The old shape — steps x (channels+1) tiny Spark jobs with a
+    per-step ``.collect()`` — spent ~9s of scheduler round-trips to
+    propagate a 6-state chain.
     """
-    from icebergsql_spark.operators.util import track_cache
-
     w = W.partitionBy(user_col).orderBy(ts_col, id_col)
     seq = events.select(
         F.col(user_col).alias("u"),
@@ -341,41 +342,34 @@ def markov_removal_effect(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     totals = counts.groupBy("cur").agg(F.sum("c").cast("bigint").alias("t"))
-    trans = track_cache(
-        counts.join(totals, "cur").select(
-            "cur", "nxt", F.expr("(c * 1000000) DIV t").alias("p_ppm")
-        )
+    trans = counts.join(totals, "cur").select(
+        "cur", "nxt", F.expr("(c * 1000000) DIV t").alias("p_ppm")
     )
 
-    channels = sorted(
-        r["cur"]
-        for r in trans.select("cur").distinct().collect()
-        if r["cur"] != "START"
-    )
+    # Bounded collect: (channels+2)^2 rows of metadata, one Spark action.
+    trans_map: dict[str, list[tuple[str, int]]] = {}
+    for r in trans.collect():
+        trans_map.setdefault(r["cur"], []).append((r["nxt"], int(r["p_ppm"])))
+    channels = sorted(c for c in trans_map if c != "START")
 
     def conv_mass(removed: str | None) -> int:
-        # redirect the removed channel's entire outgoing mass to NULL
-        t = trans.filter(F.col("cur") != F.lit(removed)) if removed else trans
-        spark = events.sparkSession
-        vec = spark.createDataFrame([("START", 1000000)], "s string, q long")
+        # Dropping the removed channel's outgoing rows sends any mass
+        # entering it to the (implicit) NULL sink — identical to the old
+        # Spark-side `trans.filter(cur != removed)` recurrence: per-pair
+        # (q * p_ppm) // 1e6 (non-negative, so floor == DIV), summed per
+        # destination state each step.
+        vec = {"START": 1000000}
         absorbed = 0
         for _ in range(steps):
-            stepped = track_cache(
-                vec.join(t, vec["s"] == t["cur"])
-                .select("nxt", F.expr("(q * p_ppm) DIV 1000000").alias("q"))
-                .groupBy("nxt")
-                .agg(F.sum("q").cast("bigint").alias("q"))
-            )
-            got = {
-                r["nxt"]: r["q"]
-                for r in stepped.filter(
-                    F.col("nxt").isin("CONV", "NULL")
-                ).collect()
-            }
-            absorbed += int(got.get("CONV", 0))
-            vec = stepped.filter(~F.col("nxt").isin("CONV", "NULL")).select(
-                F.col("nxt").alias("s"), "q"
-            )
+            stepped: dict[str, int] = {}
+            for s, q in vec.items():
+                if s == removed:
+                    continue
+                for nxt, p_ppm in trans_map.get(s, ()):
+                    stepped[nxt] = stepped.get(nxt, 0) + (q * p_ppm) // 1000000
+            absorbed += stepped.pop("CONV", 0)
+            stepped.pop("NULL", None)
+            vec = stepped
         return absorbed
 
     p_base = conv_mass(None)
@@ -384,10 +378,23 @@ def markov_removal_effect(
         p_removed = conv_mass(ch)
         eff = ((p_base - p_removed) * 1000000) // p_base if p_base else 0
         rows.append((ch, p_base, p_removed, int(eff)))
-    return events.sparkSession.createDataFrame(
-        rows,
-        "channel string, p_base_ppm long, p_removed_ppm long, "
-        "removal_effect_ppm long",
+    # Emit the bounded result via VALUES (JVM LocalRelation) — never
+    # createDataFrame, which plans a Python-RDD scan (CLAUDE.md rule).
+    if not rows:
+        return events.sparkSession.sql(
+            "SELECT * FROM VALUES ('', CAST(0 AS BIGINT), CAST(0 AS BIGINT),"
+            " CAST(0 AS BIGINT)) AS t(channel, p_base_ppm, p_removed_ppm,"
+            " removal_effect_ppm) WHERE FALSE"
+        )
+    values = ", ".join(
+        "('{0}', CAST({1} AS BIGINT), CAST({2} AS BIGINT), "
+        "CAST({3} AS BIGINT))".format(ch, pb, pr, ef)
+        for ch, pb, pr, ef in rows
+    )
+    return events.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + values
+        + " AS t(channel, p_base_ppm, p_removed_ppm, removal_effect_ppm)"
     )
 
 
