@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "events_sequential_ab",
     "text_tokenizer_fertility",
     "text_rouge_by_source",
+    # round-10 pipeline13 wave
+    "managed_add_files_hive_import",
 ]
 
 
@@ -410,6 +412,7 @@ def main() -> None:
         "events_stream_cuped",
         "managed_partitions_skew",
         "managed_stream_add_files",
+        "managed_add_files_hive_import",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -109,6 +109,12 @@ class DataFile:
     # data sequence number (commit counter at write): equality deletes
     # mask only rows from files with seq LOWER than the delete's seq
     seq: int = 0
+    # Hive-layout import: the file physically LACKS the table's partition
+    # columns; their values live only in `partition` (parsed from the
+    # `col=value` path segments at add_files time) and the read path
+    # materializes them as literals. Rewrites/compactions emit normal
+    # files, so the flag dissolves on the first rewrite.
+    path_partition: bool = False
 
     def to_json(self):
         d = {
@@ -121,6 +127,8 @@ class DataFile:
         }
         if self.seq:
             d["seq"] = self.seq
+        if self.path_partition:
+            d["pp"] = 1
         return d
 
     @classmethod
@@ -133,6 +141,7 @@ class DataFile:
             stats={c: ColStats.from_json(s) for c, s in d.get("stats", {}).items()},
             schema_id=d.get("sid", 0),
             seq=d.get("seq", 0),
+            path_partition=bool(d.get("pp", 0)),
         )
 
 
@@ -177,6 +186,11 @@ class Manifest:
                     if "seq" in t.column_names
                     else [0] * t.num_rows
                 )
+                pps = (
+                    t.column("pp").to_pylist()
+                    if "pp" in t.column_names
+                    else [0] * t.num_rows
+                )
                 self._files = [
                     DataFile(
                         path=p,
@@ -189,8 +203,11 @@ class Manifest:
                         },
                         schema_id=sid,
                         seq=sq,
+                        path_partition=bool(pp),
                     )
-                    for p, part, rec, byt, st, sid, sq in zip(*cols, sids, seqs)
+                    for p, part, rec, byt, st, sid, sq, pp in zip(
+                        *cols, sids, seqs, pps
+                    )
                 ]
             else:
                 with open(self.path) as f:
@@ -230,6 +247,10 @@ class Manifest:
                     ),
                     "seq": pa.array(
                         [f.seq for f in files], type=pa.int64()
+                    ),
+                    "pp": pa.array(
+                        [int(f.path_partition) for f in files],
+                        type=pa.int8(),
                     ),
                 }
             )

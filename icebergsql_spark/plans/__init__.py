@@ -46,6 +46,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_sequential_ab",
     "text_tokenizer_fertility",
     "text_rouge_by_source",
+    # -- never driver-checked (round-10 pipeline13 wave) --
+    "managed_add_files_hive_import",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --
@@ -294,6 +296,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline10  # noqa: F401
     import icebergsql_spark.plans.pipeline11  # noqa: F401
     import icebergsql_spark.plans.pipeline12  # noqa: F401
+    import icebergsql_spark.plans.pipeline13  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

@@ -536,14 +536,30 @@ class ManagedTable:
         metadata cost only (at 100 TB, the difference between an import
         and a re-ingestion).
 
-        Files must carry the table's FULL column set (name + type — this
-        engine's layout keeps partition columns in the data files; the
-        ``__p_`` dirs are duplicated metadata).  Each file's partition
-        membership is INFERRED from its own footer stats: a file belongs
-        to partition v on column c iff min(c) == max(c) == v — the
-        honest, stats-driven import.  A file that straddles partition
-        values is rejected (registering it under any single value would
-        corrupt manifest pruning); pass ``partition_values`` to
+        Two layouts import (mirroring the reference's path↔partition
+        algebra, PartitioningUtils.scala:57-71, 94-110):
+
+        - **Self-describing files** carrying the table's FULL column set:
+          each file's partition membership is INFERRED from its own
+          footer stats — it belongs to partition v on column c iff
+          min(c) == max(c) == v, the honest stats-driven import.  A file
+          that straddles partition values is rejected (registering it
+          under any single value would corrupt manifest pruning).  If the
+          file's path ALSO names the partition (``c=v`` segment), path
+          and footer must agree or the import raises.
+        - **Classic Hive directories** where partition columns exist ONLY
+          in the ``col=value`` path segments (the most common external
+          migration layout): files carry the non-partition columns, every
+          partition column's value is parsed from the path (Hive
+          percent-escaping decoded, ``__HIVE_DEFAULT_PARTITION__`` →
+          NULL), and the DataFile is flagged ``path_partition`` so the
+          read path materializes the column as a typed literal.  The
+          first rewrite/compaction emits normal self-describing files.
+
+        Every parquet file's footer column set is validated individually
+        (a mixed directory where one file deviates fails fast instead of
+        surfacing as a broken read later); orc/avro fall back to the
+        mergeSchema directory check.  Pass ``partition_values`` to
         additionally ASSERT that every file lands in that one expected
         partition (the Iceberg partition_filter shape).  Re-registering
         a live file raises unless ``check_duplicate_files=False``
@@ -584,45 +600,113 @@ class ManagedTable:
                 f"add_files: partition_values names non-partition columns "
                 f"{sorted(set(pv) - set(part_cols))}"
             )
+        # Hive `col=value` segments per file (percent-decoded; the Hive
+        # null sentinel maps to None) — used both for path-only partition
+        # inference and to cross-check footer-derived values.
+        path_parts: dict[str, dict[str, str | None]] = {}
+        for p in paths:
+            segs: dict[str, str | None] = {}
+            for seg in os.path.relpath(p, source_dir).split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    val = urllib.parse.unquote(v)
+                    segs[k] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    )
+            path_parts[p] = segs
+
         expect = {
             f.name: f.dataType.simpleString() for f in self.schema.fields
         }
-        src_schema = self.spark.read.format(fmt).load(paths).schema
+        expect_data = {
+            k: v for k, v in expect.items() if k not in part_cols
+        }
+        src_schema = (
+            self.spark.read.format(fmt)
+            .option("mergeSchema", "true")
+            .load(paths)
+            .schema
+        )
         got = {f.name: f.dataType.simpleString() for f in src_schema.fields}
-        if got != expect:
+        if got == expect:
+            from_path = False
+        elif part_cols and got == expect_data:
+            # Hive layout: partition columns live only in the path — every
+            # file must name every partition column there
+            from_path = True
+            for p in paths:
+                missing = [pc for pc in part_cols if pc not in path_parts[p]]
+                if missing:
+                    raise TableValidationError(
+                        f"add_files: {p} lacks partition column(s) "
+                        f"{missing} in both its data and its path — a "
+                        "Hive-layout import needs col=value path segments"
+                    )
+        else:
             raise TableValidationError(
                 f"add_files: file schema {got} != table columns {expect}"
+                + (
+                    f" (nor the non-partition subset {expect_data})"
+                    if part_cols
+                    else ""
+                )
             )
         stats_map = collect_stats(paths, spark=self.spark, file_format=fmt)
+        if fmt == "parquet":
+            # per-file footer guard: the directory-level (merged) schema
+            # can hide one deviating file — its stats keys can't
+            expect_names = set(expect_data if from_path else expect)
+            for p in paths:
+                names = set(stats_map[p][2])
+                if names != expect_names:
+                    raise TableValidationError(
+                        f"add_files: {p} footer columns {sorted(names)} "
+                        f"!= expected {sorted(expect_names)}"
+                    )
         bloom_cols = self.bloom_filter_cols if fmt == "parquet" else []
         blooms: dict = {}
         if bloom_cols:
             from icebergsql_spark.catalog.stats import collect_blooms
 
             present = {f.name for f in src_schema.fields}
+            m_bits = int(
+                self.meta.properties.get("bloom.filter.bits", 0)
+            ) or None
             blooms = collect_blooms(
-                self.spark, paths, [c for c in bloom_cols if c in present]
+                self.spark,
+                paths,
+                [c for c in bloom_cols if c in present],
+                **({"m_bits": m_bits} if m_bits else {}),
             )
         added = []
         for p in paths:
             n_rows, size, stats = stats_map[p]
             partition: dict = {}
             for pc in part_cols:
-                cs = stats.get(pc)
-                if (
-                    cs is None
-                    or cs.min is None
-                    or cs.max is None
-                    or cs.min != cs.max
-                    or (cs.null_count or 0) > 0
-                ):
-                    raise TableValidationError(
-                        f"add_files: {p} straddles partition column "
-                        f"{pc!r} (min={getattr(cs, 'min', None)}, "
-                        f"max={getattr(cs, 'max', None)}) — import "
-                        "requires partition-aligned files"
-                    )
-                val = str(cs.min)
+                if from_path:
+                    val = path_parts[p][pc]
+                else:
+                    cs = stats.get(pc)
+                    if (
+                        cs is None
+                        or cs.min is None
+                        or cs.max is None
+                        or cs.min != cs.max
+                        or (cs.null_count or 0) > 0
+                    ):
+                        raise TableValidationError(
+                            f"add_files: {p} straddles partition column "
+                            f"{pc!r} (min={getattr(cs, 'min', None)}, "
+                            f"max={getattr(cs, 'max', None)}) — import "
+                            "requires partition-aligned files"
+                        )
+                    val = str(cs.min)
+                    if pc in path_parts[p] and path_parts[p][pc] != val:
+                        raise TableValidationError(
+                            f"add_files: {p} path says {pc}="
+                            f"{path_parts[p][pc]}, footer stats say "
+                            f"{pc}={val} — refusing the conflicted import"
+                        )
                 if pc in pv and pv[pc] != val:
                     raise TableValidationError(
                         f"add_files: {p} belongs to {pc}={val}, not the "
@@ -639,6 +723,7 @@ class ManagedTable:
                     file_size=size,
                     stats=stats,
                     schema_id=self.meta.current_schema_id,
+                    path_partition=from_path,
                 )
             )
         return self._commit_snapshot(
@@ -2071,9 +2156,19 @@ class ManagedTable:
                     extra.append(T.StructField("__pos", T.LongType()))
                 out_schema = T.StructType(list(schema.fields) + extra)
             return spark.createDataFrame([], out_schema)
-        by_sid: dict[int, list[str]] = {}
+        # Group by (schema era, path-partition constants): Hive-layout
+        # imports (DataFile.path_partition) physically lack the partition
+        # columns, so each distinct partition tuple becomes its own read
+        # whose partition columns are filled with typed literals — group
+        # count is partitions touched (bounded metadata), never file count.
+        by_grp: dict[tuple, list[str]] = {}
         for f in files:
-            by_sid.setdefault(f.schema_id, []).append(f.path)
+            pkey = (
+                tuple(sorted(f.partition.items()))
+                if f.path_partition
+                else None
+            )
+            by_grp.setdefault((f.schema_id, pkey), []).append(f.path)
         fmt = self.file_format
         pos_cols = [
             _norm_file_path(F.col("_metadata.file_path")).alias("__fp"),
@@ -2082,20 +2177,35 @@ class ManagedTable:
             pos_cols.append(F.col("_metadata.row_index").alias("__pos"))
         want_meta = with_pos or with_fp
         parts: list[DataFrame] = []
-        for sid in sorted(by_sid):
+        # repr-sort pkey: partition values may be None (Hive default
+        # partition), which tuples can't order against strings
+        for sid, pkey in sorted(
+            by_grp, key=lambda k: (k[0], k[1] is not None, repr(k[1]))
+        ):
+            grp_paths = by_grp[(sid, pkey)]
             rmap = self.rename_map_for(sid)
             era = T.StructType.fromJson(
                 __import__("json").loads(self.meta.schema_json_at(sid))
             )
+            part_vals = dict(pkey) if pkey is not None else {}
             if rmap is not None:
-                era_alive = [f for f in era.fields if f.name in rmap]
-                identity = [
+                era_alive = [
+                    f
+                    for f in era.fields
+                    if f.name in rmap and f.name not in part_vals
+                ]
+                identity = pkey is None and [
                     (f.name, f.dataType) for f in era_alive
                 ] == [(f.name, f.dataType) for f in schema.fields]
+                inv = {v: k for k, v in rmap.items()}
             else:
-                identity = True
+                era_alive = [
+                    f for f in era.fields if f.name not in part_vals
+                ]
+                identity = pkey is None
+                inv = {f.name: f.name for f in era.fields}
             if identity:
-                part = spark.read.schema(schema).format(fmt).load(by_sid[sid])
+                part = spark.read.schema(schema).format(fmt).load(grp_paths)
                 if want_meta:
                     part = part.select("*", *pos_cols)
                 parts.append(part)
@@ -2103,14 +2213,23 @@ class ManagedTable:
             raw = (
                 spark.read.schema(T.StructType(era_alive))
                 .format(fmt)
-                .load(by_sid[sid])
+                .load(grp_paths)
             )
-            inv = {v: k for k, v in rmap.items()}
+            physical = {f.name for f in era_alive}
             cols = []
             for f in schema.fields:
-                if f.name in inv:
+                era_name = inv.get(f.name)
+                if era_name in part_vals:
+                    raw_val = part_vals[era_name]
+                    typed = (
+                        None
+                        if raw_val is None
+                        else _parse_partition_value(raw_val, f.dataType)
+                    )
+                    cols.append(F.lit(typed).cast(f.dataType).alias(f.name))
+                elif era_name in physical:
                     cols.append(
-                        F.col(inv[f.name]).cast(f.dataType).alias(f.name)
+                        F.col(era_name).cast(f.dataType).alias(f.name)
                     )
                 else:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))

@@ -130,3 +130,133 @@ def test_add_files_coexists_with_writes_and_maintenance(spark, tmp_path):
         os.path.exists(f)
         for f in __import__("glob").glob(f"{src}/*.parquet")
     ), removed
+
+def test_add_files_hive_layout_path_only_partitions(spark, tmp_path):
+    """Classic external Hive directory: partition column ONLY in the
+    col=value path segments, not in the data files (reference
+    PartitioningUtils.scala:57-71 parses these)."""
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).withColumn("l_shipyear", F.year("l_shipdate"))
+    src = tempfile.mkdtemp(prefix="icebergsql-hive-")
+    # Spark's partitionBy writes l_shipyear=YYYY/ dirs and DROPS the
+    # column from the data files — exactly the layout under test
+    # (repartition(4) so each year dir holds several small files and the
+    # later compact() has something to bin-pack)
+    li.repartition(4).write.mode("overwrite").partitionBy(
+        "l_shipyear"
+    ).parquet(src)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields
+    )
+    tbl = Catalog(spark, str(tmp_path / "wh")).create_table(
+        "li_hive", ddl, ["l_shipyear"]
+    )
+    snap = tbl.add_files(src)
+    live = snap.live_files()
+    assert all(f.path_partition for f in live)
+    years = sorted(
+        r["l_shipyear"] for r in li.select("l_shipyear").distinct().collect()
+    )
+    assert {f.partition["l_shipyear"] for f in live} == {
+        str(y) for y in years
+    }
+    # read path materializes the partition column with the TABLE type
+    df = tbl.to_df()
+    assert dict(df.dtypes)["l_shipyear"] == "int"
+    got = df.groupBy("l_shipyear").count().collect()
+    want = li.groupBy("l_shipyear").count().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # partition pruning + metadata count work off the path-derived values
+    assert tbl.scan(where=f"l_shipyear = {years[0]}").files_scanned < len(
+        live
+    )
+    assert (
+        tbl.scan(where=f"l_shipyear = {years[0]}").count_from_stats()
+        == li.filter(F.col("l_shipyear") == years[0]).count()
+    )
+    # exact content round-trip (money column, order-independent)
+    got_sum = df.agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+    ).collect()[0][0]
+    want_sum = li.agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+    ).collect()[0][0]
+    assert got_sum == want_sum
+    # compaction rewrites to self-describing files: flag dissolves
+    snap2 = tbl.compact()
+    assert snap2 is not None
+    assert all(
+        not f.path_partition
+        for f in tbl.meta.current_snapshot().live_files()
+    )
+    assert tbl.to_df().count() == li.count()
+
+
+def test_add_files_hive_null_partition(spark, tmp_path):
+    """__HIVE_DEFAULT_PARTITION__ path segment round-trips as NULL."""
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .withColumn(
+            "l_shipyear",
+            F.when(F.year("l_shipdate") == 1995, F.lit(None)).otherwise(
+                F.year("l_shipdate")
+            ),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="icebergsql-hivenull-")
+    li.write.mode("overwrite").partitionBy("l_shipyear").parquet(src)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields
+    )
+    tbl = Catalog(spark, str(tmp_path / "wh")).create_table(
+        "li_hivenull", ddl, ["l_shipyear"]
+    )
+    tbl.add_files(src)
+    got = tbl.to_df().filter(F.col("l_shipyear").isNull()).count()
+    assert got == li.filter(F.col("l_shipyear").isNull()).count()
+    assert got > 0
+
+
+def test_add_files_hive_conflict_and_guards(spark, tmp_path):
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).withColumn("l_shipyear", F.year("l_shipdate"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    tbl = cat.create_table("li_hivec", ddl, ["l_shipyear"])
+    # self-describing file placed under a LYING path dir: footer says
+    # 1995, path says 9999 — conflicted import must refuse
+    import os
+
+    lie = tempfile.mkdtemp(prefix="icebergsql-hivelie-")
+    os.makedirs(f"{lie}/l_shipyear=9999")
+    li.filter(F.col("l_shipyear") == 1995).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{lie}/l_shipyear=9999")
+    with pytest.raises(TableValidationError, match="footer stats say"):
+        tbl.add_files(lie)
+    # partition column in neither data nor path
+    flat = tempfile.mkdtemp(prefix="icebergsql-hiveflat-")
+    li.filter(F.col("l_shipyear") == 1995).drop("l_shipyear").coalesce(
+        1
+    ).write.mode("overwrite").parquet(flat)
+    with pytest.raises(TableValidationError, match="lacks partition"):
+        tbl.add_files(flat)
+    # mixed directory: one conforming file + one missing a column — the
+    # per-file footer guard catches what the merged schema hides
+    mixed = tempfile.mkdtemp(prefix="icebergsql-hivemix-")
+    os.makedirs(f"{mixed}/l_shipyear=1995")
+    os.makedirs(f"{mixed}/l_shipyear=1996")
+    li.filter(F.col("l_shipyear") == 1995).drop("l_shipyear").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{mixed}/l_shipyear=1995")
+    li.filter(F.col("l_shipyear") == 1996).drop("l_shipyear").drop(
+        "l_tax"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{mixed}/l_shipyear=1996"
+    )
+    with pytest.raises(TableValidationError, match="footer columns"):
+        tbl.add_files(mixed)
