@@ -532,6 +532,14 @@ def cms_sliding_estimate(
 
     ``probes`` is a one-column DataFrame of keys (column name ``col``).
     Returns (wday, <col>, cms_estimate).
+
+    Emitted-rows contract (ADVICE_r09): the probe join is an INNER join
+    against the windowed counters, so a probe key that hashes into
+    buckets untouched in EVERY depth of a window produces NO row for
+    that (wday, probe) — not a ``cms_estimate = 0`` row.  Counter
+    sparsity like that essentially requires the window to be empty;
+    callers needing a dense (wday x probe) spine should left-join from
+    one and ``coalesce(cms_estimate, 0)``.
     """
     daily = cms_daily_build(df, col, day_col, depth=depth)
     days = daily.select(F.col("day").alias("wday")).distinct()

@@ -53,6 +53,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     #    table bloom sizing + per-file footer schema guard) — re-check --
     "events_markov_attribution",
     "managed_add_files_import",
+    "events_hill_tail_index",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",
@@ -230,7 +231,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     # -- round-9-green rows (all green in CORRECTNESS_r09; tail) --
     "events_cuped_adjustment",
     "graph_hits_scores",
-    "events_hill_tail_index",
     "events_bot_regularity",
     "managed_stream_wap",
     "multimodal_image_ahash",

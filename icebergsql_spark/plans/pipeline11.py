@@ -1627,12 +1627,16 @@ def managed_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
         xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
         terms AS (
-          SELECT t.rn, ln(t.v / xk.x_k) AS lr
+          SELECT t.rn, ln(t.v / xk.x_k) AS lr,
+                 CAST(floor((t.v / xk.x_k) * 1000000.0) AS BIGINT) AS rq
           FROM topk t CROSS JOIN xk WHERE t.rn <= 100
         ),
-        fold AS (SELECT list_sum(list(lr ORDER BY rn)) AS s FROM terms)
+        fold AS (SELECT list_sum(list(lr ORDER BY rn)) AS s,
+                        CAST(SUM(rq) AS BIGINT) AS ratio_sum_q
+                 FROM terms)
         SELECT CAST(100 AS BIGINT) AS k,
                xk.x_k AS x_k,
+               fold.ratio_sum_q AS ratio_sum_q,
                fold.s / 100.0 AS hill_mean,
                100.0 / fold.s AS alpha_hat
         FROM fold CROSS JOIN xk
@@ -1646,7 +1650,11 @@ def managed_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must change). Determinism: order statistics under a total order "
     "(value DESC, event_id), per-term ln of the SAME division "
     "expression in both engines, RANK-SORTED sequential fold, two "
-    "mirrored final divisions. Scale shape: one TakeOrdered top-101 "
+    "mirrored final divisions; ratio_sum_q additionally anchors the "
+    "gate on an EXACT signal (sum of floor(1e6 * v/x_k) bigints — "
+    "double division is bit-identical across engines, ln is only "
+    "1-ulp-identical on most inputs, so the ln-derived columns are "
+    "best-effort per ADVICE_r09). Scale shape: one TakeOrdered top-101 "
     "scan — no global sort materialized.",
     tags=("events", "stats", "agg"),
 )
@@ -1661,17 +1669,20 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
         xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
         terms AS (
-          SELECT t.rn, ln(t.v / xk.x_k) AS lr
+          SELECT t.rn, ln(t.v / xk.x_k) AS lr,
+                 CAST(floor((t.v / xk.x_k) * 1000000.0) AS BIGINT) AS rq
           FROM topk t CROSS JOIN xk WHERE t.rn <= 100
         ),
         fold AS (
           SELECT aggregate(array_sort(collect_list(struct(rn, lr))),
                            CAST(0.0 AS DOUBLE),
-                           (acc, x) -> acc + x.lr) AS s
+                           (acc, x) -> acc + x.lr) AS s,
+                 CAST(SUM(rq) AS BIGINT) AS ratio_sum_q
           FROM terms
         )
         SELECT CAST(100 AS BIGINT) AS k,
                xk.x_k AS x_k,
+               fold.ratio_sum_q AS ratio_sum_q,
                fold.s / 100.0 AS hill_mean,
                100.0 / fold.s AS alpha_hat
         FROM fold CROSS JOIN xk
