@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "text_rouge_by_source",
     # round-10 pipeline13 wave
     "managed_add_files_hive_import",
+    "managed_merge_cdc_ops",
 ]
 
 
@@ -413,6 +414,7 @@ def main() -> None:
         "managed_partitions_skew",
         "managed_stream_add_files",
         "managed_add_files_hive_import",
+        "managed_merge_cdc_ops",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

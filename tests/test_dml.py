@@ -755,3 +755,109 @@ def test_merge_schema_evolution_mor(spark, tmp_path):
     assert got[20] == (7.0, "new")
     assert got[3] == (3.0, None)
     assert len(got) == 11
+
+
+def test_merge_delete_condition_on_source_only_column(spark, tmp_path):
+    """CDC op-code MERGE: DELETE/UPDATE/INSERT clause conditions on a
+    column that exists ONLY in the source (the op code) — the classic
+    change-feed apply. Covered in copy-on-write AND merge-on-read via
+    the programmatic API, and through the SQL front door's clause
+    parser, against one pure-Python model."""
+    import random
+
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.table import Catalog
+
+    rng = random.Random(1007)
+    for mode in ("cow", "mor", "sql"):
+        tgt = {k: float(k * 10) for k in range(24)}
+        ops = {
+            k: rng.choice(["D", "U", "X", "I"])
+            for k in rng.sample(range(36), 18)
+        }
+        sval = {k: float(rng.randrange(100, 200)) for k in ops}
+        # pure-Python model of the clause chain below
+        expect = dict(tgt)
+        for k, op in ops.items():
+            if k in tgt:
+                if op == "D":
+                    expect.pop(k)
+                elif op == "U":
+                    expect[k] = sval[k]
+                # X / I matched: no clause fires, row kept
+            elif op == "I":
+                expect[k] = sval[k]
+        src_rows = [(k, sval[k], k % 2, ops[k]) for k in ops]
+        src_schema = "k bigint, v double, part int, op string"
+        if mode == "sql":
+            eng = Engine(spark, str(tmp_path / "wh_cdc_sql"))
+            eng.sql(
+                "CREATE TABLE cdc_sql (k BIGINT, v DOUBLE, part INT) "
+                "USING parquet OPTIONS (addTableManagement 'true') "
+                "PARTITIONED BY (part)"
+            )
+            spark.createDataFrame(
+                [(k, v, k % 2) for k, v in tgt.items()],
+                "k bigint, v double, part int",
+            ).createOrReplaceTempView("cdc_tgt")
+            eng.sql("INSERT INTO cdc_sql SELECT * FROM cdc_tgt")
+            spark.createDataFrame(
+                src_rows, src_schema
+            ).createOrReplaceTempView("cdc_src")
+            eng.sql("""
+                MERGE INTO cdc_sql t USING cdc_src s ON t.k = s.k
+                WHEN MATCHED AND s.op = 'D' THEN DELETE
+                WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+                WHEN NOT MATCHED AND s.op = 'I'
+                  THEN INSERT (k, v, part) VALUES (s.k, s.v, s.part)
+            """)
+            got = {
+                r["k"]: r["v"]
+                for r in eng.sql("SELECT k, v FROM cdc_sql").collect()
+            }
+        else:
+            cat = Catalog(spark, str(tmp_path / f"wh_cdc_{mode}"))
+            t = cat.create_table(
+                f"cdc_{mode}",
+                "k bigint, v double, part int",
+                partition_cols=["part"],
+                properties=(
+                    {"write.merge.mode": "merge-on-read"}
+                    if mode == "mor"
+                    else {}
+                ),
+            )
+            t.insert(
+                spark.createDataFrame(
+                    [(k, v, k % 2) for k, v in tgt.items()],
+                    "k bigint, v double, part int",
+                )
+            )
+            before = {f.path for f in t.meta.current_snapshot().live_files()}
+            snap = t.merge(
+                spark.createDataFrame(src_rows, src_schema),
+                on=["k"],
+                matched_clauses=[
+                    ("s.op = 'D'", "delete", None),
+                    ("s.op = 'U'", "update", {"v": "s.v"}),
+                ],
+                when_not_matched_insert=[
+                    (
+                        "s.op = 'I'",
+                        {"k": "s.k", "v": "s.v", "part": "s.part"},
+                    )
+                ],
+            )
+            if mode == "mor":
+                # MoR: original files untouched, only firing rows masked
+                assert before <= {f.path for f in snap.live_files()}
+                fired = sum(
+                    1
+                    for k, op in ops.items()
+                    if k in tgt and op in ("D", "U")
+                )
+                assert sum(e.count for e in snap.dv_entries()) == fired
+            got = {
+                r["k"]: r["v"] for r in t.to_df().select("k", "v").collect()
+            }
+        assert got == expect, (mode, got, expect)
