@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     # round-10 pipeline13 wave
     "managed_add_files_hive_import",
     "managed_merge_cdc_ops",
+    "managed_lineage_export",
 ]
 
 
@@ -415,6 +416,7 @@ def main() -> None:
         "managed_stream_add_files",
         "managed_add_files_hive_import",
         "managed_merge_cdc_ops",
+        "managed_lineage_export",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -197,3 +197,97 @@ def managed_merge_cdc_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT seg, COUNT(*) AS n, CAST(SUM(bal) AS BIGINT) AS "
         "total_cents FROM cust_cdc GROUP BY seg ORDER BY seg"
     )
+
+
+# ---------------------------------------------- $lineage export view --
+
+
+@register(
+    "managed_lineage_export",
+    oracle="""
+        WITH c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey < 10),
+             c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey >= 10 AND n_nationkey < 20),
+             c4 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey >= 20 AND n_nationkey < 23)
+        SELECT 0 AS depth, 'append' AS operation,
+               CAST(c1.n + c2.n + c4.n AS BIGINT) AS total_records,
+               TRUE AS is_current_ancestor
+        FROM c1, c2, c4
+        UNION ALL
+        SELECT 1, 'append', CAST(c1.n + c2.n AS BIGINT), TRUE FROM c1, c2
+        UNION ALL
+        SELECT 2, 'append', c1.n, TRUE FROM c1
+        ORDER BY depth
+    """,
+    doc="`$snapshots`-lineage export view (`<table>$lineage`, "
+    "table.py:lineage_df): the ancestor CLOSURE of every snapshot as a "
+    "joinable relation — (snapshot_id, ancestor_id, depth, timestamp, "
+    "is_current). Scenario: three appends, a rollback to the second, a "
+    "fourth append — so one snapshot is lineage-orphaned. In-DAG "
+    "asserts: the is_current rows replay CALL ancestors_of exactly "
+    "(ids AND order), the orphaned snapshot keeps its own 3-deep chain "
+    "with is_current=false, closure size is sum of chain lengths. "
+    "Result: `$lineage` JOIN `$history` on ancestor_id for the current "
+    "head — depth, operation, and the running total-records of every "
+    "feeding commit — vs a pure-count oracle over nation.",
+    tags=("managed", "metadata", "lineage"),
+)
+def managed_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-linwh-"))
+    tbl = eng.catalog.create_table(
+        "nat_lin",
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+        ["n_regionkey"],
+    )
+    sel = nation.select("n_nationkey", "n_name", "n_regionkey")
+    s1 = tbl.insert(sel.filter(F.col("n_nationkey") < 10))
+    s2 = tbl.insert(
+        sel.filter(
+            (F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)
+        )
+    )
+    s3 = tbl.insert(sel.filter(F.col("n_nationkey") >= 20))
+    tbl.rollback_to(s2.snapshot_id)
+    s4 = tbl.insert(
+        sel.filter(
+            (F.col("n_nationkey") >= 20) & (F.col("n_nationkey") < 23)
+        )
+    )
+    mark_setup_done()  # history built; the lineage export is the op
+    lin = tbl.lineage_df().collect()
+    head_chain = [
+        r["ancestor_id"]
+        for r in sorted(
+            (r for r in lin if r["is_current"]), key=lambda r: r["depth"]
+        )
+    ]
+    proc = [
+        r["snapshot_id"]
+        for r in eng.sql(
+            "CALL system.ancestors_of(table => 'nat_lin')"
+        ).collect()
+    ]
+    assert head_chain == proc, (head_chain, proc)
+    assert head_chain == [s4.snapshot_id, s2.snapshot_id, s1.snapshot_id]
+    orphan = sorted(
+        r["depth"] for r in lin if r["snapshot_id"] == s3.snapshot_id
+    )
+    assert orphan == [0, 1, 2] and not any(
+        r["is_current"] for r in lin if r["snapshot_id"] == s3.snapshot_id
+    ), "rolled-over snapshot keeps its own non-current chain"
+    assert len(lin) == 1 + 2 + 3 + 3, "closure = sum of chain lengths"
+    return eng.sql(
+        "SELECT l.depth, h.operation, h.total_records, "
+        "h.is_current_ancestor "
+        "FROM `nat_lin$lineage` l "
+        "JOIN `nat_lin$history` h ON h.snapshot_id = l.ancestor_id "
+        "WHERE l.is_current ORDER BY l.depth"
+    )

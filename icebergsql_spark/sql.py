@@ -50,6 +50,7 @@ _DELETE_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$delete_files`")
 _ENTRIES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$entries`")
 _ALL_FILES_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$all_files`")
 _METADATA_LOG_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$metadata_log`")
+_LINEAGE_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$lineage`")
 _CREATE_RE = re.compile(
     r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?(?P<name>[`\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*using\s+(?P<fmt>\w+)\s*"
@@ -455,6 +456,10 @@ class Engine:
         text = _METADATA_LOG_RE.sub(
             lambda mo: f"{mo.group(1)}__metadata_log", text
         )
+        for m in set(_LINEAGE_RE.findall(text)):
+            tbl = self.catalog.load_table(m)
+            tbl.lineage_df().createOrReplaceTempView(f"{m}__lineage")
+        text = _LINEAGE_RE.sub(lambda mo: f"{mo.group(1)}__lineage", text)
 
         referenced = self._referenced_managed(text)
         per_table: dict[str, str | None] = {}

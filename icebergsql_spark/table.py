@@ -3484,6 +3484,41 @@ class ManagedTable:
             "total_position_deletes long, total_equality_deletes long",
         )
 
+    def lineage_df(self) -> DataFrame:
+        """The `<table>$lineage` view: the ancestor CLOSURE of every
+        snapshot — one row per (snapshot, ancestor) pair with the hop
+        ``depth`` (0 = the snapshot itself), the ancestor's timestamp,
+        and ``is_current`` marking the current head's rows. Filtering
+        ``is_current`` reproduces ``CALL ancestors_of`` exactly (same
+        walk, sql.py:1333), but as a JOINABLE relation: lineage x
+        `$history` answers "which commits feed this snapshot" per
+        snapshot in one query — the export an audit pipeline snapshots
+        out of the catalog. Bounded metadata: |snapshots| x chain depth
+        rows, independent of data volume."""
+        cur = self.meta.current_snapshot_id
+        by_id = {s.snapshot_id: s for s in self.meta.snapshots}
+        rows = []
+        for s in self.meta.snapshots:
+            sid, depth, seen = s.snapshot_id, 0, set()
+            while sid is not None and sid not in seen and sid in by_id:
+                seen.add(sid)
+                anc = by_id[sid]
+                rows.append(
+                    (
+                        s.snapshot_id,
+                        anc.snapshot_id,
+                        depth,
+                        anc.timestamp_ms,
+                        s.snapshot_id == cur,
+                    )
+                )
+                sid, depth = anc.parent_id, depth + 1
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, ancestor_id long, depth int, "
+            "ancestor_timestamp long, is_current boolean",
+        )
+
     def manifests_df(self) -> DataFrame:
         """The `<table>$manifests` view (Iceberg ``db.tbl.manifests``):
         current snapshot's manifest list with per-manifest file/row

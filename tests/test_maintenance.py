@@ -1409,3 +1409,45 @@ def test_create_ref_retention_sql_surface(spark, tmp_path):
         r["name"]: r for r in eng.sql("SELECT * FROM `rt$refs`").collect()
     }
     assert refs2["plain"]["maxRefAgeMs"] is None
+
+
+def test_lineage_view_closure_and_branch(spark, tmp_path):
+    """$lineage exports the ancestor closure of every snapshot; the
+    is_current rows replay CALL ancestors_of; branch heads appear with
+    their own chains and is_current=false."""
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_lin"))
+    t = eng.catalog.create_table("lin_t", "k bigint, p int", ["p"])
+    s1 = t.insert(spark.sql("SELECT id AS k, CAST(id % 2 AS INT) AS p FROM range(10)"))
+    s2 = t.insert(spark.sql("SELECT id + 10 AS k, CAST(id % 2 AS INT) AS p FROM range(10)"))
+    t.create_branch("b")
+    sb = t.insert(
+        spark.sql("SELECT id + 50 AS k, CAST(id % 2 AS INT) AS p FROM range(5)"),
+        branch="b",
+    )
+    lin = {(r["snapshot_id"], r["ancestor_id"], r["depth"]): r for r in t.lineage_df().collect()}
+    # head chain == procedure output
+    head = [
+        r["ancestor_id"]
+        for r in sorted(
+            (r for r in t.lineage_df().collect() if r["is_current"]),
+            key=lambda r: r["depth"],
+        )
+    ]
+    proc = [
+        r["snapshot_id"]
+        for r in eng.sql("CALL system.ancestors_of(table => 'lin_t')").collect()
+    ]
+    assert head == proc == [s2.snapshot_id, s1.snapshot_id]
+    # branch commit has its own 3-deep chain, not current
+    assert (sb.snapshot_id, sb.snapshot_id, 0) in lin
+    assert (sb.snapshot_id, s2.snapshot_id, 1) in lin
+    assert (sb.snapshot_id, s1.snapshot_id, 2) in lin
+    assert not lin[(sb.snapshot_id, sb.snapshot_id, 0)]["is_current"]
+    # SQL-front-door spelling works and joins against $history
+    n = eng.sql(
+        "SELECT COUNT(*) AS n FROM `lin_t$lineage` l "
+        "JOIN `lin_t$history` h ON h.snapshot_id = l.ancestor_id"
+    ).collect()[0]["n"]
+    assert n == 1 + 2 + 3
