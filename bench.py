@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "managed_add_files_hive_import",
     "managed_merge_cdc_ops",
     "managed_lineage_export",
+    "graph_louvain_converge",
 ]
 
 
@@ -417,6 +418,7 @@ def main() -> None:
         "managed_add_files_hive_import",
         "managed_merge_cdc_ops",
         "managed_lineage_export",
+        "graph_louvain_converge",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

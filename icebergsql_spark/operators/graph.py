@@ -391,3 +391,49 @@ def louvain_gain_round(
             .alias("gain_num"),
         )
     )
+
+
+def louvain_converge(
+    half_edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+    node_col: str = "n",
+    label_col: str = "lbl",
+) -> tuple[DataFrame, int]:
+    """Louvain to convergence: chain ``louvain_gain_round`` until a round
+    moves NO node, bounded by ``max_rounds`` (synchronous simultaneous
+    moves can oscillate on bipartite-ish structure, so an unbounded loop
+    is never safe). Returns ``(final_labels, rounds_run)`` where
+    ``rounds_run`` counts EXECUTED rounds — the round that observes zero
+    movers is counted, matching min{k : movers_k = 0} (else max_rounds).
+
+    Determinism: every round is the exact-bigint pure function of
+    (graph, labels) that louvain_gain_round proves, and a converged
+    round is IDEMPOTENT (all gains <= 0, everyone stays), so an oracle
+    that chains a FIXED max_rounds of round-CTEs reproduces both the
+    final labels and rounds_run without knowing the stop point up
+    front. Scale shape: per round one bounded-join pass (state
+    O(nodes+edges)); localCheckpoint per round keeps the unrolled
+    lineage linear (the k-core lesson), and the movers probe is a
+    LIMIT-1 count on the checkpointed frame, not a recompute.
+    """
+    rounds_run = 0
+    for _ in range(max_rounds):
+        moved = louvain_gain_round(
+            half_edges, labels, a=a, b=b, node_col=node_col,
+            label_col=label_col,
+        ).localCheckpoint()
+        rounds_run += 1
+        labels = moved.select(
+            F.col("n").alias(node_col), F.col("lbl_new").alias(label_col)
+        )
+        movers = (
+            moved.filter(F.col("lbl_new") != F.col("lbl_old"))
+            .limit(1)
+            .count()
+        )
+        if movers == 0:
+            break
+    return labels, rounds_run

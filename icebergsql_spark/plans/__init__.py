@@ -50,6 +50,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_add_files_hive_import",
     "managed_merge_cdc_ops",
     "managed_lineage_export",
+    "graph_louvain_converge",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

@@ -291,3 +291,107 @@ def managed_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "JOIN `nat_lin$history` h ON h.snapshot_id = l.ancestor_id "
         "WHERE l.is_current ORDER BY l.depth"
     )
+
+
+# ------------------------------------------- Louvain to convergence --
+
+
+def _louvain_converge_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    max_rounds = 4
+    blocks = []
+    for k in range(1, max_rounds + 1):
+        blocks.append(_louvain_round_sql(k, f"lab{k}"))
+        blocks.append(
+            f"lab{k + 1} AS (SELECT n, lbl_new AS lbl FROM moved{k})"
+        )
+    movers = ", ".join(
+        f"mv{k} AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM moved{k} "
+        "WHERE lbl_new <> lbl_old)"
+        for k in range(1, max_rounds + 1)
+    )
+    case = (
+        "CASE WHEN mv1.c = 0 THEN 1 WHEN mv2.c = 0 THEN 2 "
+        "WHEN mv3.c = 0 THEN 3 ELSE 4 END"
+    )
+    sql = (
+        _EDGE_SQL
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {", ".join(blocks)},
+        {movers},
+        conv AS (
+          SELECT CAST({case} AS INTEGER) AS rounds_run
+          FROM mv1, mv2, mv3
+        )
+        SELECT CAST(lab5.lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST('0x' || substr(md5(n), 1, 6) AS BIGINT))
+                    AS BIGINT) AS node_digest,
+               conv.rounds_run AS rounds_run
+        FROM lab5 CROSS JOIN conv
+        GROUP BY 1, 4 ORDER BY 1
+    """
+    )
+    # Four chained rounds reference `e`/`lab{k}` many times; DuckDB
+    # inlines CTEs by default, which re-opens documents.parquet per
+    # reference and trips the fd limit — materialize every CTE (the
+    # curation_facility_location lesson).
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_louvain_converge",
+    oracle=_louvain_converge_oracle(),
+    doc="Louvain TO CONVERGENCE (operators/graph.py:louvain_converge): "
+    "chained synchronous refinement rounds until a round moves no node, "
+    "hard-bounded at max_rounds=4 because simultaneous moves can "
+    "oscillate — the bound is asserted in-DAG. The oracle chains four "
+    "FIXED round-CTE blocks (a converged round is idempotent, so the "
+    "fixed chain replays early stopping exactly) and derives rounds_run "
+    "as min k with zero movers. Result: final community rollup (size + "
+    "md5 node digest) with rounds_run. Scale shape: per round one "
+    "bounded-join pass, localCheckpoint between rounds, LIMIT-1 movers "
+    "probe on the checkpointed frame.",
+    tags=("graph", "dedup", "window"),
+)
+def graph_louvain_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.graph import louvain_converge
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    final, rounds_run = louvain_converge(half, labels, max_rounds=4)
+    assert 1 <= rounds_run <= 4, rounds_run
+    return (
+        final.groupBy(F.col("lbl").cast("bigint").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(
+                F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            ).cast("bigint").alias("node_digest"),
+        )
+        .withColumn("rounds_run", F.lit(int(rounds_run)).cast("int"))
+        .orderBy("community")
+    )

@@ -544,3 +544,47 @@ def test_cms_sliding_overestimates_exact(spark):
         for r in probes.collect():
             exact = sum(1 for v in window if v == r["uid"])
             assert est.get((d, r["uid"]), 0) >= exact
+
+
+def test_louvain_converge_stops_and_is_idempotent(spark):
+    """louvain_converge runs until a round moves no node (bounded), and
+    its final labels are a fixed point: replaying rounds from the
+    pure-Python replica reaches the same labels in the same number of
+    rounds."""
+    from icebergsql_spark.operators.graph import louvain_converge
+
+    cliq1 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    cliq2 = [(i, j) for i in range(4, 8) for j in range(i + 1, 8)]
+    half = cliq1 + cliq2 + [(3, 4)]
+    # nearly-correct seed: clique communities with ONE misplaced node —
+    # it snaps back in round 1, round 2 observes zero movers.
+    # (The n%2 seed OSCILLATES forever under synchronous moves — both
+    # cliques swap labels every round — which is exactly why the
+    # max_rounds bound exists; asserted below.)
+    labels = {n: (0 if n < 4 else 1) for n in range(8)}
+    labels[3] = 1
+    he = spark.createDataFrame(half, "a long, b long")
+    lab = spark.createDataFrame(list(labels.items()), "n long, lbl long")
+    final, rounds_run = louvain_converge(he, lab, max_rounds=6)
+    got = {r["n"]: r["lbl"] for r in final.collect()}
+
+    # python replica of the converge loop, same stop rule
+    py, py_rounds = dict(labels), 0
+    for _ in range(6):
+        moved = _py_louvain_round(half, py)
+        py_rounds += 1
+        py = {n: new for n, (_old, new, _g) in moved.items()}
+        if all(old == new for (old, new, _g) in moved.values()):
+            break
+    assert got == py == {n: (0 if n < 4 else 1) for n in range(8)}
+    assert rounds_run == py_rounds == 2
+    # fixed point: one more round moves nobody
+    moved = _py_louvain_round(half, py)
+    assert all(o == n for (o, n, _g) in moved.values())
+
+    # the oscillating seed hits the bound — never converges, stays exact
+    lab2 = spark.createDataFrame(
+        [(n, n % 2) for n in range(8)], "n long, lbl long"
+    )
+    _final2, rounds2 = louvain_converge(he, lab2, max_rounds=3)
+    assert rounds2 == 3, "oscillating seed must run to the bound"
