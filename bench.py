@@ -271,6 +271,8 @@ BENCH_QUERIES = [
     "managed_merge_cdc_ops",
     "managed_lineage_export",
     "graph_louvain_converge",
+    "multimodal_image_phash",
+    "dedup_image_phash_tier",
 ]
 
 

@@ -852,3 +852,92 @@ def image_difference_hash(blobs: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return blobs.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def dct_int_coefs(
+    n: int = 16, block: int = 8, scale: int = 16384
+) -> "list[list[int]]":
+    """Quantized DCT-II basis, the EXACT INTEGER CONTRACT behind
+    ``image_dct_hash``: C[u][x] = round(cos((2x+1)·u·π / 2n) · scale).
+    The trig runs ONCE, here, on the driver — both the Spark operator
+    and any SQL oracle consume the SAME integer table (embedded as
+    literals), so no cross-engine cos()/rounding boundary can ever
+    diverge the hash (the ln 1-ulp lesson, applied preemptively).
+    Returns ``block`` rows (the low frequencies pHash keeps) of ``n``
+    coefficients."""
+    import math
+
+    return [
+        [
+            round(math.cos((2 * x + 1) * u * math.pi / (2 * n)) * scale)
+            for x in range(n)
+        ]
+        for u in range(block)
+    ]
+
+
+def dct_coef_values_sql(
+    n: int = 16, block: int = 8, scale: int = 16384
+) -> str:
+    """The ``dct_int_coefs`` table as a SQL VALUES list ``(u, x, c)`` —
+    paste into an oracle CTE ``coef(u, x, c) AS (VALUES ...)`` so DuckDB
+    replays the integer DCT from the identical constants."""
+    C = dct_int_coefs(n, block, scale)
+    return ", ".join(
+        f"({u}, {x}, {C[u][x]})" for u in range(block) for x in range(n)
+    )
+
+
+def image_dct_hash(
+    blobs: DataFrame, size: int = 16, block: int = 8
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) — the frequency-domain tier above
+    aHash/dHash: decode, integer-grayscale, average-pool to
+    ``size x size`` (exact integer SUM pooling — a constant positive
+    scale that cannot flip a sign), apply the quantized integer DCT-II
+    basis on both axes (D = C @ g @ Cᵀ, all int64, |D| < 2^46), and
+    set bit (u, v) iff the AC coefficient is strictly positive (DC is
+    always 0).  Sign-of-frequency bits need no median/mean threshold,
+    so the whole hash is exact integer arithmetic end-to-end — an SQL
+    oracle replays it from the ``dct_coef_values_sql`` literals.
+    64 bits as four 16-bit band integers (b0..b3) — the same banding as
+    aHash/dHash, so candidate pairs come from band equi-joins, never an
+    all-pairs scan.  Arrow-batched narrow map; no shuffle."""
+    import numpy as np
+
+    C = np.array(dct_int_coefs(size, block), dtype="int64")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, _c, px = decode_image(bytes(payload))
+                gray = px.astype("int64").sum(axis=2)
+                if (h, w) != (size, size):
+                    if h % size or w % size:
+                        raise ValueError(
+                            f"image {h}x{w} does not pool to {size}x{size}"
+                        )
+                    gray = gray.reshape(
+                        size, h // size, size, w // size
+                    ).sum(axis=(1, 3))
+                D = C @ gray @ C.T  # D[u][v]: u over rows(y), v over cols(x)
+                bits = (D > 0).astype("int64")
+                bits[0][0] = 0  # DC carries global brightness, not shape
+                flat = bits.reshape(-1)
+                bands = []
+                for j in range(4):
+                    v = 0
+                    for t in range(16):
+                        v |= int(flat[j * 16 + t]) << t
+                    bands.append(v)
+                rows.append(
+                    (did, bands[0], bands[1], bands[2], bands[3],
+                     int(flat.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "b0", "b1", "b2", "b3", "popcount"],
+            )
+
+    return blobs.mapInPandas(run, schema=AHASH_SCHEMA)

@@ -51,6 +51,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_merge_cdc_ops",
     "managed_lineage_export",
     "graph_louvain_converge",
+    "multimodal_image_phash",
+    "dedup_image_phash_tier",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

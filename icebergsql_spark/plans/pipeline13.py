@@ -395,3 +395,204 @@ def graph_louvain_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rounds_run", F.lit(int(rounds_run)).cast("int"))
         .orderBy("community")
     )
+
+
+# ------------------------------------------------- integer-DCT pHash --
+
+
+def _phash_hashes_sql(max_doc: int) -> str:
+    """Shared oracle CTE chain doc->gray->DCT->bits->hashes, replaying
+    operators/multimodal.py:image_dct_hash from the SAME integer DCT
+    constants (dct_coef_values_sql literals — no trig in either
+    engine's query)."""
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    return f"""
+        coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 16) * 37 + i.i * 11) % 256 AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3
+        ),
+        dct AS (
+          SELECT gray.doc_id, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT doc_id, u * 8 + v AS k,
+                 CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                      THEN 0 ELSE 1 END AS bit
+          FROM dct
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k // 16 = 0
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN k // 16 = 1
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN k // 16 = 2
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN k // 16 = 3
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b3,
+                 CAST(SUM(bit) AS INTEGER) AS popcount
+          FROM bits GROUP BY doc_id
+        )"""
+
+
+def _phash_blobs(spark: SparkSession, sf_dir: str, max_doc: int):
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < max_doc)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 256 for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+
+
+@register(
+    "multimodal_image_phash",
+    oracle=f"""
+        WITH {_phash_hashes_sql(500)}
+        SELECT b0, b1, b2, b3, CAST(MAX(popcount) AS INTEGER) AS popcount,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM hashes
+        GROUP BY b0, b1, b2, b3
+        ORDER BY b0, b1, b2, b3
+    """,
+    doc="Perceptual DCT hash (pHash) image dedup — the frequency-domain "
+    "tier above aHash/dHash (operators/multimodal.py:image_dct_hash): "
+    "integer grayscale -> quantized integer DCT-II on both axes -> "
+    "sign-of-AC-coefficient bits, DC dropped. The trig runs ONCE on "
+    "the driver (dct_int_coefs) and both engines consume the same "
+    "integer literals, so the hash is exact end-to-end — no "
+    "cross-engine cos()/median boundary exists. Same planted 16-class "
+    "fixture and four 16-bit bands as the aHash/dHash gates; oracle "
+    "replays the DCT relationally from the embedded constants.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import multimodal
+
+    blobs = _phash_blobs(spark, sf_dir, 500)
+    hashes = multimodal.image_dct_hash(blobs, size=16, block=8)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.max("popcount").cast("int").alias("popcount"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("b0", "b1", "b2", "b3")
+    )
+
+
+@register(
+    "dedup_image_phash_tier",
+    oracle=f"""
+        WITH {_phash_hashes_sql(500)},
+        tagged AS (
+          SELECT doc_id, doc_id % 16 AS cls, b0, b1, b2, b3 FROM hashes
+        ),
+        pairs AS (
+          SELECT CASE WHEN x.cls = y.cls THEN 1 ELSE 0 END AS is_dup,
+                 CASE WHEN x.b0 = y.b0 OR x.b1 = y.b1
+                        OR x.b2 = y.b2 OR x.b3 = y.b3
+                      THEN 1 ELSE 0 END AS is_cand
+          FROM tagged x JOIN tagged y ON x.doc_id < y.doc_id
+        ),
+        conf AS (
+          SELECT CAST(SUM(is_dup * is_cand) AS BIGINT) AS tp,
+                 CAST(SUM((1 - is_dup) * is_cand) AS BIGINT) AS fp,
+                 CAST(SUM(is_dup * (1 - is_cand)) AS BIGINT) AS fn,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM pairs
+        )
+        SELECT tp, fp, fn, n_pairs,
+               CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+                 AS precision_ppm,
+               CAST((tp * 1000000) // (tp + fn) AS BIGINT)
+                 AS recall_ppm
+        FROM conf
+    """,
+    doc="Candidate-tier evaluation for the DCT pHash "
+    "(dedup_image_tier_eval's sibling, one tier up): ground truth = "
+    "planted pixel-identity classes (doc_id % 16), candidate tier = "
+    "any shared 16-bit pHash band; exact-integer TP/FP/FN with "
+    "precision/recall in ppm — the row that ranks aHash vs dHash vs "
+    "pHash banding before an image-dedup pass scales out. Bounded "
+    "audit-scale pair enumeration; production candidates come from "
+    "the band equi-join only.",
+    tags=("multimodal", "dedup", "stats"),
+)
+def dedup_image_phash_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import multimodal
+
+    blobs = _phash_blobs(spark, sf_dir, 500)
+    tagged = (
+        multimodal.image_dct_hash(blobs, size=16, block=8)
+        .select(
+            "doc_id", (F.col("doc_id") % 16).alias("cls"),
+            "b0", "b1", "b2", "b3",
+        )
+        .localCheckpoint()
+    )
+    x, y = tagged.alias("x"), tagged.alias("y")
+    pairs = x.join(y, F.col("x.doc_id") < F.col("y.doc_id")).select(
+        F.when(F.col("x.cls") == F.col("y.cls"), 1).otherwise(0)
+        .alias("is_dup"),
+        F.when(
+            (F.col("x.b0") == F.col("y.b0"))
+            | (F.col("x.b1") == F.col("y.b1"))
+            | (F.col("x.b2") == F.col("y.b2"))
+            | (F.col("x.b3") == F.col("y.b3")),
+            1,
+        ).otherwise(0).alias("is_cand"),
+    )
+    return pairs.agg(
+        F.sum(F.expr("is_dup * is_cand")).cast("bigint").alias("tp"),
+        F.sum(F.expr("(1 - is_dup) * is_cand")).cast("bigint").alias("fp"),
+        F.sum(F.expr("is_dup * (1 - is_cand)")).cast("bigint").alias("fn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).select(
+        "tp", "fp", "fn", "n_pairs",
+        F.expr("CAST((tp * 1000000) DIV (tp + fp) AS BIGINT)").alias(
+            "precision_ppm"
+        ),
+        F.expr("CAST((tp * 1000000) DIV (tp + fn) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

@@ -588,3 +588,61 @@ def test_louvain_converge_stops_and_is_idempotent(spark):
     )
     _final2, rounds2 = louvain_converge(he, lab2, max_rounds=3)
     assert rounds2 == 3, "oscillating seed must run to the bound"
+
+
+def test_image_dct_hash_matches_python_replica(spark):
+    """pHash bits from a pure-python integer-DCT replica on a 32x32
+    image (exercises the exact SUM pooling path down to 16x16) — locks
+    the coefficient table, the axis orientation (u over rows, v over
+    cols), the DC drop, and the band layout."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.multimodal import dct_int_coefs
+
+    w = h = 32
+    rgb = bytes((i * 17 + 3) % 256 for i in range(w * h * 3))
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [multimodal.encode_ppm(w, h, rgb)],
+                }
+            )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    got = multimodal.image_dct_hash(blobs, size=16, block=8).collect()[0]
+
+    # pure-python replica: gray, 2x2 SUM pool, integer DCT, sign bits
+    gray = [[0] * w for _ in range(h)]
+    for i in range(w * h * 3):
+        p = i // 3
+        gray[p // w][p % w] += (i * 17 + 3) % 256
+    pooled = [
+        [
+            gray[2 * r][2 * c] + gray[2 * r][2 * c + 1]
+            + gray[2 * r + 1][2 * c] + gray[2 * r + 1][2 * c + 1]
+            for c in range(16)
+        ]
+        for r in range(16)
+    ]
+    C = dct_int_coefs(16, 8)
+    bits = []
+    for u in range(8):
+        for v in range(8):
+            d = sum(
+                C[u][r] * pooled[r][c] * C[v][c]
+                for r in range(16)
+                for c in range(16)
+            )
+            bits.append(0 if (u == 0 and v == 0) or d <= 0 else 1)
+    bands = [
+        sum(bits[j * 16 + t] << t for t in range(16)) for j in range(4)
+    ]
+    assert (got["b0"], got["b1"], got["b2"], got["b3"]) == tuple(bands)
+    assert got["popcount"] == sum(bits)
+    # DC slot is always clear
+    assert bands[0] % 2 == 0
