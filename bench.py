@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "graph_louvain_converge",
     "multimodal_image_phash",
     "dedup_image_phash_tier",
+    "events_cuped_stratified",
+    "events_lan_demets_ab",
 ]
 
 

@@ -53,6 +53,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_louvain_converge",
     "multimodal_image_phash",
     "dedup_image_phash_tier",
+    "events_cuped_stratified",
+    "events_lan_demets_ab",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

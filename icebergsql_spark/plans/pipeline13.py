@@ -596,3 +596,209 @@ def dedup_image_phash_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# ------------------------------------------------ stratified CUPED --
+
+_CUPED_STRAT_BODY = """
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS {int_t}) AS arm,
+                 CAST(SUM(CASE WHEN ev.day < d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.day >= d0.d0 + 14
+                               AND ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        strat_user AS (
+          SELECT user_id, arm, x, y,
+                 CAST(LEAST(x {div} 4, 2) AS {int_t}) AS stratum
+          FROM per_user
+        ),
+        pooled AS (
+          SELECT stratum,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM strat_user GROUP BY stratum
+        ),
+        arms AS (
+          SELECT stratum, arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g
+          FROM strat_user GROUP BY stratum, arm
+        )
+        SELECT a.stratum, a.arm, a.n_g, a.sx_g, a.sy_g,
+               CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS cov_num,
+               CAST(p.n * p.sxx - p.sx * p.sx AS BIGINT) AS var_num,
+               (CAST(a.sy_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                 - (CASE WHEN p.n * p.sxx - p.sx * p.sx = 0
+                         THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+                              / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+                    END)
+                   * ((CAST(a.sx_g AS DOUBLE) / CAST(a.n_g AS DOUBLE))
+                      - (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))
+                 AS cuped_adjusted_mean
+        FROM arms a JOIN pooled p ON p.stratum = a.stratum
+        ORDER BY a.stratum, a.arm
+"""
+
+
+@register(
+    "events_cuped_stratified",
+    oracle="""
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+    """
+    + _CUPED_STRAT_BODY.format(int_t="INTEGER", div="//"),
+    doc="STRATIFIED CUPED (events_cuped_adjustment's post-stratified "
+    "form — Deng et al. 2013 §5): users are stratified by the "
+    "PRE-TREATMENT covariate itself (pre-period purchase-count buckets "
+    "x DIV 4 capped at 2), theta is fit per stratum from that "
+    "stratum's pooled exact-integer sufficient stats, and each "
+    "(stratum, arm) reports mean(Y) - theta_s * (mean(X) - mean(X_s)) "
+    "— variance reduction beyond pooled CUPED because theta tracks "
+    "heterogeneous covariate slopes. A zero-variance stratum (all "
+    "users share one x — REAL at sf0.001) takes theta = 0 via a "
+    "mirrored CASE guard instead of an ANSI divide-by-zero (the "
+    "events_cuped_binary lesson). Exact bigint rationals, one "
+    "textually mirrored float expression.",
+    tags=("events", "stats", "curation"),
+)
+def events_cuped_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_cuped_s")
+    return spark.sql(
+        """
+        WITH ev AS (
+          SELECT user_id, event_type, ts DIV 86400000000000 AS day
+          FROM ev_cuped_s
+        ),
+        """
+        + _CUPED_STRAT_BODY.format(int_t="INT", div="DIV")
+    )
+
+
+# ------------------------------- Lan-DeMets information-fraction A/B --
+
+# OBF-shape spending boundary c(t) = C / sqrt(t); C = 2.004 is the
+# terminal K=3 alpha=0.05 O'Brien-Fleming critical value, making this
+# the general-information-fraction form of events_sequential_ab's fixed
+# 3.471/2.454/2.004 ladder (those ARE 2.004/sqrt(k/3)).
+_LD_C = 2.004
+
+_LAN_DEMETS_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 {day_expr} AS day
+          FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        pu AS (
+          SELECT looks.k, ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day < d0.d0 + 7 * looks.k
+          GROUP BY looks.k, ev.user_id
+        ),
+        arms AS (
+          SELECT k, arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM pu GROUP BY 1, 2
+        ),
+        wide AS (
+          SELECT k,
+                 MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN c END) AS c1
+          FROM wide_src
+        ),
+        info AS (
+          SELECT k, n0, c0, n1, c1,
+                 CAST(n0 + n1 AS BIGINT) AS i_k
+          FROM wide
+        ),
+        imax AS (SELECT i_k AS im FROM info WHERE k = 3),
+        z AS (
+          SELECT info.k, n0, c0, n1, c1, i_k, imax.im,
+                 CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                           / sqrt((CAST(c0 + c1 AS DOUBLE)
+                                   / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                         / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 / CAST(n0 AS DOUBLE)
+                                     + 1.0 / CAST(n1 AS DOUBLE)))
+                 END AS z
+          FROM info CROSS JOIN imax
+        )
+        SELECT CAST(k AS INTEGER) AS look, n0, c0, n1, c1,
+               CAST((i_k * 1000000) {div} im AS BIGINT) AS info_frac_ppm,
+               {c} / sqrt(CAST(i_k AS DOUBLE) / CAST(im AS DOUBLE))
+                 AS crit,
+               z,
+               CAST(CASE WHEN abs(z) >
+                         {c} / sqrt(CAST(i_k AS DOUBLE)
+                                    / CAST(im AS DOUBLE))
+                    THEN 1 ELSE 0 END AS INTEGER) AS reject
+        FROM z ORDER BY look
+"""
+
+
+@register(
+    "events_lan_demets_ab",
+    oracle=_LAN_DEMETS_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        div="//",
+        c=_LD_C,
+    ).replace("FROM wide_src", "FROM arms GROUP BY k"),
+    doc="Lan-DeMets group-sequential A/B readout at DATA-DRIVEN "
+    "information fractions (Lan & DeMets 1983): unlike "
+    "events_sequential_ab's pre-fixed 3-look ladder, each weekly look "
+    "counts only the users ENROLLED so far (first event before the "
+    "cutoff), the information fraction t_k = I_k / I_final is an exact "
+    "ppm rational, and the boundary is the O'Brien-Fleming-SHAPE "
+    "spending curve c(t) = 2.004 / sqrt(t) evaluated at the observed "
+    "t_k — the fixed ladder is exactly this curve at t = k/3. "
+    "Zero/full-conversion ANSI guard as in the fixed-look gate; sqrt "
+    "and double division are bit-identical across engines. Scale "
+    "shape: per-(look, user) aggregate + a 6-row arm rollup.",
+    tags=("events", "stats", "curation"),
+)
+def events_lan_demets_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_ldab")
+    return spark.sql(
+        _LAN_DEMETS_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_ldab",
+            unnest_looks="explode(sequence(1, 3))",
+            div="DIV",
+            c=_LD_C,
+        ).replace("FROM wide_src", "FROM arms GROUP BY k")
+    )
