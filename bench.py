@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "dedup_image_phash_tier",
     "events_cuped_stratified",
     "events_lan_demets_ab",
+    "managed_msck_repair",
 ]
 
 
@@ -423,6 +424,7 @@ def main() -> None:
         "managed_merge_cdc_ops",
         "managed_lineage_export",
         "graph_louvain_converge",
+        "managed_msck_repair",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

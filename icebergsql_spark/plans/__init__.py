@@ -55,6 +55,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_image_phash_tier",
     "events_cuped_stratified",
     "events_lan_demets_ab",
+    "managed_msck_repair",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

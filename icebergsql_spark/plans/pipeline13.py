@@ -802,3 +802,75 @@ def events_lan_demets_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             c=_LD_C,
         ).replace("FROM wide_src", "FROM arms GROUP BY k")
     )
+
+
+# ------------------------------------------------ MSCK REPAIR TABLE --
+
+
+@register(
+    "managed_msck_repair",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="MSCK REPAIR TABLE end-to-end (reference TestTables.scala:72, "
+    "the last reference-test statement without a spelling here; "
+    "table.py:repair_table): a third of orders lands through the "
+    "engine write path, the rest is dropped EXTERNALLY into the "
+    "table's data dir as o_year=YYYY/ Hive partition directories; the "
+    "repair discovers them by listing, registers them zero-copy "
+    "through add_files (path-only partitions), never touches "
+    "engine-written files, and is idempotent (second repair adds 0 — "
+    "asserted in-DAG). Result: the healed table's per-year rollup vs "
+    "the full raw-orders oracle.",
+    tags=("managed", "import", "hive"),
+)
+def managed_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-msckwh-"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
+    )
+    tbl = eng.catalog.create_table("ord_msck", ddl, ["o_year"])
+    tbl.insert(orders.filter(F.col("o_orderkey") % 3 == 0))
+    stage = tempfile.mkdtemp(prefix="icebergsql-msckstage-")
+    orders.filter(F.col("o_orderkey") % 3 != 0).write.mode(
+        "overwrite"
+    ).partitionBy("o_year").parquet(stage)
+    for d in os.listdir(stage):
+        if d.startswith("o_year="):
+            shutil.move(
+                os.path.join(stage, d), os.path.join(tbl.meta.data_dir, d)
+            )
+    mark_setup_done()  # drops staged; the listing repair is the op
+    added = eng.sql("MSCK REPAIR TABLE ord_msck").collect()[0][
+        "added_files_count"
+    ]
+    assert added > 0
+    assert (
+        eng.sql("MSCK REPAIR TABLE ord_msck").collect()[0][
+            "added_files_count"
+        ]
+        == 0
+    ), "repair must be idempotent"
+    tbl.refresh()
+    assert tbl.scan().count_from_stats() == orders.count()
+    return eng.sql(
+        "SELECT o_year, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS total "
+        "FROM ord_msck GROUP BY o_year ORDER BY o_year"
+    )

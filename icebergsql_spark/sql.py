@@ -654,6 +654,26 @@ class Engine:
                 return self._insert_managed(im, name)
             return self.spark.sql(text)
 
+        mk = re.match(
+            r"^\s*msck\s+repair\s+table\s+`?(?P<name>\w+)`?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if mk and self.catalog.table_exists(mk.group("name")):
+            # MSCK REPAIR TABLE (reference TestTables.scala:72):
+            # discovery-by-listing registration of externally dropped
+            # Hive-layout partition files — see ManagedTable.repair_table
+            tbl = self.catalog.load_table(mk.group("name"))
+            snap = tbl.repair_table()
+            added = (
+                int(snap.summary.get("added-files-by-import", 0))
+                if snap is not None
+                else 0
+            )
+            return self.spark.sql(
+                f"SELECT CAST({added} AS INT) AS added_files_count"
+            )
+
         tr = re.match(
             r"^\s*truncate\s+table\s+`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
         )

@@ -527,6 +527,7 @@ class ManagedTable:
         source_dir: str,
         partition_values: dict | None = None,
         check_duplicate_files: bool = True,
+        paths: list[str] | None = None,
     ) -> Snapshot:
         """Register EXISTING data files into the table (Iceberg's
         ``add_files`` import procedure): per-file footer stats are
@@ -571,12 +572,13 @@ class ManagedTable:
         self.refresh()
         parent = self.meta.current_snapshot()
         fmt = self.file_format
-        paths = []
-        for root, _dirs, files in os.walk(source_dir):
-            for fn in files:
-                if fn.endswith(f".{fmt}"):
-                    paths.append(os.path.join(root, fn))
-        paths.sort()
+        if paths is None:
+            paths = []
+            for root, _dirs, files in os.walk(source_dir):
+                for fn in files:
+                    if fn.endswith(f".{fmt}"):
+                        paths.append(os.path.join(root, fn))
+        paths = sorted(paths)
         if not paths:
             raise TableValidationError(
                 f"add_files: no .{fmt} files under {source_dir!r}"
@@ -737,6 +739,50 @@ class ManagedTable:
             cleanup_on_failure=False,
             extra_summary={"added-files-by-import": str(len(added))},
         )
+
+    def repair_table(self) -> "Snapshot | None":
+        """``MSCK REPAIR TABLE`` (reference TestTables.scala:72 — the one
+        reference-test statement with no prior spelling here): discover
+        partition files dropped EXTERNALLY into the table's data dir via
+        directory listing and register them zero-copy through the
+        ``add_files`` machinery.
+
+        Discovery rule (deliberately narrow, matching Hive MSCK's
+        partition-directory semantics): a file qualifies iff its path
+        under the data dir carries a ``col=value`` segment for EVERY
+        partition column (the external Hive drop layout — engine-written
+        dirs use the ``__p_`` prefix and commit subdirs, so they never
+        qualify) AND no snapshot in history references it — expired or
+        orphaned engine debris can never be resurrected by a repair.
+        Returns the new snapshot, or None when the listing finds nothing
+        to register (idempotent)."""
+        self.refresh()
+        fmt = self.file_format
+        referenced: set[str] = set()
+        for s in self.meta.snapshots:
+            for mp in s.manifest_paths:
+                referenced.update(f.path for f in Manifest(mp).files())
+        part_cols = self.meta.partition_cols
+        new_paths = []
+        for root, _dirs, files in os.walk(self.meta.data_dir):
+            for fn in files:
+                if not fn.endswith(f".{fmt}"):
+                    continue
+                p = os.path.join(root, fn)
+                if p in referenced:
+                    continue
+                segs = {
+                    seg.split("=", 1)[0]
+                    for seg in os.path.relpath(
+                        p, self.meta.data_dir
+                    ).split(os.sep)[:-1]
+                    if "=" in seg
+                }
+                if part_cols and all(pc in segs for pc in part_cols):
+                    new_paths.append(p)
+        if not new_paths:
+            return None
+        return self.add_files(self.meta.data_dir, paths=new_paths)
 
     # ------------------------------------------------------------ DML --
     # Row-level DELETE / UPDATE / MERGE as copy-on-write, the Iceberg v1

@@ -260,3 +260,54 @@ def test_add_files_hive_conflict_and_guards(spark, tmp_path):
     )
     with pytest.raises(TableValidationError, match="footer columns"):
         tbl.add_files(mixed)
+
+
+def test_msck_repair_table_discovers_hive_drops(spark, tmp_path):
+    """MSCK REPAIR TABLE: externally dropped col=value partition files
+    inside the table's data dir are discovered by listing and
+    registered zero-copy; engine-written files and already-registered
+    drops are never re-registered (idempotent)."""
+    import os
+    import shutil
+
+    from icebergsql_spark.sql import Engine
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).withColumn("l_shipyear", F.year("l_shipdate"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in li.schema.fields
+    )
+    eng = Engine(spark, str(tmp_path / "wh_msck"))
+    tbl = eng.catalog.create_table("li_msck", ddl, ["l_shipyear"])
+    # engine-written half
+    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    n_before = len(tbl.meta.current_snapshot().live_files())
+    # externally dropped Hive-layout half (partition col path-only)
+    stage = tempfile.mkdtemp(prefix="icebergsql-msckstage-")
+    li.filter(F.col("l_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).partitionBy("l_shipyear").parquet(stage)
+    for d in os.listdir(stage):
+        if d.startswith("l_shipyear="):
+            shutil.move(
+                os.path.join(stage, d),
+                os.path.join(tbl.meta.data_dir, d),
+            )
+    got = eng.sql("MSCK REPAIR TABLE li_msck").collect()[0]
+    tbl.refresh()
+    live = tbl.meta.current_snapshot().live_files()
+    n_dropped = len(live) - n_before
+    assert got["added_files_count"] == n_dropped > 0
+    assert sum(1 for f in live if f.path_partition) == n_dropped
+    assert tbl.to_df().count() == li.count()
+    # idempotent: second repair registers nothing
+    assert (
+        eng.sql("MSCK REPAIR TABLE li_msck").collect()[0][
+            "added_files_count"
+        ]
+        == 0
+    )
+    assert len(tbl.meta.current_snapshot().live_files()) == len(live)
+    # engine-written files still prune + count correctly post-repair
+    assert tbl.scan().count_from_stats() == li.count()
