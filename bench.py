@@ -276,6 +276,9 @@ BENCH_QUERIES = [
     "events_cuped_stratified",
     "events_lan_demets_ab",
     "managed_msck_repair",
+    "dedup_phash_hamming_pairs",
+    "events_srm_check",
+    "events_bayesian_ab",
 ]
 
 

@@ -56,6 +56,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_cuped_stratified",
     "events_lan_demets_ab",
     "managed_msck_repair",
+    "dedup_phash_hamming_pairs",
+    "events_srm_check",
+    "events_bayesian_ab",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

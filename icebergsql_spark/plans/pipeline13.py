@@ -874,3 +874,319 @@ def managed_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / 100.0 AS total "
         "FROM ord_msck GROUP BY o_year ORDER BY o_year"
     )
+
+
+# ------------------------------------- pHash near-dup candidate pairs --
+
+_PHASH_PERT_PIXEL = (
+    "((doc_id % 16) * 37 + {i} * 11) % 224 "
+    "+ CASE WHEN (doc_id {div} 16) % 2 = 1 AND {i} < 12 "
+    "THEN 32 ELSE 0 END"
+)
+
+
+def _phash_pert_hashes_sql(max_doc: int) -> str:
+    """Hash CTE chain over the PERTURBED fixture: 16 base classes plus a
+    near-duplicate variant per class ((doc_id DIV 16) parity brightens
+    the top-left 2x2 gray pixels by +96) — base formula runs mod 224 so
+    the perturbed bytes stay in range. Same integer-DCT replay as
+    _phash_hashes_sql."""
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    pix = _PHASH_PERT_PIXEL.format(i="i.i", div="//")
+    return f"""
+        coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, i.i AS i, {pix} AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3
+        ),
+        dct AS (
+          SELECT gray.doc_id, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT doc_id, u * 8 + v AS k,
+                 CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                      THEN 0 ELSE 1 END AS bit
+          FROM dct
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN k // 16 = 0
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN k // 16 = 1
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN k // 16 = 2
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN k // 16 = 3
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT) AS b3
+          FROM bits GROUP BY doc_id
+        )"""
+
+
+@register(
+    "dedup_phash_hamming_pairs",
+    oracle=f"""
+        WITH {_phash_pert_hashes_sql(500)},
+        classes AS (
+          SELECT b0, b1, b2, b3, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MIN(doc_id) AS BIGINT) AS rep
+          FROM hashes GROUP BY 1, 2, 3, 4
+        ),
+        cand AS (
+          SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+          FROM classes x JOIN classes y ON x.rep < y.rep
+          WHERE x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3
+        ),
+        scored AS (
+          SELECT c.rep_a, c.rep_b,
+                 CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+                      + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+                      + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+                      + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT))
+                      AS INTEGER) AS hamming,
+                 a.n_docs * b.n_docs AS n_pairs
+          FROM cand c
+          JOIN classes a ON a.rep = c.rep_a
+          JOIN classes b ON b.rep = c.rep_b
+        )
+        SELECT rep_a, rep_b, hamming, CAST(n_pairs AS BIGINT) AS n_pairs
+        FROM scored WHERE hamming <= 12
+        ORDER BY hamming, rep_a, rep_b
+    """,
+    doc="Image near-duplicate candidate pairs from pHash BANDING "
+    "(dedup_ahash_hamming_pairs one tier up): the fixture plants a "
+    "near-dup VARIANT of each of the 16 classes (top-left 2x2 gray "
+    "pixels +96 — hamming 4-19 from its base under the integer DCT, "
+    "while cross-class distances sit at 34+), classes sharing any "
+    "16-bit pHash band become candidates, exact Hamming via per-band "
+    "XOR popcounts, pairs kept at hamming <= 12. Candidates come from "
+    "band equi-joins over the CLASS table, never doc x doc; the "
+    "4-band pigeonhole guarantees hamming <= 3 pairs, wider ones "
+    "best-effort (9 of the 16 planted variant pairs band-match — "
+    "measured, SF-independent). Oracle replays hashes from the "
+    "embedded DCT constants and mirrors the banding.",
+    tags=("multimodal", "dedup"),
+)
+def dedup_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pert = (d // 16) % 2 == 1
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 224
+                    + (32 if pert and i < 12 else 0)
+                    for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    classes = (
+        multimodal.image_dct_hash(blobs, size=16, block=8)
+        .groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    x, y = classes.alias("x"), classes.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.rep") < F.col("y.rep"))
+            & (
+                (F.col("x.b0") == F.col("y.b0"))
+                | (F.col("x.b1") == F.col("y.b1"))
+                | (F.col("x.b2") == F.col("y.b2"))
+                | (F.col("x.b3") == F.col("y.b3"))
+            ),
+        )
+        .select(
+            F.col("x.rep").alias("rep_a"),
+            F.col("y.rep").alias("rep_b"),
+            (
+                F.bit_count(F.col("x.b0").bitwiseXOR(F.col("y.b0")))
+                + F.bit_count(F.col("x.b1").bitwiseXOR(F.col("y.b1")))
+                + F.bit_count(F.col("x.b2").bitwiseXOR(F.col("y.b2")))
+                + F.bit_count(F.col("x.b3").bitwiseXOR(F.col("y.b3")))
+            ).cast("int").alias("hamming"),
+            (F.col("x.n_docs") * F.col("y.n_docs"))
+            .cast("bigint")
+            .alias("n_pairs"),
+        )
+        .distinct()
+    )
+    return (
+        cand.filter(F.col("hamming") <= 12)
+        .orderBy("hamming", "rep_a", "rep_b")
+    )
+
+
+# ----------------------------------------------- SRM guardrail check --
+
+_SRM_SQL = """
+        WITH ev AS (
+          SELECT user_id, {day_expr} AS day FROM {src}
+        ),
+        du AS (
+          SELECT DISTINCT day, user_id,
+                 CAST({hash_expr} % 2 AS INTEGER) AS arm
+          FROM ev
+        ),
+        counts AS (
+          SELECT day,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM du GROUP BY day
+        )
+        SELECT CAST(day AS BIGINT) AS day, n0, n1,
+               CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS chi2_num,
+               CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) AS chi2,
+               CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                              / CAST(n0 + n1 AS DOUBLE) > 3.841
+                    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        FROM counts ORDER BY day
+"""
+
+
+@register(
+    "events_srm_check",
+    oracle=_SRM_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        hash_expr="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        "1, 6) AS BIGINT)",
+    ),
+    doc="Sample-ratio-mismatch guardrail (the FIRST check every A/B "
+    "platform runs before reading any metric — a biased assignment "
+    "invalidates the experiment regardless of effect size): daily "
+    "active users bucketed 50/50 by an md5 hash of user_id, and the "
+    "1-df chi-square against the expected split reduces EXACTLY to "
+    "(n0-n1)^2/(n0+n1) — numerator emitted as the exact bigint, the "
+    "single float division mirrored, flag at the 3.841 (alpha=.05) "
+    "boundary. md5/substr are bit-identical across engines (the "
+    "minhash contract). Scale shape: one distinct-(day,user) "
+    "aggregate, one per-day rollup.",
+    tags=("events", "stats"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_srm")
+    return spark.sql(
+        _SRM_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_srm",
+            hash_expr="conv(substring(md5(CAST(user_id AS STRING)), "
+            "1, 6), 16, 10)",
+        )
+    )
+
+
+# ------------------------------------------------- Bayesian A/B --
+
+_BAYES_AB_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type FROM {src}
+        ),
+        pu AS (
+          SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM ev GROUP BY user_id
+        ),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM pu GROUP BY arm
+        ),
+        wide AS (
+          SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN c END) AS c1
+          FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               CAST(1 + c0 AS BIGINT) AS alpha0,
+               CAST(1 + n0 - c0 AS BIGINT) AS beta0,
+               CAST(1 + c1 AS BIGINT) AS alpha1,
+               CAST(1 + n1 - c1 AS BIGINT) AS beta1,
+               CAST(1 + c0 AS DOUBLE) / CAST(n0 + 2 AS DOUBLE)
+                 AS post_mean0,
+               CAST(1 + c1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE)
+                 AS post_mean1,
+               (CAST(1 + c1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE)
+                - CAST(1 + c0 AS DOUBLE) / CAST(n0 + 2 AS DOUBLE))
+               / sqrt(
+                   CAST((1 + c0) * (1 + n0 - c0) AS DOUBLE)
+                   / (CAST(n0 + 2 AS DOUBLE) * CAST(n0 + 2 AS DOUBLE)
+                      * CAST(n0 + 3 AS DOUBLE))
+                   + CAST((1 + c1) * (1 + n1 - c1) AS DOUBLE)
+                   / (CAST(n1 + 2 AS DOUBLE) * CAST(n1 + 2 AS DOUBLE)
+                      * CAST(n1 + 3 AS DOUBLE))
+                 ) AS lift_z
+        FROM wide
+"""
+
+
+@register(
+    "events_bayesian_ab",
+    oracle=_BAYES_AB_SQL.format(src="events"),
+    doc="Bayesian A/B readout with Beta-Bernoulli conjugate posteriors "
+    "(uniform Beta(1,1) prior): per arm the posterior is "
+    "Beta(1+c, 1+n-c) — parameters emitted as exact bigints, the "
+    "closed-form posterior mean a/(a+b) and the normal-approximation "
+    "lift z = (m1-m0)/sqrt(v0+v1) (v = ab/((a+b)^2(a+b+1))) as ONE "
+    "mirrored float expression per column — sqrt and double division "
+    "are bit-identical across engines, and no erf/Phi is needed for "
+    "the sufficient summary. Conversion = >= 5 purchases (the round-6 "
+    "non-degeneracy rule). Scale shape: one per-user aggregate, a "
+    "2-row arm rollup, a 1-row pivot.",
+    tags=("events", "stats"),
+)
+def events_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_bayes")
+    return spark.sql(_BAYES_AB_SQL.format(src="ev_bayes"))
