@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "dedup_phash_hamming_pairs",
     "events_srm_check",
     "events_bayesian_ab",
+    "graph_louvain_coarsen",
+    "curation_kcenter_coreset",
 ]
 
 

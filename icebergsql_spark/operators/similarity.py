@@ -930,3 +930,99 @@ def facility_location_select(
         out_rows,
         f"rank int, {id_col} long, coverage_gain long, coverage_total long",
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / max-min) coreset selection —
+    the SPREAD-maximizing complement of ``facility_location_select``:
+    seed with the candidate most similar to ``query_id`` (tie: lowest
+    id), then repeatedly pick the candidate whose best similarity to
+    the already-selected set is LOWEST (the farthest point; tie lowest
+    id) — the classic 2-approximation for the k-center objective
+    (Gonzalez 1985), the coreset recipe when coverage of the embedding
+    space matters more than density.
+
+    Same two-phase 100-TB shape as mmr_select/facility_location_select:
+    phase 1 narrows to the top ``candidates`` by exact cosine relevance
+    (one TakeOrdered scan); phase 2 computes the bounded candidates^2
+    integer-nano similarity matrix engine-side and runs the
+    inherently-sequential greedy over the collected bounded ints.
+
+    Returns (rank, vec_id, maxsim_nano) in pick order; the seed row's
+    maxsim_nano is its relevance to the query (documented convention —
+    there is no selected set yet).
+    """
+    base = with_double_vec_and_norm(df, vec_col)
+    q = base.filter(F.col(id_col) == query_id).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        base.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel_nano",
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("vd", "qv")
+                / F.sqrt(F.col("nrm") * F.col("qn"))
+            ).cast("bigint"),
+        )
+        .orderBy(F.desc("rel_nano"), F.asc(id_col))
+        .limit(candidates)
+        .select(id_col, "vd", "nrm", "rel_nano")
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pair_rows = (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            F.floor(
+                F.lit(1e9)
+                * dot_expr("a.vd", "b.vd")
+                / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+            )
+            .cast("bigint")
+            .alias("sim_nano"),
+        )
+        .collect()
+    )
+    rel = {
+        r[id_col]: int(r["rel_nano"])
+        for r in cand.select(id_col, "rel_nano").collect()
+    }
+    ids = sorted(rel)
+    sim: dict[tuple, int] = {(i, i): 10**9 for i in ids}
+    for r in pair_rows:
+        sim[(r["ia"], r["ib"])] = int(r["sim_nano"])
+        sim[(r["ib"], r["ia"])] = int(r["sim_nano"])
+    seed = max(ids, key=lambda i: (rel[i], -i))
+    selected = [seed]
+    covered = {u: sim[(u, seed)] for u in ids}
+    out_rows = [(1, seed, rel[seed])]
+    while len(selected) < min(k, len(ids)):
+        cid = min(
+            (u for u in ids if u not in selected),
+            key=lambda u: (covered[u], u),
+        )
+        out_rows.append((len(selected) + 1, cid, covered[cid]))
+        selected.append(cid)
+        for u in ids:
+            covered[u] = max(covered[u], sim[(u, cid)])
+    values = ", ".join(
+        f"({r}, CAST({v} AS BIGINT), CAST({ms} AS BIGINT))"
+        for r, v, ms in out_rows
+    )
+    return df.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + values
+        + f" AS t(rank, {id_col}, maxsim_nano)"
+    )

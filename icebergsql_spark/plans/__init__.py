@@ -59,6 +59,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_phash_hamming_pairs",
     "events_srm_check",
     "events_bayesian_ab",
+    "graph_louvain_coarsen",
+    "curation_kcenter_coreset",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

@@ -1190,3 +1190,241 @@ def events_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).createOrReplaceTempView("ev_bayes")
     return spark.sql(_BAYES_AB_SQL.format(src="ev_bayes"))
+
+
+# -------------------------------------------- Louvain coarsen (L2) --
+
+
+def _louvain_coarsen_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    return (
+        _EDGE_SQL
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (SELECT n, lbl_new AS lbl FROM moved1),
+        super AS (
+          SELECT LEAST(la.lbl, lb.lbl) AS ca,
+                 GREATEST(la.lbl, lb.lbl) AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS weight
+          FROM half
+          JOIN lab2 la ON la.n = half.a
+          JOIN lab2 lb ON lb.n = half.b
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab2
+          GROUP BY 1
+        )
+        SELECT CAST(super.ca AS BIGINT) AS ca,
+               CAST(super.cb AS BIGINT) AS cb,
+               super.weight,
+               sa.n_nodes AS ca_nodes, sb.n_nodes AS cb_nodes,
+               CAST(CASE WHEN super.ca = super.cb THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_self_loop
+        FROM super
+        JOIN sizes sa ON sa.c = super.ca
+        JOIN sizes sb ON sb.c = super.cb
+        ORDER BY ca, cb
+    """
+    ).replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_louvain_coarsen",
+    oracle=_louvain_coarsen_oracle(),
+    doc="Louvain LEVEL-2 coarsening: after one synchronous gain round, "
+    "communities collapse to super-nodes and the coarsened MULTIGRAPH "
+    "is the exact edge rollup — super-edge (ca <= cb) weight = count "
+    "of original undirected edges between (within, for the self-loop "
+    "row) the two communities, plus the member counts. This is "
+    "precisely the graph the next Louvain level runs on (Blondel et "
+    "al. 2008 phase 2); weights and sizes are exact bigints. Scale "
+    "shape: the bounded-join round plus ONE two-way label join and a "
+    "community-pair aggregate — output is |communities|^2-bounded "
+    "metadata, never edge volume.",
+    tags=("graph", "dedup"),
+)
+def graph_louvain_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.graph import louvain_gain_round
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    lab2 = (
+        louvain_gain_round(half, labels)
+        .select("n", F.col("lbl_new").alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lab2.select(F.col("n").alias("a"), F.col("lbl").alias("la"))
+    lb = lab2.select(F.col("n").alias("b"), F.col("lbl").alias("lb"))
+    super_e = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").cast("bigint").alias("ca"),
+            F.greatest("la", "lb").cast("bigint").alias("cb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )
+    sizes = lab2.groupBy(F.col("lbl").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    return (
+        super_e.join(
+            sizes.select(
+                F.col("c").alias("ca"), F.col("n_nodes").alias("ca_nodes")
+            ),
+            "ca",
+        )
+        .join(
+            sizes.select(
+                F.col("c").alias("cb"), F.col("n_nodes").alias("cb_nodes")
+            ),
+            "cb",
+        )
+        .select(
+            "ca", "cb", "weight", "ca_nodes", "cb_nodes",
+            F.when(F.col("ca") == F.col("cb"), 1).otherwise(0)
+            .cast("int")
+            .alias("is_self_loop"),
+        )
+        .orderBy("ca", "cb")
+    )
+
+
+# ------------------------------------------------ k-center coreset --
+
+
+def _kcenter_oracle(query_id: int, k: int, candidates: int) -> str:
+    """Unrolled greedy k-center: cov_r = each pool element's best
+    similarity to the selected set; pick_{r} takes the element with the
+    LOWEST cov (farthest point, tie lowest id). AS MATERIALIZED per
+    step (the facility-location lesson)."""
+    dot_ab = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+
+    def sq(t: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {t}.embedding[i]::DOUBLE * {t}.embedding[i]::DOUBLE))"
+        )
+
+    steps = []
+    for r in range(2, k + 1):
+        steps.append(f"""
+        pick{r} AS MATERIALIZED (
+          SELECT {r} AS rank, cov{r - 1}.u AS vec_id,
+                 cov{r - 1}.cv AS maxsim_nano
+          FROM cov{r - 1}
+          WHERE cov{r - 1}.u NOT IN (SELECT vec_id FROM sel{r - 1})
+          ORDER BY cov{r - 1}.cv ASC, cov{r - 1}.u ASC
+          LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (
+          SELECT vec_id FROM sel{r - 1} UNION ALL
+          SELECT vec_id FROM pick{r}
+        ),
+        cov{r} AS MATERIALIZED (
+          SELECT cov{r - 1}.u,
+                 GREATEST(cov{r - 1}.cv, sf.s) AS cv
+          FROM cov{r - 1}
+          JOIN simfull sf ON sf.ia = cov{r - 1}.u
+          JOIN pick{r} p ON p.vec_id = sf.ib
+        )""")
+    finals = " UNION ALL ".join(
+        ["SELECT rank, vec_id, maxsim_nano FROM pick1"]
+        + [
+            f"SELECT rank, vec_id, maxsim_nano FROM pick{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings
+                   WHERE vec_id = {query_id}),
+        cand AS MATERIALIZED (
+          SELECT b.vec_id, b.embedding,
+                 CAST(floor(1000000000.0 * {dot_ab}
+                      / sqrt({sq('b')} * {sq('a')})) AS BIGINT) AS rel
+          FROM q a CROSS JOIN embeddings b
+          WHERE b.vec_id != {query_id}
+          ORDER BY rel DESC, b.vec_id
+          LIMIT {candidates}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(floor(1000000000.0 * {dot_ab}
+                      / sqrt({sq('a')} * {sq('b')})) AS BIGINT) AS s
+          FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+        ),
+        simfull AS MATERIALIZED (
+          SELECT ia, ib, s FROM sims
+          UNION ALL SELECT ib, ia, s FROM sims
+          UNION ALL SELECT vec_id AS ia, vec_id AS ib,
+                           CAST(1000000000 AS BIGINT) AS s
+          FROM cand
+        ),
+        pick1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, rel AS maxsim_nano
+          FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+        cov1 AS MATERIALIZED (
+          SELECT cand.vec_id AS u, sf.s AS cv
+          FROM cand
+          JOIN simfull sf ON sf.ia = cand.vec_id
+          JOIN pick1 p ON p.vec_id = sf.ib
+        ){",".join([""] + steps) if steps else ""}
+        SELECT CAST(rank AS INTEGER) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(maxsim_nano AS BIGINT) AS maxsim_nano
+        FROM ({finals}) ORDER BY rank
+    """
+
+
+@register(
+    "curation_kcenter_coreset",
+    oracle=_kcenter_oracle(query_id=1, k=5, candidates=24),
+    doc="Greedy k-center (farthest-point) coreset selection "
+    "(operators/similarity.py:kcenter_select — Gonzalez 1985 "
+    "2-approximation): seed with vec 1's nearest neighbor, then "
+    "repeatedly take the candidate LEAST similar to everything "
+    "selected — maximal spread, the coverage complement of "
+    "curation_facility_location's density objective. Two-phase "
+    "100-TB shape (TakeOrdered relevance scan; bounded candidates^2 "
+    "integer-nano sim matrix; sequential greedy over <=24 collected "
+    "ints, result emitted as a VALUES LocalRelation). Oracle unrolls "
+    "all 5 picks as MATERIALIZED CTEs over per-element best-coverage "
+    "state.",
+    tags=("curation", "embeddings", "similarity"),
+)
+def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.similarity import kcenter_select
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kcenter_select(emb, query_id=1, k=5, candidates=24).orderBy(
+        "rank"
+    )
