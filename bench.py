@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "events_bayesian_ab",
     "graph_louvain_coarsen",
     "curation_kcenter_coreset",
+    "managed_branch_compare",
+    "sketch_hll_intersection",
 ]
 
 
@@ -430,6 +432,7 @@ def main() -> None:
         "managed_lineage_export",
         "graph_louvain_converge",
         "managed_msck_repair",
+        "managed_branch_compare",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

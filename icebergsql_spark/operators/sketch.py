@@ -576,3 +576,75 @@ def cms_sliding_estimate(
         .groupBy("wday", col)
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
     )
+
+
+def hll_intersection(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """HLL set-intersection estimate by inclusion-exclusion: registers
+    are built independently per set, the UNION sketch is the
+    register-wise MAX merge (the distributed-combine property
+    sketch_hll_union proves), and |A ∩ B| ≈ est(A) + est(B) - est(A∪B)
+    — the only intersection a mergeable sketch supports (HLLs cannot
+    intersect directly; this is how every engine does it, with error
+    growing as the Jaccard shrinks).  Emits one row with each sketch's
+    exact register aggregates (m_used, harmonic_q — bigint anchors),
+    the three estimates, and the inclusion-exclusion intersection.
+
+    Scale shape: each side is an O(m)-state partial aggregate; the
+    merge is a 256-row full-outer join — independent of set size.
+    """
+    est = (
+        f"CASE WHEN ({_RAW_EST_SQL}) <= {2.5 * HLL_M} AND m_used < {HLL_M}"
+        f" THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / ({HLL_M} - m_used))"
+        f" ELSE ({_RAW_EST_SQL}) END"
+    )
+
+    def agg_est(regs: DataFrame, tag: str) -> DataFrame:
+        return (
+            regs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("m_used"),
+                F.sum(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"{HLL_BITS + 1} - max_rho)"
+                    )
+                ).alias("harmonic_q"),
+            )
+            .select(
+                F.col("m_used").alias(f"m_used_{tag}"),
+                F.col("harmonic_q").alias(f"harmonic_q_{tag}"),
+                F.expr(f"CAST(round({est}) AS BIGINT)").alias(
+                    f"est_{tag}"
+                ),
+            )
+        )
+
+    ra = hll_registers(df_a, col)
+    rb = hll_registers(df_b, col)
+    ru = (
+        ra.select("reg", F.col("max_rho").alias("qa"))
+        .join(
+            rb.select("reg", F.col("max_rho").alias("qb")),
+            "reg",
+            "full_outer",
+        )
+        .select(
+            "reg",
+            F.greatest(
+                F.coalesce(F.col("qa"), F.lit(0)),
+                F.coalesce(F.col("qb"), F.lit(0)),
+            ).alias("max_rho"),
+        )
+    )
+    return (
+        agg_est(ra, "a")
+        .crossJoin(agg_est(rb, "b"))
+        .crossJoin(agg_est(ru, "u"))
+        .select(
+            "*",
+            (
+                F.col("est_a") + F.col("est_b") - F.col("est_u")
+            ).cast("bigint").alias("est_intersection"),
+        )
+    )

@@ -61,6 +61,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_bayesian_ab",
     "graph_louvain_coarsen",
     "curation_kcenter_coreset",
+    "managed_branch_compare",
+    "sketch_hll_intersection",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

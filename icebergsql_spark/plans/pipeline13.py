@@ -1428,3 +1428,183 @@ def curation_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_select(emb, query_id=1, k=5, candidates=24).orderBy(
         "rank"
     )
+
+
+# ---------------------------------------------- branch compare --
+
+
+@register(
+    "managed_branch_compare",
+    oracle="""
+        WITH c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey < 10),
+             c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey >= 10 AND n_nationkey < 15),
+             b1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey >= 15 AND n_nationkey < 20),
+             b2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey >= 20),
+             m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+                    WHERE n_nationkey % 5 = 0)
+        SELECT 2 AS branch_ahead, 1 AS main_behind,
+               'append' AS base_operation,
+               CAST(c1.n + c2.n AS BIGINT) AS base_total_records,
+               CAST(c1.n + c2.n + b1.n + b2.n AS BIGINT)
+                 AS branch_total_records,
+               CAST(c1.n + c2.n + m1.n AS BIGINT) AS main_total_records
+        FROM c1, c2, b1, b2, m1
+    """,
+    doc="Branch compare through the `$lineage` closure: after main and "
+    "a dev branch diverge (2 branch commits, 1 main commit past the "
+    "fork), ONE SQL query over `$lineage` x `$refs` x `$history` "
+    "finds the merge base (the common ancestor at minimum main-side "
+    "depth), how far each side is ahead, and the running "
+    "total_records on base/branch/main heads — the git-style "
+    "ahead/behind readout an auditor wants before fast_forward or "
+    "cherry-pick, all from bounded metadata (no data IO). Counts "
+    "oracle against pure nation predicates.",
+    tags=("managed", "metadata", "lineage"),
+)
+def managed_branch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    nation = load_tables(spark, sf_dir, ("nation",))["nation"]
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-bcmp-"))
+    tbl = eng.catalog.create_table(
+        "nat_cmp",
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+        ["n_regionkey"],
+    )
+    sel = nation.select("n_nationkey", "n_name", "n_regionkey")
+    k = F.col("n_nationkey")
+    tbl.insert(sel.filter(k < 10))
+    tbl.insert(sel.filter((k >= 10) & (k < 15)))
+    tbl.create_branch("dev")
+    tbl.insert(sel.filter((k >= 15) & (k < 20)), branch="dev")
+    tbl.insert(sel.filter(k >= 20), branch="dev")
+    tbl.insert(sel.filter(k % 5 == 0))  # main diverges past the fork
+    mark_setup_done()  # divergent history built; the compare is the op
+    return eng.sql("""
+        WITH mainc AS (
+          SELECT ancestor_id, depth FROM `nat_cmp$lineage`
+          WHERE is_current
+        ),
+        devh AS (
+          SELECT snapshotId AS sid FROM `nat_cmp$refs` WHERE name = 'dev'
+        ),
+        devc AS (
+          SELECT l.ancestor_id, l.depth
+          FROM `nat_cmp$lineage` l JOIN devh ON devh.sid = l.snapshot_id
+        ),
+        base AS (
+          SELECT mainc.ancestor_id, mainc.depth AS main_depth,
+                 devc.depth AS dev_depth
+          FROM mainc JOIN devc ON devc.ancestor_id = mainc.ancestor_id
+          ORDER BY mainc.depth LIMIT 1
+        )
+        SELECT CAST(base.dev_depth AS INT) AS branch_ahead,
+               CAST(base.main_depth AS INT) AS main_behind,
+               hb.operation AS base_operation,
+               hb.total_records AS base_total_records,
+               hd.total_records AS branch_total_records,
+               hm.total_records AS main_total_records
+        FROM base
+        JOIN `nat_cmp$history` hb ON hb.snapshot_id = base.ancestor_id
+        JOIN devh ON 1 = 1
+        JOIN `nat_cmp$history` hd ON hd.snapshot_id = devh.sid
+        JOIN `nat_cmp$lineage` lm
+          ON lm.is_current AND lm.depth = 0
+        JOIN `nat_cmp$history` hm ON hm.snapshot_id = lm.ancestor_id
+    """)
+
+
+# ------------------------------------------------ HLL intersection --
+
+
+def _hll_intersection_oracle() -> str:
+    from icebergsql_spark.operators import sketch
+    from icebergsql_spark.plans.pipeline9 import _hll_reg_cte
+
+    est = (
+        f"CASE WHEN ({sketch._RAW_EST_SQL}) <= {2.5 * sketch.HLL_M} "
+        f"AND m_used < {sketch.HLL_M} "
+        f"THEN {sketch.HLL_M} * ln(CAST({sketch.HLL_M} AS DOUBLE) "
+        f"/ ({sketch.HLL_M} - m_used)) "
+        f"ELSE ({sketch._RAW_EST_SQL}) END"
+    )
+
+    def agg(src: str, tag: str) -> str:
+        return f"""
+        agg_{tag} AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m_used,
+                 CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                   AS harmonic_q
+          FROM {src}
+        ),
+        est_{tag} AS (
+          SELECT m_used AS m_used_{tag}, harmonic_q AS harmonic_q_{tag},
+                 CAST(round({est}) AS BIGINT) AS est_{tag}
+          FROM agg_{tag}
+        )"""
+
+    return f"""
+        WITH a AS ({_hll_reg_cte("user_id % 3 != 0")}),
+        b AS ({_hll_reg_cte("user_id % 2 = 0")}),
+        u AS (
+          SELECT COALESCE(a.reg, b.reg) AS reg,
+                 CAST(greatest(COALESCE(a.max_rho, 0),
+                               COALESCE(b.max_rho, 0)) AS INTEGER)
+                   AS max_rho
+          FROM a FULL OUTER JOIN b ON a.reg = b.reg
+        ),
+        {agg("a", "a")},
+        {agg("b", "b")},
+        {agg("u", "u")},
+        exact AS (
+          SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_inter
+          FROM events
+          WHERE user_id % 3 != 0 AND user_id % 2 = 0
+        )
+        SELECT est_a.*, est_b.*, est_u.*,
+               CAST(est_a.est_a + est_b.est_b - est_u.est_u AS BIGINT)
+                 AS est_intersection,
+               exact.exact_inter
+        FROM est_a CROSS JOIN est_b CROSS JOIN est_u CROSS JOIN exact
+    """
+
+
+@register(
+    "sketch_hll_intersection",
+    oracle=_hll_intersection_oracle(),
+    doc="HLL set-intersection by inclusion-exclusion "
+    "(operators/sketch.py:hll_intersection): |A n B| ~ est(A) + "
+    "est(B) - est(A u B), the union sketch being the register-wise "
+    "MAX merge the sketch_hll_union gate proves — the only "
+    "intersection a mergeable sketch supports, with error growing as "
+    "Jaccard shrinks. Sets A (user_id % 3 != 0) and B (even users) "
+    "overlap at 1/3 of the key space; each sketch's exact register "
+    "aggregates (m_used, harmonic_q) anchor the hash as bigints, and "
+    "the exact distinct intersection rides along for the error audit. "
+    "Scale shape: two O(m)-state partial aggregates + a 256-row "
+    "full-outer merge — set size never matters.",
+    tags=("sketch", "agg"),
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    res = sketch.hll_intersection(
+        ev.filter(F.col("user_id") % 3 != 0),
+        ev.filter(F.col("user_id") % 2 == 0),
+        "user_id",
+    )
+    exact = (
+        ev.filter((F.col("user_id") % 3 != 0) & (F.col("user_id") % 2 == 0))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_inter")
+        )
+    )
+    return res.crossJoin(exact)
