@@ -283,6 +283,8 @@ BENCH_QUERIES = [
     "curation_kcenter_coreset",
     "managed_branch_compare",
     "sketch_hll_intersection",
+    "events_stream_srm",
+    "graph_louvain_level2",
 ]
 
 
@@ -433,6 +435,7 @@ def main() -> None:
         "graph_louvain_converge",
         "managed_msck_repair",
         "managed_branch_compare",
+        "events_stream_srm",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

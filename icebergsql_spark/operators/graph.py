@@ -437,3 +437,128 @@ def louvain_converge(
         if movers == 0:
             break
     return labels, rounds_run
+
+
+def louvain_gain_round_weighted(
+    half_edges: DataFrame,
+    labels: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    node_col: str = "n",
+    label_col: str = "lbl",
+) -> DataFrame:
+    """One synchronous WEIGHTED Louvain round — the refinement step that
+    runs on the coarsened community multigraph (Blondel et al. 2008
+    phase-2 input, weights = collapsed edge counts), completing
+    multi-level Louvain on top of ``louvain_gain_round`` (unweighted)
+    and the coarsen rollup.
+
+    ``half_edges`` carries integer weights with ``a <= b``; a row with
+    ``a == b`` is a SELF-LOOP (the community's internal edge mass). A
+    self-loop contributes 2w to its node's weighted degree k_i (the
+    standard A_ii = 2w convention) but never to the neighbor-community
+    gains k_iC — it moves with the node, so it cancels out of every
+    gain difference. With m = total half-edge weight, the move gain
+    scaled by 2m^2 stays an exact bigint:
+
+        gain_num(i -> C) = 2m*(k_iC - k_iD) - k_i*(tot_C - (tot_D - k_i))
+
+    Same total order (gain DESC, target ASC), simultaneous moves,
+    returns (n, lbl_old, lbl_new, gain_num). Scale shape: identical to
+    the unweighted round — degree/label joins + two bounded groupBys,
+    state O(nodes + edges).
+    """
+    self_rows = half_edges.filter(F.col(a) == F.col(b))
+    plain = half_edges.filter(F.col(a) != F.col(b))
+    sym = plain.select(
+        F.col(a).alias("src"), F.col(b).alias("dst"), F.col(w).alias("wt")
+    ).unionAll(
+        plain.select(
+            F.col(b).alias("src"), F.col(a).alias("dst"), F.col(w).alias("wt")
+        )
+    )
+    lab_src = labels.select(
+        F.col(node_col).alias("src"), F.col(label_col).alias("d")
+    )
+    lab_dst = labels.select(
+        F.col(node_col).alias("dst"), F.col(label_col).alias("c")
+    )
+    deg = (
+        sym.select("src", "wt")
+        .unionAll(
+            self_rows.select(
+                F.col(a).alias("src"), (F.col(w) * 2).alias("wt")
+            )
+        )
+        .groupBy("src")
+        .agg(F.sum("wt").cast("bigint").alias("k"))
+    )
+    node = deg.join(lab_src, "src")
+    ctot = node.groupBy(F.col("d").alias("c")).agg(
+        F.sum("k").cast("bigint").alias("tot")
+    )
+    m_row = half_edges.agg(F.sum(w).cast("bigint").alias("m"))
+    nbrc = (
+        sym.join(lab_dst, "dst")
+        .groupBy("src", "c")
+        .agg(F.sum("wt").cast("bigint").alias("k_ic"))
+    )
+    base = (
+        node.join(
+            ctot.select(F.col("c").alias("d"), F.col("tot").alias("tot_d")),
+            "d",
+        )
+        .join(
+            nbrc.select(
+                "src", F.col("c").alias("d"), F.col("k_ic").alias("k_id")
+            ),
+            ["src", "d"],
+            "left",
+        )
+        .select(
+            "src",
+            "k",
+            "d",
+            "tot_d",
+            F.coalesce(F.col("k_id"), F.lit(0)).cast("bigint").alias("k_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cand = (
+        nbrc.join(base, "src")
+        .filter(F.col("c") != F.col("d"))
+        .join(ctot, "c")
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "gain_num",
+            (
+                F.lit(2) * F.col("m") * (F.col("k_ic") - F.col("k_id"))
+                - F.col("k")
+                * (F.col("tot") - (F.col("tot_d") - F.col("k")))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.desc("gain_num"), F.asc("c")
+                )
+            ),
+        )
+    )
+    best = cand.filter((F.col("rn") == 1) & (F.col("gain_num") > 0)).select(
+        "src", F.col("c").alias("move_to"), "gain_num"
+    )
+    return (
+        base.join(best, "src", "left")
+        .select(
+            F.col("src").alias("n"),
+            F.col("d").alias("lbl_old"),
+            F.coalesce(F.col("move_to"), F.col("d")).alias("lbl_new"),
+            F.coalesce(F.col("gain_num"), F.lit(0))
+            .cast("bigint")
+            .alias("gain_num"),
+        )
+    )

@@ -63,6 +63,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_kcenter_coreset",
     "managed_branch_compare",
     "sketch_hll_intersection",
+    "events_stream_srm",
+    "graph_louvain_level2",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

@@ -1608,3 +1608,259 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return res.crossJoin(exact)
+
+
+# --------------------------------------------- streaming SRM twin --
+
+
+@register(
+    "events_stream_srm",
+    oracle=_SRM_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        hash_expr="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        "1, 6) AS BIGINT)",
+    ),
+    doc="STREAMING twin of events_srm_check: 3 chronological "
+    "micro-batches (time-split parquet appends + maxFilesPerTrigger=1) "
+    "each append their DISTINCT (day, user, arm) marker rows to a "
+    "parquet sink — a set-mergeable partial, so batch chopping and "
+    "replay cannot change the merged state — and the finalizer "
+    "re-distincts and runs the identical per-day chi-square rollup "
+    "the batch gate computes from raw events. Sink state is distinct "
+    "(day, user) pairs per batch, never event volume; this is the "
+    "guardrail that runs CONTINUOUSLY in production, flagging "
+    "assignment bias while the experiment is still filling.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-ssrmsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-ssrmout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.expr("ts DIV 86400000000000").alias("day"),
+                "user_id",
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(user_id AS STRING)), "
+                    "1, 6), 16, 10) % 2 AS INT)"
+                ).alias("arm"),
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-ssrmck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).distinct().createOrReplaceTempView("ssrm_du")
+    return spark.sql("""
+        WITH counts AS (
+          SELECT day,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM ssrm_du GROUP BY day
+        )
+        SELECT CAST(day AS BIGINT) AS day, n0, n1,
+               CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS chi2_num,
+               CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE) AS chi2,
+               CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                              / CAST(n0 + n1 AS DOUBLE) > 3.841
+                    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+        FROM counts ORDER BY day
+    """)
+
+
+# ------------------------------------------- weighted Louvain (L2) --
+
+
+def _louvain_level2_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    return (
+        _EDGE_SQL
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (SELECT n, lbl_new AS lbl FROM moved1),
+        super AS (
+          SELECT LEAST(la.lbl, lb.lbl) AS ca,
+                 GREATEST(la.lbl, lb.lbl) AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM half
+          JOIN lab2 la ON la.n = half.a
+          JOIN lab2 lb ON lb.n = half.b
+          GROUP BY 1, 2
+        ),
+        wself AS (SELECT ca AS nn, w FROM super WHERE ca = cb),
+        wplain AS (SELECT ca, cb, w FROM super WHERE ca <> cb),
+        wsym AS (
+          SELECT ca AS src, cb AS dst, w FROM wplain
+          UNION ALL SELECT cb, ca, w FROM wplain
+        ),
+        wdeg AS (
+          SELECT src, CAST(SUM(wt) AS BIGINT) AS k
+          FROM (
+            SELECT src, w AS wt FROM wsym
+            UNION ALL SELECT nn AS src, 2 * w AS wt FROM wself
+          ) x GROUP BY 1
+        ),
+        wm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM super),
+        -- identity seed labels: every super-node is its own community,
+        -- so k_iD = 0, tot_D = k_i, tot_C = k_C and the general gain
+        -- collapses to 2m*w(i,C) - k_i * k_C (same bigint products the
+        -- operator computes through the general form)
+        wcand AS (
+          SELECT s.src, s.dst AS c,
+                 CAST(2 * wm.m * s.w - di.k * dc.k AS BIGINT) AS gain_num,
+                 row_number() OVER (
+                   PARTITION BY s.src
+                   ORDER BY 2 * wm.m * s.w - di.k * dc.k DESC, s.dst ASC
+                 ) AS rn
+          FROM wsym s
+          JOIN wdeg di ON di.src = s.src
+          JOIN wdeg dc ON dc.src = s.dst
+          CROSS JOIN wm
+        ),
+        wbest AS (
+          SELECT src, c AS move_to, gain_num FROM wcand
+          WHERE rn = 1 AND gain_num > 0
+        ),
+        sizes AS (
+          SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS members FROM lab2
+          GROUP BY 1
+        )
+        SELECT CAST(wdeg.src AS BIGINT) AS community,
+               CAST(COALESCE(wbest.move_to, wdeg.src) AS BIGINT)
+                 AS lbl_new,
+               CAST(COALESCE(wbest.gain_num, 0) AS BIGINT) AS gain_num,
+               wdeg.k AS weighted_degree,
+               sizes.members
+        FROM wdeg
+        LEFT JOIN wbest ON wbest.src = wdeg.src
+        JOIN sizes ON sizes.c = wdeg.src
+        ORDER BY community
+    """
+    ).replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_louvain_level2",
+    oracle=_louvain_level2_oracle(),
+    doc="Multi-level Louvain completed: level-1 synchronous round -> "
+    "community coarsening -> one WEIGHTED gain round on the super-"
+    "graph (operators/graph.py:louvain_gain_round_weighted; self-loops "
+    "carry the internal edge mass, contributing 2w to weighted degree "
+    "but never to move gains). With identity seed labels on the "
+    "super-nodes the general exact-bigint gain collapses to "
+    "2m*w(i,C) - k_i*k_C, which the oracle replays after chaining the "
+    "level-1 round and the coarsen rollup. Emits each super-node's "
+    "move decision + weighted degree + member count. Scale shape: the "
+    "level-2 graph is |communities|-bounded metadata; the round is "
+    "the same bounded-join pass as level 1.",
+    tags=("graph", "dedup"),
+)
+def graph_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.graph import (
+        louvain_gain_round,
+        louvain_gain_round_weighted,
+    )
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    lab2 = (
+        louvain_gain_round(half, labels)
+        .select("n", F.col("lbl_new").alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lab2.select(F.col("n").alias("a"), F.col("lbl").alias("la"))
+    lb = lab2.select(F.col("n").alias("b"), F.col("lbl").alias("lb"))
+    super_e = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").alias("a"),
+            F.greatest("la", "lb").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    wlab = super_e.select(F.col("a").alias("n")).unionAll(
+        super_e.select(F.col("b").alias("n"))
+    ).distinct().select("n", F.col("n").alias("lbl"))
+    moved = louvain_gain_round_weighted(super_e, wlab)
+    wdeg = (
+        super_e.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("n"), F.col("w").alias("wt"))
+        .unionAll(
+            super_e.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("n"), F.col("w").alias("wt")
+            )
+        )
+        .unionAll(
+            super_e.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias("n"), (F.col("w") * 2).alias("wt")
+            )
+        )
+        .groupBy("n")
+        .agg(F.sum("wt").cast("bigint").alias("weighted_degree"))
+    )
+    sizes = lab2.groupBy(F.col("lbl").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("members")
+    )
+    return (
+        moved.select(
+            F.col("n").cast("bigint").alias("community"),
+            F.col("lbl_new").cast("bigint").alias("lbl_new"),
+            "gain_num",
+        )
+        .join(wdeg.withColumnRenamed("n", "community"), "community")
+        .join(sizes.withColumnRenamed("n", "community"), "community")
+        .orderBy("community")
+    )

@@ -646,3 +646,79 @@ def test_image_dct_hash_matches_python_replica(spark):
     assert got["popcount"] == sum(bits)
     # DC slot is always clear
     assert bands[0] % 2 == 0
+
+
+def _py_wlouvain_round(half_w, labels):
+    """half_w: {(a,b): w} with a <= b; a == b rows are self-loops."""
+    sym = {}
+    selfw = {}
+    for (a, b), w in half_w.items():
+        if a == b:
+            selfw[a] = selfw.get(a, 0) + w
+        else:
+            sym.setdefault(a, []).append((b, w))
+            sym.setdefault(b, []).append((a, w))
+    nodes = set(sym) | set(selfw)
+    m = sum(half_w.values())
+    k = {
+        n: sum(w for _v, w in sym.get(n, [])) + 2 * selfw.get(n, 0)
+        for n in nodes
+    }
+    tot = {}
+    for n in nodes:
+        tot[labels[n]] = tot.get(labels[n], 0) + k[n]
+    out = {}
+    for n in nodes:
+        d = labels[n]
+        nbr_c = {}
+        for v, w in sym.get(n, []):
+            nbr_c[labels[v]] = nbr_c.get(labels[v], 0) + w
+        k_id = nbr_c.get(d, 0)
+        best = None
+        for c in sorted(cc for cc in nbr_c if cc != d):
+            gain = 2 * m * (nbr_c[c] - k_id) - k[n] * (
+                tot[c] - (tot[d] - k[n])
+            )
+            if best is None or gain > best[0]:
+                best = (gain, c)
+        if best is not None and best[0] > 0:
+            out[n] = (d, best[1], best[0])
+        else:
+            out[n] = (d, d, 0)
+    return out
+
+
+def test_weighted_louvain_round_fuzz(spark):
+    """louvain_gain_round_weighted vs a pure-Python replica on random
+    weighted graphs WITH self-loops and general (non-identity) labels."""
+    import random
+
+    from icebergsql_spark.operators.graph import louvain_gain_round_weighted
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = 10
+        half_w = {}
+        for a in range(n):
+            for b in range(a, n):
+                if a == b:
+                    if rng.random() < 0.4:
+                        half_w[(a, b)] = rng.randrange(1, 6)
+                elif rng.random() < 0.35:
+                    half_w[(a, b)] = rng.randrange(1, 5)
+        if not any(a != b for a, b in half_w):
+            continue
+        nodes = sorted({x for e in half_w for x in e})
+        labels = {v: v % 3 for v in nodes}
+        he = spark.createDataFrame(
+            [(a, b, w) for (a, b), w in sorted(half_w.items())],
+            "a long, b long, w long",
+        )
+        lab = spark.createDataFrame(
+            list(labels.items()), "n long, lbl long"
+        )
+        got = {
+            r["n"]: (r["lbl_old"], r["lbl_new"], r["gain_num"])
+            for r in louvain_gain_round_weighted(he, lab).collect()
+        }
+        assert got == _py_wlouvain_round(half_w, labels), trial
