@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "sketch_hll_intersection",
     "events_stream_srm",
     "graph_louvain_level2",
+    "text_rake_keyphrases",
 ]
 
 

@@ -65,6 +65,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_hll_intersection",
     "events_stream_srm",
     "graph_louvain_level2",
+    "text_rake_keyphrases",
     # -- plan changed in round 10 (markov attribution: bounded-collect
     #    absorption loop replaces the per-step job loop; add_files:
     #    table bloom sizing + per-file footer schema guard) — re-check --

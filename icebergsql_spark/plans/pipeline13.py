@@ -1864,3 +1864,113 @@ def graph_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.withColumnRenamed("n", "community"), "community")
         .orderBy("community")
     )
+
+
+# ------------------------------------------------ RAKE keyphrases --
+
+_RAKE_STOP = "('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on')"
+
+_RAKE_BODY = """
+        seg AS (
+          SELECT doc_id, pos, w,
+                 SUM(CASE WHEN w IN {stop} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+          FROM tok
+        ),
+        phrase AS (
+          SELECT doc_id, seg_id,
+                 {phrase_expr} AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS plen
+          FROM seg WHERE w NOT IN {stop}
+          GROUP BY doc_id, seg_id
+        ),
+        pw AS (
+          SELECT s.doc_id, s.seg_id, s.w, p.plen
+          FROM seg s
+          JOIN phrase p
+            ON p.doc_id = s.doc_id AND p.seg_id = s.seg_id
+          WHERE s.w NOT IN {stop}
+        ),
+        wordstat AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 CAST(SUM(plen) AS BIGINT) AS deg,
+                 CAST((SUM(plen) * 1000000) {div} COUNT(*) AS BIGINT)
+                   AS wscore_ppm
+          FROM pw GROUP BY w
+        ),
+        pscore AS (
+          SELECT pw.doc_id, pw.seg_id,
+                 CAST(SUM(ws.wscore_ppm) AS BIGINT) AS score_ppm
+          FROM pw JOIN wordstat ws ON ws.w = pw.w
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT p.phrase, CAST(COUNT(*) AS BIGINT) AS occurrences,
+                 CAST(MAX(s.score_ppm) AS BIGINT) AS score_ppm
+          FROM phrase p
+          JOIN pscore s
+            ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+          GROUP BY p.phrase
+        )
+        SELECT phrase, occurrences, score_ppm
+        FROM ranked
+        ORDER BY score_ppm DESC, phrase
+        LIMIT 15
+"""
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+        WITH base AS (
+          SELECT doc_id, string_split(trim(lower(text)), ' ') AS l
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(l))) AS pos, l
+          FROM base
+        ),
+        tok2 AS (SELECT doc_id, pos, l[pos] AS w FROM tok),
+        {_RAKE_BODY.format(
+            stop=_RAKE_STOP,
+            phrase_expr="string_agg(w, ' ' ORDER BY pos)",
+            div="//",
+        ).replace("FROM tok", "FROM tok2", 1)}
+    """,
+    doc="RAKE keyphrase extraction (Rose et al. 2010, integer-scored "
+    "variant): candidate phrases are maximal stopword-free token runs "
+    "(segment id = running stopword count), each word scores "
+    "deg/freq over the phrase corpus — deg = total length of phrases "
+    "containing the word, freq = occurrences — quantized to exact ppm "
+    "via non-negative floor division BEFORE summing per phrase, so "
+    "the whole ranking is integer arithmetic (the documented RAKE "
+    "variant; float deg/freq sums would be order-dependent). Top 15 "
+    "by (score, phrase). Scale shape: one narrow tokenize, two "
+    "bounded aggregates over (doc, segment) and the vocabulary, one "
+    "broadcast-size word-score join.",
+    tags=("text", "curation"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    ).createOrReplaceTempView("rake_tok")
+    return spark.sql(
+        "WITH tok AS (SELECT doc_id, pos, w FROM rake_tok), "
+        + _RAKE_BODY.format(
+            stop=_RAKE_STOP,
+            phrase_expr=(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, w))), x -> x.w), ' ')"
+            ),
+            div="DIV",
+        )
+    )
