@@ -558,6 +558,55 @@ def audio_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
+CLIP_SCHEMA = (
+    "doc_id bigint, n_samples int, n_clipped bigint, clip_ppm bigint, "
+    "max_abs int, abs_sum bigint"
+)
+
+
+def audio_clipping(blobs: DataFrame, ceiling: int = 2047) -> DataFrame:
+    """Per-document clipping audit over decoded WAV payloads: a sample
+    is counted as clipped when it sits at the rail — ``s >= ceiling`` or
+    ``s <= -ceiling - 1`` (the asymmetric int16-style range).  Emits the
+    exact integer ``(n_samples, n_clipped, clip_ppm, max_abs,
+    abs_sum)`` per doc, with ``clip_ppm = n_clipped * 1e6 // n_samples``
+    (non-negative operands, so floor == truncate across engines).  The
+    audio-quality gate a speech-curation pipeline thresholds on before
+    spending GPU time on transcription; a rail-pinned recording is
+    unrecoverable no matter the SNR.  Arrow-batched narrow map, no
+    shuffle — same 100-TB shape as ``audio_stats``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                a = pcm.astype("int64")
+                n = len(a)
+                clipped = int(
+                    ((a >= ceiling) | (a <= -ceiling - 1)).sum()
+                )
+                rows.append(
+                    (
+                        did,
+                        n,
+                        clipped,
+                        (clipped * 1_000_000) // n if n else 0,
+                        int(abs(a).max()) if n else 0,
+                        int(abs(a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_clipped", "clip_ppm",
+                    "max_abs", "abs_sum",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=CLIP_SCHEMA)
+
+
 FRAME_PIXEL_SCHEMA = (
     "doc_id bigint, n_frames int, n_sampled int, n_decoded int, "
     "r_sum bigint, g_sum bigint, b_sum bigint"
