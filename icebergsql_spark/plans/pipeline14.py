@@ -288,3 +288,334 @@ def dedup_rake_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             div="DIV",
         )
     )
+
+
+# ------------------------------------------ HLL Jaccard error sweep --
+
+_HLL_SWEEPS = (
+    (1, "user_id % 12 < 6", "user_id % 12 < 6"),
+    (2, "user_id % 12 < 6", "user_id % 12 >= 3 AND user_id % 12 < 9"),
+    (3, "user_id % 12 < 6", "user_id % 12 >= 5 AND user_id % 12 < 11"),
+    (4, "user_id % 12 < 6", "user_id % 12 >= 6"),
+)
+
+
+def _hll_sweep_oracle() -> str:
+    from icebergsql_spark.operators import sketch
+    from icebergsql_spark.plans.pipeline9 import _hll_reg_cte
+
+    est = (
+        f"CASE WHEN ({sketch._RAW_EST_SQL}) <= {2.5 * sketch.HLL_M} "
+        f"AND m_used < {sketch.HLL_M} "
+        f"THEN {sketch.HLL_M} * ln(CAST({sketch.HLL_M} AS DOUBLE) "
+        f"/ ({sketch.HLL_M} - m_used)) "
+        f"ELSE ({sketch._RAW_EST_SQL}) END"
+    )
+
+    def agg(src: str, tag: str, s: int) -> str:
+        return f"""
+        est_{tag}{s} AS (
+          SELECT m_used AS m_used_{tag}, harmonic_q AS harmonic_q_{tag},
+                 CAST(round({est}) AS BIGINT) AS est_{tag}
+          FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m_used,
+                   CAST(SUM(CAST(1 AS BIGINT) << (49 - max_rho)) AS BIGINT)
+                     AS harmonic_q
+            FROM {src}
+          )
+        )"""
+
+    blocks, rows = [], []
+    for s, pa, pb in _HLL_SWEEPS:
+        blocks.append(f"a{s} AS ({_hll_reg_cte(pa)})")
+        blocks.append(f"b{s} AS ({_hll_reg_cte(pb)})")
+        blocks.append(f"""
+        u{s} AS (
+          SELECT COALESCE(a{s}.reg, b{s}.reg) AS reg,
+                 CAST(greatest(COALESCE(a{s}.max_rho, 0),
+                               COALESCE(b{s}.max_rho, 0)) AS INTEGER)
+                   AS max_rho
+          FROM a{s} FULL OUTER JOIN b{s} ON a{s}.reg = b{s}.reg
+        )""")
+        blocks.append(agg(f"a{s}", "a", s))
+        blocks.append(agg(f"b{s}", "b", s))
+        blocks.append(agg(f"u{s}", "u", s))
+        blocks.append(f"""
+        exact{s} AS (
+          SELECT
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+             WHERE ({pa}) AND ({pb})) AS exact_inter,
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+             WHERE ({pa}) OR ({pb})) AS exact_union
+        )""")
+        rows.append(f"""
+          SELECT {s} AS sweep, ea.*, eb.*, eu.*,
+                 CAST(ea.est_a + eb.est_b - eu.est_u AS BIGINT)
+                   AS est_intersection,
+                 ex.exact_inter, ex.exact_union
+          FROM est_a{s} ea CROSS JOIN est_b{s} eb
+          CROSS JOIN est_u{s} eu CROSS JOIN exact{s} ex""")
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f"""
+        SELECT CAST(sweep AS INTEGER) AS sweep,
+               m_used_a, harmonic_q_a, est_a,
+               m_used_b, harmonic_q_b, est_b,
+               m_used_u, harmonic_q_u, est_u,
+               est_intersection, exact_inter, exact_union,
+               CAST((exact_inter * 1000000) // exact_union AS BIGINT)
+                 AS jaccard_ppm,
+               CAST(est_intersection - exact_inter AS BIGINT) AS err
+        FROM ({" UNION ALL ".join(rows)})
+        ORDER BY sweep
+    """
+    ).replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "sketch_hll_jaccard_sweep",
+    oracle=_hll_sweep_oracle(),
+    doc="HLL intersection ERROR-vs-Jaccard sweep "
+    "(sketch_hll_intersection run across four overlap settings of "
+    "user_id % 12 residue bands: Jaccard 1, 1/3, 1/11, 0): each row "
+    "carries both sketches' exact register anchors (m_used, "
+    "harmonic_q — bigints), the three estimates, the "
+    "inclusion-exclusion intersection, the exact intersection/union, "
+    "the exact Jaccard in ppm and the signed estimation error — the "
+    "calibration table that tells an engine WHEN the "
+    "inclusion-exclusion trick is usable (error blows up as Jaccard "
+    "shrinks, the documented HLL-intersection failure mode). Scale "
+    "shape: every sweep is two O(m)-state partial aggregates plus a "
+    "256-row merge; exact columns are one distinct-aggregate pass "
+    "each, audit-only at production scale.",
+    tags=("sketch", "agg", "stats"),
+)
+def sketch_hll_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from icebergsql_spark.operators import sketch
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select("user_id")
+    parts = []
+    for s, pa, pb in _HLL_SWEEPS:
+        res = sketch.hll_intersection(
+            ev.filter(F.expr(pa)), ev.filter(F.expr(pb)), "user_id"
+        )
+        exact = ev.agg(
+            F.countDistinct(
+                F.when(F.expr(f"({pa}) AND ({pb})"), F.col("user_id"))
+            ).cast("bigint").alias("exact_inter"),
+            F.countDistinct(
+                F.when(F.expr(f"({pa}) OR ({pb})"), F.col("user_id"))
+            ).cast("bigint").alias("exact_union"),
+        )
+        parts.append(
+            res.crossJoin(exact).select(
+                F.lit(s).cast("int").alias("sweep"), "*"
+            )
+        )
+    return (
+        reduce(lambda x, y: x.unionAll(y), parts)
+        .select(
+            "sweep",
+            "m_used_a", "harmonic_q_a", "est_a",
+            "m_used_b", "harmonic_q_b", "est_b",
+            "m_used_u", "harmonic_q_u", "est_u",
+            "est_intersection", "exact_inter", "exact_union",
+            F.expr(
+                "CAST((exact_inter * 1000000) DIV exact_union AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(est_intersection - exact_inter AS BIGINT)"
+            ).alias("err"),
+        )
+        .orderBy("sweep")
+    )
+
+
+# --------------------------------------------- shallow clone gate --
+
+
+@register(
+    "managed_clone_table",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="CREATE TABLE LIKE / shallow clone end-to-end "
+    "(sql.py:_create_like): orders lands in a partitioned source "
+    "table over two commits, `CREATE TABLE ord_cln LIKE ord_csrc "
+    "WITH DATA` forks it as a METADATA-ONLY clone — the clone's first "
+    "snapshot references the SAME physical files via add_files (zero "
+    "copy, asserted by path identity), partition spec and properties "
+    "are carried over, and metadata COUNT(*) answers from the cloned "
+    "manifests. Post-fork the tables evolve independently: an insert "
+    "into the SOURCE leaves the clone's count untouched (asserted "
+    "in-DAG). Result: the per-year rollup THROUGH the clone's read "
+    "path vs the raw-orders oracle. The Delta-style shallow-clone "
+    "hazard (source GC can strand the clone) is enforced at clone "
+    "time for MoR debris and documented for expire.",
+    tags=("managed", "import", "lineage"),
+)
+def managed_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-clonewh-"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
+    )
+    src = eng.catalog.create_table(
+        "ord_csrc", ddl, ["o_year"],
+        properties={"bloom.filter.columns": "o_orderkey"},
+    )
+    src.insert(orders.filter(F.col("o_orderkey") % 2 == 0))
+    src.insert(orders.filter(F.col("o_orderkey") % 2 == 1))
+    n_orders = orders.count()
+    mark_setup_done()  # source built; the metadata-only clone is the op
+    res = eng.sql("CREATE TABLE ord_cln LIKE ord_csrc WITH DATA").collect()[
+        0
+    ]
+    cln = eng.catalog.load_table("ord_cln")
+    src_live = {f.path for f in src.meta.current_snapshot().live_files()}
+    cln_live = {f.path for f in cln.meta.current_snapshot().live_files()}
+    assert res["added_files_count"] == len(src_live)
+    assert cln_live == src_live, "shallow clone must reference, not copy"
+    assert cln.meta.partition_cols == ["o_year"]
+    assert (
+        cln.meta.properties.get("bloom.filter.columns") == "o_orderkey"
+    )
+    assert cln.scan().count_from_stats() == n_orders
+    # divergence: the source moves on, the clone must not see it
+    extra = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    src.insert(extra)
+    cln.refresh()
+    assert cln.scan().count_from_stats() == n_orders
+    assert src.scan().count_from_stats() > n_orders
+    return eng.sql(
+        "SELECT o_year, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS total "
+        "FROM ord_cln GROUP BY o_year ORDER BY o_year"
+    )
+
+
+# ------------------------------------- expire-safety lineage audit --
+
+
+@register(
+    "managed_expire_safety_audit",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(o_orderkey % 6 AS INTEGER) AS m,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1
+        ),
+        tot AS (
+          SELECT
+            (SELECT SUM(n) FROM c WHERE m IN (0, 1, 2, 3)) AS dev_n,
+            (SELECT SUM(n) FROM c WHERE m IN (0, 1, 4, 5)) AS main_n
+        )
+        SELECT 'dev' AS ref_name, 2 AS ancestors_retained,
+               CAST(dev_n AS BIGINT) AS total_records FROM tot
+        UNION ALL
+        SELECT 'main', 1, CAST(main_n AS BIGINT) FROM tot
+        ORDER BY ref_name
+    """,
+    doc="Expire-safety audit through the `$lineage` closure: main and a "
+    "dev branch (min_snapshots_to_keep=2) diverge, expire_snapshots("
+    "retain_last=1) ages out the unreferenced main mid-history AND the "
+    "branch's pre-fork ancestry — but the branch head stays fully "
+    "READABLE because GC is reference-counting over RETAINED "
+    "manifests, never snapshot-local: files committed before the fork "
+    "are still referenced by the branch head's manifests and survive "
+    "(every retained snapshot's live file asserted present on disk, "
+    "both heads' real read counts asserted). The emitted rows are the "
+    "post-expire audit an operator runs: per ref, the ancestor count "
+    "still resolvable through `$lineage` and the head's total_records "
+    "from `$history` — all bounded metadata.",
+    tags=("managed", "metadata", "lineage"),
+)
+def managed_expire_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        (F.col("o_orderkey") % 6).cast("int").alias("m"),
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-expaud-"))
+    tbl = eng.catalog.create_table("ord_exps", "k bigint, c bigint, m int",
+                                   ["m"])
+    s1 = tbl.insert(base.filter(F.col("m") == 0))
+    s2 = tbl.insert(base.filter(F.col("m") == 1))
+    tbl.create_branch("dev", s2.snapshot_id, min_snapshots_to_keep=2)
+    s3 = tbl.insert(base.filter(F.col("m") == 2), branch="dev")
+    s4 = tbl.insert(base.filter(F.col("m") == 3), branch="dev")
+    s5 = tbl.insert(base.filter(F.col("m") == 4))
+    s6 = tbl.insert(base.filter(F.col("m") == 5))
+    mark_setup_done()  # divergent history built; expire + audit is the op
+    res = tbl.expire_snapshots(retain_last=1)
+    tbl.refresh()
+    ids = {s.snapshot_id for s in tbl.meta.snapshots}
+    assert ids == {s3.snapshot_id, s4.snapshot_id, s6.snapshot_id}, (
+        sorted(ids)
+    )
+    assert res["expired_snapshots"] == 3
+    # the safety property: GC never touched a file any RETAINED
+    # snapshot references — pre-fork files survive via the branch
+    # head's manifests even though their snapshots are gone
+    for s in tbl.meta.snapshots:
+        for f in s.live_files():
+            assert os.path.exists(f.path), f"GC dropped live {f.path}"
+    n_dev = base.filter(F.col("m") < 4).count()
+    n_main = base.filter(F.col("m").isin(0, 1, 4, 5)).count()
+    assert (
+        tbl.scan(snapshot_id=s4.snapshot_id).dataframe().count() == n_dev
+    )
+    assert tbl.scan().dataframe().count() == n_main
+    return eng.sql("""
+        WITH devh AS (
+          SELECT snapshotId AS sid FROM `ord_exps$refs` WHERE name = 'dev'
+        ),
+        devanc AS (
+          SELECT CAST(COUNT(*) AS INT) AS anc
+          FROM `ord_exps$lineage` l JOIN devh ON devh.sid = l.snapshot_id
+        ),
+        mainanc AS (
+          SELECT CAST(COUNT(*) AS INT) AS anc
+          FROM `ord_exps$lineage` WHERE is_current
+        ),
+        mainh AS (
+          SELECT ancestor_id FROM `ord_exps$lineage`
+          WHERE is_current AND depth = 0
+        )
+        SELECT 'dev' AS ref_name, devanc.anc AS ancestors_retained,
+               hd.total_records
+        FROM devanc
+        JOIN devh ON 1 = 1
+        JOIN `ord_exps$history` hd ON hd.snapshot_id = devh.sid
+        UNION ALL
+        SELECT 'main', mainanc.anc, hm.total_records
+        FROM mainanc
+        JOIN mainh ON 1 = 1
+        JOIN `ord_exps$history` hm ON hm.snapshot_id = mainh.ancestor_id
+        ORDER BY ref_name
+    """)

@@ -61,6 +61,11 @@ _CREATE_RE = re.compile(
     r"(?:as\s+(?P<ctas>select\b.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_LIKE_RE = re.compile(
+    r"^\s*create\s+table\s+`?(?P<name>\w+)`?\s+like\s+`?(?P<src>\w+)`?"
+    r"(?P<with_data>\s+with\s+data)?\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*drop\s+table\s+(?P<if_exists>if\s+exists\s+)?(?P<name>[`\w.]+)\s*$",
     re.IGNORECASE,
@@ -629,6 +634,10 @@ class Engine:
                 as_of_ref = m.group(1)
             text = m.group(2)
 
+        lk = _LIKE_RE.match(text)
+        if lk and self.catalog.table_exists(lk.group("src").strip("`")):
+            return self._create_like(lk)
+
         cm = _CREATE_RE.match(text)
         if cm:
             opts = _parse_options(cm.group("opts"))
@@ -1034,6 +1043,69 @@ class Engine:
         if ctas:
             tbl.insert(self.spark.sql(ctas))
         return self.spark.createDataFrame([], T.StructType([]))
+
+    def _create_like(self, lk: re.Match) -> DataFrame:
+        """``CREATE TABLE <t> LIKE <src> [WITH DATA]`` — clone the source
+        table's schema, partition spec, properties and file format into a
+        fresh empty table; ``WITH DATA`` additionally registers the
+        source's LIVE files zero-copy through ``add_files`` (the
+        Delta-style SHALLOW clone: a metadata-only fork whose first
+        snapshot references the same physical files, after which the two
+        tables evolve independently).
+
+        Shallow-clone safety is enforced, not assumed: a source carrying
+        merge-on-read delete debris (position DVs or equality deletes) is
+        refused — registering its data files alone would RESURRECT the
+        masked rows — and so is a source whose live files sit outside its
+        own data dir (zero-copy imports of imports compound lifecycle
+        risk).  The documented hazard remains by design: the clone shares
+        bytes with the source, so ``expire_snapshots`` GC on the source
+        can delete files the clone still references — use CTAS for a deep
+        copy when lifecycle independence matters.  Returns one row with
+        ``added_files_count``."""
+        src = self.catalog.load_table(lk.group("src").strip("`"))
+        src.refresh()
+        tbl = self.catalog.create_table(
+            lk.group("name").strip("`"),
+            src.schema,
+            partition_cols=list(src.meta.partition_cols),
+            properties=dict(src.meta.properties),
+            file_format=src.file_format,
+        )
+        added = 0
+        if lk.group("with_data"):
+            snap = src.meta.current_snapshot()
+            if snap is not None:
+                if snap.dv_manifest_paths or snap.eq_manifest_paths:
+                    raise ValueError(
+                        "CREATE TABLE LIKE ... WITH DATA: source has "
+                        "merge-on-read deletes in effect; a shallow clone "
+                        "of its data files would resurrect masked rows — "
+                        "run rewrite_position_deletes/"
+                        "convert_equality_deletes + rewrite_data_files "
+                        "first"
+                    )
+                live = snap.live_files()
+                outside = [
+                    f.path
+                    for f in live
+                    if not f.path.startswith(src.meta.data_dir)
+                ]
+                if outside:
+                    raise ValueError(
+                        "CREATE TABLE LIKE ... WITH DATA: source "
+                        f"references {len(outside)} file(s) outside its "
+                        "data dir (zero-copy imports); compact the source "
+                        "before cloning"
+                    )
+                if live:
+                    tbl.add_files(
+                        src.meta.data_dir, paths=[f.path for f in live]
+                    )
+                    added = len(live)
+        return self.spark.sql(
+            f"SELECT CAST({added} AS INT) AS added_files_count"
+        )
 
     def _merge_managed(self, mg: re.Match) -> DataFrame:
         """MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a] USING src [AS b]

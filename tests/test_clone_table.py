@@ -1,0 +1,119 @@
+"""CREATE TABLE LIKE / shallow clone (Engine SQL spelling): schema +
+partition-spec + properties clone, zero-copy WITH DATA registration via
+add_files, independent evolution after the fork, and the merge-on-read
+/ imported-files refusals."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from icebergsql_spark.sql import Engine
+
+
+def _engine(spark):
+    return Engine(spark, tempfile.mkdtemp(prefix="icebergsql-clonewh-"))
+
+
+def _base(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("c"),
+            (F.col("o_orderkey") % 4).cast("int").alias("m"),
+        )
+    )
+
+
+def test_create_like_empty(spark):
+    eng = _engine(spark)
+    tbl = eng.catalog.create_table(
+        "src_e", "k bigint, c bigint, m int", ["m"],
+        properties={"bloom.filter.columns": "k"},
+    )
+    tbl.insert(_base(spark).filter(F.col("m") == 0))
+    res = eng.sql("CREATE TABLE dst_e LIKE src_e").collect()[0]
+    assert res["added_files_count"] == 0
+    dst = eng.catalog.load_table("dst_e")
+    assert dst.schema == tbl.schema
+    assert dst.meta.partition_cols == ["m"]
+    assert dst.meta.properties.get("bloom.filter.columns") == "k"
+    assert dst.meta.current_snapshot() is None
+    assert eng.sql("SELECT COUNT(*) AS n FROM dst_e").collect()[0]["n"] == 0
+
+
+def test_create_like_with_data_zero_copy_and_divergence(spark):
+    eng = _engine(spark)
+    tbl = eng.catalog.create_table("src_d", "k bigint, c bigint, m int",
+                                   ["m"])
+    base = _base(spark)
+    tbl.insert(base.filter(F.col("m") == 0))
+    tbl.insert(base.filter(F.col("m") == 1))
+    n_src = base.filter(F.col("m") < 2).count()
+    res = eng.sql("CREATE TABLE dst_d LIKE src_d WITH DATA").collect()[0]
+    dst = eng.catalog.load_table("dst_d")
+    src_live = {f.path for f in tbl.meta.current_snapshot().live_files()}
+    dst_live = {f.path for f in dst.meta.current_snapshot().live_files()}
+    assert res["added_files_count"] == len(src_live)
+    assert dst_live == src_live, "shallow clone must reference, not copy"
+    assert dst.scan().count_from_stats() == n_src
+    # independent evolution: write to the clone, source stays put
+    dst.insert(base.filter(F.col("m") == 2))
+    tbl.refresh()
+    assert dst.scan().count_from_stats() == base.filter(
+        F.col("m") < 3
+    ).count()
+    assert tbl.scan().count_from_stats() == n_src
+    # and vice versa
+    tbl.insert(base.filter(F.col("m") == 3))
+    dst.refresh()
+    assert dst.scan().count_from_stats() == base.filter(
+        F.col("m") < 3
+    ).count()
+
+
+def test_create_like_refuses_mor_debris(spark):
+    eng = _engine(spark)
+    tbl = eng.catalog.create_table(
+        "src_mor", "k bigint, c bigint, m int", ["m"],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    tbl.insert(_base(spark).filter(F.col("m") < 2))
+    tbl.delete_where("k % 7 = 0")
+    assert tbl.meta.current_snapshot().dv_manifest_paths
+    with pytest.raises(ValueError, match="resurrect"):
+        eng.sql("CREATE TABLE dst_mor LIKE src_mor WITH DATA")
+    # schema-only clone of the same source is still fine
+    assert (
+        eng.sql("CREATE TABLE dst_mor2 LIKE src_mor").collect()[0][
+            "added_files_count"
+        ]
+        == 0
+    )
+
+
+def test_create_like_refuses_imported_sources(spark):
+    eng = _engine(spark)
+    base = _base(spark)
+    staged = tempfile.mkdtemp(prefix="icebergsql-clonesrc-")
+    base.filter(F.col("m") == 0).coalesce(1).write.mode("append").parquet(
+        staged
+    )
+    tbl = eng.catalog.create_table("src_imp", "k bigint, c bigint, m int",
+                                   ["m"])
+    tbl.add_files(staged)
+    with pytest.raises(ValueError, match="outside its data dir"):
+        eng.sql("CREATE TABLE dst_imp LIKE src_imp WITH DATA")
+
+
+def test_create_like_unknown_source_falls_through(spark):
+    eng = _engine(spark)
+    with pytest.raises(Exception):
+        # not a managed table -> stock Spark parser gets the text and
+        # rejects it (no such table there either)
+        eng.sql("CREATE TABLE dst_x LIKE no_such_table_xyz WITH DATA")
