@@ -562,3 +562,50 @@ def louvain_gain_round_weighted(
             .alias("gain_num"),
         )
     )
+
+
+def louvain_converge_weighted(
+    half_edges: DataFrame,
+    labels: DataFrame,
+    max_rounds: int = 3,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    node_col: str = "n",
+    label_col: str = "lbl",
+) -> tuple[DataFrame, int]:
+    """WEIGHTED Louvain to convergence — the level-2+ refinement loop
+    that completes multi-level Louvain: chain
+    ``louvain_gain_round_weighted`` on the coarsened community
+    multigraph until a round moves no super-node, bounded by
+    ``max_rounds`` (synchronous simultaneous moves can oscillate, so an
+    unbounded loop is never safe — the ``louvain_converge`` rule).
+    Returns ``(final_labels, rounds_run)`` with ``rounds_run`` counting
+    EXECUTED rounds including the one that observes zero movers.
+
+    Determinism mirrors the unweighted converge exactly: every round is
+    an exact-bigint pure function of (weighted graph, labels) and a
+    converged round is idempotent, so a fixed ``max_rounds`` chain of
+    weighted round CTEs replays both outputs. Scale shape: per round one
+    bounded-join pass over the |communities|-sized super-graph;
+    localCheckpoint per round keeps the unrolled lineage linear and the
+    movers probe is a LIMIT-1 count on the checkpointed frame.
+    """
+    rounds_run = 0
+    for _ in range(max_rounds):
+        moved = louvain_gain_round_weighted(
+            half_edges, labels, a=a, b=b, w=w, node_col=node_col,
+            label_col=label_col,
+        ).localCheckpoint()
+        rounds_run += 1
+        labels = moved.select(
+            F.col("n").alias(node_col), F.col("lbl_new").alias(label_col)
+        )
+        movers = (
+            moved.filter(F.col("lbl_new") != F.col("lbl_old"))
+            .limit(1)
+            .count()
+        )
+        if movers == 0:
+            break
+    return labels, rounds_run

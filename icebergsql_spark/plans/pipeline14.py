@@ -619,3 +619,360 @@ def managed_expire_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN `ord_exps$history` hm ON hm.snapshot_id = mainh.ancestor_id
         ORDER BY ref_name
     """)
+
+
+# ----------------------------------- weighted Louvain convergence --
+
+
+def _wround_sql(k: int, lab: str) -> str:
+    """CTE block for one synchronous WEIGHTED Louvain round over label
+    table ``lab`` (columns n, lbl), given fixed wsym/wself/wdeg/wm CTEs
+    — textually the recurrence operators/graph.py:
+    louvain_gain_round_weighted runs; suffix ``k`` namespaces the
+    round."""
+    gain = (
+        f"2 * wm.m * (wnbrc{k}.k_ic - wbase{k}.k_id) "
+        f"- wbase{k}.k * (wctot{k}.tot - (wbase{k}.tot_d - wbase{k}.k))"
+    )
+    return f"""
+        wctot{k} AS (
+          SELECT {lab}.lbl AS c, CAST(SUM(wdeg.k) AS BIGINT) AS tot
+          FROM wdeg JOIN {lab} ON {lab}.n = wdeg.src GROUP BY 1
+        ),
+        wnbrc{k} AS (
+          SELECT s.src, {lab}.lbl AS c, CAST(SUM(s.w) AS BIGINT) AS k_ic
+          FROM wsym s JOIN {lab} ON {lab}.n = s.dst GROUP BY 1, 2
+        ),
+        wbase{k} AS (
+          SELECT wdeg.src AS n, wdeg.k, {lab}.lbl AS d, td.tot AS tot_d,
+                 CAST(COALESCE(kid.k_ic, 0) AS BIGINT) AS k_id
+          FROM wdeg
+          JOIN {lab} ON {lab}.n = wdeg.src
+          JOIN wctot{k} td ON td.c = {lab}.lbl
+          LEFT JOIN wnbrc{k} kid
+            ON kid.src = wdeg.src AND kid.c = {lab}.lbl
+        ),
+        wcand{k} AS (
+          SELECT wbase{k}.n, wbase{k}.d, wnbrc{k}.c,
+                 CAST({gain} AS BIGINT) AS gain_num,
+                 row_number() OVER (
+                   PARTITION BY wbase{k}.n
+                   ORDER BY {gain} DESC, wnbrc{k}.c ASC
+                 ) AS rn
+          FROM wnbrc{k}
+          JOIN wbase{k}
+            ON wbase{k}.n = wnbrc{k}.src AND wnbrc{k}.c <> wbase{k}.d
+          JOIN wctot{k} ON wctot{k}.c = wnbrc{k}.c
+          CROSS JOIN wm
+        ),
+        wbest{k} AS (
+          SELECT n, c AS move_to, gain_num FROM wcand{k}
+          WHERE rn = 1 AND gain_num > 0
+        ),
+        wmoved{k} AS (
+          SELECT wbase{k}.n, wbase{k}.d AS lbl_old,
+                 COALESCE(wbest{k}.move_to, wbase{k}.d) AS lbl_new,
+                 CAST(COALESCE(wbest{k}.gain_num, 0) AS BIGINT) AS gain_num
+          FROM wbase{k} LEFT JOIN wbest{k} ON wbest{k}.n = wbase{k}.n
+        )"""
+
+
+def _louvain_wconverge_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    return (
+        _EDGE_SQL
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (SELECT n, lbl_new AS lbl FROM moved1),
+        super AS (
+          SELECT LEAST(la.lbl, lb.lbl) AS ca,
+                 GREATEST(la.lbl, lb.lbl) AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM half
+          JOIN lab2 la ON la.n = half.a
+          JOIN lab2 lb ON lb.n = half.b
+          GROUP BY 1, 2
+        ),
+        wself AS (SELECT ca AS nn, w FROM super WHERE ca = cb),
+        wplain AS (SELECT ca, cb, w FROM super WHERE ca <> cb),
+        wsym AS (
+          SELECT ca AS src, cb AS dst, w FROM wplain
+          UNION ALL SELECT cb, ca, w FROM wplain
+        ),
+        wdeg AS (
+          SELECT src, CAST(SUM(wt) AS BIGINT) AS k
+          FROM (
+            SELECT src, w AS wt FROM wsym
+            UNION ALL SELECT nn AS src, 2 * w AS wt FROM wself
+          ) x GROUP BY 1
+        ),
+        wm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM super),
+        wlab1 AS (SELECT src AS n, src AS lbl FROM wdeg),
+        {_wround_sql(1, 'wlab1')},
+        wlab2 AS (SELECT n, lbl_new AS lbl FROM wmoved1),
+        {_wround_sql(2, 'wlab2')},
+        wlab3 AS (SELECT n, lbl_new AS lbl FROM wmoved2),
+        {_wround_sql(3, 'wlab3')},
+        movers AS (
+          SELECT
+            (SELECT COUNT(*) FROM wmoved1 WHERE lbl_new <> lbl_old) AS m1,
+            (SELECT COUNT(*) FROM wmoved2 WHERE lbl_new <> lbl_old) AS m2
+        ),
+        rounds AS (
+          SELECT CAST(CASE WHEN m1 = 0 THEN 1
+                           WHEN m2 = 0 THEN 2
+                           ELSE 3 END AS INTEGER) AS rounds_run
+          FROM movers
+        ),
+        sizes AS (
+          SELECT lbl AS c, CAST(COUNT(*) AS BIGINT) AS members FROM lab2
+          GROUP BY 1
+        )
+        SELECT CAST(wmoved3.n AS BIGINT) AS community,
+               CAST(wmoved3.lbl_new AS BIGINT) AS lbl_final,
+               rounds.rounds_run,
+               wdeg.k AS weighted_degree,
+               sizes.members
+        FROM wmoved3
+        JOIN wdeg ON wdeg.src = wmoved3.n
+        JOIN sizes ON sizes.c = wmoved3.n
+        CROSS JOIN rounds
+        ORDER BY community
+    """
+    ).replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_louvain_weighted_converge",
+    oracle=_louvain_wconverge_oracle(),
+    doc="Multi-level Louvain with the level-2 loop run to CONVERGENCE "
+    "(operators/graph.py:louvain_converge_weighted): level-1 "
+    "synchronous round -> community coarsening -> weighted gain "
+    "rounds on the super-graph chained until no super-node moves, "
+    "bounded at 3 (synchronous moves can oscillate — the "
+    "louvain_converge rule). A converged round is idempotent, so the "
+    "oracle's FIXED 3-round weighted CTE chain reproduces both the "
+    "final labels and rounds_run (min k with zero movers, else the "
+    "bound) without knowing the stop point. Emits each super-node's "
+    "converged community, the executed round count, weighted degree "
+    "(self-loops contribute 2w) and level-1 member count. Scale "
+    "shape: each round is one bounded-join pass over "
+    "|communities|-sized metadata; localCheckpoint per round keeps "
+    "lineage linear.",
+    tags=("graph", "dedup"),
+)
+def graph_louvain_weighted_converge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.graph import (
+        louvain_converge_weighted,
+        louvain_gain_round,
+    )
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir)
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    lab2 = (
+        louvain_gain_round(half, labels)
+        .select("n", F.col("lbl_new").alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lab2.select(F.col("n").alias("a"), F.col("lbl").alias("la"))
+    lb = lab2.select(F.col("n").alias("b"), F.col("lbl").alias("lb"))
+    super_e = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").alias("a"),
+            F.greatest("la", "lb").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    wlab = (
+        super_e.select(F.col("a").alias("n"))
+        .unionAll(super_e.select(F.col("b").alias("n")))
+        .distinct()
+        .select("n", F.col("n").alias("lbl"))
+    )
+    final_lab, rounds_run = louvain_converge_weighted(
+        super_e, wlab, max_rounds=3
+    )
+    wdeg = (
+        super_e.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("n"), F.col("w").alias("wt"))
+        .unionAll(
+            super_e.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("n"), F.col("w").alias("wt")
+            )
+        )
+        .unionAll(
+            super_e.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias("n"), (F.col("w") * 2).alias("wt")
+            )
+        )
+        .groupBy("n")
+        .agg(F.sum("wt").cast("bigint").alias("weighted_degree"))
+    )
+    sizes = lab2.groupBy(F.col("lbl").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("members")
+    )
+    return (
+        final_lab.select(
+            F.col("n").cast("bigint").alias("community"),
+            F.col("lbl").cast("bigint").alias("lbl_final"),
+            F.lit(rounds_run).cast("int").alias("rounds_run"),
+        )
+        .join(wdeg.withColumnRenamed("n", "community"), "community")
+        .join(sizes.withColumnRenamed("n", "community"), "community")
+        .orderBy("community")
+    )
+
+
+# ------------------------------- per-stratum sequential A/B (LD) --
+
+_SEQ_STRAT_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 {day_expr} AS day
+          FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        strat AS (
+          SELECT ev.user_id,
+                 CAST(LEAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                                     AND ev.day < d0.d0 + 7
+                                THEN 1 ELSE 0 END) {div} 4, 2)
+                      AS INTEGER) AS stratum
+          FROM ev CROSS JOIN d0 GROUP BY ev.user_id
+        ),
+        pu AS (
+          SELECT looks.k, ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN ev.event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day < d0.d0 + 7 * looks.k
+          GROUP BY looks.k, ev.user_id
+        ),
+        arms AS (
+          SELECT s.stratum, pu.k, pu.arm,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pu.conv) AS BIGINT) AS c
+          FROM pu JOIN strat s ON s.user_id = pu.user_id
+          GROUP BY 1, 2, 3
+        ),
+        wide AS (
+          SELECT stratum, k,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN n END), 0)
+                      AS BIGINT) AS n0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN c END), 0)
+                      AS BIGINT) AS c0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN n END), 0)
+                      AS BIGINT) AS n1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN c END), 0)
+                      AS BIGINT) AS c1
+          FROM arms GROUP BY 1, 2
+        ),
+        info AS (
+          SELECT stratum, k, n0, c0, n1, c1,
+                 CAST(n0 + n1 AS BIGINT) AS i_k
+          FROM wide
+        ),
+        imax AS (SELECT stratum, i_k AS im FROM info WHERE k = 3),
+        z AS (
+          SELECT info.stratum, info.k, n0, c0, n1, c1, i_k, imax.im,
+                 CASE WHEN n0 = 0 OR n1 = 0
+                      OR c0 + c1 = 0 OR c0 + c1 = n0 + n1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                           / sqrt((CAST(c0 + c1 AS DOUBLE)
+                                   / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                         / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 / CAST(n0 AS DOUBLE)
+                                     + 1.0 / CAST(n1 AS DOUBLE)))
+                 END AS z
+          FROM info JOIN imax ON imax.stratum = info.stratum
+        )
+        SELECT CAST(stratum AS INTEGER) AS stratum,
+               CAST(k AS INTEGER) AS look, n0, c0, n1, c1,
+               CAST((i_k * 1000000) {div} im AS BIGINT) AS info_frac_ppm,
+               {c} / sqrt(CAST(i_k AS DOUBLE) / CAST(im AS DOUBLE))
+                 AS crit,
+               z,
+               CAST(CASE WHEN abs(z) >
+                         {c} / sqrt(CAST(i_k AS DOUBLE)
+                                    / CAST(im AS DOUBLE))
+                    THEN 1 ELSE 0 END AS INTEGER) AS reject
+        FROM z ORDER BY stratum, look
+"""
+
+_LD_C14 = 2.004
+
+
+@register(
+    "events_sequential_stratified",
+    oracle=_SEQ_STRAT_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        div="//",
+        c=_LD_C14,
+    ),
+    doc="PER-STRATUM group-sequential A/B readout — events_lan_demets_ab "
+    "composed with the events_cuped_stratified stratification: users "
+    "are post-stratified by week-1 purchase-count buckets (x DIV 4 "
+    "capped at 2), each stratum runs its OWN three weekly looks with "
+    "its own enrolled-so-far information fraction t_k = I_k / I_3 "
+    "(exact ppm) and the O'Brien-Fleming-shape Lan-DeMets boundary "
+    "c(t) = 2.004/sqrt(t) evaluated at the stratum's observed t_k — "
+    "heterogeneous enrollment speed per stratum moves the boundary, "
+    "which a pooled test cannot see. Degenerate cells (an empty arm, "
+    "zero or full conversion — REAL in small strata at sf0.001) take "
+    "z = 0 via the mirrored ANSI guard. One per-(look,user) aggregate "
+    "+ a strata x looks x arms rollup — 9 metadata rows out.",
+    tags=("events", "stats", "curation"),
+)
+def events_sequential_stratified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_seqstrat")
+    return spark.sql(
+        _SEQ_STRAT_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_seqstrat",
+            unnest_looks="explode(sequence(1, 3))",
+            div="DIV",
+            c=_LD_C14,
+        )
+    )

@@ -722,3 +722,46 @@ def test_weighted_louvain_round_fuzz(spark):
             for r in louvain_gain_round_weighted(he, lab).collect()
         }
         assert got == _py_wlouvain_round(half_w, labels), trial
+
+
+def test_weighted_louvain_converge_stops_and_matches_replica(spark):
+    """louvain_converge_weighted chains weighted rounds until a round
+    moves no super-node (bounded), matching a pure-Python replay of the
+    same stop rule; the oscillating seed runs to the bound."""
+    from icebergsql_spark.operators.graph import louvain_converge_weighted
+
+    # two weighted 3-cliques with self-loops, bridged by one light edge
+    half_w = {
+        (0, 1): 3, (0, 2): 3, (1, 2): 3, (0, 0): 2,
+        (3, 4): 3, (3, 5): 3, (4, 5): 3, (5, 5): 1,
+        (2, 3): 1,
+    }
+    labels = {n: (0 if n < 3 else 1) for n in range(6)}
+    labels[2] = 1  # misplaced: snaps back round 1, round 2 sees 0 movers
+    he = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in sorted(half_w.items())],
+        "a long, b long, w long",
+    )
+    lab = spark.createDataFrame(list(labels.items()), "n long, lbl long")
+    final, rounds_run = louvain_converge_weighted(he, lab, max_rounds=5)
+    got = {r["n"]: r["lbl"] for r in final.collect()}
+
+    py, py_rounds = dict(labels), 0
+    for _ in range(5):
+        moved = _py_wlouvain_round(half_w, py)
+        py_rounds += 1
+        py = {n: new for n, (_old, new, _g) in moved.items()}
+        if all(old == new for (old, new, _g) in moved.values()):
+            break
+    assert got == py == {n: (0 if n < 3 else 1) for n in range(6)}
+    assert rounds_run == py_rounds == 2
+    # fixed point: one more replica round moves nobody
+    moved = _py_wlouvain_round(half_w, py)
+    assert all(o == n for (o, n, _g) in moved.values())
+
+    # the alternating seed oscillates under synchronous moves -> bound
+    lab2 = spark.createDataFrame(
+        [(n, n % 2) for n in range(6)], "n long, lbl long"
+    )
+    _f2, rounds2 = louvain_converge_weighted(he, lab2, max_rounds=3)
+    assert rounds2 == 3, "oscillating seed must run to the bound"
