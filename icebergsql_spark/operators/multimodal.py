@@ -990,3 +990,93 @@ def image_dct_hash(
             )
 
     return blobs.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+CANON_HASH_SCHEMA = (
+    "doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint, "
+    "p0 bigint, p1 bigint, p2 bigint, p3 bigint, popcount int"
+)
+
+
+def image_dct_hash_canonical(
+    blobs: DataFrame, size: int = 16, block: int = 8
+) -> DataFrame:
+    """Dihedral-CANONICAL pHash: ``image_dct_hash`` made invariant to
+    the 8 rotations/reflections of the square (the D4 group), so a
+    mirrored or rotated near-duplicate lands in the SAME dedup bucket.
+
+    No extra DCTs are needed — the quantized integer basis satisfies
+    ``C[u][n-1-x] = (-1)^u * C[u][x]`` EXACTLY (cosine half-turn
+    antisymmetry survives symmetric rounding), so for D = C g Cᵀ:
+    a horizontal flip maps D[u][v] -> (-1)^v D[u][v], a vertical flip
+    -> (-1)^u D[u][v], and a transpose -> D[v][u].  The 8 dihedral
+    images therefore correspond one-to-one to the 8 coefficient
+    transforms {optional transpose} x {sign flips by u/v parity}; the
+    canonical hash is the minimum of the 8 variant hashes under the
+    fixed (b3, b2, b1, b0) key order.  Still exact integer arithmetic
+    end-to-end — an SQL oracle replays every variant from the shared
+    DCT literals.  Emits both the canonical bands (b0..b3, the dedup
+    key) and the plain identity-variant bands (p0..p3, for tier
+    comparison), plus the canonical popcount.  Arrow-batched narrow
+    map; no shuffle."""
+    import numpy as np
+
+    C = np.array(dct_int_coefs(size, block), dtype="int64")
+    U, V = np.indices((block, block))
+    sign_mats = {
+        (fu, fv): ((-1) ** (fu * U + fv * V)).astype("int64")
+        for fu in (0, 1)
+        for fv in (0, 1)
+    }
+
+    def pack(bits: "object") -> tuple[int, int, int, int]:
+        flat = bits.reshape(-1)
+        return tuple(
+            sum(int(flat[j * 16 + t]) << t for t in range(16))
+            for j in range(4)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w, _c, px = decode_image(bytes(payload))
+                gray = px.astype("int64").sum(axis=2)
+                if (h, w) != (size, size):
+                    if h % size or w % size:
+                        raise ValueError(
+                            f"image {h}x{w} does not pool to "
+                            f"{size}x{size}"
+                        )
+                    gray = gray.reshape(
+                        size, h // size, size, w // size
+                    ).sum(axis=(1, 3))
+                D = C @ gray @ C.T
+                plain = None
+                best = None
+                for sw in (0, 1):
+                    M = D.T if sw else D
+                    for (fu, fv), S in sign_mats.items():
+                        bits = ((M * S) > 0).astype("int64")
+                        bits[0][0] = 0
+                        bands = pack(bits)
+                        if sw == 0 and fu == 0 and fv == 0:
+                            plain = bands
+                        key = (
+                            (bands[3] << 48) | (bands[2] << 32)
+                            | (bands[1] << 16) | bands[0]
+                        )
+                        if best is None or key < best[0]:
+                            best = (key, bands, int(bits.sum()))
+                rows.append(
+                    (did, *best[1], *plain, best[2])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "b0", "b1", "b2", "b3",
+                    "p0", "p1", "p2", "p3", "popcount",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=CANON_HASH_SCHEMA)

@@ -976,3 +976,308 @@ def events_sequential_stratified(
             c=_LD_C14,
         )
     )
+
+
+# -------------------------------------- dihedral-canonical pHash --
+
+
+def _phash_dihedral_hashes_sql(max_doc: int) -> str:
+    """Oracle CTE chain for the ORIENTED fixture -> gray -> integer DCT
+    -> all 8 dihedral variant hashes -> canonical minimum + plain
+    bands, replaying operators/multimodal.py:image_dct_hash_canonical
+    from the same dct_coef_values_sql literals.  Fixture: class =
+    doc_id % 8, orientation = (doc_id // 8) % 4 in {identity, hflip,
+    vflip, transpose}; pixel v = (cls*37 + ys*53 + xs*11 + ch*5) % 256
+    over the PRE-orientation coordinates."""
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    ys = (
+        "CASE (doc_id // 8) % 4 WHEN 2 THEN 15 - ((i.i // 3) // 16) "
+        "WHEN 3 THEN (i.i // 3) % 16 ELSE (i.i // 3) // 16 END"
+    )
+    xs = (
+        "CASE (doc_id // 8) % 4 WHEN 1 THEN 15 - ((i.i // 3) % 16) "
+        "WHEN 3 THEN (i.i // 3) // 16 ELSE (i.i // 3) % 16 END"
+    )
+    return f"""
+        coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, i.i AS i,
+                 ((doc_id % 8) * 37 + ({ys}) * 53 + ({xs}) * 11
+                  + (i.i % 3) * 5) % 256 AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3
+        ),
+        dct AS MATERIALIZED (
+          SELECT gray.doc_id, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3
+        ),
+        var8(fu, fv, sw, vid) AS (VALUES
+          (0, 0, 0, 0), (0, 1, 0, 1), (1, 0, 0, 2), (1, 1, 0, 3),
+          (0, 0, 1, 4), (0, 1, 1, 5), (1, 0, 1, 6), (1, 1, 1, 7)),
+        vbits AS MATERIALIZED (
+          SELECT d.doc_id, v8.vid, d.u * 8 + d.v AS k,
+                 CASE WHEN d.u = 0 AND d.v = 0 THEN 0
+                      WHEN (CASE WHEN v8.sw = 1 THEN t.d ELSE d.d END)
+                           * (CASE WHEN (v8.fu * d.u + v8.fv * d.v) % 2
+                                   = 1 THEN -1 ELSE 1 END) > 0
+                      THEN 1 ELSE 0 END AS bit
+          FROM dct d
+          JOIN dct t ON t.doc_id = d.doc_id AND t.u = d.v AND t.v = d.u
+          CROSS JOIN var8 v8
+        ),
+        vhash AS MATERIALIZED (
+          SELECT doc_id, vid,
+                 CAST(SUM(CASE WHEN k // 16 = 0
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT)
+                   AS b0,
+                 CAST(SUM(CASE WHEN k // 16 = 1
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT)
+                   AS b1,
+                 CAST(SUM(CASE WHEN k // 16 = 2
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT)
+                   AS b2,
+                 CAST(SUM(CASE WHEN k // 16 = 3
+                          THEN bit << (k % 16) ELSE 0 END) AS BIGINT)
+                   AS b3,
+                 CAST(SUM(bit) AS INTEGER) AS popcount
+          FROM vbits GROUP BY 1, 2
+        ),
+        canon AS MATERIALIZED (
+          SELECT doc_id, b0, b1, b2, b3, popcount,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY b3, b2, b1, b0, vid
+                 ) AS rn
+          FROM vhash
+        ),
+        hashes AS MATERIALIZED (
+          SELECT c.doc_id, c.b0, c.b1, c.b2, c.b3, c.popcount,
+                 p.b0 AS p0, p.b1 AS p1, p.b2 AS p2, p.b3 AS p3
+          FROM canon c
+          JOIN vhash p ON p.doc_id = c.doc_id AND p.vid = 0
+          WHERE c.rn = 1
+        )"""
+
+
+def _phash_dihedral_blobs(spark: SparkSession, sf_dir: str, max_doc: int):
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < max_doc)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cls, o = d % 8, (d // 8) % 4
+                buf = bytearray(768)
+                for i in range(768):
+                    y, x, ch = (i // 3) // 16, (i // 3) % 16, i % 3
+                    if o == 1:
+                        ys, xs = y, 15 - x
+                    elif o == 2:
+                        ys, xs = 15 - y, x
+                    elif o == 3:
+                        ys, xs = x, y
+                    else:
+                        ys, xs = y, x
+                    buf[i] = (cls * 37 + ys * 53 + xs * 11 + ch * 5) % 256
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, bytes(buf))
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, bytes(buf))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+
+
+@register(
+    "multimodal_image_phash_dihedral",
+    oracle=f"""
+        WITH {_phash_dihedral_hashes_sql(500)}
+        SELECT b0, b1, b2, b3,
+               CAST(MAX(popcount) AS INTEGER) AS popcount,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT (doc_id // 8) % 4) AS BIGINT)
+                 AS n_orients,
+               CAST(COUNT(DISTINCT CAST(p0 AS VARCHAR) || '_'
+                          || CAST(p1 AS VARCHAR) || '_'
+                          || CAST(p2 AS VARCHAR) || '_'
+                          || CAST(p3 AS VARCHAR)) AS BIGINT) AS n_plain,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM hashes
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1, 2, 3, 4
+    """,
+    doc="Dihedral-CANONICAL pHash (operators/multimodal.py:"
+    "image_dct_hash_canonical): the quantized integer DCT basis is "
+    "EXACTLY antisymmetric under coordinate reversal (C[u][n-1-x] = "
+    "(-1)^u C[u][x] survives symmetric rounding), so all 8 dihedral "
+    "images map to {{optional transpose}} x {{u/v-parity sign flips}} "
+    "of ONE coefficient matrix and the canonical hash = min of the 8 "
+    "variant hashes — no extra DCTs, still exact integers end-to-end. "
+    "The fixture plants 8 pixel classes in 4 orientations (identity / "
+    "hflip / vflip / transpose); each class collapses to ONE canonical "
+    "hash spanning all 4 orientations while carrying 4 DISTINCT plain "
+    "hashes (n_orients / n_plain columns prove both). Oracle replays "
+    "every variant from the shared DCT literals.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_phash_dihedral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators import multimodal
+
+    blobs = _phash_dihedral_blobs(spark, sf_dir, 500)
+    hashes = multimodal.image_dct_hash_canonical(blobs, size=16, block=8)
+    return (
+        hashes.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.max("popcount").cast("int").alias("popcount"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(F.expr("(doc_id DIV 8) % 4"))
+            .cast("bigint")
+            .alias("n_orients"),
+            F.countDistinct(
+                F.expr(
+                    "CAST(p0 AS STRING) || '_' || CAST(p1 AS STRING) "
+                    "|| '_' || CAST(p2 AS STRING) || '_' "
+                    "|| CAST(p3 AS STRING)"
+                )
+            ).cast("bigint").alias("n_plain"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("b0", "b1", "b2", "b3")
+    )
+
+
+@register(
+    "dedup_phash_dihedral_tier",
+    oracle=f"""
+        WITH {_phash_dihedral_hashes_sql(500)},
+        tagged AS MATERIALIZED (
+          SELECT doc_id, doc_id % 8 AS cls,
+                 b0, b1, b2, b3, p0, p1, p2, p3
+          FROM hashes
+        ),
+        pairs AS MATERIALIZED (
+          SELECT CASE WHEN x.cls = y.cls THEN 1 ELSE 0 END AS is_dup,
+                 CASE WHEN x.b0 = y.b0 OR x.b1 = y.b1
+                        OR x.b2 = y.b2 OR x.b3 = y.b3
+                      THEN 1 ELSE 0 END AS cand_canon,
+                 CASE WHEN x.p0 = y.p0 OR x.p1 = y.p1
+                        OR x.p2 = y.p2 OR x.p3 = y.p3
+                      THEN 1 ELSE 0 END AS cand_plain
+          FROM tagged x JOIN tagged y ON x.doc_id < y.doc_id
+        )
+        SELECT tier,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               CAST((tp * 1000000) // (tp + fp) AS BIGINT)
+                 AS precision_ppm,
+               CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_ppm
+        FROM (
+          SELECT 'canonical' AS tier,
+                 SUM(is_dup * cand_canon) AS tp,
+                 SUM((1 - is_dup) * cand_canon) AS fp,
+                 SUM(is_dup * (1 - cand_canon)) AS fn
+          FROM pairs
+          UNION ALL
+          SELECT 'plain',
+                 SUM(is_dup * cand_plain),
+                 SUM((1 - is_dup) * cand_plain),
+                 SUM(is_dup * (1 - cand_plain))
+          FROM pairs
+        ) ORDER BY tier
+    """,
+    doc="Candidate-tier evaluation of dihedral canonicalization: ground "
+    "truth = planted pixel classes UP TO ORIENTATION (doc_id % 8), "
+    "candidates = any shared 16-bit band, once over the CANONICAL "
+    "bands and once over the plain pHash bands. Mirrored/rotated "
+    "variants of a class carry different plain hashes, so the plain "
+    "tier misses most cross-orientation duplicate pairs; the "
+    "canonical tier recovers them (within a class every orientation "
+    "shares ONE hash -> recall 1e6 ppm by construction, the row that "
+    "justifies paying for canonicalization before an image-dedup pass "
+    "scales out). Exact-integer TP/FP/FN; audit-scale pair "
+    "enumeration — production candidates come from the band "
+    "equi-join.",
+    tags=("multimodal", "dedup", "stats"),
+)
+def dedup_phash_dihedral_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators import multimodal
+
+    blobs = _phash_dihedral_blobs(spark, sf_dir, 500)
+    tagged = (
+        multimodal.image_dct_hash_canonical(blobs, size=16, block=8)
+        .select(
+            "doc_id", (F.col("doc_id") % 8).alias("cls"),
+            "b0", "b1", "b2", "b3", "p0", "p1", "p2", "p3",
+        )
+        .localCheckpoint()
+    )
+    x, y = tagged.alias("x"), tagged.alias("y")
+    pairs = x.join(y, F.col("x.doc_id") < F.col("y.doc_id")).select(
+        F.when(F.col("x.cls") == F.col("y.cls"), 1).otherwise(0)
+        .alias("is_dup"),
+        F.when(
+            (F.col("x.b0") == F.col("y.b0"))
+            | (F.col("x.b1") == F.col("y.b1"))
+            | (F.col("x.b2") == F.col("y.b2"))
+            | (F.col("x.b3") == F.col("y.b3")),
+            1,
+        ).otherwise(0).alias("cand_canon"),
+        F.when(
+            (F.col("x.p0") == F.col("y.p0"))
+            | (F.col("x.p1") == F.col("y.p1"))
+            | (F.col("x.p2") == F.col("y.p2"))
+            | (F.col("x.p3") == F.col("y.p3")),
+            1,
+        ).otherwise(0).alias("cand_plain"),
+    ).localCheckpoint()
+
+    def conf(tier: str, cand: str) -> DataFrame:
+        return pairs.agg(
+            F.lit(tier).alias("tier"),
+            F.sum(F.expr(f"is_dup * {cand}")).cast("bigint").alias("tp"),
+            F.sum(F.expr(f"(1 - is_dup) * {cand}"))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.expr(f"is_dup * (1 - {cand})"))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    return (
+        conf("canonical", "cand_canon")
+        .unionAll(conf("plain", "cand_plain"))
+        .select(
+            "tier", "tp", "fp", "fn",
+            F.expr("CAST((tp * 1000000) DIV (tp + fp) AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST((tp * 1000000) DIV (tp + fn) AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("tier")
+    )

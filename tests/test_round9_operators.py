@@ -765,3 +765,55 @@ def test_weighted_louvain_converge_stops_and_matches_replica(spark):
     )
     _f2, rounds2 = louvain_converge_weighted(he, lab2, max_rounds=3)
     assert rounds2 == 3, "oscillating seed must run to the bound"
+
+
+def test_image_dct_hash_canonical_dihedral_invariance(spark):
+    """image_dct_hash_canonical emits the SAME canonical bands for an
+    image and all 7 of its non-trivial dihedral transforms, while the
+    plain bands differ across orientations of asymmetric content."""
+    import numpy as np
+    import pandas as pd
+
+    from icebergsql_spark.operators.multimodal import (
+        encode_ppm,
+        image_dct_hash_canonical,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, (16, 16, 3)).astype("uint8")
+    imgs = [
+        base,
+        base[:, ::-1],            # hflip
+        base[::-1, :],            # vflip
+        base[::-1, ::-1],         # rot180
+        base.transpose(1, 0, 2),  # transpose
+        np.rot90(base),           # rot90
+        np.rot90(base, 3),        # rot270
+        base[::-1, ::-1].transpose(1, 0, 2),  # antitranspose
+    ]
+    blobs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(8)),
+                "payload": [
+                    encode_ppm(16, 16, np.ascontiguousarray(im).tobytes())
+                    for im in imgs
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in image_dct_hash_canonical(blobs).collect()
+    }
+    canon = {
+        (r["b0"], r["b1"], r["b2"], r["b3"]) for r in rows.values()
+    }
+    assert len(canon) == 1, "canonical hash must be dihedral-invariant"
+    plain = {
+        (r["p0"], r["p1"], r["p2"], r["p3"]) for r in rows.values()
+    }
+    assert len(plain) > 1, "asymmetric content must vary the plain hash"
+    # identity doc's plain popcount consistency: canonical popcount
+    # belongs to the minimum variant, bounded by 63 AC bits
+    assert 0 < rows[0]["popcount"] < 64
