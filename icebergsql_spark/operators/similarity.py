@@ -932,33 +932,19 @@ def facility_location_select(
     )
 
 
-def kcenter_select(
+def _candidate_sims(
     df: DataFrame,
     query_id: int,
-    k: int = 5,
-    candidates: int = 24,
+    candidates: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Greedy k-center (farthest-point / max-min) coreset selection —
-    the SPREAD-maximizing complement of ``facility_location_select``:
-    seed with the candidate most similar to ``query_id`` (tie: lowest
-    id), then repeatedly pick the candidate whose best similarity to
-    the already-selected set is LOWEST (the farthest point; tie lowest
-    id) — the classic 2-approximation for the k-center objective
-    (Gonzalez 1985), the coreset recipe when coverage of the embedding
-    space matters more than density.
-
-    Same two-phase 100-TB shape as mmr_select/facility_location_select:
-    phase 1 narrows to the top ``candidates`` by exact cosine relevance
-    (one TakeOrdered scan); phase 2 computes the bounded candidates^2
-    integer-nano similarity matrix engine-side and runs the
-    inherently-sequential greedy over the collected bounded ints.
-
-    Returns (rank, vec_id, maxsim_nano) in pick order; the seed row's
-    maxsim_nano is its relevance to the query (documented convention —
-    there is no selected set yet).
-    """
+) -> "tuple[list, dict, dict]":
+    """Shared phase-1/phase-2 machinery for the greedy coreset
+    selectors: top-``candidates`` pool by exact cosine relevance to
+    ``query_id`` (one TakeOrdered scan), then the bounded candidates^2
+    integer-nano similarity matrix computed engine-side and collected.
+    Returns ``(sorted ids, {id: rel_nano}, {(i, j): sim_nano})`` with
+    self-similarity pinned at 1e9."""
     base = with_double_vec_and_norm(df, vec_col)
     q = base.filter(F.col(id_col) == query_id).select(
         F.col("vd").alias("qv"), F.col("nrm").alias("qn")
@@ -1004,6 +990,39 @@ def kcenter_select(
     for r in pair_rows:
         sim[(r["ia"], r["ib"])] = int(r["sim_nano"])
         sim[(r["ib"], r["ia"])] = int(r["sim_nano"])
+    return ids, rel, sim
+
+
+def kcenter_select(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / max-min) coreset selection —
+    the SPREAD-maximizing complement of ``facility_location_select``:
+    seed with the candidate most similar to ``query_id`` (tie: lowest
+    id), then repeatedly pick the candidate whose best similarity to
+    the already-selected set is LOWEST (the farthest point; tie lowest
+    id) — the classic 2-approximation for the k-center objective
+    (Gonzalez 1985), the coreset recipe when coverage of the embedding
+    space matters more than density.
+
+    Same two-phase 100-TB shape as mmr_select/facility_location_select:
+    phase 1 narrows to the top ``candidates`` by exact cosine relevance
+    (one TakeOrdered scan); phase 2 computes the bounded candidates^2
+    integer-nano similarity matrix engine-side and runs the
+    inherently-sequential greedy over the collected bounded ints.
+
+    Returns (rank, vec_id, maxsim_nano) in pick order; the seed row's
+    maxsim_nano is its relevance to the query (documented convention —
+    there is no selected set yet).
+    """
+    ids, rel, sim = _candidate_sims(
+        df, query_id, candidates, id_col, vec_col
+    )
     seed = max(ids, key=lambda i: (rel[i], -i))
     selected = [seed]
     covered = {u: sim[(u, seed)] for u in ids}
@@ -1025,4 +1044,61 @@ def kcenter_select(
         "SELECT * FROM VALUES "
         + values
         + f" AS t(rank, {id_col}, maxsim_nano)"
+    )
+
+
+def kcenter_coverage_eval(
+    df: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage evaluation of the k-center coreset against the naive
+    top-k-by-relevance selection, over the SAME candidate pool: for each
+    selection the per-element coverage cv(u) = max similarity of pool
+    element u to any selected element (integer nanos; selected elements
+    cover themselves at 1e9), and the emitted row carries the k-center
+    OBJECTIVE min(cv) plus sum(cv) — greedy farthest-point maximizes the
+    minimum, so its min_cov must dominate the clustered top-k baseline
+    (the quantitative row that justifies a coreset pass over plain
+    nearest-neighbour sampling).  Same bounded two-phase shape as
+    ``kcenter_select`` (shared ``_candidate_sims``); result is a 2-row
+    VALUES LocalRelation."""
+    ids, rel, sim = _candidate_sims(
+        df, query_id, candidates, id_col, vec_col
+    )
+    # replay the greedy exactly as kcenter_select does
+    seed = max(ids, key=lambda i: (rel[i], -i))
+    selected = [seed]
+    covered = {u: sim[(u, seed)] for u in ids}
+    while len(selected) < min(k, len(ids)):
+        cid = min(
+            (u for u in ids if u not in selected),
+            key=lambda u: (covered[u], u),
+        )
+        selected.append(cid)
+        for u in ids:
+            covered[u] = max(covered[u], sim[(u, cid)])
+    top = [
+        i
+        for i in sorted(ids, key=lambda i: (-rel[i], i))[: min(k, len(ids))]
+    ]
+    cov_top = {
+        u: max(sim[(u, s)] for s in top) for u in ids
+    }
+    rows = [
+        ("kcenter", min(covered.values()), sum(covered.values()), len(ids)),
+        ("top_rel", min(cov_top.values()), sum(cov_top.values()), len(ids)),
+    ]
+    values = ", ".join(
+        f"('{m}', CAST({mn} AS BIGINT), CAST({sm} AS BIGINT), "
+        f"CAST({n} AS BIGINT))"
+        for m, mn, sm, n in rows
+    )
+    return df.sparkSession.sql(
+        "SELECT * FROM VALUES "
+        + values
+        + " AS t(method, min_cov_nano, sum_cov_nano, n_pool)"
     )

@@ -1281,3 +1281,244 @@ def dedup_phash_dihedral_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------- k-center coverage eval --
+
+
+def _kcenter_coverage_oracle(query_id: int, k: int, candidates: int) -> str:
+    """Unrolled greedy k-center chain (the pipeline13 _kcenter_oracle
+    recurrence) ending in COVERAGE rollups: cov{k} is each pool
+    element's best similarity to the full selection, compared against
+    the coverage of the naive top-k-by-relevance pick."""
+    dot_ab = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+
+    def sq(t: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {t}.embedding[i]::DOUBLE * {t}.embedding[i]::DOUBLE))"
+        )
+
+    steps = []
+    for r in range(2, k + 1):
+        steps.append(f"""
+        pick{r} AS MATERIALIZED (
+          SELECT {r} AS rank, cov{r - 1}.u AS vec_id,
+                 cov{r - 1}.cv AS maxsim_nano
+          FROM cov{r - 1}
+          WHERE cov{r - 1}.u NOT IN (SELECT vec_id FROM sel{r - 1})
+          ORDER BY cov{r - 1}.cv ASC, cov{r - 1}.u ASC
+          LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (
+          SELECT vec_id FROM sel{r - 1} UNION ALL
+          SELECT vec_id FROM pick{r}
+        ),
+        cov{r} AS MATERIALIZED (
+          SELECT cov{r - 1}.u,
+                 GREATEST(cov{r - 1}.cv, sf.s) AS cv
+          FROM cov{r - 1}
+          JOIN simfull sf ON sf.ia = cov{r - 1}.u
+          JOIN pick{r} p ON p.vec_id = sf.ib
+        )""")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings
+                   WHERE vec_id = {query_id}),
+        cand AS MATERIALIZED (
+          SELECT b.vec_id, b.embedding,
+                 CAST(floor(1000000000.0 * {dot_ab}
+                      / sqrt({sq('b')} * {sq('a')})) AS BIGINT) AS rel
+          FROM q a CROSS JOIN embeddings b
+          WHERE b.vec_id != {query_id}
+          ORDER BY rel DESC, b.vec_id
+          LIMIT {candidates}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(floor(1000000000.0 * {dot_ab}
+                      / sqrt({sq('a')} * {sq('b')})) AS BIGINT) AS s
+          FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+        ),
+        simfull AS MATERIALIZED (
+          SELECT ia, ib, s FROM sims
+          UNION ALL SELECT ib, ia, s FROM sims
+          UNION ALL SELECT vec_id AS ia, vec_id AS ib,
+                           CAST(1000000000 AS BIGINT) AS s
+          FROM cand
+        ),
+        pick1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, rel AS maxsim_nano
+          FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+        cov1 AS MATERIALIZED (
+          SELECT cand.vec_id AS u, sf.s AS cv
+          FROM cand
+          JOIN simfull sf ON sf.ia = cand.vec_id
+          JOIN pick1 p ON p.vec_id = sf.ib
+        ){",".join([""] + steps) if steps else ""},
+        selt AS MATERIALIZED (
+          SELECT vec_id FROM cand ORDER BY rel DESC, vec_id LIMIT {k}
+        ),
+        covt AS MATERIALIZED (
+          SELECT cand.vec_id AS u, CAST(MAX(sf.s) AS BIGINT) AS cv
+          FROM cand
+          JOIN simfull sf ON sf.ia = cand.vec_id
+          JOIN selt p ON p.vec_id = sf.ib
+          GROUP BY 1
+        )
+        SELECT method, min_cov_nano, sum_cov_nano, n_pool FROM (
+          SELECT 'kcenter' AS method,
+                 CAST(MIN(cv) AS BIGINT) AS min_cov_nano,
+                 CAST(SUM(cv) AS BIGINT) AS sum_cov_nano,
+                 CAST(COUNT(*) AS BIGINT) AS n_pool
+          FROM cov{k}
+          UNION ALL
+          SELECT 'top_rel', CAST(MIN(cv) AS BIGINT),
+                 CAST(SUM(cv) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+          FROM covt
+        ) ORDER BY method
+    """
+
+
+@register(
+    "curation_kcenter_coverage",
+    oracle=_kcenter_coverage_oracle(query_id=1, k=5, candidates=24),
+    doc="Coverage evaluation of the greedy k-center coreset "
+    "(operators/similarity.py:kcenter_coverage_eval) against the naive "
+    "top-k-by-relevance selection over the SAME 24-candidate pool: "
+    "per-element coverage = best integer-nano similarity to any "
+    "selected element, and the emitted min/sum coverage per method "
+    "quantify the k-center objective — farthest-point greedy maximizes "
+    "min-coverage, so its min_cov_nano dominates the clustered top-k "
+    "baseline. The quantitative row a curation pipeline reads before "
+    "paying for coreset selection. Oracle unrolls the identical greedy "
+    "chain (pipeline13 _kcenter_oracle recurrence) plus two coverage "
+    "rollups; bounded candidates^2 work in both engines.",
+    tags=("curation", "embeddings", "similarity"),
+)
+def curation_kcenter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.similarity import kcenter_coverage_eval
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kcenter_coverage_eval(
+        emb, query_id=1, k=5, candidates=24
+    ).orderBy("method")
+
+
+# --------------------------------------- streaming Bayesian A/B --
+
+_BAYES_STREAM_TMPL = """
+        WITH pu AS ({pu}),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(conv) AS BIGINT) AS c
+          FROM pu GROUP BY arm
+        ),
+        wide AS (
+          SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                 MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                 MAX(CASE WHEN arm = 1 THEN c END) AS c1
+          FROM arms
+        )
+        SELECT n0, c0, n1, c1,
+               CAST(1 + c0 AS BIGINT) AS alpha0,
+               CAST(1 + n0 - c0 AS BIGINT) AS beta0,
+               CAST(1 + c1 AS BIGINT) AS alpha1,
+               CAST(1 + n1 - c1 AS BIGINT) AS beta1,
+               CAST(1 + c0 AS DOUBLE) / CAST(n0 + 2 AS DOUBLE)
+                 AS post_mean0,
+               CAST(1 + c1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE)
+                 AS post_mean1,
+               (CAST(1 + c1 AS DOUBLE) / CAST(n1 + 2 AS DOUBLE)
+                - CAST(1 + c0 AS DOUBLE) / CAST(n0 + 2 AS DOUBLE))
+               / sqrt(
+                   CAST((1 + c0) * (1 + n0 - c0) AS DOUBLE)
+                   / (CAST(n0 + 2 AS DOUBLE) * CAST(n0 + 2 AS DOUBLE)
+                      * CAST(n0 + 3 AS DOUBLE))
+                   + CAST((1 + c1) * (1 + n1 - c1) AS DOUBLE)
+                   / (CAST(n1 + 2 AS DOUBLE) * CAST(n1 + 2 AS DOUBLE)
+                      * CAST(n1 + 3 AS DOUBLE))
+                 ) AS lift_z
+        FROM wide
+"""
+
+_BAYES_PU_EVENTS = """
+          SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM events GROUP BY user_id
+"""
+
+_BAYES_PU_SINK = """
+          SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+                 CAST(CASE WHEN SUM(pc) >= 5
+                      THEN 1 ELSE 0 END AS BIGINT) AS conv
+          FROM sbayes_sink GROUP BY user_id
+"""
+
+
+@register(
+    "events_stream_bayesian_ab",
+    oracle=_BAYES_STREAM_TMPL.format(pu=_BAYES_PU_EVENTS),
+    doc="STREAMING twin of events_bayesian_ab: 3 chronological "
+    "micro-batches (time-split parquet appends + maxFilesPerTrigger=1) "
+    "each append per-user PURCHASE-COUNT PARTIALS to a parquet sink — "
+    "a sum-mergeable state, so batch chopping and replay cannot change "
+    "the merged per-user totals — and the finalizer thresholds the "
+    "summed counts (conversion = >= 5 purchases) and computes the "
+    "identical Beta(1+c, 1+n-c) posterior summary the batch gate "
+    "derives from raw events: exact bigint posterior parameters, "
+    "mirrored posterior means and normal-approximation lift z. The "
+    "always-on Bayesian dashboard shape: per-batch state is one row "
+    "per active user, never event volume.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sbayessrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-sbayesout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(
+                        0
+                    )
+                ).cast("bigint").alias("pc")
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-sbayesck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).createOrReplaceTempView("sbayes_sink")
+    return spark.sql(_BAYES_STREAM_TMPL.format(pu=_BAYES_PU_SINK))
