@@ -437,6 +437,13 @@ def main() -> None:
         "managed_msck_repair",
         "managed_branch_compare",
         "events_stream_srm",
+        # late-round-10 scenario queries (pipeline14: managed table
+        # build / stream / multi-round graph per call)
+        "managed_clone_table",
+        "managed_expire_safety_audit",
+        "events_stream_bayesian_ab",
+        "graph_louvain_weighted_converge",
+        "graph_modularity_trace",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -1080,3 +1080,63 @@ def image_dct_hash_canonical(
             )
 
     return blobs.mapInPandas(run, schema=CANON_HASH_SCHEMA)
+
+
+FRAME_HASH_SCHEMA = (
+    "doc_id bigint, frame_idx int, b0 bigint, b1 bigint, b2 bigint, "
+    "b3 bigint"
+)
+
+
+def video_frame_phash(
+    blobs: DataFrame, size: int = 16, block: int = 8
+) -> DataFrame:
+    """Per-FRAME perceptual DCT hash of a RIFF video container: walk the
+    real chunk index (``parse_riff_frames``), decode every frame through
+    ``decode_image``, and emit the same exact-integer pHash bands as
+    ``image_dct_hash`` keyed by (doc_id, frame_idx).  The demux ->
+    decode -> hash pass behind shot-boundary (scene-cut) detection:
+    consecutive-frame Hamming distance is a band XOR popcount, and
+    because the DC coefficient is dropped a uniform brightness drift
+    within a scene leaves the hash untouched while a content change
+    flips many sign bits.  Arrow-batched narrow map, frame-local, no
+    shuffle."""
+    import numpy as np
+
+    C = np.array(dct_int_coefs(size, block), dtype="int64")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j, (off, sz) in enumerate(parse_riff_frames(b)):
+                    fr = b[off : off + sz]
+                    if fr[:2] not in (b"P6", b"P5", b"BM"):
+                        continue
+                    h, w, _c, px = decode_image(fr)
+                    gray = px.astype("int64").sum(axis=2)
+                    if (h, w) != (size, size):
+                        if h % size or w % size:
+                            raise ValueError(
+                                f"frame {h}x{w} does not pool to "
+                                f"{size}x{size}"
+                            )
+                        gray = gray.reshape(
+                            size, h // size, size, w // size
+                        ).sum(axis=(1, 3))
+                    D = C @ gray @ C.T
+                    bits = (D > 0).astype("int64")
+                    bits[0][0] = 0
+                    flat = bits.reshape(-1)
+                    bands = [
+                        sum(int(flat[q * 16 + t]) << t for t in range(16))
+                        for q in range(4)
+                    ]
+                    rows.append((did, j, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "b0", "b1", "b2", "b3"],
+            )
+
+    return blobs.mapInPandas(run, schema=FRAME_HASH_SCHEMA)

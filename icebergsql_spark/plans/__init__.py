@@ -27,6 +27,14 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # ROUND-11 RULE: rotate the round-10 head rows out FIRST before adding
 # new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
+# Late-round-10 addendum: the 15 pipeline14 gates registered mid-round
+# sit right after the 3 plan-changed re-checks (54 must-check rows — the
+# ~50-row driver sample misses the last few; round 11 rotates ALL 54 and
+# must head whichever pipeline14 rows lack a CORRECTNESS_r10 row).
+# The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
+# early-return; the managed head rows re-exercise Engine.sql), and
+# curation_kcenter_coreset (already in the head) re-verified green after
+# the _candidate_sims refactor.
 WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
@@ -72,6 +80,22 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_markov_attribution",
     "managed_add_files_import",
     "events_hill_tail_index",
+    # -- never driver-checked (late-round-10 pipeline14 wave) --
+    "managed_clone_table",
+    "managed_expire_safety_audit",
+    "multimodal_image_phash_dihedral",
+    "dedup_phash_dihedral_tier",
+    "multimodal_video_scene_cuts",
+    "graph_modularity_trace",
+    "events_cuped_sequential",
+    "graph_louvain_weighted_converge",
+    "events_sequential_stratified",
+    "sketch_hll_jaccard_sweep",
+    "events_stream_bayesian_ab",
+    "dedup_rake_containment",
+    "events_mann_kendall_trend",
+    "multimodal_audio_clipping",
+    "curation_kcenter_coverage",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",
@@ -315,6 +339,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline11  # noqa: F401
     import icebergsql_spark.plans.pipeline12  # noqa: F401
     import icebergsql_spark.plans.pipeline13  # noqa: F401
+    import icebergsql_spark.plans.pipeline14  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

@@ -1522,3 +1522,543 @@ def events_stream_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     spark.read.parquet(out).createOrReplaceTempView("sbayes_sink")
     return spark.sql(_BAYES_STREAM_TMPL.format(pu=_BAYES_PU_SINK))
+
+
+# --------------------------------------- modularity trace (levels) --
+
+
+def _q_block_sql(s: str, lab: str, stage: str) -> str:
+    """Newman-Q CTE block over label table ``lab`` (columns n, lbl) —
+    the pipeline10 _modularity_oracle recurrence, namespaced by ``s``
+    and tagged with ``stage``."""
+    return f"""
+        tag{s} AS (
+          SELECT h.a, h.b, la.lbl AS ca, lb.lbl AS cb
+          FROM half h
+          JOIN {lab} la ON la.n = h.a
+          JOIN {lab} lb ON lb.n = h.b
+        ),
+        intra{s} AS (
+          SELECT ca AS c, CAST(COUNT(*) AS BIGINT) AS e_c
+          FROM tag{s} WHERE ca = cb GROUP BY 1
+        ),
+        qdeg{s} AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS d_c FROM (
+            SELECT ca AS c FROM tag{s}
+            UNION ALL SELECT cb AS c FROM tag{s}
+          ) x GROUP BY 1
+        ),
+        perc{s} AS (
+          SELECT qdeg{s}.c,
+                 CAST(COALESCE(intra{s}.e_c, 0) AS BIGINT) AS e_c,
+                 qdeg{s}.d_c
+          FROM qdeg{s} LEFT JOIN intra{s} ON intra{s}.c = qdeg{s}.c
+        ),
+        q{s} AS (
+          SELECT '{stage}' AS stage, m.m,
+                 CAST(SUM(4 * m.m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+                 CAST(4 * m.m * m.m AS BIGINT) AS q_denom,
+                 CAST(SUM(4 * m.m * e_c - d_c * d_c) AS DOUBLE)
+                   / CAST(4 * m.m * m.m AS DOUBLE) AS q
+          FROM perc{s} CROSS JOIN m
+          GROUP BY m.m
+        )"""
+
+
+def _modularity_trace_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    return (
+        _EDGE_SQL
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (SELECT n, lbl_new AS lbl FROM moved1),
+        super AS (
+          SELECT LEAST(la.lbl, lb.lbl) AS ca,
+                 GREATEST(la.lbl, lb.lbl) AS cb,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM half
+          JOIN lab2 la ON la.n = half.a
+          JOIN lab2 lb ON lb.n = half.b
+          GROUP BY 1, 2
+        ),
+        wself AS (SELECT ca AS nn, w FROM super WHERE ca = cb),
+        wplain AS (SELECT ca, cb, w FROM super WHERE ca <> cb),
+        wsym AS (
+          SELECT ca AS src, cb AS dst, w FROM wplain
+          UNION ALL SELECT cb, ca, w FROM wplain
+        ),
+        wdeg AS (
+          SELECT src, CAST(SUM(wt) AS BIGINT) AS k
+          FROM (
+            SELECT src, w AS wt FROM wsym
+            UNION ALL SELECT nn AS src, 2 * w AS wt FROM wself
+          ) x GROUP BY 1
+        ),
+        wm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM super),
+        wlab1 AS (SELECT src AS n, src AS lbl FROM wdeg),
+        {_wround_sql(1, 'wlab1')},
+        wlab2 AS (SELECT n, lbl_new AS lbl FROM wmoved1),
+        {_wround_sql(2, 'wlab2')},
+        wlab3 AS (SELECT n, lbl_new AS lbl FROM wmoved2),
+        {_wround_sql(3, 'wlab3')},
+        lab3 AS (
+          SELECT lab2.n, wmoved3.lbl_new AS lbl
+          FROM lab2 JOIN wmoved3 ON wmoved3.n = lab2.lbl
+        ),
+        {_q_block_sql('a', 'lab1', '1_seed')},
+        {_q_block_sql('b', 'lab2', '2_level1')},
+        {_q_block_sql('c', 'lab3', '3_level2')}
+        SELECT stage, m, q_num, q_denom, q FROM (
+          SELECT * FROM qa UNION ALL
+          SELECT * FROM qb UNION ALL
+          SELECT * FROM qc
+        ) ORDER BY stage
+    """
+    ).replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "graph_modularity_trace",
+    oracle=_modularity_trace_oracle(),
+    doc="Modularity trace across Louvain LEVELS — the audit that proves "
+    "each level paid for itself: Newman Q (operators/graph."
+    "modularity_q, exact rational q_num/(4m^2)) scored on the ORIGINAL "
+    "token graph for (1) the md5%4 seed labels, (2) the level-1 "
+    "synchronous-round labels, (3) the level-2 weighted-converged "
+    "super-labels PROJECTED back onto the nodes (node -> its level-1 "
+    "community -> that community's converged label). Oracle chains the "
+    "round + coarsen + weighted-converge recurrences and three Q "
+    "blocks. Scale shape: each Q is two label joins + "
+    "community-bounded aggregates; the projection is a broadcast-size "
+    "label-to-label join.",
+    tags=("graph", "agg"),
+)
+def graph_modularity_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from icebergsql_spark.operators.graph import (
+        louvain_converge_weighted,
+        louvain_gain_round,
+        modularity_q,
+    )
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    lab1 = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    ).localCheckpoint()
+    lab2 = (
+        louvain_gain_round(half, lab1)
+        .select("n", F.col("lbl_new").alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lab2.select(F.col("n").alias("a"), F.col("lbl").alias("la"))
+    lb = lab2.select(F.col("n").alias("b"), F.col("lbl").alias("lb"))
+    super_e = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("la", "lb").alias("a"),
+            F.greatest("la", "lb").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    wlab = (
+        super_e.select(F.col("a").alias("n"))
+        .unionAll(super_e.select(F.col("b").alias("n")))
+        .distinct()
+        .select("n", F.col("n").alias("lbl"))
+    )
+    final_lab, _rounds = louvain_converge_weighted(
+        super_e, wlab, max_rounds=3
+    )
+    lab3 = lab2.join(
+        final_lab.select(
+            F.col("n").alias("lbl"), F.col("lbl").alias("lbl_final")
+        ),
+        "lbl",
+    ).select("n", F.col("lbl_final").alias("lbl"))
+    stages = [
+        ("1_seed", lab1), ("2_level1", lab2), ("3_level2", lab3)
+    ]
+    parts = [
+        modularity_q(half, lab).select(
+            F.lit(name).alias("stage"), "m", "q_num", "q_denom", "q"
+        )
+        for name, lab in stages
+    ]
+    return reduce(lambda x, y: x.unionAll(y), parts).orderBy("stage")
+
+
+# -------------------------------------------- video scene cuts --
+
+_SCENE_CUT_TAIL = """
+        lagd AS (
+          SELECT doc_id, frame_idx, b0, b1, b2, b3,
+                 LAG(b0) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS pb0,
+                 LAG(b1) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS pb1,
+                 LAG(b2) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS pb2,
+                 LAG(b3) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                   AS pb3
+          FROM {hashes}
+        ),
+        ham AS (
+          SELECT doc_id, frame_idx,
+                 CASE WHEN pb0 IS NULL THEN CAST(NULL AS INTEGER)
+                      ELSE CAST(bit_count({x0}) + bit_count({x1})
+                                + bit_count({x2}) + bit_count({x3})
+                           AS INTEGER) END AS hamming
+          FROM lagd
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS INTEGER) AS n_frames,
+               CAST(SUM(CASE WHEN hamming > 8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cuts,
+               CAST(SUM(CASE WHEN hamming > 8 THEN frame_idx ELSE 0 END)
+                    AS BIGINT) AS cut_pos_sum,
+               CAST(MAX(hamming) AS INTEGER) AS max_hamming,
+               CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_still
+        FROM ham GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _scene_cut_oracle(max_doc: int) -> str:
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    return (
+        f"""
+        WITH coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, f.f AS f, i.i AS i,
+                 (doc_id * 37
+                  + (f.f // (2 + doc_id % 3)) * 101
+                  + ((i.i // 3) // 16) * 53
+                  + ((i.i // 3) % 16) * 11
+                  + (i.i % 3) * 5) % 200 + f.f * 3 AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, f, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3, 4
+        ),
+        dct AS MATERIALIZED (
+          SELECT gray.doc_id, gray.f, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3, 4
+        ),
+        vh AS MATERIALIZED (
+          SELECT doc_id, f AS frame_idx,
+                 CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 0 THEN
+                   (CASE WHEN (u = 0 AND v = 0) OR d <= 0 THEN 0 ELSE 1
+                    END) << ((u * 8 + v) % 16) ELSE 0 END) AS BIGINT)
+                   AS b0,
+                 CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 1 THEN
+                   (CASE WHEN (u = 0 AND v = 0) OR d <= 0 THEN 0 ELSE 1
+                    END) << ((u * 8 + v) % 16) ELSE 0 END) AS BIGINT)
+                   AS b1,
+                 CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 2 THEN
+                   (CASE WHEN (u = 0 AND v = 0) OR d <= 0 THEN 0 ELSE 1
+                    END) << ((u * 8 + v) % 16) ELSE 0 END) AS BIGINT)
+                   AS b2,
+                 CAST(SUM(CASE WHEN (u * 8 + v) // 16 = 3 THEN
+                   (CASE WHEN (u = 0 AND v = 0) OR d <= 0 THEN 0 ELSE 1
+                    END) << ((u * 8 + v) % 16) ELSE 0 END) AS BIGINT)
+                   AS b3
+          FROM dct GROUP BY 1, 2
+        ),
+        """
+        + _SCENE_CUT_TAIL.format(
+            hashes="vh",
+            x0="CAST(xor(b0, pb0) AS BIGINT)",
+            x1="CAST(xor(b1, pb1) AS BIGINT)",
+            x2="CAST(xor(b2, pb2) AS BIGINT)",
+            x3="CAST(xor(b3, pb3) AS BIGINT)",
+        )
+    )
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle=_scene_cut_oracle(60),
+    doc="Shot-boundary (scene-cut) detection over RIFF video containers "
+    "(operators/multimodal.py:video_frame_phash): every frame is "
+    "demuxed by the real chunk walker, decoded, pHashed with the "
+    "shared integer DCT, and a cut fires where consecutive frames' "
+    "band-XOR Hamming distance exceeds 8. The fixture gives each doc "
+    "8 frames in scenes of length 2+doc%3 with a uniform per-frame "
+    "brightness drift INSIDE each scene — drift moves only the "
+    "dropped DC coefficient, so within-scene hamming is exactly 0 "
+    "(n_still proves it) while scene changes flip many sign bits. "
+    "Emits per doc the cut count, cut-position digest and max "
+    "hamming. Oracle replays frames -> DCT -> bands -> LAG hamming "
+    "relationally from the embedded constants. One Arrow-batched "
+    "narrow map + a per-doc window — frame-local at 100 TB.",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_video_scene_cuts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(8):
+                    scene = f // (2 + d % 3)
+                    buf = bytearray(768)
+                    for i in range(768):
+                        y, x, ch = (i // 3) // 16, (i // 3) % 16, i % 3
+                        buf[i] = (
+                            d * 37 + scene * 101 + y * 53 + x * 11
+                            + ch * 5
+                        ) % 200 + f * 3
+                    frames.append(
+                        multimodal.encode_ppm(16, 16, bytes(buf))
+                    )
+                payloads.append(multimodal.encode_rvid(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    multimodal.video_frame_phash(
+        blobs, size=16, block=8
+    ).createOrReplaceTempView("vsc_hashes")
+    return spark.sql(
+        "WITH "
+        + _SCENE_CUT_TAIL.format(
+            hashes="vsc_hashes",
+            x0="b0 ^ pb0",
+            x1="b1 ^ pb1",
+            x2="b2 ^ pb2",
+            x3="b3 ^ pb3",
+        )
+    )
+
+
+# ---------------------------------- CUPED-adjusted sequential A/B --
+
+
+def _cuped_seq_sql(day_expr: str, src: str, unnest_looks: str,
+                   div: str, c: float) -> str:
+    """Shared Spark/DuckDB text: CUPED variance reduction inside a
+    Lan-DeMets group-sequential frame. Week 1 is the pre-period
+    covariate X; looks at days 14/21/28 score Y = post-period
+    purchases of users enrolled so far (first post-period event before
+    the cutoff); theta comes from that look's pooled exact-integer
+    sufficient stats; z uses the delta-method variance of the adjusted
+    metric y - theta*x per arm (population form), every float
+    expression textually mirrored. GREATEST(n,1) keeps degenerate
+    cells ANSI-safe; the final CASE zeroes them."""
+
+    def mean(s: str, n: str) -> str:
+        return f"(CAST({s} AS DOUBLE) / CAST(GREATEST({n}, 1) AS DOUBLE))"
+
+    def adj(g: str) -> str:
+        return f"({mean(f'sy{g}', f'n{g}')} - th.theta * {mean(f'sx{g}', f'n{g}')})"
+
+    def var(g: str) -> str:
+        return (
+            f"((CAST(syy{g} AS DOUBLE) - 2.0 * th.theta "
+            f"* CAST(sxy{g} AS DOUBLE) + th.theta * th.theta "
+            f"* CAST(sxx{g} AS DOUBLE)) "
+            f"/ CAST(GREATEST(n{g}, 1) AS DOUBLE) "
+            f"- {adj(g)} * {adj(g)})"
+        )
+
+    se2 = (
+        f"({var('0')} / CAST(GREATEST(n0, 1) AS DOUBLE) "
+        f"+ {var('1')} / CAST(GREATEST(n1, 1) AS DOUBLE))"
+    )
+    return f"""
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        pre AS (
+          SELECT ev.user_id,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                               AND ev.day < d0.d0 + 7
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x
+          FROM ev CROSS JOIN d0 GROUP BY ev.user_id
+        ),
+        post AS (
+          SELECT looks.k, ev.user_id,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day >= d0.d0 + 7 AND ev.day < d0.d0 + 7 + 7 * looks.k
+          GROUP BY looks.k, ev.user_id
+        ),
+        pu AS (
+          SELECT post.k, post.user_id,
+                 CAST(post.user_id % 2 AS INTEGER) AS arm,
+                 CAST(COALESCE(pre.x, 0) AS BIGINT) AS x, post.y
+          FROM post LEFT JOIN pre ON pre.user_id = post.user_id
+        ),
+        pooled AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM pu GROUP BY k
+        ),
+        th AS (
+          SELECT k,
+                 CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                 END AS theta
+          FROM pooled
+        ),
+        arms AS (
+          SELECT k, arm, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS sx_g,
+                 CAST(SUM(y) AS BIGINT) AS sy_g,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx_g,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy_g,
+                 CAST(SUM(y * y) AS BIGINT) AS syy_g
+          FROM pu GROUP BY k, arm
+        ),
+        wide AS (
+          SELECT k,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN n_g END), 0)
+                      AS BIGINT) AS n0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sx_g END), 0)
+                      AS BIGINT) AS sx0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sy_g END), 0)
+                      AS BIGINT) AS sy0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sxx_g END), 0)
+                      AS BIGINT) AS sxx0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN sxy_g END), 0)
+                      AS BIGINT) AS sxy0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 0 THEN syy_g END), 0)
+                      AS BIGINT) AS syy0,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN n_g END), 0)
+                      AS BIGINT) AS n1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sx_g END), 0)
+                      AS BIGINT) AS sx1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sy_g END), 0)
+                      AS BIGINT) AS sy1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sxx_g END), 0)
+                      AS BIGINT) AS sxx1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN sxy_g END), 0)
+                      AS BIGINT) AS sxy1,
+                 CAST(COALESCE(MAX(CASE WHEN arm = 1 THEN syy_g END), 0)
+                      AS BIGINT) AS syy1
+          FROM arms GROUP BY k
+        ),
+        imax AS (
+          SELECT CAST(n0 + n1 AS BIGINT) AS im FROM wide WHERE k = 3
+        ),
+        calc AS (
+          SELECT wide.k, n0, n1, sy0, sy1, th.theta,
+                 CAST(n0 + n1 AS BIGINT) AS i_k, imax.im,
+                 CASE WHEN n0 = 0 OR n1 = 0 THEN CAST(0.0 AS DOUBLE)
+                      ELSE {adj('0')} - {adj('1')} END AS adj_diff,
+                 CASE WHEN n0 = 0 OR n1 = 0 OR {se2} <= 0.0
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE ({adj('0')} - {adj('1')}) / sqrt({se2})
+                 END AS z
+          FROM wide
+          JOIN th ON th.k = wide.k
+          CROSS JOIN imax
+        )
+        SELECT CAST(k AS INTEGER) AS look, n0, n1, sy0, sy1, theta,
+               adj_diff, z,
+               CAST((i_k * 1000000) {div} im AS BIGINT) AS info_frac_ppm,
+               {c} / sqrt(CAST(i_k AS DOUBLE) / CAST(im AS DOUBLE))
+                 AS crit,
+               CAST(CASE WHEN abs(z) >
+                         {c} / sqrt(CAST(i_k AS DOUBLE)
+                                    / CAST(im AS DOUBLE))
+                    THEN 1 ELSE 0 END AS INTEGER) AS reject
+        FROM calc ORDER BY look
+    """
+
+
+@register(
+    "events_cuped_sequential",
+    oracle=_cuped_seq_sql(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        div="//",
+        c=2.004,
+    ),
+    doc="CUPED-adjusted GROUP-SEQUENTIAL A/B — variance reduction "
+    "(events_cuped_adjustment) inside the Lan-DeMets frame "
+    "(events_lan_demets_ab): week 1 is the pre-period covariate, each "
+    "weekly look scores the post-period purchase totals of users "
+    "enrolled so far, theta is refit per look from that look's pooled "
+    "EXACT-INTEGER sufficient stats, and the z uses the delta-method "
+    "per-arm variance of y - theta*x — the continuous-metric "
+    "sequential test every experimentation platform actually runs "
+    "(smaller SE -> earlier boundary crossings than the raw-metric "
+    "test). Boundary = 2.004/sqrt(t_k) at the observed information "
+    "fraction; degenerate cells (empty arm, zero variance) take z = 0 "
+    "through GREATEST-guarded mirrored expressions. One per-(look, "
+    "user) aggregate + bounded rollups.",
+    tags=("events", "stats", "curation"),
+)
+def events_cuped_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_cupedseq")
+    return spark.sql(
+        _cuped_seq_sql(
+            day_expr="ts DIV 86400000000000",
+            src="ev_cupedseq",
+            unnest_looks="explode(sequence(1, 3))",
+            div="DIV",
+            c=2.004,
+        )
+    )
