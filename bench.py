@@ -444,6 +444,7 @@ def main() -> None:
         "events_stream_bayesian_ab",
         "graph_louvain_weighted_converge",
         "graph_modularity_trace",
+        "events_stream_mann_kendall",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -27,9 +27,9 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # ROUND-11 RULE: rotate the round-10 head rows out FIRST before adding
 # new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
-# Late-round-10 addendum: the 15 pipeline14 gates registered mid-round
-# sit right after the 3 plan-changed re-checks (54 must-check rows — the
-# ~50-row driver sample misses the last few; round 11 rotates ALL 54 and
+# Late-round-10 addendum: the 18 pipeline14 gates registered mid-round
+# sit right after the 3 plan-changed re-checks (57 must-check rows — the
+# ~50-row driver sample misses the last few; round 11 rotates ALL 57 and
 # must head whichever pipeline14 rows lack a CORRECTNESS_r10 row).
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
@@ -96,6 +96,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_mann_kendall_trend",
     "multimodal_audio_clipping",
     "curation_kcenter_coverage",
+    "events_cusum_split",
+    "events_stream_mann_kendall",
+    "emb_knn_graph_degree",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",

@@ -16,14 +16,9 @@ from icebergsql_spark.plans.registry import load_tables, register
 
 # --------------------------------------------- Mann-Kendall trend --
 
-_MANN_KENDALL_SQL = """
-        WITH ev AS (
-          SELECT {day_expr} AS day, event_type FROM {src}
-        ),
-        daily AS (
-          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev WHERE event_type = 'purchase' GROUP BY day
-        ),
+# tail shared with the streaming twin: everything downstream of the
+# ``daily`` (day, x) relation is identical batch vs merged-sink
+_MK_TAIL = """
         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
         s AS (
           SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
@@ -61,6 +56,19 @@ _MANN_KENDALL_SQL = """
                          ELSE 0 END AS INTEGER) AS trend
         FROM z
 """
+
+_MANN_KENDALL_SQL = (
+    """
+        WITH ev AS (
+          SELECT {day_expr} AS day, event_type FROM {src}
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev WHERE event_type = 'purchase' GROUP BY day
+        ),
+"""
+    + _MK_TAIL
+)
 
 
 @register(
@@ -2061,4 +2069,256 @@ def events_cuped_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             div="DIV",
             c=2.004,
         )
+    )
+
+
+# ------------------------------------------- CUSUM best split --
+
+_CUSUM_SPLIT_SQL = """
+        WITH ev AS (
+          SELECT {day_expr} AS day, event_type FROM {src}
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev WHERE event_type = 'purchase' GROUP BY day
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS t
+          FROM daily
+        ),
+        cum AS (
+          SELECT day,
+                 CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s_k,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+          FROM daily
+        ),
+        dev AS (
+          SELECT cum.day, cum.k, cum.s_k, tot.n, tot.t,
+                 CAST(abs(tot.n * cum.s_k - cum.k * tot.t) AS BIGINT)
+                   AS dev_num
+          FROM cum CROSS JOIN tot
+          WHERE cum.k < tot.n
+        )
+        SELECT CAST(day AS BIGINT) AS split_day,
+               CAST(k AS BIGINT) AS k_idx,
+               n AS n_days, s_k AS pre_sum,
+               CAST(t - s_k AS BIGINT) AS post_sum, dev_num,
+               CAST(s_k AS DOUBLE) / CAST(k AS DOUBLE) AS pre_mean,
+               CAST(t - s_k AS DOUBLE) / CAST(n - k AS DOUBLE)
+                 AS post_mean
+        FROM dev
+        ORDER BY dev_num DESC, day ASC
+        LIMIT 1
+"""
+
+
+@register(
+    "events_cusum_split",
+    oracle=_CUSUM_SPLIT_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events"
+    ),
+    doc="Single best changepoint by the CUSUM max-deviation rule — the "
+    "first step of binary segmentation: over daily purchase counts, "
+    "the split k maximizing |n*S_k - k*T| (the n-scaled distance of "
+    "the cumulative sum from the uniform ramp — an EXACT bigint, no "
+    "divisions inside the argmax), tie broken to the earliest day. "
+    "Emits the split day plus exact pre/post sums and the two "
+    "mirrored float means — where events_cusum_changepoint traces the "
+    "full recurrence, this gate answers the operational question "
+    "('when did the level shift?') in one pass. Scale shape: a "
+    "days-sized window over the daily rollup; the windowed SUM is "
+    "cast back to BIGINT immediately (the HUGEINT lesson).",
+    tags=("events", "stats"),
+)
+def events_cusum_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_csplit")
+    return spark.sql(
+        _CUSUM_SPLIT_SQL.format(
+            day_expr="ts DIV 86400000000000", src="ev_csplit"
+        )
+    )
+
+
+# ------------------------------------ streaming Mann-Kendall twin --
+
+
+@register(
+    "events_stream_mann_kendall",
+    oracle=_MANN_KENDALL_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events"
+    ),
+    doc="STREAMING twin of events_mann_kendall_trend: 3 chronological "
+    "micro-batches append per-day purchase-count PARTIALS to a parquet "
+    "sink (sum-mergeable — batch chopping and replay cannot change the "
+    "merged daily totals), and the finalizer rebuilds the daily series "
+    "and runs the IDENTICAL tie-corrected S/variance/z tail the batch "
+    "gate computes from raw events (shared _MK_TAIL text). The "
+    "always-on trend monitor shape: per-batch state is one row per "
+    "active day, never event volume.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-smksrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-smkout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .groupBy(F.expr("ts DIV 86400000000000").alias("day"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-smkck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).createOrReplaceTempView("smk_sink")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT day, CAST(SUM(c) AS BIGINT) AS x
+          FROM smk_sink GROUP BY day
+        ),
+"""
+        + _MK_TAIL
+    )
+
+
+# ---------------------------------------- kNN graph degree histogram --
+
+_KNN_DEG_K = 3
+
+
+@register(
+    "emb_knn_graph_degree",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))
+                   AS nrm
+          FROM embeddings WHERE vec_id < 500
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(floor(1000000000.0
+                      * list_sum(list_transform(generate_series(1, 64),
+                          i -> a.embedding[i]::DOUBLE
+                               * b.embedding[i]::DOUBLE))
+                      / sqrt(a.nrm * b.nrm)) AS BIGINT) AS s
+          FROM base a JOIN base b ON a.vec_id < b.vec_id
+        ),
+        sym AS MATERIALIZED (
+          SELECT ia AS src, ib AS dst, s FROM sims
+          UNION ALL SELECT ib, ia, s FROM sims
+        ),
+        topk AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                     PARTITION BY src ORDER BY s DESC, dst ASC
+                   ) AS rn
+            FROM sym
+          ) WHERE rn <= {_KNN_DEG_K}
+        ),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM topk
+        ),
+        deg AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+          ) GROUP BY n
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree ORDER BY degree
+    """,
+    doc="Degree histogram of the SYMMETRIZED k-nearest-neighbour graph "
+    "over the embedding corpus (k = 3, integer-nano cosine, ties to "
+    "the lower id): mutualized kNN edges are the backbone of "
+    "graph-based semantic dedup and hub detection — a node whose "
+    "degree far exceeds k is a HUB (everyone's neighbour, the "
+    "curse-of-dimensionality symptom that poisons kNN classifiers), "
+    "and the histogram is the audit that decides whether hub-capping "
+    "is needed before a kNN-graph pass scales out. Audit cap 500 "
+    "vectors; at scale the same topology comes from the banded ANN "
+    "candidate join, never all-pairs. Exact integer ranking, "
+    "deterministic tie order, bit-identical engines.",
+    tags=("embeddings", "similarity", "graph"),
+)
+def emb_knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from icebergsql_spark.functions import dot_expr, with_double_vec_and_norm
+
+    emb = with_double_vec_and_norm(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+            F.col("vec_id") < 500
+        ),
+        "embedding",
+    ).localCheckpoint()
+    a, b = emb.alias("a"), emb.alias("b")
+    sims = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        F.floor(
+            F.lit(1e9)
+            * dot_expr("a.vd", "b.vd")
+            / F.sqrt(F.col("a.nrm") * F.col("b.nrm"))
+        ).cast("bigint").alias("s"),
+    )
+    sym = sims.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst"), "s"
+    ).unionAll(
+        sims.select(
+            F.col("ib").alias("src"), F.col("ia").alias("dst"), "s"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("s"), F.asc("dst"))
+    topk = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_DEG_K)
+        .select("src", "dst")
+    )
+    edges = topk.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
     )
