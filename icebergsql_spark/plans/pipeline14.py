@@ -2322,3 +2322,155 @@ def emb_knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+# ------------------------------------ largest-remainder quotas --
+
+_QUOTA_TARGET = 100
+
+_QUOTA_SQL = """
+        WITH c AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS c_s
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n FROM c),
+        base AS (
+          SELECT c.source, c.c_s,
+                 CAST(({target} * c.c_s) {div} tot.n AS BIGINT)
+                   AS base_quota,
+                 CAST(({target} * c.c_s) % tot.n AS BIGINT) AS rem_num
+          FROM c CROSS JOIN tot
+        ),
+        leftover AS (
+          SELECT CAST({target} - SUM(base_quota) AS BIGINT) AS l
+          FROM base
+        ),
+        ranked AS (
+          SELECT base.*, leftover.l,
+                 row_number() OVER (
+                   ORDER BY rem_num DESC, source ASC
+                 ) AS rn
+          FROM base CROSS JOIN leftover
+        )
+        SELECT source, c_s, base_quota,
+               CAST(CASE WHEN rn <= l THEN 1 ELSE 0 END AS INTEGER)
+                 AS extra,
+               CAST(base_quota
+                    + CASE WHEN rn <= l THEN 1 ELSE 0 END AS BIGINT)
+                 AS quota
+        FROM ranked ORDER BY source
+"""
+
+
+@register(
+    "curation_source_quota",
+    oracle=_QUOTA_SQL.format(target=_QUOTA_TARGET, div="//"),
+    doc="Proportional sampling quotas by LARGEST-REMAINDER apportionment "
+    "(Hamilton's method — the exact-integer answer to 'give me a "
+    "100-doc sample proportional to source sizes' that naive "
+    "per-source rounding gets wrong by over- or under-shooting the "
+    "total): base quota = floor(target * c_s / N), then the leftover "
+    "seats go to the largest remainders (tie: source name). The "
+    "emitted quotas sum to the target EXACTLY by construction — the "
+    "allocation a stratified sampler feeds into per-source top-k "
+    "selection. All integer arithmetic (non-negative floor division); "
+    "scale shape: one source rollup + a sources-sized window.",
+    tags=("curation", "stats"),
+)
+def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ("documents",))  # registers the view
+    return spark.sql(_QUOTA_SQL.format(target=_QUOTA_TARGET, div="DIV"))
+
+
+# ------------------------------------ PQ distortion vs block count --
+
+_PQ_MS = (4, 8, 16)
+
+
+def _pq_sweep_oracle() -> str:
+    blocks = ["""
+        xq0 AS MATERIALIZED (
+          SELECT vec_id AS vid, i AS pos,
+                 CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)
+                   + 2000000 AS q
+          FROM embeddings CROSS JOIN
+               (SELECT unnest(generate_series(1, 64)) AS i) g
+        ),
+        cb0 AS MATERIALIZED (
+          SELECT CAST(vid AS INTEGER) AS cid, pos, q AS cq
+          FROM xq0 WHERE vid < 16
+        )"""]
+    rows = []
+    for m in _PQ_MS:
+        sub = 64 // m
+        blocks.append(f"""
+        d{m} AS MATERIALIZED (
+          SELECT x.vid, (x.pos - 1) // {sub} AS b, c.cid,
+                 SUM((x.q - c.cq) * (x.q - c.cq)) AS dq
+          FROM xq0 x JOIN cb0 c USING (pos)
+          GROUP BY 1, 2, 3
+        ),
+        amin{m} AS MATERIALIZED (
+          SELECT vid, b, MIN(dq * 100 + cid) AS packed
+          FROM d{m} GROUP BY vid, b
+        )""")
+        rows.append(f"""
+          SELECT {m} AS n_blocks,
+                 CAST(SUM(cell_err) AS BIGINT) AS total_err,
+                 CAST(MAX(cell_err) AS BIGINT) AS max_cell_err,
+                 CAST(SUM(n) AS BIGINT) AS n_assignments,
+                 CAST(COUNT(*) AS BIGINT) AS used_cells
+          FROM (
+            SELECT b, packed % 100 AS code,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(packed // 100) AS BIGINT) AS cell_err
+            FROM amin{m} GROUP BY 1, 2
+          )""")
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + """
+        SELECT CAST(n_blocks AS INTEGER) AS n_blocks, total_err,
+               max_cell_err, n_assignments, used_cells
+        FROM ("""
+        + " UNION ALL ".join(rows)
+        + ") ORDER BY n_blocks"
+    )
+
+
+@register(
+    "emb_pq_distortion_by_m",
+    oracle=_pq_sweep_oracle(),
+    doc="Product-quantization distortion sweep over the sub-vector "
+    "count m in {4, 8, 16} (operators/similarity.pq_codes at three "
+    "block widths, same 16 codewords per block): total and max "
+    "integer-unit quantization error plus codebook occupancy per "
+    "setting — total distortion FALLS as m grows (finer sub-spaces) "
+    "while the code footprint grows m bytes/vector, and this table is "
+    "exactly the trade a billion-vector ANN deployment reads before "
+    "fixing its PQ layout. Exact integers end-to-end (the dist*100+"
+    "code tie packing); one narrow unpivot feeds all three sweeps.",
+    tags=("embeddings", "ann", "stats"),
+)
+def emb_pq_distortion_by_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from icebergsql_spark.operators import similarity
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    )
+    parts = []
+    for m in _PQ_MS:
+        rep = similarity.pq_codes(emb, n_blocks=m)
+        parts.append(
+            rep.agg(
+                F.lit(m).cast("int").alias("n_blocks"),
+                F.sum("total_err").cast("bigint").alias("total_err"),
+                F.max("total_err").cast("bigint").alias("max_cell_err"),
+                F.sum("n").cast("bigint").alias("n_assignments"),
+                F.count(F.lit(1)).cast("bigint").alias("used_cells"),
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), parts).orderBy("n_blocks")
