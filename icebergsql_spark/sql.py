@@ -683,6 +683,48 @@ class Engine:
                 f"SELECT CAST({added} AS INT) AS added_files_count"
             )
 
+        sp = re.match(
+            r"^\s*show\s+partitions\s+`?(?P<name>\w+)`?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if sp and self.catalog.table_exists(sp.group("name")):
+            # SHOW PARTITIONS (Spark's spelling over the `$partitions`
+            # metadata): one row per live partition tuple, rendered as
+            # Hive path segments (col=value/..., NULL -> the Hive
+            # default-partition sentinel), sorted — answered entirely
+            # from the manifest list, zero data IO.
+            tbl = self.catalog.load_table(sp.group("name"))
+            if not tbl.meta.partition_cols:
+                raise ValueError(
+                    f"SHOW PARTITIONS: table {sp.group('name')!r} is "
+                    "not partitioned"
+                )
+            snap = tbl.meta.current_snapshot()
+            cols = tbl.meta.partition_cols
+            parts = sorted(
+                {
+                    "/".join(
+                        f"{c}="
+                        + (
+                            "__HIVE_DEFAULT_PARTITION__"
+                            if f.partition.get(c) is None
+                            else str(f.partition[c])
+                        )
+                        for c in cols
+                    )
+                    for f in (snap.live_files() if snap else [])
+                }
+            )
+            if not parts:
+                return self.spark.createDataFrame([], "partition string")
+            values = ", ".join(
+                "('" + p.replace("'", "''") + "')" for p in parts
+            )
+            return self.spark.sql(
+                f"SELECT * FROM VALUES {values} AS t(`partition`)"
+            )
+
         tr = re.match(
             r"^\s*truncate\s+table\s+`?(?P<name>\w+)`?\s*$", text, re.IGNORECASE
         )

@@ -117,3 +117,22 @@ def test_create_like_unknown_source_falls_through(spark):
         # not a managed table -> stock Spark parser gets the text and
         # rejects it (no such table there either)
         eng.sql("CREATE TABLE dst_x LIKE no_such_table_xyz WITH DATA")
+
+
+def test_show_partitions(spark):
+    eng = _engine(spark)
+    tbl = eng.catalog.create_table("src_sp", "k bigint, c bigint, m int",
+                                   ["m"])
+    base = _base(spark)
+    tbl.insert(base.filter(F.col("m") < 2))
+    got = [r["partition"] for r in eng.sql("SHOW PARTITIONS src_sp").collect()]
+    assert got == ["m=0", "m=1"]
+    tbl.insert(base.filter(F.col("m") == 3))
+    got = [r["partition"] for r in eng.sql("SHOW PARTITIONS src_sp").collect()]
+    assert got == ["m=0", "m=1", "m=3"]
+    # table with no snapshot yet -> empty listing
+    # (an UNpartitioned managed table cannot exist — create_table
+    # enforces a partition spec — so the guard branch stays defensive)
+    empty = eng.catalog.create_table("src_sp_e", "k bigint, m int", ["m"])
+    assert eng.sql("SHOW PARTITIONS src_sp_e").count() == 0
+    assert empty.meta.current_snapshot() is None
