@@ -27,9 +27,9 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # ROUND-11 RULE: rotate the round-10 head rows out FIRST before adding
 # new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
-# Late-round-10 addendum: the 20 pipeline14 gates registered mid-round
-# sit right after the 3 plan-changed re-checks (59 must-check rows — the
-# ~50-row driver sample misses the last few; round 11 rotates ALL 59 and
+# Late-round-10 addendum: the 22 pipeline14 gates registered mid-round
+# sit right after the 3 plan-changed re-checks (61 must-check rows — the
+# ~50-row driver sample misses the last few; round 11 rotates ALL 61 and
 # must head whichever pipeline14 rows lack a CORRECTNESS_r10 row).
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
@@ -101,6 +101,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_knn_graph_degree",
     "curation_source_quota",
     "emb_pq_distortion_by_m",
+    "managed_show_partitions",
+    "text_rake_source_profile",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",

@@ -2474,3 +2474,243 @@ def emb_pq_distortion_by_m(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionAll(y), parts).orderBy("n_blocks")
+
+
+# --------------------------------------- SHOW PARTITIONS gate --
+
+
+@register(
+    "managed_show_partitions",
+    oracle="""
+        SELECT 'o_year=' || CAST(year(o_orderdate) AS VARCHAR)
+                 AS partition,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="SHOW PARTITIONS end-to-end (sql.py Engine dispatch over the "
+    "manifest list — the `$partitions` metadata's Spark-SQL spelling): "
+    "orders lands across per-year partitions over two commits, SHOW "
+    "PARTITIONS lists every live partition as a Hive path segment "
+    "with ZERO data IO, and the gate joins the listing back to the "
+    "per-partition row counts read through the managed path. In-DAG "
+    "asserts: the listing equals the distinct years, stays stable "
+    "across commits that add no new partition, and grows by exactly "
+    "one segment after an insert into a fresh synthetic year.",
+    tags=("managed", "metadata"),
+)
+def managed_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-showp-"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
+    )
+    tbl = eng.catalog.create_table("ord_showp", ddl, ["o_year"])
+    tbl.insert(orders.filter(F.col("o_orderkey") % 2 == 0))
+    tbl.insert(orders.filter(F.col("o_orderkey") % 2 == 1))
+    mark_setup_done()  # table built; the metadata listing is the op
+    years = sorted(
+        r["o_year"] for r in orders.select("o_year").distinct().collect()
+    )
+    listing = [
+        r["partition"]
+        for r in eng.sql("SHOW PARTITIONS ord_showp").collect()
+    ]
+    assert listing == [f"o_year={y}" for y in years], listing
+    # a same-partition append must not change the listing
+    tbl.insert(
+        orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 200000000
+        )
+    )
+    # ... but those duplicate rows must not reach the emitted rollup:
+    # scope the gate's output to the original key range
+    listing2 = [
+        r["partition"]
+        for r in eng.sql("SHOW PARTITIONS ord_showp").collect()
+    ]
+    assert listing2 == listing, "append added no partition"
+    # an insert into a brand-new year grows the listing by one
+    tbl.insert(
+        orders.filter(F.col("o_orderkey") % 101 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 300000000)
+        .withColumn("o_year", F.lit(2099))
+    )
+    listing3 = [
+        r["partition"]
+        for r in eng.sql("SHOW PARTITIONS ord_showp").collect()
+    ]
+    assert listing3 == listing + ["o_year=2099"], listing3
+    return eng.sql(
+        "SELECT 'o_year=' || CAST(o_year AS STRING) AS partition, "
+        "COUNT(*) AS n FROM ord_showp "
+        "WHERE o_orderkey < 200000000 GROUP BY o_year ORDER BY 1"
+    )
+
+
+# --------------------------------------- per-source RAKE profile --
+
+
+def _rake_source_oracle() -> str:
+    from icebergsql_spark.plans.pipeline13 import _RAKE_STOP
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 string_split(trim(lower(text)), ' ') AS l
+          FROM documents
+        ),
+        tok0 AS (
+          SELECT doc_id, source,
+                 unnest(generate_series(1, len(l))) AS pos, l
+          FROM base
+        ),
+        tok AS (SELECT doc_id, source, pos, l[pos] AS w FROM tok0),
+        seg AS (
+          SELECT doc_id, source, pos, w,
+                 SUM(CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+          FROM tok
+        ),
+        cw AS (
+          SELECT doc_id, source, seg_id, pos, w FROM seg
+          WHERE w NOT IN {_RAKE_STOP}
+        ),
+        phrase AS (
+          SELECT doc_id, source, seg_id,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS plen
+          FROM cw GROUP BY doc_id, source, seg_id
+        ),
+        wordstat AS (
+          SELECT w,
+                 CAST((SUM(plen) * 1000000) // COUNT(*) AS BIGINT)
+                   AS wscore_ppm
+          FROM (
+            SELECT cw.w, p.plen
+            FROM cw JOIN phrase p
+              ON p.doc_id = cw.doc_id AND p.seg_id = cw.seg_id
+          ) GROUP BY w
+        ),
+        pscore AS (
+          SELECT cw.doc_id, cw.source, cw.seg_id,
+                 CAST(SUM(ws.wscore_ppm) AS BIGINT) AS score_ppm
+          FROM cw JOIN wordstat ws ON ws.w = cw.w
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT p.source, p.phrase,
+                 CAST(COUNT(*) AS BIGINT) AS occurrences,
+                 CAST(MAX(s.score_ppm) AS BIGINT) AS score_ppm
+          FROM phrase p
+          JOIN pscore s
+            ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT source, phrase, occurrences, score_ppm,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY score_ppm DESC, phrase ASC
+                 ) AS rn
+          FROM best
+        )
+        SELECT source, CAST(rn AS INTEGER) AS rank, phrase,
+               occurrences, score_ppm
+        FROM ranked WHERE rn <= 3
+        ORDER BY source, rank
+    """.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "text_rake_source_profile",
+    oracle=_rake_source_oracle(),
+    doc="Per-SOURCE keyphrase profile: corpus-level RAKE word scores "
+    "(the text_rake_keyphrases integer-ppm contract — deg/freq "
+    "quantized BEFORE the phrase sum, order-independent) score every "
+    "stopword-free phrase, and each source reports its top-3 by "
+    "(score, phrase) — the per-domain topical fingerprint a curation "
+    "pipeline reads when balancing a training mix. Word scores stay "
+    "GLOBAL (cross-source comparable) while ranking is per-source; "
+    "deterministic total order. Scale shape: one tokenize, bounded "
+    "(doc, segment) and vocabulary aggregates, a sources-bounded "
+    "window.",
+    tags=("text", "curation"),
+)
+def text_rake_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.pipeline13 import _RAKE_STOP
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    docs.select(
+        "doc_id", "source",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    ).createOrReplaceTempView("rakesp_tok")
+    return spark.sql(f"""
+        WITH tok AS (SELECT doc_id, source, pos, w FROM rakesp_tok),
+        seg AS (
+          SELECT doc_id, source, pos, w,
+                 SUM(CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+          FROM tok
+        ),
+        cw AS (
+          SELECT doc_id, source, seg_id, pos, w FROM seg
+          WHERE w NOT IN {_RAKE_STOP}
+        ),
+        phrase AS (
+          SELECT doc_id, source, seg_id,
+                 array_join(transform(array_sort(
+                   collect_list(struct(pos, w))), x -> x.w), ' ')
+                   AS phrase,
+                 CAST(COUNT(*) AS BIGINT) AS plen
+          FROM cw GROUP BY doc_id, source, seg_id
+        ),
+        wordstat AS (
+          SELECT w,
+                 CAST((SUM(plen) * 1000000) DIV COUNT(*) AS BIGINT)
+                   AS wscore_ppm
+          FROM (
+            SELECT cw.w, p.plen
+            FROM cw JOIN phrase p
+              ON p.doc_id = cw.doc_id AND p.seg_id = cw.seg_id
+          ) GROUP BY w
+        ),
+        pscore AS (
+          SELECT cw.doc_id, cw.source, cw.seg_id,
+                 CAST(SUM(ws.wscore_ppm) AS BIGINT) AS score_ppm
+          FROM cw JOIN wordstat ws ON ws.w = cw.w
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT p.source, p.phrase,
+                 CAST(COUNT(*) AS BIGINT) AS occurrences,
+                 CAST(MAX(s.score_ppm) AS BIGINT) AS score_ppm
+          FROM phrase p
+          JOIN pscore s
+            ON s.doc_id = p.doc_id AND s.seg_id = p.seg_id
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT source, phrase, occurrences, score_ppm,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY score_ppm DESC, phrase ASC
+                 ) AS rn
+          FROM best
+        )
+        SELECT source, CAST(rn AS INT) AS rank, phrase,
+               occurrences, score_ppm
+        FROM ranked WHERE rn <= 3
+        ORDER BY source, rank
+    """)
