@@ -28,9 +28,11 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
 # Late-round-10 addendum: the 22 pipeline14 gates registered mid-round
-# sit right after the 3 plan-changed re-checks (61 must-check rows — the
-# ~50-row driver sample misses the last few; round 11 rotates ALL 61 and
-# must head whichever pipeline14 rows lack a CORRECTNESS_r10 row).
+# sit right after the 3 plan-changed re-checks, followed by 6 more
+# re-checks (metadata views became JVM VALUES LocalRelations — every
+# $view consumer re-verified at sf0.01+0.1 locally). 70 must-check rows
+# total; the ~50-row driver sample misses the last ~20, so ROUND 11 must
+# rotate ALL 70 and head whichever rows lack a CORRECTNESS_r10 row.
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
 # curation_kcenter_coreset (already in the head) re-verified green after
@@ -103,6 +105,15 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_pq_distortion_by_m",
     "managed_show_partitions",
     "text_rake_source_profile",
+    # -- plan changed late round 10: metadata views now emit JVM
+    #    VALUES LocalRelations (joinable without Python-runner
+    #    nested-loop storms) — every $view consumer re-checks --
+    "managed_snapshot_diff",
+    "managed_delete_files_audit",
+    "managed_all_files_audit",
+    "managed_snapshot_totals",
+    "managed_branch_expiry",
+    "managed_ref_retention",
     # -- oldest green rows (last driver-checked round 5) re-confirm --
     "text_idf_novelty",
     "sketch_linear_counting",
@@ -233,8 +244,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_resize_stats",
     "multimodal_feature_real",
     "multimodal_riff_frames",
-    "managed_all_files_audit",
-    "managed_snapshot_totals",
     "events_stream_cusum",
     "events_stream_bursts",
     "dedup_simhash64_pairs",
@@ -269,7 +278,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_eq_delete_cdc",
     "managed_streaming_eq_upsert",
     "managed_mor_churn_stress",
-    "managed_delete_files_audit",
     "managed_merge_snapshot_sync",
     "multimodal_resize",
     "managed_compaction",
@@ -303,7 +311,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_mmr_topk",
     "graph_modularity",
     "emb_whitening_audit",
-    "managed_ref_retention",
     "text_burstiness",
     "events_gini_trend",
     "sketch_stream_sample_quantiles",
@@ -312,7 +319,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "managed_metadata_count",
     "managed_wap_publish",
     "managed_branch_wap",
-    "managed_branch_expiry",
 )
 
 

@@ -3489,7 +3489,7 @@ class ManagedTable:
             "id long, parentId long, timeMillis long, numAddedFiles int, "
             "numdDeletedFiles int, manifestListLocation string"
         )
-        return self.spark.createDataFrame(rows, schema)
+        return _values_local_df(self.spark, rows, schema)
 
     def history_df(self) -> DataFrame:
         """The `<table>$history` view (Iceberg ``db.tbl.history``): commit
@@ -3519,7 +3519,7 @@ class ManagedTable:
             )
             for s in self.meta.snapshots
         ]
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "made_current_at long, snapshot_id long, parent_id long, "
             "operation string, is_current_ancestor boolean, "
@@ -3559,7 +3559,7 @@ class ManagedTable:
                     )
                 )
                 sid, depth = anc.parent_id, depth + 1
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "snapshot_id long, ancestor_id long, depth int, "
             "ancestor_timestamp long, is_current boolean",
@@ -3583,7 +3583,7 @@ class ManagedTable:
                     sum(f.file_size for f in files),
                 )
             )
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "path string, length long, added_data_files_count int, "
             "record_count long, data_size long",
@@ -3623,7 +3623,7 @@ class ManagedTable:
                     e.seq,
                 )
             )
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "content string, file_path string, referenced_data_file string, "
             "equality_ids string, record_count long, sequence_number long",
@@ -3657,7 +3657,7 @@ class ManagedTable:
             )
             for name, r in sorted(self.meta.refs.items())
         ]
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "name string, snapshotId long, type string, "
             "minSnapshotsToKeep int, maxSnapshotAgeMs long, "
@@ -3696,7 +3696,7 @@ class ManagedTable:
                     ),
                 )
             )
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "timestamp_ms long, file string, latest_snapshot_id long, "
             "latest_schema_id int, latest_sequence_number long",
@@ -3720,7 +3720,7 @@ class ManagedTable:
             )
             for f in (snap.live_files() if snap else [])
         ]
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "file_path string, partition string, record_count long, "
             "file_size long, position_deletes long",
@@ -3744,7 +3744,7 @@ class ManagedTable:
             a[2] += f.file_size
             a[3] += dv_counts.get(f.path, 0)
         rows = [(k, v[0], v[1], v[2], v[3]) for k, v in sorted(agg.items())]
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "partition string, file_count long, record_count long, "
             "total_size long, position_deletes long",
@@ -3799,7 +3799,7 @@ class ManagedTable:
                         f.file_size,
                     )
                 )
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "status int, snapshot_id long, sequence_number long, "
             "manifest_path string, file_path string, partition string, "
@@ -3862,7 +3862,7 @@ class ManagedTable:
                     ),
                 )
         rows = sorted(seen.values(), key=lambda r: (r[0], r[1]))
-        return self.spark.createDataFrame(
+        return _values_local_df(self.spark, 
             rows,
             "content string, file_path string, record_count long, "
             "file_size long, sequence_number long, is_live boolean",
@@ -4103,3 +4103,70 @@ def _parse_partition_value(raw: str, dtype: T.DataType):
     if isinstance(dtype, T.BooleanType):
         return raw.lower() == "true"
     return raw
+
+
+_VALUES_SQL_TYPES = {
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INT",
+    "integer": "INT",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+}
+
+
+def _values_local_df(spark, rows, schema: str):
+    """Bounded metadata rows as a JVM-side ``VALUES`` LocalRelation.
+
+    ``spark.createDataFrame(rows)`` plans a Python-RDD scan with
+    defaultParallelism partitions — harmless alone, but the metadata
+    views get JOINED to each other (`$lineage` x `$refs` x `$history`
+    in managed_branch_compare), and nested-loop joins of several
+    32-partition Python scans re-launch Python runners per reference:
+    the managed_metadata_count lesson, in join form (measured 20s for a
+    ~10-row metadata compare at round 10).  A ``VALUES`` list folds to
+    a single-partition LocalTableScan: broadcastable, re-referenceable,
+    zero Python workers.  Falls back to ``createDataFrame`` for empty
+    input (VALUES needs a row) or any value outside the scalar types
+    the renderer handles; every column is CAST to the declared type so
+    all-NULL columns keep their schema."""
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        sql_t = _VALUES_SQL_TYPES.get(typ.lower())
+        if sql_t is None:
+            return spark.createDataFrame(rows, schema)
+        cols.append((name.strip(), sql_t))
+    if not rows or len(rows) > 4000:
+        return spark.createDataFrame(rows, schema)
+
+    def lit(v, t):
+        if v is None:
+            return "NULL"
+        if t == "BOOLEAN":
+            return "true" if v else "false"
+        if t in ("BIGINT", "INT"):
+            return str(int(v))
+        if t in ("DOUBLE", "FLOAT"):
+            return repr(float(v))
+        s = str(v).replace("\\", "\\\\").replace("'", "''")
+        return f"'{s}'"
+
+    try:
+        values = ", ".join(
+            "("
+            + ", ".join(lit(v, t) for v, (_n, t) in zip(row, cols))
+            + ")"
+            for row in rows
+        )
+    except (TypeError, ValueError):
+        return spark.createDataFrame(rows, schema)
+    select = ", ".join(
+        f"CAST(c{i} AS {t}) AS `{n}`" for i, (n, t) in enumerate(cols)
+    )
+    alias = ", ".join(f"c{i}" for i in range(len(cols)))
+    return spark.sql(
+        f"SELECT {select} FROM VALUES {values} AS t({alias})"
+    )
