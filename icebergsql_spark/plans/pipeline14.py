@@ -2714,3 +2714,337 @@ def text_rake_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn <= 3
         ORDER BY source, rank
     """)
+
+
+# ------------------------------------------- video near-dup pairs --
+
+
+def _video_neardup_oracle(max_doc: int) -> str:
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    return f"""
+        WITH coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, f.f AS f, i.i AS i,
+                 ((doc_id % 10) * 37
+                  + (f.f // 2) * 101
+                  + ((i.i // 3) // 16) * 53
+                  + ((i.i // 3) % 16) * 11
+                  + (i.i % 3) * 5) % 200 + (doc_id // 10) * 3 AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, f, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3, 4
+        ),
+        dct AS MATERIALIZED (
+          SELECT gray.doc_id, gray.f, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3, 4
+        ),
+        vh AS MATERIALIZED (
+          SELECT doc_id, f,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 0
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b0,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 1
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b1,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 2
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b2,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 3
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b3
+          FROM dct GROUP BY 1, 2
+        ),
+        fset AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CAST(b0 AS VARCHAR) || '_' || CAST(b1 AS VARCHAR)
+                 || '_' || CAST(b2 AS VARCHAR) || '_'
+                 || CAST(b3 AS VARCHAR) AS fh
+          FROM vh
+        ),
+        fc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+          FROM fset GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM fset x JOIN fset y
+            ON y.fh = x.fh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        cont AS (
+          SELECT pairs.a, pairs.b, pairs.shared,
+                 CAST((pairs.shared * 1000000)
+                      // LEAST(fa.nf, fb.nf) AS BIGINT) AS cont_ppm
+          FROM pairs
+          JOIN fc fa ON fa.doc_id = pairs.a
+          JOIN fc fb ON fb.doc_id = pairs.b
+        )
+        SELECT CAST(cont_ppm // 100000 AS INTEGER) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a % 10 = b % 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS same_class_pairs,
+               CAST(MIN(shared) AS BIGINT) AS min_shared
+        FROM cont GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "multimodal_video_neardup",
+    oracle=_video_neardup_oracle(60),
+    doc="Video NEAR-DUPLICATE detection by frame-hash set containment "
+    "(video_frame_phash composed with the dedup_rake_containment "
+    "shape): each doc's distinct per-frame pHashes form its "
+    "fingerprint set, candidate pairs come from the frame-hash "
+    "equi-join (never video x video), and containment = |shared "
+    "hashes| / |smaller set| in exact ppm. The fixture plants 10 "
+    "content classes x 6 brightness-shifted copies — a uniform "
+    "per-doc brightness offset moves only the dropped DC coefficient, "
+    "so re-graded copies of the same cut land at containment 1e6 "
+    "while cross-class pairs never become candidates (the "
+    "re-encode-robust video dedup a training pipeline needs). Emits "
+    "the containment-decile histogram with the planted-class "
+    "agreement column.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                cls, bright = d % 10, (d // 10) * 3
+                frames = []
+                for f in range(8):
+                    scene = f // 2
+                    buf = bytearray(768)
+                    for i in range(768):
+                        y, x, ch = (i // 3) // 16, (i // 3) % 16, i % 3
+                        buf[i] = (
+                            cls * 37 + scene * 101 + y * 53 + x * 11
+                            + ch * 5
+                        ) % 200 + bright
+                    frames.append(
+                        multimodal.encode_ppm(16, 16, bytes(buf))
+                    )
+                payloads.append(multimodal.encode_rvid(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    fset = (
+        multimodal.video_frame_phash(blobs, size=16, block=8)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(b0 AS STRING) || '_' || CAST(b1 AS STRING) || '_' "
+                "|| CAST(b2 AS STRING) || '_' || CAST(b3 AS STRING)"
+            ).alias("fh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    fc = fset.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nf")
+    )
+    x, y = fset.alias("x"), fset.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.fh") == F.col("y.fh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    cont = (
+        pairs.join(fc.withColumnRenamed("doc_id", "a").withColumnRenamed(
+            "nf", "nfa"), "a")
+        .join(fc.withColumnRenamed("doc_id", "b").withColumnRenamed(
+            "nf", "nfb"), "b")
+        .select(
+            "a", "b", "shared",
+            F.expr(
+                "CAST((shared * 1000000) DIV LEAST(nfa, nfb) AS BIGINT)"
+            ).alias("cont_ppm"),
+        )
+    )
+    return (
+        cont.groupBy(
+            F.expr("CAST(cont_ppm DIV 100000 AS INT)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("a") % 10 == F.col("b") % 10, 1).otherwise(0)
+            ).cast("bigint").alias("same_class_pairs"),
+            F.min("shared").cast("bigint").alias("min_shared"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------- bloom AND-intersection --
+
+_BLOOM_AND_M = 65536
+_BLOOM_PRED_A = "user_id % 3 != 0"
+_BLOOM_PRED_B = "user_id % 2 = 0"
+
+
+@register(
+    "sketch_bloom_and_intersection",
+    oracle=f"""
+        WITH ua AS (SELECT DISTINCT user_id AS k FROM events
+                    WHERE {_BLOOM_PRED_A}),
+        ub AS (SELECT DISTINCT user_id AS k FROM events
+               WHERE {_BLOOM_PRED_B}),
+        probes AS (SELECT DISTINCT user_id AS k FROM events),
+        a0 AS (SELECT DISTINCT CAST('0x' || substr(md5('b0:' ||
+          CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % {_BLOOM_AND_M} AS h
+          FROM ua),
+        a1 AS (SELECT DISTINCT CAST('0x' || substr(md5('b1:' ||
+          CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % {_BLOOM_AND_M} AS h
+          FROM ua),
+        b0 AS (SELECT DISTINCT CAST('0x' || substr(md5('b0:' ||
+          CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % {_BLOOM_AND_M} AS h
+          FROM ub),
+        b1 AS (SELECT DISTINCT CAST('0x' || substr(md5('b1:' ||
+          CAST(k AS VARCHAR)), 1, 6) AS BIGINT) % {_BLOOM_AND_M} AS h
+          FROM ub),
+        and0 AS (SELECT h FROM a0 INTERSECT SELECT h FROM b0),
+        and1 AS (SELECT h FROM a1 INTERSECT SELECT h FROM b1),
+        pos AS (
+          SELECT k FROM probes
+          WHERE CAST('0x' || substr(md5('b0:' || CAST(k AS VARCHAR)),
+                     1, 6) AS BIGINT) % {_BLOOM_AND_M}
+                  IN (SELECT h FROM and0)
+            AND CAST('0x' || substr(md5('b1:' || CAST(k AS VARCHAR)),
+                     1, 6) AS BIGINT) % {_BLOOM_AND_M}
+                  IN (SELECT h FROM and1)
+        ),
+        ex AS (SELECT k FROM ua INTERSECT SELECT k FROM ub)
+        SELECT CAST((SELECT COUNT(*) FROM ua) AS BIGINT) AS n_a,
+               CAST((SELECT COUNT(*) FROM ub) AS BIGINT) AS n_b,
+               CAST((SELECT COUNT(*) FROM probes) AS BIGINT) AS n_probes,
+               CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS exact_inter,
+               CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS n_positive,
+               CAST((SELECT COUNT(*) FROM pos
+                     WHERE k IN (SELECT k FROM ex)) AS BIGINT) AS true_pos,
+               CAST((SELECT COUNT(*) FROM pos
+                     WHERE k NOT IN (SELECT k FROM ex)) AS BIGINT)
+                 AS false_pos,
+               CAST((SELECT COUNT(*) FROM and0) AS BIGINT) AS occ0,
+               CAST((SELECT COUNT(*) FROM and1) AS BIGINT) AS occ1
+    """,
+    doc="Bloom-filter INTERSECTION by bitmap AND (the third mergeable "
+    "bloom operation after OR-union in sketch_bloom_sliding and the "
+    "membership probe): per hash function the AND bitmap's set "
+    "positions are the intersection of the two sides' position sets, "
+    "and a probe is positive iff every hashed position survives. True "
+    "members of A n B can NEVER be rejected (their bits are set on "
+    "both sides — true_pos = exact_inter, asserted by the emitted "
+    "columns), while false positives now come from cross-set bit "
+    "collisions too, so the AND-bloom FPR exceeds the single-set FPR "
+    "— the documented cost of intersecting filters instead of "
+    "rebuilding one. Same md5 bit contract as sketch_bloom_fpr_audit; "
+    "sets are the HLL sweep's residue bands. Scale shape: four "
+    "distinct bit-position sets (<= m rows, broadcast) + one probe "
+    "pass.",
+    tags=("sketch", "join"),
+)
+def sketch_bloom_and_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ua = ev.filter(F.expr(_BLOOM_PRED_A)).select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    ub = ev.filter(F.expr(_BLOOM_PRED_B)).select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    probes = ev.select(F.col("user_id").alias("k")).distinct()
+
+    def h(i):
+        return md5_bucket(
+            F.concat(F.lit(f"b{i}:"), F.col("k").cast("string")),
+            _BLOOM_AND_M,
+        )
+
+    ands = []
+    for i in (0, 1):
+        sa = ua.select(h(i).alias("h")).distinct()
+        sb = ub.select(h(i).alias("h")).distinct()
+        ands.append(sa.intersect(sb).localCheckpoint())
+    pos = probes
+    for i in (0, 1):
+        pos = pos.withColumn(f"h{i}", h(i)).join(
+            F.broadcast(ands[i].withColumnRenamed("h", f"h{i}")),
+            f"h{i}",
+            "left_semi",
+        )
+    pos = pos.select("k").localCheckpoint()
+    ex = ua.intersect(ub)
+    return (
+        ua.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(ub.agg(F.count(F.lit(1)).cast("bigint").alias("n_b")))
+        .crossJoin(
+            probes.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+        )
+        .crossJoin(
+            ex.agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+        )
+        .crossJoin(
+            pos.agg(F.count(F.lit(1)).cast("bigint").alias("n_positive"))
+        )
+        .crossJoin(
+            pos.join(ex, "k", "left_semi").agg(
+                F.count(F.lit(1)).cast("bigint").alias("true_pos")
+            )
+        )
+        .crossJoin(
+            pos.join(ex, "k", "left_anti").agg(
+                F.count(F.lit(1)).cast("bigint").alias("false_pos")
+            )
+        )
+        .crossJoin(
+            ands[0].agg(F.count(F.lit(1)).cast("bigint").alias("occ0"))
+        )
+        .crossJoin(
+            ands[1].agg(F.count(F.lit(1)).cast("bigint").alias("occ1"))
+        )
+    )
