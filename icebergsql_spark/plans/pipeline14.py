@@ -3048,3 +3048,173 @@ def sketch_bloom_and_intersection(
             ands[1].agg(F.count(F.lit(1)).cast("bigint").alias("occ1"))
         )
     )
+
+
+# ------------------------------- Holt-Winters seasonal smoothing --
+
+_HW_A, _HW_B, _HW_G, _HW_P = 0.5, 0.3, 0.2, 7
+
+
+def _hw_lnew(x: str, l: str, b: str, sm: str) -> str:
+    return f"{_HW_A} * ({x} - {sm}) + {1 - _HW_A} * ({l} + {b})"
+
+
+def _hw_oracle() -> str:
+    sm = (
+        "(CASE (hw.i + 1) % 7 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 "
+        "WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4 "
+        "WHEN 5 THEN hw.s5 ELSE hw.s6 END)"
+    )
+    lnew = _hw_lnew("CAST(x.c AS DOUBLE)", "hw.l", "hw.b", sm)
+    s_cols = ", ".join(
+        f"CASE WHEN (hw.i + 1) % 7 = {k} THEN {_HW_G} "
+        f"* (CAST(x.c AS DOUBLE) "
+        f"- ({lnew})) + {1 - _HW_G} * hw.s{k} ELSE hw.s{k} END"
+        for k in range(7)
+    )
+    fslot = (
+        "(CASE (n.mx + 2) % 7 WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1 "
+        "WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3 WHEN 4 THEN hw.s4 "
+        "WHEN 5 THEN hw.s5 ELSE hw.s6 END)"
+    )
+    return f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, day
+        ),
+        idx AS (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS i
+          FROM daily
+        ),
+        n AS (
+          SELECT event_type, MAX(i) + 1 AS mx FROM idx GROUP BY event_type
+        ),
+        hw(event_type, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+            SELECT event_type, 0, CAST(c AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE)
+            FROM idx WHERE i = 0
+          UNION ALL
+            SELECT hw.event_type, hw.i + 1,
+                   {lnew},
+                   {_HW_B} * (({lnew}) - hw.l) + {1 - _HW_B} * hw.b,
+                   {s_cols}
+            FROM hw JOIN idx x
+              ON x.event_type = hw.event_type AND x.i = hw.i + 1
+        )
+        SELECT hw.event_type, CAST(n.mx AS BIGINT) AS n_days,
+               round(hw.l, 6) AS level, round(hw.b, 6) AS trend,
+               round(hw.s0, 6) AS s0, round(hw.s3, 6) AS s3,
+               round(hw.s6, 6) AS s6,
+               round(hw.l + 3 * hw.b + {fslot}, 6) AS forecast_3d
+        FROM hw JOIN n
+          ON n.event_type = hw.event_type AND hw.i = n.mx - 1
+        ORDER BY hw.event_type
+    """
+
+
+@register(
+    "events_holt_winters",
+    oracle=_hw_oracle(),
+    doc="Holt-Winters ADDITIVE triple exponential smoothing (alpha=0.5, "
+    "beta=0.3, gamma=0.2, period 7) over the daily volume series per "
+    "event type — the seasonal capacity-planning recurrence completing "
+    "events_holt_smoothing (level+trend) with a 7-slot weekly seasonal "
+    "state: l' = a(x - s_m) + (1-a)(l+b), b' = B(l'-l) + (1-B)b, "
+    "s_m' = g(x - l') + (1-g)s_m, deterministic zero-seasonal init at "
+    "the first observation. The recurrence is sequential by "
+    "construction; both engines replay the IDENTICAL float-op "
+    "sequence (Spark: one aggregate() fold whose struct carries "
+    "i/l/b/s0..s6; oracle: a recursive CTE stepping i -> i+1 with the "
+    "same inlined expressions), so the trajectory bit-matches — the "
+    "3-day-ahead forecast adds the right seasonal slot. Scale shape: "
+    "event-scale work is one (type, day) count; the fold runs over "
+    "the tiny per-type day series.",
+    tags=("pipeline", "events", "forecast"),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts DIV 86400000000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def step(acc, x):
+        xc = x["c"].cast("double")
+        m = acc["i"] % _HW_P
+        sm = acc["s"][m]
+        lnew = (
+            F.lit(_HW_A) * (xc - sm)
+            + F.lit(1 - _HW_A) * (acc["l"] + acc["b"])
+        )
+        bnew = (
+            F.lit(_HW_B)
+            * (
+                (
+                    F.lit(_HW_A) * (xc - sm)
+                    + F.lit(1 - _HW_A) * (acc["l"] + acc["b"])
+                )
+                - acc["l"]
+            )
+            + F.lit(1 - _HW_B) * acc["b"]
+        )
+        snew = F.transform(
+            acc["s"],
+            lambda sv, k: F.when(
+                k == m,
+                F.lit(_HW_G)
+                * (
+                    xc
+                    - (
+                        F.lit(_HW_A) * (xc - sm)
+                        + F.lit(1 - _HW_A) * (acc["l"] + acc["b"])
+                    )
+                )
+                + F.lit(1 - _HW_G) * sv,
+            ).otherwise(sv),
+        )
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(acc["i"] == 0, xc).otherwise(lnew).alias("l"),
+            F.when(acc["i"] == 0, F.lit(0.0)).otherwise(bnew).alias("b"),
+            F.when(acc["i"] == 0, acc["s"]).otherwise(snew).alias("s"),
+        )
+
+    zeros = F.array(*[F.lit(0.0) for _ in range(_HW_P)])
+    res = (
+        daily.groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("day", "c"))),
+                F.struct(
+                    F.lit(0).alias("i"),
+                    F.lit(0.0).alias("l"),
+                    F.lit(0.0).alias("b"),
+                    zeros.alias("s"),
+                ),
+                step,
+            ).alias("st")
+        )
+    )
+    fslot = F.col("st.s")[(F.col("st.i") + 2) % _HW_P]
+    return res.select(
+        "event_type",
+        F.col("st.i").cast("bigint").alias("n_days"),
+        F.round("st.l", 6).alias("level"),
+        F.round("st.b", 6).alias("trend"),
+        F.round(F.col("st.s")[0], 6).alias("s0"),
+        F.round(F.col("st.s")[3], 6).alias("s3"),
+        F.round(F.col("st.s")[6], 6).alias("s6"),
+        F.round(
+            F.col("st.l") + 3 * F.col("st.b") + fslot, 6
+        ).alias("forecast_3d"),
+    ).orderBy("event_type")
