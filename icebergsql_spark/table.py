@@ -4163,10 +4163,13 @@ def _values_local_df(spark, rows, schema: str):
         )
     except (TypeError, ValueError):
         return spark.createDataFrame(rows, schema)
+    # Note: VALUES infers non-NULLABLE fields when a column's literals
+    # are all non-null (createDataFrame reported nullable) — a strictly
+    # more precise schema; unions/joins re-widen nullability as needed,
+    # and Spark 4's analyzer folds away wrap-in-CASE tricks, so the
+    # stricter schema is the documented behavior
     select = ", ".join(
         f"CAST(c{i} AS {t}) AS `{n}`" for i, (n, t) in enumerate(cols)
     )
     alias = ", ".join(f"c{i}" for i in range(len(cols)))
-    return spark.sql(
-        f"SELECT {select} FROM VALUES {values} AS t({alias})"
-    )
+    return spark.sql(f"SELECT {select} FROM VALUES {values} AS t({alias})")

@@ -136,3 +136,45 @@ def test_show_partitions(spark):
     empty = eng.catalog.create_table("src_sp_e", "k bigint, m int", ["m"])
     assert eng.sql("SHOW PARTITIONS src_sp_e").count() == 0
     assert empty.meta.current_snapshot() is None
+
+
+def test_values_local_df_round_trips(spark):
+    """_values_local_df must return exactly what createDataFrame would,
+    for every scalar type the metadata views emit — including NULLs,
+    quotes, backslashes, negatives and all-NULL columns — while
+    planning as a JVM LocalRelation (no Python-RDD scan)."""
+    import random
+
+    from icebergsql_spark.table import _values_local_df
+
+    rng = random.Random(7)
+    schema = (
+        "id long, n int, name string, flag boolean, score double"
+    )
+    pool = ["plain", "it's", "back\\slash", "tab\tchar", "", "Ünïcode"]
+    rows = [
+        (
+            rng.randrange(-(2**40), 2**40),
+            rng.randrange(-100, 100),
+            rng.choice(pool) if rng.random() > 0.2 else None,
+            rng.choice([True, False, None]),
+            rng.choice([0.5, -2.25, 1e-9, None]),
+        )
+        for _ in range(20)
+    ]
+    # all-NULL string column keeps its declared type
+    rows.append((1, 2, None, None, None))
+    got = _values_local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    # identical names and TYPES; VALUES reports strictly-more-precise
+    # nullability for all-non-null columns (documented behavior)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert "LocalTableScan" in got._jdf.queryExecution().executedPlan().toString() or \
+        "LocalRelation" in got._jdf.queryExecution().optimizedPlan().toString()
+    # empty input falls back cleanly
+    assert _values_local_df(spark, [], schema).count() == 0
