@@ -3218,3 +3218,237 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("st.l") + 3 * F.col("st.b") + fslot, 6
         ).alias("forecast_3d"),
     ).orderBy("event_type")
+
+
+# ------------------------------------ image dedup pipeline (e2e) --
+
+
+def _image_pipeline_oracle() -> str:
+    from icebergsql_spark.plans.pipeline13 import _phash_pert_hashes_sql
+
+    return f"""
+        WITH RECURSIVE {_phash_pert_hashes_sql(500)},
+        classes AS MATERIALIZED (
+          SELECT b0, b1, b2, b3, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MIN(doc_id) AS BIGINT) AS rep
+          FROM hashes GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS MATERIALIZED (
+          SELECT x.rep AS a, y.rep AS b
+          FROM classes x JOIN classes y ON x.rep < y.rep
+          WHERE (x.b0 = y.b0 OR x.b1 = y.b1
+                 OR x.b2 = y.b2 OR x.b3 = y.b3)
+            AND bit_count(CAST(xor(x.b0, y.b0) AS BIGINT))
+                + bit_count(CAST(xor(x.b1, y.b1) AS BIGINT))
+                + bit_count(CAST(xor(x.b2, y.b2) AS BIGINT))
+                + bit_count(CAST(xor(x.b3, y.b3) AS BIGINT)) <= 12
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs
+          UNION ALL SELECT rep, rep FROM classes
+        ),
+        cc(node, comp) AS (
+            SELECT DISTINCT src, src FROM edges
+          UNION
+            SELECT e.src, c.comp FROM edges e JOIN cc c ON e.dst = c.node
+        ),
+        comp AS (
+          SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+          FROM cc GROUP BY node
+        )
+        SELECT comp.component,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(classes.n_docs) AS BIGINT) AS n_docs,
+               CAST(MIN(comp.node) AS BIGINT) AS representative
+        FROM comp JOIN classes ON classes.rep = comp.node
+        GROUP BY comp.component
+        ORDER BY comp.component
+    """
+
+
+@register(
+    "dedup_image_pipeline",
+    oracle=_image_pipeline_oracle(),
+    doc="Image dedup END-TO-END: hash -> band -> verify -> cluster -> "
+    "canonical representative in one DAG — integer-DCT pHash over the "
+    "perturbed 16-class fixture (near-dup variants at hamming 4-19), "
+    "identical hashes collapse to hash-classes, candidate edges come "
+    "from the 16-bit band equi-join verified at hamming <= 12 (never "
+    "class x class beyond band matches), connected components by "
+    "min-label propagation merge base+variant classes, and each "
+    "component reports its doc count and canonical (min-id) "
+    "representative — the keep-one-per-cluster decision a production "
+    "image-dedup pass ships. Self-loop edges keep singleton classes "
+    "as their own components. Oracle replays hashing, banding, exact "
+    "Hamming AND the closure (recursive CTE) relationally.",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def dedup_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import dedup, multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pert = (d // 16) % 2 == 1
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 224
+                    + (32 if pert and i < 12 else 0)
+                    for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    classes = (
+        multimodal.image_dct_hash(blobs, size=16, block=8)
+        .groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    x, y = classes.alias("x"), classes.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.rep") < F.col("y.rep"))
+            & (
+                (F.col("x.b0") == F.col("y.b0"))
+                | (F.col("x.b1") == F.col("y.b1"))
+                | (F.col("x.b2") == F.col("y.b2"))
+                | (F.col("x.b3") == F.col("y.b3"))
+            ),
+        )
+        .filter(
+            (
+                F.bit_count(F.col("x.b0").bitwiseXOR(F.col("y.b0")))
+                + F.bit_count(F.col("x.b1").bitwiseXOR(F.col("y.b1")))
+                + F.bit_count(F.col("x.b2").bitwiseXOR(F.col("y.b2")))
+                + F.bit_count(F.col("x.b3").bitwiseXOR(F.col("y.b3")))
+            )
+            <= 12
+        )
+        .select(F.col("x.rep").alias("a"), F.col("y.rep").alias("b"))
+    )
+    # singleton classes stay their own components via self-loop edges
+    pairs = pairs.unionAll(
+        classes.select(F.col("rep").alias("a"), F.col("rep").alias("b"))
+    )
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.join(classes.withColumnRenamed("rep", "node"), "node")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.min("node").cast("bigint").alias("representative"),
+        )
+        .orderBy("component")
+    )
+
+
+# ------------------------------------------- sequential SRM --
+
+_SRM_SEQ_SQL = """
+        WITH ev AS (
+          SELECT user_id, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        du AS (
+          SELECT DISTINCT looks.k, ev.user_id,
+                 CAST({hash_expr} % 2 AS INTEGER) AS arm
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day < d0.d0 + 7 * looks.k
+        ),
+        counts AS (
+          SELECT k,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM du GROUP BY k
+        ),
+        imax AS (SELECT CAST(n0 + n1 AS BIGINT) AS im FROM counts
+                 WHERE k = 3),
+        z AS (
+          SELECT k, n0, n1, CAST(n0 + n1 AS BIGINT) AS i_k, imax.im,
+                 sqrt(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                      / CAST(n0 + n1 AS DOUBLE)) AS absz
+          FROM counts CROSS JOIN imax
+        )
+        SELECT CAST(k AS INTEGER) AS look, n0, n1,
+               CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS chi2_num,
+               CAST((i_k * 1000000) {div} im AS BIGINT) AS info_frac_ppm,
+               {c} / sqrt(CAST(i_k AS DOUBLE) / CAST(im AS DOUBLE))
+                 AS crit,
+               absz,
+               CAST(CASE WHEN absz >
+                         {c} / sqrt(CAST(i_k AS DOUBLE)
+                                    / CAST(im AS DOUBLE))
+                    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag_seq,
+               CAST(CASE WHEN absz * absz > 3.841
+                    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag_naive
+        FROM z ORDER BY look
+"""
+
+
+@register(
+    "events_srm_sequential",
+    oracle=_SRM_SEQ_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        hash_expr="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        "1, 6) AS BIGINT)",
+        div="//",
+        c=2.004,
+    ),
+    doc="SEQUENTIAL sample-ratio-mismatch monitor — events_srm_check "
+    "composed with the Lan-DeMets boundary: cumulative per-arm "
+    "distinct-user counts at three weekly looks, |z| = "
+    "sqrt((n0-n1)^2/(n0+n1)) tested against the O'Brien-Fleming-shape "
+    "2.004/sqrt(t_k) spending curve at the observed information "
+    "fraction — the always-on guardrail that can HALT an experiment "
+    "early on assignment bias without inflating the false-alarm rate "
+    "the way repeated naive 3.841 chi-square checks do (both flags "
+    "emitted for the comparison). Exact bigint counts; mirrored "
+    "sqrt/div only.",
+    tags=("events", "stats", "streaming"),
+)
+def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_srmseq")
+    return spark.sql(
+        _SRM_SEQ_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_srmseq",
+            unnest_looks="explode(sequence(1, 3))",
+            hash_expr="conv(substring(md5(CAST(user_id AS STRING)), "
+            "1, 6), 16, 10)",
+            div="DIV",
+            c=2.004,
+        )
+    )
