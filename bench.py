@@ -446,6 +446,7 @@ def main() -> None:
         "graph_modularity_trace",
         "events_stream_mann_kendall",
         "managed_show_partitions",
+        "events_stream_holt_winters",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -3147,6 +3147,13 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _hw_fold(daily)
+
+
+def _hw_fold(daily: DataFrame) -> DataFrame:
+    """The Holt-Winters aggregate() fold over a (event_type, day, c)
+    relation — shared verbatim by the batch gate and the streaming
+    twin so both run the IDENTICAL float-op sequence."""
 
     def step(acc, x):
         xc = x["c"].cast("double")
@@ -3452,3 +3459,68 @@ def events_srm_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             c=2.004,
         )
     )
+
+
+# --------------------------------- streaming Holt-Winters twin --
+
+
+@register(
+    "events_stream_holt_winters",
+    oracle=_hw_oracle(),
+    doc="STREAMING twin of events_holt_winters: 3 chronological "
+    "micro-batches append per-(type, day) count PARTIALS to a parquet "
+    "sink — sum-mergeable, so batch chopping and replay cannot change "
+    "the merged daily series — and the finalizer rebuilds the series "
+    "and runs the IDENTICAL aggregate() fold (shared _hw_fold), so "
+    "the seasonal trajectory bit-matches the batch gate and the "
+    "recursive-CTE oracle. The always-on seasonal forecaster shape: "
+    "per-batch state is one row per (type, active day), never event "
+    "volume.",
+    tags=("events", "streaming", "forecast"),
+)
+def events_stream_holt_winters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-shwsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-shwout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type",
+                F.expr("ts DIV 86400000000000").alias("day"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-shwck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    return _hw_fold(daily)
