@@ -3524,3 +3524,202 @@ def events_stream_holt_winters(
         .agg(F.sum("c").alias("c"))
     )
     return _hw_fold(daily)
+
+
+# ---------------------------------- community connectivity audit --
+
+
+def _community_connectivity_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+    from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL
+    from icebergsql_spark.plans.pipeline12 import _louvain_round_sql
+
+    return (
+        "WITH RECURSIVE "
+        + _EDGE_SQL.replace("WITH ", "", 1)
+        + f""",
+        lab1 AS (
+          SELECT DISTINCT a AS n, {_SEED_LBL_SQL.format(n='a')} AS lbl
+          FROM e
+        ),
+        deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k FROM e GROUP BY 1
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM half),
+        {_louvain_round_sql(1, 'lab1')},
+        lab2 AS (
+          SELECT n,
+                 CAST('0x' || substr(md5(n), 1, 12) AS BIGINT) AS nid,
+                 lbl_new AS lbl
+          FROM moved1
+        ),
+        intra AS (
+          SELECT la.nid AS ha, lb.nid AS hb, la.lbl
+          FROM half
+          JOIN lab2 la ON la.n = half.a
+          JOIN lab2 lb ON lb.n = half.b AND lb.lbl = la.lbl
+        ),
+        iedges AS (
+          SELECT ha AS src, hb AS dst FROM intra
+          UNION ALL SELECT hb, ha FROM intra
+          UNION ALL SELECT nid, nid FROM lab2
+        ),
+        cc(node, comp) AS (
+            SELECT DISTINCT src, src FROM iedges
+          UNION
+            SELECT e2.src, c.comp FROM iedges e2 JOIN cc c
+              ON e2.dst = c.node
+        ),
+        mincomp AS (
+          SELECT node, MIN(comp) AS comp FROM cc GROUP BY node
+        ),
+        percomm AS (
+          SELECT lab2.lbl AS community,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(COUNT(DISTINCT mincomp.comp) AS BIGINT)
+                   AS n_components
+          FROM lab2 JOIN mincomp ON mincomp.node = lab2.nid
+          GROUP BY lab2.lbl
+        ),
+        ie AS (
+          SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_intra
+          FROM intra GROUP BY lbl
+        ),
+        iso AS (
+          SELECT lab2.lbl AS community,
+                 CAST(SUM(CASE WHEN x.ha IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_isolated
+          FROM lab2
+          LEFT JOIN (
+            SELECT DISTINCT ha FROM intra
+            UNION SELECT DISTINCT hb FROM intra
+          ) x ON x.ha = lab2.nid
+          GROUP BY lab2.lbl
+        )
+        SELECT CAST(percomm.community AS BIGINT) AS community,
+               percomm.n_nodes,
+               CAST(COALESCE(ie.n_intra, 0) AS BIGINT) AS n_intra_edges,
+               percomm.n_components,
+               iso.n_isolated,
+               CAST(CASE WHEN percomm.n_components = 1
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_connected
+        FROM percomm
+        LEFT JOIN ie ON ie.community = percomm.community
+        JOIN iso ON iso.community = percomm.community
+        ORDER BY community
+    """
+    )
+
+
+@register(
+    "graph_community_connectivity",
+    oracle=_community_connectivity_oracle(),
+    doc="Leiden-motivation connectivity audit of Louvain communities "
+    "(Traag et al. 2019's core finding: Louvain routinely emits "
+    "INTERNALLY DISCONNECTED communities): after one synchronous "
+    "round on the token graph, each community's intra-community "
+    "subgraph is decomposed by min-label connected components — "
+    "emitting per community the node count, intra-edge count, number "
+    "of internal components, isolated members (no intra edge at all) "
+    "and the is_connected verdict. A community with n_components > 1 "
+    "is exactly what Leiden's refinement phase would split; this "
+    "audit is the cheap detector that says whether refinement is "
+    "worth running. Oracle chains the round + intra-subgraph closure "
+    "(recursive CTE). Scale shape: label joins + CC over "
+    "intra-community edges only.",
+    tags=("graph", "dedup", "stats"),
+)
+def graph_community_connectivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators import dedup
+    from icebergsql_spark.operators.graph import louvain_gain_round
+    from icebergsql_spark.plans.pipeline11 import _token_half_edges
+
+    half = _token_half_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        half.select(F.col("a").alias("n"))
+        .unionAll(half.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    labels = nodes.select(
+        "n",
+        (
+            F.conv(F.substring(F.md5("n"), 1, 6), 16, 10).cast("bigint")
+            % 4
+        ).alias("lbl"),
+    )
+    # token nodes are STRINGS; connected_components keys on longs, so
+    # hash to 48-bit ids first (same md5 contract as the oracle)
+    nid = F.conv(F.substring(F.md5("n"), 1, 12), 16, 10).cast("bigint")
+    lab2 = (
+        louvain_gain_round(half, labels)
+        .select("n", F.col("lbl_new").alias("lbl"))
+        .withColumn("nid", nid)
+        .localCheckpoint()
+    )
+    la = lab2.select(
+        F.col("n").alias("a"), F.col("nid").alias("ha"),
+        F.col("lbl").alias("la"),
+    )
+    lb = lab2.select(
+        F.col("n").alias("b"), F.col("nid").alias("hb"),
+        F.col("lbl").alias("lb"),
+    )
+    intra = (
+        half.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .select("ha", "hb", F.col("la").alias("lbl"))
+        .localCheckpoint()
+    )
+    # self-loop edges keep edgeless nodes as their own components
+    pairs = intra.select(
+        F.col("ha").alias("a"), F.col("hb").alias("b")
+    ).unionAll(
+        lab2.select(F.col("nid").alias("a"), F.col("nid").alias("b"))
+    )
+    comp = dedup.connected_components(pairs)
+    percomm = (
+        lab2.join(comp.withColumnRenamed("node", "nid"), "nid")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.countDistinct("component").cast("bigint").alias(
+                "n_components"
+            ),
+        )
+    )
+    ie = intra.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intra_edges")
+    )
+    touched = (
+        intra.select(F.col("ha").alias("nid"))
+        .unionAll(intra.select(F.col("hb").alias("nid")))
+        .distinct()
+    )
+    iso = (
+        lab2.join(touched, "nid", "left_anti")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_isolated"))
+    )
+    return (
+        percomm.join(ie, "community", "left")
+        .join(iso, "community", "left")
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            "n_nodes",
+            F.coalesce("n_intra_edges", F.lit(0))
+            .cast("bigint")
+            .alias("n_intra_edges"),
+            "n_components",
+            F.coalesce("n_isolated", F.lit(0))
+            .cast("bigint")
+            .alias("n_isolated"),
+            F.when(F.col("n_components") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_connected"),
+        )
+        .orderBy("community")
+    )
