@@ -27,12 +27,12 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # ROUND-11 RULE: rotate the round-10 head rows out FIRST before adding
 # new gates; grep plans/ for each new name first (register() shadows
 # silently in the REGISTRY dict).
-# Late-round-10 addendum: the 29 pipeline14 gates registered mid-round
+# Late-round-10 addendum: the 30 pipeline14 gates registered mid-round
 # sit right after the 3 plan-changed re-checks, followed by 6 more
 # re-checks (metadata views became JVM VALUES LocalRelations — every
-# $view consumer re-verified at sf0.01+0.1 locally). 77 must-check rows
+# $view consumer re-verified at sf0.01+0.1 locally). 78 must-check rows
 # total; the ~50-row driver sample misses the last ~20, so ROUND 11 must
-# rotate ALL 77 and head whichever rows lack a CORRECTNESS_r10 row.
+# rotate ALL 78 and head whichever rows lack a CORRECTNESS_r10 row.
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
 # curation_kcenter_coreset (already in the head) re-verified green after
@@ -112,6 +112,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_srm_sequential",
     "events_stream_holt_winters",
     "graph_community_connectivity",
+    "multimodal_shot_dedup",
     # -- plan changed late round 10: metadata views now emit JVM
     #    VALUES LocalRelations (joinable without Python-runner
     #    nested-loop storms) — every $view consumer re-checks --

@@ -3723,3 +3723,207 @@ def graph_community_connectivity(
         )
         .orderBy("community")
     )
+
+
+# --------------------------------------------- shot-level dedup --
+
+
+def _shot_dedup_oracle(max_doc: int) -> str:
+    from icebergsql_spark.operators.multimodal import dct_coef_values_sql
+
+    return f"""
+        WITH coef(u, x, c) AS (VALUES {dct_coef_values_sql()}),
+        px AS MATERIALIZED (
+          SELECT doc_id, f.f AS f, i.i AS i,
+                 (((doc_id + f.f // 2) % 12) * 37
+                  + ((i.i // 3) // 16) * 53
+                  + ((i.i // 3) % 16) * 11
+                  + (i.i % 3) * 5) % 200 + f.f * 3 AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS f) f
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {max_doc}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, f, (i // 3) % 16 AS x, (i // 3) // 16 AS y,
+                 CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2, 3, 4
+        ),
+        dct AS MATERIALIZED (
+          SELECT gray.doc_id, gray.f, cu.u AS u, cv.u AS v,
+                 CAST(SUM(gray.g * cu.c * cv.c) AS BIGINT) AS d
+          FROM gray
+          JOIN coef cu ON cu.x = gray.y
+          JOIN coef cv ON cv.x = gray.x
+          GROUP BY 1, 2, 3, 4
+        ),
+        vh AS MATERIALIZED (
+          SELECT doc_id, f,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 0
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b0,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 1
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b1,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 2
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b2,
+                 CAST(SUM((CASE WHEN (u = 0 AND v = 0) OR d <= 0
+                           THEN 0 ELSE 1 END)
+                          << ((u * 8 + v) % 16)
+                          * (CASE WHEN (u * 8 + v) // 16 = 3
+                             THEN 1 ELSE 0 END)) AS BIGINT) AS b3
+          FROM dct GROUP BY 1, 2
+        ),
+        shots AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 CAST(b0 AS VARCHAR) || '_' || CAST(b1 AS VARCHAR)
+                 || '_' || CAST(b2 AS VARCHAR) || '_'
+                 || CAST(b3 AS VARCHAR) AS sh
+          FROM vh
+        ),
+        sc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns
+          FROM shots GROUP BY doc_id
+        ),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM shots x JOIN shots y
+            ON y.sh = x.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        cont AS (
+          SELECT pairs.a, pairs.b, pairs.shared,
+                 CAST((pairs.shared * 1000000)
+                      // LEAST(sa.ns, sb.ns) AS BIGINT) AS overlap_ppm
+          FROM pairs
+          JOIN sc sa ON sa.doc_id = pairs.a
+          JOIN sc sb ON sb.doc_id = pairs.b
+        )
+        SELECT shared AS shared_shots,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(overlap_ppm) AS BIGINT) AS min_overlap_ppm,
+               CAST(MAX(overlap_ppm) AS BIGINT) AS max_overlap_ppm,
+               CAST(SUM(CASE WHEN abs(a - b) <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS adjacent_pairs
+        FROM cont GROUP BY shared ORDER BY shared
+    """
+
+
+@register(
+    "multimodal_shot_dedup",
+    oracle=_shot_dedup_oracle(48),
+    doc="SHOT-level video dedup — the partial-overlap tier under "
+    "multimodal_video_neardup (clip reuse / compilation detection): "
+    "each video's 4 shots draw content from a shared 12-class pool "
+    "(shot s of video d shows class (d + s) % 12, with a DC-invariant "
+    "per-frame brightness drift inside each shot), so videos d and "
+    "d+1 share exactly 3 shot classes, d and d+2 share 2, d and d+3 "
+    "share 1 — the emitted shared-shot histogram proves the ladder "
+    "(adjacent_pairs column pins locality). Candidates come from the "
+    "shot-hash equi-join, never video x video; overlap = |shared "
+    "shots| / |smaller shot set| in exact ppm. One Arrow-batched "
+    "frame-hash pass + bounded joins.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_shot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for f in range(8):
+                    cls = (d + f // 2) % 12
+                    buf = bytearray(768)
+                    for i in range(768):
+                        y, x, ch = (i // 3) // 16, (i // 3) % 16, i % 3
+                        buf[i] = (
+                            cls * 37 + y * 53 + x * 11 + ch * 5
+                        ) % 200 + f * 3
+                    frames.append(
+                        multimodal.encode_ppm(16, 16, bytes(buf))
+                    )
+                payloads.append(multimodal.encode_rvid(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    shots = (
+        multimodal.video_frame_phash(blobs, size=16, block=8)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(b0 AS STRING) || '_' || CAST(b1 AS STRING) || '_' "
+                "|| CAST(b2 AS STRING) || '_' || CAST(b3 AS STRING)"
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sc = shots.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    x, y = shots.alias("x"), shots.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    cont = (
+        pairs.join(
+            sc.withColumnRenamed("doc_id", "a").withColumnRenamed(
+                "ns", "nsa"
+            ),
+            "a",
+        )
+        .join(
+            sc.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                "ns", "nsb"
+            ),
+            "b",
+        )
+        .select(
+            "a", "b", "shared",
+            F.expr(
+                "CAST((shared * 1000000) DIV LEAST(nsa, nsb) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+    return (
+        cont.groupBy(F.col("shared").alias("shared_shots"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("overlap_ppm").cast("bigint").alias("min_overlap_ppm"),
+            F.max("overlap_ppm").cast("bigint").alias("max_overlap_ppm"),
+            F.sum(
+                F.when(F.abs(F.col("a") - F.col("b")) <= 3, 1).otherwise(0)
+            ).cast("bigint").alias("adjacent_pairs"),
+        )
+        .orderBy("shared_shots")
+    )
