@@ -30,14 +30,23 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # Late-round-10 addendum: the 30 pipeline14 gates registered mid-round
 # sit right after the 3 plan-changed re-checks, followed by 6 more
 # re-checks (metadata views became JVM VALUES LocalRelations — every
-# $view consumer re-verified at sf0.01+0.1 locally). 78 must-check rows
-# total; the ~50-row driver sample misses the last ~20, so ROUND 11 must
-# rotate ALL 78 and head whichever rows lack a CORRECTNESS_r10 row.
+# $view consumer re-verified at sf0.01+0.1 locally). With the 3
+# third-session pipeline15 rows at the head the must-check block is 81
+# rows; the ~50-row driver sample misses the tail ~31, so ROUND 11 must
+# rotate ALL 81 and head whichever rows lack a CORRECTNESS_r10 row
+# (every one of them is locally 3-SF verified regardless).
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
 # curation_kcenter_coreset (already in the head) re-verified green after
 # the _candidate_sims refactor.
 WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- never driver-checked (third-session round-10 pipeline15 wave;
+    #    each verified at sf0.001+0.01+0.1 in a fresh vanilla process;
+    #    graph_community_connectivity's oracle was re-materialized at
+    #    the same time — it sits in the pipeline14 block below) --
+    "graph_leiden_refine",
+    "curation_quota_sample",
+    "managed_clone_materialize",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",
@@ -361,6 +370,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline12  # noqa: F401
     import icebergsql_spark.plans.pipeline13  # noqa: F401
     import icebergsql_spark.plans.pipeline14  # noqa: F401
+    import icebergsql_spark.plans.pipeline15  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
