@@ -47,6 +47,10 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_leiden_refine",
     "curation_quota_sample",
     "managed_clone_materialize",
+    # -- never driver-checked (third-session round-10 pipeline16 wave) --
+    "events_haar_energy",
+    "events_motif_topk",
+    "text_textrank_keywords",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",
@@ -371,6 +375,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline13  # noqa: F401
     import icebergsql_spark.plans.pipeline14  # noqa: F401
     import icebergsql_spark.plans.pipeline15  # noqa: F401
+    import icebergsql_spark.plans.pipeline16  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY
