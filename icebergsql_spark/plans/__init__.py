@@ -51,6 +51,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_haar_energy",
     "events_motif_topk",
     "text_textrank_keywords",
+    "events_page_hinkley",
+    "graph_closeness_centrality",
+    "join_bloom_and_prefilter",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

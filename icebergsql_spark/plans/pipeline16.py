@@ -360,3 +360,388 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_textrank_sql("DIV", sum_big)}
     """
     )
+
+
+# ------------------------------------------------ Page-Hinkley drift --
+
+_PH_DELTA = 0.0
+_PH_LAMBDA = 50.0
+
+
+def _ph_oracle() -> str:
+    mean = "(ph.s + CAST(x.c AS DOUBLE)) / CAST(ph.i + 1 AS DOUBLE)"
+    mnew = f"ph.m + (CAST(x.c AS DOUBLE) - ({mean}) - {_PH_DELTA})"
+    mmin = f"CASE WHEN ({mnew}) < ph.mmin THEN ({mnew}) ELSE ph.mmin END"
+    phv = f"({mnew}) - ({mmin})"
+    return f"""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        idx AS MATERIALIZED (
+          SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day)
+                   - 1 AS i
+          FROM daily
+        ),
+        n AS MATERIALIZED (
+          SELECT event_type, MAX(i) + 1 AS mx FROM idx GROUP BY 1
+        ),
+        ph(event_type, i, s, m, mmin, maxph, alarms, first_alarm) AS (
+            SELECT event_type, 0, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            FROM n
+          UNION ALL
+            SELECT ph.event_type, ph.i + 1,
+                   ph.s + CAST(x.c AS DOUBLE),
+                   {mnew},
+                   {mmin},
+                   CASE WHEN ({phv}) > ph.maxph
+                        THEN ({phv}) ELSE ph.maxph END,
+                   ph.alarms + CASE WHEN ({phv}) > {_PH_LAMBDA}
+                                    THEN 1 ELSE 0 END,
+                   CASE WHEN ph.first_alarm = 0
+                             AND ({phv}) > {_PH_LAMBDA}
+                        THEN ph.i + 1 ELSE ph.first_alarm END
+            FROM ph JOIN idx x
+              ON x.event_type = ph.event_type AND x.i = ph.i
+        )
+        SELECT ph.event_type, CAST(n.mx AS BIGINT) AS n_days,
+               round(ph.m, 6) AS m_final,
+               round(ph.mmin, 6) AS m_min,
+               round(ph.maxph, 6) AS max_ph,
+               ph.alarms AS n_alarms,
+               ph.first_alarm AS first_alarm_t
+        FROM ph JOIN n
+          ON n.event_type = ph.event_type AND ph.i = n.mx
+        ORDER BY ph.event_type
+    """
+
+
+@register(
+    "events_page_hinkley",
+    oracle=_ph_oracle(),
+    doc="Page-Hinkley drift detection over the per-type daily volume "
+    "series (the sequential mean-shift test streaming monitors run): "
+    "m_t = m_(t-1) + (x_t - mean_t - delta) with mean_t the running "
+    "mean INCLUDING x_t, PH_t = m_t - min_(k<=t) m_k, alarm when "
+    "PH_t > lambda=50. Both engines replay the IDENTICAL float-op "
+    "sequence (Spark: one aggregate() fold; oracle: a recursive CTE "
+    "stepping i -> i+1 with the same inlined expressions), so the "
+    "trajectory, alarm count and first-alarm index bit-match. delta=0 "
+    "keeps the statistic scale-free enough that all three SFs emit "
+    "rows (alarms vary by SF, which is the point). Scale shape: the "
+    "event-scale work is one (type, day) count; the fold runs over a "
+    "30-element series.",
+    tags=("events", "stats", "stream"),
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_ph")
+
+    def step(acc, x):
+        xc = x["c"].cast("double")
+        mean = (acc["s"] + xc) / (acc["i"] + 1).cast("double")
+        mnew = acc["m"] + (xc - mean - F.lit(_PH_DELTA))
+        mmin = F.when(mnew < acc["mmin"], mnew).otherwise(acc["mmin"])
+        phv = mnew - mmin
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["s"] + xc).alias("s"),
+            mnew.alias("m"),
+            mmin.alias("mmin"),
+            F.when(phv > acc["maxph"], phv)
+            .otherwise(acc["maxph"])
+            .alias("maxph"),
+            (
+                acc["alarms"]
+                + F.when(phv > F.lit(_PH_LAMBDA), 1).otherwise(0)
+            ).alias("alarms"),
+            F.when(
+                (acc["first_alarm"] == 0) & (phv > F.lit(_PH_LAMBDA)),
+                acc["i"] + 1,
+            )
+            .otherwise(acc["first_alarm"])
+            .alias("first_alarm"),
+        )
+
+    daily = spark.sql(
+        "SELECT event_type, ts DIV 86400000000000 AS day, COUNT(*) AS c "
+        "FROM ev_ph GROUP BY 1, 2"
+    )
+    res = daily.groupBy("event_type").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            F.struct(
+                F.lit(0).cast("bigint").alias("i"),
+                F.lit(0.0).alias("s"),
+                F.lit(0.0).alias("m"),
+                F.lit(0.0).alias("mmin"),
+                F.lit(0.0).alias("maxph"),
+                F.lit(0).cast("bigint").alias("alarms"),
+                F.lit(0).cast("bigint").alias("first_alarm"),
+            ),
+            step,
+        ).alias("st")
+    )
+    return res.select(
+        "event_type",
+        F.col("st.i").cast("bigint").alias("n_days"),
+        F.round("st.m", 6).alias("m_final"),
+        F.round("st.mmin", 6).alias("m_min"),
+        F.round("st.maxph", 6).alias("max_ph"),
+        F.col("st.alarms").alias("n_alarms"),
+        F.col("st.first_alarm").alias("first_alarm_t"),
+    ).orderBy("event_type")
+
+
+# ------------------------------------------ closeness centrality --
+
+_CLOSE_SEEDS = 3
+_CLOSE_HOPS = 4
+
+
+def _closeness_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+
+    frontiers = []
+    for d in range(1, _CLOSE_HOPS + 1):
+        prev = ", ".join(f"f{k}" for k in range(d))
+        seen = " OR ".join(
+            f"EXISTS (SELECT 1 FROM f{k} v WHERE v.src = f{d-1}.src "
+            f"AND v.n = e.b)"
+            for k in range(d)
+        )
+        frontiers.append(
+            f"""f{d} AS MATERIALIZED (
+          SELECT DISTINCT f{d-1}.src, e.b AS n, {d} AS dist
+          FROM e JOIN f{d-1} ON e.a = f{d-1}.n
+          WHERE NOT ({seen})
+        )"""
+        )
+    levels = "\n          UNION ALL ".join(
+        f"SELECT src, n, dist FROM f{d}" for d in range(_CLOSE_HOPS + 1)
+    )
+    sql = (
+        _EDGE_SQL
+        + f""",
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        seeds AS (SELECT n FROM nodes ORDER BY n LIMIT {_CLOSE_SEEDS}),
+        f0 AS (SELECT n AS src, n, 0 AS dist FROM seeds),
+        """
+        + ",\n        ".join(frontiers)
+        + f""",
+        lv AS ({levels})
+        SELECT src,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist,
+               CAST(SUM(CASE WHEN dist > 0
+                        THEN 1000000 // dist ELSE 0 END) AS BIGINT)
+                 AS harmonic_ppm,
+               CAST(CASE WHEN SUM(dist) > 0
+                    THEN (COUNT(*) - 1) * 1000000 // SUM(dist)
+                    ELSE 0 END AS BIGINT) AS closeness_ppm
+        FROM lv GROUP BY src ORDER BY src
+    """
+    )
+    return sql.replace(" AS (", " AS MATERIALIZED (", 1).replace(
+        "half AS (", "half AS MATERIALIZED ("
+    )
+
+
+@register(
+    "graph_closeness_centrality",
+    oracle=_closeness_oracle(),
+    doc="Hop-bounded closeness + harmonic centrality on the token "
+    "co-occurrence graph, per-source BFS from the 3 smallest nodes "
+    "(4 frontier expansions, the graph_bfs_distance shape keyed by "
+    "(src, n) so distances stay per-source): classic closeness "
+    "(n_reached * 1e6 DIV sum_dist) and harmonic centrality "
+    "(sum of 1e6 DIV d — the disconnected-graph-safe variant) both "
+    "in exact integer ppm. Spark: per-round frontier equi-join + "
+    "visited anti-join with localCheckpoint (lineage stays linear); "
+    "oracle: unrolled per-source frontier CTEs with NOT EXISTS "
+    "dedup. Scale shape: each round is one shuffle join keyed by "
+    "node; the seed set bounds the state to seeds x nodes.",
+    tags=("graph", "join", "stats"),
+)
+def graph_closeness_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    seeds = (
+        e.select(F.col("a").alias("n"))
+        .distinct()
+        .orderBy("n")
+        .limit(_CLOSE_SEEDS)
+    )
+    frontier = (
+        seeds.select(F.col("n").alias("src"), "n")
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for d in range(1, _CLOSE_HOPS + 1):
+        frontier = (
+            e.join(
+                frontier.select("src", F.col("n").alias("a")), "a"
+            )
+            .select("src", F.col("b").alias("n"))
+            .distinct()
+            .join(visited.select("src", "n"), ["src", "n"], "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(frontier).localCheckpoint()
+    return (
+        visited.groupBy("src")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+            F.sum(
+                F.when(
+                    F.col("dist") > 0,
+                    F.expr("1000000 DIV dist"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("harmonic_ppm"),
+        )
+        .select(
+            "src",
+            "n_reached",
+            "sum_dist",
+            "harmonic_ppm",
+            F.when(
+                F.col("sum_dist") > 0,
+                F.expr("n_reached * 1000000 DIV sum_dist"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("closeness_ppm"),
+        )
+        .orderBy("src")
+    )
+
+
+# ------------------------------------------ bloom-AND prefilter join --
+
+
+@register(
+    "join_bloom_and_prefilter",
+    oracle="""
+        SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 350000
+          AND o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+    """,
+    doc="Bloom-AND runtime prefilter (the round-12 seed composing "
+    "sketch_bloom_and_intersection with join_bloom_prefilter): TWO "
+    "build-side predicates each hash their o_orderkey sets into k=2 "
+    "position sets; the AND of the blooms is the PER-HASH POSITION-SET "
+    "INTERSECTION (a key in both sets has its positions in both "
+    "bitmaps, so true members of the conjunction can never be "
+    "rejected); the probe side drops lineitem rows failing either "
+    "intersected membership BEFORE the exact join against the "
+    "conjunction build, which removes the bloom's false positives. "
+    "Result is exactly the plain two-predicate join (oracle). "
+    "Asserted: no SortMergeJoin anywhere — prefilter semis and the "
+    "final join all broadcast. The 100-TB shape for a fact-dim join "
+    "whose dim predicate is a conjunction from two subsystems: ship "
+    "two small bitmaps, intersect for free, scan the fact once.",
+    tags=("pipeline", "join", "sketch"),
+)
+def join_bloom_and_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.curation import md5_bucket
+    from icebergsql_spark.plans.registry import load_tables
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li, orders = t["lineitem"], t["orders"]
+    build_a = orders.filter(F.col("o_totalprice") > 350000).select(
+        F.col("o_orderkey").alias("k")
+    )
+    build_b = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("k"))
+    both = orders.filter(
+        (F.col("o_totalprice") > 350000)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(F.col("o_orderkey").alias("k"))
+
+    def hashes(col):
+        return [
+            md5_bucket(
+                F.concat(F.lit(f"b{i}:"), F.col(col).cast("string")), 65536
+            ).alias(f"h{i}")
+            for i in (0, 1)
+        ]
+
+    # per-hash position sets of each build side; bloom-AND = positionwise
+    # intersection (inner join of the distinct position sets)
+    bits = []
+    for i in (0, 1):
+        pa = build_a.select(hashes("k")[i]).distinct()
+        pb = build_b.select(hashes("k")[i]).distinct()
+        bits.append(pa.join(pb, f"h{i}"))
+    probe = li.select("l_orderkey", "l_returnflag", "l_extendedprice")
+    pre = probe.select("*", *hashes("l_orderkey"))
+    for i in (0, 1):
+        pre = pre.join(F.broadcast(bits[i]), f"h{i}", "left_semi")
+    out = (
+        pre.join(
+            F.broadcast(both), pre.l_orderkey == F.col("k"), "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "bloom-AND prefilter shuffled"
+    return out
