@@ -54,6 +54,9 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_page_hinkley",
     "graph_closeness_centrality",
     "join_bloom_and_prefilter",
+    "multimodal_image_histogram",
+    "dedup_image_histogram_l1",
+    "multimodal_image_gradients",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -745,3 +745,276 @@ def join_bloom_and_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, "bloom-AND prefilter shuffled"
     return out
+
+
+# ---------------------------------------- image histogram signatures --
+
+_HIST_MAX_DOC = 500
+
+
+def _pert_blobs(spark: SparkSession, sf_dir: str, max_doc: int):
+    """The PERTURBED image fixture shared with dedup_phash_hamming_pairs
+    (plans/pipeline13.py): 16 deterministic pixel classes, and
+    (doc_id DIV 16) parity brightens the top-left 2x2 gray pixels by
+    +96 (base formula runs mod 224 so the perturbed bytes stay in
+    range); even docs encode netpbm P6, odd docs 24-bit BMP."""
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < max_doc)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pert = (d // 16) % 2 == 1
+                rgb = bytes(
+                    ((d % 16) * 37 + i * 11) % 224
+                    + (32 if pert and i < 12 else 0)
+                    for i in range(768)
+                )
+                payloads.append(
+                    multimodal.encode_ppm(16, 16, rgb)
+                    if d % 2 == 0
+                    else multimodal.encode_bmp(16, 16, rgb)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+
+
+def _hist_cte() -> str:
+    """Oracle CTE chain replaying the fixture pixels -> integer gray ->
+    8-bucket histogram per doc (bucket = gray DIV 96, gray in
+    [0, 765])."""
+    from icebergsql_spark.plans.pipeline13 import _PHASH_PERT_PIXEL
+
+    pix = _PHASH_PERT_PIXEL.format(i="i.i", div="//")
+    hcols = ", ".join(
+        f"CAST(SUM(CASE WHEN g // 96 = {k} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS h{k}"
+        for k in range(8)
+    )
+    return f"""
+        px AS MATERIALIZED (
+          SELECT doc_id, i.i AS i, {pix} AS v
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, 767)) AS i) i
+          WHERE doc_id < {_HIST_MAX_DOC}
+        ),
+        gray AS MATERIALIZED (
+          SELECT doc_id, i // 3 AS p, CAST(SUM(v) AS BIGINT) AS g
+          FROM px GROUP BY 1, 2
+        ),
+        hist AS MATERIALIZED (
+          SELECT doc_id, {hcols} FROM gray GROUP BY doc_id
+        )"""
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle=f"""
+        WITH {_hist_cte()}
+        SELECT h0, h1, h2, h3, h4, h5, h6, h7,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM hist
+        GROUP BY h0, h1, h2, h3, h4, h5, h6, h7
+        ORDER BY min_doc
+    """,
+    doc="Per-image 8-bucket luminance histograms over REAL decoded "
+    "bytes (netpbm P6 / 24-bit BMP alternating per doc): gray = "
+    "channel sum in [0, 765], bucket = gray DIV 96, exact integer "
+    "counts — the cheap content signature a 100-TB image corpus "
+    "computes in one Arrow-batched narrow map for dedup prefilters "
+    "and quality audits. Identical pixel classes collapse to one "
+    "signature regardless of container format (the decode-parity "
+    "check); each perturbed variant sits at exactly L1=8 from its "
+    "base (+96 gray = exactly one bucket hop for 4 pixels) — but the "
+    "32 planted (class, variant) combos collapse to only 26 "
+    "signatures, because the fixture's near-uniform gradients make "
+    "unrelated classes histogram-collide: the measured coarseness "
+    "that motivates the L1 tier-eval gate. Oracle replays the "
+    "fixture's pixel formula in SQL.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_image_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.multimodal import image_gray_histogram
+
+    hist = image_gray_histogram(_pert_blobs(spark, sf_dir, _HIST_MAX_DOC))
+    return (
+        hist.groupBy(*[f"h{k}" for k in range(8)])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("min_doc")
+    )
+
+
+_HIST_L1_MAX = 8
+
+
+@register(
+    "dedup_image_histogram_l1",
+    oracle=f"""
+        WITH {_hist_cte()},
+        classes AS MATERIALIZED (
+          SELECT h0, h1, h2, h3, h4, h5, h6, h7,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MIN(doc_id) AS BIGINT) AS rep
+          FROM hist
+          GROUP BY h0, h1, h2, h3, h4, h5, h6, h7
+        )
+        SELECT a.rep AS rep_a, b.rep AS rep_b,
+               CAST(abs(a.h0 - b.h0) + abs(a.h1 - b.h1)
+                    + abs(a.h2 - b.h2) + abs(a.h3 - b.h3)
+                    + abs(a.h4 - b.h4) + abs(a.h5 - b.h5)
+                    + abs(a.h6 - b.h6) + abs(a.h7 - b.h7) AS BIGINT)
+                 AS l1,
+               a.n_docs * b.n_docs AS n_pairs
+        FROM classes a JOIN classes b ON a.rep < b.rep
+        WHERE abs(a.h0 - b.h0) + abs(a.h1 - b.h1)
+              + abs(a.h2 - b.h2) + abs(a.h3 - b.h3)
+              + abs(a.h4 - b.h4) + abs(a.h5 - b.h5)
+              + abs(a.h6 - b.h6) + abs(a.h7 - b.h7) <= {_HIST_L1_MAX}
+        ORDER BY l1, rep_a, rep_b
+    """,
+    doc="Histogram-L1 candidate pairs — an honest TIER EVAL of the "
+    "luminance-histogram prefilter: per-signature CLASSES (never "
+    "doc x doc) are cross-scored by exact integer L1 distance over "
+    "the 8 buckets. A local k-pixel edit moves at most 2k of L1 mass "
+    "(every planted 2x2-corner variant lands at exactly L1=8 from "
+    "its base), but the fixture's near-uniform gradients ALSO pull "
+    "unrelated classes under the threshold — the emitted pair list "
+    "pins that recall/precision trade, which is WHY a histogram "
+    "prefilter always feeds an exact verify stage (the pHash/aHash "
+    "tiers above it). The class rollup bounds the pair matrix at "
+    "(distinct signatures)^2 — at 100 TB the signature cardinality, "
+    "not the corpus, drives the join. Oracle replays pixels -> "
+    "histograms -> the same class pairing.",
+    tags=("multimodal", "dedup"),
+)
+def dedup_image_histogram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.multimodal import image_gray_histogram
+
+    hist = image_gray_histogram(_pert_blobs(spark, sf_dir, _HIST_MAX_DOC))
+    classes = (
+        hist.groupBy(*[f"h{k}" for k in range(8)])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    a = classes.select(
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(8)],
+        F.col("n_docs").alias("na"),
+        F.col("rep").alias("rep_a"),
+    )
+    b = classes.select(
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(8)],
+        F.col("n_docs").alias("nb"),
+        F.col("rep").alias("rep_b"),
+    )
+    l1 = sum(
+        F.abs(F.col(f"a{k}") - F.col(f"b{k}")) for k in range(8)
+    )
+    return (
+        a.join(b, F.col("rep_a") < F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            l1.cast("bigint").alias("l1"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("l1") <= _HIST_L1_MAX)
+        .orderBy("l1", "rep_a", "rep_b")
+    )
+
+
+# ---------------------------------------- image gradient quality --
+
+_GRAD_THRESH = 100
+
+
+@register(
+    "multimodal_image_gradients",
+    oracle=f"""
+        WITH {_hist_cte()},
+        dx AS (
+          SELECT a.doc_id, abs(a.g - b.g) AS d
+          FROM gray a JOIN gray b
+            ON b.doc_id = a.doc_id AND b.p = a.p + 1 AND a.p % 16 < 15
+        ),
+        dy AS (
+          SELECT a.doc_id, abs(a.g - b.g) AS d
+          FROM gray a JOIN gray b
+            ON b.doc_id = a.doc_id AND b.p = a.p + 16
+        ),
+        per_doc AS MATERIALIZED (
+          SELECT doc_id, CAST(SUM(d) AS BIGINT) AS tv,
+                 CAST(SUM(CASE WHEN d >= {_GRAD_THRESH} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_edges,
+                 CAST(COUNT(*) AS BIGINT) AS n_grads
+          FROM (SELECT * FROM dx UNION ALL SELECT * FROM dy)
+          GROUP BY doc_id
+        )
+        SELECT tv, n_edges, n_grads,
+               CAST(n_edges * 1000000 // n_grads AS BIGINT) AS edge_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM per_doc
+        GROUP BY tv, n_edges, n_grads
+        ORDER BY min_doc
+    """,
+    doc="Image gradient quality scores over REAL decoded bytes: per "
+    "image the exact total variation (sum of |adjacent gray diff|, "
+    "horizontal + vertical), the count of strong edges "
+    "(|d| >= 100 on the [0,765] gray scale) and the edge density in "
+    "integer ppm — the blur/flatness keep-drop signal an image "
+    "curation pipeline computes per shard in one narrow map (a "
+    "near-uniform image scores tv ~ 0). Signature rollup per "
+    "(tv, n_edges) class pins every pixel: one wrong byte anywhere "
+    "moves tv. Oracle replays the pixel formula with positional "
+    "self-joins.",
+    tags=("multimodal", "curation"),
+)
+def multimodal_image_gradients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.multimodal import image_gradient_stats
+
+    stats = image_gradient_stats(
+        _pert_blobs(spark, sf_dir, _HIST_MAX_DOC), thresh=_GRAD_THRESH
+    )
+    return (
+        stats.groupBy("tv", "n_edges", "n_grads")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .select(
+            "tv",
+            "n_edges",
+            "n_grads",
+            F.expr("n_edges * 1000000 DIV n_grads")
+            .cast("bigint")
+            .alias("edge_ppm"),
+            "n_docs",
+            "min_doc",
+        )
+        .orderBy("min_doc")
+    )
