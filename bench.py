@@ -447,9 +447,11 @@ def main() -> None:
         "events_stream_mann_kendall",
         "managed_show_partitions",
         "events_stream_holt_winters",
-        # third-session round-10 scenario queries (pipeline15)
+        # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",
+        "events_stream_page_hinkley",
+        "sketch_stream_bloom_sliding",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -1218,3 +1218,85 @@ def image_gradient_stats(blobs: DataFrame, thresh: int = 100) -> DataFrame:
     return blobs.mapInPandas(
         run, schema="doc_id bigint, tv bigint, n_edges bigint, n_grads bigint"
     )
+
+
+def dft_int_coefs(
+    n: int = 64, bins: "tuple[int, ...]" = (4, 8, 16), scale: int = 16384
+) -> "list[tuple[int, int, int, int]]":
+    """Quantized DFT basis rows for the probed ``bins`` — the exact
+    integer contract behind ``audio_tone_powers`` (the ``dct_int_coefs``
+    discipline applied to audio): per (bin k, sample i),
+    ``cq = round(cos(2*pi*k*i/n) * scale)`` and
+    ``sq = round(sin(2*pi*k*i/n) * scale)``.  The trig runs ONCE, here,
+    on the driver — the Spark operator and any SQL oracle consume the
+    SAME integer table, so no cross-engine cos()/rounding boundary can
+    diverge the detected tone."""
+    import math
+
+    return [
+        (
+            k,
+            i,
+            round(math.cos(2 * math.pi * k * i / n) * scale),
+            round(math.sin(2 * math.pi * k * i / n) * scale),
+        )
+        for k in bins
+        for i in range(n)
+    ]
+
+
+def dft_coef_values_sql(
+    n: int = 64, bins: "tuple[int, ...]" = (4, 8, 16), scale: int = 16384
+) -> str:
+    """The ``dft_int_coefs`` table as a SQL VALUES list
+    ``(k, i, cq, sq)`` for oracle CTEs."""
+    return ", ".join(
+        f"({k}, {i}, {cq}, {sq})"
+        for (k, i, cq, sq) in dft_int_coefs(n, bins, scale)
+    )
+
+
+def audio_tone_powers(
+    blobs: DataFrame,
+    n: int = 64,
+    bins: "tuple[int, ...]" = (4, 8, 16),
+    scale: int = 16384,
+) -> DataFrame:
+    """Integer DFT power of the first ``n`` PCM samples at the probed
+    ``bins`` — tone/DTMF-style detection with an exact arithmetic
+    contract: re = sum(s_i * cq), im = sum(s_i * sq), power = re^2 +
+    im^2, all int64 on the quantized ``dft_int_coefs`` basis (|re| <=
+    n * 32768 * scale < 2^36, so power < 2^72 would overflow — callers
+    keep amplitudes <= 2^11 as the fixture does, bounding power below
+    2^63).  Emits one row per (doc_id, bin).  Arrow-batched narrow
+    map; no shuffle."""
+    import numpy as np
+
+    table = dft_int_coefs(n, bins, scale)
+    C = {
+        k: np.array(
+            [(cq, sq) for (kk, i, cq, sq) in table if kk == k],
+            dtype="int64",
+        )
+        for k in bins
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                s = pcm.astype("int64")[:n]
+                for k in bins:
+                    re = int((s * C[k][: len(s), 0]).sum())
+                    im = int((s * C[k][: len(s), 1]).sum())
+                    rows.append((int(did), k, re, im, re * re + im * im))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bin", "re_q", "im_q", "power"]
+            )
+
+    return blobs.mapInPandas(
+        run,
+        schema="doc_id bigint, bin int, re_q bigint, im_q bigint,"
+        " power bigint",
+    )

@@ -57,6 +57,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_image_histogram",
     "dedup_image_histogram_l1",
     "multimodal_image_gradients",
+    "events_stream_page_hinkley",
+    "sketch_stream_bloom_sliding",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

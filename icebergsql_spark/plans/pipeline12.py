@@ -1019,8 +1019,6 @@ def _bloom_probe_keys_sql() -> str:
     tags=("sketch", "bloom", "window", "streaming"),
 )
 def sketch_bloom_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from icebergsql_spark.plans.registry import events_ts_to_nanos
 
     ev = events_ts_to_nanos(
@@ -1029,6 +1027,52 @@ def sketch_bloom_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ucnt = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+    du = ev.distinct()
+    return _bloom_sliding_result(_bloom_daily_bits(du), du, ucnt)
+
+
+def _bloom_pos(col):
+    """The 3 md5-derived 12-bit bloom positions of a user id."""
+    return [
+        F.conv(
+            F.substring(F.md5(col.cast("string")), 1 + 3 * j, 3),
+            16, 10,
+        ).cast("bigint").alias(f"p{j}")
+        for j in range(3)
+    ]
+
+
+def _bloom_daily_bits(du: DataFrame) -> DataFrame:
+    """Per-day bloom bitmap words from distinct (day, user) rows —
+    (day, word_idx, bits); OR-mergeable across any partitioning of the
+    input (the property the streaming twin exercises)."""
+    bpos = du.select(
+        "day",
+        F.explode(F.array(*_bloom_pos(F.col("user_id")))).alias("p"),
+    )
+    return bpos.select(
+        "day",
+        F.expr("p DIV 32").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
+            "m"
+        ),
+    ).groupBy("day", "word_idx").agg(F.bit_or("m").alias("bits"))
+
+
+def _bloom_sliding_result(
+    daily: DataFrame, du: DataFrame, ucnt: DataFrame
+) -> DataFrame:
+    """Shared window/probe tail of the sliding-bloom gates: OR the
+    per-day bitmaps into 7-day windows, probe the 3 most / 3 least
+    active users, and ride the exact windowed presence alongside.
+    ``daily`` is the (day, word_idx, bits) relation (however it was
+    accumulated), ``du`` the distinct (day, user) set for the exact
+    column, ``ucnt`` the per-user activity counts for probe choice."""
+    from pyspark.sql import Window as W
+
+    def pos(col):
+        return _bloom_pos(col)
+
     probes = (
         ucnt.withColumn(
             "r1", F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
@@ -1040,28 +1084,6 @@ def sketch_bloom_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .localCheckpoint()
     )
-    du = ev.distinct()
-
-    def pos(col):
-        return [
-            F.conv(
-                F.substring(F.md5(col.cast("string")), 1 + 3 * j, 3),
-                16, 10,
-            ).cast("bigint").alias(f"p{j}")
-            for j in range(3)
-        ]
-
-    bpos = du.select(
-        "day",
-        F.explode(F.array(*pos(F.col("user_id")))).alias("p"),
-    )
-    daily = bpos.select(
-        "day",
-        F.expr("p DIV 32").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias(
-            "m"
-        ),
-    ).groupBy("day", "word_idx").agg(F.bit_or("m").alias("bits"))
     days = daily.select(F.col("day").alias("wday")).distinct()
     win = (
         daily.select(

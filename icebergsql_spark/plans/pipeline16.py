@@ -444,6 +444,17 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_ts_to_nanos(
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).createOrReplaceTempView("ev_ph")
+    daily = spark.sql(
+        "SELECT event_type, ts DIV 86400000000000 AS day, COUNT(*) AS c "
+        "FROM ev_ph GROUP BY 1, 2"
+    )
+    return _ph_fold(daily)
+
+
+def _ph_fold(daily: DataFrame) -> DataFrame:
+    """The Page-Hinkley aggregate() fold over a (event_type, day, c)
+    relation — shared verbatim by the batch gate and the streaming
+    twin so both replay the IDENTICAL float-op sequence."""
 
     def step(acc, x):
         xc = x["c"].cast("double")
@@ -471,10 +482,6 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_alarm"),
         )
 
-    daily = spark.sql(
-        "SELECT event_type, ts DIV 86400000000000 AS day, COUNT(*) AS c "
-        "FROM ev_ph GROUP BY 1, 2"
-    )
     res = daily.groupBy("event_type").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("day", "c"))),
@@ -1018,3 +1025,154 @@ def multimodal_image_gradients(
         )
         .orderBy("min_doc")
     )
+
+
+# --------------------------------------- streaming Page-Hinkley twin --
+
+
+@register(
+    "events_stream_page_hinkley",
+    oracle=_ph_oracle(),
+    doc="STREAMING twin of events_page_hinkley: 3 chronological "
+    "micro-batches append per-(type, day) count PARTIALS to a parquet "
+    "sink (sum-mergeable — batch chopping and replay cannot change "
+    "the merged daily totals), and the finalizer rebuilds the daily "
+    "series and runs the IDENTICAL aggregate() fold (_ph_fold, shared "
+    "verbatim), so the drift trajectory bit-matches the batch oracle. "
+    "The always-on drift monitor shape: per-batch state is one row "
+    "per active (type, day), never event volume.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_page_hinkley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sphsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-sphout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                "event_type", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-sphck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(out)
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return _ph_fold(daily)
+
+
+# --------------------------------------- streaming sliding bloom twin --
+
+
+def _stream_bloom_oracle() -> str:
+    from icebergsql_spark.plans.registry import REGISTRY
+
+    return REGISTRY["sketch_bloom_sliding"].oracle
+
+
+@register(
+    "sketch_stream_bloom_sliding",
+    oracle=_stream_bloom_oracle(),
+    doc="STREAMING twin of sketch_bloom_sliding — the fourth "
+    "mergeable-through-time sketch pairing (HLL merges by MAX, CMS by "
+    "SUM, KMV by set-union, Bloom by OR): each of 3 chronological "
+    "micro-batches appends its per-day bloom bitmap WORDS "
+    "(day, word_idx, bits) to a parquet sink, plus distinct "
+    "(day, user) markers for the exact audit column and per-user "
+    "count partials for probe selection; the finalizer ORs the bitmap "
+    "partials per (day, word_idx) — bitwise OR is idempotent and "
+    "commutative, so batch chopping and replay cannot change the "
+    "merged filter — and runs the IDENTICAL window/probe tail "
+    "(_bloom_sliding_result, shared verbatim with the batch gate). "
+    "Per-batch streaming state is <=128 bitmap words per active day "
+    "regardless of user cardinality: exactly what an always-on "
+    "membership monitor ships at 100 TB.",
+    tags=("sketch", "bloom", "window", "streaming"),
+)
+def sketch_stream_bloom_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.pipeline12 import (
+        _bloom_daily_bits,
+        _bloom_sliding_result,
+    )
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sblsrc-")
+    bits_out = tempfile.mkdtemp(prefix="icebergsql-sblbits-")
+    du_out = tempfile.mkdtemp(prefix="icebergsql-sbldu-")
+    cnt_out = tempfile.mkdtemp(prefix="icebergsql-sblcnt-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        b = batch_df.select(
+            "user_id", F.expr("ts DIV 86400000000000").alias("day")
+        )
+        du_b = b.distinct()
+        _bloom_daily_bits(du_b).write.mode("append").parquet(bits_out)
+        du_b.write.mode("append").parquet(du_out)
+        b.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ).write.mode("append").parquet(cnt_out)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-sblck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(bits_out)
+        .groupBy("day", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    du = spark.read.parquet(du_out).distinct()
+    ucnt = (
+        spark.read.parquet(cnt_out)
+        .groupBy("user_id")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return _bloom_sliding_result(daily, du, ucnt)
