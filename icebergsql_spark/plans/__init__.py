@@ -59,6 +59,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_image_gradients",
     "events_stream_page_hinkley",
     "sketch_stream_bloom_sliding",
+    "multimodal_audio_tone",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -1176,3 +1176,136 @@ def sketch_stream_bloom_sliding(
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     return _bloom_sliding_result(daily, du, ucnt)
+
+
+# ------------------------------------------------ audio tone detection --
+
+_TONE_MAX_DOC = 500
+_TONE_N = 64
+_TONE_BINS = (4, 8, 16)
+_TONE_AMP = 1024
+
+
+def _tone_top_bin_sql(p4: str, p8: str, p16: str) -> str:
+    return (
+        f"CASE WHEN {p4} >= {p8} AND {p4} >= {p16} THEN 4 "
+        f"WHEN {p8} >= {p16} THEN 8 ELSE 16 END"
+    )
+
+
+def _tone_oracle() -> str:
+    from icebergsql_spark.operators.multimodal import dft_coef_values_sql
+
+    half_p = "CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END"
+    pcols = ", ".join(
+        f"CAST(MAX(CASE WHEN k = {k} THEN re * re + im * im END)"
+        f" AS BIGINT) AS p{k}"
+        for k in _TONE_BINS
+    )
+    return f"""
+        WITH coef(k, i, cq, sq) AS (
+          VALUES {dft_coef_values_sql(_TONE_N, _TONE_BINS)}
+        ),
+        samp AS MATERIALIZED (
+          SELECT doc_id, i.i AS i,
+                 CASE WHEN ((i.i // ({half_p})) % 2) = 0
+                      THEN {_TONE_AMP} ELSE -{_TONE_AMP} END AS s
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, {_TONE_N - 1}))
+                      AS i) i
+          WHERE doc_id < {_TONE_MAX_DOC}
+        ),
+        pw AS MATERIALIZED (
+          SELECT samp.doc_id, coef.k,
+                 CAST(SUM(samp.s * coef.cq) AS BIGINT) AS re,
+                 CAST(SUM(samp.s * coef.sq) AS BIGINT) AS im
+          FROM samp JOIN coef ON coef.i = samp.i
+          GROUP BY 1, 2
+        ),
+        per_doc AS MATERIALIZED (
+          SELECT doc_id, {pcols} FROM pw GROUP BY doc_id
+        )
+        SELECT p4, p8, p16,
+               CAST({_tone_top_bin_sql('p4', 'p8', 'p16')} AS INTEGER)
+                 AS top_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM per_doc
+        GROUP BY p4, p8, p16
+        ORDER BY min_doc
+    """
+
+
+@register(
+    "multimodal_audio_tone",
+    oracle=_tone_oracle(),
+    doc="Tone detection by EXACT integer DFT over REAL WAV payloads "
+    "(the dct_int_coefs discipline applied to audio): each doc plants "
+    "a square wave of period 4/8/16 samples by class; the quantized "
+    "cos/sin basis (trig computed ONCE on the driver, identical "
+    "literals in both engines) scores DFT power re^2 + im^2 at probe "
+    "bins 16/8/4 of a 64-sample frame in pure int64 — the planted "
+    "fundamental dominates and top_bin recovers every class. The "
+    "DTMF/beep/watermark detector a media-curation pipeline runs per "
+    "shard: decode + one integer matmul per frame, no FFT library, "
+    "no floats. Oracle replays samples from the class formula against "
+    "the same VALUES coefficients.",
+    tags=("multimodal", "curation"),
+)
+def multimodal_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < _TONE_MAX_DOC)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                half_p = (2, 4, 8)[int(d) % 3]
+                samples = [
+                    _TONE_AMP if (i // half_p) % 2 == 0 else -_TONE_AMP
+                    for i in range(_TONE_N)
+                ]
+                payloads.append(multimodal.encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    powers = multimodal.audio_tone_powers(
+        blobs, n=_TONE_N, bins=_TONE_BINS
+    )
+    per_doc = powers.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("bin") == k, F.col("power"))
+            ).cast("bigint").alias(f"p{k}")
+            for k in _TONE_BINS
+        ]
+    )
+    return (
+        per_doc.groupBy("p4", "p8", "p16")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .select(
+            "p4",
+            "p8",
+            "p16",
+            F.expr(_tone_top_bin_sql("p4", "p8", "p16"))
+            .cast("int")
+            .alias("top_bin"),
+            "n_docs",
+            "min_doc",
+        )
+        .orderBy("min_doc")
+    )
