@@ -60,6 +60,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_stream_page_hinkley",
     "sketch_stream_bloom_sliding",
     "multimodal_audio_tone",
+    "events_binseg_changepoints",
+    "events_weekly_spectrum",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -1309,3 +1309,189 @@ def multimodal_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_doc")
     )
+
+
+# --------------------------------------- binary-segmentation splits --
+
+_BINSEG_SQL = """
+        WITH ev AS (
+          SELECT {day_expr} AS day, event_type FROM {src}
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev WHERE event_type = 'purchase' GROUP BY day
+        ),
+        cum AS (
+          SELECT day,
+                 CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s_k,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+          FROM daily
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS t
+          FROM daily
+        ),
+        lvl1 AS (
+          SELECT k, day FROM (
+            SELECT cum.k, cum.day,
+                   row_number() OVER (
+                     ORDER BY abs(tot.n * cum.s_k - cum.k * tot.t)
+                       DESC, cum.day ASC
+                   ) AS rn
+            FROM cum CROSS JOIN tot WHERE cum.k < tot.n
+          ) z WHERE rn = 1
+        ),
+        segs AS (
+            SELECT CAST(1 AS BIGINT) AS lv,
+                   CAST(1 AS BIGINT) AS lo, tot.n AS hi
+            FROM tot
+          UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), lvl1.k
+            FROM lvl1
+          UNION ALL
+            SELECT CAST(2 AS BIGINT), lvl1.k + 1, tot.n
+            FROM lvl1 CROSS JOIN tot
+        ),
+        base AS (
+          SELECT segs.lv, segs.lo, segs.hi,
+                 CAST(COALESCE(lo_c.s_k, 0) AS BIGINT) AS s_lo,
+                 CAST(hi_c.s_k - COALESCE(lo_c.s_k, 0) AS BIGINT) AS t_s
+          FROM segs
+          LEFT JOIN cum lo_c ON lo_c.k = segs.lo - 1
+          JOIN cum hi_c ON hi_c.k = segs.hi
+        ),
+        dev AS (
+          SELECT base.lv, base.lo, base.hi, cum.k, cum.day,
+                 CAST(base.hi - base.lo + 1 AS BIGINT) AS n_seg,
+                 CAST(cum.s_k - base.s_lo AS BIGINT) AS pre_sum,
+                 CAST(base.t_s - (cum.s_k - base.s_lo) AS BIGINT)
+                   AS post_sum,
+                 CAST(abs((base.hi - base.lo + 1)
+                          * (cum.s_k - base.s_lo)
+                          - (cum.k - base.lo + 1) * base.t_s)
+                      AS BIGINT) AS dev_num
+          FROM base JOIN cum
+            ON cum.k >= base.lo AND cum.k < base.hi
+        ),
+        best AS (
+          SELECT * FROM (
+            SELECT dev.*,
+                   row_number() OVER (
+                     PARTITION BY lv, lo
+                     ORDER BY dev_num DESC, day ASC
+                   ) AS rn
+            FROM dev
+          ) z WHERE rn = 1
+        )
+        SELECT lv AS level, lo AS seg_lo, hi AS seg_hi, n_seg,
+               k AS split_k, CAST(day AS BIGINT) AS split_day,
+               dev_num, pre_sum, post_sum
+        FROM best
+        ORDER BY lv, lo
+"""
+
+
+@register(
+    "events_binseg_changepoints",
+    oracle=_BINSEG_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events"
+    ),
+    doc="Two-level BINARY SEGMENTATION over the daily purchase series "
+    "(the hierarchical changepoint detector events_cusum_split is "
+    "step one of): level 1 finds the global CUSUM max-deviation "
+    "split; level 2 re-runs the identical rule INSIDE each resulting "
+    "half using segment-local sums derived algebraically from the ONE "
+    "global cumulative-sum window (n_s*S_seg - k_s*T_s — exact "
+    "bigints, no per-segment rescan, no driver recursion). Emits the "
+    "three (level, segment) best splits with exact pre/post sums. "
+    "Scale shape: one daily rollup + one window + a 3-row segment "
+    "join; depth-d segmentation is d chained CTEs over the same "
+    "cumulative relation.",
+    tags=("events", "stats"),
+)
+def events_binseg_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_binseg")
+    return spark.sql(
+        _BINSEG_SQL.format(day_expr="ts DIV 86400000000000", src="ev_binseg")
+    )
+
+
+# --------------------------------------------- weekly spectrum (DFT) --
+
+_SPEC_N = 28
+_SPEC_BINS = (1, 2, 4)  # periods 28 / 14 / 7 days
+_SPEC_SCALE = 4096
+
+
+def _spectrum_sql(day_expr: str, src: str) -> str:
+    """Shared (engine-identical) SQL: per event type, integer DFT of
+    the first 28 daily counts at the period-28/14/7 bins from the
+    driver-quantized VALUES basis."""
+    from icebergsql_spark.operators.multimodal import dft_coef_values_sql
+
+    return f"""
+        WITH coef (k, i, cq, sq) AS (
+          VALUES {dft_coef_values_sql(_SPEC_N, _SPEC_BINS, _SPEC_SCALE)}
+        ),
+        ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2
+        ),
+        idx AS (
+          SELECT event_type, x,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+                 ) - 1 AS BIGINT) AS i
+          FROM daily
+        ),
+        pw AS (
+          SELECT idx.event_type, coef.k,
+                 CAST(SUM(idx.x * coef.cq) AS BIGINT) AS re_q,
+                 CAST(SUM(idx.x * coef.sq) AS BIGINT) AS im_q
+          FROM idx JOIN coef ON coef.i = idx.i
+          WHERE idx.i < {_SPEC_N}
+          GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(k AS INTEGER) AS bin,
+               CAST({_SPEC_N} DIV k AS BIGINT) AS period_days,
+               re_q, im_q,
+               CAST(re_q * re_q + im_q * im_q AS BIGINT) AS power
+        FROM pw
+        ORDER BY event_type, bin
+    """
+
+
+@register(
+    "events_weekly_spectrum",
+    oracle=_spectrum_sql(
+        "epoch_ns(ts) // 86400000000000", "events"
+    ).replace(" DIV ", " // "),
+    doc="Weekly/biweekly/monthly spectral signature of the per-type "
+    "daily volume series by EXACT integer DFT (the dft_int_coefs "
+    "basis shared with multimodal_audio_tone, trig quantized ONCE on "
+    "the driver): bins 1/2/4 of a 28-day window = periods 28/14/7 "
+    "days; re/im/power are pure int64 sums, so the seasonality "
+    "strength ranking is a pure function of the data — the "
+    "capacity-planning complement to events_haar_energy (which bins "
+    "by dyadic scale, not by calendar period). Scale shape: one "
+    "(type, day) count, then a 28-row-per-type join against an "
+    "84-row VALUES basis.",
+    tags=("events", "forecast", "stats"),
+)
+def events_weekly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_spec")
+    return spark.sql(_spectrum_sql("ts DIV 86400000000000", "ev_spec"))
