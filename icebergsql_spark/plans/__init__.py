@@ -62,6 +62,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_audio_tone",
     "events_binseg_changepoints",
     "events_weekly_spectrum",
+    "emb_signbit_band_sweep",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

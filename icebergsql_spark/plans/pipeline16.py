@@ -1495,3 +1495,138 @@ def events_weekly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).createOrReplaceTempView("ev_spec")
     return spark.sql(_spectrum_sql("ts DIV 86400000000000", "ev_spec"))
+
+
+# --------------------------------------- signbit LSH recall sweep --
+
+_SWEEP_BITS = (4, 6, 8)
+_SWEEP_Q = 7
+_SWEEP_K = 10
+
+_SWEEP_COS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> b.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+"""
+
+
+def _sweep_bucket(nbits: int, t: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"CASE WHEN {t}.embedding[{i + 1}] >= 0 THEN {2 ** i}"
+            " ELSE 0 END"
+            for i in range(nbits)
+        )
+        + ")"
+    )
+
+
+def _sweep_oracle() -> str:
+    per_bits = []
+    for nb in _SWEEP_BITS:
+        per_bits.append(f"""
+        SELECT {nb} AS bits,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(SUM(CASE WHEN t.vec_id IS NULL
+                                  THEN 0 ELSE 1 END), 0)
+                    AS BIGINT) AS n_hits
+        FROM embeddings b
+        CROSS JOIN (SELECT embedding FROM embeddings
+                    WHERE vec_id = {_SWEEP_Q}) q
+        LEFT JOIN top{_SWEEP_K} t ON t.vec_id = b.vec_id
+        WHERE b.vec_id != {_SWEEP_Q}
+          AND {_sweep_bucket(nb, 'b')} = (
+            SELECT {_sweep_bucket(nb, 'qq')} FROM embeddings qq
+            WHERE qq.vec_id = {_SWEEP_Q})""")
+    body = "\n        UNION ALL\n".join(per_bits)
+    return f"""
+        WITH top{_SWEEP_K} AS MATERIALIZED (
+          SELECT b.vec_id
+          FROM embeddings b
+          CROSS JOIN (SELECT embedding FROM embeddings
+                      WHERE vec_id = {_SWEEP_Q}) q
+          WHERE b.vec_id != {_SWEEP_Q}
+          ORDER BY {_SWEEP_COS} DESC, b.vec_id
+          LIMIT {_SWEEP_K}
+        )
+        SELECT bits, n_candidates, n_hits,
+               CAST(n_hits * 1000000 // {_SWEEP_K} AS BIGINT)
+                 AS recall_ppm
+        FROM ({body})
+        ORDER BY bits
+    """
+
+
+@register(
+    "emb_signbit_band_sweep",
+    oracle=_sweep_oracle(),
+    doc="Sign-bit LSH precision knob swept end-to-end (the embedding "
+    "sibling of dedup_lsh_band_sweep): for 4/6/8 leading-dim sign "
+    "bits, how many vectors share the query's bucket (scan volume) "
+    "and how many of the EXACT cosine top-10 are among them (recall) "
+    "— the recall-vs-candidates curve that picks the bucket width "
+    "before anyone ships an ANN index. Counts are exact integers; the "
+    "top-10 set comes from the same sequential-fold cosine both "
+    "engines replay. Scale shape: each sweep point is one broadcast "
+    "scalar (the query bucket) + one bucket-pruned scan; the exact "
+    "top-k baseline is the one all-pairs pass, amortized across the "
+    "sweep.",
+    tags=("embedding", "ann", "dedup"),
+)
+def emb_signbit_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from icebergsql_spark.operators import similarity
+    from icebergsql_spark.plans.registry import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    top = (
+        similarity.brute_force_topk(emb, query_id=_SWEEP_Q, k=_SWEEP_K)
+        .select("vec_id")
+        .withColumn("is_top", F.lit(1))
+        .localCheckpoint()
+    )
+    parts = []
+    for nb in _SWEEP_BITS:
+        bucket = F.expr(_sweep_bucket(nb, "e").replace("e.embedding[", "element_at(embedding, ").replace("]", ")"))
+        bucketed = emb.select("vec_id", bucket.alias("bucket"))
+        qb = bucketed.filter(F.col("vec_id") == _SWEEP_Q).select(
+            F.col("bucket").alias("qbucket")
+        )
+        cand = (
+            bucketed.filter(F.col("vec_id") != _SWEEP_Q)
+            .crossJoin(F.broadcast(qb))
+            .filter(F.col("bucket") == F.col("qbucket"))
+        )
+        parts.append(
+            cand.join(F.broadcast(top), "vec_id", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("is_top"), F.lit(0))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(nb).alias("bits"), "n_candidates", "n_hits"
+            )
+        )
+    return (
+        reduce(lambda x, y: x.unionAll(y), parts)
+        .select(
+            "bits",
+            "n_candidates",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 DIV {_SWEEP_K}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy("bits")
+    )
