@@ -452,6 +452,7 @@ def main() -> None:
         "graph_leiden_refine",
         "events_stream_page_hinkley",
         "sketch_stream_bloom_sliding",
+        "managed_cherrypick_audit",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

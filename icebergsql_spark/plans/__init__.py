@@ -63,6 +63,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_binseg_changepoints",
     "events_weekly_spectrum",
     "emb_signbit_band_sweep",
+    "curation_dedup_aware_sample",
+    "managed_cherrypick_audit",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -1630,3 +1630,218 @@ def emb_signbit_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bits")
     )
+
+
+# --------------------------------------- dedup-aware sampling --
+
+_DSAMP_T = 100
+_DSAMP_KEY = "substr(text, 1, 32)"
+
+
+@register(
+    "curation_dedup_aware_sample",
+    oracle=f"""
+        WITH clus AS MATERIALIZED (
+          SELECT {_DSAMP_KEY} AS ck, CAST(MIN(doc_id) AS BIGINT) AS rep,
+                 CAST(COUNT(*) AS BIGINT) AS m
+          FROM documents GROUP BY 1
+        ),
+        naive AS MATERIALIZED (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              ORDER BY md5('ds:' || CAST(doc_id AS VARCHAR)), doc_id
+            ) AS rk FROM documents
+          ) z WHERE rk <= {_DSAMP_T}
+        ),
+        dedup AS MATERIALIZED (
+          SELECT rep FROM (
+            SELECT rep, row_number() OVER (
+              ORDER BY md5('ds:' || CAST(rep AS VARCHAR)), rep
+            ) AS rk FROM clus
+          ) z WHERE rk <= {_DSAMP_T}
+        ),
+        src AS MATERIALIZED (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT {_DSAMP_KEY}) AS BIGINT)
+                   AS n_clusters
+          FROM documents GROUP BY source
+        ),
+        nsrc AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS naive_n
+          FROM naive JOIN documents d ON d.doc_id = naive.doc_id
+          GROUP BY 1
+        ),
+        dsrc AS (
+          SELECT d.source, CAST(COUNT(*) AS BIGINT) AS dedup_n
+          FROM dedup JOIN documents d ON d.doc_id = dedup.rep
+          GROUP BY 1
+        )
+        SELECT src.source, src.n_docs, src.n_clusters,
+               CAST(COALESCE(nsrc.naive_n, 0) AS BIGINT) AS naive_n,
+               CAST(COALESCE(dsrc.dedup_n, 0) AS BIGINT) AS dedup_n
+        FROM src
+        LEFT JOIN nsrc ON nsrc.source = src.source
+        LEFT JOIN dsrc ON dsrc.source = src.source
+        ORDER BY src.source
+    """,
+    doc="Dedup-aware corpus sampling (the training-mix step after "
+    "near-dup clustering: sample CLUSTERS, not documents, or "
+    "boilerplate-heavy sources are over-represented): documents "
+    "cluster by a 32-char prefix fingerprint (min-doc rep); a naive "
+    "seeded-md5 sample of 100 DOCS and a dedup-aware sample of 100 "
+    "CLUSTER REPS are rolled up per source side by side — sources "
+    "whose docs share prefixes lose mass under the cluster sample, "
+    "which is the bias being corrected. Fully deterministic (seeded "
+    "md5 ranks), exact counts. Scale shape: one fingerprint groupBy, "
+    "two rank windows, broadcast-sized sample joins.",
+    tags=("curation", "dedup", "stats"),
+)
+def curation_dedup_aware_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ck = F.expr(_DSAMP_KEY)
+    clus = docs.groupBy(ck.alias("ck")).agg(
+        F.min("doc_id").cast("bigint").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    naive = (
+        docs.select("doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(
+                    F.md5(F.concat(F.lit("ds:"),
+                                   F.col("doc_id").cast("string"))),
+                    "doc_id",
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _DSAMP_T)
+        .select("doc_id")
+    )
+    dedup_s = (
+        clus.select("rep")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(
+                    F.md5(F.concat(F.lit("ds:"),
+                                   F.col("rep").cast("string"))),
+                    "rep",
+                )
+            ),
+        )
+        .filter(F.col("rk") <= _DSAMP_T)
+        .select(F.col("rep").alias("doc_id"))
+    )
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(ck).cast("bigint").alias("n_clusters"),
+    )
+    nsrc = (
+        naive.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("naive_n"))
+    )
+    dsrc = (
+        dedup_s.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dedup_n"))
+    )
+    return (
+        src.join(nsrc, "source", "left")
+        .join(dsrc, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("naive_n", F.lit(0)).cast("bigint").alias("naive_n"),
+            F.coalesce("dedup_n", F.lit(0)).cast("bigint").alias("dedup_n"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------- cherry-pick audit scenario --
+
+
+@register(
+    "managed_cherrypick_audit",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Cherry-pick after rollback, audited end-to-end (the undo/redo "
+    "runbook of snapshot-based tables): wave 1 (keys % 3 != 0) and "
+    "wave 2 (keys % 3 = 0) land as separate snapshots; CALL "
+    "system.rollback_to_snapshot rewinds main to wave 1 (asserted: "
+    "wave-2 rows gone); CALL system.cherrypick_snapshot re-applies "
+    "wave 2's files as a NEW commit (cherry-picked files belong to "
+    "the source snapshot, so cleanup-on-failure must not delete them "
+    "— the round-4 invariant this gate re-exercises through SQL). "
+    "Final per-year rollup equals the full raw-orders oracle, and "
+    "$history grew by both the rollback and the pick. Scale shape: "
+    "all metadata ops; the only data pass is the final rollup.",
+    tags=("managed", "lineage", "maintenance"),
+)
+def managed_cherrypick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.operators.util import mark_setup_done
+    from icebergsql_spark.plans.registry import load_tables
+    from icebergsql_spark.sql import Engine
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-cpk-"))
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
+    )
+    t = eng.catalog.create_table("ord_cpk", ddl, ["o_year"])
+    n_all = orders.count()
+    t.insert(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.refresh()
+    wave1 = t.meta.current_snapshot().snapshot_id
+    n_wave1 = t.scan().count_from_stats()
+    t.insert(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.refresh()
+    wave2 = t.meta.current_snapshot().snapshot_id
+    assert t.scan().count_from_stats() == n_all
+    mark_setup_done()  # fixture built; rollback + cherry-pick is the op
+    eng.sql(
+        f"CALL system.rollback_to_snapshot(table => 'ord_cpk',"
+        f" snapshot_id => {wave1})"
+    )
+    t.refresh()
+    assert t.scan().count_from_stats() == n_wave1, "rollback lost rows"
+    eng.sql(
+        f"CALL system.cherrypick_snapshot(table => 'ord_cpk',"
+        f" snapshot_id => {wave2})"
+    )
+    t.refresh()
+    assert t.scan().count_from_stats() == n_all, "cherry-pick incomplete"
+    hist = eng.sql(
+        "SELECT COUNT(*) AS n,"
+        " SUM(CASE WHEN is_current_ancestor THEN 0 ELSE 1 END)"
+        " AS orphans FROM `ord_cpk$history`"
+    ).collect()
+    # wave1 + the rolled-back wave2 (off the current ancestry) + the
+    # cherry-picked head
+    assert hist[0]["n"] >= 3, "history must keep all three snapshots"
+    assert hist[0]["orphans"] == 1, "rollback must orphan exactly wave2"
+    return eng.sql(
+        "SELECT o_year, COUNT(*) AS n, "
+        "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)"
+        " / 100.0 AS total "
+        "FROM ord_cpk GROUP BY o_year ORDER BY o_year"
+    )
