@@ -65,6 +65,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "emb_signbit_band_sweep",
     "curation_dedup_aware_sample",
     "managed_cherrypick_audit",
+    "events_uplift_deciles",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -1845,3 +1845,92 @@ def managed_cherrypick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / 100.0 AS total "
         "FROM ord_cpk GROUP BY o_year ORDER BY o_year"
     )
+
+
+# --------------------------------------------- uplift decile table --
+
+_UPLIFT_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                               AND ev.day < d0.d + 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                               AND ev.day >= d0.d + 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+        ranked AS (
+          SELECT per_user.*,
+                 CAST(row_number() OVER (ORDER BY x DESC, user_id)
+                      AS BIGINT) AS rk,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user) AS n
+          FROM per_user
+        ),
+        dec AS (
+          SELECT CAST((rk - 1) * 10 {div} n AS BIGINT) AS decile,
+                 arm, x, y
+          FROM ranked
+        ),
+        cells AS (
+          SELECT decile,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                      AS BIGINT) AS y_t,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                      AS BIGINT) AS y_c
+          FROM dec GROUP BY decile
+        )
+        SELECT decile, n_t, n_c, y_t, y_c,
+               CASE WHEN n_t > 0 AND n_c > 0
+                    THEN CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                         - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+               END AS uplift,
+               CAST(SUM(y_t) OVER w AS BIGINT) AS cum_y_t,
+               CAST(SUM(y_c) OVER w AS BIGINT) AS cum_y_c,
+               CAST(SUM(n_t) OVER w AS BIGINT) AS cum_n_t,
+               CAST(SUM(n_c) OVER w AS BIGINT) AS cum_n_c
+        FROM cells
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY decile
+"""
+
+
+@register(
+    "events_uplift_deciles",
+    oracle=_UPLIFT_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    ),
+    doc="Uplift-by-decile (Qini-style) A/B table: users rank by their "
+    "pre-period purchase count (first 10 days; total order via "
+    "(x DESC, user_id)), split into 10 arithmetic deciles "
+    "((rk-1)*10 DIV n — not ntile, whose remainder placement is an "
+    "engine detail), and per decile the treatment/control post-period "
+    "outcome sums are exact bigints with the mirrored float uplift "
+    "and running cumulative cells for the Qini curve. The "
+    "heterogeneous-treatment-effect readout every experimentation "
+    "platform ships next to the pooled z-test. Scale shape: one "
+    "per-user rollup, one rank window, one 10-row aggregate.",
+    tags=("events", "stats"),
+)
+def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_uplift")
+    return spark.sql(
+        _UPLIFT_SQL.format(
+            day_expr="ts DIV 86400000000000", src="ev_uplift", div="DIV"
+        )
+    )
