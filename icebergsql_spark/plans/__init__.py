@@ -66,6 +66,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_dedup_aware_sample",
     "managed_cherrypick_audit",
     "events_uplift_deciles",
+    "text_boilerplate_ngrams",
+    "events_ab_power_mde",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -1934,3 +1934,150 @@ def events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             day_expr="ts DIV 86400000000000", src="ev_uplift", div="DIV"
         )
     )
+
+
+# --------------------------------------------- boilerplate shingles --
+
+_BOIL_N = 2  # words per shingle
+_BOIL_PCT = 10  # keep shingles present in >= source_docs / 10 documents
+_BOIL_TOPK = 50
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(trim(text), ' ') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, source, t,
+                 unnest(generate_series(1, len(t) - {_BOIL_N - 1})) AS p
+          FROM toks WHERE len(t) >= {_BOIL_N}
+        ),
+        sh AS MATERIALIZED (
+          SELECT DISTINCT doc_id, source,
+                 array_to_string(t[p:p + {_BOIL_N - 1}], ' ') AS shingle
+          FROM pos
+        ),
+        srcn AS MATERIALIZED (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS source_docs
+          FROM documents GROUP BY source
+        ),
+        df AS (
+          SELECT sh.source, sh.shingle,
+                 CAST(COUNT(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1, 2
+        )
+        SELECT df.source, df.shingle, df.df, srcn.source_docs,
+               CAST(df.df * 1000000 // srcn.source_docs AS BIGINT)
+                 AS df_ppm
+        FROM df JOIN srcn ON srcn.source = df.source
+        WHERE df.df * {_BOIL_PCT} >= srcn.source_docs
+        ORDER BY df_ppm DESC, df.source, df.shingle LIMIT {_BOIL_TOPK}
+    """,
+    doc="Per-source boilerplate n-gram detection (the C4/RefinedWeb "
+    "cleanup pass: a 5-gram shared by >=25% of a source's documents "
+    "is template text, not content): distinct per-doc word 5-gram "
+    "shingles, document frequency per (source, shingle), the "
+    "threshold band emitted with exact df and integer-ppm rates. "
+    "What a crawl-curation pipeline subtracts before quality scoring "
+    "— and the shingle DF rollup is the same shape minhash dedup "
+    "already shuffles, so it rides along at 100 TB. Exact integers "
+    "end-to-end.",
+    tags=("text", "curation", "dedup"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    docs.createOrReplaceTempView("boil_docs")
+    return spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, source, split(trim(text), ' ') AS t
+          FROM boil_docs
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, source, shingle
+          FROM toks
+          LATERAL VIEW explode(
+            transform(sequence(1, size(t) - {_BOIL_N - 1}),
+                      i -> concat_ws(' ', slice(t, i, {_BOIL_N})))
+          ) x AS shingle
+          WHERE size(t) >= {_BOIL_N}
+        ),
+        srcn AS (
+          SELECT source, COUNT(*) AS source_docs
+          FROM boil_docs GROUP BY source
+        ),
+        df AS (
+          SELECT source, shingle, COUNT(*) AS df FROM sh GROUP BY 1, 2
+        )
+        SELECT df.source, df.shingle, df.df, srcn.source_docs,
+               df.df * 1000000 DIV srcn.source_docs AS df_ppm
+        FROM df JOIN srcn ON srcn.source = df.source
+        WHERE df.df * {_BOIL_PCT} >= srcn.source_docs
+        ORDER BY df_ppm DESC, df.source, df.shingle LIMIT {_BOIL_TOPK}
+    """)
+
+
+# --------------------------------------------- A/B power and MDE --
+
+_MDE_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type FROM {src}
+        ),
+        per_user AS (
+          SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+                 CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 20
+                      THEN 1 ELSE 0 END AS conv
+          FROM ev GROUP BY user_id
+        ),
+        cells AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c,
+                 CAST(SUM(conv) AS BIGINT) AS conv_all
+          FROM per_user
+        )
+        SELECT n, n_t, n_c, conv_all,
+               CAST(conv_all AS DOUBLE) / CAST(n AS DOUBLE) AS p_pool,
+               (1.959964 + 0.841621)
+                 * sqrt((CAST(conv_all AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(conv_all AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                        * (1.0 / CAST(n_t AS DOUBLE)
+                           + 1.0 / CAST(n_c AS DOUBLE)))
+                 AS mde_abs
+        FROM cells
+"""
+
+
+@register(
+    "events_ab_power_mde",
+    oracle=_MDE_SQL.format(src="events"),
+    doc="Minimal detectable effect for the standing A/B split (the "
+    "pre-experiment power check every platform runs before launching "
+    "a test): pooled conversion (>=20 purchases, the discriminating "
+    "threshold from events_ab_test_ztest), arm sizes from the "
+    "user_id%2 assignment, and MDE = (z_0.975 + z_0.80) * "
+    "sqrt(p(1-p)(1/n_t + 1/n_c)) — the z constants are shared "
+    "literals, and sqrt/division are the bit-identical float ops "
+    "(no erf/ln anywhere). Exact integer sufficient stats ride "
+    "alongside so the float column is auditable. Scale shape: one "
+    "per-user rollup + one global aggregate.",
+    tags=("events", "stats"),
+)
+def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_mde")
+    return spark.sql(_MDE_SQL.format(src="ev_mde"))
