@@ -68,6 +68,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_uplift_deciles",
     "text_boilerplate_ngrams",
     "events_ab_power_mde",
+    "graph_assortativity",
+    "events_dau_stickiness",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -2081,3 +2081,175 @@ def events_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/events.parquet")
     ).createOrReplaceTempView("ev_mde")
     return spark.sql(_MDE_SQL.format(src="ev_mde"))
+
+
+# --------------------------------------------- degree assortativity --
+
+_ASSORT_SQL = """
+        , deg AS (
+          SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS k
+          FROM e GROUP BY 1
+        ),
+        tagged AS (
+          SELECT da.k AS ka, db.k AS kb
+          FROM half
+          JOIN deg da ON da.n = half.a
+          JOIN deg db ON db.n = half.b
+        ),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(ka + kb) AS BIGINT) AS s1,
+                 CAST(SUM(ka * ka + kb * kb) AS BIGINT) AS s2,
+                 CAST(SUM(ka * kb) AS BIGINT) AS sp
+          FROM tagged
+        )
+        SELECT m, s1, s2, sp,
+               CAST(4 * m * sp - s1 * s1 AS BIGINT) AS r_num,
+               CAST(2 * m * s2 - s1 * s1 AS BIGINT) AS r_denom,
+               CAST(4 * m * sp - s1 * s1 AS DOUBLE)
+                 / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) AS assortativity
+        FROM sums
+"""
+
+
+def _assort_oracle() -> str:
+    from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
+
+    return (_EDGE_SQL + _ASSORT_SQL).replace(
+        "half AS (", "half AS MATERIALIZED ("
+    )
+
+
+@register(
+    "graph_assortativity",
+    oracle=_assort_oracle(),
+    doc="Degree assortativity of the token co-occurrence graph "
+    "(Newman 2002: do hubs attach to hubs?): over each undirected "
+    "edge's endpoint degrees, the Pearson correlation collapses to "
+    "the exact rational (4m*sum(ka*kb) - s1^2) / (2m*sum(ka^2+kb^2) "
+    "- s1^2) with s1 = sum(ka+kb) — every term an exact bigint from "
+    "two aggregates (per-node degree, then one edge-level sum pass), "
+    "the single float division mirrored. The graph-health probe run "
+    "before committing to a partitioning strategy: disassortative "
+    "graphs (hubs-to-leaves) are the ones that skew joins. Scale "
+    "shape: one groupBy + one broadcastable degree join + one "
+    "aggregate; no iteration.",
+    tags=("graph", "stats"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 120
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("w"),
+    )
+    x, y = words.alias("x"), words.alias("y")
+    half = (
+        x.join(
+            y,
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.w") < F.col("y.w")),
+        )
+        .groupBy(F.col("x.w").alias("a"), F.col("y.w").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 74)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    e = half.unionAll(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = e.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    tagged = (
+        half.join(deg.select(F.col("n").alias("a"),
+                             F.col("k").alias("ka")), "a")
+        .join(deg.select(F.col("n").alias("b"),
+                         F.col("k").alias("kb")), "b")
+    )
+    sums = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("ka") + F.col("kb")).cast("bigint").alias("s1"),
+        F.sum(F.col("ka") * F.col("ka") + F.col("kb") * F.col("kb"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("ka") * F.col("kb")).cast("bigint").alias("sp"),
+    )
+    return sums.select(
+        "m", "s1", "s2", "sp",
+        F.expr("4 * m * sp - s1 * s1").cast("bigint").alias("r_num"),
+        F.expr("2 * m * s2 - s1 * s1").cast("bigint").alias("r_denom"),
+        (
+            F.expr("CAST(4 * m * sp - s1 * s1 AS DOUBLE)")
+            / F.expr("CAST(2 * m * s2 - s1 * s1 AS DOUBLE)")
+        ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------- DAU/WAU stickiness --
+
+_STICKY_SQL = """
+        WITH ev AS (
+          SELECT user_id, {day_expr} AS day FROM {src}
+        ),
+        du AS (SELECT DISTINCT day, user_id FROM ev),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1
+        ),
+        wau AS (
+          SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+          FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1
+        ),
+        mau AS (
+          SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+          FROM days d JOIN du ON du.day BETWEEN d.day - 27 AND d.day
+          GROUP BY 1
+        )
+        SELECT dau.day, dau.dau, wau.wau, mau.mau,
+               CAST(dau.dau * 1000000 {div} wau.wau AS BIGINT)
+                 AS dau_wau_ppm,
+               CAST(wau.wau * 1000000 {div} mau.mau AS BIGINT)
+                 AS wau_mau_ppm
+        FROM dau
+        JOIN wau ON wau.day = dau.day
+        JOIN mau ON mau.day = dau.day
+        ORDER BY dau.day
+"""
+
+
+@register(
+    "events_dau_stickiness",
+    oracle=_STICKY_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    ),
+    doc="DAU / trailing-7-day WAU / trailing-28-day MAU with the "
+    "DAU/WAU and WAU/MAU stickiness ratios in exact integer ppm — "
+    "the product-health dashboard row, computed EXACTLY (the "
+    "linear-counting sibling sketch_sliding_distinct estimates this "
+    "same shape; here the distinct-user windows are exact so the "
+    "sketch's error is auditable against it). Scale shape: the "
+    "event-scale work is one distinct (day, user) projection; the "
+    "window expansion joins 7/28 day keys, not event volume — at "
+    "100 TB the du relation is the per-day active set, shuffled "
+    "once.",
+    tags=("events", "window", "stats"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_sticky")
+    return spark.sql(
+        _STICKY_SQL.format(
+            day_expr="ts DIV 86400000000000", src="ev_sticky", div="DIV"
+        )
+    )
