@@ -453,6 +453,7 @@ def main() -> None:
         "events_stream_page_hinkley",
         "sketch_stream_bloom_sliding",
         "managed_cherrypick_audit",
+        "events_stream_dau_stickiness",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -70,6 +70,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_ab_power_mde",
     "graph_assortativity",
     "events_dau_stickiness",
+    "sketch_cms_heavy_change",
+    "events_stream_dau_stickiness",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -2253,3 +2253,237 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             day_expr="ts DIV 86400000000000", src="ev_sticky", div="DIV"
         )
     )
+
+
+# --------------------------------------------- CMS heavy change --
+
+
+def _cms_change_oracle() -> str:
+    from icebergsql_spark.plans.pipeline2 import _cms_bucket_sql
+    from icebergsql_spark.plans.pipeline12 import _bloom_probe_keys_sql
+
+    key = "CAST(user_id AS VARCHAR)"
+    half_union = " UNION ALL ".join(
+        f"SELECT half, {j} AS depth, {_cms_bucket_sql(key, j)} AS bucket "
+        f"FROM evh" for j in range(3)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT user_id, {j} AS depth, "
+        f"{_cms_bucket_sql(key, j)} AS bucket FROM probes"
+        for j in range(3)
+    )
+    return f"""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+          FROM events
+        ),
+        d0 AS (SELECT MIN(day) AS d FROM ev),
+        evh AS MATERIALIZED (
+          SELECT user_id,
+                 CASE WHEN day < d0.d + 15 THEN 1 ELSE 2 END AS half
+          FROM ev CROSS JOIN d0
+        ),
+        {_bloom_probe_keys_sql().replace("FROM ev ", "FROM evh ")},
+        counters AS MATERIALIZED (
+          SELECT half, depth, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ({half_union}) x GROUP BY 1, 2, 3
+        ),
+        pb AS MATERIALIZED ({probe_union}),
+        est AS (
+          SELECT h.half, pb.user_id,
+                 CAST(MIN(COALESCE(counters.cnt, 0)) AS BIGINT) AS est
+          FROM (SELECT 1 AS half UNION ALL SELECT 2) h
+          CROSS JOIN pb
+          LEFT JOIN counters
+            ON counters.half = h.half AND counters.depth = pb.depth
+           AND counters.bucket = pb.bucket
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT evh.half, evh.user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM evh GROUP BY 1, 2
+        )
+        SELECT p.user_id,
+               CAST(e1.est AS BIGINT) AS est1,
+               CAST(e2.est AS BIGINT) AS est2,
+               CAST(e2.est - e1.est AS BIGINT) AS est_change,
+               CAST(COALESCE(x1.n, 0) AS BIGINT) AS exact1,
+               CAST(COALESCE(x2.n, 0) AS BIGINT) AS exact2,
+               CAST(COALESCE(x2.n, 0) - COALESCE(x1.n, 0) AS BIGINT)
+                 AS exact_change
+        FROM probes p
+        JOIN est e1 ON e1.user_id = p.user_id AND e1.half = 1
+        JOIN est e2 ON e2.user_id = p.user_id AND e2.half = 2
+        LEFT JOIN exact x1 ON x1.user_id = p.user_id AND x1.half = 1
+        LEFT JOIN exact x2 ON x2.user_id = p.user_id AND x2.half = 2
+        ORDER BY p.user_id
+    """
+
+
+@register(
+    "sketch_cms_heavy_change",
+    oracle=_cms_change_oracle(),
+    doc="Heavy-CHANGE detection from two Count-Min sketches (Cormode & "
+    "Muthukrishnan's change-detection application: CMS counters are "
+    "LINEAR, so est(H2) - est(H1) estimates a key's traffic shift "
+    "without storing keys): the month splits at day 15, each half "
+    "builds its depth-3 counter table, and the 3 most + 3 least "
+    "active users are probed in both halves — estimated change next "
+    "to the exact change (estimate >= exact per half is the CMS "
+    "guarantee, hash-checked since md5 buckets are deterministic). "
+    "Missing buckets coalesce to 0 (the round-9 ADVICE emitted-rows "
+    "contract, applied). Scale shape: two 3x256 counter tables "
+    "regardless of volume; probes broadcast.",
+    tags=("sketch", "countmin", "stats"),
+)
+def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from icebergsql_spark.operators import sketch
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select(
+        F.col("user_id").cast("string").alias("uid"),
+        "user_id",
+        F.expr("ts DIV 86400000000000").alias("day"),
+    )
+    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    evh = ev.withColumn(
+        "half", F.when(F.col("day") < d0 + 15, 1).otherwise(2)
+    ).localCheckpoint()
+    ucnt = evh.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    probes = (
+        ucnt.withColumn(
+            "r1", F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
+        )
+        .withColumn(
+            "r2", F.row_number().over(W.orderBy(F.asc("cnt"), "user_id"))
+        )
+        .filter((F.col("r1") <= 3) | (F.col("r2") <= 3))
+        .select("user_id", F.col("user_id").cast("string").alias("uid"))
+        .localCheckpoint()
+    )
+    halves = []
+    for h in (1, 2):
+        counters = sketch.cms_build(
+            evh.filter(F.col("half") == h), "uid"
+        )
+        pb = probes.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("depth"),
+                            sketch._cms_bucket(F.col("uid"), j).alias(
+                                "bucket"
+                            ),
+                        )
+                        for j in range(3)
+                    ]
+                )
+            ).alias("p"),
+        ).select("user_id", "p.depth", "p.bucket")
+        est = (
+            pb.join(F.broadcast(counters), ["depth", "bucket"], "left")
+            .groupBy("user_id")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("bigint")
+                .alias(f"est{h}")
+            )
+        )
+        exact = (
+            evh.filter(F.col("half") == h)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"exact{h}"))
+        )
+        halves.append((est, exact))
+    out = (
+        probes.select("user_id")
+        .join(halves[0][0], "user_id")
+        .join(halves[1][0], "user_id")
+        .join(halves[0][1], "user_id", "left")
+        .join(halves[1][1], "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        "est1",
+        "est2",
+        (F.col("est2") - F.col("est1")).cast("bigint").alias("est_change"),
+        F.coalesce("exact1", F.lit(0)).cast("bigint").alias("exact1"),
+        F.coalesce("exact2", F.lit(0)).cast("bigint").alias("exact2"),
+        (
+            F.coalesce("exact2", F.lit(0)) - F.coalesce("exact1", F.lit(0))
+        ).cast("bigint").alias("exact_change"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------- streaming stickiness twin --
+
+
+@register(
+    "events_stream_dau_stickiness",
+    oracle=_STICKY_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    ),
+    doc="STREAMING twin of events_dau_stickiness: each of 3 "
+    "chronological micro-batches appends its DISTINCT (day, user) "
+    "markers to a parquet sink (set semantics — batch chopping and "
+    "replay merge by dedup, the events_stream_cumulative_users "
+    "pattern), and the finalizer runs the IDENTICAL exact "
+    "DAU/WAU/MAU window SQL over the merged marker set. Per-batch "
+    "state is the active (day, user) set, never event volume — the "
+    "always-on product-health dashboard shape.",
+    tags=("events", "streaming", "window"),
+)
+def events_stream_dau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-sdausrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-sdauout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                F.expr("ts DIV 86400000000000").alias("day"), "user_id"
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-sdauck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.read.parquet(out).distinct().createOrReplaceTempView(
+        "sdau_sink"
+    )
+    return spark.sql(
+        _STICKY_SQL.format(day_expr="day", src="sdau_sink", div="DIV")
+    )
