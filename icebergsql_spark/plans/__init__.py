@@ -30,11 +30,21 @@ from icebergsql_spark.plans.registry import REGISTRY, QuerySpec, register  # noq
 # Late-round-10 addendum: the 30 pipeline14 gates registered mid-round
 # sit right after the 3 plan-changed re-checks, followed by 6 more
 # re-checks (metadata views became JVM VALUES LocalRelations — every
-# $view consumer re-verified at sf0.01+0.1 locally). With the 3
-# third-session pipeline15 rows at the head the must-check block is 81
-# rows; the ~50-row driver sample misses the tail ~31, so ROUND 11 must
-# rotate ALL 81 and head whichever rows lack a CORRECTNESS_r10 row
-# (every one of them is locally 3-SF verified regardless).
+# $view consumer re-verified at sf0.01+0.1 locally).
+# THIRD-SESSION round-10 addendum: 28 more rows head the window (3
+# pipeline15 + 25 pipeline16), each driver-sim verified at
+# sf0.001+0.01+0.1 in fresh vanilla processes when authored, and the
+# WHOLE 413-gate registry re-swept green at sf0.01 at session close.
+# Plan-changed in the third session (re-verified at 3 SFs):
+# graph_community_connectivity + graph_leiden_refine (oracles
+# re-materialized), sketch_bloom_sliding (tail refactored into
+# _bloom_daily_bits/_bloom_sliding_result), events_page_hinkley
+# (fold extracted into _ph_fold).
+# The must-check block is now ~109 rows; the ~50-row driver sample
+# covers the head (this session's 28 + the pipeline12/13 waves) and
+# misses the tail ~59 — ROUND 11 MUST first read CORRECTNESS_r10,
+# rotate every green row to the tail, and head the rows that missed
+# the sample (all locally 3-SF verified regardless).
 # The Engine.sql dispatch gained a CREATE TABLE LIKE branch (additive
 # early-return; the managed head rows re-exercise Engine.sql), and
 # curation_kcenter_coreset (already in the head) re-verified green after
