@@ -82,6 +82,7 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_dau_stickiness",
     "sketch_cms_heavy_change",
     "events_stream_dau_stickiness",
+    "dedup_image_histogram_emd",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

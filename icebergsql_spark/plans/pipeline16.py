@@ -2487,3 +2487,95 @@ def events_stream_dau_stickiness(
     return spark.sql(
         _STICKY_SQL.format(day_expr="day", src="sdau_sink", div="DIV")
     )
+
+
+# --------------------------------------- image histogram EMD tier --
+
+_EMD_MAX = 4
+
+
+@register(
+    "dedup_image_histogram_emd",
+    oracle=f"""
+        WITH {_hist_cte()},
+        classes AS MATERIALIZED (
+          SELECT h0, h1, h2, h3, h4, h5, h6, h7,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MIN(doc_id) AS BIGINT) AS rep
+          FROM hist
+          GROUP BY h0, h1, h2, h3, h4, h5, h6, h7
+        ),
+        cum AS MATERIALIZED (
+          SELECT rep, n_docs,
+                 h0 AS c0, h0 + h1 AS c1, h0 + h1 + h2 AS c2,
+                 h0 + h1 + h2 + h3 AS c3,
+                 h0 + h1 + h2 + h3 + h4 AS c4,
+                 h0 + h1 + h2 + h3 + h4 + h5 AS c5,
+                 h0 + h1 + h2 + h3 + h4 + h5 + h6 AS c6
+          FROM classes
+        )
+        SELECT a.rep AS rep_a, b.rep AS rep_b,
+               CAST(abs(a.c0 - b.c0) + abs(a.c1 - b.c1)
+                    + abs(a.c2 - b.c2) + abs(a.c3 - b.c3)
+                    + abs(a.c4 - b.c4) + abs(a.c5 - b.c5)
+                    + abs(a.c6 - b.c6) AS BIGINT) AS emd,
+               a.n_docs * b.n_docs AS n_pairs
+        FROM cum a JOIN cum b ON a.rep < b.rep
+        WHERE abs(a.c0 - b.c0) + abs(a.c1 - b.c1)
+              + abs(a.c2 - b.c2) + abs(a.c3 - b.c3)
+              + abs(a.c4 - b.c4) + abs(a.c5 - b.c5)
+              + abs(a.c6 - b.c6) <= {_EMD_MAX}
+        ORDER BY emd, rep_a, rep_b
+    """,
+    doc="Earth Mover's Distance image near-dup pairs — the ORDERED "
+    "histogram metric the plain-L1 tier lacks: for 1-D histograms, "
+    "EMD = L1 of CUMULATIVE sums (an exact bigint; the 8th cumulative "
+    "term is the pixel count, identical for all images, so 7 terms "
+    "suffice), which charges mass by how FAR it moved across "
+    "brightness buckets, not just that it moved — a one-bucket hop of "
+    "k pixels scores exactly k (the planted 2x2 variants land at "
+    "EMD=4) while an equal-count swap across distant buckets scores "
+    "high. Same class-rollup shape as the L1 gate: the pair matrix is "
+    "bounded by distinct signatures, never docs. Oracle replays "
+    "pixels -> histograms -> cumulative pairing.",
+    tags=("multimodal", "dedup"),
+)
+def dedup_image_histogram_emd(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.multimodal import image_gray_histogram
+
+    hist = image_gray_histogram(_pert_blobs(spark, sf_dir, _HIST_MAX_DOC))
+    classes = (
+        hist.groupBy(*[f"h{k}" for k in range(8)])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep"),
+        )
+        .localCheckpoint()
+    )
+    cums = [
+        sum(F.col(f"h{j}") for j in range(k + 1)).alias(f"c{k}")
+        for k in range(7)
+    ]
+    cum = classes.select("rep", "n_docs", *cums)
+    a = cum.select(
+        F.col("rep").alias("rep_a"), F.col("n_docs").alias("na"),
+        *[F.col(f"c{k}").alias(f"a{k}") for k in range(7)],
+    )
+    b = cum.select(
+        F.col("rep").alias("rep_b"), F.col("n_docs").alias("nb"),
+        *[F.col(f"c{k}").alias(f"b{k}") for k in range(7)],
+    )
+    emd = sum(F.abs(F.col(f"a{k}") - F.col(f"b{k}")) for k in range(7))
+    return (
+        a.join(b, F.col("rep_a") < F.col("rep_b"))
+        .select(
+            "rep_a",
+            "rep_b",
+            emd.cast("bigint").alias("emd"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias("n_pairs"),
+        )
+        .filter(F.col("emd") <= _EMD_MAX)
+        .orderBy("emd", "rep_a", "rep_b")
+    )
