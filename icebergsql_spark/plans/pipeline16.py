@@ -1,10 +1,21 @@
-"""Third-session round-10 gate wave #2 (pipeline16): time-series
-wavelets and motifs, plus TextRank keyword extraction.
+"""Third-session round-10 gate wave #2 (pipeline16, 25 gates):
+time-series (Haar energy, motif discovery, Page-Hinkley + stream
+twin, binary segmentation, weekly DFT spectrum), text (TextRank
+keywords, boilerplate bigrams), graph (closeness/harmonic
+centrality, degree assortativity), images over real decoded bytes
+(luminance histograms, L1 + EMD dedup tiers, gradient quality),
+audio (integer-DFT tone detection), embeddings (sign-bit LSH recall
+sweep), sketches (bloom-AND prefilter join, streaming sliding bloom,
+CMS heavy-change), experimentation (uplift deciles, power/MDE,
+DAU/WAU/MAU stickiness + stream twin), curation (dedup-aware
+sampling) and managed tables (cherry-pick audit).
 
-Every value-bearing column is exact bigint arithmetic (counts, squared
-integer distances, integer-ppm ranks), so the oracle hash can never
-drift on float order — the established round-6+ discipline.  Each gate
-is driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh
+Value-bearing columns are exact bigint arithmetic wherever possible
+(counts, squared integer distances, integer-ppm ranks, quantized DFT
+bases computed once on the driver); the few float columns replay the
+IDENTICAL op sequence in both engines (folds vs recursive CTEs,
+mirrored guarded divisions) — the established round-6+ discipline.
+Each gate is driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh
 vanilla-session process before registration.
 """
 
