@@ -83,6 +83,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "sketch_cms_heavy_change",
     "events_stream_dau_stickiness",
     "dedup_image_histogram_emd",
+    "events_binseg_trace",
+    "events_stickiness_by_type",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

@@ -2590,3 +2590,175 @@ def dedup_image_histogram_emd(
         .filter(F.col("emd") <= _EMD_MAX)
         .orderBy("emd", "rep_a", "rep_b")
     )
+
+
+# --------------------------------------- depth-3 binseg trace --
+
+_BINSEG_DEPTH = 3
+
+
+def _binseg_trace_sql(day_expr: str, src: str) -> str:
+    """Binary segmentation unrolled to depth 3 (7 candidate splits):
+    every level re-applies the CUSUM max-deviation rule inside each
+    surviving segment, with segment-local sums derived algebraically
+    from the ONE global cumulative relation — the same engine-neutral
+    exact-bigint algebra as _BINSEG_SQL, chained."""
+    levels = []
+    prev_segs = "segs1"
+    for lv in range(1, _BINSEG_DEPTH + 1):
+        nxt = f"""
+        base{lv} AS (
+          SELECT s.lo, s.hi,
+                 CAST(COALESCE(lo_c.s_k, 0) AS BIGINT) AS s_lo,
+                 CAST(hi_c.s_k - COALESCE(lo_c.s_k, 0) AS BIGINT) AS t_s
+          FROM {prev_segs} s
+          LEFT JOIN cum lo_c ON lo_c.k = s.lo - 1
+          JOIN cum hi_c ON hi_c.k = s.hi
+          WHERE s.hi > s.lo
+        ),
+        dev{lv} AS (
+          SELECT b.lo, b.hi, cum.k, cum.day,
+                 CAST(cum.s_k - b.s_lo AS BIGINT) AS pre_sum,
+                 CAST(b.t_s - (cum.s_k - b.s_lo) AS BIGINT) AS post_sum,
+                 CAST(abs((b.hi - b.lo + 1) * (cum.s_k - b.s_lo)
+                          - (cum.k - b.lo + 1) * b.t_s) AS BIGINT)
+                   AS dev_num
+          FROM base{lv} b JOIN cum ON cum.k >= b.lo AND cum.k < b.hi
+        ),
+        best{lv} AS (
+          SELECT * FROM (
+            SELECT dev{lv}.*,
+                   row_number() OVER (
+                     PARTITION BY lo, hi
+                     ORDER BY dev_num DESC, day ASC
+                   ) AS rn
+            FROM dev{lv}
+          ) z WHERE rn = 1
+        ),
+        segs{lv + 1} AS (
+            SELECT lo, k AS hi FROM best{lv}
+          UNION ALL
+            SELECT k + 1 AS lo, hi FROM best{lv}
+        )"""
+        levels.append(nxt)
+        prev_segs = f"segs{lv + 1}"
+    union = "\n          UNION ALL ".join(
+        f"SELECT {lv} AS level, lo, hi, k, day, pre_sum, post_sum,"
+        f" dev_num FROM best{lv}"
+        for lv in range(1, _BINSEG_DEPTH + 1)
+    )
+    return f"""
+        WITH ev AS (
+          SELECT {day_expr} AS day, event_type FROM {src}
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev WHERE event_type = 'purchase' GROUP BY day
+        ),
+        cum AS (
+          SELECT day,
+                 CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s_k,
+                 CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+          FROM daily
+        ),
+        segs1 AS (
+          SELECT CAST(1 AS BIGINT) AS lo,
+                 CAST(COUNT(*) AS BIGINT) AS hi
+          FROM daily
+        ),
+        {",".join(levels)}
+        SELECT CAST(level AS BIGINT) AS level,
+               lo AS seg_lo, hi AS seg_hi, k AS split_k,
+               CAST(day AS BIGINT) AS split_day,
+               dev_num, pre_sum, post_sum
+        FROM ({union}) u
+        ORDER BY level, lo
+    """
+
+
+@register(
+    "events_binseg_trace",
+    oracle=_binseg_trace_sql(
+        "epoch_ns(ts) // 86400000000000", "events"
+    ),
+    doc="Binary segmentation unrolled to DEPTH 3 (up to 7 splits) over "
+    "the daily purchase series — the full hierarchical changepoint "
+    "trace events_binseg_changepoints is the first two levels of: "
+    "each level derives every surviving segment's local sums "
+    "algebraically from the ONE global cumulative-sum window (exact "
+    "bigints, no per-segment rescan, no driver recursion; segments "
+    "shrunk to a single point drop out via the hi > lo guard). Both "
+    "engines run the IDENTICAL generated CTE chain. Scale shape: one "
+    "daily rollup + one window + 3 chained joins against a <=2^d-row "
+    "segment relation — depth is a compile-time unroll, the 100-TB "
+    "cost stays the single event-scale count.",
+    tags=("events", "stats"),
+)
+def events_binseg_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_binseg3")
+    return spark.sql(
+        _binseg_trace_sql("ts DIV 86400000000000", "ev_binseg3")
+    )
+
+
+# --------------------------------------- per-type stickiness --
+
+_STICKY_TYPE_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        du AS (SELECT DISTINCT event_type, day, user_id FROM ev),
+        days AS (SELECT DISTINCT event_type, day FROM du),
+        dau AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM du GROUP BY 1, 2
+        ),
+        wau AS (
+          SELECT d.event_type, d.day,
+                 CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+          FROM days d JOIN du
+            ON du.event_type = d.event_type
+           AND du.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2
+        )
+        SELECT dau.event_type, dau.day, dau.dau, wau.wau,
+               CAST(dau.dau * 1000000 {div} wau.wau AS BIGINT)
+                 AS dau_wau_ppm
+        FROM dau JOIN wau
+          ON wau.event_type = dau.event_type AND wau.day = dau.day
+        WHERE dau.day >= (SELECT MIN(day) + 6 FROM du)
+        ORDER BY dau.event_type, dau.day
+"""
+
+
+@register(
+    "events_stickiness_by_type",
+    oracle=_STICKY_TYPE_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    ),
+    doc="Per-event-type DAU / trailing-7-day WAU stickiness (the "
+    "segment-level drill-down of events_dau_stickiness — engagement "
+    "health per surface, not just globally): exact distinct-user "
+    "windows keyed by (type, day), integer-ppm ratio, warm-up days "
+    "(first 6) excluded so every emitted window is full-width. Scale "
+    "shape: one distinct (type, day, user) projection; the 7-day "
+    "expansion joins day keys per type, never event volume.",
+    tags=("events", "window", "stats"),
+)
+def events_stickiness_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_sticky_t")
+    return spark.sql(
+        _STICKY_TYPE_SQL.format(
+            day_expr="ts DIV 86400000000000", src="ev_sticky_t", div="DIV"
+        )
+    )
