@@ -1,0 +1,176 @@
+"""Round-11 staged gate wave (pre-authored at third-session round-10
+close; NOT imported by plans/__init__.load_all — the driver window is
+already ~112 must-check rows, so this registers in round 11 after
+rotation): the Count-Min heavy-change STREAMING twin.
+
+Driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh vanilla-session
+process when authored (re-verify before registering — the pipeline15
+lesson: a staged file can sit through a session boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icebergsql_spark.plans.registry import register
+
+
+def _stream_cms_change_oracle() -> str:
+    from icebergsql_spark.plans.pipeline16 import _cms_change_oracle
+
+    return _cms_change_oracle()
+
+
+@register(
+    "sketch_stream_cms_heavy_change",
+    oracle=_stream_cms_change_oracle(),
+    doc="STREAMING twin of sketch_cms_heavy_change — the fifth "
+    "mergeable-through-time sketch pairing (HLL by MAX, CMS by SUM, "
+    "KMV by set-union, Bloom by OR; here the SAME additive CMS merge "
+    "carries a change detector): each of 3 chronological "
+    "micro-batches appends its per-(half, depth, bucket) counter "
+    "PARTIALS plus per-(half, user) count partials to parquet sinks "
+    "(both sum-mergeable, so batch chopping and replay cannot change "
+    "the merged sketches), and the finalizer sums the counters, "
+    "ranks the 3 most + 3 least active users, and scores estimated "
+    "vs exact traffic change across the month halves with the "
+    "IDENTICAL min-over-depths probe the batch gate runs. Per-batch "
+    "state is two 3x256 counter tables + per-user partials — the "
+    "always-on traffic-shift monitor shape.",
+    tags=("sketch", "countmin", "streaming", "stats"),
+)
+def sketch_stream_cms_heavy_change(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from icebergsql_spark.operators import sketch
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-scmssrc-")
+    cnt_out = tempfile.mkdtemp(prefix="icebergsql-scmscnt-")
+    usr_out = tempfile.mkdtemp(prefix="icebergsql-scmsusr-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        b = batch_df.select(
+            F.col("user_id").cast("string").alias("uid"),
+            "user_id",
+            F.expr("ts DIV 86400000000000").alias("day"),
+        ).withColumn(
+            "half", F.when(F.col("day") < d0 + 15, 1).otherwise(2)
+        )
+        for h in (1, 2):
+            (
+                sketch.cms_build(b.filter(F.col("half") == h), "uid")
+                .withColumn("half", F.lit(h))
+                .write.mode("append")
+                .parquet(cnt_out)
+            )
+        (
+            b.groupBy("user_id", "half")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(usr_out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-scmsck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = (
+        spark.read.parquet(cnt_out)
+        .groupBy("half", "depth", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    per_user = (
+        spark.read.parquet(usr_out)
+        .groupBy("user_id", "half")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    ucnt = per_user.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    probes = (
+        ucnt.withColumn(
+            "r1", F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
+        )
+        .withColumn(
+            "r2", F.row_number().over(W.orderBy(F.asc("cnt"), "user_id"))
+        )
+        .filter((F.col("r1") <= 3) | (F.col("r2") <= 3))
+        .select("user_id", F.col("user_id").cast("string").alias("uid"))
+        .localCheckpoint()
+    )
+    pb = probes.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("depth"),
+                        sketch._cms_bucket(F.col("uid"), j).alias("bucket"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "p.depth", "p.bucket")
+    ests = []
+    for h in (1, 2):
+        ests.append(
+            pb.join(
+                F.broadcast(counters.filter(F.col("half") == h)),
+                ["depth", "bucket"],
+                "left",
+            )
+            .groupBy("user_id")
+            .agg(
+                F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("bigint")
+                .alias(f"est{h}")
+            )
+        )
+    exacts = [
+        per_user.filter(F.col("half") == h).select(
+            "user_id", F.col("n").alias(f"exact{h}")
+        )
+        for h in (1, 2)
+    ]
+    out = (
+        probes.select("user_id")
+        .join(ests[0], "user_id")
+        .join(ests[1], "user_id")
+        .join(exacts[0], "user_id", "left")
+        .join(exacts[1], "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        "est1",
+        "est2",
+        (F.col("est2") - F.col("est1")).cast("bigint").alias("est_change"),
+        F.coalesce("exact1", F.lit(0)).cast("bigint").alias("exact1"),
+        F.coalesce("exact2", F.lit(0)).cast("bigint").alias("exact2"),
+        (
+            F.coalesce("exact2", F.lit(0)) - F.coalesce("exact1", F.lit(0))
+        ).cast("bigint").alias("exact_change"),
+    ).orderBy("user_id")
