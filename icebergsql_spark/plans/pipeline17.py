@@ -1,7 +1,8 @@
 """Round-11 staged gate wave (pre-authored at third-session round-10
 close; NOT imported by plans/__init__.load_all — the driver window is
 already ~112 must-check rows, so this registers in round 11 after
-rotation): the Count-Min heavy-change STREAMING twin.
+rotation): the Count-Min heavy-change STREAMING twin and the
+per-event-type sequential SRM monitor.
 
 Driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh vanilla-session
 process when authored (re-verify before registering — the pipeline15
@@ -174,3 +175,92 @@ def sketch_stream_cms_heavy_change(
             F.coalesce("exact2", F.lit(0)) - F.coalesce("exact1", F.lit(0))
         ).cast("bigint").alias("exact_change"),
     ).orderBy("user_id")
+
+
+# --------------------------------------- per-type sequential SRM --
+
+_SRM_TYPE_SQL = """
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        du AS (
+          SELECT DISTINCT ev.event_type, looks.k, ev.user_id,
+                 CAST({hash_expr} % 2 AS INTEGER) AS arm
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day < d0.d0 + 7 * looks.k
+        ),
+        counts AS (
+          SELECT event_type, k,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM du GROUP BY 1, 2
+        ),
+        imax AS (
+          SELECT event_type, CAST(n0 + n1 AS BIGINT) AS im
+          FROM counts WHERE k = 3
+        ),
+        z AS (
+          SELECT counts.event_type, k, n0, n1,
+                 CAST(n0 + n1 AS BIGINT) AS i_k, imax.im,
+                 sqrt(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                      / CAST(n0 + n1 AS DOUBLE)) AS absz
+          FROM counts
+          JOIN imax ON imax.event_type = counts.event_type
+        )
+        SELECT event_type, CAST(k AS INTEGER) AS look, n0, n1,
+               CAST((n0 - n1) * (n0 - n1) AS BIGINT) AS chi2_num,
+               CAST((i_k * 1000000) {div} im AS BIGINT) AS info_frac_ppm,
+               {c} / sqrt(CAST(i_k AS DOUBLE) / CAST(im AS DOUBLE))
+                 AS crit,
+               absz,
+               CAST(CASE WHEN absz >
+                         {c} / sqrt(CAST(i_k AS DOUBLE)
+                                    / CAST(im AS DOUBLE))
+                    THEN 1 ELSE 0 END AS INTEGER) AS srm_flag_seq
+        FROM z ORDER BY event_type, look
+"""
+
+
+@register(
+    "events_srm_by_type",
+    oracle=_SRM_TYPE_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        hash_expr="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        "1, 6) AS BIGINT)",
+        div="//",
+        c=2.004,
+    ),
+    doc="Per-event-type SEQUENTIAL sample-ratio-mismatch monitor — "
+    "events_srm_sequential drilled into segments (an experiment can "
+    "pass the global SRM check while one surface's logging is "
+    "broken): per type, cumulative per-arm distinct users at three "
+    "weekly looks, |z| tested against the Lan-DeMets "
+    "2.004/sqrt(t_k) boundary at the TYPE's own observed information "
+    "fraction. Exact bigint counts; mirrored sqrt/div only. Scale "
+    "shape: one distinct (type, look, user, arm) projection and a "
+    "15-row aggregate.",
+    tags=("events", "stats"),
+)
+def events_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_srmtyp")
+    return spark.sql(
+        _SRM_TYPE_SQL.format(
+            day_expr="ts DIV 86400000000000",
+            src="ev_srmtyp",
+            unnest_looks="explode(sequence(1, 3))",
+            hash_expr="conv(substring(md5(CAST(user_id AS STRING)), "
+            "1, 6), 16, 10)",
+            div="DIV",
+            c=2.004,
+        )
+    )
