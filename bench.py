@@ -454,6 +454,7 @@ def main() -> None:
         "sketch_stream_bloom_sliding",
         "managed_cherrypick_audit",
         "events_stream_dau_stickiness",
+        "sketch_stream_cms_heavy_change",
     }
     # COVERAGE TIER (round 8, closing the "44% of the registry has no
     # timing signal" gap): every registered query not in the curated

@@ -85,6 +85,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_image_histogram_emd",
     "events_binseg_trace",
     "events_stickiness_by_type",
+    "sketch_stream_cms_heavy_change",
+    "events_srm_by_type",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",
@@ -410,6 +412,7 @@ def load_all() -> None:
     import icebergsql_spark.plans.pipeline14  # noqa: F401
     import icebergsql_spark.plans.pipeline15  # noqa: F401
     import icebergsql_spark.plans.pipeline16  # noqa: F401
+    import icebergsql_spark.plans.pipeline17  # noqa: F401
 
     ordered = {
         name: REGISTRY[name] for name in WINDOW_PRIORITY if name in REGISTRY

@@ -1,12 +1,10 @@
-"""Round-11 staged gate wave (pre-authored at third-session round-10
-close; NOT imported by plans/__init__.load_all — the driver window is
-already ~112 must-check rows, so this registers in round 11 after
-rotation): the Count-Min heavy-change STREAMING twin and the
-per-event-type sequential SRM monitor.
+"""Third-session round-10 gate wave #3 (pipeline17): the Count-Min
+heavy-change STREAMING twin and the per-event-type sequential SRM
+monitor.
 
-Driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh vanilla-session
-process when authored (re-verify before registering — the pipeline15
-lesson: a staged file can sit through a session boundary).
+Each gate driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh
+vanilla-session process before registration, and the full registry
+re-swept at sf0.01 after they were wired into load_all.
 """
 
 from __future__ import annotations
