@@ -146,3 +146,59 @@ def test_haar_levels_exact_on_known_series(spark):
     for k in (1, 2, 3, 4):
         assert row[f"energy_l{k}"] == 0
     assert row["detail_l4"] == 0
+
+
+def _binseg_replica(xs):
+    """Two-level binary segmentation replica (dict-based, exact ints)."""
+    n = len(xs)
+    cum = [0]
+    for x in xs:
+        cum.append(cum[-1] + x)
+
+    def best(lo, hi):
+        # k in [lo, hi-1]; returns (k, dev, pre, post)
+        s_lo, t_s, n_s = cum[lo - 1], cum[hi] - cum[lo - 1], hi - lo + 1
+        out = None
+        for k in range(lo, hi):
+            pre = cum[k] - s_lo
+            dev = abs(n_s * pre - (k - lo + 1) * t_s)
+            if out is None or dev > out[1]:
+                out = (k, dev, pre, t_s - pre)
+        return out
+
+    k1, d1, p1, q1 = best(1, n)
+    res = {(1, 1, n): (k1, d1, p1, q1)}
+    for lo, hi in ((1, k1), (k1 + 1, n)):
+        if hi > lo:
+            res[(2, lo, hi)] = best(lo, hi)
+    return res
+
+
+def test_binseg_sql_matches_python_replica(spark):
+    rng = random.Random(41)
+    xs = [rng.randrange(0, 500) for _ in range(27)]
+    # feed the template a synthetic events-like relation: x copies of a
+    # purchase row per day (the SQL re-counts them)
+    ev_rows = [
+        (d, "purchase") for d, x in enumerate(xs) for _ in range(x)
+    ] or [(0, "purchase")]
+    spark.createDataFrame(
+        ev_rows, "day bigint, event_type string"
+    ).createOrReplaceTempView("binseg_fuzz")
+    from icebergsql_spark.plans.pipeline16 import _BINSEG_SQL
+
+    got = {
+        (r["level"], r["seg_lo"], r["seg_hi"]): r
+        for r in spark.sql(
+            _BINSEG_SQL.format(day_expr="day", src="binseg_fuzz")
+        ).collect()
+    }
+    # replica over the NONZERO-day series (days with count 0 produce no
+    # daily row, matching the SQL's GROUP BY semantics)
+    nz = [x for x in xs if x > 0]
+    rep = _binseg_replica(nz)
+    assert len(got) == len(rep)
+    for (lv, lo, hi), (k, dev, pre, post) in rep.items():
+        r = got[(lv, lo, hi)]
+        assert r["split_k"] == k and r["dev_num"] == dev
+        assert (r["pre_sum"], r["post_sum"]) == (pre, post)
