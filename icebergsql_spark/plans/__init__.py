@@ -87,6 +87,8 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "events_stickiness_by_type",
     "sketch_stream_cms_heavy_change",
     "events_srm_by_type",
+    "text_vocab_overlap_pairs",
+    "events_weekday_profile",
     # -- never driver-checked (round-10 pipeline12 wave) --
     "graph_louvain_trace",
     "multimodal_audio_snr",

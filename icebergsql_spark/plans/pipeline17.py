@@ -262,3 +262,145 @@ def events_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             c=2.004,
         )
     )
+
+
+# --------------------------------------- source vocabulary overlap --
+
+_VOCAB_TOPK = 40
+
+
+@register(
+    "text_vocab_overlap_pairs",
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+          SELECT DISTINCT source,
+                 unnest(string_split(trim(text), ' ')) AS w
+          FROM documents
+        ),
+        tok2 AS (SELECT source, w FROM tok WHERE w <> ''),
+        vs AS MATERIALIZED (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+          FROM tok2 GROUP BY source
+        ),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM tok2 a JOIN tok2 b
+            ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_common, va.v AS v_a, vb.v AS v_b,
+               CAST(n_common * 1000000
+                    // (va.v + vb.v - n_common) AS BIGINT)
+                 AS jaccard_ppm
+        FROM inter
+        JOIN vs va ON va.source = inter.src_a
+        JOIN vs vb ON vb.source = inter.src_b
+        ORDER BY jaccard_ppm DESC, src_a, src_b
+        LIMIT {_VOCAB_TOPK}
+    """,
+    doc="Pairwise source VOCABULARY overlap (the redundancy matrix a "
+    "training-mix builder consults before weighting sources: two "
+    "sources with near-identical vocabularies add diversity only "
+    "once): distinct (source, token) sets, pair intersection via a "
+    "token equi-join (never a source x source x vocab cross), exact "
+    "Jaccard in integer ppm over the inclusion-exclusion union, "
+    "top-40 by (ppm DESC, pair) total order. Complements "
+    "text_source_tv_distance (distribution shape) with set overlap. "
+    "Scale shape: the join is keyed on token — the same shuffle "
+    "profile as the inverted index.",
+    tags=("text", "curation", "stats"),
+)
+def text_vocab_overlap_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    vs = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    a = tok.select(F.col("source").alias("src_a"), "w")
+    b = tok.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            vs.select(F.col("source").alias("src_a"),
+                      F.col("v").alias("v_a")), "src_a")
+        .join(
+            vs.select(F.col("source").alias("src_b"),
+                      F.col("v").alias("v_b")), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "v_a", "v_b",
+            F.expr("n_common * 1000000 DIV (v_a + v_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "src_a", "src_b")
+        .limit(_VOCAB_TOPK)
+    )
+
+
+# --------------------------------------- weekday volume profile --
+
+_WEEKDAY_SQL = """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        cells AS (
+          SELECT event_type,
+                 CAST(day % 7 AS INTEGER) AS weekday,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ev GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+          FROM cells GROUP BY 1
+        )
+        SELECT cells.event_type, weekday, n,
+               CAST(n * 1000000 {div} tot.t AS BIGINT) AS share_ppm
+        FROM cells JOIN tot ON tot.event_type = cells.event_type
+        ORDER BY cells.event_type, weekday
+"""
+
+
+@register(
+    "events_weekday_profile",
+    oracle=_WEEKDAY_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    ),
+    doc="Day-of-week volume profile per event type (epoch-day mod 7 — "
+    "a fixed 7-phase bucketing, deliberately calendar-library-free so "
+    "both engines agree by arithmetic): exact counts and integer-ppm "
+    "shares, the seasonality fingerprint events_weekly_spectrum "
+    "summarizes spectrally, emitted as the raw table dashboards "
+    "want. One event-scale aggregate; 35 output rows.",
+    tags=("events", "window", "stats"),
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_wkd")
+    return spark.sql(
+        _WEEKDAY_SQL.format(
+            day_expr="ts DIV 86400000000000", src="ev_wkd", div="DIV"
+        )
+    )
