@@ -388,7 +388,9 @@ def markov_removal_effect(
         )
     values = ", ".join(
         "('{0}', CAST({1} AS BIGINT), CAST({2} AS BIGINT), "
-        "CAST({3} AS BIGINT))".format(ch, pb, pr, ef)
+        "CAST({3} AS BIGINT))".format(
+            ch.replace("\\", "\\\\").replace("'", "''"), pb, pr, ef
+        )
         for ch, pb, pr, ef in rows
     )
     return events.sparkSession.sql(

@@ -1988,8 +1988,9 @@ _BOIL_TOPK = 50
         ORDER BY df_ppm DESC, df.source, df.shingle LIMIT {_BOIL_TOPK}
     """,
     doc="Per-source boilerplate n-gram detection (the C4/RefinedWeb "
-    "cleanup pass: a 5-gram shared by >=25% of a source's documents "
-    "is template text, not content): distinct per-doc word 5-gram "
+    f"cleanup pass: a word {_BOIL_N}-gram shared by >={100 // _BOIL_PCT}% "
+    "of a source's documents is template text, not content): distinct "
+    f"per-doc word {_BOIL_N}-gram "
     "shingles, document frequency per (source, shingle), the "
     "threshold band emitted with exact df and integer-ppm rates. "
     "What a crawl-curation pipeline subtracts before quality scoring "

@@ -32,6 +32,7 @@ sql/iceberg/parsing/IceParser.scala:33-114) as a Python pre-rewriter — SURVEY
 from __future__ import annotations
 
 import datetime as _dt
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1128,10 +1129,11 @@ class Engine:
                         "first"
                     )
                 live = snap.live_files()
+                data_dir = src.meta.data_dir.rstrip(os.sep) + os.sep
                 outside = [
                     f.path
                     for f in live
-                    if not f.path.startswith(src.meta.data_dir)
+                    if not f.path.startswith(data_dir)
                 ]
                 if outside:
                     raise ValueError(

@@ -32,6 +32,7 @@ entries) — the Iceberg planning model.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 import urllib.parse
@@ -4150,7 +4151,12 @@ def _values_local_df(spark, rows, schema: str):
         if t in ("BIGINT", "INT"):
             return str(int(v))
         if t in ("DOUBLE", "FLOAT"):
-            return repr(float(v))
+            f = float(v)
+            if not math.isfinite(f):
+                # inf/nan have no SQL literal form; ValueError routes
+                # the whole frame to the createDataFrame fallback below
+                raise ValueError(f"non-finite float literal: {f!r}")
+            return repr(f)
         s = str(v).replace("\\", "\\\\").replace("'", "''")
         return f"'{s}'"
 

@@ -5,6 +5,7 @@ add_files, independent evolution after the fork, and the merge-on-read
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -109,6 +110,18 @@ def test_create_like_refuses_imported_sources(spark):
     tbl.add_files(staged)
     with pytest.raises(ValueError, match="outside its data dir"):
         eng.sql("CREATE TABLE dst_imp LIKE src_imp WITH DATA")
+    # SIBLING path sharing the data dir as a string prefix
+    # (<data_dir>x/...) is still OUTSIDE — the guard must anchor at a
+    # directory boundary (ADVICE r10)
+    tbl2 = eng.catalog.create_table("src_imp2", "k bigint, c bigint, m int",
+                                    ["m"])
+    sibling = tbl2.meta.data_dir.rstrip(os.sep) + "x"
+    base.filter(F.col("m") == 0).coalesce(1).write.mode("append").parquet(
+        sibling
+    )
+    tbl2.add_files(sibling)
+    with pytest.raises(ValueError, match="outside its data dir"):
+        eng.sql("CREATE TABLE dst_imp2 LIKE src_imp2 WITH DATA")
 
 
 def test_create_like_unknown_source_falls_through(spark):
@@ -178,3 +191,11 @@ def test_values_local_df_round_trips(spark):
         "LocalRelation" in got._jdf.queryExecution().optimizedPlan().toString()
     # empty input falls back cleanly
     assert _values_local_df(spark, [], schema).count() == 0
+    # non-finite floats have no SQL literal form -> createDataFrame
+    # fallback (ADVICE r10), never an invalid VALUES clause
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        nf = _values_local_df(spark, [(1, 2, "x", True, bad)], schema)
+        (row,) = nf.collect()
+        assert (row["score"] != row["score"]) if bad != bad else (
+            row["score"] == bad
+        )

@@ -133,6 +133,29 @@ def test_markov_removal_effect_hand_computed(spark):
     assert out["error"]["removal_effect_ppm"] == 0
 
 
+def test_markov_removal_effect_quoted_channel(spark):
+    """Channel names carrying apostrophes/backslashes must survive the
+    VALUES emission verbatim (ADVICE r10: escape before formatting)."""
+    from icebergsql_spark.operators.temporal import markov_removal_effect
+
+    rows = []
+    eid = 0
+    for u, evs in {
+        1: ["it's a view", "purchase"],
+        2: ["back\\slash", "it's a view"],
+    }.items():
+        for i, t in enumerate(evs):
+            rows.append((eid, u, i + 1, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r["channel"]: r for r in markov_removal_effect(ev, steps=4).collect()
+    }
+    assert "it's a view" in out and "back\\slash" in out
+
+
 def test_markov_removal_effect_partitioning_invariant(spark):
     from icebergsql_spark.operators.temporal import markov_removal_effect
 
