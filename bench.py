@@ -447,6 +447,10 @@ def main() -> None:
         "events_stream_mann_kendall",
         "managed_show_partitions",
         "events_stream_holt_winters",
+        # round-11 scenario queries (pipeline18: managed table build /
+        # stream per call)
+        "managed_rename_column",
+        "events_stream_uplift_deciles",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

