@@ -451,6 +451,7 @@ def main() -> None:
         # stream per call)
         "managed_rename_column",
         "events_stream_uplift_deciles",
+        "events_stream_srm_by_type",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -1300,3 +1300,62 @@ def audio_tone_powers(
         schema="doc_id bigint, bin int, re_q bigint, im_q bigint,"
         " power bigint",
     )
+
+
+def audio_tone_windows(
+    blobs: DataFrame,
+    n: int = 64,
+    hop: int = 64,
+    bins: "tuple[int, ...]" = (4, 8, 16),
+    scale: int = 16384,
+) -> DataFrame:
+    """SLIDING tone detection (the Goertzel use case: evaluate the DFT
+    at a handful of probe bins per window position, never a full FFT):
+    for every window start ``w*hop`` that fits, the integer DFT power
+    at the probed ``bins`` over the next ``n`` PCM samples — the same
+    exact arithmetic contract as ``audio_tone_powers`` (re/im are int64
+    dot products against the quantized ``dft_int_coefs`` basis, power =
+    re^2 + im^2), extended with a window index so frequency HOPS become
+    visible as tone changes across windows.  Classic Goertzel runs the
+    recurrence s_t = x_t + 2cos(w)s_{t-1} - s_{t-2}; the quantity it
+    computes per (window, bin) is exactly this windowed DFT sample, and
+    the dot-product form keeps it in the exact-integer contract the
+    oracles replay.  Emits one row per (doc_id, win, bin).
+    Arrow-batched narrow map; no shuffle."""
+    import numpy as np
+
+    table = dft_int_coefs(n, bins, scale)
+    C = {
+        k: np.array(
+            [(cq, sq) for (kk, i, cq, sq) in table if kk == k],
+            dtype="int64",
+        )
+        for k in bins
+    }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                s = pcm.astype("int64")
+                win = 0
+                while win * hop + n <= len(s):
+                    seg = s[win * hop : win * hop + n]
+                    for k in bins:
+                        re = int((seg * C[k][:, 0]).sum())
+                        im = int((seg * C[k][:, 1]).sum())
+                        rows.append(
+                            (int(did), win, k, re, im, re * re + im * im)
+                        )
+                    win += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "win", "bin", "re_q", "im_q", "power"],
+            )
+
+    return blobs.mapInPandas(
+        run,
+        schema="doc_id bigint, win int, bin int, re_q bigint,"
+        " im_q bigint, power bigint",
+    )

@@ -264,12 +264,15 @@ _TR_BASE_PPM = 150_000  # (1 - damping) in ppm
 _TR_TOPK = 15
 
 
-def _textrank_sql(div: str, sum_big: str) -> str:
-    """Two exact integer-ppm TextRank rounds over the word-adjacency
-    graph.  `div` is the truncating integer division spelling (both
-    operands non-negative, so Spark DIV == DuckDB //); `sum_big`
-    wraps SUM so DuckDB's HUGEINT promotion is cast back down before
-    the ppm multiply."""
+def _textrank_sql(div: str, sum_big: str, alias: str = "word") -> str:
+    """Two exact integer-ppm TextRank rounds over a node-adjacency
+    graph supplied as a CTE ``big(a, b)``.  `div` is the truncating
+    integer division spelling (both operands non-negative, so Spark
+    DIV == DuckDB //); `sum_big` wraps SUM so DuckDB's HUGEINT
+    promotion is cast back down before the ppm multiply; `alias`
+    names the emitted node column (word nodes for
+    text_textrank_keywords, RAKE phrase nodes for
+    text_textrank_phrases)."""
     return f"""
         edges AS (
           SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
@@ -301,7 +304,7 @@ def _textrank_sql(div: str, sum_big: str) -> str:
           JOIN r1 ON r1.v = und.u
           GROUP BY und.v
         )
-        SELECT r2.v AS word, deg.d AS degree,
+        SELECT r2.v AS {alias}, deg.d AS degree,
                r1.r AS rank1_ppm, r2.r AS rank2_ppm
         FROM r2
         JOIN r1 ON r1.v = r2.v

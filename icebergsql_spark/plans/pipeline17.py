@@ -177,18 +177,11 @@ def sketch_stream_cms_heavy_change(
 
 # --------------------------------------- per-type sequential SRM --
 
-_SRM_TYPE_SQL = """
-        WITH ev AS (
-          SELECT user_id, event_type, {day_expr} AS day FROM {src}
-        ),
-        d0 AS (SELECT MIN(day) AS d0 FROM ev),
-        looks AS (SELECT {unnest_looks} AS k),
-        du AS (
-          SELECT DISTINCT ev.event_type, looks.k, ev.user_id,
-                 CAST({hash_expr} % 2 AS INTEGER) AS arm
-          FROM ev CROSS JOIN d0 CROSS JOIN looks
-          WHERE ev.day < d0.d0 + 7 * looks.k
-        ),
+# The tail (counts -> boundary test) is shared verbatim with the
+# streaming twin (plans/pipeline18.py::events_stream_srm_by_type),
+# whose finalizer supplies its own du relation from MIN-merged
+# per-(type, user) first-day partials.
+_SRM_TYPE_TAIL_SQL = """
         counts AS (
           SELECT event_type, k,
                  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -221,6 +214,23 @@ _SRM_TYPE_SQL = """
                     THEN 1 ELSE 0 END AS INTEGER) AS srm_flag_seq
         FROM z ORDER BY event_type, look
 """
+
+_SRM_TYPE_SQL = (
+    """
+        WITH ev AS (
+          SELECT user_id, event_type, {day_expr} AS day FROM {src}
+        ),
+        d0 AS (SELECT MIN(day) AS d0 FROM ev),
+        looks AS (SELECT {unnest_looks} AS k),
+        du AS (
+          SELECT DISTINCT ev.event_type, looks.k, ev.user_id,
+                 CAST({hash_expr} % 2 AS INTEGER) AS arm
+          FROM ev CROSS JOIN d0 CROSS JOIN looks
+          WHERE ev.day < d0.d0 + 7 * looks.k
+        ),
+"""
+    + _SRM_TYPE_TAIL_SQL
+)
 
 
 @register(

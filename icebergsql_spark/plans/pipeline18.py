@@ -408,3 +408,542 @@ def events_kadane_best_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kad CROSS JOIN mx
         ORDER BY kad.rn
     """)
+
+
+# ------------------------------------- TextRank over RAKE phrases --
+
+
+def _phrase_textrank_oracle() -> str:
+    from icebergsql_spark.plans.pipeline13 import _RAKE_STOP
+    from icebergsql_spark.plans.pipeline16 import _textrank_sql
+
+    sum_big = "CAST(SUM({x}) AS BIGINT)"
+    sql = f"""
+        WITH base AS (
+          SELECT doc_id, string_split(trim(lower(text)), ' ') AS l
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, l
+          FROM base
+        ),
+        tok2 AS (SELECT doc_id, pos, l[pos] AS w FROM tok),
+        seg AS (
+          SELECT doc_id, pos, w,
+                 SUM(CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+          FROM tok2
+        ),
+        phrases AS (
+          SELECT doc_id, seg_id,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase
+          FROM seg WHERE w NOT IN {_RAKE_STOP}
+          GROUP BY doc_id, seg_id
+        ),
+        big AS (
+          SELECT phrase AS a,
+                 lead(phrase) OVER (
+                   PARTITION BY doc_id ORDER BY seg_id
+                 ) AS b
+          FROM phrases
+        ),
+        {_textrank_sql("//", sum_big, alias="phrase")}
+    """
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "text_textrank_phrases",
+    oracle=_phrase_textrank_oracle(),
+    doc="TextRank over RAKE phrases (VERDICT r10 item 5 — the compose "
+    "of text_rake_keyphrases' candidate extraction with "
+    "text_textrank_keywords' exact integer-ppm PageRank): candidate "
+    "phrases are maximal stopword-free token runs (RAKE segmentation), "
+    "the graph joins CONSECUTIVE phrases within a document (linear in "
+    "phrase count — never all-pairs), and two PageRank rounds at "
+    "damping 0.85 rank phrases in exact bigint ppm arithmetic "
+    "(neighbor contribution r_j DIV deg_j, update 150000 + "
+    "(850000*sum) DIV 1e6). SingleRank/TopicRank's phrase-graph idea "
+    "with a deterministic integer trajectory; order-independent by "
+    "construction. Scale shape: segmentation is one window over "
+    "tokens, ranking is two hash-aggregate joins keyed on phrase.",
+    tags=("text", "graph", "keywords"),
+)
+def text_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.pipeline13 import _RAKE_STOP
+    from icebergsql_spark.plans.pipeline16 import _textrank_sql
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
+    docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias(
+            "pos", "w"
+        ),
+    ).createOrReplaceTempView("ptr_tok")
+    sum_big = "SUM({x})"
+    return spark.sql(
+        f"""
+        WITH seg AS (
+          SELECT doc_id, pos, w,
+                 SUM(CASE WHEN w IN {_RAKE_STOP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+          FROM ptr_tok
+        ),
+        phrases AS (
+          SELECT doc_id, seg_id,
+                 array_join(transform(array_sort(
+                   collect_list(struct(pos, w))), x -> x.w), ' ') AS phrase
+          FROM seg WHERE w NOT IN {_RAKE_STOP}
+          GROUP BY doc_id, seg_id
+        ),
+        big AS (
+          SELECT phrase AS a,
+                 lead(phrase) OVER (
+                   PARTITION BY doc_id ORDER BY seg_id
+                 ) AS b
+          FROM phrases
+        ),
+        {_textrank_sql("DIV", sum_big, alias="phrase")}
+    """
+    )
+
+
+# --------------------------------- Goertzel sliding tone detection --
+
+_GOER_MAX_DOC = 400
+_GOER_N = 64
+_GOER_WINS = 3
+_GOER_AMP = 1024
+_GOER_HOPS = (2, 4, 8)  # half-periods; window j of doc d uses (d+j) % 3
+
+
+def _goertzel_oracle() -> str:
+    from icebergsql_spark.operators.multimodal import dft_coef_values_sql
+    from icebergsql_spark.plans.pipeline16 import (
+        _TONE_BINS,
+        _tone_top_bin_sql,
+    )
+
+    half_p = (
+        "CASE (doc_id + win) % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END"
+    )
+    pcols = ", ".join(
+        f"CAST(MAX(CASE WHEN k = {k} THEN re * re + im * im END)"
+        f" AS BIGINT) AS p{k}"
+        for k in _TONE_BINS
+    )
+    return f"""
+        WITH coef(k, i, cq, sq) AS (
+          VALUES {dft_coef_values_sql(_GOER_N, _TONE_BINS)}
+        ),
+        samp AS MATERIALIZED (
+          SELECT doc_id, w.win AS win, i.i AS i,
+                 CASE WHEN ((i.i // ({half_p})) % 2) = 0
+                      THEN {_GOER_AMP} ELSE -{_GOER_AMP} END AS s
+          FROM documents
+          CROSS JOIN (SELECT unnest(generate_series(0, {_GOER_WINS - 1}))
+                      AS win) w
+          CROSS JOIN (SELECT unnest(generate_series(0, {_GOER_N - 1}))
+                      AS i) i
+          WHERE doc_id < {_GOER_MAX_DOC}
+        ),
+        pw AS MATERIALIZED (
+          SELECT samp.doc_id, samp.win, coef.k,
+                 CAST(SUM(samp.s * coef.cq) AS BIGINT) AS re,
+                 CAST(SUM(samp.s * coef.sq) AS BIGINT) AS im
+          FROM samp JOIN coef ON coef.i = samp.i
+          GROUP BY 1, 2, 3
+        ),
+        per_win AS MATERIALIZED (
+          SELECT doc_id, win, {pcols} FROM pw GROUP BY doc_id, win
+        ),
+        tb AS MATERIALIZED (
+          SELECT doc_id, win,
+                 CAST({_tone_top_bin_sql('p4', 'p8', 'p16')} AS INTEGER)
+                   AS top_bin
+          FROM per_win
+        ),
+        hops AS MATERIALIZED (
+          SELECT doc_id, win, top_bin,
+                 CASE WHEN top_bin <> lag(top_bin) OVER (
+                        PARTITION BY doc_id ORDER BY win)
+                      THEN 1 ELSE 0 END AS chg
+          FROM tb
+        ),
+        per_doc AS MATERIALIZED (
+          SELECT doc_id,
+                 string_agg(CAST(top_bin AS VARCHAR), '>' ORDER BY win)
+                   AS tone_seq,
+                 CAST(SUM(chg) AS BIGINT) AS n_changes
+          FROM hops GROUP BY doc_id
+        )
+        SELECT tone_seq, n_changes,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM per_doc
+        GROUP BY tone_seq, n_changes
+        ORDER BY min_doc
+    """
+
+
+@register(
+    "multimodal_audio_goertzel",
+    oracle=_goertzel_oracle(),
+    doc="Goertzel-style SLIDING tone detection over REAL WAV payloads "
+    "(VERDICT r10 item 4): each doc plants a FREQUENCY-HOPPING square "
+    "wave — three 64-sample windows whose half-period cycles through "
+    "(2, 4, 8) with a per-doc phase — and audio_tone_windows evaluates "
+    "the exact-integer DFT power at probe bins 4/8/16 per window "
+    "position (the Goertzel quantity: a handful of DFT samples per "
+    "window, never a full FFT; trig quantized ONCE on the driver, "
+    "identical literals in both engines). Per doc the dominant-bin "
+    "sequence across windows and the hop count; the three planted "
+    "phase classes recover exactly, every doc shows 2 hops. The "
+    "beep/DTMF/watermark TRACKER a media pipeline runs per shard — "
+    "decode + one integer matmul per window, no floats. Oracle "
+    "replays samples from the class formula against the same VALUES "
+    "coefficients.",
+    tags=("multimodal", "curation"),
+)
+def multimodal_audio_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from icebergsql_spark.operators import multimodal
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.pipeline16 import (
+        _TONE_BINS,
+        _tone_top_bin_sql,
+    )
+    from icebergsql_spark.plans.registry import load_tables
+
+    docs = ensure_parallelism(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < _GOER_MAX_DOC)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                samples = []
+                for j in range(_GOER_WINS):
+                    half_p = _GOER_HOPS[(int(d) + j) % 3]
+                    samples.extend(
+                        _GOER_AMP if (i // half_p) % 2 == 0 else -_GOER_AMP
+                        for i in range(_GOER_N)
+                    )
+                payloads.append(multimodal.encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    blobs = docs.mapInPandas(build, schema="doc_id bigint, payload binary")
+    powers = multimodal.audio_tone_windows(
+        blobs, n=_GOER_N, hop=_GOER_N, bins=_TONE_BINS
+    )
+    per_win = powers.groupBy("doc_id", "win").agg(
+        *[
+            F.max(
+                F.when(F.col("bin") == k, F.col("power"))
+            ).cast("bigint").alias(f"p{k}")
+            for k in _TONE_BINS
+        ]
+    )
+    per_win.select(
+        "doc_id",
+        "win",
+        F.expr(_tone_top_bin_sql("p4", "p8", "p16"))
+        .cast("int")
+        .alias("top_bin"),
+    ).createOrReplaceTempView("goer_tb")
+    return spark.sql("""
+        WITH hops AS (
+          SELECT doc_id, win, top_bin,
+                 CASE WHEN top_bin <> lag(top_bin) OVER (
+                        PARTITION BY doc_id ORDER BY win)
+                      THEN 1 ELSE 0 END AS chg
+          FROM goer_tb
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 array_join(transform(array_sort(
+                   collect_list(struct(win, top_bin))),
+                   x -> CAST(x.top_bin AS STRING)), '>') AS tone_seq,
+                 CAST(SUM(chg) AS BIGINT) AS n_changes
+          FROM hops GROUP BY doc_id
+        )
+        SELECT tone_seq, n_changes,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM per_doc
+        GROUP BY tone_seq, n_changes
+        ORDER BY min_doc
+    """)
+
+
+# ------------------------------------------- Haar wavelet denoise --
+
+
+def _haar_denoise_tail(
+    idx, xform: str, absmax: str, thresh: str, kept: str, interleave: str,
+    joinstr: str,
+) -> str:
+    """Shared threshold + exact scaled reconstruction over the l1..l4
+    pyramid CTEs: per level the hard threshold keeps detail d iff
+    2*|d| >= max|d| of its level, then the inverse transform runs with
+    NO division by tracking R_l = 2^(4-l) * a_l_reconstructed, so
+    R_{l-1}[2k-1 / 2k] = R_l[k] +/- 2^(4-l) * d'_l[k] and R_0 equals
+    16x the denoised series — exact bigints end-to-end."""
+    return f"""
+        thr AS (
+          SELECT l4.event_type,
+                 l4.a AS r4, l4.d AS d4, l3.d AS d3, l2.d AS d2, l1.d AS d1,
+                 {absmax.format(l='l4.d')} AS m4,
+                 {absmax.format(l='l3.d')} AS m3,
+                 {absmax.format(l='l2.d')} AS m2,
+                 {absmax.format(l='l1.d')} AS m1
+          FROM l4
+          JOIN l3 ON l3.event_type = l4.event_type
+          JOIN l2 ON l2.event_type = l4.event_type
+          JOIN l1 ON l1.event_type = l4.event_type
+        ),
+        dn AS (
+          SELECT event_type, r4,
+                 {thresh.format(d='d4', m='m4')} AS dp4,
+                 {thresh.format(d='d3', m='m3')} AS dp3,
+                 {thresh.format(d='d2', m='m2')} AS dp2,
+                 {thresh.format(d='d1', m='m1')} AS dp1,
+                 {kept.format(d='d4', m='m4')} AS kept_l4,
+                 {kept.format(d='d3', m='m3')} AS kept_l3,
+                 {kept.format(d='d2', m='m2')} AS kept_l2,
+                 {kept.format(d='d1', m='m1')} AS kept_l1,
+                 m1, m2, m3, m4
+          FROM thr
+        ),
+        r3 AS (SELECT dn.*, {interleave.format(r='r4', d='dp4', n=1, c=1)}
+               AS rr3 FROM dn),
+        r2 AS (SELECT r3.*, {interleave.format(r='rr3', d='dp3', n=2, c=2)}
+               AS rr2 FROM r3),
+        r1 AS (SELECT r2.*, {interleave.format(r='rr2', d='dp2', n=4, c=4)}
+               AS rr1 FROM r2),
+        r0 AS (SELECT r1.*, {interleave.format(r='rr1', d='dp1', n=8, c=8)}
+               AS rr0 FROM r1)
+        SELECT event_type,
+               {joinstr.format(l='rr0')} AS denoised_x16,
+               CAST(kept_l1 AS BIGINT) AS kept_l1,
+               CAST(kept_l2 AS BIGINT) AS kept_l2,
+               CAST(kept_l3 AS BIGINT) AS kept_l3,
+               CAST(kept_l4 AS BIGINT) AS kept_l4,
+               CAST(m1 AS BIGINT) AS max_abs_l1,
+               CAST(m2 AS BIGINT) AS max_abs_l2,
+               CAST(m3 AS BIGINT) AS max_abs_l3,
+               CAST(m4 AS BIGINT) AS max_abs_l4
+        FROM r0
+        ORDER BY event_type
+    """
+
+
+def _haar_denoise_oracle() -> str:
+    from icebergsql_spark.plans.pipeline16 import (
+        _HAAR_DAYS,
+        _haar_levels_sql,
+    )
+
+    def idx(arr: str, expr: str) -> str:
+        return f"{arr}[{expr}]"
+
+    xform = "list_transform(generate_series(0, {n}), k -> {body})"
+    agg_sq = "list_sum(list_transform({l}, x -> x * x))"
+    absmax = "list_max(list_transform({l}, x -> abs(x)))"
+    thresh = (
+        "list_transform({d}, x -> CASE WHEN 2 * abs(x) >= {m}"
+        " THEN x ELSE 0 END)"
+    )
+    kept = "len(list_filter({d}, x -> 2 * abs(x) >= {m}))"
+    interleave = (
+        "flatten(list_transform(generate_series(1, {n}),"
+        " k -> [{r}[k] + {c} * {d}[k], {r}[k] - {c} * {d}[k]]))"
+    )
+    joinstr = "array_to_string({l}, ',')"
+    return f"""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        a0 AS MATERIALIZED (
+          SELECT event_type, list(c ORDER BY day)[1:{_HAAR_DAYS}] AS a
+          FROM daily GROUP BY event_type
+        ),
+        {_haar_levels_sql(xform, idx, agg_sq)},
+        {_haar_denoise_tail(idx, xform, absmax, thresh, kept, interleave,
+                            joinstr)}
+    """.replace(" AS (", " AS MATERIALIZED (")
+
+
+@register(
+    "events_haar_denoise",
+    oracle=_haar_denoise_oracle(),
+    doc="Haar wavelet shrinkage (hard-threshold denoising) of the "
+    "per-type 16-day volume series, EXACT: the events_haar_energy "
+    "pyramid's detail coefficients are kept iff 2*|d| >= max|d| of "
+    "their level (integer comparisons, no quantile), and the inverse "
+    "transform runs with NO division by tracking R_l = 2^(4-l) * a_l "
+    "— pairwise sums/differences have equal parity, but thresholding "
+    "breaks it, so the scaled recursion R_{l-1} = R_l +/- 2^(4-l)*d' "
+    "is the trick that keeps reconstruction in exact bigints: "
+    "denoised_x16 is 16x the denoised series. Per level the kept "
+    "count and max |d| are emitted. The classic multi-resolution "
+    "smoother (Donoho-Johnstone shrinkage, integer variant) for "
+    "volume telemetry. Scale shape: one (type, day) count; list folds "
+    "over 16 elements per type.",
+    tags=("events", "forecast", "stats"),
+)
+def events_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.pipeline16 import (
+        _HAAR_DAYS,
+        _haar_levels_sql,
+    )
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_hdn")
+
+    def idx(arr: str, expr: str) -> str:
+        return f"element_at({arr}, CAST({expr} AS INT))"
+
+    xform = "transform(sequence(0, {n}), k -> {body})"
+    agg_sq = (
+        "aggregate({l}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    absmax = "array_max(transform({l}, x -> abs(x)))"
+    thresh = (
+        "transform({d}, x -> IF(2 * abs(x) >= {m}, x, CAST(0 AS BIGINT)))"
+    )
+    kept = "size(filter({d}, x -> 2 * abs(x) >= {m}))"
+    interleave = (
+        "flatten(transform(sequence(1, {n}), k -> array("
+        "element_at({r}, CAST(k AS INT)) + {c} * element_at({d}, CAST(k AS INT)), "
+        "element_at({r}, CAST(k AS INT)) - {c} * element_at({d}, CAST(k AS INT)))))"
+    )
+    joinstr = "array_join(transform({l}, x -> CAST(x AS STRING)), ',')"
+    return spark.sql(
+        f"""
+        WITH daily AS (
+          SELECT event_type, ts DIV 86400000000000 AS day,
+                 COUNT(*) AS c
+          FROM ev_hdn GROUP BY 1, 2
+        ),
+        a0 AS (
+          SELECT event_type,
+                 slice(transform(array_sort(collect_list(struct(day, c))),
+                                 s -> s.c), 1, {_HAAR_DAYS}) AS a
+          FROM daily GROUP BY event_type
+        ),
+        {_haar_levels_sql(xform, idx, agg_sq)},
+        {_haar_denoise_tail(idx, xform, absmax, thresh, kept, interleave,
+                            joinstr)}
+    """
+    )
+
+
+# --------------------------------- streaming per-type SRM monitor --
+
+
+def _stream_srm_type_oracle() -> str:
+    from icebergsql_spark.plans.pipeline17 import _SRM_TYPE_SQL
+
+    return _SRM_TYPE_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000",
+        src="events",
+        unnest_looks="unnest(generate_series(1, 3))",
+        hash_expr="CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+        "1, 6) AS BIGINT)",
+        div="//",
+        c=2.004,
+    )
+
+
+@register(
+    "events_stream_srm_by_type",
+    oracle=_stream_srm_type_oracle(),
+    doc="STREAMING twin of events_srm_by_type: each of 3 chronological "
+    "micro-batches appends per-(event_type, user) FIRST-SEEN-day "
+    "partials to a parquet sink (MIN-mergeable — replay/chopping "
+    "safe by algebra; the min over merged partials of a user's "
+    "first day equals the batch scan's), and the finalizer "
+    "reconstitutes the per-look distinct-user arms from first_day < "
+    "d0 + 7k and runs the IDENTICAL Lan-DeMets boundary tail SQL "
+    "(shared template with the batch gate). The always-on per-"
+    "surface SRM monitor an experimentation platform runs against "
+    "live traffic.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.pipeline17 import _SRM_TYPE_TAIL_SQL
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-ssrmtsrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-ssrmtout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.select(
+                "event_type",
+                "user_id",
+                F.expr("ts DIV 86400000000000").alias("day"),
+            )
+            .groupBy("event_type", "user_id")
+            .agg(F.min("day").cast("bigint").alias("first_day"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-ssrmtck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (
+        spark.read.parquet(out)
+        .groupBy("event_type", "user_id")
+        .agg(F.min("first_day").cast("bigint").alias("first_day"))
+        .createOrReplaceTempView("srmtyp_partials")
+    )
+    return spark.sql(
+        """
+        WITH d0 AS (SELECT MIN(first_day) AS d0 FROM srmtyp_partials),
+        looks AS (SELECT explode(sequence(1, 3)) AS k),
+        du AS (
+          SELECT p.event_type, looks.k, p.user_id,
+                 CAST(conv(substring(md5(CAST(p.user_id AS STRING)),
+                      1, 6), 16, 10) % 2 AS INTEGER) AS arm
+          FROM srmtyp_partials p CROSS JOIN d0 CROSS JOIN looks
+          WHERE p.first_day < d0.d0 + 7 * looks.k
+        ),
+"""
+        + _SRM_TYPE_TAIL_SQL.format(div="DIV", c=2.004)
+    )
