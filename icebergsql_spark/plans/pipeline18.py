@@ -947,3 +947,372 @@ def events_stream_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 """
         + _SRM_TYPE_TAIL_SQL.format(div="DIV", c=2.004)
     )
+
+
+# ------------------------------------------- Viterbi HMM decode --
+
+# Two-state HMM over the daily purchase-count series, all-integer:
+# emission scores e_H(t) = x_t - m / e_L(t) = m - x_t around the floor
+# mean m = total DIV n, switch penalty P = sum|x_t - m| DIV (2n).
+# Forward DP:  v_s(t) = e_s(t) + max(v_s(t-1), v_other(t-1) - P),
+# pointer 'stay' wins ties (>=). Backtrack from argmax(v_H, v_L) at T
+# (H wins ties). Every quantity is bigint, so the decoded path is a
+# pure function of the data in both engines.
+
+
+@register(
+    "events_viterbi_hmm",
+    oracle="""
+        WITH RECURSIVE ev AS (
+          SELECT epoch_ns(ts) // 86400000000000 AS day, event_type
+          FROM events
+        ),
+        daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev WHERE event_type = 'purchase' GROUP BY day
+        ),
+        mstat AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) // COUNT(*) AS BIGINT) AS m
+          FROM daily
+        ),
+        pen AS (
+          SELECT CAST(SUM(abs(daily.x - mstat.m)) // (2 * mstat.n)
+                      AS BIGINT) AS p
+          FROM daily CROSS JOIN mstat GROUP BY mstat.n
+        ),
+        ser AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+                 day, daily.x,
+                 CAST(daily.x - mstat.m AS BIGINT) AS eh,
+                 CAST(mstat.m - daily.x AS BIGINT) AS el
+          FROM daily CROSS JOIN mstat
+        ),
+        fwd AS (
+          SELECT rn, day, x, eh, el,
+                 eh AS vh, el AS vl,
+                 'H' AS ph, 'L' AS pl
+          FROM ser WHERE rn = 1
+          UNION ALL
+          SELECT s.rn, s.day, s.x, s.eh, s.el,
+                 s.eh + CASE WHEN f.vh >= f.vl - pen.p
+                             THEN f.vh ELSE f.vl - pen.p END AS vh,
+                 s.el + CASE WHEN f.vl >= f.vh - pen.p
+                             THEN f.vl ELSE f.vh - pen.p END AS vl,
+                 CASE WHEN f.vh >= f.vl - pen.p THEN 'H' ELSE 'L' END
+                   AS ph,
+                 CASE WHEN f.vl >= f.vh - pen.p THEN 'L' ELSE 'H' END
+                   AS pl
+          FROM fwd f
+          JOIN ser s ON s.rn = f.rn + 1
+          CROSS JOIN pen
+        ),
+        nmax AS (SELECT CAST(MAX(rn) AS BIGINT) AS n FROM fwd),
+        bwd AS (
+          SELECT f.rn,
+                 CASE WHEN f.vh >= f.vl THEN 'H' ELSE 'L' END AS st
+          FROM fwd f CROSS JOIN nmax WHERE f.rn = nmax.n
+          UNION ALL
+          SELECT b.rn - 1,
+                 CASE WHEN b.st = 'H' THEN f.ph ELSE f.pl END AS st
+          FROM bwd b JOIN fwd f ON f.rn = b.rn
+          WHERE b.rn > 1
+        )
+        SELECT fwd.rn, fwd.day, fwd.x,
+               CAST(fwd.vh AS BIGINT) AS v_h,
+               CAST(fwd.vl AS BIGINT) AS v_l,
+               fwd.ph AS ptr_h, fwd.pl AS ptr_l,
+               bwd.st AS state
+        FROM fwd JOIN bwd ON bwd.rn = fwd.rn
+        ORDER BY fwd.rn
+    """,
+    doc="Viterbi decode of a two-state (High/Low activity) HMM over the "
+    "daily purchase-count series, ALL-INTEGER: emission scores are "
+    "deviations around the floor mean, the state-switch penalty is "
+    "the mean absolute deviation halved (both exact bigints), the "
+    "forward DP keeps per-state best-path scores with 'stay wins "
+    "ties' pointers, and the backtrack emits the decoded regime per "
+    "day — the classic burst/regime segmentation (Rabiner's tutorial "
+    "recurrence) with a deterministic integer trajectory. Spark runs "
+    "forward AND backtrack as sequential aggregate() folds over the "
+    "day-sorted array (the backtrack folds the REVERSED DP rows, "
+    "threading the pointer state); the oracle runs a forward and a "
+    "backward recursive CTE — bit-identical bigint DP tables. Scale "
+    "shape: one (day) aggregate; folds touch 30 rows.",
+    tags=("events", "stats", "forecast"),
+)
+def events_viterbi_hmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_vit")
+    return spark.sql("""
+        WITH daily AS (
+          SELECT ts DIV 86400000000000 AS day, COUNT(*) AS x
+          FROM ev_vit WHERE event_type = 'purchase' GROUP BY day
+        ),
+        mstat AS (
+          SELECT COUNT(*) AS n, CAST(SUM(x) DIV COUNT(*) AS BIGINT) AS m
+          FROM daily
+        ),
+        pen AS (
+          SELECT CAST(SUM(abs(daily.x - mstat.m)) DIV (2 * mstat.n)
+                      AS BIGINT) AS p
+          FROM daily CROSS JOIN mstat GROUP BY mstat.n
+        ),
+        ser AS (
+          SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+                 day, CAST(daily.x AS BIGINT) AS x,
+                 CAST(daily.x - mstat.m AS BIGINT) AS eh,
+                 CAST(mstat.m - daily.x AS BIGINT) AS el
+          FROM daily CROSS JOIN mstat
+        ),
+        folded AS (
+          SELECT pen.p,
+                 aggregate(
+                   array_sort(collect_list(struct(rn, day, x, eh, el))),
+                   struct(
+                     CAST(array() AS ARRAY<STRUCT<rn: BIGINT, day: BIGINT,
+                          x: BIGINT, vh: BIGINT, vl: BIGINT,
+                          ph: STRING, pl: STRING>>) AS rows,
+                     CAST(0 AS BIGINT) AS pvh, CAST(0 AS BIGINT) AS pvl
+                   ),
+                   (acc, r) -> struct(
+                     array_append(acc.rows, named_struct(
+                       'rn', r.rn, 'day', r.day, 'x', r.x,
+                       'vh', r.eh + IF(r.rn = 1, CAST(0 AS BIGINT),
+                             IF(acc.pvh >= acc.pvl - pen.p,
+                                acc.pvh, acc.pvl - pen.p)),
+                       'vl', r.el + IF(r.rn = 1, CAST(0 AS BIGINT),
+                             IF(acc.pvl >= acc.pvh - pen.p,
+                                acc.pvl, acc.pvh - pen.p)),
+                       'ph', IF(r.rn = 1, 'H',
+                             IF(acc.pvh >= acc.pvl - pen.p, 'H', 'L')),
+                       'pl', IF(r.rn = 1, 'L',
+                             IF(acc.pvl >= acc.pvh - pen.p, 'L', 'H'))
+                     )) AS rows,
+                     r.eh + IF(r.rn = 1, CAST(0 AS BIGINT),
+                           IF(acc.pvh >= acc.pvl - pen.p,
+                              acc.pvh, acc.pvl - pen.p)) AS pvh,
+                     r.el + IF(r.rn = 1, CAST(0 AS BIGINT),
+                           IF(acc.pvl >= acc.pvh - pen.p,
+                              acc.pvl, acc.pvh - pen.p)) AS pvl
+                   ),
+                   acc -> acc.rows
+                 ) AS rows
+          FROM ser CROSS JOIN pen
+          GROUP BY pen.p
+        ),
+        decoded AS (
+          SELECT aggregate(
+                   reverse(rows),
+                   struct(
+                     CAST(NULL AS STRING) AS cur,
+                     CAST(array() AS ARRAY<STRUCT<rn: BIGINT,
+                          st: STRING>>) AS out
+                   ),
+                   (acc, r) -> struct(
+                     IF(acc.cur IS NULL,
+                        IF(IF(r.vh >= r.vl, 'H', 'L') = 'H', r.ph, r.pl),
+                        IF(acc.cur = 'H', r.ph, r.pl)) AS cur,
+                     array_append(acc.out, named_struct(
+                       'rn', r.rn,
+                       'st', IF(acc.cur IS NULL,
+                                IF(r.vh >= r.vl, 'H', 'L'), acc.cur)
+                     )) AS out
+                   ),
+                   acc -> acc.out
+                 ) AS sts,
+                 rows
+          FROM folded
+        ),
+        fwd AS (
+          SELECT r.rn, r.day, r.x, r.vh, r.vl, r.ph, r.pl
+          FROM decoded LATERAL VIEW explode(rows) t AS r
+        ),
+        bwd AS (
+          SELECT s.rn, s.st
+          FROM decoded LATERAL VIEW explode(sts) t AS s
+        )
+        SELECT fwd.rn, fwd.day, fwd.x,
+               fwd.vh AS v_h, fwd.vl AS v_l,
+               fwd.ph AS ptr_h, fwd.pl AS ptr_l,
+               bwd.st AS state
+        FROM fwd JOIN bwd ON bwd.rn = fwd.rn
+        ORDER BY fwd.rn
+    """)
+
+
+# --------------------------------------- IVF recall-vs-nprobe sweep --
+
+_IVFS_Q = 7
+_IVFS_K = 10
+_IVFS_CELLS = 16
+_IVFS_PROBES = (1, 2, 4, 8)
+
+_IVFS_CCOS = """
+        list_sum(list_transform(generate_series(1, 64),
+                 i -> b.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        / sqrt(
+            list_sum(list_transform(generate_series(1, 64),
+                     i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          * list_sum(list_transform(generate_series(1, 64),
+                     i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+"""
+
+
+def _ivf_sweep_oracle() -> str:
+    from icebergsql_spark.plans.pipeline16 import _SWEEP_COS
+
+    per_np = []
+    for np_ in _IVFS_PROBES:
+        per_np.append(f"""
+        SELECT {np_} AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(SUM(CASE WHEN t.vec_id IS NULL
+                                  THEN 0 ELSE 1 END), 0)
+                    AS BIGINT) AS n_hits
+        FROM assigned a
+        JOIN proberank pr ON pr.cell = a.cell AND pr.rk <= {np_}
+        LEFT JOIN topk t ON t.vec_id = a.vec_id
+        WHERE a.vec_id != {_IVFS_Q}""")
+    body = "\n        UNION ALL\n".join(per_np)
+    return f"""
+        WITH cents AS MATERIALIZED (
+          SELECT vec_id AS cell, embedding FROM embeddings
+          WHERE vec_id < {_IVFS_CELLS}
+        ),
+        scored AS MATERIALIZED (
+          SELECT b.vec_id, c.cell, {_IVFS_CCOS} AS ccos
+          FROM embeddings b CROSS JOIN cents c
+        ),
+        assigned AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, cell) AS rk
+            FROM scored
+          ) WHERE rk = 1
+        ),
+        proberank AS MATERIALIZED (
+          SELECT cell,
+                 CAST(row_number() OVER (ORDER BY ccos DESC, cell)
+                      AS BIGINT) AS rk
+          FROM scored WHERE vec_id = {_IVFS_Q}
+        ),
+        topk AS MATERIALIZED (
+          SELECT b.vec_id
+          FROM embeddings b
+          CROSS JOIN (SELECT embedding FROM embeddings
+                      WHERE vec_id = {_IVFS_Q}) q
+          WHERE b.vec_id != {_IVFS_Q}
+          ORDER BY {_SWEEP_COS} DESC, b.vec_id
+          LIMIT {_IVFS_K}
+        )
+        SELECT nprobe, n_candidates, n_hits,
+               CAST(n_hits * 1000000 // {_IVFS_K} AS BIGINT) AS recall_ppm
+        FROM ({body})
+        ORDER BY nprobe
+    """
+
+
+@register(
+    "emb_ivf_recall_sweep",
+    oracle=_ivf_sweep_oracle(),
+    doc="IVF recall-vs-nprobe sweep (the multiprobe sibling of "
+    "emb_signbit_band_sweep): for nprobe in 1/2/4/8 of 16 coarse "
+    "cells, how many vectors live in the probed cells (scan volume) "
+    "and how many of the EXACT cosine top-10 are among them (recall) "
+    "— the curve that picks the probe budget before an IVF layout "
+    "ships. Cell assignment, the query's probe ranking, and the "
+    "exact top-k baseline all use the same sequential-fold cosine "
+    "both engines replay; counts are exact integers. Scale shape: "
+    "assignment is one broadcast-centroid argmax pass, the probe "
+    "ranking is a 16-row sort, and each sweep point is one "
+    "cell-pruned count — with cell as the partition key, nprobe "
+    "partitions scanned, the rest untouched.",
+    tags=("embedding", "ann"),
+)
+def emb_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from icebergsql_spark.operators import similarity
+    from icebergsql_spark.operators.similarity import (
+        dot_expr,
+        with_double_vec_and_norm,
+    )
+    from icebergsql_spark.plans.registry import load_tables
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    assigned = (
+        similarity.ivf_assign(emb, n_cells=_IVFS_CELLS)
+        .select("vec_id", "cell")
+        .localCheckpoint()
+    )
+    top = (
+        similarity.brute_force_topk(emb, query_id=_IVFS_Q, k=_IVFS_K)
+        .select("vec_id")
+        .withColumn("is_top", F.lit(1))
+        .localCheckpoint()
+    )
+    base = with_double_vec_and_norm(emb, "embedding")
+    q = base.filter(F.col("vec_id") == _IVFS_Q).select(
+        F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cents = base.filter(F.col("vec_id") < _IVFS_CELLS).select(
+        F.col("vec_id").alias("pcell"),
+        F.col("vd").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    from pyspark.sql import Window as W
+
+    proberank = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "qc", dot_expr("cv", "qv") / F.sqrt(F.col("cn") * F.col("qn"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("qc"), F.asc("pcell"))
+            ).cast("bigint"),
+        )
+        .select("pcell", "rk")
+        .localCheckpoint()
+    )
+    parts = []
+    for np_ in _IVFS_PROBES:
+        cand = (
+            assigned.filter(F.col("vec_id") != _IVFS_Q)
+            .join(
+                F.broadcast(proberank.filter(F.col("rk") <= np_)),
+                F.col("cell") == F.col("pcell"),
+                "inner",
+            )
+        )
+        parts.append(
+            cand.join(F.broadcast(top), "vec_id", "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("is_top"), F.lit(0))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(F.lit(np_).alias("nprobe"), "n_candidates", "n_hits")
+        )
+    return (
+        reduce(lambda x, y: x.unionAll(y), parts)
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 DIV {_IVFS_K}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy("nprobe")
+    )
