@@ -452,6 +452,8 @@ def main() -> None:
         "managed_rename_column",
         "events_stream_uplift_deciles",
         "events_stream_srm_by_type",
+        "managed_clone_renamed_source",
+        "events_stream_max_drawdown",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

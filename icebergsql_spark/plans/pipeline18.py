@@ -224,20 +224,10 @@ def events_stream_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Signed daily flow: purchase value adds, error value subtracts (exact
 # integer cents) — the cumulative net series can dip, which is what a
-# drawdown measures.
-_DRAWDOWN_SQL = """
-        WITH ev AS (
-          SELECT {day_expr} AS day, event_type, value FROM {src}
-        ),
-        daily AS (
-          SELECT day,
-                 CAST(SUM(CASE WHEN event_type = 'purchase'
-                          THEN CAST(ROUND(value * 100) AS BIGINT)
-                          WHEN event_type = 'error'
-                          THEN -CAST(ROUND(value * 100) AS BIGINT)
-                          ELSE 0 END) AS BIGINT) AS flow
-          FROM ev GROUP BY day
-        ),
+# drawdown measures.  The tail is shared verbatim with the streaming
+# twin, whose finalizer supplies its own daily(day, flow) relation
+# from sum-merged per-day partials.
+_DRAWDOWN_TAIL_SQL = """
         cum AS (
           SELECT day, flow,
                  CAST(SUM(flow) OVER (ORDER BY day) AS BIGINT) AS cum
@@ -257,6 +247,24 @@ _DRAWDOWN_SQL = """
         FROM dd CROSS JOIN mx
         ORDER BY dd.day
 """
+
+_DRAWDOWN_SQL = (
+    """
+        WITH ev AS (
+          SELECT {day_expr} AS day, event_type, value FROM {src}
+        ),
+        daily AS (
+          SELECT day,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                          WHEN event_type = 'error'
+                          THEN -CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS flow
+          FROM ev GROUP BY day
+        ),
+"""
+    + _DRAWDOWN_TAIL_SQL
+)
 
 
 @register(

@@ -1101,21 +1101,18 @@ class Engine:
         refused — registering its data files alone would RESURRECT the
         masked rows — and so is a source whose live files sit outside its
         own data dir (zero-copy imports of imports compound lifecycle
-        risk).  The documented hazard remains by design: the clone shares
+        risk) or span older schema eras (a rename/widen leaves old
+        physical column names in those files that the clone's fresh
+        field-id space cannot map).  The documented hazard remains by design: the clone shares
         bytes with the source, so ``expire_snapshots`` GC on the source
         can delete files the clone still references — use CTAS for a deep
         copy when lifecycle independence matters.  Returns one row with
         ``added_files_count``."""
         src = self.catalog.load_table(lk.group("src").strip("`"))
         src.refresh()
-        tbl = self.catalog.create_table(
-            lk.group("name").strip("`"),
-            src.schema,
-            partition_cols=list(src.meta.partition_cols),
-            properties=dict(src.meta.properties),
-            file_format=src.file_format,
-        )
-        added = 0
+        # Validate the SOURCE before creating the destination, so a
+        # refused clone leaves no empty-table husk behind.
+        live: list = []
         if lk.group("with_data"):
             snap = src.meta.current_snapshot()
             if snap is not None:
@@ -1129,6 +1126,16 @@ class Engine:
                         "first"
                     )
                 live = snap.live_files()
+                cur_sid = src.meta.current_schema_id
+                stale = [f.path for f in live if f.schema_id != cur_sid]
+                if stale:
+                    raise ValueError(
+                        "CREATE TABLE LIKE ... WITH DATA: source has "
+                        f"{len(stale)} live file(s) written under older "
+                        "schema eras (renamed/widened columns); the clone "
+                        "cannot carry the source's field-id mappings — "
+                        "run rewrite_data_files on the source first"
+                    )
                 data_dir = src.meta.data_dir.rstrip(os.sep) + os.sep
                 outside = [
                     f.path
@@ -1142,11 +1149,17 @@ class Engine:
                         "data dir (zero-copy imports); compact the source "
                         "before cloning"
                     )
-                if live:
-                    tbl.add_files(
-                        src.meta.data_dir, paths=[f.path for f in live]
-                    )
-                    added = len(live)
+        tbl = self.catalog.create_table(
+            lk.group("name").strip("`"),
+            src.schema,
+            partition_cols=list(src.meta.partition_cols),
+            properties=dict(src.meta.properties),
+            file_format=src.file_format,
+        )
+        added = 0
+        if live:
+            tbl.add_files(src.meta.data_dir, paths=[f.path for f in live])
+            added = len(live)
         return self.spark.sql(
             f"SELECT CAST({added} AS INT) AS added_files_count"
         )

@@ -124,6 +124,37 @@ def test_create_like_refuses_imported_sources(spark):
         eng.sql("CREATE TABLE dst_imp2 LIKE src_imp2 WITH DATA")
 
 
+def test_create_like_refuses_multi_era_sources_without_husk(spark):
+    """A source whose live files span schema eras (rename between
+    commits) must refuse WITH DATA — and the refusal must happen
+    BEFORE the destination table is created (no empty-table husk)."""
+    eng = _engine(spark)
+    base = _base(spark)
+    tbl = eng.catalog.create_table("src_era", "k bigint, c bigint, m int",
+                                   ["m"])
+    # split so BOTH halves hit every m partition (m = k % 4, so a k
+    # parity split would leave one file per partition and compact
+    # would no-op under min_input_files=2)
+    tbl.insert(base.filter(F.col("k") % 8 < 4))
+    tbl.rename_column("c", "val")
+    tbl.insert(
+        base.filter(F.col("k") % 8 >= 4).withColumnRenamed("c", "val")
+    )
+    with pytest.raises(ValueError, match="schema eras"):
+        eng.sql("CREATE TABLE dst_era LIKE src_era WITH DATA")
+    assert not eng.catalog.table_exists("dst_era"), (
+        "refused clone left an empty-table husk"
+    )
+    # after compaction the eras collapse and the clone succeeds
+    tbl.compact(target_file_size=1 << 40, min_input_files=2)
+    out = eng.sql("CREATE TABLE dst_era LIKE src_era WITH DATA")
+    assert out.collect()[0]["added_files_count"] > 0
+    assert (
+        eng.sql("SELECT SUM(val) AS s FROM dst_era").collect()[0]["s"]
+        == base.agg(F.sum("c")).collect()[0][0]
+    )
+
+
 def test_create_like_unknown_source_falls_through(spark):
     eng = _engine(spark)
     with pytest.raises(Exception):
