@@ -454,6 +454,11 @@ def main() -> None:
         "events_stream_srm_by_type",
         "managed_clone_renamed_source",
         "events_stream_max_drawdown",
+        "events_stream_anova",
+        "managed_delete_mode_switch",
+        "events_stream_bh_fdr",
+        "events_stream_runs_test",
+        "managed_write_ordered",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -758,6 +758,40 @@ def audio_frame_energy(blobs: DataFrame, frame_len: int = 16) -> DataFrame:
     return blobs.mapInPandas(run, schema=VAD_FRAME_SCHEMA)
 
 
+def audio_zcr(blobs: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Zero-crossing count per non-overlapping PCM frame — the classic
+    voiced/unvoiced and noisiness feature (noise and fricatives cross
+    often, voiced speech and tones rarely): for each full
+    ``frame_len``-sample frame, ``zcr = #{i : s[i-1]*s[i] < 0}`` over
+    within-frame neighbors.  The STRICT sign product means zero
+    samples never count and the quantity is an exact integer any SQL
+    oracle can replay with a LAG product.  Trailing partial frames are
+    dropped (a rate over a different denominator would not be
+    comparable).  Emits one row per (doc_id, frame).  Arrow-batched
+    narrow map; no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                a = pcm.astype("int64")
+                for f in range(len(a) // frame_len):
+                    seg = a[f * frame_len: (f + 1) * frame_len]
+                    rows.append(
+                        (
+                            int(did),
+                            f,
+                            int(((seg[:-1] * seg[1:]) < 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "zcr"])
+
+    return blobs.mapInPandas(
+        run, schema="doc_id bigint, frame int, zcr bigint"
+    )
+
+
 def audio_vad_segments(
     frames: DataFrame, threshold: int = 0
 ) -> DataFrame:

@@ -186,16 +186,9 @@ def events_stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   F = (N*sum(s_g^2) - nd*T^2) * (N-k) / (N * (k-1) * (nd*SS - sum(s_g^2)))
 # so f_num / f_den are exact bigints and the only float op is the one
 # mirrored final division.
-_ANOVA_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        types AS (SELECT DISTINCT event_type FROM ev),
-        days AS (SELECT DISTINCT day FROM ev),
-        cnt AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
-          FROM ev GROUP BY 1, 2
-        ),
+_ANOVA_TAIL_SQL = """
+        types AS (SELECT DISTINCT event_type FROM cnt),
+        days AS (SELECT DISTINCT day FROM cnt),
         daily AS (
           SELECT t.event_type, d.day,
                  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS x
@@ -232,6 +225,22 @@ _ANOVA_SQL = """
         FROM grp CROSS JOIN tot
         ORDER BY grp.event_type
 """
+
+# the batch query = raw-events head + the shared tail; the streaming twin
+# (plans/pipeline20.py::events_stream_anova) substitutes a merged-partials
+# `cnt` head and reuses _ANOVA_TAIL_SQL verbatim
+_ANOVA_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        cnt AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2
+        ),
+"""
+    + _ANOVA_TAIL_SQL
+)
 
 
 @register(
@@ -278,25 +287,10 @@ _BH_CRIT = {
     5: "1.959963984540054",
 }
 
-_BH_SQL = """
-        WITH ev AS (
-          SELECT user_id, event_type FROM {src}
-        ),
-        users AS (
-          SELECT DISTINCT user_id,
-                 CAST(user_id % 2 AS INTEGER) AS arm
-          FROM ev
-        ),
-        armn AS (
-          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n
-          FROM users GROUP BY arm
-        ),
-        ucnt AS (
-          SELECT event_type, user_id,
-                 CAST(user_id % 2 AS INTEGER) AS arm,
-                 CAST(COUNT(*) AS BIGINT) AS c
-          FROM ev GROUP BY 1, 2, 3
-        ),
+# tail shared with the streaming twin (plans/pipeline20.py::
+# events_stream_bh_fdr), which substitutes a merged-partials head
+# providing the same users/armn/ucnt contract
+_BH_TAIL_SQL = """
         g AS (
           SELECT event_type, arm,
                  CAST(SUM(c) AS BIGINT) AS s,
@@ -360,6 +354,30 @@ _BH_SQL = """
         FROM crit CROSS JOIN cutoff
         ORDER BY crit.rk
 """
+
+_BH_SQL = (
+    """
+        WITH ev AS (
+          SELECT user_id, event_type FROM {src}
+        ),
+        users AS (
+          SELECT DISTINCT user_id,
+                 CAST(user_id % 2 AS INTEGER) AS arm
+          FROM ev
+        ),
+        armn AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n
+          FROM users GROUP BY arm
+        ),
+        ucnt AS (
+          SELECT event_type, user_id,
+                 CAST(user_id % 2 AS INTEGER) AS arm,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2, 3
+        ),
+"""
+    + _BH_TAIL_SQL
+)
 
 
 @register(

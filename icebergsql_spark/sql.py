@@ -122,6 +122,12 @@ _VACUUM_ORPHANS_RE = re.compile(
     r"(?:\s+older\s+than\s+(?P<h>\d+)\s+hours)?\s*$",
     re.IGNORECASE,
 )
+_WRITE_ORDERED_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+write\s+"
+    r"(?:ordered\s+by\s+\(?(?P<cols>[\w,\s]+?)\)?"
+    r"|(?P<unordered>unordered))\s*$",
+    re.IGNORECASE,
+)
 _SET_PROPS_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+set\s+tblproperties\s*"
     r"\((?P<kv>.*)\)\s*$",
@@ -858,6 +864,36 @@ class Engine:
                     )
                 ],
                 "rewritten boolean, files_added int, files_removed int",
+            )
+
+        wom = _WRITE_ORDERED_RE.match(text)
+        if wom and self.catalog.table_exists(wom.group("name").strip("`")):
+            # ALTER TABLE t WRITE ORDERED BY (c, ...) | WRITE UNORDERED —
+            # Iceberg's write.sort-order DDL (metadata-only): records the
+            # standing sort order in `sort.order`, which EVERY subsequent
+            # write honors with a task-local sort (table.py:498-518) so new
+            # files keep selective row-group/page min-max indexes
+            tbl = self.catalog.load_table(wom.group("name").strip("`"))
+            if wom.group("unordered"):
+                tbl.set_properties(unset=["sort.order"])
+                order = ""
+            else:
+                cols = [
+                    c.strip()
+                    for c in wom.group("cols").split(",")
+                    if c.strip()
+                ]
+                present = {f.name for f in tbl.schema.fields}
+                missing = [c for c in cols if c not in present]
+                if missing:
+                    raise ValueError(
+                        f"WRITE ORDERED BY references unknown "
+                        f"columns: {missing}"
+                    )
+                order = ",".join(cols)
+                tbl.set_properties({"sort.order": order})
+            return self.spark.createDataFrame(
+                [(order,)], "sort_order string"
             )
 
         spm = _SET_PROPS_RE.match(text)

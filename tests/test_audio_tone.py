@@ -56,3 +56,27 @@ def test_tone_powers_detect_planted_square(spark):
     )
     p = {r["bin"]: r["power"] for r in audio_tone_powers(blobs).collect()}
     assert p[8] > 1000 * p[4] and p[8] > 1000 * p[16]
+
+
+def test_audio_zcr_counts_strict_sign_flips(spark):
+    from icebergsql_spark.operators.multimodal import audio_zcr
+
+    # square wave half-period p over 64 samples: 63 // p within-frame
+    # flips; a zero sample never counts (strict product)
+    sq = [100 if (i // 4) % 2 == 0 else -100 for i in range(64)]
+    with_zero = [1, 0, -1, 0, 1, 0, -1, 0] * 8  # zeros break products
+    blobs = spark.createDataFrame(
+        [
+            (1, encode_wav(sq + sq, 16000)),  # 2 full frames
+            (2, encode_wav(with_zero, 16000)),
+            (3, encode_wav(sq[:40], 16000)),  # partial frame dropped
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["frame"]): r["zcr"]
+        for r in audio_zcr(blobs, frame_len=64).collect()
+    }
+    assert rows[(1, 0)] == 63 // 4 and rows[(1, 1)] == 63 // 4
+    assert rows[(2, 0)] == 0  # every neighbor product touches a zero
+    assert (3, 0) not in rows

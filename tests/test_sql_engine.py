@@ -291,3 +291,53 @@ def test_truncate_table(engine, spark):
     t.refresh()
     assert t.meta.current_snapshot().num_added_files == 0  # metadata-only
     assert t.to_df(snapshot_id=s0).count() == 30  # time travel intact
+
+
+def test_write_ordered_by_ddl(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wowh"))
+    tbl = eng.catalog.create_table(
+        "t_wo_ddl", "k bigint, v bigint, m int", partition_cols=["m"]
+    )
+    assert (
+        eng.sql("ALTER TABLE t_wo_ddl WRITE ORDERED BY (v)")
+        .collect()[0]["sort_order"]
+        == "v"
+    )
+    tbl.refresh()
+    assert tbl.meta.properties["sort.order"] == "v"
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 500).alias("v"),
+        (F.col("id") % 2).cast("int").alias("m"),
+    )
+    tbl.insert(df.repartition(2))
+    viol = (
+        tbl.to_df()
+        .select(
+            "v",
+            F.expr("_metadata.file_path").alias("fp"),
+            F.expr("_metadata.row_index").alias("ri"),
+        )
+        .selectExpr(
+            "CASE WHEN lag(v) OVER (PARTITION BY fp ORDER BY ri) > v"
+            " THEN 1 ELSE 0 END AS x"
+        )
+        .agg(F.sum("x").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert viol == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        eng.sql("ALTER TABLE t_wo_ddl WRITE ORDERED BY (missing_col)")
+    assert (
+        eng.sql("ALTER TABLE t_wo_ddl WRITE UNORDERED")
+        .collect()[0]["sort_order"]
+        == ""
+    )
+    tbl.refresh()
+    assert "sort.order" not in tbl.meta.properties
