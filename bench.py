@@ -459,6 +459,9 @@ def main() -> None:
         "events_stream_bh_fdr",
         "events_stream_runs_test",
         "managed_write_ordered",
+        "managed_wap_publish_by_id",
+        "events_stream_capture_recapture",
+        "emb_silhouette_score",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -1520,6 +1520,48 @@ class Engine:
                 [(int(args["snapshot_id"]), snap.snapshot_id)],
                 "source_snapshot_id long, current_snapshot_id long",
             )
+        if proc == "publish_changes":
+            # CALL [system.]publish_changes(table, wap_id) — Iceberg's
+            # write-audit-publish publish step: locate the STAGED snapshot
+            # whose summary carries wap.id = <id> (staged via
+            # insert(branch=..., extra_summary={'wap.id': id})) and
+            # cherry-pick it onto main; the publish commit records
+            # published-wap-id so a second publish of the same id is
+            # refused, matching Iceberg's duplicate-WAP guard.
+            args = _parse_call_args(argtext, ["table", "wap_id"])
+            t = tbl(args)
+            wid = args["wap_id"].strip("'\"")
+            if not wid:
+                raise ValueError("CALL publish_changes: wap_id required")
+            if any(
+                s.summary.get("published-wap-id") == wid
+                for s in t.meta.snapshots
+            ):
+                raise ValueError(
+                    f"wap.id {wid!r} was already published"
+                )
+            staged = [
+                s
+                for s in t.meta.snapshots
+                if s.summary.get("wap.id") == wid
+            ]
+            if not staged:
+                raise ValueError(
+                    f"no staged snapshot carries wap.id {wid!r}"
+                )
+            if len(staged) > 1:
+                raise ValueError(
+                    f"wap.id {wid!r} is ambiguous "
+                    f"({len(staged)} staged snapshots)"
+                )
+            snap = t.cherrypick_snapshot(
+                staged[0].snapshot_id,
+                extra_summary={"published-wap-id": wid},
+            )
+            return spark.createDataFrame(
+                [(staged[0].snapshot_id, snap.snapshot_id)],
+                "source_snapshot_id long, current_snapshot_id long",
+            )
         if proc == "ancestors_of":
             args = _parse_call_args(argtext, ["table", "snapshot_id"])
             t = tbl(args)

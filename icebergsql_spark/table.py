@@ -2440,7 +2440,11 @@ class ManagedTable:
         self.meta.commit()
         return snap
 
-    def cherrypick_snapshot(self, snapshot_id: int) -> Snapshot:
+    def cherrypick_snapshot(
+        self,
+        snapshot_id: int,
+        extra_summary: dict[str, str] | None = None,
+    ) -> Snapshot:
         """Apply one APPEND snapshot's added files onto the CURRENT head
         (Iceberg's ``cherrypick_snapshot``): the audit-then-publish move
         for a staged write that is not the head's direct child — e.g. a
@@ -2477,7 +2481,10 @@ class ManagedTable:
             picked,
             [],
             operation="append",
-            extra_summary={"cherry-picked-from": str(snapshot_id)},
+            extra_summary={
+                "cherry-picked-from": str(snapshot_id),
+                **(extra_summary or {}),
+            },
             cleanup_on_failure=False,  # picked files belong to src snapshot
         )
 

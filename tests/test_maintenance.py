@@ -1451,3 +1451,61 @@ def test_lineage_view_closure_and_branch(spark, tmp_path):
         "JOIN `lin_t$history` h ON h.snapshot_id = l.ancestor_id"
     ).collect()[0]["n"]
     assert n == 1 + 2 + 3
+
+
+def test_publish_changes_by_wap_id(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wapwh"))
+    tbl = eng.catalog.create_table(
+        "t_pubwap", "k bigint, m int", partition_cols=["m"]
+    )
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("m")
+    )
+    tbl.insert(df.filter(F.col("k") < 10))
+    eng.sql("ALTER TABLE t_pubwap CREATE BRANCH stage")
+    tbl.insert(
+        df.filter((F.col("k") >= 10) & (F.col("k") < 20)),
+        branch="stage",
+        extra_summary={"wap.id": "w1"},
+    )
+    # ambiguous id: a second staged snapshot with the same wap.id
+    tbl.insert(
+        df.filter(F.col("k") >= 20),
+        branch="stage",
+        extra_summary={"wap.id": "w1"},
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.sql(
+            "CALL system.publish_changes(table => 't_pubwap',"
+            " wap_id => 'w1')"
+        )
+    tbl.insert(
+        df.filter(F.col("k") >= 20),
+        branch="stage",
+        extra_summary={"wap.id": "w2"},
+    )
+    res = eng.sql(
+        "CALL system.publish_changes(table => 't_pubwap',"
+        " wap_id => 'w2')"
+    ).collect()[0]
+    tbl.refresh()
+    head = tbl.meta.current_snapshot()
+    assert head.snapshot_id == res["current_snapshot_id"]
+    assert head.summary["published-wap-id"] == "w2"
+    # main now has base + w2 rows only
+    assert tbl.to_df().count() == 20
+    with pytest.raises(ValueError, match="already published"):
+        eng.sql(
+            "CALL system.publish_changes(table => 't_pubwap',"
+            " wap_id => 'w2')"
+        )
+    with pytest.raises(ValueError, match="no staged snapshot"):
+        eng.sql(
+            "CALL system.publish_changes(table => 't_pubwap',"
+            " wap_id => 'w9')"
+        )
