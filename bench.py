@@ -462,6 +462,8 @@ def main() -> None:
         "managed_wap_publish_by_id",
         "events_stream_capture_recapture",
         "emb_silhouette_score",
+        "managed_clone_as_of",
+        "sketch_stream_countsketch",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -838,14 +838,11 @@ def events_poisson_bootstrap_ci(
 
 # d = 3 signed-hash rows, w = 64 buckets; the median-of-3 estimate is
 # computed EXACTLY as sum - max - min of the three signed counter reads.
-_CSK_SQL = """
-        WITH toks AS (
-          SELECT {tok} AS tok FROM documents WHERE doc_id < 300
-        ),
-        cnts AS (
-          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM toks GROUP BY tok
-        ),
+# mid/tail segments shared with the streaming twin
+# (plans/pipeline22.py::sketch_stream_countsketch): the twin merges
+# SUM-mergeable per-batch counter partials instead of deriving
+# counters from `hashed`, then reuses the probe/median tail verbatim
+_CSK_MID_SQL = """
         rs AS (SELECT r FROM (VALUES (0), (1), (2)) AS t(r)),
         hashed AS (
           SELECT c.tok, c.cnt, r.r,
@@ -853,10 +850,9 @@ _CSK_SQL = """
                  CASE WHEN {signh} % 2 = 0 THEN 1 ELSE -1 END AS sgn
           FROM cnts c CROSS JOIN rs r
         ),
-        counters AS (
-          SELECT r, bkt, CAST(SUM(sgn * cnt) AS BIGINT) AS ctr
-          FROM hashed GROUP BY r, bkt
-        ),
+"""
+
+_CSK_TAIL_SQL = """
         probe AS (
           SELECT tok, cnt FROM cnts ORDER BY cnt DESC, tok LIMIT 20
         ),
@@ -874,6 +870,26 @@ _CSK_SQL = """
         SELECT tok, cnt, est, CAST(est - cnt AS BIGINT) AS err
         FROM est ORDER BY cnt DESC, tok
 """
+
+_CSK_SQL = (
+    """
+        WITH toks AS (
+          SELECT {tok} AS tok FROM documents WHERE doc_id < 300
+        ),
+        cnts AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY tok
+        ),
+"""
+    + _CSK_MID_SQL
+    + """
+        counters AS (
+          SELECT r, bkt, CAST(SUM(sgn * cnt) AS BIGINT) AS ctr
+          FROM hashed GROUP BY r, bkt
+        ),
+"""
+    + _CSK_TAIL_SQL
+)
 
 _CSK_BKT_SPARK = (
     "CAST(conv(substring(md5(concat(c.tok, '#b', CAST(r.r AS STRING))),"

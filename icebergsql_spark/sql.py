@@ -64,6 +64,7 @@ _CREATE_RE = re.compile(
 )
 _LIKE_RE = re.compile(
     r"^\s*create\s+table\s+`?(?P<name>\w+)`?\s+like\s+`?(?P<src>\w+)`?"
+    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?"
     r"(?P<with_data>\s+with\s+data)?\s*$",
     re.IGNORECASE,
 )
@@ -1146,11 +1147,44 @@ class Engine:
         ``added_files_count``."""
         src = self.catalog.load_table(lk.group("src").strip("`"))
         src.refresh()
+        # AS OF VERSION n clones the table STATE at a historical snapshot
+        # (schema era + file set); the snapshot must still be retained —
+        # expire GC only deletes files unreachable from retained
+        # snapshots, so a resolvable id implies intact files.
+        ver = lk.group("ver")
+        as_of = None
+        if ver is not None:
+            as_of = src.meta.snapshot_by_id(int(ver))
+            if as_of is None:
+                raise ValueError(
+                    f"CREATE TABLE LIKE ... AS OF VERSION {ver}: "
+                    "unknown or expired snapshot"
+                )
         # Validate the SOURCE before creating the destination, so a
         # refused clone leaves no empty-table husk behind.
         live: list = []
+        clone_schema = src.schema
+        if as_of is not None:
+            hist_live = as_of.live_files()
+            sids = {f.schema_id for f in hist_live}
+            if len(sids) > 1:
+                raise ValueError(
+                    "CREATE TABLE LIKE ... AS OF VERSION: snapshot "
+                    f"spans {len(sids)} schema eras; run "
+                    "rewrite_data_files before cloning that state"
+                )
+            if sids:
+                import json as _json
+
+                from pyspark.sql import types as T
+
+                clone_schema = T.StructType.fromJson(
+                    _json.loads(src.meta.schema_json_at(sids.pop()))
+                )
         if lk.group("with_data"):
-            snap = src.meta.current_snapshot()
+            snap = (
+                as_of if as_of is not None else src.meta.current_snapshot()
+            )
             if snap is not None:
                 if snap.dv_manifest_paths or snap.eq_manifest_paths:
                     raise ValueError(
@@ -1162,8 +1196,15 @@ class Engine:
                         "first"
                     )
                 live = snap.live_files()
-                cur_sid = src.meta.current_schema_id
-                stale = [f.path for f in live if f.schema_id != cur_sid]
+                # the clone carries ONE schema era: the historical era
+                # for AS OF clones (validated single above), the current
+                # era otherwise
+                exp_sid = (
+                    {f.schema_id for f in live}.pop()
+                    if as_of is not None and live
+                    else src.meta.current_schema_id
+                )
+                stale = [f.path for f in live if f.schema_id != exp_sid]
                 if stale:
                     raise ValueError(
                         "CREATE TABLE LIKE ... WITH DATA: source has "
@@ -1187,7 +1228,7 @@ class Engine:
                     )
         tbl = self.catalog.create_table(
             lk.group("name").strip("`"),
-            src.schema,
+            clone_schema,
             partition_cols=list(src.meta.partition_cols),
             properties=dict(src.meta.properties),
             file_format=src.file_format,

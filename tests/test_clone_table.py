@@ -230,3 +230,48 @@ def test_values_local_df_round_trips(spark):
         assert (row["score"] != row["score"]) if bad != bad else (
             row["score"] == bad
         )
+
+
+def test_clone_as_of_version(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "caowh"))
+    tbl = eng.catalog.create_table(
+        "src_asof", "k bigint, c bigint, m int", partition_cols=["m"]
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("c"),
+        (F.col("id") % 2).cast("int").alias("m"),
+    )
+    s1 = tbl.insert(df.filter(F.col("k") < 50))
+    eng.sql("ALTER TABLE src_asof RENAME COLUMN c TO val")
+    s2 = tbl.insert(
+        df.filter(F.col("k") >= 50).withColumnRenamed("c", "val")
+    )
+    # historical clone carries the pre-rename era schema + rowset
+    res = eng.sql(
+        f"CREATE TABLE dst_asof LIKE src_asof AS OF VERSION "
+        f"{s1.snapshot_id} WITH DATA"
+    )
+    assert res.collect()[0]["added_files_count"] > 0
+    dst = eng.catalog.load_table("dst_asof")
+    assert [f.name for f in dst.schema.fields] == ["k", "c", "m"]
+    assert dst.to_df().count() == 50
+    assert dst.to_df().agg(F.sum("c")).collect()[0][0] == 3 * 1225
+    # unknown version and two-era snapshots are refused; the refusal
+    # leaves no destination husk behind
+    with pytest.raises(ValueError, match="unknown or expired"):
+        eng.sql(
+            "CREATE TABLE dst_bad LIKE src_asof AS OF VERSION 987654"
+            " WITH DATA"
+        )
+    with pytest.raises(ValueError, match="schema eras"):
+        eng.sql(
+            f"CREATE TABLE dst_bad LIKE src_asof AS OF VERSION "
+            f"{s2.snapshot_id} WITH DATA"
+        )
+    assert not eng.catalog.table_exists("dst_bad")
