@@ -464,6 +464,9 @@ def main() -> None:
         "emb_silhouette_score",
         "managed_clone_as_of",
         "sketch_stream_countsketch",
+        "emb_calinski_harabasz",
+        "managed_changelog_view",
+        "emb_davies_bouldin",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

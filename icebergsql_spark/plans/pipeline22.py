@@ -139,7 +139,12 @@ _CH_TAIL_SQL = """
 """
 
 
-def _ch_oracle() -> str:
+def kmeans_chain_cte() -> str:
+    """The integer k-means (k=8, 2 rounds + final assign) oracle chain
+    over the full embeddings table, ending at ``lab`` (vid, cell) and
+    ``cents`` (cell, pos, cq) — shared by the clustering-quality oracles
+    (Calinski-Harabasz here, Davies-Bouldin in pipeline23).  Same
+    recurrence as plans/pipeline2._kmeans_oracle / operators/ml."""
     parts = [
         """xq AS MATERIALIZED (
           SELECT vec_id AS vid, i AS pos,
@@ -179,11 +184,11 @@ def _ch_oracle() -> str:
                  CAST(SUM(x.q) // COUNT(*) AS BIGINT) AS cq
           FROM xq x JOIN lab l ON l.vid = x.vid GROUP BY 1, 2
         ),""")
-    return (
-        "WITH "
-        + ",".join(parts)
-        + _CH_TAIL_SQL.format(div="//")
-    )
+    return "WITH " + ",".join(parts)
+
+
+def _ch_oracle() -> str:
+    return kmeans_chain_cte() + _CH_TAIL_SQL.format(div="//")
 
 
 @register(

@@ -1561,6 +1561,50 @@ class Engine:
                 [(int(args["snapshot_id"]), snap.snapshot_id)],
                 "source_snapshot_id long, current_snapshot_id long",
             )
+        if proc == "create_changelog_view":
+            # CALL [system.]create_changelog_view(table, from_snapshot_id
+            # [, to_snapshot_id] [, view_name] [, identifier_columns]) —
+            # Iceberg's changelog-view procedure: registers a temp view
+            # over the row-level CDC between two snapshots
+            # (table.py::diff — _change_type in insert/delete/
+            # update_preimage/update_postimage; identifier_columns turn
+            # persisted-key payload changes into update pre/post images).
+            args = _parse_call_args(
+                argtext,
+                [
+                    "table",
+                    "from_snapshot_id",
+                    "to_snapshot_id",
+                    "view_name",
+                    "identifier_columns",
+                ],
+            )
+            t = tbl(args)
+            if "from_snapshot_id" not in args:
+                raise ValueError(
+                    "CALL create_changelog_view: from_snapshot_id required"
+                )
+            to = (
+                int(args["to_snapshot_id"])
+                if "to_snapshot_id" in args
+                else None
+            )
+            keys = [
+                c.strip()
+                for c in args.get("identifier_columns", "").split(",")
+                if c.strip()
+            ] or None
+            view = args.get("view_name") or (
+                args["table"].strip("`") + "_changes"
+            )
+            if not re.fullmatch(r"\w+", view):
+                raise ValueError(
+                    f"CALL create_changelog_view: bad view name {view!r}"
+                )
+            t.diff(
+                int(args["from_snapshot_id"]), to, key_cols=keys
+            ).createOrReplaceTempView(view)
+            return spark.sql(f"SELECT '{view}' AS changelog_view")
         if proc == "publish_changes":
             # CALL [system.]publish_changes(table, wap_id) — Iceberg's
             # write-audit-publish publish step: locate the STAGED snapshot
