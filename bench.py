@@ -467,6 +467,8 @@ def main() -> None:
         "emb_calinski_harabasz",
         "managed_changelog_view",
         "emb_davies_bouldin",
+        "emb_cluster_purity",
+        "events_stream_kruskal_wallis",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -212,14 +212,10 @@ _KW_TYPES = ("click", "error", "purchase", "signup", "view")
 # 2*minrank + tiecount - 1.  The five per-type doubled rank sums pivot
 # wide, so sum_i R_i^2/n_i gets ONE common denominator and H is a
 # single mirrored float expression over exact bigints.
-_KW_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        daily AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline24.py::
+# events_stream_kruskal_wallis), which substitutes a merged-partials
+# `daily` head
+_KW_TAIL_SQL = """
         ranked AS (
           SELECT event_type, x,
                  CAST(RANK() OVER (ORDER BY x) AS BIGINT) AS rk,
@@ -273,6 +269,19 @@ _KW_SQL = """
                END AS h_corrected
         FROM calc
 """
+
+_KW_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2
+        ),
+"""
+    + _KW_TAIL_SQL
+)
 
 _KW_WIDE = ",\n            ".join(
     f"MAX(CASE WHEN event_type = '{t}' THEN r2_i END) AS r2_{i + 1},\n"
