@@ -1214,6 +1214,35 @@ def image_gray_histogram(blobs: DataFrame, buckets: int = 8) -> DataFrame:
     return blobs.mapInPandas(run, schema=schema)
 
 
+def image_gray_pixels(blobs: DataFrame) -> DataFrame:
+    """Per-pixel integer luminance rows (doc_id, p, g): gray = channel
+    sum in [0, 765] (single-channel rasters scaled x3), p the
+    row-major pixel index — the exact pixel plane that downstream
+    PAIRWISE metrics (SSIM, MSE/PSNR, changed-pixel counts) equi-join
+    on.  Row volume is pixels x images, which is why real pipelines
+    run pairwise metrics on thumbnails; the join/aggregate shape is
+    unchanged at any resolution.  Arrow-batched narrow map; no
+    shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dids: list = []
+            ps: list = []
+            gs: list = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _h, _w, c, px = decode_image(bytes(payload))
+                gray = px.astype("int64").sum(axis=2).ravel()
+                if c == 1:
+                    gray = gray * 3
+                n = int(gray.shape[0])
+                dids.extend([int(did)] * n)
+                ps.extend(range(n))
+                gs.extend(int(v) for v in gray)
+            yield pd.DataFrame({"doc_id": dids, "p": ps, "g": gs})
+
+    return blobs.mapInPandas(run, schema="doc_id bigint, p int, g bigint")
+
+
 def image_gradient_stats(blobs: DataFrame, thresh: int = 100) -> DataFrame:
     """Per-image gradient statistics — the blur/flatness quality score
     for image curation: decode to the integer grayscale (channel sum,
