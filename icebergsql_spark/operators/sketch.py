@@ -354,6 +354,43 @@ def kmv_intersection_estimate(
     )
 
 
+def kmv_difference_estimate(
+    ska: DataFrame, skb: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-style a-not-b estimate from two KMV sketches (the third
+    theta-sketch set operation next to union and intersection): θ = the
+    smaller of the two sketches' k-th-smallest hash fractions (1.0
+    while a sketch is exhaustive), the sample is A's hashes below θ
+    that B does NOT hold, and the estimate is |sample| / θ.  One row,
+    column ``est``.  The audience-exclusion answer (users who clicked
+    but never purchased) at two k-row sketch scans."""
+    scale = float(16**13)
+
+    def frac(c):
+        return (
+            F.conv(F.substring(c, 1, 13), 16, 10).cast("double")
+            / F.lit(scale)
+        )
+
+    astat = ska.agg(F.max("h").alias("ha"), F.count(F.lit(1)).alias("ma"))
+    bstat = skb.agg(F.max("h").alias("hb"), F.count(F.lit(1)).alias("mb"))
+    stats = astat.crossJoin(bstat).select(
+        F.least(
+            F.when(F.col("ma") >= k, frac(F.col("ha"))).otherwise(F.lit(1.0)),
+            F.when(F.col("mb") >= k, frac(F.col("hb"))).otherwise(F.lit(1.0)),
+        ).alias("theta")
+    )
+    sample = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(stats))
+        .filter(frac(F.col("h")) < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return sample.crossJoin(F.broadcast(stats)).select(
+        F.round(F.col("c") / F.col("theta")).cast("bigint").alias("est")
+    )
+
+
 def hash_sample_quantiles(
     df: DataFrame,
     key_col: str,
