@@ -469,6 +469,7 @@ def main() -> None:
         "emb_davies_bouldin",
         "emb_cluster_purity",
         "events_stream_kruskal_wallis",
+        "events_stream_logrank",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

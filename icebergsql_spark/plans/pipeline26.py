@@ -19,11 +19,9 @@ from icebergsql_spark.plans.registry import register
 # time hypergeometric terms are rationals over exact integers; each is
 # quantized ONCE to 1e-9 units so the O-E and variance SUMS are
 # integer-exact, and z is the single mirrored float tail.
-_LOGRANK_SQL = """
-        WITH pd AS (
-          SELECT DISTINCT user_id, {day_expr} AS day
-          FROM {src} WHERE event_type = 'purchase'
-        ),
+# tail shared with the streaming twin (events_stream_logrank below),
+# which substitutes a merged distinct-sighting `pd` head
+_LOGRANK_TAIL_SQL = """
         mx AS (SELECT MAX(day) AS m FROM pd),
         gaps AS (
           SELECT user_id, day,
@@ -99,6 +97,16 @@ _LOGRANK_SQL = """
                END AS z
         FROM base CROSS JOIN tot
 """
+
+_LOGRANK_SQL = (
+    """
+        WITH pd AS (
+          SELECT DISTINCT user_id, {day_expr} AS day
+          FROM {src} WHERE event_type = 'purchase'
+        ),
+"""
+    + _LOGRANK_TAIL_SQL
+)
 
 
 @register(
@@ -264,3 +272,75 @@ def sketch_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("err_ppm"),
     ).orderBy("t1", "t2")
+
+
+# ------------------------------------- log-rank streaming twin --
+
+
+@register(
+    "events_stream_logrank",
+    oracle=_LOGRANK_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events"
+    ),
+    doc="STREAMING twin of events_logrank_test: each micro-batch "
+    "appends DISTINCT (user, purchase-day) sighting markers "
+    "(set-mergeable — replay/chopping collapse in the finalizer's "
+    "DISTINCT), and the finalizer rebuilds the gap subjects and runs "
+    "the IDENTICAL risk-set/hypergeometric tail SQL (shared "
+    "_LOGRANK_TAIL_SQL template). Gap censoring is a property of the "
+    "merged state, not of batch boundaries — an open gap stays "
+    "censored only if no later batch closes it. The live survival "
+    "A/B monitor converging to the batch answer bit-for-bit.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    src = tempfile.mkdtemp(prefix="icebergsql-lrssrc-")
+    out = tempfile.mkdtemp(prefix="icebergsql-lrsout-")
+    day = F.expr("ts DIV 86400000000000")
+    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
+        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
+        chunk.coalesce(1).write.mode("append").parquet(src)
+
+    def fold(batch_df, batch_id):
+        (
+            batch_df.filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id", F.expr("ts DIV 86400000000000").alias("day")
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="icebergsql-lrsck-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (
+        spark.read.parquet(out)
+        .distinct()
+        .createOrReplaceTempView("lr_sightings")
+    )
+    return spark.sql(
+        """
+        WITH pd AS (
+          SELECT DISTINCT user_id, day FROM lr_sightings
+        ),
+"""
+        + _LOGRANK_TAIL_SQL
+    )
