@@ -541,7 +541,8 @@ def emb_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id") < _SIL_MAX_ID
         )
     )
-    lab = kmeans_assign(emb, k=8, iterations=2)
+    # localCheckpoint: SQL references would replay the kmeans lineage
+    lab = kmeans_assign(emb, k=8, iterations=2).localCheckpoint()
     lab.createOrReplaceTempView("lab")
     xq = track_cache(_quantized(emb, "embedding", "vec_id"))
     a, b = xq.alias("a"), xq.alias("b")

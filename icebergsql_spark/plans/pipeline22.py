@@ -223,10 +223,13 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     )
-    lab = kmeans_assign(emb, k=8, iterations=2)
+    # localCheckpoint: every SQL reference to these views would
+    # otherwise REPLAY the whole kmeans round lineage (measured 10-19s
+    # per gate at sf0.1 before the cut; ~2-3s after)
+    lab = kmeans_assign(emb, k=8, iterations=2).localCheckpoint()
     lab.createOrReplaceTempView("lab")
     xq_arr = track_cache(_quantized(emb, "embedding", "vec_id"))
-    cents = _update(xq_arr, lab)
+    cents = _update(xq_arr, lab).localCheckpoint()
     # unpack array frames into the (vid/cell, pos, q/cq) row contract
     xq_arr.select(
         "vid", F.posexplode("xq").alias("pos0", "q")

@@ -205,7 +205,9 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     )
-    kmeans_assign(emb, k=8, iterations=2).createOrReplaceTempView("lab")
+    # localCheckpoint: SQL references would replay the kmeans lineage
+    kmeans_assign(emb, k=8, iterations=2).localCheckpoint(
+    ).createOrReplaceTempView("lab")
     emb.select(F.col("vec_id").alias("vid"), "label").createOrReplaceTempView(
         "lbl"
     )
