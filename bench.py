@@ -470,6 +470,8 @@ def main() -> None:
         "emb_cluster_purity",
         "events_stream_kruskal_wallis",
         "events_stream_logrank",
+        "events_stream_friedman",
+        "managed_clone_at_tag",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

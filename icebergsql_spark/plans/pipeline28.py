@@ -19,16 +19,13 @@ from icebergsql_spark.plans.registry import register
 # swings cancel — the blocked sibling of Kruskal-Wallis.  4*sum R_j^2
 # is an exact bigint aggregate; chi2 and its tie-corrected form are
 # single mirrored float expressions.
-_FRIED_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        types AS (SELECT DISTINCT event_type FROM ev),
-        days AS (SELECT DISTINCT day FROM ev),
-        cnt AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline29.py::
+# events_stream_friedman), which substitutes a merged-partials `cnt`
+# head (types/days derive FROM cnt — same sets, since every type and
+# day appears in some partial)
+_FRIED_TAIL_SQL = """
+        types AS (SELECT DISTINCT event_type FROM cnt),
+        days AS (SELECT DISTINCT day FROM cnt),
         daily AS (
           SELECT t.event_type, d.day,
                  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS x
@@ -84,6 +81,19 @@ _FRIED_SQL = """
         FROM r2j r CROSS JOIN calc c
         ORDER BY r.event_type
 """
+
+_FRIED_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        cnt AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2
+        ),
+"""
+    + _FRIED_TAIL_SQL
+)
 
 
 @register(

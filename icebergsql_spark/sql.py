@@ -64,7 +64,8 @@ _CREATE_RE = re.compile(
 )
 _LIKE_RE = re.compile(
     r"^\s*create\s+table\s+`?(?P<name>\w+)`?\s+like\s+`?(?P<src>\w+)`?"
-    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?"
+    r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+)"
+    r"|\s+as\s+of\s+ref\s+'?(?P<ref>\w+)'?)?"
     r"(?P<with_data>\s+with\s+data)?\s*$",
     re.IGNORECASE,
 )
@@ -1152,6 +1153,17 @@ class Engine:
         # expire GC only deletes files unreachable from retained
         # snapshots, so a resolvable id implies intact files.
         ver = lk.group("ver")
+        ref = lk.group("ref")
+        if ref is not None:
+            # AS OF REF <tag|branch>: resolve the named ref's snapshot —
+            # clone-at-tag, the human-addressable form of AS OF VERSION
+            r = src.meta.refs.get(ref)
+            if r is None:
+                raise ValueError(
+                    f"CREATE TABLE LIKE ... AS OF REF {ref!r}: "
+                    f"unknown ref on {src.name}"
+                )
+            ver = str(r["snapshot_id"])
         as_of = None
         if ver is not None:
             as_of = src.meta.snapshot_by_id(int(ver))

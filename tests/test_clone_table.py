@@ -275,3 +275,33 @@ def test_clone_as_of_version(spark, tmp_path):
             f"{s2.snapshot_id} WITH DATA"
         )
     assert not eng.catalog.table_exists("dst_bad")
+
+
+def test_clone_as_of_ref(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "catwh"))
+    tbl = eng.catalog.create_table(
+        "src_tagc", "k bigint, m int", partition_cols=["m"]
+    )
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("m")
+    )
+    tbl.insert(df.filter(F.col("k") < 30))
+    eng.sql("ALTER TABLE src_tagc CREATE TAG pin")
+    tbl.insert(df.filter(F.col("k") >= 30))
+    res = eng.sql(
+        "CREATE TABLE dst_tagc LIKE src_tagc AS OF REF pin WITH DATA"
+    )
+    assert res.collect()[0]["added_files_count"] > 0
+    dst = eng.catalog.load_table("dst_tagc")
+    assert dst.to_df().count() == 30  # rows after the tag absent
+    with pytest.raises(ValueError, match="unknown ref"):
+        eng.sql(
+            "CREATE TABLE dst_bad2 LIKE src_tagc AS OF REF ghost"
+            " WITH DATA"
+        )
+    assert not eng.catalog.table_exists("dst_bad2")
