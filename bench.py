@@ -472,6 +472,9 @@ def main() -> None:
         "events_stream_logrank",
         "events_stream_friedman",
         "managed_clone_at_tag",
+        "events_stream_isotonic",
+        "events_stream_ljung_box",
+        "emb_adjusted_rand_index",
         # third-session round-10 scenario queries (pipeline15/16)
         "managed_clone_materialize",
         "graph_leiden_refine",

@@ -207,14 +207,10 @@ def events_stream_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prefix-sum difference, so both engines evaluate the SAME finite set
 # of double divisions and take MIN/MAX over identical values.  n = 30
 # days per type, so the (j<=i<=k) triple space is ~5k rows per type.
-_ISO_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        daily AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline30.py::
+# events_stream_isotonic), which substitutes a merged-partials
+# `daily` head
+_ISO_TAIL_SQL = """
         idx AS (
           SELECT event_type, day, x,
                  CAST(row_number() OVER (
@@ -250,6 +246,19 @@ _ISO_SQL = """
           ON f.event_type = i.event_type AND f.ir = i.rn
         ORDER BY i.event_type, i.day
 """
+
+_ISO_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2
+        ),
+"""
+    + _ISO_TAIL_SQL
+)
 
 
 @register(

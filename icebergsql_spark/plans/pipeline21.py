@@ -219,14 +219,10 @@ def curation_capped_waterfill(
 # scale cancels in rho_k = sum(y_t y_{t+k}) / sum(y_t^2); rho is
 # quantized to ppm ONCE and the Box statistic is then exact integer
 # algebra: q_scaled = n(n+2) * sum_k rho_ppm_k^2 DIV (n-k).
-_LB_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        daily AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline30.py::
+# events_stream_ljung_box), which substitutes a merged-partials
+# `daily` head
+_LB_TAIL_SQL = """
         idx AS (
           SELECT event_type, x,
                  CAST(row_number() OVER (
@@ -276,6 +272,19 @@ _LB_SQL = """
         FROM rho
         ORDER BY event_type, k
 """
+
+_LB_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2
+        ),
+"""
+    + _LB_TAIL_SQL
+)
 
 
 @register(
