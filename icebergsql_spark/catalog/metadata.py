@@ -394,6 +394,11 @@ class Snapshot:
     # data sequence number of this commit (files added here carry it);
     # 0 for pre-sequence metadata (every eq delete outranks seq 0)
     sequence_number: int = 0
+    # table schema id in effect when this snapshot committed (Iceberg
+    # spec's snapshot `schema-id`); None for pre-field metadata.  Lets an
+    # AS OF clone resolve the schema ERA of a snapshot with zero live
+    # files, where per-file schema ids give no signal.
+    schema_id: int | None = None
 
     def manifests(self) -> list[Manifest]:
         return [Manifest(p) for p in self.manifest_paths]
@@ -433,6 +438,8 @@ class Snapshot:
             d["eq_manifests"] = self.eq_manifest_paths
         if self.sequence_number:
             d["seq"] = self.sequence_number
+        if self.schema_id is not None:
+            d["schema-id"] = self.schema_id
         return d
 
     @classmethod
@@ -449,6 +456,7 @@ class Snapshot:
             dv_manifest_paths=d.get("dv_manifests", []),
             eq_manifest_paths=d.get("eq_manifests", []),
             sequence_number=d.get("seq", 0),
+            schema_id=d.get("schema-id"),
         )
 
 

@@ -254,21 +254,10 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact sufficient statistics for the lag-1 OLS of tomorrow's series
 # on today's: beta = (n'Sxy - SxSy) / (n'Sxx - Sx^2), all bigints;
 # beta and r^2 are the mirrored float tail.
-_LL_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-          WHERE event_type IN ('purchase', 'error')
-        ),
-        days AS (SELECT DISTINCT day FROM ev),
-        daily AS (
-          SELECT d.day,
-                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
-                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS px,
-                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'error'
-                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS er
-          FROM days d LEFT JOIN ev e ON e.day = d.day
-          GROUP BY d.day
-        ),
+# tail shared with the streaming twin (plans/pipeline31.py::
+# events_stream_leadlag), which substitutes a merged-partials
+# `daily` head (the per-day px/er counts are SUM-mergeable)
+_LL_TAIL_SQL = """
         idx AS (
           SELECT px, er,
                  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
@@ -312,6 +301,25 @@ _LL_SQL = """
         FROM nd
         ORDER BY direction
 """
+
+_LL_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+          WHERE event_type IN ('purchase', 'error')
+        ),
+        days AS (SELECT DISTINCT day FROM ev),
+        daily AS (
+          SELECT d.day,
+                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS px,
+                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'error'
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS er
+          FROM days d LEFT JOIN ev e ON e.day = d.day
+          GROUP BY d.day
+        ),"""
+    + _LL_TAIL_SQL
+)
 
 
 @register(

@@ -62,10 +62,13 @@ _CREATE_RE = re.compile(
     r"(?:as\s+(?P<ctas>select\b.*))?$",
     re.IGNORECASE | re.DOTALL,
 )
+# AS OF REF quotes must balance (quoted and bare forms are explicit
+# alternates) so "REF 'tag" / "REF tag'" fail parsing rather than being
+# silently accepted with the stray quote dropped.
 _LIKE_RE = re.compile(
     r"^\s*create\s+table\s+`?(?P<name>\w+)`?\s+like\s+`?(?P<src>\w+)`?"
     r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+)"
-    r"|\s+as\s+of\s+ref\s+'?(?P<ref>\w+)'?)?"
+    r"|\s+as\s+of\s+ref\s+(?:'(?P<refq>\w+)'|(?P<ref>\w+)))?"
     r"(?P<with_data>\s+with\s+data)?\s*$",
     re.IGNORECASE,
 )
@@ -80,7 +83,8 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_REF_RE = re.compile(
-    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+(?P<action>create|drop)\s+"
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+"
+    r"(?P<action>create\s+or\s+replace|create|replace|drop)\s+"
     r"(?P<kind>tag|branch)\s+`?(?P<ref>\w+)`?"
     r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?"
     # Iceberg retention clauses: RETAIN n DAYS|HOURS|MINUTES bounds the
@@ -124,10 +128,29 @@ _VACUUM_ORPHANS_RE = re.compile(
     r"(?:\s+older\s+than\s+(?P<h>\d+)\s+hours)?\s*$",
     re.IGNORECASE,
 )
+# Parens must balance (two explicit alternates, never independently
+# optional) so malformed DDL like 'WRITE ORDERED BY (a, b' fails parsing
+# instead of being silently accepted; columns admit optional backticks.
 _WRITE_ORDERED_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+write\s+"
-    r"(?:ordered\s+by\s+\(?(?P<cols>[\w,\s]+?)\)?"
+    r"(?:ordered\s+by\s+(?:\((?P<cols>[`\w,\s]+?)\)|(?P<bare_cols>[`\w,\s]+?))"
     r"|(?P<unordered>unordered))\s*$",
+    re.IGNORECASE,
+)
+# Loose probe: any ALTER ... WRITE statement that misses the strict form
+# above gets a targeted parse error instead of falling through to the
+# next handler (and ultimately Spark's parser) silently.
+_WRITE_PROBE_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+write\s+",
+    re.IGNORECASE,
+)
+# Iceberg's SET/DROP IDENTIFIER FIELDS DDL (schema identifier-field-ids):
+# the standing row-identity contract CDC consumers read.  Parens must
+# balance (the WRITE ORDERED discipline); columns admit backticks.
+_IDENT_FIELDS_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+"
+    r"(?P<action>set|drop)\s+identifier\s+fields\s+"
+    r"(?:\((?P<cols>[`\w,\s]+?)\)|(?P<bare>[`\w,\s]+?))\s*$",
     re.IGNORECASE,
 )
 _SET_PROPS_RE = re.compile(
@@ -805,15 +828,27 @@ class Engine:
             # the Iceberg SQL-extension ref verbs (create_tag/create_branch)
             tbl = self.catalog.load_table(am.group("name").strip("`"))
             kind = am.group("kind").lower()
-            if am.group("action").lower() == "create":
+            action = re.sub(r"\s+", " ", am.group("action").lower())
+            if action != "drop":
                 sid = int(am.group("ver")) if am.group("ver") else None
                 if (am.group("minsnaps") or am.group("maxage")) and kind == "tag":
                     raise ValueError(
                         "WITH SNAPSHOT RETENTION applies to branches only"
                     )
-                (tbl.create_tag if kind == "tag" else tbl.create_branch)(
-                    am.group("ref"), sid
-                )
+                if action == "create":
+                    (tbl.create_tag if kind == "tag" else tbl.create_branch)(
+                        am.group("ref"), sid
+                    )
+                else:
+                    # REPLACE retargets an existing ref (refused if
+                    # missing); CREATE OR REPLACE upserts — Iceberg's
+                    # replaceTag/replaceBranch SQL-extension verbs
+                    tbl.replace_ref(
+                        am.group("ref"),
+                        sid,
+                        kind,
+                        create_if_missing=(action == "create or replace"),
+                    )
                 if am.group("retain"):
                     tbl.set_ref_retention(
                         am.group("ref"),
@@ -869,6 +904,19 @@ class Engine:
             )
 
         wom = _WRITE_ORDERED_RE.match(text)
+        if wom is None:
+            probe = _WRITE_PROBE_RE.match(text)
+            if probe and self.catalog.table_exists(
+                probe.group("name").strip("`")
+            ):
+                # a malformed WRITE ORDERED/UNORDERED on a managed table
+                # (unbalanced parens, stray tokens) must fail loudly, not
+                # fall through to Spark's parser as an unrelated error
+                raise ValueError(
+                    "cannot parse ALTER TABLE ... WRITE statement; "
+                    "expected WRITE ORDERED BY (col, ...) or "
+                    "WRITE UNORDERED"
+                )
         if wom and self.catalog.table_exists(wom.group("name").strip("`")):
             # ALTER TABLE t WRITE ORDERED BY (c, ...) | WRITE UNORDERED —
             # Iceberg's write.sort-order DDL (metadata-only): records the
@@ -881,8 +929,10 @@ class Engine:
                 order = ""
             else:
                 cols = [
-                    c.strip()
-                    for c in wom.group("cols").split(",")
+                    c.strip().strip("`")
+                    for c in (
+                        wom.group("cols") or wom.group("bare_cols")
+                    ).split(",")
                     if c.strip()
                 ]
                 present = {f.name for f in tbl.schema.fields}
@@ -896,6 +946,52 @@ class Engine:
                 tbl.set_properties({"sort.order": order})
             return self.spark.createDataFrame(
                 [(order,)], "sort_order string"
+            )
+
+        idm = _IDENT_FIELDS_RE.match(text)
+        if idm and self.catalog.table_exists(idm.group("name").strip("`")):
+            # ALTER TABLE t SET|DROP IDENTIFIER FIELDS (c, ...) — the
+            # Iceberg row-identity contract, persisted as the
+            # `identifier.fields` property; create_changelog_view uses
+            # it as the default identifier_columns so update pre/post
+            # images follow the TABLE's declared identity, not each
+            # caller's guess
+            tbl = self.catalog.load_table(idm.group("name").strip("`"))
+            cols = [
+                c.strip().strip("`")
+                for c in (idm.group("cols") or idm.group("bare")).split(",")
+                if c.strip()
+            ]
+            present = {f.name for f in tbl.schema.fields}
+            missing = [c for c in cols if c not in present]
+            if missing:
+                raise ValueError(
+                    f"IDENTIFIER FIELDS references unknown columns: "
+                    f"{missing}"
+                )
+            cur = [
+                c
+                for c in tbl.meta.properties.get(
+                    "identifier.fields", ""
+                ).split(",")
+                if c
+            ]
+            if idm.group("action").lower() == "set":
+                new = cols
+            else:
+                not_ident = [c for c in cols if c not in cur]
+                if not_ident:
+                    raise ValueError(
+                        f"DROP IDENTIFIER FIELDS: {not_ident} are not "
+                        f"identifier fields (current: {cur})"
+                    )
+                new = [c for c in cur if c not in cols]
+            if new:
+                tbl.set_properties({"identifier.fields": ",".join(new)})
+            else:
+                tbl.set_properties(unset=["identifier.fields"])
+            return self.spark.createDataFrame(
+                [(",".join(new),)], "identifier_fields string"
             )
 
         spm = _SET_PROPS_RE.match(text)
@@ -1153,7 +1249,7 @@ class Engine:
         # expire GC only deletes files unreachable from retained
         # snapshots, so a resolvable id implies intact files.
         ver = lk.group("ver")
-        ref = lk.group("ref")
+        ref = lk.group("refq") or lk.group("ref")
         if ref is not None:
             # AS OF REF <tag|branch>: resolve the named ref's snapshot —
             # clone-at-tag, the human-addressable form of AS OF VERSION
@@ -1185,14 +1281,26 @@ class Engine:
                     f"spans {len(sids)} schema eras; run "
                     "rewrite_data_files before cloning that state"
                 )
-            if sids:
-                import json as _json
-
-                from pyspark.sql import types as T
-
-                clone_schema = T.StructType.fromJson(
-                    _json.loads(src.meta.schema_json_at(sids.pop()))
+            if not sids and as_of.schema_id is not None:
+                # zero live files (e.g. a truncated historical snapshot):
+                # per-file eras give no signal, so the era comes from the
+                # snapshot's own recorded schema-id — never the source's
+                # CURRENT schema, which may have evolved since
+                sids = {as_of.schema_id}
+            if not sids:
+                raise ValueError(
+                    "CREATE TABLE LIKE ... AS OF: snapshot has no live "
+                    "files and records no schema-id (pre-schema-id "
+                    "metadata); its schema era cannot be resolved — "
+                    "clone the current table state instead"
                 )
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            clone_schema = T.StructType.fromJson(
+                _json.loads(src.meta.schema_json_at(sids.pop()))
+            )
         if lk.group("with_data"):
             snap = (
                 as_of if as_of is not None else src.meta.current_snapshot()
@@ -1606,6 +1714,16 @@ class Engine:
                 for c in args.get("identifier_columns", "").split(",")
                 if c.strip()
             ] or None
+            if keys is None:
+                # default to the table's declared identity (SET
+                # IDENTIFIER FIELDS DDL) when the caller names none
+                keys = [
+                    c
+                    for c in t.meta.properties.get(
+                        "identifier.fields", ""
+                    ).split(",")
+                    if c
+                ] or None
             view = args.get("view_name") or (
                 args["table"].strip("`") + "_changes"
             )

@@ -1880,6 +1880,7 @@ class ManagedTable:
             dv_manifest_paths=dv_manifest_paths,
             eq_manifest_paths=eq_manifest_paths,
             sequence_number=seq,
+            schema_id=self.meta.current_schema_id,
         )
         self.meta.snapshots.append(snap)
         if branch is not None:
@@ -2543,6 +2544,46 @@ class ManagedTable:
         del self.meta.refs[name]
         self.meta.commit()
 
+    def replace_ref(
+        self,
+        name: str,
+        snapshot_id: int | None,
+        kind: str,
+        create_if_missing: bool = False,
+    ) -> None:
+        """Retarget an existing tag/branch at another snapshot (Iceberg's
+        ``replaceTag``/``replaceBranch``, the SQL ``ALTER TABLE ...
+        REPLACE TAG`` verb).  The ref keeps its retention policy fields —
+        REPLACE moves the pointer, it does not reset the contract; pass
+        retention explicitly via ``set_ref_retention`` to change it.
+        ``create_if_missing`` is the CREATE OR REPLACE form.  Replacing a
+        ref with one of the OTHER kind is refused — a tag silently
+        becoming writable (or a branch becoming frozen) is a semantics
+        change, not a retarget."""
+        self.refresh()
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.meta.current_snapshot_id
+        )
+        if sid is None or self.meta.snapshot_by_id(sid) is None:
+            raise ValueError(f"unknown snapshot {sid} for {kind} {name!r}")
+        ref = self.meta.refs.get(name)
+        if ref is None:
+            if not create_if_missing:
+                raise ValueError(
+                    f"no {kind} {name!r} on {self.name} to replace; "
+                    "use CREATE OR REPLACE"
+                )
+            self.meta.refs[name] = {"snapshot_id": sid, "type": kind}
+        else:
+            if ref.get("type") != kind:
+                raise ValueError(
+                    f"ref {name!r} is a {ref.get('type')}, not a {kind}"
+                )
+            ref["snapshot_id"] = sid
+        self.meta.commit()
+
     def set_ref_retention(
         self,
         name: str,
@@ -2898,6 +2939,7 @@ class ManagedTable:
             # metadata-only: data files keep their own seq values, and no
             # new files exist to need a fresh one — inherit the parent's
             sequence_number=parent.sequence_number,
+            schema_id=self.meta.current_schema_id,
         )
         self.meta.snapshots.append(snap)
         if branch is not None:

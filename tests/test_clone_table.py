@@ -305,3 +305,79 @@ def test_clone_as_of_ref(spark, tmp_path):
             " WITH DATA"
         )
     assert not eng.catalog.table_exists("dst_bad2")
+
+
+def test_clone_as_of_empty_snapshot_uses_recorded_schema_era(spark, tmp_path):
+    """A truncated (zero-live-file) historical snapshot has no per-file
+    schema ids; the clone era must come from the snapshot's recorded
+    schema-id, never the source's CURRENT (post-evolution) schema."""
+    import pyspark.sql.functions as F
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "caewh"))
+    tbl = eng.catalog.create_table(
+        "src_empty_era", "k bigint, c bigint, m int", partition_cols=["m"]
+    )
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("c"),
+        (F.col("id") % 2).cast("int").alias("m"),
+    )
+    tbl.insert(df)
+    eng.sql("TRUNCATE TABLE src_empty_era")
+    tbl.refresh()
+    s_empty = tbl.meta.current_snapshot()
+    assert s_empty.live_files() == []
+    # schema evolves AFTER the empty snapshot
+    eng.sql("ALTER TABLE src_empty_era RENAME COLUMN c TO val")
+    res = eng.sql(
+        f"CREATE TABLE dst_empty_era LIKE src_empty_era AS OF VERSION "
+        f"{s_empty.snapshot_id} WITH DATA"
+    )
+    assert res.collect()[0]["added_files_count"] == 0
+    dst = eng.catalog.load_table("dst_empty_era")
+    # pre-rename era, NOT the source's current schema
+    assert [f.name for f in dst.schema.fields] == ["k", "c", "m"]
+    # a pre-schema-id snapshot (no recorded era, no files) is refused
+    # without leaving a destination husk
+    tbl.refresh()
+    stale = tbl.meta.snapshot_by_id(s_empty.snapshot_id)
+    stale.schema_id = None
+    tbl.meta.commit()
+    import pytest
+
+    with pytest.raises(ValueError, match="schema era cannot be resolved"):
+        eng.sql(
+            f"CREATE TABLE dst_noera LIKE src_empty_era AS OF VERSION "
+            f"{s_empty.snapshot_id}"
+        )
+    assert not eng.catalog.table_exists("dst_noera")
+
+
+def test_clone_as_of_ref_quoted_and_unbalanced(spark, tmp_path):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "caqwh"))
+    tbl = eng.catalog.create_table(
+        "src_tagq", "k bigint, m int", partition_cols=["m"]
+    )
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("m")
+    )
+    tbl.insert(df)
+    eng.sql("ALTER TABLE src_tagq CREATE TAG pin")
+    # balanced quotes parse
+    res = eng.sql(
+        "CREATE TABLE dst_tagq LIKE src_tagq AS OF REF 'pin' WITH DATA"
+    )
+    assert res.collect()[0]["added_files_count"] > 0
+    # an unbalanced quote must NOT be silently accepted as the LIKE form
+    with pytest.raises(Exception):
+        eng.sql(
+            "CREATE TABLE dst_tagq2 LIKE src_tagq AS OF REF 'pin WITH DATA"
+        )
+    assert not eng.catalog.table_exists("dst_tagq2")

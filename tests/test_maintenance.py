@@ -1509,3 +1509,72 @@ def test_publish_changes_by_wap_id(spark, tmp_path):
             "CALL system.publish_changes(table => 't_pubwap',"
             " wap_id => 'w9')"
         )
+
+
+def test_replace_tag_ddl(spark, tmp_path):
+    """ALTER TABLE ... REPLACE TAG retargets an existing ref (keeps its
+    retention policy); CREATE OR REPLACE upserts; kind mismatch and
+    unknown refs/snapshots are refused."""
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh_rt"))
+    tbl = eng.catalog.create_table("rt", "k bigint, part int", ["part"])
+    src = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    s1 = tbl.insert(src.filter(F.col("k") < 10))
+    s2 = tbl.insert(src.filter((F.col("k") >= 10) & (F.col("k") < 20)))
+    tbl.insert(src.filter(F.col("k") >= 20))
+    eng.sql(
+        f"ALTER TABLE rt CREATE TAG pin AS OF VERSION {s1.snapshot_id} "
+        "RETAIN 30 DAYS"
+    )
+    tbl.refresh()
+    age0 = tbl.meta.refs["pin"]["max_ref_age_ms"]
+    assert (
+        eng.sql("as of 'pin' SELECT COUNT(*) AS n FROM rt").collect()[0][0]
+        == 10
+    )
+    # retarget: the tag now reads s2's rowset; retention carried over
+    eng.sql(
+        f"ALTER TABLE rt REPLACE TAG pin AS OF VERSION {s2.snapshot_id}"
+    )
+    tbl.refresh()
+    assert tbl.meta.refs["pin"]["snapshot_id"] == s2.snapshot_id
+    assert tbl.meta.refs["pin"]["max_ref_age_ms"] == age0
+    assert (
+        eng.sql("as of 'pin' SELECT COUNT(*) AS n FROM rt").collect()[0][0]
+        == 20
+    )
+    # REPLACE of a missing ref refused; CREATE OR REPLACE upserts
+    with pytest.raises(ValueError, match="CREATE OR REPLACE"):
+        eng.sql(
+            f"ALTER TABLE rt REPLACE TAG ghost AS OF VERSION "
+            f"{s1.snapshot_id}"
+        )
+    eng.sql(
+        f"ALTER TABLE rt CREATE OR REPLACE TAG ghost AS OF VERSION "
+        f"{s1.snapshot_id}"
+    )
+    tbl.refresh()
+    assert tbl.meta.refs["ghost"]["snapshot_id"] == s1.snapshot_id
+    # kind mismatch refused; unknown snapshot refused
+    with pytest.raises(ValueError, match="is a tag"):
+        eng.sql("ALTER TABLE rt REPLACE BRANCH pin")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        eng.sql("ALTER TABLE rt REPLACE TAG pin AS OF VERSION 987654")
+    # expire: after dropping ghost, s1 is unpinned and ages out while
+    # the retargeted tag still pins s2 (clone-at-tag stays resolvable)
+    eng.sql("ALTER TABLE rt DROP TAG ghost")
+    res = tbl.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] >= 1
+    tbl.refresh()
+    assert tbl.meta.snapshot_by_id(s1.snapshot_id) is None
+    assert tbl.meta.snapshot_by_id(s2.snapshot_id) is not None
+    r = eng.sql("CREATE TABLE rt2 LIKE rt AS OF REF 'pin' WITH DATA")
+    assert r.collect()[0]["added_files_count"] > 0
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM rt2").collect()[0][0] == 20
+    )

@@ -341,3 +341,103 @@ def test_write_ordered_by_ddl(spark, tmp_path):
     )
     tbl.refresh()
     assert "sort.order" not in tbl.meta.properties
+
+
+def test_write_ordered_malformed_and_backticks(spark, tmp_path):
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "womwh"))
+    eng.catalog.create_table(
+        "t_wo_strict", "k bigint, v bigint, m int", partition_cols=["m"]
+    )
+    # backticked column list parses (backticks stripped before the
+    # schema check)
+    assert (
+        eng.sql("ALTER TABLE t_wo_strict WRITE ORDERED BY (`v`, `k`)")
+        .collect()[0]["sort_order"]
+        == "v,k"
+    )
+    # bare (paren-less) form still accepted
+    assert (
+        eng.sql("ALTER TABLE t_wo_strict WRITE ORDERED BY v")
+        .collect()[0]["sort_order"]
+        == "v"
+    )
+    # unbalanced parens / stray tokens fail loudly instead of falling
+    # through to the next handler
+    with pytest.raises(ValueError, match="cannot parse"):
+        eng.sql("ALTER TABLE t_wo_strict WRITE ORDERED BY (v, k")
+    with pytest.raises(ValueError, match="cannot parse"):
+        eng.sql("ALTER TABLE t_wo_strict WRITE ORDERED BY v, k)")
+    with pytest.raises(ValueError, match="cannot parse"):
+        eng.sql("ALTER TABLE t_wo_strict WRITE SORTED BY (v)")
+
+
+def test_identifier_fields_ddl(spark, tmp_path):
+    """SET/DROP IDENTIFIER FIELDS persists the row-identity contract and
+    create_changelog_view defaults its identifier_columns to it."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "idfwh"))
+    tbl = eng.catalog.create_table(
+        "t_idf", "k bigint, v bigint, m int", partition_cols=["m"]
+    )
+    tbl.insert(
+        spark.range(40).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("v"),
+            (F.col("id") % 2).cast("int").alias("m"),
+        )
+    )
+    s1 = tbl.meta.current_snapshot()
+    assert (
+        eng.sql("ALTER TABLE t_idf SET IDENTIFIER FIELDS (`k`)")
+        .collect()[0]["identifier_fields"]
+        == "k"
+    )
+    tbl.refresh()
+    assert tbl.meta.properties["identifier.fields"] == "k"
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.sql("ALTER TABLE t_idf SET IDENTIFIER FIELDS (nope)")
+    with pytest.raises(ValueError, match="not identifier fields"):
+        eng.sql("ALTER TABLE t_idf DROP IDENTIFIER FIELDS (v)")
+    # changelog view with NO identifier_columns follows the contract:
+    # an UPDATE appears as pre/post images keyed on k
+    eng.sql("UPDATE t_idf SET v = v + 1 WHERE k % 10 = 3")
+    eng.sql(
+        f"CALL system.create_changelog_view(table => 't_idf',"
+        f" from_snapshot_id => {s1.snapshot_id},"
+        f" view_name => 'idf_changes')"
+    )
+    kinds = {
+        r["_change_type"]
+        for r in spark.sql(
+            "SELECT DISTINCT _change_type FROM idf_changes"
+        ).collect()
+    }
+    assert kinds == {"update_preimage", "update_postimage"}
+    # after DROP, the same CALL degrades to delete+insert rows
+    assert (
+        eng.sql("ALTER TABLE t_idf DROP IDENTIFIER FIELDS (k)")
+        .collect()[0]["identifier_fields"]
+        == ""
+    )
+    tbl.refresh()
+    assert "identifier.fields" not in tbl.meta.properties
+    eng.sql(
+        f"CALL system.create_changelog_view(table => 't_idf',"
+        f" from_snapshot_id => {s1.snapshot_id},"
+        f" view_name => 'idf_changes2')"
+    )
+    kinds2 = {
+        r["_change_type"]
+        for r in spark.sql(
+            "SELECT DISTINCT _change_type FROM idf_changes2"
+        ).collect()
+    }
+    assert kinds2 == {"delete", "insert"}
