@@ -118,16 +118,13 @@ def emb_adjusted_rand_index(
 # hypothesis); doubled ranks keep L2 = sum j*R2_j = 2L exact.  Under
 # H0: E[L] = n k (k+1)^2 / 4, Var[L] = n k^2 (k+1) (k^2-1) / 144 —
 # emitted as the exact integers 4E and 144Var next to the mirrored z.
-_PAGE_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        types AS (SELECT DISTINCT event_type FROM ev),
-        days AS (SELECT DISTINCT day FROM ev),
-        cnt AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline34.py::
+# events_stream_page_trend), which substitutes a merged-partials `cnt`
+# head; types/days derive FROM cnt (same sets — every type and day
+# appears in some count row), re-verified at 3 SFs after the split.
+_PAGE_TAIL_SQL = """
+        types AS (SELECT DISTINCT event_type FROM cnt),
+        days AS (SELECT DISTINCT day FROM cnt),
         daily AS (
           SELECT t.event_type, d.day,
                  CAST(COALESCE(cnt.c, 0) AS BIGINT) AS x
@@ -180,6 +177,18 @@ _PAGE_SQL = """
         FROM ordj o CROSS JOIN calc c
         ORDER BY o.j
 """
+
+_PAGE_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        cnt AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2
+        ),"""
+    + _PAGE_TAIL_SQL
+)
 
 
 @register(
