@@ -108,6 +108,11 @@ _ALTER_COL_RE = re.compile(
     r")\s*$",
     re.IGNORECASE,
 )
+_RENAME_TABLE_RE = re.compile(
+    r"^\s*alter\s+table\s+`?(?P<name>\w+)`?\s+rename\s+to\s+"
+    r"`?(?P<new>\w+)`?\s*$",
+    re.IGNORECASE,
+)
 _FAST_FORWARD_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+fast\s+forward\s+"
     r"(?:to\s+)?`?(?P<branch>\w+)`?\s*$",
@@ -869,6 +874,19 @@ class Engine:
             else:
                 tbl.drop_ref(am.group("ref"))
             return self.spark.createDataFrame([], T.StructType([]))
+
+        rtm = _RENAME_TABLE_RE.match(text)
+        if rtm and self.catalog.table_exists(rtm.group("name").strip("`")):
+            # ALTER TABLE old RENAME TO new — Iceberg rename: identifier
+            # moves, location (and all absolute metadata paths) stays
+            old, new = rtm.group("name"), rtm.group("new")
+            self.catalog.rename_table(old, new)
+            # a stale temp view registered for the old name must not
+            # keep answering SELECTs after the identifier is gone
+            self.spark.catalog.dropTempView(old)
+            return self.spark.createDataFrame(
+                [(old, new)], "old_name string, new_name string"
+            )
 
         fm = _FAST_FORWARD_RE.match(text)
         if fm and self.catalog.table_exists(fm.group("name").strip("`")):

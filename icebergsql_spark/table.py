@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -191,9 +192,22 @@ class Catalog:
         os.makedirs(warehouse, exist_ok=True)
 
     def table_location(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        # a renamed table's identifier dir holds only a pointer to the
+        # unchanged physical location (Iceberg rename semantics: data and
+        # metadata paths never move — only the catalog identifier does)
+        p = os.path.join(self.warehouse, name)
+        link = os.path.join(p, "link.text")
+        if os.path.exists(link):
+            with open(link) as f:
+                return f.read().strip()
+        return p
 
     def table_exists(self, name: str) -> bool:
+        base = os.path.join(self.warehouse, name)
+        if os.path.exists(os.path.join(base, "renamed-to.text")):
+            # the identifier was renamed away; the physical dir remains
+            # (it IS the new name's location) but this name is gone
+            return False
         return os.path.exists(
             os.path.join(self.table_location(name), "metadata", "version-hint.text")
         )
@@ -290,7 +304,43 @@ class Catalog:
         import shutil
 
         if self.table_exists(name):
-            shutil.rmtree(self.table_location(name))
+            loc = self.table_location(name)
+            shutil.rmtree(loc)
+            base = os.path.join(self.warehouse, name)
+            # a renamed identifier's pointer dir is separate litter
+            if base != loc and os.path.exists(base):
+                shutil.rmtree(base)
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME TO — Iceberg rename semantics: ONLY the
+        catalog identifier changes; the table location (and therefore
+        every absolute data/manifest path already written into the
+        metadata) stays put, so snapshots, time travel, refs, and
+        zero-copy clones of the table all survive the rename.  The new
+        identifier holds a pointer (``link.text``) to the unchanged
+        physical dir; the old identifier is tombstoned
+        (``renamed-to.text``) because its dir IS the physical location
+        and cannot be removed."""
+        import shutil
+
+        if not self.table_exists(old):
+            raise TableValidationError(f"table {old!r} does not exist")
+        if self.table_exists(new):
+            raise TableValidationError(f"table {new!r} already exists")
+        if not re.fullmatch(r"\w+", new):
+            raise TableValidationError(f"bad table name {new!r}")
+        target = self.table_location(old)
+        newdir = os.path.join(self.warehouse, new)
+        os.makedirs(newdir, exist_ok=True)
+        with open(os.path.join(newdir, "link.text"), "w") as f:
+            f.write(target)
+        oldbase = os.path.join(self.warehouse, old)
+        if os.path.exists(os.path.join(oldbase, "link.text")):
+            # old was itself a renamed identifier: just drop its pointer
+            shutil.rmtree(oldbase)
+        else:
+            with open(os.path.join(oldbase, "renamed-to.text"), "w") as f:
+                f.write(new)
 
 
 class ManagedTable:

@@ -441,3 +441,61 @@ def test_identifier_fields_ddl(spark, tmp_path):
         ).collect()
     }
     assert kinds2 == {"delete", "insert"}
+
+
+def test_rename_table_ddl(spark, tmp_path):
+    """ALTER TABLE ... RENAME TO: identifier moves, location stays —
+    snapshots, tags, time travel and subsequent writes all survive."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.table import TableValidationError
+
+    eng = Engine(spark, str(tmp_path / "rnwh"))
+    tbl = eng.catalog.create_table(
+        "rn_old", "k bigint, part int", ["part"]
+    )
+    src = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("part")
+    )
+    tbl.insert(src.filter(F.col("k") < 20))
+    eng.sql("ALTER TABLE rn_old CREATE TAG first20")
+    # register a temp view for the old name, then rename
+    assert eng.sql("SELECT COUNT(*) AS n FROM rn_old").collect()[0][0] == 20
+    row = eng.sql("ALTER TABLE rn_old RENAME TO rn_new").collect()[0]
+    assert (row["old_name"], row["new_name"]) == ("rn_old", "rn_new")
+    assert eng.catalog.table_exists("rn_new")
+    assert not eng.catalog.table_exists("rn_old")
+    # reads, refs, time travel, writes under the NEW identifier
+    assert eng.sql("SELECT COUNT(*) AS n FROM rn_new").collect()[0][0] == 20
+    t2 = eng.catalog.load_table("rn_new")
+    assert "first20" in t2.meta.refs
+    t2.insert(src.filter(F.col("k") >= 20))
+    assert eng.sql("SELECT COUNT(*) AS n FROM rn_new").collect()[0][0] == 50
+    assert (
+        eng.sql("as of 'first20' SELECT COUNT(*) AS n FROM rn_new")
+        .collect()[0][0]
+        == 20
+    )
+    # the old identifier no longer answers
+    with pytest.raises(Exception):
+        eng.sql("SELECT COUNT(*) AS n FROM rn_old").collect()
+    # rename refusals: missing source, occupied destination
+    with pytest.raises(TableValidationError, match="does not exist"):
+        eng.catalog.rename_table("ghost", "x")
+    eng.catalog.create_table("rn_other", "k bigint, part int", ["part"])
+    with pytest.raises(TableValidationError, match="already exists"):
+        eng.catalog.rename_table("rn_new", "rn_other")
+    # rename chain: the second rename drops the intermediate pointer
+    eng.sql("ALTER TABLE rn_new RENAME TO rn_final")
+    assert not eng.catalog.table_exists("rn_new")
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM rn_final").collect()[0][0] == 50
+    )
+    # drop removes both the physical dir and the pointer dir
+    eng.sql("DROP TABLE rn_final")
+    assert not eng.catalog.table_exists("rn_final")
+    import os
+
+    assert not os.path.exists(str(tmp_path / "rnwh" / "rn_final"))
