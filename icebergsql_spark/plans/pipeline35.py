@@ -87,14 +87,9 @@ def managed_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- turning-points test --
 
-_TP_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        daily AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline36.py), which
+# substitutes a merged-partials `daily` head
+_TP_TAIL_SQL = """
         lagged AS (
           SELECT event_type, day, x,
                  lag(x) OVER (PARTITION BY event_type ORDER BY day)
@@ -123,6 +118,23 @@ _TP_SQL = """
         FROM tp
         ORDER BY event_type
 """
+
+_DAILY_BATCH_HEAD = """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+        ),
+        daily AS (
+          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+          FROM ev GROUP BY 1, 2
+        ),"""
+
+_DAILY_STREAM_HEAD = """
+        WITH daily AS (
+          SELECT event_type, day, CAST(x AS BIGINT) AS x
+          FROM {view}
+        ),"""
+
+_TP_SQL = _DAILY_BATCH_HEAD + _TP_TAIL_SQL
 
 
 @register(
@@ -155,14 +167,8 @@ def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ Bartels rank von Neumann --
 
-_BR_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-        ),
-        daily AS (
-          SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
-          FROM ev GROUP BY 1, 2
-        ),
+# tail shared with the streaming twin (plans/pipeline36.py)
+_BR_TAIL_SQL = """
         ranked AS (
           SELECT event_type, day,
                  CAST(2 * RANK() OVER (PARTITION BY event_type
@@ -196,6 +202,8 @@ _BR_SQL = """
         ORDER BY event_type
 """
 
+_BR_SQL = _DAILY_BATCH_HEAD + _BR_TAIL_SQL
+
 
 @register(
     "events_bartels_rank",
@@ -227,23 +235,11 @@ def events_bartels_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ Wilcoxon signed-rank test --
 
-_WSR_SQL = """
-        WITH ev AS (
-          SELECT event_type, {day_expr} AS day FROM {src}
-          WHERE event_type IN ('purchase', 'error')
-        ),
-        days AS (SELECT DISTINCT day FROM ev),
-        daily AS (
-          SELECT d.day,
-                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
-                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
-                   - CAST(COALESCE(SUM(CASE WHEN e.event_type = 'error'
-                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
-                   AS d
-          FROM days d LEFT JOIN ev e ON e.day = d.day
-          GROUP BY d.day
-        ),
-        nz AS (SELECT day, d FROM daily WHERE d <> 0),
+# tail consumes diffs(day, d) — shared with the streaming twin
+# (plans/pipeline36.py), which substitutes merged per-(type, day)
+# partials pivoted to the same paired difference
+_WSR_TAIL_SQL = """
+        nz AS (SELECT day, d FROM diffs WHERE d <> 0),
         ranked AS (
           SELECT day, d, abs(d) AS ad,
                  CAST(2 * RANK() OVER (ORDER BY abs(d))
@@ -285,6 +281,26 @@ _WSR_SQL = """
                END AS sign_z
         FROM agg a CROSS JOIN ties t
 """
+
+_WSR_SQL = (
+    """
+        WITH ev AS (
+          SELECT event_type, {day_expr} AS day FROM {src}
+          WHERE event_type IN ('purchase', 'error')
+        ),
+        days AS (SELECT DISTINCT day FROM ev),
+        diffs AS (
+          SELECT d.day,
+                 CAST(COALESCE(SUM(CASE WHEN e.event_type = 'purchase'
+                                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   - CAST(COALESCE(SUM(CASE WHEN e.event_type = 'error'
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS d
+          FROM days d LEFT JOIN ev e ON e.day = d.day
+          GROUP BY d.day
+        ),"""
+    + _WSR_TAIL_SQL
+)
 
 
 @register(
