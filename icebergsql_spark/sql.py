@@ -1795,6 +1795,25 @@ class Engine:
                 [(staged[0].snapshot_id, snap.snapshot_id)],
                 "source_snapshot_id long, current_snapshot_id long",
             )
+        if proc == "register_table":
+            # CALL [system.]register_table(table, metadata_location) —
+            # Iceberg's register_table procedure: adopt an existing
+            # table directory under a catalog identifier, zero-copy
+            # (Catalog.register_table; link.text pointer, live-owner
+            # duplicate refusal)
+            args = _parse_call_args(argtext, ["table", "metadata_location"])
+            name = args.get("table", "").strip("`").strip("'\"")
+            loc = args.get("metadata_location", "").strip("'\"")
+            if not name or not loc:
+                raise ValueError(
+                    "CALL register_table: table and metadata_location "
+                    "required"
+                )
+            t = self.catalog.register_table(name, loc)
+            return spark.createDataFrame(
+                [(name, t.meta.location, t.meta.current_snapshot_id)],
+                "table string, location string, current_snapshot_id long",
+            )
         if proc == "ancestors_of":
             args = _parse_call_args(argtext, ["table", "snapshot_id"])
             t = tbl(args)

@@ -300,6 +300,45 @@ class Catalog:
             raise TableValidationError(f"table {name!r} does not exist")
         return ManagedTable(self, name, TableMetadata.load(self.table_location(name)))
 
+    def register_table(self, name: str, location: str) -> "ManagedTable":
+        """CALL system.register_table parity: adopt an EXISTING table
+        directory (metadata/version-hint.text intact — e.g. built by
+        another warehouse/catalog, or orphaned by a lost catalog) under
+        a catalog identifier WITHOUT copying anything — the same
+        link.text pointer mechanism the rename path uses.  A location a
+        LIVE identifier already owns is refused: two identifiers on one
+        metadata line would be two optimistic writers racing on every
+        commit (CommitConflict would serialize them, but silent aliasing
+        is a foot-gun, exactly like Iceberg's duplicate-register
+        refusal)."""
+        if self.table_exists(name):
+            raise TableValidationError(f"table {name!r} already exists")
+        if not re.fullmatch(r"\w+", name):
+            raise TableValidationError(f"bad table name {name!r}")
+        loc = os.path.abspath(location).rstrip(os.sep)
+        if not os.path.exists(
+            os.path.join(loc, "metadata", "version-hint.text")
+        ):
+            raise TableValidationError(
+                f"no table metadata at {loc!r} "
+                "(expected metadata/version-hint.text)"
+            )
+        for existing in self.list_tables():
+            if os.path.abspath(self.table_location(existing)) == loc:
+                raise TableValidationError(
+                    f"location {loc!r} is already registered "
+                    f"as {existing!r}"
+                )
+        base = os.path.join(self.warehouse, name)
+        os.makedirs(base, exist_ok=True)
+        tomb = os.path.join(base, "renamed-to.text")
+        if os.path.exists(tomb):
+            os.remove(tomb)
+        if os.path.abspath(base) != loc:
+            with open(os.path.join(base, "link.text"), "w") as f:
+                f.write(loc)
+        return self.load_table(name)
+
     def drop_table(self, name: str) -> None:
         import shutil
 

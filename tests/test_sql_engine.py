@@ -499,3 +499,55 @@ def test_rename_table_ddl(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "rnwh" / "rn_final"))
+
+
+def test_register_table_procedure(spark, tmp_path):
+    """CALL system.register_table adopts an existing table dir zero-copy;
+    live-owner duplicates and metadata-less dirs are refused."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.table import Catalog, TableValidationError
+
+    # source table built by a DIFFERENT warehouse/catalog
+    ext = Catalog(spark, str(tmp_path / "external_wh"))
+    src = ext.create_table("orphan_src", "k bigint, part int", ["part"])
+    src.insert(
+        spark.range(30).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    eng = Engine(spark, str(tmp_path / "main_wh"))
+    res = eng.sql(
+        f"CALL system.register_table(table => 'adopted', "
+        f"metadata_location => '{ext.table_location('orphan_src')}')"
+    ).collect()[0]
+    assert res["table"] == "adopted"
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM adopted").collect()[0][0] == 30
+    )
+    # the adopted identifier is fully writable
+    eng.catalog.load_table("adopted").insert(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    assert (
+        eng.sql("SELECT COUNT(*) AS n FROM adopted").collect()[0][0] == 40
+    )
+    # duplicate registration of a live-owned location refused
+    with pytest.raises(TableValidationError, match="already registered"):
+        eng.catalog.register_table(
+            "alias2", ext.table_location("orphan_src")
+        )
+    # a dir without table metadata refused
+    with pytest.raises(TableValidationError, match="no table metadata"):
+        eng.catalog.register_table("junk", str(tmp_path))
+    # occupied identifier refused
+    with pytest.raises(TableValidationError, match="already exists"):
+        eng.catalog.register_table(
+            "adopted", ext.table_location("orphan_src")
+        )
