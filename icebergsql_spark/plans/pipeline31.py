@@ -416,8 +416,12 @@ def _nmi_oracle() -> str:
     "expression over exact bigint contingency counts, and each sum "
     "runs as a key-SORTED sequential fold (the JS-divergence "
     "discipline), so only the documented 1-ulp JVM-vs-glibc ln "
-    "caveat remains (hill rule) — the exact integer anchors "
-    "(n, sum_c2, k_cells, k_labels) are ulp-proof. Scale shape: one "
+    "caveat remains (hill rule): the float columns are hashed "
+    "bit-exactly, so on a platform where any contingency ratio hits "
+    "a divergent ln input this gate would mismatch — if that ever "
+    "happens, drop the ln columns and keep the exact integer anchors "
+    "(n, sum_c2, k_cells, k_labels), which are ulp-proof. Green at "
+    "all three SFs on this platform. Scale shape: one "
     "(cell, label) contingency count; every fold is over <= 80 "
     "rows regardless of corpus size.",
     tags=("embeddings", "curation", "stats"),

@@ -269,8 +269,8 @@ _WSR_TAIL_SQL = """
                     AS BIGINT) AS var_times48,
                CASE WHEN 2 * a.m * (a.m + 1) * (2 * a.m + 1)
                          - t.tie_term > 0
-                    THEN (CAST(a.w2_plus - a.m * (a.m + 1)
-                               AS DOUBLE) / 2.0)
+                    THEN (CAST(2 * a.w2_plus - a.m * (a.m + 1)
+                               AS DOUBLE) / 4.0)
                          / sqrt(CAST(2 * a.m * (a.m + 1)
                                      * (2 * a.m + 1) - t.tie_term
                                      AS DOUBLE) / 48.0)

@@ -199,7 +199,9 @@ _DVE_SQL = """
         ),
         v AS (
           SELECT dim, n, sq, sqq,
-                 CAST(n * sqq - sq * sq AS BIGINT) AS var_num
+                 CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                   AS var_num
           FROM s
         ),
         ranked AS (
@@ -238,9 +240,13 @@ def _dve_oracle() -> str:
     "emb_dim_variance_extremes",
     oracle=_dve_oracle(),
     doc="Per-dimension variance extremes over the embedding table: the "
-    "10 lowest- and 10 highest-variance dimensions by the exact "
-    "integer ranking key n*sum(q^2) - (sum q)^2 (quantized "
-    "coordinates, no float anywhere, ties broken by dimension id). "
+    "10 lowest- and 10 highest-variance dimensions by the ranking "
+    "key n*sum(q^2) - (sum q)^2 over quantized coordinates, "
+    "evaluated in DOUBLE (the integer product would sit within 2x "
+    "of the bigint ceiling at sf0.1 and wrap silently at larger n — "
+    "the CLAUDE.md scaled-ranking-key rule; double products are "
+    "bit-identical both engines, ties broken by dimension id; the "
+    "sufficient statistics n/sq/sqq stay exact bigints). "
     "Near-zero-variance dimensions are DEAD — they waste index "
     "bytes and are the first candidates for Matryoshka truncation "
     "or PQ subspace merging; the extremes table is the audit that "

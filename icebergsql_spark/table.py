@@ -248,6 +248,16 @@ class Catalog:
             if if_not_exists:
                 return self.load_table(name)
             raise TableValidationError(f"table {name!r} already exists")
+        if os.path.exists(
+            os.path.join(self.warehouse, name, "renamed-to.text")
+        ):
+            # the identifier's dir IS the renamed table's physical
+            # location — creating here would hijack its metadata line
+            raise TableValidationError(
+                f"identifier {name!r} was renamed away and its dir is "
+                "the renamed table's physical location; choose another "
+                "name"
+            )
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         validate_schema_types(schema)
@@ -330,10 +340,21 @@ class Catalog:
                     f"as {existing!r}"
                 )
         base = os.path.join(self.warehouse, name)
+        # a renamed-away identifier's dir IS another table's physical
+        # location (the tombstone marks it); adopting that name would
+        # plant a pointer inside the other table's dir and a later drop
+        # would delete its data — refuse, like the re-create path
+        if os.path.exists(os.path.join(base, "renamed-to.text")) or (
+            os.path.abspath(base) != loc
+            and os.path.exists(
+                os.path.join(base, "metadata", "version-hint.text")
+            )
+        ):
+            raise TableValidationError(
+                f"identifier {name!r} is the physical location of a "
+                "renamed table; choose another name"
+            )
         os.makedirs(base, exist_ok=True)
-        tomb = os.path.join(base, "renamed-to.text")
-        if os.path.exists(tomb):
-            os.remove(tomb)
         if os.path.abspath(base) != loc:
             with open(os.path.join(base, "link.text"), "w") as f:
                 f.write(loc)
@@ -343,11 +364,17 @@ class Catalog:
         import shutil
 
         if self.table_exists(name):
-            loc = self.table_location(name)
-            shutil.rmtree(loc)
+            loc = os.path.abspath(self.table_location(name))
+            wh = os.path.abspath(self.warehouse) + os.sep
             base = os.path.join(self.warehouse, name)
-            # a renamed identifier's pointer dir is separate litter
-            if base != loc and os.path.exists(base):
+            if loc.startswith(wh):
+                # warehouse-owned data (created here, or renamed within):
+                # drop deletes it
+                shutil.rmtree(loc)
+            # an adopted EXTERNAL location (register_table) is only
+            # UNREGISTERED — deleting it would destroy another catalog's
+            # table through a zero-copy pointer
+            if os.path.abspath(base) != loc and os.path.exists(base):
                 shutil.rmtree(base)
 
     def rename_table(self, old: str, new: str) -> None:

@@ -551,3 +551,57 @@ def test_register_table_procedure(spark, tmp_path):
         eng.catalog.register_table(
             "adopted", ext.table_location("orphan_src")
         )
+
+
+def test_rename_register_create_interplay(spark, tmp_path):
+    """The renamed-away identifier's dir is another table's physical
+    location: create_table and register_table must refuse it, and
+    dropping an ADOPTED external table only unregisters."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from icebergsql_spark.sql import Engine
+    from icebergsql_spark.table import Catalog, TableValidationError
+
+    eng = Engine(spark, str(tmp_path / "irwh"))
+    tbl = eng.catalog.create_table("ir_a", "k bigint, part int", ["part"])
+    tbl.insert(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    eng.catalog.rename_table("ir_a", "ir_b")
+    # re-creating the renamed-away name would hijack ir_b's metadata
+    with pytest.raises(TableValidationError, match="renamed away"):
+        eng.catalog.create_table("ir_a", "k bigint, part int", ["part"])
+    # registering another location under that name would plant a
+    # pointer inside ir_b's physical dir (and a later drop would
+    # delete ir_b's data)
+    ext = Catalog(spark, str(tmp_path / "ir_ext"))
+    src = ext.create_table("ir_src", "k bigint, part int", ["part"])
+    src.insert(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    with pytest.raises(TableValidationError, match="physical location"):
+        eng.catalog.register_table(
+            "ir_a", ext.table_location("ir_src")
+        )
+    assert eng.catalog.load_table("ir_b").to_df().count() == 10  # intact
+    # dropping an adopted EXTERNAL table unregisters without touching
+    # the other catalog's data
+    eng.catalog.register_table("ir_adopt", ext.table_location("ir_src"))
+    assert eng.catalog.load_table("ir_adopt").to_df().count() == 5
+    eng.catalog.drop_table("ir_adopt")
+    assert not eng.catalog.table_exists("ir_adopt")
+    assert ext.table_exists("ir_src")
+    assert ext.load_table("ir_src").to_df().count() == 5
+    # warehouse-owned tables still delete fully on drop
+    eng.catalog.drop_table("ir_b")
+    assert not os.path.exists(str(tmp_path / "irwh" / "ir_a"))
+    assert not os.path.exists(str(tmp_path / "irwh" / "ir_b"))
