@@ -335,7 +335,8 @@ _YK_SQL = """
         )
         SELECT source, n, vocab,
                CAST(s2 - n AS BIGINT) AS k_num,
-               CAST(10000000000 * (s2 - n) {div} (n * n) AS BIGINT)
+               CAST(s2 - n AS DOUBLE) / CAST(n AS DOUBLE)
+                 / CAST(n AS DOUBLE) * 10000000000.0
                  AS yule_k_micro
         FROM s
         ORDER BY source
@@ -351,7 +352,10 @@ _YK_SQL = """
     "K = 10^4 * (sum_m m^2 V_m - N) / N^2, computed via the "
     "frequency identity sum_m m^2 V_m = sum_t f_t^2 — so the whole "
     "statistic is exact integers (k_num = sum f^2 - N; the emitted "
-    "yule_k_micro is K x 10^6 by integer division). K is "
+    "yule_k_micro is K x 10^6 as a factor-wise DOUBLE — a 10^10-scaled "
+    "integer product would sit within 2x of the bigint ceiling at "
+    "larger corpora, where Spark wraps silently while DuckDB promotes "
+    "to HUGEINT; double div/mult are bit-identical engines-wise). K is "
     "text-length-invariant where TTR is not — the repetitiveness "
     "score that flags template/boilerplate-heavy sources for "
     "curation at any document-count mix. Scale shape: one (source, "

@@ -158,6 +158,14 @@ _IDENT_FIELDS_RE = re.compile(
     r"(?:\((?P<cols>[`\w,\s]+?)\)|(?P<bare>[`\w,\s]+?))\s*$",
     re.IGNORECASE,
 )
+# Loose probe: a malformed SET/DROP IDENTIFIER FIELDS on a managed table
+# (unbalanced parens, stray tokens) gets a targeted parse error instead
+# of falling through to Spark's parser — the WRITE ORDERED discipline.
+_IDENT_FIELDS_PROBE_RE = re.compile(
+    r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+"
+    r"(?:set|drop)\s+identifier\s+fields\b",
+    re.IGNORECASE,
+)
 _SET_PROPS_RE = re.compile(
     r"^\s*alter\s+table\s+(?P<name>[`\w.]+)\s+set\s+tblproperties\s*"
     r"\((?P<kv>.*)\)\s*$",
@@ -967,6 +975,16 @@ class Engine:
             )
 
         idm = _IDENT_FIELDS_RE.match(text)
+        if idm is None:
+            probe = _IDENT_FIELDS_PROBE_RE.match(text)
+            if probe and self.catalog.table_exists(
+                probe.group("name").strip("`")
+            ):
+                raise ValueError(
+                    "cannot parse ALTER TABLE ... SET/DROP IDENTIFIER "
+                    "FIELDS statement; expected SET IDENTIFIER FIELDS "
+                    "(col, ...) or DROP IDENTIFIER FIELDS (col, ...)"
+                )
         if idm and self.catalog.table_exists(idm.group("name").strip("`")):
             # ALTER TABLE t SET|DROP IDENTIFIER FIELDS (c, ...) — the
             # Iceberg row-identity contract, persisted as the

@@ -393,6 +393,19 @@ class Catalog:
             raise TableValidationError(f"table {old!r} does not exist")
         if self.table_exists(new):
             raise TableValidationError(f"table {new!r} already exists")
+        if os.path.exists(
+            os.path.join(self.warehouse, new, "renamed-to.text")
+        ):
+            # the destination identifier's dir IS another (renamed) table's
+            # physical location — writing link.text there would make the
+            # renamed table unreachable under ANY name (table_exists checks
+            # renamed-to.text before link.text); same refusal as
+            # create_table/register_table
+            raise TableValidationError(
+                f"identifier {new!r} was renamed away and its dir is "
+                "the renamed table's physical location; choose another "
+                "name"
+            )
         if not re.fullmatch(r"\w+", new):
             raise TableValidationError(f"bad table name {new!r}")
         target = self.table_location(old)

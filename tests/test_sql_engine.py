@@ -406,6 +406,12 @@ def test_identifier_fields_ddl(spark, tmp_path):
         eng.sql("ALTER TABLE t_idf SET IDENTIFIER FIELDS (nope)")
     with pytest.raises(ValueError, match="not identifier fields"):
         eng.sql("ALTER TABLE t_idf DROP IDENTIFIER FIELDS (v)")
+    # malformed statements on a managed table fail with a TARGETED error
+    # (the WRITE ORDERED probe discipline), never an unrelated Spark one
+    with pytest.raises(ValueError, match="cannot parse ALTER TABLE"):
+        eng.sql("ALTER TABLE t_idf SET IDENTIFIER FIELDS (k, v")
+    with pytest.raises(ValueError, match="cannot parse ALTER TABLE"):
+        eng.sql("ALTER TABLE t_idf DROP IDENTIFIER FIELDS")
     # changelog view with NO identifier_columns follows the contract:
     # an UPDATE appears as pre/post images keyed on k
     eng.sql("UPDATE t_idf SET v = v + 1 WHERE k % 10 = 3")
@@ -592,6 +598,20 @@ def test_rename_register_create_interplay(spark, tmp_path):
         eng.catalog.register_table(
             "ir_a", ext.table_location("ir_src")
         )
+    # RENAMING another table onto the tombstoned name would write
+    # link.text into ir_b's physical dir, making ir_b unreachable under
+    # ANY name (table_exists checks renamed-to.text before link.text)
+    other = eng.catalog.create_table("ir_c", "k bigint, part int", ["part"])
+    other.insert(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("part"),
+        )
+    )
+    with pytest.raises(TableValidationError, match="physical location"):
+        eng.catalog.rename_table("ir_c", "ir_a")
+    assert eng.catalog.load_table("ir_c").to_df().count() == 3  # intact
+    eng.catalog.drop_table("ir_c")
     assert eng.catalog.load_table("ir_b").to_df().count() == 10  # intact
     # dropping an adopted EXTERNAL table unregisters without touching
     # the other catalog's data
