@@ -3650,9 +3650,14 @@ class ManagedTable:
         return ins.unionAll(del_).unionAll(pre).unionAll(post)
 
     def snapshots_df(self) -> DataFrame:
-        """The `<table>$snapshots` view with the reference's exact 6-column
-        schema — including the `numdDeletedFiles` typo and parentId = -1 for
-        the root snapshot (utils/TableUtils.scala:48-103)."""
+        """The `<table>$snapshots` view: the reference's exact 6-column
+        legacy schema as a PREFIX — including the `numdDeletedFiles` typo
+        and parentId = -1 for the root snapshot
+        (utils/TableUtils.scala:48-103) — extended with `schemaId`, the
+        table schema id in effect when the snapshot committed (Iceberg
+        spec's snapshot `schema-id`; -1 for pre-field metadata written
+        before schema ids were recorded).  Joinable against `$history` /
+        `$lineage` to audit which commits straddle a schema change."""
         rows = [
             (
                 s.snapshot_id,
@@ -3661,12 +3666,14 @@ class ManagedTable:
                 s.num_added_files,
                 s.num_deleted_files,
                 s.manifest_paths[-1] if s.manifest_paths else "",
+                s.schema_id if s.schema_id is not None else -1,
             )
             for s in self.meta.snapshots
         ]
         schema = (
             "id long, parentId long, timeMillis long, numAddedFiles int, "
-            "numdDeletedFiles int, manifestListLocation string"
+            "numdDeletedFiles int, manifestListLocation string, "
+            "schemaId int"
         )
         return _values_local_df(self.spark, rows, schema)
 

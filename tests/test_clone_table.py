@@ -145,6 +145,20 @@ def test_create_like_refuses_multi_era_sources_without_husk(spark):
     assert not eng.catalog.table_exists("dst_era"), (
         "refused clone left an empty-table husk"
     )
+    # $snapshots surfaces the per-commit schema era: the pre-rename
+    # insert carries schemaId 0, everything at/after the rename carries 1
+    eras = {
+        r["id"]: r["schemaId"]
+        for r in eng.sql(
+            "SELECT id, schemaId FROM `src_era$snapshots`"
+        ).collect()
+    }
+    tbl.refresh()
+    snaps_sorted = sorted(
+        tbl.meta.snapshots, key=lambda s: s.sequence_number
+    )
+    assert eras[snaps_sorted[0].snapshot_id] == 0
+    assert eras[snaps_sorted[-1].snapshot_id] == 1
     # after compaction the eras collapse and the clone succeeds
     tbl.compact(target_file_size=1 << 40, min_input_files=2)
     out = eng.sql("CREATE TABLE dst_era LIKE src_era WITH DATA")

@@ -119,12 +119,14 @@ def test_reference_golden_scenario(spark, catalog, src):
     snaps = tbl.snapshots_df()
     assert snaps.columns == [
         "id", "parentId", "timeMillis", "numAddedFiles",
-        "numdDeletedFiles", "manifestListLocation",
+        "numdDeletedFiles", "manifestListLocation", "schemaId",
     ]
     rows = {r["id"]: r for r in snaps.collect()}
     assert rows[s1.snapshot_id]["parentId"] == -1
     assert rows[s3.snapshot_id]["numdDeletedFiles"] == 60
     assert len(rows) == 5
+    # schemaId records the schema era in effect at commit time
+    assert all(r["schemaId"] == 0 for r in rows.values())
 
 
 def test_data_column_stats_pruning(spark, catalog, src):
