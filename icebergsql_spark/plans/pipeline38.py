@@ -96,7 +96,7 @@ def managed_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evaluated as mirrored double expressions and quantized ONCE to 1e-3
 # units (the Durbin-Watson discipline); the two sums of squares are
 # then exact bigints and the strength ratio is one float expression.
-_SS_SQL = """
+_SS_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
@@ -104,7 +104,11 @@ _SS_SQL = """
           SELECT event_type, day, day % 7 AS phase,
                  CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary — the composed batch string is character-identical
+# to the pre-split template, so the batch gate is not plan-changed).
+_SS_TAIL_SQL = """
         g AS (
           SELECT event_type,
                  CAST(COUNT(*) AS BIGINT) AS n,
@@ -146,6 +150,7 @@ _SS_SQL = """
         FROM agg a JOIN g ON g.event_type = a.event_type
         ORDER BY a.event_type
 """
+_SS_SQL = _SS_HEAD_SQL + _SS_TAIL_SQL
 
 
 @register(
