@@ -23,14 +23,17 @@ from icebergsql_spark.plans.registry import register
 # engines-wise.  The log-log slope (the Hurst exponent itself) is
 # hill-rule territory (ln is 1-ulp fragile), so the gate anchors on
 # the exact integers and leaves the regression to the consumer.
-_HURST_SQL = """
+_HURST_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary; composed batch string character-identical).
+_HURST_TAIL_SQL = """
         idx AS (
           SELECT event_type, x,
                  ROW_NUMBER() OVER (
@@ -81,6 +84,7 @@ _HURST_SQL = """
         FROM per_chunk
         ORDER BY event_type, w, chunk
 """
+_HURST_SQL = _HURST_HEAD_SQL + _HURST_TAIL_SQL
 
 
 @register(
@@ -126,7 +130,7 @@ _CHI2_CELL = (
     " / CAST(n * r * c AS DOUBLE)"
 )
 
-_CRAMER_BODY = """
+_CRAMER_HEAD_SQL = """
         WITH base AS (
           SELECT event_type AS t,
                  CAST({props_k} AS BIGINT) % 6 AS b
@@ -135,7 +139,10 @@ _CRAMER_BODY = """
         cells AS (
           SELECT t, b, CAST(COUNT(*) AS BIGINT) AS o
           FROM base GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `cells` CTE boundary; composed batch string character-identical).
+_CRAMER_TAIL_SQL = """
         rows_ AS (
           SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
         ),
@@ -166,6 +173,7 @@ _CRAMER_BODY = """
                  AS cramers_v
         FROM dims d CROSS JOIN chi c
 """
+_CRAMER_BODY = _CRAMER_HEAD_SQL + _CRAMER_TAIL_SQL
 
 
 @register(
