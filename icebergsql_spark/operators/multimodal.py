@@ -1422,3 +1422,33 @@ def audio_tone_windows(
         schema="doc_id bigint, win int, bin int, re_q bigint,"
         " im_q bigint, power bigint",
     )
+
+
+def audio_autocorr(
+    blobs: DataFrame, n: int = 64, lags: "tuple[int, ...]" = (2, 4, 8, 16)
+) -> DataFrame:
+    """Exact integer autocorrelation of the first ``n`` PCM samples at
+    the probed ``lags``: R(tau) = sum_{i} s_i * s_{i+tau} over the
+    n - tau overlapping pairs, all int64 (|R| <= n * 32768^2 < 2^37) —
+    the time-domain pitch/periodicity probe complementing the
+    frequency-domain ``audio_tone_powers``.  R is deliberately NOT
+    normalized per-lag: a shorter lag with full correlation wins on
+    term count, which is exactly the shortest-period tie-break a pitch
+    detector wants.  Emits one row per (doc_id, lag).  Arrow-batched
+    narrow map; no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _ch, _rate, pcm = decode_audio(bytes(payload))
+                s = pcm.astype("int64")[:n]
+                for tau in lags:
+                    r = int((s[:-tau] * s[tau:]).sum()) if tau < len(s) else 0
+                    rows.append((int(did), tau, r))
+            yield pd.DataFrame(rows, columns=["doc_id", "lag", "r"])
+
+    return blobs.mapInPandas(
+        run, schema="doc_id bigint, lag int, r bigint"
+    )

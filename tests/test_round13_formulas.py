@@ -239,3 +239,36 @@ def test_cramers_v_hand_examples():
         for o in (50, 0, 0, 50)
     )
     assert math.sqrt(chi2p / (100 * 1)) == 1.0
+
+
+def test_pacf_durbin_levinson_matches_yule_walker():
+    import numpy as np
+
+    rng = random.Random(3)
+    for _ in range(300):
+        xs = [rng.randint(50, 150) for _ in range(30)]
+        n = len(xs)
+        s = sum(xs)
+        d = [n * x - s for x in xs]
+        c = [
+            sum(d[t] * d[t + k] for t in range(n - k)) for k in range(4)
+        ]
+        r1, r2, r3 = (c[1] / c[0], c[2] / c[0], c[3] / c[0])
+        phi11 = r1
+        phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        phi21 = r1 - phi22 * r1
+        phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+            1 - phi21 * r1 - phi22 * r2
+        )
+        xb = np.mean(xs)
+        g = [
+            sum((xs[t] - xb) * (xs[t + k] - xb) for t in range(n - k))
+            for k in range(4)
+        ]
+        r = [g[k] / g[0] for k in range(4)]
+        for m, gate in ((1, phi11), (2, phi22), (3, phi33)):
+            mat = np.array(
+                [[r[abs(i - j)] for j in range(m)] for i in range(m)]
+            )
+            yw = np.linalg.solve(mat, np.array(r[1 : m + 1]))[-1]
+            assert abs(gate - yw) <= 1e-8 * max(1.0, abs(yw))
