@@ -20,14 +20,17 @@ from icebergsql_spark.plans.registry import register
 # rho_k = c_k / c_0 is one double division; the phi chain is a fixed
 # textual cascade of mirrored double expressions, each final phi
 # quantized ONCE to 1e-6 units.
-_PACF_SQL = """
+_PACF_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary; composed batch string character-identical).
+_PACF_TAIL_SQL = """
         idx AS (
           SELECT event_type, x,
                  ROW_NUMBER() OVER (
@@ -89,6 +92,7 @@ _PACF_SQL = """
         FROM lev3
         ORDER BY event_type
 """
+_PACF_SQL = _PACF_HEAD_SQL + _PACF_TAIL_SQL
 
 
 @register(
@@ -254,14 +258,17 @@ def multimodal_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the whole statistic is comparisons on exact bigints); the A/B ratio
 # is the one mirrored float, -ln left to the consumer per the hill
 # rule.
-_SAMPEN_SQL = """
+_SAMPEN_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary; composed batch string character-identical).
+_SAMPEN_TAIL_SQL = """
         idx AS (
           SELECT event_type, x,
                  ROW_NUMBER() OVER (
@@ -308,6 +315,7 @@ _SAMPEN_SQL = """
         FROM cnt c JOIN tol t ON t.event_type = c.event_type
         ORDER BY c.event_type
 """
+_SAMPEN_SQL = _SAMPEN_HEAD_SQL + _SAMPEN_TAIL_SQL
 
 
 @register(

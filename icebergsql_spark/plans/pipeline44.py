@@ -1,0 +1,321 @@
+"""Round-13 gate wave #6 (pipeline44): PACF + sample-entropy streaming
+twins, hour-of-day EMD between event types, and the power-iteration
+top principal component.
+
+Each gate is driver-sim verified at sf0.001 + 0.01 + 0.1 in a fresh
+vanilla-session process before registration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from icebergsql_spark.plans.registry import register
+
+# ----------------------------------------------- streaming twins --
+
+
+def _pacf_oracle() -> str:
+    from icebergsql_spark.plans.pipeline43 import _PACF_SQL
+
+    return _PACF_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events"
+    )
+
+
+@register(
+    "events_stream_pacf",
+    oracle=_pacf_oracle(),
+    doc="STREAMING twin of events_pacf: per-(type, day) count partials "
+    "(SUM-mergeable) from 3 chronological micro-batches merge into "
+    "the `daily` contract; the finalizer runs the IDENTICAL "
+    "Durbin-Levinson tail SQL (shared _PACF_TAIL_SQL template). The "
+    "live AR-order monitor converging to the batch answer "
+    "bit-for-bit.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.pipeline30 import _daily_partial_stream
+    from icebergsql_spark.plans.pipeline43 import _PACF_TAIL_SQL
+
+    _daily_partial_stream(spark, sf_dir, "pacf")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, day, CAST(x AS BIGINT) AS x
+          FROM pacf_daily
+        ),"""
+        + _PACF_TAIL_SQL
+    )
+
+
+def _sampen_oracle() -> str:
+    from icebergsql_spark.plans.pipeline43 import _SAMPEN_SQL
+
+    return _SAMPEN_SQL.format(
+        day_expr="epoch_ns(ts) // 86400000000000", src="events", div="//"
+    )
+
+
+@register(
+    "events_stream_sample_entropy",
+    oracle=_sampen_oracle(),
+    doc="STREAMING twin of events_sample_entropy: per-(type, day) "
+    "count partials (SUM-mergeable) from 3 chronological "
+    "micro-batches merge into the `daily` contract; the finalizer "
+    "runs the IDENTICAL exact template-match tail SQL (shared "
+    "_SAMPEN_TAIL_SQL template). The live regularity monitor "
+    "converging to the batch answer bit-for-bit.",
+    tags=("events", "streaming", "stats"),
+)
+def events_stream_sample_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from icebergsql_spark.plans.pipeline30 import _daily_partial_stream
+    from icebergsql_spark.plans.pipeline43 import _SAMPEN_TAIL_SQL
+
+    _daily_partial_stream(spark, sf_dir, "sen")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, day, CAST(x AS BIGINT) AS x
+          FROM sen_daily
+        ),"""
+        + _SAMPEN_TAIL_SQL.format(div="DIV")
+    )
+
+
+# -------------------------------------- hour-of-day EMD by type --
+
+# 1-D Wasserstein between two types' hour-of-day distributions =
+# L1 of cumulative differences (the dedup_image_histogram_emd
+# identity), cross-normalized n-scaled so everything is exact bigint:
+# emd_scaled = sum_h |cumA_h * nB - cumB_h * nA|; the true EMD in
+# bin units is emd_scaled / (nA * nB), one mirrored double division.
+_TYPE_EMD_SQL = """
+        WITH ev AS (
+          SELECT event_type, ({hour_expr}) % 24 AS hod FROM {src}
+        ),
+        hist AS (
+          SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ev GROUP BY 1, 2
+        ),
+        dense AS (
+          SELECT t.event_type, s.hod,
+                 CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+          FROM (SELECT DISTINCT event_type FROM hist) t
+          CROSS JOIN (SELECT r AS hod FROM (VALUES
+            (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),
+            (12),(13),(14),(15),(16),(17),(18),(19),(20),(21),
+            (22),(23)) AS t(r)) s
+          LEFT JOIN hist h ON h.event_type = t.event_type
+                          AND h.hod = s.hod
+        ),
+        cum AS (
+          SELECT event_type, hod,
+                 CAST(SUM(c) OVER (PARTITION BY event_type
+                   ORDER BY hod) AS BIGINT) AS cc,
+                 CAST(SUM(c) OVER (PARTITION BY event_type)
+                   AS BIGINT) AS n
+          FROM dense
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+               CAST(SUM(abs(a.cc * b.n - b.cc * a.n)) AS BIGINT)
+                 AS emd_scaled,
+               CAST(SUM(abs(a.cc * b.n - b.cc * a.n)) AS DOUBLE)
+                 / (CAST(MAX(a.n) AS DOUBLE) * CAST(MAX(b.n) AS DOUBLE))
+                 AS emd_bins
+        FROM cum a
+        JOIN cum b ON b.hod = a.hod AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "events_type_emd",
+    oracle=_TYPE_EMD_SQL.format(
+        hour_expr="epoch_ns(ts) // 3600000000000", src="events"
+    ),
+    doc="1-D Wasserstein (earth mover's) distance between every event-"
+    "type pair's hour-of-day distribution: EMD = L1 of cumulative "
+    "differences (the histogram-EMD identity), cross-normalized "
+    "n-scaled so emd_scaled = sum |cumA*nB - cumB*nA| is an EXACT "
+    "bigint despite unequal type volumes; emd_bins = "
+    "emd_scaled/(nA*nB) is the one mirrored double — the "
+    "daypart-shift detector that tells 'errors cluster at night' "
+    "from 'errors track traffic' in one number. Scale shape: one "
+    "(type, hod) count, a 24-bin dense frame, a 10-row pair join — "
+    "volume only enters the first groupBy.",
+    tags=("events", "stats"),
+)
+def events_type_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.plans.registry import events_ts_to_nanos
+
+    events_ts_to_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).createOrReplaceTempView("ev_emd")
+    return spark.sql(
+        _TYPE_EMD_SQL.format(
+            hour_expr="ts DIV 3600000000000", src="ev_emd"
+        )
+    )
+
+
+# ------------------------------- power-iteration top eigenvector --
+
+_EIG_CAP = 500
+
+# Top principal component by 2 power iterations over the n-scaled
+# integer covariance: C_ij = sum_v D_vi D_vj with D = n*q - S exact
+# bigints (coarse 1e3 q-space keeps |C| ~ 4.5e15, 2000x under the
+# ceiling).  Each matrix-vector product would overflow bigint, so it
+# runs as a DIMENSION-SORTED double fold (the chi2 sorted-fold
+# discipline pins the summation order) and the iterate is quantized
+# ONCE per round.  The Rayleigh quotient v1'Cv1 / v1'v1 is a pure
+# double ratio.  An ORACLED principal-component gate — the rows-only
+# emb_whitening_audit's hash-checked sibling.
+_EIG_SQL = """
+        WITH xq AS (
+          SELECT vec_id AS vid, i AS pos,
+                 CAST(round({emb_i} * 1000) AS BIGINT) + 2000 AS q
+          FROM embeddings {spine}
+          WHERE vec_id < {cap}
+        ),
+        s AS (
+          SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q) AS BIGINT) AS sq
+          FROM xq GROUP BY pos
+        ),
+        dev AS (
+          SELECT x.vid, x.pos, s.n * x.q - s.sq AS d
+          FROM xq x JOIN s ON s.pos = x.pos
+        ),
+        cov AS (
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(SUM(a.d * b.d) AS BIGINT) AS c
+          FROM dev a JOIN dev b ON b.vid = a.vid
+          GROUP BY 1, 2
+        ),
+        w1 AS (
+          SELECT j, {fold1} AS w FROM cov GROUP BY j
+        ),
+        m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+        v1 AS (
+          SELECT j AS i,
+                 CAST(ROUND(1000.0 * w / (SELECT m FROM m1))
+                      AS BIGINT) AS v
+          FROM w1
+        ),
+        w2 AS (
+          SELECT cov.j, {fold2} AS w
+          FROM cov JOIN v1 ON v1.i = cov.i
+          GROUP BY cov.j
+        ),
+        m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+        v2 AS (
+          SELECT j AS i,
+                 CAST(ROUND(1000000.0 * w / (SELECT m FROM m2))
+                      AS BIGINT) AS v
+          FROM w2
+        ),
+        w3 AS (
+          SELECT cov.j, {fold4} AS w
+          FROM cov JOIN v2 ON v2.i = cov.i
+          GROUP BY cov.j
+        ),
+        ray AS (
+          SELECT {fold5} AS num,
+                 (SELECT CAST(SUM(v * v) AS BIGINT) FROM v2) AS den
+          FROM w3 JOIN v2 ON v2.i = w3.j
+        )
+        SELECT v2.i AS pos, d.c AS var_n2,
+               v1.v AS v1_q, v2.v AS v2_q,
+               ray.num / CAST(ray.den AS DOUBLE) AS rayleigh
+        FROM v2
+        JOIN v1 ON v1.i = v2.i
+        JOIN cov d ON d.i = v2.i AND d.j = v2.i
+        CROSS JOIN ray
+        ORDER BY pos
+"""
+
+
+def _eig_sql(engine: str) -> str:
+    if engine == "duck":
+        fold1 = "list_sum(list(CAST(c AS DOUBLE) * 1000.0 ORDER BY i))"
+        fold2 = (
+            "list_sum(list(CAST(cov.c AS DOUBLE) * CAST(v1.v AS DOUBLE)"
+            " ORDER BY cov.i))"
+        )
+        fold4 = (
+            "list_sum(list(CAST(cov.c AS DOUBLE) * CAST(v2.v AS DOUBLE)"
+            " ORDER BY cov.i))"
+        )
+        fold5 = (
+            "list_sum(list(CAST(v2.v AS DOUBLE) * w3.w ORDER BY w3.j))"
+        )
+        emb_i = "embedding[i]::DOUBLE"
+        spine = (
+            "CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g"
+        )
+    else:
+        fold1 = (
+            "aggregate(array_sort(collect_list(struct(i, "
+            "CAST(c AS DOUBLE) * 1000.0 AS term))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        )
+        fold2 = (
+            "aggregate(array_sort(collect_list(struct(cov.i, "
+            "CAST(cov.c AS DOUBLE) * CAST(v1.v AS DOUBLE) AS term))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        )
+        fold4 = (
+            "aggregate(array_sort(collect_list(struct(cov.i, "
+            "CAST(cov.c AS DOUBLE) * CAST(v2.v AS DOUBLE) AS term))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        )
+        fold5 = (
+            "aggregate(array_sort(collect_list(struct(w3.j, "
+            "CAST(v2.v AS DOUBLE) * w3.w AS term))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)"
+        )
+        emb_i = "CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)"
+        spine = "CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) g"
+    return _EIG_SQL.format(
+        fold1=fold1,
+        fold2=fold2,
+        fold4=fold4,
+        fold5=fold5,
+        emb_i=emb_i,
+        spine=spine,
+        cap=_EIG_CAP,
+    )
+
+
+@register(
+    "emb_top_eigvec",
+    oracle=_eig_sql("duck"),
+    doc="Top principal component of the embedding covariance by two "
+    "power iterations (bounded universe vec_id < 500): C = n-scaled "
+    "exact integer covariance (64x64 bigint cells from one "
+    "vid-keyed self-join), matrix-vector products as dimension-"
+    "SORTED double folds (a bigint product chain would overflow; "
+    "the sorted fold pins IEEE summation order), iterate quantized "
+    "ONCE per round, Rayleigh quotient as a pure double ratio — the "
+    "dominant-direction probe for embedding drift/anisotropy audits "
+    "and the hash-checked sibling of the rows-only "
+    "emb_whitening_audit. Scale shape: covariance is one self-join "
+    "groupBy (dims^2 cells regardless of corpus); the iteration "
+    "touches only the 64x64 matrix.",
+    tags=("embeddings", "curation", "stats"),
+)
+def emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.plans.registry import load_tables
+
+    ensure_parallelism(
+        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ).createOrReplaceTempView("embeddings")
+    return spark.sql(_eig_sql("spark"))

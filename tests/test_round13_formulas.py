@@ -272,3 +272,30 @@ def test_pacf_durbin_levinson_matches_yule_walker():
             )
             yw = np.linalg.solve(mat, np.array(r[1 : m + 1]))[-1]
             assert abs(gate - yw) <= 1e-8 * max(1.0, abs(yw))
+
+
+def test_power_iteration_recursion_tracks_numpy_eigvec():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    for _ in range(20):
+        # spiked covariance: strong dominant direction
+        d = 16
+        u = rng.normal(size=d)
+        u /= np.linalg.norm(u)
+        base = rng.normal(size=(d, d))
+        cov = 50.0 * np.outer(u, u) + base @ base.T / d
+        # gate recursion: constant start, quantize-once per round
+        w1 = cov @ (np.ones(d) * 1000.0)
+        v1 = np.round(1000.0 * w1 / np.max(np.abs(w1)))
+        w2 = cov @ v1
+        v2 = np.round(1e6 * w2 / np.max(np.abs(w2)))
+        top = np.linalg.eigh(cov)[1][:, -1]
+        cos = abs(np.dot(v2, top)) / (
+            np.linalg.norm(v2) * np.linalg.norm(top)
+        )
+        assert cos > 0.98, cos
+        w3 = cov @ v2
+        ray = float(v2 @ w3) / float(v2 @ v2)
+        lam = np.linalg.eigh(cov)[0][-1]
+        assert abs(ray - lam) / lam < 0.05, (ray, lam)
