@@ -93,14 +93,17 @@ def events_stream_sample_entropy(
 # identity), cross-normalized n-scaled so everything is exact bigint:
 # emd_scaled = sum_h |cumA_h * nB - cumB_h * nA|; the true EMD in
 # bin units is emd_scaled / (nA * nB), one mirrored double division.
-_TYPE_EMD_SQL = """
+_TYPE_EMD_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, ({hour_expr}) % 24 AS hod FROM {src}
         ),
         hist AS (
           SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS c
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `hist` CTE boundary; composed batch string character-identical).
+_TYPE_EMD_TAIL_SQL = """
         dense AS (
           SELECT t.event_type, s.hod,
                  CAST(COALESCE(h.c, 0) AS BIGINT) AS c
@@ -132,6 +135,7 @@ _TYPE_EMD_SQL = """
         GROUP BY a.event_type, b.event_type
         ORDER BY type_a, type_b
 """
+_TYPE_EMD_SQL = _TYPE_EMD_HEAD_SQL + _TYPE_EMD_TAIL_SQL
 
 
 @register(

@@ -299,3 +299,29 @@ def test_power_iteration_recursion_tracks_numpy_eigvec():
         ray = float(v2 @ w3) / float(v2 @ v2)
         lam = np.linalg.eigh(cov)[0][-1]
         assert abs(ray - lam) / lam < 0.05, (ray, lam)
+
+
+def test_ewma_dyadic_scaled_sum_matches_recurrence():
+    rng = random.Random(9)
+    for _ in range(200):
+        xs = [rng.randint(100, 5000) for _ in range(30)]
+        n = len(xs)
+        s = sum(xs)
+        s2 = sum(x * x for x in xs)
+        sigma = math.sqrt(n * s2 - s * s) / n
+        z = xs[0]
+        for t in range(1, n + 1):
+            if t > 1:
+                z = xs[t - 1] / 2 + z / 2
+            big = xs[0] + sum(
+                xs[i - 1] * (1 << (i - 2)) for i in range(2, t + 1)
+            )
+            zg = big / (1 << (t - 1))
+            assert abs(z - zg) <= 1e-9 * max(1, z)
+            lim_tb = 3 * sigma * math.sqrt(
+                0.5 / 1.5 * (1 - 0.5 ** (2 * t))
+            )
+            lim_gate = 3 * sigma * math.sqrt(
+                (1 - 1 / (1 << (2 * t))) / 3
+            )
+            assert abs(lim_tb - lim_gate) <= 1e-9 * max(1, lim_tb)
