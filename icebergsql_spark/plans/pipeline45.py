@@ -104,14 +104,17 @@ def managed_schema_era_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dyadic double — bit-identical across engines AND summation orders.
 # The +-3-sigma control limit 3*sigma*sqrt((1 - 4^-t)/3) is one
 # mirrored double expression over the exact variance integers.
-_EWMA_SQL = """
+_EWMA_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary; composed batch string character-identical).
+_EWMA_TAIL_SQL = """
         idx AS (
           SELECT event_type, day, x,
                  CAST(ROW_NUMBER() OVER (
@@ -154,23 +157,35 @@ _EWMA_SQL = """
         FROM acc a JOIN g ON g.event_type = a.event_type
         ORDER BY a.event_type, a.rk
 """
+_EWMA_SQL = _EWMA_HEAD_SQL + _EWMA_TAIL_SQL
 
 
-def _ewma_sql(engine: str) -> str:
+def _ewma_shift(engine: str) -> str:
     if engine == "duck":
-        sh = "(CAST(1 AS BIGINT) << CAST({k} AS INTEGER))"
-    else:
-        sh = "shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT))"
-    return _EWMA_SQL.format(
-        day_expr=(
-            "epoch_ns(ts) // 86400000000000"
-            if engine == "duck"
-            else "ts DIV 86400000000000"
-        ),
-        src="events" if engine == "duck" else "ev_ewma",
+        return "(CAST(1 AS BIGINT) << CAST({k} AS INTEGER))"
+    return "shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT))"
+
+
+def _ewma_tail(engine: str) -> str:
+    sh = _ewma_shift(engine)
+    return _EWMA_TAIL_SQL.format(
         shift_rk2=sh.format(k="rk - 2"),
         shift_rk1=sh.format(k="a.rk - 1"),
         shift_2rk=sh.format(k="2 * a.rk"),
+    )
+
+
+def _ewma_sql(engine: str) -> str:
+    return (
+        _EWMA_HEAD_SQL.format(
+            day_expr=(
+                "epoch_ns(ts) // 86400000000000"
+                if engine == "duck"
+                else "ts DIV 86400000000000"
+            ),
+            src="events" if engine == "duck" else "ev_ewma",
+        )
+        + _ewma_tail(engine)
     )
 
 
