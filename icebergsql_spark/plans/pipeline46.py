@@ -54,14 +54,17 @@ def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # max |24*cum_h - n*(h+1)| — an exact bigint numerator over the
 # constant denominator 24n; d24n is emitted exact, D as one mirrored
 # double division.
-_HOD_KS_SQL = """
+_HOD_KS_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, ({hour_expr}) % 24 AS hod FROM {src}
         ),
         hist AS (
           SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS c
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `hist` CTE boundary; composed batch string character-identical).
+_HOD_KS_TAIL_SQL = """
         dense AS (
           SELECT t.event_type, s.hod,
                  CAST(COALESCE(h.c, 0) AS BIGINT) AS c
@@ -90,6 +93,7 @@ _HOD_KS_SQL = """
         GROUP BY event_type
         ORDER BY event_type
 """
+_HOD_KS_SQL = _HOD_KS_HEAD_SQL + _HOD_KS_TAIL_SQL
 
 
 @register(
