@@ -157,14 +157,17 @@ def graph_walk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2|x - med| exactly, mad4 = doubled median of d2 = 4*MAD — so the
 # classic |x - med| > 3*MAD flag is the EXACT integer comparison
 # 2*d2 > 3*mad4.  Nothing floats anywhere.
-_MAD_SQL = """
+_MAD_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary; composed batch string character-identical).
+_MAD_TAIL_SQL = """
         rk AS (
           SELECT event_type, day, x,
                  ROW_NUMBER() OVER (PARTITION BY event_type
@@ -209,6 +212,7 @@ _MAD_SQL = """
         JOIN mad a ON a.event_type = d.event_type
         ORDER BY d.event_type, d.day
 """
+_MAD_SQL = _MAD_HEAD_SQL + _MAD_TAIL_SQL
 
 
 @register(
