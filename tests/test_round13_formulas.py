@@ -325,3 +325,63 @@ def test_ewma_dyadic_scaled_sum_matches_recurrence():
                 (1 - 1 / (1 << (2 * t))) / 3
             )
             assert abs(lim_tb - lim_gate) <= 1e-9 * max(1, lim_tb)
+
+
+def test_eh_sum_day_mapping_matches_unary_dgim():
+    """pipeline49: DGIM over the unary expansion of daily counts, with
+    bucket timestamps mapped to days via cumulative-sum intervals,
+    must equal the closed form + range join the gate runs."""
+    rng = random.Random(21)
+    for _ in range(100):
+        days = list(range(100, 100 + rng.randint(5, 30)))
+        xs = {d: rng.randint(0, 50) for d in days}
+        # unary stream: each unit keeps its UNIQUE arrival index (true
+        # DGIM total order); days are a reporting granularity applied
+        # AFTER the structure is built, exactly as the gate maps unit
+        # indices to days via cumulative-sum intervals
+        unit_day = [d for d in days for _ in range(xs[d])]
+        n = len(unit_day)
+        sim_idx = _dgim_sim([(i + 1, True) for i in range(n)])
+        sim = [(s, unit_day[idx - 1]) for s, idx in sim_idx]
+        # gate algebra: bijective base-2 digits of n; bucket at offset
+        # off has its most-recent unit at index n - off (1-based from
+        # oldest); its day satisfies cum_{d-1} < idx <= cum_d
+        cum = {}
+        acc = 0
+        for d in days:
+            acc += xs[d]
+            cum[d] = acc
+        cf = []
+        k = 0
+        pre = 0
+        while n and True:
+            pw = 1 << k
+            if n - (pw - 1) < pw:
+                break
+            nk = (n - (pw - 1)) // pw
+            dk = 2 - (nk % 2)
+            for copy in range(1, dk + 1):
+                off = pre + (copy - 1) * pw
+                idx = n - off
+                day = next(
+                    d for d in days
+                    if cum[d] >= idx and cum[d] - xs[d] < idx
+                )
+                cf.append((pw, day, off))
+            pre += dk * pw
+            k += 1
+        assert sorted((s, t) for s, t in sim) == sorted(
+            (s, t) for s, t, _ in cf
+        )
+        # estimates agree at several day windows
+        sim_off = []
+        acc2 = 0
+        for s, t in sim:
+            sim_off.append((s, t, acc2))
+            acc2 += s
+        if n:
+            for w in (7, 14, 21):
+                cutoff = max(days) - w + 1
+                assert _dgim_estimate(sim_off, cutoff) == _dgim_estimate(
+                    cf, cutoff
+                )
