@@ -301,15 +301,22 @@ def _eig_sql(engine: str) -> str:
 @register(
     "emb_top_eigvec",
     oracle=_eig_sql("duck"),
-    doc="Top principal component of the embedding covariance by two "
-    "power iterations (bounded universe vec_id < 500): C = n-scaled "
-    "exact integer covariance (64x64 bigint cells from one "
-    "vid-keyed self-join), matrix-vector products as dimension-"
-    "SORTED double folds (a bigint product chain would overflow; "
-    "the sorted fold pins IEEE summation order), iterate quantized "
-    "ONCE per round, Rayleigh quotient as a pure double ratio — the "
-    "dominant-direction probe for embedding drift/anisotropy audits "
-    "and the hash-checked sibling of the rows-only "
+    doc="Two-round power iteration on the embedding covariance "
+    "(bounded universe vec_id < 500): C = n-scaled exact integer "
+    "covariance (64x64 bigint cells from one vid-keyed self-join), "
+    "matrix-vector products as dimension-SORTED double folds (a "
+    "bigint product chain would overflow; the sorted fold pins IEEE "
+    "summation order), iterate quantized ONCE per round, Rayleigh "
+    "quotient as a pure double ratio. HONEST SEMANTICS: the Rayleigh "
+    "quotient at ANY iterate is a certified LOWER BOUND on lambda_1, "
+    "and v2 is the 2-step Krylov iterate — on spiked spectra it IS "
+    "the top eigenvector (formula test: cos > 0.98), but this "
+    "synthetic embedding table measures lambda2/lambda1 = 0.955 "
+    "(near-isotropic), where two rounds deliberately do NOT isolate "
+    "the top direction (measured cos 0.27 vs numpy) — the useful "
+    "audit number here is the anisotropy lower bound "
+    "rayleigh / (trace/64), with trace = sum of the emitted exact "
+    "var_n2 diagonal. Hash-checked sibling of the rows-only "
     "emb_whitening_audit. Scale shape: covariance is one self-join "
     "groupBy (dims^2 cells regardless of corpus); the iteration "
     "touches only the 64x64 matrix.",
