@@ -23,7 +23,7 @@ from icebergsql_spark.plans.registry import register
           SELECT o_orderkey AS k,
                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
                  CAST(o_orderkey % 4 AS INTEGER) AS m
-          FROM orders WHERE o_orderkey % 6 = 0
+          FROM orders WHERE o_orderkey % 5 = 0
         )
         SELECT m, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(c) AS DOUBLE) / 100.0 AS total,
@@ -39,9 +39,12 @@ from icebergsql_spark.plans.registry import register
     "1 for the post-rename commit, 2 for the post-add commit — "
     "i.e. each snapshot records the schema IN EFFECT when it "
     "committed, joinable against $history for who-wrote-under-"
-    "which-schema forensics. Reads across all three eras "
-    "hash-match the arithmetic oracle (renamed column readable in "
-    "old files, added column NULL there).",
+    "which-schema forensics. Every era's wave is asserted NON-EMPTY "
+    "in-gate (a review caught an earlier base filter that made the "
+    "later waves provably empty — the mirrored oracle cannot see "
+    "vacuity), and reads across all three eras hash-match the "
+    "arithmetic oracle (renamed column readable in old files, added "
+    "column NULL there).",
     tags=("managed", "sql"),
 )
 def managed_schema_era_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,18 +61,20 @@ def managed_schema_era_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         (F.col("o_orderkey") % 4).cast("int").alias("m"),
-    ).filter(F.col("k") % 6 == 0)
-    s1 = tbl.insert(base.filter(F.col("k") % 2 == 0))
+    ).filter(F.col("k") % 5 == 0)
+    w1 = base.filter(F.col("k") % 2 == 0)
+    w2 = base.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 != 0))
+    w3 = base.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 == 0))
+    # each era's wave must be NON-EMPTY or the cross-era read claims
+    # are vacuous (a review caught the original %6 base making waves
+    # 2 and 3 provably empty — the mirrored-oracle gate stayed green)
+    assert w2.limit(1).count() == 1 and w3.limit(1).count() == 1
+    s1 = tbl.insert(w1)
     tbl.rename_column("c", "val")
-    s2 = tbl.insert(
-        base.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 != 0))
-        .withColumnRenamed("c", "val")
-    )
+    s2 = tbl.insert(w2.withColumnRenamed("c", "val"))
     tbl.add_column("extra", "bigint")
     s3 = tbl.insert(
-        base.filter((F.col("k") % 2 == 1) & (F.col("k") % 3 == 0))
-        .withColumnRenamed("c", "val")
-        .withColumn("extra", F.col("k"))
+        w3.withColumnRenamed("c", "val").withColumn("extra", F.col("k"))
     )
     mark_setup_done()  # three eras committed; the audit is the op
     eras = {

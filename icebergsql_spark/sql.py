@@ -11,7 +11,8 @@ sql/iceberg/parsing/IceParser.scala:33-114) as a Python pre-rewriter — SURVEY
     registration, which also fixes the reference's thread-affinity fragility
     (SURVEY §7 'hard parts'). Accepts ``'yyyy-MM-dd HH:mm:ss.S'`` or raw
     epoch millis (utils/utils.scala:114-122 convertToEpoch parity).
-  - `` `t$snapshots` `` — 6-column legacy snapshot view
+  - `` `t$snapshots` `` — the reference's 6-column legacy snapshot view
+    as a prefix, extended with a 7th `schemaId` column (round 13)
     (IceParser.scala:91-106 + TableUtils.scala:48-103). The reference's
     mini-parser only supports SELECT */cols over it; registering it as a temp
     view makes ANY query shape work. `` `t$refs` `` (tags/branches),

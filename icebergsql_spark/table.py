@@ -393,6 +393,8 @@ class Catalog:
             raise TableValidationError(f"table {old!r} does not exist")
         if self.table_exists(new):
             raise TableValidationError(f"table {new!r} already exists")
+        if not re.fullmatch(r"\w+", new):
+            raise TableValidationError(f"bad table name {new!r}")
         if os.path.exists(
             os.path.join(self.warehouse, new, "renamed-to.text")
         ):
@@ -406,8 +408,6 @@ class Catalog:
                 "the renamed table's physical location; choose another "
                 "name"
             )
-        if not re.fullmatch(r"\w+", new):
-            raise TableValidationError(f"bad table name {new!r}")
         target = self.table_location(old)
         newdir = os.path.join(self.warehouse, new)
         os.makedirs(newdir, exist_ok=True)
