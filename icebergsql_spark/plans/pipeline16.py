@@ -1444,10 +1444,17 @@ _SPEC_BINS = (1, 2, 4)  # periods 28 / 14 / 7 days
 _SPEC_SCALE = 4096
 
 
-def _spectrum_sql(day_expr: str, src: str) -> str:
+def _spectrum_sql(day_expr: str, src: str, div: str = "DIV") -> str:
     """Shared (engine-identical) SQL: per event type, integer DFT of
     the first 28 daily counts at the period-28/14/7 bins from the
-    driver-quantized VALUES basis."""
+    driver-quantized VALUES basis.
+
+    ``div`` is the integer-division spelling (Spark ``DIV``, DuckDB
+    ``//``) — threaded as a placeholder so oracle derivation never
+    needs a blanket string replace over the composed SQL (r13 ADVICE:
+    a post-hoc ``.replace(" DIV ", " // ")`` would silently rewrite
+    any future DIV added to a shared template, including in literals).
+    """
     from icebergsql_spark.operators.multimodal import dft_coef_values_sql
 
     return f"""
@@ -1477,7 +1484,7 @@ def _spectrum_sql(day_expr: str, src: str) -> str:
           GROUP BY 1, 2
         )
         SELECT event_type, CAST(k AS INTEGER) AS bin,
-               CAST({_SPEC_N} DIV k AS BIGINT) AS period_days,
+               CAST({_SPEC_N} {div} k AS BIGINT) AS period_days,
                re_q, im_q,
                CAST(re_q * re_q + im_q * im_q AS BIGINT) AS power
         FROM pw
@@ -1488,8 +1495,8 @@ def _spectrum_sql(day_expr: str, src: str) -> str:
 @register(
     "events_weekly_spectrum",
     oracle=_spectrum_sql(
-        "epoch_ns(ts) // 86400000000000", "events"
-    ).replace(" DIV ", " // "),
+        "epoch_ns(ts) // 86400000000000", "events", div="//"
+    ),
     doc="Weekly/biweekly/monthly spectral signature of the per-type "
     "daily volume series by EXACT integer DFT (the dft_int_coefs "
     "basis shared with multimodal_audio_tone, trig quantized ONCE on "

@@ -132,8 +132,13 @@ _CHI2_CELL = (
 
 _CRAMER_HEAD_SQL = """
         WITH base AS (
+          -- COALESCE to a -1 sentinel: a NULL bucket (missing props.k)
+          -- would be counted in rows_/tot margins yet silently dropped
+          -- from the chi2 contributions by JOIN ... USING (b) (NULL
+          -- never equi-joins) — mirrored in BOTH engines, so the oracle
+          -- could not flag the skew (r13 ADVICE; vacuous-wave class).
           SELECT event_type AS t,
-                 CAST({props_k} AS BIGINT) % 6 AS b
+                 COALESCE(CAST({props_k} AS BIGINT) % 6, -1) AS b
           FROM {src}
         ),
         cells AS (

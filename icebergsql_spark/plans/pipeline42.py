@@ -77,8 +77,12 @@ def _cell_partial_stream(
         (
             batch_df.select(
                 F.col("event_type").alias("t"),
-                (
-                    F.get_json_object("props", "$.k").cast("bigint") % 6
+                # -1 sentinel for missing props.k, mirroring the batch
+                # head's COALESCE (r13 ADVICE: a NULL bucket is counted
+                # in the margins but dropped by the chi2 equi-join).
+                F.coalesce(
+                    F.get_json_object("props", "$.k").cast("bigint") % 6,
+                    F.lit(-1).cast("bigint"),
                 ).alias("b"),
             )
             .groupBy("t", "b")

@@ -65,16 +65,27 @@ _PACF_TAIL_SQL = """
           FROM gam GROUP BY event_type
         ),
         rho AS (
+          -- degenerate guards live in CASE (NULL rho/phi), never in
+          -- WHERE: a constant/zero-variance series keeps its row with
+          -- NULL phi columns instead of vanishing silently (r13 ADVICE).
           SELECT event_type, c0, c1, c2, c3,
-                 CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
-                 CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
-                 CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3
-          FROM piv WHERE c0 > 0
+                 CASE WHEN c0 > 0
+                      THEN CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                 END AS r1,
+                 CASE WHEN c0 > 0
+                      THEN CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                 END AS r2,
+                 CASE WHEN c0 > 0
+                      THEN CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE)
+                 END AS r3
+          FROM piv
         ),
         lev2 AS (
           SELECT event_type, c0, c1, c2, c3, r1, r2, r3,
-                 (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
-          FROM rho WHERE 1.0 - r1 * r1 <> 0.0
+                 CASE WHEN 1.0 - r1 * r1 <> 0.0
+                      THEN (r2 - r1 * r1) / (1.0 - r1 * r1)
+                 END AS phi22
+          FROM rho
         ),
         lev3 AS (
           SELECT event_type, c0, c1, c2, c3, r1, r2, r3, phi22,

@@ -196,10 +196,12 @@ _SE_TERM = (
 )
 
 
-def _spectral_entropy_sql(day_expr: str, src: str) -> str:
+def _spectral_entropy_sql(
+    day_expr: str, src: str, div: str = "DIV"
+) -> str:
     from icebergsql_spark.plans.pipeline16 import _spectrum_sql
 
-    spec = _spectrum_sql(day_expr, src)
+    spec = _spectrum_sql(day_expr, src, div=div)
     terms = " + ".join(_SE_TERM.format(p=f"p{k}") for k in (1, 2, 4))
     return f"""
         WITH spec AS (
@@ -228,8 +230,8 @@ def _spectral_entropy_sql(day_expr: str, src: str) -> str:
 @register(
     "events_spectral_entropy",
     oracle=_spectral_entropy_sql(
-        "epoch_ns(ts) // 86400000000000", "events"
-    ).replace(" DIV ", " // "),
+        "epoch_ns(ts) // 86400000000000", "events", div="//"
+    ),
     doc="Spectral entropy of each type's weekly/biweekly/monthly DFT "
     "power split (the events_weekly_spectrum integer basis): near 0 "
     "= one calendar period dominates (schedule around it), near "
