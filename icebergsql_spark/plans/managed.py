@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 from icebergsql_spark.plans.common import money
 from icebergsql_spark.table import Catalog
 
@@ -92,8 +92,8 @@ def managed_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_tt", _LI_DDL, partition_cols=["l_shipyear"]
     )
     li = _lineitem_with_year(spark, sf_dir)
-    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 1))
+    s1 = tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 1)))
     return (
         tbl.to_df(as_of_millis=s1.timestamp_ms)
         .groupBy("l_returnflag")
@@ -203,7 +203,7 @@ def managed_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _lineitem_with_year(spark, sf_dir)
     for i in range(3):
-        tbl.insert(li.filter(F.col("l_orderkey") % 3 == i))
+        tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == i)))
     mark_setup_done()  # small files accreted; compact + expire is the op
     before = len(tbl.meta.current_snapshot().live_files())
     snap = tbl.compact()
@@ -287,8 +287,8 @@ def managed_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_inc", _LI_DDL, partition_cols=["l_shipyear"]
     )
     li = _lineitem_with_year(spark, sf_dir)
-    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 1))
+    s1 = tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 1)))
     return (
         tbl.changes(s1.snapshot_id)
         .groupBy("l_returnflag")
@@ -398,9 +398,9 @@ def managed_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "li_ev", _LI_DDL, partition_cols=["l_shipyear"]
     )
     li = _lineitem_with_year(spark, sf_dir)
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
     tbl.alter_partition_spec(["l_returnflag"])
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 1))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 1)))
     specs = {
         frozenset(f.partition)
         for f in tbl.meta.current_snapshot().live_files()
@@ -438,9 +438,9 @@ def managed_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem_with_year(spark, sf_dir)
     tbl.insert(li)
     tbl.insert(
-        li.filter((F.col("l_shipyear") == 1997) & (F.col("l_quantity") < 25)).drop(
+        nonempty(li.filter((F.col("l_shipyear") == 1997) & (F.col("l_quantity") < 25)).drop(
             "l_shipyear"
-        ),
+        )),
         overwrite=True,
         static_partition={"l_shipyear": "1997"},
     )
@@ -475,10 +475,10 @@ def managed_tagged_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = eng.catalog
     tbl = cat.create_table("li_tag", _LI_DDL, partition_cols=["l_shipyear"])
     li = _lineitem_with_year(spark, sf_dir)
-    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 0))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 0)))
     tbl.create_tag("first_third")
-    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 1))
-    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 2))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 1)))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 2)))
     mark_setup_done()  # history built; expire + tagged travel is the op
     gc = tbl.expire_snapshots(retain_last=1)
     assert gc["expired_snapshots"] == 1  # middle snapshot; tag pins first
@@ -511,7 +511,7 @@ def managed_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-wapwh-"))
     tbl = eng.catalog.create_table("li_wap", _LI_DDL, partition_cols=["l_shipyear"])
     li = _lineitem_with_year(spark, sf_dir)
-    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    s1 = tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
     eng.sql("ALTER TABLE li_wap CREATE BRANCH audit")
     li.filter(F.col("l_orderkey") % 2 == 1).createOrReplaceTempView("li_wap_src")
     eng.sql("INSERT INTO li_wap BRANCH audit SELECT * FROM li_wap_src")
@@ -569,15 +569,14 @@ def managed_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem_with_year(spark, sf_dir).select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag", "l_shipyear"
     )
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
     eng.sql("ALTER TABLE li_ev RENAME COLUMN l_extendedprice TO price")
     eng.sql("ALTER TABLE li_ev ALTER COLUMN l_linenumber TYPE BIGINT")
     eng.sql("ALTER TABLE li_ev ADD COLUMN era STRING")
     tbl.insert(
-        li.filter(F.col("l_orderkey") % 2 == 1)
+        nonempty(li.filter(F.col("l_orderkey") % 2 == 1)
         .withColumnRenamed("l_extendedprice", "price")
-        .withColumn("era", F.lit("v2"))
-    )
+        .withColumn("era", F.lit("v2"))))
     return eng.sql(
         "SELECT l_returnflag, COUNT(*) AS n, "
         "CAST(SUM(CAST(price AS DECIMAL(14,2))) AS DOUBLE) AS sum_price, "
@@ -620,13 +619,13 @@ def managed_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    s1 = tbl.insert(li.filter(F.col("l_orderkey") % 3 == 0))
+    s1 = tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 0)))
     maintained = rollup(tbl.scan().dataframe())  # seed from snapshot 1
 
-    s2 = tbl.insert(li.filter(F.col("l_orderkey") % 3 == 1))
+    s2 = tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 1)))
     maintained = maintained.union(rollup(tbl.changes(s1.snapshot_id, s2.snapshot_id)))
 
-    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 2))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 2)))
     maintained = maintained.union(rollup(tbl.changes(s2.snapshot_id)))
 
     # merge of partial aggregates: counts and integer cents add exactly
@@ -684,7 +683,7 @@ def managed_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_shipyear").cast("int").alias("yr"),
         )
     )
-    tbl.insert(base.filter(F.col("ok") % 4 <= 1))
+    tbl.insert(nonempty(base.filter(F.col("ok") % 4 <= 1)))
     mark_setup_done()  # seed built; the MERGE is the operator under test
     base.filter(F.col("ok") % 2 == 0).withColumn(
         "qty", F.col("qty") * 2
@@ -734,7 +733,7 @@ def managed_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-dmlwh-"))
     tbl = eng.catalog.create_table("li_dml", _LI_DDL, partition_cols=["l_shipyear"])
     li = _lineitem_with_year(spark, sf_dir)
-    tbl.insert(li.filter(F.col("l_orderkey") % 2 == 0))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 2 == 0)))
     mark_setup_done()  # seed built; DELETE/UPDATE DML is the op
     # partition-aligned: whole-file metadata drop (assert no rewrite)
     s1 = tbl.delete_where("l_shipyear = 1997")
@@ -891,7 +890,7 @@ def managed_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ok", "qty", (F.col("ok") % 4).cast("int").alias("okb"))
     )
-    s1 = tbl.insert(base.filter(F.col("ok") % 4 <= 1))
+    s1 = tbl.insert(nonempty(base.filter(F.col("ok") % 4 <= 1)))
     mark_setup_done()  # seed built; MERGE/DELETE + diff() is the op
     base.filter(F.col("ok") % 2 == 0).withColumn(
         "qty", F.col("qty") * 2

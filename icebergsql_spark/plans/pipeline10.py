@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 @register(
@@ -778,9 +778,9 @@ def managed_ref_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = cat.create_table(
         "refret", "k bigint, c bigint, part int", partition_cols=["part"]
     )
-    s1 = tbl.insert(src.filter(F.col("part") == 0))
-    s2 = tbl.insert(src.filter(F.col("part") == 1))
-    s3 = tbl.insert(src.filter(F.col("part") == 2))
+    s1 = tbl.insert(nonempty(src.filter(F.col("part") == 0)))
+    s2 = tbl.insert(nonempty(src.filter(F.col("part") == 1)))
+    s3 = tbl.insert(nonempty(src.filter(F.col("part") == 2)))
     mark_setup_done()  # history built; ref retention + expiry is the op
     eng.sql(
         f"ALTER TABLE refret CREATE TAG pin AS OF VERSION "

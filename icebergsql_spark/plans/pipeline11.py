@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from icebergsql_spark.operators import sketch
 from icebergsql_spark.plans.pipeline3 import _REG_SQL, _RHO_SQL
 from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 # ------------------------------------------------------- sliding HLL --
@@ -1566,7 +1566,7 @@ def managed_stream_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = eng.catalog.create_table(
         "ord_swap", "k bigint, c bigint, st string, m int", ["st"]
     )
-    tbl.insert(base.filter(F.col("m") == 3))
+    tbl.insert(nonempty(base.filter(F.col("m") == 3)))
     tbl.create_branch("staging")
     main_head = tbl.meta.current_snapshot_id
     mark_setup_done()  # seed + fork done; the streamed WAP is the op

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
 from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL, _token_half_edges
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 # ------------------------------------------------- Louvain 2-round trace --
@@ -401,10 +401,10 @@ def managed_branch_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = eng.catalog.create_table(
         "ord_brrw", "k bigint, c bigint, m int", ["m"]
     )
-    tbl.insert(src.filter(F.col("m") == 0))
+    tbl.insert(nonempty(src.filter(F.col("m") == 0)))
     tbl.create_branch("staging")
-    tbl.insert(src.filter(F.col("m") == 1), branch="staging")
-    tbl.insert(src.filter(F.col("m") == 2), branch="staging")
+    tbl.insert(nonempty(src.filter(F.col("m") == 1)), branch="staging")
+    tbl.insert(nonempty(src.filter(F.col("m") == 2)), branch="staging")
     mark_setup_done()  # branch history built; the scoped rewrite is the op
     main_head = tbl.meta.current_snapshot_id
     main_manifests = len(tbl.meta.current_snapshot().manifest_paths)
@@ -1203,8 +1203,8 @@ def managed_partitions_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = eng.catalog.create_table(
         "ord_skew", "k bigint, c bigint, pri string", ["pri"]
     )
-    tbl.insert(src.filter(F.col("m") == 0).drop("m"))
-    tbl.insert(src.filter(F.col("m") == 1).drop("m"))
+    tbl.insert(nonempty(src.filter(F.col("m") == 0).drop("m")))
+    tbl.insert(nonempty(src.filter(F.col("m") == 1).drop("m")))
     mark_setup_done()  # two appends in; the metadata read is the op
     parts = eng.sql(
         "SELECT get_json_object(partition, '$.pri') AS pri, "

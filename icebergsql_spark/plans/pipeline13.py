@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 # ------------------------------------------- Hive-layout add_files --
@@ -248,19 +248,17 @@ def managed_lineage_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_regionkey"],
     )
     sel = nation.select("n_nationkey", "n_name", "n_regionkey")
-    s1 = tbl.insert(sel.filter(F.col("n_nationkey") < 10))
+    s1 = tbl.insert(nonempty(sel.filter(F.col("n_nationkey") < 10)))
     s2 = tbl.insert(
-        sel.filter(
+        nonempty(sel.filter(
             (F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)
-        )
-    )
-    s3 = tbl.insert(sel.filter(F.col("n_nationkey") >= 20))
+        )))
+    s3 = tbl.insert(nonempty(sel.filter(F.col("n_nationkey") >= 20)))
     tbl.rollback_to(s2.snapshot_id)
     s4 = tbl.insert(
-        sel.filter(
+        nonempty(sel.filter(
             (F.col("n_nationkey") >= 20) & (F.col("n_nationkey") < 23)
-        )
-    )
+        )))
     mark_setup_done()  # history built; the lineage export is the op
     lin = tbl.lineage_df().collect()
     head_chain = [
@@ -845,7 +843,7 @@ def managed_msck_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
     )
     tbl = eng.catalog.create_table("ord_msck", ddl, ["o_year"])
-    tbl.insert(orders.filter(F.col("o_orderkey") % 3 == 0))
+    tbl.insert(nonempty(orders.filter(F.col("o_orderkey") % 3 == 0)))
     stage = tempfile.mkdtemp(prefix="icebergsql-msckstage-")
     orders.filter(F.col("o_orderkey") % 3 != 0).write.mode(
         "overwrite"
@@ -1480,12 +1478,12 @@ def managed_branch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = nation.select("n_nationkey", "n_name", "n_regionkey")
     k = F.col("n_nationkey")
-    tbl.insert(sel.filter(k < 10))
-    tbl.insert(sel.filter((k >= 10) & (k < 15)))
+    tbl.insert(nonempty(sel.filter(k < 10)))
+    tbl.insert(nonempty(sel.filter((k >= 10) & (k < 15))))
     tbl.create_branch("dev")
-    tbl.insert(sel.filter((k >= 15) & (k < 20)), branch="dev")
-    tbl.insert(sel.filter(k >= 20), branch="dev")
-    tbl.insert(sel.filter(k % 5 == 0))  # main diverges past the fork
+    tbl.insert(nonempty(sel.filter((k >= 15) & (k < 20))), branch="dev")
+    tbl.insert(nonempty(sel.filter(k >= 20)), branch="dev")
+    tbl.insert(nonempty(sel.filter(k % 5 == 0)))  # main diverges past the fork
     mark_setup_done()  # divergent history built; the compare is the op
     return eng.sql("""
         WITH mainc AS (

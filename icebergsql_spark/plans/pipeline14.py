@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 # --------------------------------------------- Mann-Kendall trend --
@@ -487,8 +487,8 @@ def managed_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ord_csrc", ddl, ["o_year"],
         properties={"bloom.filter.columns": "o_orderkey"},
     )
-    src.insert(orders.filter(F.col("o_orderkey") % 2 == 0))
-    src.insert(orders.filter(F.col("o_orderkey") % 2 == 1))
+    src.insert(nonempty(orders.filter(F.col("o_orderkey") % 2 == 0)))
+    src.insert(nonempty(orders.filter(F.col("o_orderkey") % 2 == 1)))
     n_orders = orders.count()
     mark_setup_done()  # source built; the metadata-only clone is the op
     res = eng.sql("CREATE TABLE ord_cln LIKE ord_csrc WITH DATA").collect()[
@@ -505,8 +505,10 @@ def managed_clone_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert cln.scan().count_from_stats() == n_orders
     # divergence: the source moves on, the clone must not see it
-    extra = orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 100000000
+    extra = nonempty(
+        orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100000000
+        )
     )
     src.insert(extra)
     cln.refresh()
@@ -572,13 +574,13 @@ def managed_expire_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-expaud-"))
     tbl = eng.catalog.create_table("ord_exps", "k bigint, c bigint, m int",
                                    ["m"])
-    s1 = tbl.insert(base.filter(F.col("m") == 0))
-    s2 = tbl.insert(base.filter(F.col("m") == 1))
+    s1 = tbl.insert(nonempty(base.filter(F.col("m") == 0)))
+    s2 = tbl.insert(nonempty(base.filter(F.col("m") == 1)))
     tbl.create_branch("dev", s2.snapshot_id, min_snapshots_to_keep=2)
-    s3 = tbl.insert(base.filter(F.col("m") == 2), branch="dev")
-    s4 = tbl.insert(base.filter(F.col("m") == 3), branch="dev")
-    s5 = tbl.insert(base.filter(F.col("m") == 4))
-    s6 = tbl.insert(base.filter(F.col("m") == 5))
+    s3 = tbl.insert(nonempty(base.filter(F.col("m") == 2)), branch="dev")
+    s4 = tbl.insert(nonempty(base.filter(F.col("m") == 3)), branch="dev")
+    s5 = tbl.insert(nonempty(base.filter(F.col("m") == 4)))
+    s6 = tbl.insert(nonempty(base.filter(F.col("m") == 5)))
     mark_setup_done()  # divergent history built; expire + audit is the op
     res = tbl.expire_snapshots(retain_last=1)
     tbl.refresh()
@@ -2512,8 +2514,8 @@ def managed_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{f.name} {f.dataType.simpleString()}" for f in orders.schema.fields
     )
     tbl = eng.catalog.create_table("ord_showp", ddl, ["o_year"])
-    tbl.insert(orders.filter(F.col("o_orderkey") % 2 == 0))
-    tbl.insert(orders.filter(F.col("o_orderkey") % 2 == 1))
+    tbl.insert(nonempty(orders.filter(F.col("o_orderkey") % 2 == 0)))
+    tbl.insert(nonempty(orders.filter(F.col("o_orderkey") % 2 == 1)))
     mark_setup_done()  # table built; the metadata listing is the op
     years = sorted(
         r["o_year"] for r in orders.select("o_year").distinct().collect()
@@ -2525,10 +2527,9 @@ def managed_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert listing == [f"o_year={y}" for y in years], listing
     # a same-partition append must not change the listing
     tbl.insert(
-        orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        nonempty(orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
             "o_orderkey", F.col("o_orderkey") + 200000000
-        )
-    )
+        )))
     # ... but those duplicate rows must not reach the emitted rollup:
     # scope the gate's output to the original key range
     listing2 = [
@@ -2538,10 +2539,9 @@ def managed_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert listing2 == listing, "append added no partition"
     # an insert into a brand-new year grows the listing by one
     tbl.insert(
-        orders.filter(F.col("o_orderkey") % 101 == 0)
+        nonempty(orders.filter(F.col("o_orderkey") % 101 == 0)
         .withColumn("o_orderkey", F.col("o_orderkey") + 300000000)
-        .withColumn("o_year", F.lit(2099))
-    )
+        .withColumn("o_year", F.lit(2099))))
     listing3 = [
         r["partition"]
         for r in eng.sql("SHOW PARTITIONS ord_showp").collect()

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity)
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # ------------------------------------------------ Haar wavelet energy --
@@ -1830,11 +1830,11 @@ def managed_cherrypick_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = eng.catalog.create_table("ord_cpk", ddl, ["o_year"])
     n_all = orders.count()
-    t.insert(orders.filter(F.col("o_orderkey") % 3 != 0))
+    t.insert(nonempty(orders.filter(F.col("o_orderkey") % 3 != 0)))
     t.refresh()
     wave1 = t.meta.current_snapshot().snapshot_id
     n_wave1 = t.scan().count_from_stats()
-    t.insert(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.insert(nonempty(orders.filter(F.col("o_orderkey") % 3 == 0)))
     t.refresh()
     wave2 = t.meta.current_snapshot().snapshot_id
     assert t.scan().count_from_stats() == n_all

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # ------------------------------------------- ALTER TABLE RENAME COLUMN --
@@ -78,10 +78,10 @@ def managed_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_max = even.filter(F.col("o_orderkey") < cut).agg(
         F.max("o_orderkey")
     ).collect()[0][0]
-    tbl.insert(even.filter(F.col("o_orderkey") < cut))
+    tbl.insert(nonempty(even.filter(F.col("o_orderkey") < cut)))
     s1 = tbl.meta.current_snapshot_id
     n1 = tbl.scan().count_from_stats()
-    tbl.insert(even.filter(F.col("o_orderkey") >= cut))
+    tbl.insert(nonempty(even.filter(F.col("o_orderkey") >= cut)))
     mark_setup_done()  # fixture committed; rename + evolved reads are the op
     eng.sql("ALTER TABLE ord_ren RENAME COLUMN o_orderkey TO okey")
     eng.sql("ALTER TABLE ord_ren RENAME COLUMN o_totalprice TO price")
@@ -93,11 +93,10 @@ def managed_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert old.count() == n1, "time travel after rename lost rows"
     # insert the odd half under the post-rename schema
     tbl.insert(
-        orders.filter(F.col("o_orderkey") % 2 == 1)
+        nonempty(orders.filter(F.col("o_orderkey") % 2 == 1)
         .withColumnRenamed("o_orderkey", "okey")
         .withColumnRenamed("o_totalprice", "price")
-        .withColumnRenamed("o_year", "year")
-    )
+        .withColumnRenamed("o_year", "year")))
     total_files = len(tbl.meta.current_snapshot().live_files())
     # (2) footer stats recorded as o_orderkey bind for okey predicates
     stat_scan = tbl.scan(where=f"okey <= {lo_max}")

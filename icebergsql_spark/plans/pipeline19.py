@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # --------------------------------------- clone of a renamed source --
@@ -55,11 +55,10 @@ def managed_clone_renamed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng.sql("ALTER TABLE src_crn RENAME COLUMN c TO val")
     tbl.insert(
-        base.filter(F.col("k") % 2 == 1).withColumnRenamed("c", "val")
-    )
+        nonempty(base.filter(F.col("k") % 2 == 1).withColumnRenamed("c", "val")))
     mark_setup_done()  # two-era source built; refusal + compact + clone op
     cur_sid = tbl.meta.current_schema_id
     assert any(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # ------------------------------------------- WAP publish by wap.id --
@@ -61,16 +61,16 @@ def managed_wap_publish_by_id(
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    tbl.insert(base.filter(F.col("k") % 3 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 3 == 0)))
     eng.sql("ALTER TABLE t_wapid CREATE BRANCH wap_a")
     eng.sql("ALTER TABLE t_wapid CREATE BRANCH wap_b")
     tbl.insert(
-        base.filter(F.col("k") % 3 == 1),
+        nonempty(base.filter(F.col("k") % 3 == 1)),
         branch="wap_a",
         extra_summary={"wap.id": "audit-1"},
     )
     tbl.insert(
-        base.filter(F.col("k") % 3 == 2),
+        nonempty(base.filter(F.col("k") % 3 == 2)),
         branch="wap_b",
         extra_summary={"wap.id": "audit-2"},
     )

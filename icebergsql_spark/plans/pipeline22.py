@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # ------------------------------------------- AS OF VERSION clone --
@@ -57,11 +57,10 @@ def managed_clone_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    s1 = tbl.insert(base.filter(F.col("k") % 2 == 0))
+    s1 = tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng.sql("ALTER TABLE src_cao RENAME COLUMN c TO val")
     s2 = tbl.insert(
-        base.filter(F.col("k") % 2 == 1).withColumnRenamed("c", "val")
-    )
+        nonempty(base.filter(F.col("k") % 2 == 1).withColumnRenamed("c", "val")))
     mark_setup_done()  # two-era source built; the AS OF clone is the op
     try:
         eng.sql(

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # ------------------------------------------ changelog view (CDC SQL) --
@@ -64,7 +64,7 @@ def managed_changelog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    s1 = tbl.insert(base.filter(F.col("k") % 4 == 1))
+    s1 = tbl.insert(nonempty(base.filter(F.col("k") % 4 == 1)))
     mark_setup_done()  # base built; DML + changelog view is the op
     eng.sql("UPDATE t_clv SET c = c + 7 WHERE k % 10 = 3")
     eng.sql("DELETE FROM t_clv WHERE k % 10 = 5")

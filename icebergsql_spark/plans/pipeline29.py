@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 
 # -------------------------------------- Friedman streaming twin --
@@ -259,9 +259,9 @@ def managed_clone_at_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng.sql("ALTER TABLE src_cat CREATE TAG release_tag")
-    tbl.insert(base.filter(F.col("k") % 2 == 1))  # after the tag
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 1)))  # after the tag
     mark_setup_done()  # tagged fixture built; the ref clone is the op
     try:
         eng.sql(

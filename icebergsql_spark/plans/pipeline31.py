@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 # ------------------------------------------------ REPLACE TAG DDL --
 
@@ -59,12 +59,12 @@ def managed_replace_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    s1 = tbl.insert(base.filter(F.col("k") % 2 == 0))
+    s1 = tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng.sql(
         f"ALTER TABLE src_rtag CREATE TAG model_current "
         f"AS OF VERSION {s1.snapshot_id} RETAIN 3650 DAYS"
     )
-    s2 = tbl.insert(base.filter(F.col("k") % 2 == 1))
+    s2 = tbl.insert(nonempty(base.filter(F.col("k") % 2 == 1)))
     tbl.refresh()
     age0 = tbl.meta.refs["model_current"]["max_ref_age_ms"]
     mark_setup_done()  # tagged two-snapshot fixture built

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 # --------------------------------------- IDENTIFIER FIELDS DDL --
 
@@ -67,7 +67,7 @@ def managed_identifier_fields(
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     )
-    s1 = tbl.insert(base.filter(F.col("k") % 4 == 2))
+    s1 = tbl.insert(nonempty(base.filter(F.col("k") % 4 == 2)))
     eng.sql("ALTER TABLE t_idfg SET IDENTIFIER FIELDS (k)")
     tbl.refresh()
     assert tbl.meta.properties["identifier.fields"] == "k"

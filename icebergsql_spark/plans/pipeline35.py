@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 # ------------------------------------------- RENAME TO scenario --
 
@@ -57,7 +57,7 @@ def managed_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     ).filter(F.col("k") % 3 == 0)
-    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng.sql("ALTER TABLE g_rn_old CREATE TAG evens")
     # a stale temp view for the old name exists before the rename
     assert eng.sql("SELECT COUNT(*) AS n FROM g_rn_old").collect()
@@ -67,7 +67,7 @@ def managed_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not eng.catalog.table_exists("g_rn_old")
     t2 = eng.catalog.load_table("g_rn_new")
     assert "evens" in t2.meta.refs  # refs survive the rename
-    t2.insert(base.filter(F.col("k") % 2 == 1))  # writes under new name
+    t2.insert(nonempty(base.filter(F.col("k") % 2 == 1)))  # writes under new name
     n_tagged = eng.sql(
         "as of 'evens' SELECT COUNT(*) AS n FROM g_rn_new"
     ).collect()[0][0]

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import nonempty, register
 
 # ------------------------------------------ register_table CALL --
 
@@ -54,7 +54,7 @@ def managed_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     ).filter(F.col("k") % 5 == 0)
-    s1 = src.insert(base.filter(F.col("k") % 2 == 0))
+    s1 = src.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     eng = Engine(spark, tempfile.mkdtemp(prefix="icebergsql-regwh-"))
     mark_setup_done()  # external table built; adoption is the op
     res = eng.sql(
@@ -64,7 +64,7 @@ def managed_register_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert res["current_snapshot_id"] == s1.snapshot_id
     # the pre-adoption snapshot history is intact and writable
     t = eng.catalog.load_table("g_adopted")
-    t.insert(base.filter(F.col("k") % 2 == 1))
+    t.insert(nonempty(base.filter(F.col("k") % 2 == 1)))
     n_hist = t.to_df(snapshot_id=s1.snapshot_id).count()
     assert 0 < n_hist
     try:
@@ -229,13 +229,13 @@ def managed_replace_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         F.year("o_orderdate").alias("m"),
     ).filter(F.col("k") % 7 == 0)
-    s1 = tbl.insert(base.filter(F.col("k") % 3 == 0))
+    s1 = tbl.insert(nonempty(base.filter(F.col("k") % 3 == 0)))
     eng.sql(
         f"ALTER TABLE g_rbr CREATE BRANCH staging "
         f"AS OF VERSION {s1.snapshot_id}"
     )
-    s2 = tbl.insert(base.filter(F.col("k") % 3 == 1), branch="staging")
-    tbl.insert(base.filter(F.col("k") % 3 == 2), branch="staging")  # bad
+    s2 = tbl.insert(nonempty(base.filter(F.col("k") % 3 == 1)), branch="staging")
+    tbl.insert(nonempty(base.filter(F.col("k") % 3 == 2)), branch="staging")  # bad
     tbl.refresh()
     assert tbl.meta.current_snapshot_id == s1.snapshot_id  # main untouched
     mark_setup_done()  # staged good+bad waves; the repair is the op

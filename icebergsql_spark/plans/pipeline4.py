@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from icebergsql_spark.operators import dedup
 from icebergsql_spark.plans.pipeline import _DFCAP_PAIRS_CTES
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 # ------------------------------------------------------------- chunking --
 
@@ -591,12 +591,12 @@ def managed_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return with_db(dedup.minhash_signatures(df))
 
     # batch 1: build the index from scratch
-    s1 = corpus.insert(with_db(docs.filter(F.col("doc_id") % 2 == 0)))
+    s1 = corpus.insert(nonempty(with_db(docs.filter(F.col("doc_id") % 2 == 0))))
     index.insert(sign(corpus.to_df()))
     mark_setup_done()  # initial index built; the incremental delta is the op
     # batch 2: sign ONLY the delta (changes() since the recorded snapshot)
-    corpus.insert(with_db(docs.filter(F.col("doc_id") % 2 == 1)))
-    delta = corpus.changes(s1.snapshot_id)
+    corpus.insert(nonempty(with_db(docs.filter(F.col("doc_id") % 2 == 1))))
+    delta = nonempty(corpus.changes(s1.snapshot_id), "incremental delta")
     index.insert(sign(delta))
 
     sigs = index.to_df()

@@ -68,6 +68,7 @@ def managed_schema_era_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each era's wave must be NON-EMPTY or the cross-era read claims
     # are vacuous (a review caught the original %6 base making waves
     # 2 and 3 provably empty — the mirrored-oracle gate stayed green)
+    assert w1.limit(1).count() == 1
     assert w2.limit(1).count() == 1 and w3.limit(1).count() == 1
     s1 = tbl.insert(w1)
     tbl.rename_column("c", "val")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 # ±6 h in epoch micros — the nearest-match tolerance
 _NEAR_TOL_US = 21_600_000_000
@@ -287,7 +287,7 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties={"write.delete.mode": "merge-on-read"},
     )
     li = _lineitem_with_year(spark, sf_dir)
-    tbl.insert(li.filter(F.col("l_orderkey") % 4 == 1))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 4 == 1)))
     mark_setup_done()  # fixture built; MoR delete + rewrite is the op
     before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     snap = tbl.delete_where("l_quantity < 5")
@@ -496,7 +496,7 @@ def managed_mor_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["o_orderstatus"],
         properties={"write.merge.mode": "merge-on-read"},
     )
-    tbl.insert(base.filter(F.col("o_orderkey") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("o_orderkey") % 2 == 0)))
     mark_setup_done()  # seed built; the MoR MERGE is the op
     before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     snap = tbl.merge(
@@ -584,14 +584,16 @@ def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark_setup_done()  # seed built; eq-delete CDC + conversion is the op
     written = {f.path for f in tbl.meta.current_snapshot().live_files()}
     tbl.upsert_by_keys(
-        base.filter(F.col("k") % 6 == 0).withColumn("c", F.col("c") + 1),
+        nonempty(base.filter(F.col("k") % 6 == 0).withColumn("c", F.col("c") + 1)),
         ["k"],
     )
     tbl.upsert_by_keys(
-        base.filter(F.col("k") % 12 == 0).withColumn("c", F.col("c") + 2),
+        nonempty(base.filter(F.col("k") % 12 == 0).withColumn("c", F.col("c") + 2)),
         ["k"],
     )
-    snap = tbl.delete_by_keys(base.filter(F.col("k") % 9 == 0).select("k"), ["k"])
+    snap = tbl.delete_by_keys(
+        nonempty(base.filter(F.col("k") % 9 == 0).select("k")), ["k"]
+    )
     # CDC commits only ever APPEND: every pre-existing file is still live
     assert written <= {f.path for f in snap.live_files()}
     assert snap.eq_manifest_paths, "unconverted equality deletes expected"
@@ -1038,7 +1040,7 @@ def managed_merge_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         F.col("o_orderstatus").alias("st"),
     )
-    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     base.filter(F.col("k") % 3 == 0).withColumn(
         "c", F.col("c") + 5
     ).createOrReplaceTempView("sync_src_v")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 @register(
@@ -72,7 +72,7 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     li = _lineitem_with_year(spark, sf_dir)
-    tbl.insert(li.filter(F.col("l_orderkey") % 3 == 0))
+    tbl.insert(nonempty(li.filter(F.col("l_orderkey") % 3 == 0)))
     mark_setup_done()  # base built; 9 churn commits + masked reads are the op
     n_files = len(tbl.meta.current_snapshot().live_files())
 
@@ -92,7 +92,7 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_orderkey")
             .distinct()
         )
-        tbl.delete_by_keys(keys, ["l_orderkey"])
+        tbl.delete_by_keys(nonempty(keys), ["l_orderkey"])
     assert len(tbl.meta.current_snapshot().eq_entries()) == 3
     # metadata count is honestly undecidable under unconverted eq deletes
     assert tbl.scan().count_from_stats() is None

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -833,9 +833,11 @@ def managed_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark_setup_done()  # base built; deletes + $delete_files audit are the op
     tbl.delete_where("k % 7 = 0")
     tbl.delete_by_keys(
-        orders.filter(F.col("o_orderkey") % 11 == 0)
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
+        nonempty(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select(F.col("o_orderkey").alias("k"))
+            .distinct()
+        )
     )
 
     view = {

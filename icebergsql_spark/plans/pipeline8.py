@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 # DuckDB spelling of operators/curation.md5_bucket
 _MD5_BUCKET = "CAST('0x' || substr(md5({expr}), 1, 6) AS BIGINT) % {m}"
@@ -87,7 +87,7 @@ def managed_merge_schema_evolution(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         F.col("o_orderstatus").alias("st"),
     )
-    tbl.insert(base.filter(F.col("k") % 2 == 0))
+    tbl.insert(nonempty(base.filter(F.col("k") % 2 == 0)))
     mark_setup_done()  # seed built; the evolving MERGE is the op
     files_before = {f.path for f in tbl.meta.current_snapshot().live_files()}
     base.filter(F.col("k") % 3 == 0).select(
@@ -418,9 +418,11 @@ def managed_all_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl.delete_where("k % 7 = 0")
     tbl.rewrite_position_deletes()
     tbl.delete_by_keys(
-        orders.filter(F.col("o_orderkey") % 11 == 0)
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
+        nonempty(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select(F.col("o_orderkey").alias("k"))
+            .distinct()
+        )
     )
     tbl.refresh()
 
@@ -542,13 +544,15 @@ def managed_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl.insert(src)
     mark_setup_done()  # base built; commit-chain totals are the op
-    tbl.insert(src.filter(F.col("k") % 3 == 0))
+    tbl.insert(nonempty(src.filter(F.col("k") % 3 == 0)))
     tbl.delete_where("k % 5 = 0")
     tbl.rewrite_position_deletes()
     tbl.delete_by_keys(
-        orders.filter(F.col("o_orderkey") % 11 == 0)
-        .select(F.col("o_orderkey").alias("k"))
-        .distinct()
+        nonempty(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select(F.col("o_orderkey").alias("k"))
+            .distinct()
+        )
     )
     tbl.refresh()
     hist = eng.sql(

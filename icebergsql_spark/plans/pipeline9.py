@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, register
+from icebergsql_spark.plans.registry import load_tables, nonempty, register
 
 
 @register(
@@ -149,14 +149,14 @@ def managed_branch_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         (F.col("o_orderkey") % 5).cast("int").alias("m"),
     )
-    s1 = tbl.insert(base.filter(F.col("m") == 0))
-    s2 = tbl.insert(base.filter(F.col("m") == 1))
+    s1 = tbl.insert(nonempty(base.filter(F.col("m") == 0)))
+    s2 = tbl.insert(nonempty(base.filter(F.col("m") == 1)))
     mark_setup_done()  # history built; branch-aware expiry is the op
     tbl.create_tag("v1", s1.snapshot_id)
     tbl.create_branch("audit", s2.snapshot_id, min_snapshots_to_keep=2)
-    s3 = tbl.insert(base.filter(F.col("m") == 2), branch="audit")
-    s4 = tbl.insert(base.filter(F.col("m") == 3))
-    s5 = tbl.insert(base.filter(F.col("m") == 4), overwrite=True)
+    s3 = tbl.insert(nonempty(base.filter(F.col("m") == 2)), branch="audit")
+    s4 = tbl.insert(nonempty(base.filter(F.col("m") == 3)))
+    s5 = tbl.insert(nonempty(base.filter(F.col("m") == 4)), overwrite=True)
 
     res = tbl.expire_snapshots(retain_last=1)
     tbl.refresh()
@@ -783,7 +783,7 @@ def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         (F.col("o_orderkey") % 4).cast("int").alias("m"),
     )
-    tbl.insert(base.filter(F.col("m") == 0))
+    tbl.insert(nonempty(base.filter(F.col("m") == 0)))
     mark_setup_done()  # main seeded; stage/audit/publish is the op
     main_before = tbl.to_df().agg(
         F.lit("main_before").alias("phase"),
@@ -793,7 +793,7 @@ def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     main_head = tbl.meta.current_snapshot_id
 
     tbl.create_branch("staging")
-    tbl.insert(base.filter(F.col("m") == 1), branch="staging")
+    tbl.insert(nonempty(base.filter(F.col("m") == 1)), branch="staging")
     tbl.refresh()
     assert tbl.meta.current_snapshot_id == main_head, (
         "branch write moved the main pointer"
@@ -814,7 +814,7 @@ def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop the branch, main must never see its rows
     tbl.create_branch("staging2")
     tbl.insert(
-        base.filter(F.col("m") == 2).withColumn("c", F.col("c") * 0 - 1),
+        nonempty(base.filter(F.col("m") == 2).withColumn("c", F.col("c") * 0 - 1)),
         branch="staging2",
     )
     tbl.drop_ref("staging2")

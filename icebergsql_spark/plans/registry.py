@@ -102,3 +102,19 @@ def events_ts_to_nanos(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.withColumn("ts", F.expr(_EPOCH_NS_EXPR))
+
+
+def nonempty(df: DataFrame, label: str = "wave") -> DataFrame:
+    """Assert a fixture wave selects at least one row, then return it.
+
+    A multi-wave scenario gate whose wave predicate is VACUOUSLY EMPTY
+    (impossible against the base filter) stays oracle-green because the
+    mirrored oracle replays the same impossible predicate — the round-13
+    era-audit gate shipped exactly that way (`%6` base made every key
+    even AND divisible by 3, so the odd-key waves selected zero rows).
+    The class is oracle-invisible by construction, so this in-gate
+    assert is the ONLY guard. `limit(1)` short-circuits the scan, so
+    the extra action is cheap at any scale.
+    """
+    assert df.limit(1).count() == 1, f"vacuously empty fixture wave: {label}"
+    return df

@@ -1,0 +1,205 @@
+"""Independent pure-Python replicas locking the round-14 stats gates'
+algebra (the r13 formula-review discipline: a mirrored-wrong formula
+passes every oracle gate, so each new statistic is checked against an
+INDEPENDENT implementation, not the hash)."""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+from fractions import Fraction
+
+
+# ------------------------------------------------------------ MTLD --
+
+
+def mtld_textbook(tokens: list[str], threshold: float = 0.72):
+    """McCarthy-Jarvis forward MTLD, straight from the definition:
+    running TTR of the current factor, factor completes when TTR drops
+    strictly below the threshold, partial factor (1 - TTR)/(1 - thr).
+    Returns (factors, partial) — MTLD = n / (factors + partial)."""
+    factors = 0
+    types: set[str] = set()
+    count = 0
+    for t in tokens:
+        types.add(t)
+        count += 1
+        if len(types) / count < threshold:
+            factors += 1
+            types = set()
+            count = 0
+    partial = 0.0 if count == 0 else (1 - len(types) / count) / (1 - threshold)
+    return factors, count, len(types), partial
+
+
+def mtld_gate_recurrence(tokens: list[str]):
+    """Exact transcription of the pipeline51 SQL state machine:
+    integer test 100*(ty + new) < 72*(tok + 1), list-membership type
+    tracking. Returns (f, ty, tok) end state."""
+    f, ty, tok, cur = 0, 0, 0, []
+    for t in tokens:
+        new = 0 if t in cur else 1
+        if 100 * (ty + new) < 72 * (tok + 1):
+            f, ty, tok, cur = f + 1, 0, 0, []
+        else:
+            ty, tok = ty + new, tok + 1
+            if new:
+                cur.append(t)
+    return f, ty, tok
+
+
+def test_mtld_recurrence_matches_textbook():
+    rng = random.Random(1451)
+    for trial in range(300):
+        vocab = [f"w{i}" for i in range(rng.randint(2, 40))]
+        n = rng.randint(1, 150)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        f, ty, tok = mtld_gate_recurrence(toks)
+        tf, ttok, tty, tpartial = mtld_textbook(toks)
+        assert f == tf, (trial, toks)
+        assert tok == ttok and ty == tty, (trial, toks)
+        # the gate's partial expression (tok - ty)/tok / 0.28 equals
+        # the textbook (1 - TTR)/(1 - 0.72) as exact rationals
+        if tok > 0:
+            gate_partial = Fraction(tok - ty, tok) / Fraction(28, 100)
+            text_partial = (1 - Fraction(tty, ttok)) / (
+                1 - Fraction(72, 100)
+            )
+            assert gate_partial == text_partial
+        # the integer threshold test is exactly TTR < 0.72: 0.72 is
+        # 72/100, so 100*ty < 72*tok <=> ty/tok < 0.72 for tok > 0
+        # (exercised implicitly by the factor-count equality above)
+
+
+# ------------------------------------------------------- FIR CUSUM --
+
+
+def cusum_fir_float(xs: list[int]):
+    """Textbook Lucas-Crosier FIR CUSUM in exact Fractions: mean
+    target, slack k = floor(sum/8)/n, threshold h = 4k, FIR start
+    h/2. Returns per-chart (final, max, alarm_index) where alarm is
+    the first i with s_i > h (1-based), -1 if none."""
+    n = len(xs)
+    tot = sum(xs)
+    mean = Fraction(tot, n)
+    k = Fraction(tot // 8, n)  # the gate's K = tot DIV 8, n-scaled down
+    h = 4 * k
+
+    def run(s0):
+        s, smax, alarm = s0, s0, -1
+        for i, x in enumerate(xs, 1):
+            s = max(Fraction(0), s + (x - mean) - k)
+            smax = max(smax, s)
+            if alarm == -1 and s > h:
+                alarm = i
+        return s, smax, alarm
+
+    return run(h / 2), run(Fraction(0)), h
+
+
+def cusum_fir_gate(xs: list[int]):
+    """Exact transcription of the pipeline51 integer recurrence:
+    n-scaled devs d = c*n - tot, K = tot DIV 8, H = 4K, FIR start
+    2K."""
+    n = len(xs)
+    tot = sum(xs)
+    K = tot // 8
+    H = 4 * K
+
+    def run(s0):
+        s, smax, alarm = s0, s0, -1
+        for i, x in enumerate(xs, 1):
+            s = max(0, s + (x * n - tot) - K)
+            smax = max(smax, s)
+            if alarm == -1 and s > H:
+                alarm = i
+        return s, smax, alarm
+
+    return run(2 * K), run(0), H
+
+
+def test_cusum_fir_integer_scaling_exact():
+    """The gate's bigint recurrence is the textbook chart scaled by n:
+    s_int == n * s_frac at every step, alarms on the same day."""
+    rng = random.Random(1452)
+    for trial in range(300):
+        n = rng.randint(5, 40)
+        xs = [rng.randint(0, 500) for _ in range(n)]
+        if sum(xs) == 0:
+            xs[0] = 1
+        (ff, fm, fa), (sf_, sm, sa), h = cusum_fir_float(xs)
+        (gf, gm, ga), (gsf, gsm, gsa), H = cusum_fir_gate(xs)
+        assert Fraction(gf) == n * ff and Fraction(gm) == n * fm
+        assert Fraction(gsf) == n * sf_ and Fraction(gsm) == n * sm
+        assert ga == fa and gsa == sa, (trial, xs)
+        assert Fraction(H) == n * h
+        # FIR never alarms later than standard (same threshold,
+        # head start only adds)
+        if gsa != -1:
+            assert ga != -1 and ga <= gsa
+
+
+# ------------------------------------- sliding-max deque closed form --
+
+
+def sliding_max_deque_real(xs: list[int], w: int):
+    """REAL monotonic-deque maintenance (strict eviction: pop all
+    back items <= new), per window end: (max, deque as list of
+    (idx, val) front..back)."""
+    dq: deque[int] = deque()  # indices, values strictly decreasing
+    out = []
+    for i, x in enumerate(xs):
+        while dq and xs[dq[-1]] <= x:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            out.append((xs[dq[0]], [(j, xs[j]) for j in dq]))
+    return out
+
+
+def sliding_max_closed_form(xs: list[int], w: int):
+    """The pipeline51 membership predicate: j in window is a deque
+    member iff x_j > max(x_k for k in (j, e])."""
+    out = []
+    for e in range(w - 1, len(xs)):
+        members = []
+        for j in range(e - w + 1, e + 1):
+            later = xs[j + 1 : e + 1]
+            if not later or xs[j] > max(later):
+                members.append((j, xs[j]))
+        out.append((max(x for _, x in members), members))
+    return out
+
+
+def test_sliding_max_closed_form_matches_real_deque():
+    rng = random.Random(1453)
+    for trial in range(200):
+        n = rng.randint(14, 60)
+        w = rng.choice([3, 7, 14])
+        # duplicate-heavy values to exercise the tie convention
+        xs = [rng.randint(0, 9) for _ in range(n)]
+        assert sliding_max_closed_form(xs, w) == sliding_max_deque_real(
+            xs, w
+        ), (trial, w, xs)
+
+
+def test_sliding_max_front_is_latest_argmax():
+    """Strict eviction means the deque front is the LATEST argmax —
+    the convention the gate's argmax_day column documents."""
+    rng = random.Random(1454)
+    for _ in range(100):
+        n = rng.randint(14, 40)
+        xs = [rng.randint(0, 5) for _ in range(n)]
+        for e_off, (mx, members) in enumerate(
+            sliding_max_closed_form(xs, 14)
+        ):
+            e = e_off + 13
+            window = xs[e - 13 : e + 1]
+            assert mx == max(window)
+            front_idx = members[0][0]
+            latest_argmax = max(
+                j for j in range(e - 13, e + 1) if xs[j] == mx
+            )
+            assert front_idx == latest_argmax
