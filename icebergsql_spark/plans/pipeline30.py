@@ -230,13 +230,28 @@ def _iso_oracle() -> str:
     )
 
 
-def _daily_partial_stream(
-    spark: SparkSession, sf_dir: str, prefix: str
+def _partial_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    cols,
+    keys,
+    out_alias: str,
+    suffix: str,
 ) -> None:
-    """The shared daily-count-partial streaming fixture: 3
-    chronological micro-batches append SUM-mergeable (type, day, c)
-    partials; registers the merged result as view ``{prefix}_daily``
-    with the (event_type, day, x) `daily` contract."""
+    """ONE parameterized count-partial streaming fixture (round-14
+    cleanup of three near-copies — r13 lesson 8 / r13 ADVICE): 3
+    chronological micro-batches (time-split parquet appends offset
+    from min(day), maxFilesPerTrigger=1, availableNow) append
+    SUM-mergeable per-``keys`` count partials via foreachBatch; the
+    merged result is registered as view ``{prefix}_{suffix}`` with
+    the count column aliased ``out_alias``. ``cols`` is the per-batch
+    projection (list of Columns) whose output columns are ``keys``.
+    Batch-order-invariant by algebra: counts are summed after the
+    merge, so micro-batch chopping cannot change the final state.
+    Wrappers: ``_daily_partial_stream`` (here),
+    ``pipeline40._hourly_partial_stream``,
+    ``pipeline42._cell_partial_stream``."""
     import tempfile
 
     from icebergsql_spark.plans.registry import events_ts_to_nanos
@@ -252,10 +267,8 @@ def _daily_partial_stream(
 
     def fold(batch_df, batch_id):
         (
-            batch_df.select(
-                "event_type", F.expr("ts DIV 86400000000000").alias("day")
-            )
-            .groupBy("event_type", "day")
+            batch_df.select(*cols)
+            .groupBy(*keys)
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
             .write.mode("append")
             .parquet(out)
@@ -276,9 +289,30 @@ def _daily_partial_stream(
     q.awaitTermination()
     (
         spark.read.parquet(out)
-        .groupBy("event_type", "day")
-        .agg(F.sum("c").cast("bigint").alias("x"))
-        .createOrReplaceTempView(f"{prefix}_daily")
+        .groupBy(*keys)
+        .agg(F.sum("c").cast("bigint").alias(out_alias))
+        .createOrReplaceTempView(f"{prefix}_{suffix}")
+    )
+
+
+def _daily_partial_stream(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> None:
+    """The shared daily-count-partial streaming fixture: 3
+    chronological micro-batches append SUM-mergeable (type, day, c)
+    partials; registers the merged result as view ``{prefix}_daily``
+    with the (event_type, day, x) `daily` contract."""
+    _partial_stream(
+        spark,
+        sf_dir,
+        prefix,
+        cols=[
+            F.col("event_type"),
+            F.expr("ts DIV 86400000000000").alias("day"),
+        ],
+        keys=["event_type", "day"],
+        out_alias="x",
+        suffix="daily",
     )
 
 

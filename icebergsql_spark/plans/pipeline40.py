@@ -169,49 +169,21 @@ def _hourly_partial_stream(
     chronological micro-batches append SUM-mergeable
     (type, hour, c) count partials; registers the merged result as
     view ``{prefix}_hourly`` with the (event_type, hour, c)
-    `hourly` contract."""
-    import tempfile
+    `hourly` contract. Delegates to the ONE parameterized fixture
+    (pipeline30._partial_stream)."""
+    from icebergsql_spark.plans.pipeline30 import _partial_stream
 
-    from icebergsql_spark.plans.registry import events_ts_to_nanos
-
-    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    src = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}src-")
-    out = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}out-")
-    day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
-    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
-        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
-        chunk.coalesce(1).write.mode("append").parquet(src)
-
-    def fold(batch_df, batch_id):
-        (
-            batch_df.select(
-                "event_type", F.expr("ts DIV 3600000000000").alias("hour")
-            )
-            .groupBy("event_type", "hour")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .write.mode("append")
-            .parquet(out)
-        )
-
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"icebergsql-{prefix}ck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    (
-        spark.read.parquet(out)
-        .groupBy("event_type", "hour")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-        .createOrReplaceTempView(f"{prefix}_hourly")
+    _partial_stream(
+        spark,
+        sf_dir,
+        prefix,
+        cols=[
+            F.col("event_type"),
+            F.expr("ts DIV 3600000000000").alias("hour"),
+        ],
+        keys=["event_type", "hour"],
+        out_alias="c",
+        suffix="hourly",
     )
 
 
@@ -253,7 +225,10 @@ _SR_MAXDOC = 120
 # N(a) x N(b) (identity pairs contribute 1e6 each).  The DIV
 # truncation IS the spec (both engines replay it; operands
 # non-negative so DuckDB // == Spark DIV).
-_SR_TAIL_SQL = """
+# Chain/final split (round-14): pipeline52's 3-round extension reuses
+# the chain VERBATIM and appends one more propagation block; the
+# composed _SR_TAIL_SQL stays character-identical to the r13 string.
+_SR_CHAIN_SQL = """
         adj AS {mat}(
           SELECT a AS u, b AS v FROM sr_edges
           UNION ALL SELECT b, a FROM sr_edges
@@ -299,12 +274,14 @@ _SR_TAIL_SQL = """
           JOIN deg da ON da.u = t2.a
           JOIN deg db ON db.u = t2.b
           LEFT JOIN s1 ON s1.a = t2.a AND s1.b = t2.b
-        )
+        )"""
+_SR_FINAL_SQL = """
         SELECT a, b, s1_ppm, s2_ppm
         FROM s2
         ORDER BY s2_ppm DESC, a, b
         LIMIT 30
 """
+_SR_TAIL_SQL = _SR_CHAIN_SQL + _SR_FINAL_SQL
 
 _SR_EDGES_ORACLE = f"""
         w AS MATERIALIZED (

@@ -57,58 +57,27 @@ def _cell_partial_stream(
 ) -> None:
     """Contingency-cell sibling of pipeline30's _daily_partial_stream:
     3 chronological micro-batches append SUM-mergeable
-    (t, b, c) cell-count partials (b = props k % 6); registers the
-    merged result as view ``{prefix}_cells`` with the (t, b, o)
-    `cells` contract."""
-    import tempfile
+    (t, b, c) cell-count partials (b = props k % 6, -1 sentinel for
+    missing props.k per the r13 ADVICE); registers the merged result
+    as view ``{prefix}_cells`` with the (t, b, o) `cells` contract.
+    Delegates to the ONE parameterized fixture
+    (pipeline30._partial_stream)."""
+    from icebergsql_spark.plans.pipeline30 import _partial_stream
 
-    from icebergsql_spark.plans.registry import events_ts_to_nanos
-
-    ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
-    src = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}src-")
-    out = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}out-")
-    day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
-    for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
-        chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
-        chunk.coalesce(1).write.mode("append").parquet(src)
-
-    def fold(batch_df, batch_id):
-        (
-            batch_df.select(
-                F.col("event_type").alias("t"),
-                # -1 sentinel for missing props.k, mirroring the batch
-                # head's COALESCE (r13 ADVICE: a NULL bucket is counted
-                # in the margins but dropped by the chi2 equi-join).
-                F.coalesce(
-                    F.get_json_object("props", "$.k").cast("bigint") % 6,
-                    F.lit(-1).cast("bigint"),
-                ).alias("b"),
-            )
-            .groupBy("t", "b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .write.mode("append")
-            .parquet(out)
-        )
-
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"icebergsql-{prefix}ck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    (
-        spark.read.parquet(out)
-        .groupBy("t", "b")
-        .agg(F.sum("c").cast("bigint").alias("o"))
-        .createOrReplaceTempView(f"{prefix}_cells")
+    _partial_stream(
+        spark,
+        sf_dir,
+        prefix,
+        cols=[
+            F.col("event_type").alias("t"),
+            F.coalesce(
+                F.get_json_object("props", "$.k").cast("bigint") % 6,
+                F.lit(-1).cast("bigint"),
+            ).alias("b"),
+        ],
+        keys=["t", "b"],
+        out_alias="o",
+        suffix="cells",
     )
 
 
@@ -171,7 +140,10 @@ _BD_QSCALE = "100000000.0"  # 1e-8 relative-frequency units
 # numerator and a per-WORD denominator, so |z1 - z2| =
 # |num1 - num2| / sqrt(den_w) — each pair term is one double division,
 # quantized ONCE to 1e-6 z-units, and the word sum is an exact bigint.
-_BD_SQL = """
+# Chain/final split (round-14): pipeline52's cosine variant reuses the
+# z-score chain VERBATIM; the composed _BD_SQL stays
+# character-identical to the r13 string.
+_BD_CHAIN_SQL = """
         WITH tok AS (
           SELECT source, {tok} AS w FROM documents
         ),
@@ -208,7 +180,8 @@ _BD_SQL = """
                  ws.s * d.q - ws.sq AS num,
                  ws.s * ws.sq2 - ws.sq * ws.sq AS den
           FROM dense d JOIN wstats ws ON ws.w = d.w
-        ),
+        ),"""
+_BD_FINAL_SQL = """
         pairs AS (
           SELECT a.source AS s1, b.source AS s2,
                  CASE WHEN a.den > 0
@@ -224,6 +197,7 @@ _BD_SQL = """
         FROM pairs GROUP BY s1, s2
         ORDER BY delta_q, s1, s2
 """
+_BD_SQL = _BD_CHAIN_SQL + _BD_FINAL_SQL
 
 
 @register(

@@ -203,3 +203,101 @@ def test_sliding_max_front_is_latest_argmax():
                 j for j in range(e - 13, e + 1) if xs[j] == mx
             )
             assert front_idx == latest_argmax
+
+
+# --------------------------------------------- SimRank round 3 --
+
+
+def _simrank3_textbook(edges):
+    """Textbook SimRank with the gate's ppm quantization, 3 rounds."""
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    deg = {u: len(adj[u]) for u in nodes}
+
+    prev = {}  # s0 off-diagonal = 0
+
+    def sf(s, i, j):
+        if i == j:
+            return 1000000
+        return s.get((min(i, j), max(i, j)), 0)
+
+    rounds = []
+    for _ in range(3):
+        cur = {}
+        for a, b in itertools.combinations(nodes, 2):
+            t = sum(sf(prev, i, j) for i in adj[a] for j in adj[b])
+            cur[(a, b)] = (4 * t) // (5 * deg[a] * deg[b])
+        rounds.append(cur)
+        prev = cur
+    return rounds
+
+
+def _simrank3_gate_algebra(edges):
+    """Replays pipeline40._SR_CHAIN_SQL + pipeline52._SR3_EXT_SQL
+    join-by-join (support sets evolve exactly as the SQL's
+    common/cross FULL OUTER JOINs do)."""
+    adj = []
+    for a, b in edges:
+        adj.append((a, b))
+        adj.append((b, a))
+    deg = {}
+    for u, _ in adj:
+        deg[u] = deg.get(u, 0) + 1
+    common = {}
+    for (u1, v1) in adj:
+        for (u2, v2) in adj:
+            if u1 == u2 and v1 < v2:
+                common[(v1, v2)] = common.get((v1, v2), 0) + 1
+    s1 = {
+        k: (4 * 1000000 * cm) // (5 * deg[k[0]] * deg[k[1]])
+        for k, cm in common.items()
+    }
+
+    def propagate(s_prev):
+        sx = {}
+        for (a, b), s in s_prev.items():
+            sx[(a, b)] = s
+            sx[(b, a)] = s
+        cross = {}
+        for (i, j), s in sx.items():
+            for (u1, a) in adj:
+                if u1 != i:
+                    continue
+                for (u2, b) in adj:
+                    if u2 != j:
+                        continue
+                    if a < b:
+                        cross[(a, b)] = cross.get((a, b), 0) + s
+        nxt = {}
+        for k in set(common) | set(cross):
+            t = 1000000 * common.get(k, 0) + cross.get(k, 0)
+            nxt[k] = (4 * t) // (5 * deg[k[0]] * deg[k[1]])
+        return nxt
+
+    s2 = propagate(s1)
+    s3 = propagate(s2)
+    return s1, s2, s3
+
+
+def test_simrank3_gate_algebra_matches_textbook():
+    rng = random.Random(1455)
+    for _ in range(100):
+        n = rng.randint(4, 9)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(nodes, 2)))
+                for _ in range(rng.randint(3, 14))
+            }
+        )
+        p1, p2, p3 = _simrank3_textbook(edges)
+        q1, q2, q3 = _simrank3_gate_algebra(edges)
+        for k in set(p3) | set(q3):
+            assert p1.get(k, 0) == q1.get(k, 0), (k, edges)
+            assert p2.get(k, 0) == q2.get(k, 0), (k, edges)
+            assert p3.get(k, 0) == q3.get(k, 0), (k, edges)
