@@ -277,6 +277,55 @@ def pixel_stats(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, schema=PIXEL_SCHEMA)
 
 
+OPPONENT_SCHEMA = (
+    "doc_id bigint, n_px bigint, rg2_sum bigint, rg2_sq_sum bigint, "
+    "yb2_sum bigint, yb2_sq_sum bigint"
+)
+
+
+def image_opponent_stats(blobs: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL ``decode_image`` and emit
+    exact integer sufficient statistics of the Hasler-Susstrunk
+    opponent channels, DOUBLED to stay integral: rg2 = 2*(R - G),
+    yb2 = R + G - 2*B per pixel (so the colorfulness composed from
+    these is 2x the textbook value — a documented fixed scale). Sums
+    and sums-of-squares are int64 — order-independent, oracle-exact.
+    Grayscale payloads see R = G = B, so rg2 = 0 and yb2 = 0
+    everywhere. Arrow-batched narrow map, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _h, _w, ch, arr = decode_image(bytes(payload))
+                px = arr.reshape(-1, ch).astype("int64")
+                if ch == 3:
+                    r, g, b = px[:, 0], px[:, 1], px[:, 2]
+                else:
+                    r = g = b = px[:, 0]
+                rg2 = 2 * (r - g)
+                yb2 = r + g - 2 * b
+                rows.append(
+                    (
+                        did,
+                        int(px.shape[0]),
+                        int(rg2.sum()),
+                        int((rg2 * rg2).sum()),
+                        int(yb2.sum()),
+                        int((yb2 * yb2).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_px", "rg2_sum", "rg2_sq_sum",
+                    "yb2_sum", "yb2_sq_sum",
+                ],
+            )
+
+    return blobs.mapInPandas(run, schema=OPPONENT_SCHEMA)
+
+
 def opaque_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched byte-level statistics over opaque payloads (see
     ``byte_features``)."""

@@ -238,6 +238,8 @@ def _partial_stream(
     keys,
     out_alias: str,
     suffix: str,
+    pre_filter=None,
+    distinct_markers: bool = False,
 ) -> None:
     """ONE parameterized count-partial streaming fixture (round-14
     cleanup of three near-copies — r13 lesson 8 / r13 ADVICE): 3
@@ -249,6 +251,11 @@ def _partial_stream(
     projection (list of Columns) whose output columns are ``keys``.
     Batch-order-invariant by algebra: counts are summed after the
     merge, so micro-batch chopping cannot change the final state.
+    ``pre_filter`` (a Column condition) filters each batch before the
+    projection. ``distinct_markers=True`` switches from count partials
+    to DISTINCT key markers (set-mergeable, the stream_logrank
+    sighting pattern): the merged view holds the distinct key tuples
+    and ``out_alias`` is unused.
     Wrappers: ``_daily_partial_stream`` (here),
     ``pipeline40._hourly_partial_stream``,
     ``pipeline42._cell_partial_stream``."""
@@ -266,13 +273,19 @@ def _partial_stream(
         chunk.coalesce(1).write.mode("append").parquet(src)
 
     def fold(batch_df, batch_id):
-        (
-            batch_df.select(*cols)
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-            .write.mode("append")
-            .parquet(out)
-        )
+        b = batch_df
+        if pre_filter is not None:
+            b = b.filter(pre_filter)
+        b = b.select(*cols)
+        if distinct_markers:
+            b.distinct().write.mode("append").parquet(out)
+        else:
+            (
+                b.groupBy(*keys)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+                .write.mode("append")
+                .parquet(out)
+            )
 
     q = (
         spark.readStream.schema(ev.schema)
@@ -287,12 +300,15 @@ def _partial_stream(
         .start()
     )
     q.awaitTermination()
-    (
-        spark.read.parquet(out)
-        .groupBy(*keys)
-        .agg(F.sum("c").cast("bigint").alias(out_alias))
-        .createOrReplaceTempView(f"{prefix}_{suffix}")
-    )
+    merged = spark.read.parquet(out)
+    if distinct_markers:
+        merged.distinct().createOrReplaceTempView(f"{prefix}_{suffix}")
+    else:
+        (
+            merged.groupBy(*keys)
+            .agg(F.sum("c").cast("bigint").alias(out_alias))
+            .createOrReplaceTempView(f"{prefix}_{suffix}")
+        )
 
 
 def _daily_partial_stream(

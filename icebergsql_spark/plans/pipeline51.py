@@ -216,14 +216,17 @@ def text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
 # live in the same n-scaled units, so both recurrences
 # s' = max(0, s + d - K), the alarm tests s' > H, and the running
 # maxima are exact bigint arithmetic end-to-end.
-_CUSUM_FIR_SQL = """
+_CUSUM_FIR_HEAD_SQL = """
         WITH RECURSIVE ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary).
+_CUSUM_FIR_TAIL_SQL = """
         g AS (
           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(c) AS BIGINT) AS tot
@@ -277,6 +280,7 @@ _CUSUM_FIR_SQL = """
         FROM cu JOIN g ON g.event_type = cu.event_type AND cu.i = g.n
         ORDER BY cu.event_type
 """
+_CUSUM_FIR_SQL = _CUSUM_FIR_HEAD_SQL + _CUSUM_FIR_TAIL_SQL
 
 
 @register(

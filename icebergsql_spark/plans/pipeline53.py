@@ -24,7 +24,7 @@ from icebergsql_spark.plans.registry import register
 # fraction: num = n*agree - (ra0*rb0 + (n-ra0)*(n-rb0)), den = n^2 -
 # (same expected-agreement term) — chance-corrected agreement with no
 # floats until the final mirrored division.
-_KAPPA_SQL = """
+_KAPPA_HEAD_SQL = """
         WITH base AS (
           SELECT event_type,
                  COALESCE(CAST({props_k} AS BIGINT) % 2, -1) AS ra,
@@ -32,16 +32,23 @@ _KAPPA_SQL = """
                    AS rb
           FROM {src}
         ),
+        cells AS (
+          SELECT event_type, ra, rb, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2, 3
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `cells` CTE boundary — (type, ra, rb) cell counts are SUM-mergeable).
+_KAPPA_TAIL_SQL = """
         agg AS (
           SELECT event_type,
-                 CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END)
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN ra = rb THEN c ELSE 0 END)
                       AS BIGINT) AS agree,
-                 CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END)
+                 CAST(SUM(CASE WHEN ra = 0 THEN c ELSE 0 END)
                       AS BIGINT) AS ra0,
-                 CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END)
+                 CAST(SUM(CASE WHEN rb = 0 THEN c ELSE 0 END)
                       AS BIGINT) AS rb0
-          FROM base WHERE ra >= 0
+          FROM cells WHERE ra >= 0
           GROUP BY event_type
         )
         SELECT event_type, n, agree, ra0, rb0,
@@ -63,6 +70,7 @@ _KAPPA_SQL = """
         FROM agg
         ORDER BY event_type
 """
+_KAPPA_SQL = _KAPPA_HEAD_SQL + _KAPPA_TAIL_SQL
 
 
 @register(
@@ -112,14 +120,17 @@ def events_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts is exact integer; tau-b = (C - D)/sqrt((n0-n1)(n0-n2)) is
 # factor-wise double (locked against a groupwise-tie replica in
 # tests/test_round14_formulas.py).
-_TAU_SQL = """
+_TAU_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary).
+_TAU_TAIL_SQL = """
         pairjoin AS (
           SELECT a.event_type AS t1, b.event_type AS t2,
                  a.day, a.x AS x, b.x AS y
@@ -156,6 +167,7 @@ _TAU_SQL = """
         FROM pp
         ORDER BY t1, t2
 """
+_TAU_SQL = _TAU_HEAD_SQL + _TAU_TAIL_SQL
 
 
 @register(
@@ -197,14 +209,17 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # could go negative under per-term rounding, and the square is the
 # thresholdable quantity anyway). Missing buckets contribute exact 0
 # (sqrt(0 * q) = 0), so no dense frame is needed.
-_HELL_SQL = """
+_HELL_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, (({hour_expr}) % 24) AS hod FROM {src}
         ),
         hist AS (
           SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS c
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `hist` CTE boundary — hourly count partials fold to hod bins).
+_HELL_TAIL_SQL = """
         n_ AS (
           SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
           FROM hist GROUP BY 1
@@ -236,6 +251,7 @@ _HELL_SQL = """
         GROUP BY t1, t2
         ORDER BY t1, t2
 """
+_HELL_SQL = _HELL_HEAD_SQL + _HELL_TAIL_SQL
 
 
 @register(
@@ -276,11 +292,15 @@ def events_hellinger_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Each hazard increment is one mirrored double division over exact
 # integers, quantized ONCE to 1e-9; the cumulative sum is then exact
 # bigint arithmetic.
-_NA_SQL = """
+_NA_HEAD_SQL = """
         WITH pd AS (
           SELECT DISTINCT user_id, {day_expr} AS day
           FROM {src} WHERE event_type = 'purchase'
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `pd` CTE boundary — distinct (user, day) purchase sightings are
+# set-mergeable, the stream_logrank pattern).
+_NA_TAIL_SQL = """
         mx AS (SELECT MAX(day) AS m FROM pd),
         gaps AS (
           SELECT user_id, day,
@@ -314,6 +334,7 @@ _NA_SQL = """
         FROM na
         ORDER BY t
 """
+_NA_SQL = _NA_HEAD_SQL + _NA_TAIL_SQL
 
 
 @register(
@@ -549,13 +570,22 @@ def emb_label_centroid_cosines(
 
 
 def _centroid_sql_tail(p4: str, p8: str, p16: str) -> str:
-    num = f"(4 * {p4} + 8 * {p8} + 16 * {p16})"
-    den = f"({p4} + {p8} + {p16})"
+    # factor-wise DOUBLE (the Yule-K discipline): 16 * p16 measured
+    # EXACTLY 2^63 on the standard fixture — a bigint-weighted sum
+    # wraps in Spark (ANSI errors) while DuckDB silently promotes to
+    # HUGEINT. The exact anchors are the p4/p8/p16 columns themselves;
+    # the centroid is one mirrored double expression over them.
+    num = (
+        f"(4.0 * CAST({p4} AS DOUBLE) + 8.0 * CAST({p8} AS DOUBLE)"
+        f" + 16.0 * CAST({p16} AS DOUBLE))"
+    )
+    den = (
+        f"(CAST({p4} AS DOUBLE) + CAST({p8} AS DOUBLE)"
+        f" + CAST({p16} AS DOUBLE))"
+    )
     return (
-        f"CAST({num} AS BIGINT) AS centroid_num, "
-        f"CAST({den} AS BIGINT) AS centroid_den, "
-        f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)"
-        f" / CAST({den} AS DOUBLE) END AS centroid_bin"
+        f"CASE WHEN {p4} > 0 OR {p8} > 0 OR {p16} > 0 "
+        f"THEN {num} / {den} END AS centroid_bin"
     )
 
 
@@ -613,12 +643,15 @@ def _audio_centroid_oracle() -> str:
     "the multimodal_audio_tone fixture (REAL WAV decode -> "
     "audio_tone_powers at bins 4/8/16): centroid = "
     "sum(k*P_k)/sum(P_k), the brightness scalar a voice/music/noise "
-    "router thresholds — emitted as an exact bigint num/den "
-    "rational plus one mirrored double, so the pitch ordering of "
-    "the planted half-period-2/4/8 square waves is recovered as a "
-    "pure function of the data (no argmax, unlike the tone gate's "
-    "top_bin). Scale shape: one Arrow-batched narrow map then "
-    "per-signature grouping.",
+    "router thresholds — the exact anchors are the p4/p8/p16 power "
+    "integers themselves; the centroid is one mirrored factor-wise "
+    "DOUBLE over them (16 * p16 measured exactly 2^63 on the "
+    "fixture — a bigint-weighted sum wraps in Spark while DuckDB "
+    "silently promotes to HUGEINT, the Yule-K overflow class). The "
+    "pitch ordering of the planted half-period-2/4/8 square waves "
+    "is recovered as a pure function of the data (no argmax, unlike "
+    "the tone gate's top_bin). Scale shape: one Arrow-batched "
+    "narrow map then per-signature grouping.",
     tags=("multimodal", "stats"),
 )
 def multimodal_audio_centroid(
@@ -698,14 +731,17 @@ _PC_R = (
     "    * sqrt(CAST({n} * {sbb} - {sb} * {sb} AS DOUBLE))))"
 )
 
-_PC_SQL = """
+_PC_HEAD_SQL = """
         WITH ev AS (
           SELECT event_type, {day_expr} AS day FROM {src}
         ),
         daily AS (
           SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
           FROM ev GROUP BY 1, 2
-        ),
+        ),"""
+# Tail shared VERBATIM with the streaming twin (head/tail split at the
+# `daily` CTE boundary).
+_PC_TAIL_SQL = """
         trip AS (
           SELECT a.event_type AS tx, b.event_type AS ty,
                  c.event_type AS tz, a.day,
@@ -757,6 +793,7 @@ _PC_SQL = """
         FROM rr
         ORDER BY tx, ty, tz
 """
+_PC_SQL = _PC_HEAD_SQL + _PC_TAIL_SQL
 
 
 def _pc_sql(day_expr: str, src: str) -> str:

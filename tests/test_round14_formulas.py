@@ -301,3 +301,180 @@ def test_simrank3_gate_algebra_matches_textbook():
             assert p1.get(k, 0) == q1.get(k, 0), (k, edges)
             assert p2.get(k, 0) == q2.get(k, 0), (k, edges)
             assert p3.get(k, 0) == q3.get(k, 0), (k, edges)
+
+
+# ------------------------------------------------- Cohen's kappa --
+
+
+def test_kappa_integer_fraction_matches_definition():
+    """The gate's n^2-scaled integer fraction equals the textbook
+    kappa = (po - pe)/(1 - pe) as exact rationals."""
+    rng = random.Random(1456)
+    for _ in range(300):
+        n = rng.randint(2, 200)
+        ra = [rng.randint(0, 1) for _ in range(n)]
+        rb = [rng.randint(0, 1) for _ in range(n)]
+        agree = sum(1 for a, b in zip(ra, rb) if a == b)
+        ra0 = ra.count(0)
+        rb0 = rb.count(0)
+        po = Fraction(agree, n)
+        pe = Fraction(ra0 * rb0 + (n - ra0) * (n - rb0), n * n)
+        num = n * agree - (ra0 * rb0 + (n - ra0) * (n - rb0))
+        den = n * n - (ra0 * rb0 + (n - ra0) * (n - rb0))
+        if pe == 1:
+            assert den == 0
+            continue
+        assert Fraction(num, den) == (po - pe) / (1 - pe)
+
+
+# ------------------------------------------------ Kendall tau-b --
+
+
+def _taub_pair_counts(xs, ys):
+    """The gate's pair-counting formulation."""
+    n = len(xs)
+    conc = disc = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            elif dx == 0 and dy == 0:
+                txy += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    return conc, disc, tx, ty, txy, n0
+
+
+def test_taub_pair_counts_match_groupwise_tie_formula():
+    """n0 - tie_x - tie_xy must equal n0 - sum t_i(t_i-1)/2 over x
+    groups (the textbook tau-b denominator factor), same for y —
+    locking the pair-level tie classification against the groupwise
+    definition."""
+    from collections import Counter
+
+    rng = random.Random(1457)
+    for _ in range(300):
+        n = rng.randint(2, 40)
+        xs = [rng.randint(0, 6) for _ in range(n)]
+        ys = [rng.randint(0, 6) for _ in range(n)]
+        conc, disc, tx, ty, txy, n0 = _taub_pair_counts(xs, ys)
+        n1 = sum(c * (c - 1) // 2 for c in Counter(xs).values())
+        n2 = sum(c * (c - 1) // 2 for c in Counter(ys).values())
+        assert tx + txy == n1
+        assert ty + txy == n2
+        # and C - D is antisymmetric sign-count by definition
+        cd = sum(
+            (1 if (xs[i] - xs[j]) * (ys[i] - ys[j]) > 0 else 0)
+            - (1 if (xs[i] - xs[j]) * (ys[i] - ys[j]) < 0 else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert conc - disc == cd
+
+
+# ------------------------------------------- partial correlation --
+
+
+def test_partial_corr_matches_residual_definition():
+    """r_xy.z composed from pairwise r's must equal the correlation
+    of OLS residuals of x on z and y on z (the defining property),
+    checked in floats to 1e-9 on random integer series."""
+    import math
+
+    rng = random.Random(1458)
+    done = 0
+    while done < 200:
+        n = rng.randint(5, 30)
+        xs = [rng.randint(0, 50) for _ in range(n)]
+        ys = [rng.randint(0, 50) for _ in range(n)]
+        zs = [rng.randint(0, 50) for _ in range(n)]
+
+        def corr(a, b):
+            na = len(a)
+            sa, sb = sum(a), sum(b)
+            sab = sum(p * q for p, q in zip(a, b))
+            saa = sum(p * p for p in a)
+            sbb = sum(q * q for q in b)
+            va = na * saa - sa * sa
+            vb = na * sbb - sb * sb
+            if va <= 0 or vb <= 0:
+                return None
+            return (na * sab - sa * sb) / math.sqrt(va * vb)
+
+        rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+        if rxy is None or rxz is None or ryz is None:
+            continue
+        if 1 - rxz * rxz <= 1e-12 or 1 - ryz * ryz <= 1e-12:
+            continue
+        gate = (rxy - rxz * ryz) / (
+            math.sqrt(1 - rxz * rxz) * math.sqrt(1 - ryz * ryz)
+        )
+
+        # residual-correlation definition
+        def residuals(a, c):
+            na = len(a)
+            beta = (na * sum(p * q for p, q in zip(a, c)) - sum(a) * sum(c)) / (
+                na * sum(q * q for q in c) - sum(c) ** 2
+            )
+            alpha = (sum(a) - beta * sum(c)) / na
+            return [p - alpha - beta * q for p, q in zip(a, c)]
+
+        ex, ey = residuals(xs, zs), residuals(ys, zs)
+        ref = corr2 = None
+        sx = sum(ex) / n
+        sy = sum(ey) / n
+        num = sum((p - sx) * (q - sy) for p, q in zip(ex, ey))
+        dx = math.sqrt(sum((p - sx) ** 2 for p in ex))
+        dy = math.sqrt(sum((q - sy) ** 2 for q in ey))
+        if dx <= 1e-9 or dy <= 1e-9:
+            continue
+        ref = num / (dx * dy)
+        assert abs(gate - ref) < 1e-9, (xs, ys, zs)
+        done += 1
+
+
+# -------------------------------------- Grubbs / overdispersion --
+
+
+def test_grubbs_integer_scaling_matches_definition():
+    """maxdev / sqrt(n*ss_n/(n-1)) equals max|x - mean|/s as exact
+    rationals-under-sqrt: G^2 * (n-1) * ss_n == n * (n-1)^2 ... —
+    checked via Fraction equality of G^2."""
+    rng = random.Random(1459)
+    for _ in range(300):
+        n = rng.randint(3, 40)
+        xs = [rng.randint(0, 300) for _ in range(n)]
+        S = sum(xs)
+        Q = sum(x * x for x in xs)
+        ss_n = n * Q - S * S
+        if ss_n == 0:
+            continue
+        maxdev = max(abs(n * x - S) for x in xs)
+        # gate: G^2 = maxdev^2 * (n-1) / (n * ss_n)
+        gate_g2 = Fraction(maxdev * maxdev * (n - 1), n * ss_n)
+        mean = Fraction(S, n)
+        s2 = sum((Fraction(x) - mean) ** 2 for x in xs) / (n - 1)
+        direct_g2 = max((Fraction(x) - mean) ** 2 for x in xs) / s2
+        assert gate_g2 == direct_g2
+
+
+def test_overdispersion_exact_fraction_matches_definition():
+    """(nQ - S^2)/S equals (n-1)*s^2/mean as exact rationals."""
+    rng = random.Random(1460)
+    for _ in range(300):
+        n = rng.randint(2, 40)
+        xs = [rng.randint(0, 300) for _ in range(n)]
+        S = sum(xs)
+        if S == 0:
+            continue
+        Q = sum(x * x for x in xs)
+        gate = Fraction(n * Q - S * S, S)
+        mean = Fraction(S, n)
+        s2 = sum((Fraction(x) - mean) ** 2 for x in xs) / (n - 1)
+        assert gate == (n - 1) * s2 / mean
