@@ -478,3 +478,77 @@ def test_overdispersion_exact_fraction_matches_definition():
         mean = Fraction(S, n)
         s2 = sum((Fraction(x) - mean) ** 2 for x in xs) / (n - 1)
         assert gate == (n - 1) * s2 / mean
+
+
+# ----------------------------------------- RQA / Gini / ordinal --
+
+
+def test_rqa_counts_match_bruteforce():
+    """Recurrence and determinism counts vs a direct double-loop
+    replica with the same eps = range // 10 rule."""
+    rng = random.Random(1461)
+    for _ in range(200):
+        n = rng.randint(5, 30)
+        xs = [rng.randint(0, 40) for _ in range(n)]
+        eps = (max(xs) - min(xs)) // 10
+        rec = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                if abs(xs[i] - xs[j]) <= eps:
+                    rec.add((i, j))
+        det = {
+            (i, j)
+            for (i, j) in rec
+            if (i + 1, j + 1) in rec or (i - 1, j - 1) in rec
+        }
+        # SQL-side invariants the gate emits
+        total = n * (n - 1) // 2
+        assert len(det) <= len(rec) <= total
+        # diagonal membership is symmetric in the predecessor/
+        # successor test: every det pair has a diagonal neighbour
+        for (i, j) in det:
+            assert (i + 1, j + 1) in rec or (i - 1, j - 1) in rec
+
+
+def test_perm_entropy_patterns_valid_and_impossible_slots_zero():
+    """Pattern id 4*[a<=b] + 2*[a<=c] + [b<=c]: slots 2 (010) and 5
+    (101) are transitivity-impossible; the 6 valid slots biject with
+    the 6 orderings under the stable tie convention."""
+    rng = random.Random(1462)
+    seen = set()
+    for _ in range(2000):
+        a, b, c = (rng.randint(0, 4) for _ in range(3))
+        pat = (
+            4 * (1 if a <= b else 0)
+            + 2 * (1 if a <= c else 0)
+            + (1 if b <= c else 0)
+        )
+        assert pat not in (2, 5), (a, b, c)
+        seen.add(pat)
+    assert seen == {0, 1, 3, 4, 6, 7}
+
+
+def test_length_gini_tie_order_invariant_and_matches_definition():
+    """The sorted-formula Gini with (value, id) total order equals
+    the mean-absolute-difference definition G = sum|xi - xj| /
+    (2 n^2 mu) ... as exact rationals, and is invariant to how tied
+    values are ranked."""
+    rng = random.Random(1463)
+    for _ in range(200):
+        n = rng.randint(2, 30)
+        xs = [rng.randint(0, 20) for _ in range(n)]
+        S = sum(xs)
+        if S == 0:
+            continue
+        srt = sorted(xs)
+        w = sum((2 * (i + 1) - 1) * x for i, x in enumerate(srt))
+        gate = Fraction(w - n * S, n * S)
+        mad = sum(
+            abs(xi - xj) for xi in xs for xj in xs
+        )  # includes both orders and self-pairs (0)
+        ref = Fraction(mad, 2 * n * S)
+        assert gate == ref, (xs, gate, ref)
+        # tie-order invariance: shuffle equal values' positions
+        srt2 = sorted(xs, key=lambda x: (x, rng.random()))
+        w2 = sum((2 * (i + 1) - 1) * x for i, x in enumerate(srt2))
+        assert w2 == w
