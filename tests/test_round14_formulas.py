@@ -552,3 +552,60 @@ def test_length_gini_tie_order_invariant_and_matches_definition():
         srt2 = sorted(xs, key=lambda x: (x, rng.random()))
         w2 = sum((2 * (i + 1) - 1) * x for i, x in enumerate(srt2))
         assert w2 == w
+
+
+# -------------------------------------------- transfer entropy --
+
+
+def test_transfer_entropy_cell_formula_matches_definition():
+    """The gate's cell/marginal composition equals the conditional-
+    probability definition TE = sum p(a,b,c) ln[p(a|b,c)/p(a|b)],
+    and TE >= 0 always (Jensen), checked on random binary series."""
+    import math
+
+    rng = random.Random(1464)
+    for _ in range(300):
+        n = rng.randint(6, 40)
+        ys = [rng.randint(0, 1) for _ in range(n)]
+        xs = [rng.randint(0, 1) for _ in range(n)]
+        cells = {}
+        for d in range(n - 1):
+            k = (ys[d + 1], ys[d], xs[d])
+            cells[k] = cells.get(k, 0) + 1
+        N = n - 1
+
+        def c(a, b, cc):
+            return cells.get((a, b, cc), 0)
+
+        gate = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                for cc in (0, 1):
+                    v = c(a, b, cc)
+                    if v == 0:
+                        continue
+                    m = c(0, b, cc) + c(1, b, cc)
+                    g = c(a, b, 0) + c(a, b, 1)
+                    h = sum(
+                        c(x, b, y) for x in (0, 1) for y in (0, 1)
+                    )
+                    gate += (v / N) * math.log(v * h / (m * g))
+        # definition via conditional probabilities
+        ref = 0.0
+        for a in (0, 1):
+            for b in (0, 1):
+                for cc in (0, 1):
+                    v = c(a, b, cc)
+                    if v == 0:
+                        continue
+                    p_abc = v / N
+                    m = c(0, b, cc) + c(1, b, cc)
+                    g = c(a, b, 0) + c(a, b, 1)
+                    h = sum(
+                        c(x, b, y) for x in (0, 1) for y in (0, 1)
+                    )
+                    p_a_given_bc = v / m
+                    p_a_given_b = g / h
+                    ref += p_abc * math.log(p_a_given_bc / p_a_given_b)
+        assert abs(gate - ref) < 1e-12
+        assert gate > -1e-12  # non-negativity (Jensen)
