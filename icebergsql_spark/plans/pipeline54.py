@@ -275,23 +275,73 @@ def _cfir_oracle() -> str:
     doc="STREAMING twin of events_cusum_fir: per-(type, day) count "
     "partials (SUM-mergeable) from 3 chronological micro-batches "
     "merge into the `daily` contract; the finalizer replays the "
-    "IDENTICAL all-integer FIR + standard CUSUM recursion (shared "
-    "_CUSUM_FIR_TAIL_SQL template, Spark recursive CTE). The live "
-    "drift alarm converging to the batch answer bit-for-bit.",
+    "IDENTICAL all-integer FIR + standard CUSUM recurrence via the "
+    "batch gate's aggregate() fold (a Spark recursive CTE over the "
+    "same tail measured 12.9 s in BENCH_r14 — the fold is the fast "
+    "spelling; the shared-recurrence proof is the batch/stream "
+    "hash equality against the SAME recursive-CTE oracle). The "
+    "live drift alarm converging to the batch answer bit-for-bit.",
     tags=("events", "streaming", "stats"),
 )
 def events_stream_cusum_fir(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from icebergsql_spark.plans.pipeline30 import _daily_partial_stream
-    from icebergsql_spark.plans.pipeline51 import _CUSUM_FIR_TAIL_SQL
 
     _daily_partial_stream(spark, sf_dir, "cfir")
-    return spark.sql(
+    daily = spark.table("cfir_daily").select(
+        "event_type", "day", F.col("x").cast("bigint").alias("c")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "c"))).alias("arr"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+    )
+    fold = F.expr(
         """
-        WITH RECURSIVE daily AS (
-          SELECT event_type, day, CAST(x AS BIGINT) AS c
-          FROM cfir_daily
-        ),"""
-        + _CUSUM_FIR_TAIL_SQL.format(div="DIV")
+        aggregate(
+          arr,
+          named_struct('sf', 2 * (tot DIV 8), 'fa', CAST(-1 AS BIGINT),
+                       'fm', 2 * (tot DIV 8),
+                       'ss', CAST(0 AS BIGINT),
+                       'sa', CAST(-1 AS BIGINT),
+                       'sm', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'sf', greatest(CAST(0 AS BIGINT),
+                    acc.sf + (x.c * n - tot) - (tot DIV 8)),
+            'fa', CASE WHEN acc.fa <> -1 THEN acc.fa
+                       WHEN greatest(CAST(0 AS BIGINT),
+                         acc.sf + (x.c * n - tot) - (tot DIV 8))
+                         > 4 * (tot DIV 8)
+                       THEN x.day ELSE CAST(-1 AS BIGINT) END,
+            'fm', greatest(acc.fm, greatest(CAST(0 AS BIGINT),
+                    acc.sf + (x.c * n - tot) - (tot DIV 8))),
+            'ss', greatest(CAST(0 AS BIGINT),
+                    acc.ss + (x.c * n - tot) - (tot DIV 8)),
+            'sa', CASE WHEN acc.sa <> -1 THEN acc.sa
+                       WHEN greatest(CAST(0 AS BIGINT),
+                         acc.ss + (x.c * n - tot) - (tot DIV 8))
+                         > 4 * (tot DIV 8)
+                       THEN x.day ELSE CAST(-1 AS BIGINT) END,
+            'sm', greatest(acc.sm, greatest(CAST(0 AS BIGINT),
+                    acc.ss + (x.c * n - tot) - (tot DIV 8)))))
+        """
+    )
+    return (
+        g.select(
+            "event_type", F.col("n").alias("n_days"),
+            F.expr("CAST(tot DIV 8 AS BIGINT)").alias("k_slack"),
+            F.expr("CAST(4 * (tot DIV 8) AS BIGINT)").alias("h_thresh"),
+            fold.alias("z"),
+        )
+        .select(
+            "event_type", "n_days", "k_slack", "h_thresh",
+            F.col("z.sf").alias("fir_final"),
+            F.col("z.fm").alias("fir_max"),
+            F.col("z.fa").alias("fir_alarm_day"),
+            F.col("z.ss").alias("std_final"),
+            F.col("z.sm").alias("std_max"),
+            F.col("z.sa").alias("std_alarm_day"),
+        )
+        .orderBy("event_type")
     )

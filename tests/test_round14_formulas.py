@@ -609,3 +609,73 @@ def test_transfer_entropy_cell_formula_matches_definition():
                     ref += p_abc * math.log(p_a_given_bc / p_a_given_b)
         assert abs(gate - ref) < 1e-12
         assert gate > -1e-12  # non-negativity (Jensen)
+
+
+# ------------------------------------- laminarity / min-deque --
+
+
+def test_rqa_laminarity_counts_match_bruteforce():
+    """Ordered-pair recurrence + vertical-neighbor laminarity vs a
+    direct double-loop replica."""
+    rng = random.Random(1465)
+    for _ in range(200):
+        n = rng.randint(5, 30)
+        xs = [rng.randint(0, 40) for _ in range(n)]
+        eps = (max(xs) - min(xs)) // 10
+        rec = {
+            (i, j)
+            for i in range(n)
+            for j in range(n)
+            if i != j and abs(xs[i] - xs[j]) <= eps
+        }
+        lam = {
+            (i, j)
+            for (i, j) in rec
+            if (i, j + 1) in rec or (i, j - 1) in rec
+        }
+        assert len(lam) <= len(rec) <= n * (n - 1)
+        # symmetry of the ordered recurrence set
+        assert all((j, i) in rec for (i, j) in rec)
+
+
+def sliding_min_deque_real(xs, w):
+    """REAL monotonic min-deque maintenance (strict eviction: pop
+    all back items >= new)."""
+    from collections import deque as dq_
+
+    dq = dq_()
+    out = []
+    for i, x in enumerate(xs):
+        while dq and xs[dq[-1]] >= x:
+            dq.pop()
+        dq.append(i)
+        if dq[0] <= i - w:
+            dq.popleft()
+        if i >= w - 1:
+            out.append((xs[dq[0]], [(j, xs[j]) for j in dq]))
+    return out
+
+
+def sliding_min_closed_form(xs, w):
+    """pipeline60 membership: j in window is a member iff
+    x_j < min(x_k for k in (j, e])."""
+    out = []
+    for e in range(w - 1, len(xs)):
+        members = []
+        for j in range(e - w + 1, e + 1):
+            later = xs[j + 1 : e + 1]
+            if not later or xs[j] < min(later):
+                members.append((j, xs[j]))
+        out.append((min(x for _, x in members), members))
+    return out
+
+
+def test_sliding_min_closed_form_matches_real_deque():
+    rng = random.Random(1466)
+    for trial in range(200):
+        n = rng.randint(14, 60)
+        w = rng.choice([3, 7, 14])
+        xs = [rng.randint(0, 9) for _ in range(n)]
+        assert sliding_min_closed_form(xs, w) == sliding_min_deque_real(
+            xs, w
+        ), (trial, w, xs)
