@@ -679,3 +679,48 @@ def test_sliding_min_closed_form_matches_real_deque():
         assert sliding_min_closed_form(xs, w) == sliding_min_deque_real(
             xs, w
         ), (trial, w, xs)
+
+
+# ------------------------------------------- trapping time --
+
+
+def test_rqa_trapping_runs_match_bruteforce():
+    """Vertical-run extraction (gaps-and-islands over ordered
+    recurrence pairs, LOI exclusion splitting runs) vs a direct
+    scan replica."""
+    rng = random.Random(1467)
+    for _ in range(200):
+        n = rng.randint(5, 30)
+        xs = [rng.randint(0, 40) for _ in range(n)]
+        eps = (max(xs) - min(xs)) // 10
+        rec = {
+            (i, j)
+            for i in range(n)
+            for j in range(n)
+            if i != j and abs(xs[i] - xs[j]) <= eps
+        }
+        # direct scan: for each anchor i, maximal runs of consecutive j
+        runs = []
+        for i in range(n):
+            js = sorted(j for (a, j) in rec if a == i)
+            start = None
+            prev = None
+            for j in js + [None]:
+                if prev is not None and j is not None and j == prev + 1:
+                    prev = j
+                    continue
+                if start is not None:
+                    runs.append(prev - start + 1)
+                start, prev = j, j
+        runs2 = [r for r in runs if r >= 2]
+        # gaps-and-islands replica (the SQL's j - row_number grouping)
+        gi_runs = []
+        for i in range(n):
+            js = sorted(j for (a, j) in rec if a == i)
+            groups = {}
+            for rnk, j in enumerate(js, 1):
+                groups.setdefault(j - rnk, []).append(j)
+            gi_runs.extend(len(v) for v in groups.values())
+        gi_runs2 = [r for r in gi_runs if r >= 2]
+        assert sorted(runs2) == sorted(gi_runs2), (xs,)
+        assert sum(runs2) == sum(gi_runs2)
