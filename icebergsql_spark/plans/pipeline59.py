@@ -62,7 +62,11 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------- weekend lift --
 
 # Weekend-vs-weekday volume lift per type: epoch day 0 (1970-01-01)
-# was a THURSDAY, so day-of-week = (day + 4) % 7 with 5=Sat, 6=Sun.
+# was a THURSDAY, so day-of-week = (day + 3) % 7 maps Sat to 5 and
+# Sun to 6 (the round-diff review caught the original (day + 4)
+# spelling flagging Fri+Sat — mirrored both engines, oracle-green,
+# exactly the mirrored-blindness class; verified against
+# datetime.date arithmetic).
 # lift = (weekend_sum * weekday_days) / (weekday_sum * weekend_days)
 # — an exact rational whose four factors are emitted as bigint
 # anchors; the float is one factor-wise mirrored expression.
@@ -79,7 +83,7 @@ _WKND_HEAD_SQL = """
 _WKND_TAIL_SQL = """
         tagged AS (
           SELECT event_type, x,
-                 CASE WHEN (day + 4) % 7 >= 5 THEN 1 ELSE 0 END AS we
+                 CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END AS we
           FROM daily
         ),
         g AS (
@@ -111,7 +115,7 @@ _WKND_SQL = _WKND_HEAD_SQL + _WKND_TAIL_SQL
         day_expr="epoch_ns(ts) // 86400000000000", src="events"
     ),
     doc="Weekend-vs-weekday volume lift per type (epoch day 0 was a "
-    "Thursday, so dow = (day+4) % 7, weekend = 5/6): mean weekend "
+    "Thursday, so dow = (day+3) % 7, Sat = 5 / Sun = 6): mean weekend "
     "daily volume over mean weekday daily volume — the one-number "
     "calendar-shape summary events_weekday_profile's 7 shares "
     "imply but don't state, and the seasonal gates assume. All "

@@ -724,3 +724,22 @@ def test_rqa_trapping_runs_match_bruteforce():
         gi_runs2 = [r for r in gi_runs if r >= 2]
         assert sorted(runs2) == sorted(gi_runs2), (xs,)
         assert sum(runs2) == sum(gi_runs2)
+
+
+# ------------------------------------------- weekend dow mapping --
+
+
+def test_weekend_dow_mapping_against_calendar():
+    """(day + 3) % 7 maps epoch days to Sat=5/Sun=6 — checked against
+    datetime.date over several years (the round-diff review caught an
+    off-by-one (day+4) spelling that flagged Fri+Sat, mirrored in
+    both engines)."""
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for day in range(0, 3000, 7):
+        for off in range(7):
+            d = epoch + datetime.timedelta(days=day + off)
+            is_weekend = d.weekday() >= 5  # Mon=0 ... Sun=6
+            gate = ((day + off + 3) % 7) >= 5
+            assert gate == is_weekend, (d, d.weekday())
