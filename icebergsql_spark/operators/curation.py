@@ -224,13 +224,16 @@ def passage_dedup_stats(
     set. Keeping rank 1 (instead of dropping all duplicated passages)
     preserves exactly one copy of boilerplate, which is the semantics
     training pipelines want."""
+    # tokenization hoisted out of the transform lambda: Spark re-evaluates
+    # lambda-body subexpressions per element, so split-in-lambda is
+    # O(tokens²) per doc (same fix as dedup.word_shingles; rows identical)
     passages = F.expr(
-        f"transform(sequence(0, greatest(cast(ceil(size(split(trim({text_col}), ' ')) / {k}) as int), 1) - 1),"
-        f" i -> array_join(slice(split(trim({text_col}), ' '), i * {k} + 1, {k}), ' '))"
+        f"transform(sequence(0, greatest(cast(ceil(size(__toks) / {k}) as int), 1) - 1),"
+        f" i -> array_join(slice(__toks, i * {k} + 1, {k}), ' '))"
     )
     exploded = df.select(
-        F.col(id_col), F.posexplode(passages).alias("pos", "passage")
-    )
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__toks")
+    ).select(F.col(id_col), F.posexplode(passages).alias("pos", "passage"))
     w = Window.partitionBy(F.md5(F.col("passage"))).orderBy(id_col, "pos")
     ranked = exploded.withColumn("rn", F.row_number().over(w))
     return (
@@ -272,11 +275,15 @@ def decontaminate(
     benchmark = ensure_parallelism(benchmark)
 
     def shingles(df: DataFrame) -> DataFrame:
+        # split hoisted out of the lambda (see passage_dedup note): the
+        # in-lambda form re-tokenizes the doc per n-gram position
         arr = F.expr(
-            f"transform(sequence(1, greatest(size(split(trim({text_col}), ' ')) - {n - 1}, 1)),"
-            f" i -> array_join(slice(split(trim({text_col}), ' '), i, {n}), ' '))"
+            f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)),"
+            f" i -> array_join(slice(__toks, i, {n}), ' '))"
         )
         return df.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__toks")
+        ).select(
             F.col(id_col), F.explode(F.array_distinct(arr)).alias("shingle")
         )
 

@@ -69,12 +69,16 @@ def text_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("doc_id") < 300
     )
-    t = F.split(F.trim(F.col("text")), " ")
+    # tokenization hoisted to a projection: a split Column referenced from
+    # the transform lambda is re-evaluated per element (O(tokens²)/doc)
+    t = F.col("__toks")
     starts = F.expr(
-        f"sequence(0, cast(ceil(size(split(trim(text), ' ')) "
+        f"sequence(0, cast(ceil(size(__toks) "
         f"/ {_CHUNK_STRIDE}.0) as bigint) - 1)"
     )
     chunks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("__toks")
+    ).select(
         "doc_id",
         F.posexplode(
             F.transform(
