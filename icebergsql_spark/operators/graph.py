@@ -37,6 +37,7 @@ def pagerank(
     dst: str = "dst",
     early_stop_tol_q: int | None = None,
     redistribute_dangling: bool = False,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Integer-quantized PageRank over an edge list.
 
@@ -63,9 +64,13 @@ def pagerank(
     # plans end-to-end.
     from icebergsql_spark.operators.util import track_cache
 
-    e = track_cache(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        # callers that already deduped their edge list pass
+        # edges_distinct=True to skip this full shuffle of the edge list
+        # (distinct-of-distinct is the identity — same rows either way)
+        e = e.distinct()
+    e = track_cache(e)
     nodes = track_cache(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

