@@ -1414,9 +1414,15 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    v = spark.createDataFrame(
-        [(j, 1.0) for j in range(dims)], "j int, v double"
-    )
+    # all-ones start vector as a JVM VALUES LocalRelation — the r10 lesson:
+    # a Python-RDD-backed createDataFrame local frame joined once per
+    # iteration nests Python runners per reference (this gate measured 89
+    # Spark jobs / 2.8 s; the VALUES form plans as LocalTableScan)
+    v = spark.sql(
+        "SELECT j, v FROM VALUES "
+        + ", ".join(f"({j}, CAST(1.0 AS DOUBLE))" for j in range(dims))
+        + " AS t(j, v)"
+    ).select(F.col("j").cast("int").alias("j"), "v")
     nrm = None
     for _t in range(iters):
         u = (

@@ -1027,7 +1027,22 @@ class ManagedTable:
             .write.mode("errorifexists")
             .parquet(eq_dir)
         )
-        count = self.spark.read.parquet(eq_dir).count()
+        # exact row count from the just-written parquet FOOTERS (driver-side
+        # thread pool, same collector as data-file stats) — replaces a full
+        # Spark read+count job per equality-delete commit; at CDC commit
+        # rates the count job was the dominant per-commit overhead
+        from icebergsql_spark.catalog.stats import collect_stats
+
+        paths = []
+        for root, _dirs, files in os.walk(eq_dir):
+            paths.extend(
+                os.path.join(root, fn)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+        count = sum(
+            n_rows for n_rows, _size, _stats in collect_stats(paths).values()
+        )
         return EqualityDeleteEntry(
             eq_path=eq_dir,
             key_cols=list(key_cols),
