@@ -38,6 +38,7 @@ def pagerank(
     early_stop_tol_q: int | None = None,
     redistribute_dangling: bool = False,
     edges_distinct: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Integer-quantized PageRank over an edge list.
 
@@ -54,6 +55,17 @@ def pagerank(
     with no out-edges is redistributed uniformly each round (damped),
     instead of leaking out of the system. Integer-exact: the dangling sum
     is a 1-row broadcast aggregate folded into the same round expression.
+
+    ``broadcast_ranks``: the vertex-broadcast formulation for graphs whose
+    NODE set fits in executor memory even when the edge list does not
+    (node count ≪ edge count is the common shape). The rank vector and
+    out-degrees ride as broadcast hash relations, so the cached edge list
+    is never re-shuffled: per iteration the only exchange is the map-side
+    pre-aggregated contribution sum — O(tasks × nodes) shuffle bytes
+    instead of O(edges). Node list and out-degrees are additionally
+    derived in ONE pass over the edges (explode src/dst with an
+    out-marker, one groupBy) instead of a union-distinct plus a second
+    groupBy. Same integer recurrence, bit-identical scores.
     """
     # Loop-invariant frames (edge list, node list, out-degrees) are
     # referenced by every iteration of the lazy DAG; without persistence
@@ -71,15 +83,39 @@ def pagerank(
         # (distinct-of-distinct is the identity — same rows either way)
         e = e.distinct()
     e = track_cache(e)
-    nodes = track_cache(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # identity wrapper when ranks stay distributed; broadcast hint when the
+    # caller asserts the node set is executor-memory sized
+    bcast = F.broadcast if broadcast_ranks else (lambda df: df)
+    if broadcast_ranks:
+        # node list + out-degrees in ONE shuffle: explode each edge into
+        # (src, 1) and (dst, 0) markers, sum per node — od = 0 marks sinks
+        nd = track_cache(
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("node"), F.lit(1).alias("o")),
+                        F.struct(F.col("dst").alias("node"), F.lit(0).alias("o")),
+                    )
+                ).alias("x")
+            )
+            .select("x.node", "x.o")
+            .groupBy("node")
+            .agg(F.sum("o").cast("bigint").alias("od"))
+        )
+        nodes = nd.select("node")
+        outdeg = nd.filter(F.col("od") > 0).select(
+            F.col("node").alias("src"), "od"
+        )
+    else:
+        nodes = track_cache(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        outdeg = track_cache(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
     # N as a broadcast 1-row aggregate column — no driver action; the same
     # lazy DAG carries the constant through every iteration.
     n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = track_cache(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
 
     base = nodes.crossJoin(F.broadcast(n_row))
     scores = base.select("node", F.expr(f"{SCALE} DIV n").alias("q"))
@@ -90,21 +126,44 @@ def pagerank(
         # scores(i) is referenced exactly ONCE per round (the contrib join)
         # and the new frame rebuilds from the cached node list — lineage
         # stays linear in `iterations` instead of doubling per round.
-        contrib = (
-            e.join(
-                scores.select(F.col("node").alias("src"), F.col("q").alias("src_q")),
+        if broadcast_ranks:
+            # pre-join the two node-sized frames, broadcast the per-source
+            # share — the cached edge list is probed map-side, never
+            # re-shuffled; the groupBy partial-aggregates map-side so the
+            # only exchange carries O(tasks × nodes) rows, not O(edges)
+            contrib = e.join(
+                F.broadcast(
+                    scores.select(
+                        F.col("node").alias("src"), F.col("q").alias("src_q")
+                    )
+                    # outdeg is node-sized and loop-invariant — broadcast it
+                    # here too or this pre-join plans as a SortMergeJoin
+                    # with two exchanges per iteration
+                    .join(F.broadcast(outdeg), "src")
+                    .select("src", F.expr("src_q DIV od").alias("share"))
+                ),
                 "src",
+            ).select("dst", "share")
+        else:
+            contrib = (
+                e.join(
+                    scores.select(
+                        F.col("node").alias("src"), F.col("q").alias("src_q")
+                    ),
+                    "src",
+                )
+                .join(outdeg, "src")
+                .select("dst", F.expr("src_q DIV od").alias("share"))
             )
-            .join(outdeg, "src")
-            .select("dst", F.expr("src_q DIV od").alias("share"))
-        )
         inflow = contrib.groupBy("dst").agg(F.sum("share").alias("s"))
-        nxt = base.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+        nxt = base.join(
+            bcast(inflow.withColumnRenamed("dst", "node")), "node", "left"
+        )
         if redistribute_dangling:
             # mass parked on sink nodes, as a 1-row broadcast aggregate —
             # stays inside the lazy DAG, no driver action
             dang = (
-                scores.join(outdeg, scores.node == outdeg.src, "left_anti")
+                scores.join(bcast(outdeg), scores.node == outdeg.src, "left_anti")
                 .agg(F.sum("q").alias("dangq"))
             )
             nxt = nxt.crossJoin(F.broadcast(dang))
@@ -123,7 +182,11 @@ def pagerank(
         # is a scan, not an extra old-vs-new join
         stepped = (
             nxt.join(
-                scores.select(F.col("node").alias("node2"), F.col("q").alias("q_old")),
+                bcast(
+                    scores.select(
+                        F.col("node").alias("node2"), F.col("q").alias("q_old")
+                    )
+                ),
                 F.col("node") == F.col("node2"),
             )
             .select(

@@ -64,26 +64,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergsql_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    # distinct over the two NARROW bigint keys, concat after (guide §2.3:
-    # shuffle fewer bytes — the concat is injective, so distinct-then-concat
-    # is row-identical to concat-then-distinct and the dedup shuffle moves
-    # 16-byte keys instead of ~20-char strings)
+    # run the whole iteration on NARROW bigint node ids (guide §2.3 —
+    # shuffle/cache 8-byte keys, not ~20-char strings): customer c ↦ 2c,
+    # supplier s ↦ 2s+1. The encoding is injective and the label map back
+    # to 'c:<k>'/'s:<k>' happens ONCE on the final 16k-row score frame, so
+    # the scores (pure graph structure) and the emitted rows are identical
+    # to the string-keyed formulation the oracle replays.
     raw = (
         t["orders"]
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", "l_suppkey")
         .distinct()
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
     )
     edges = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # raw is distinct and the c:/s: prefixes make the two directions
+    # raw is distinct and the even/odd encoding makes the two directions
     # disjoint, so the union is already a distinct edge set — skip the
-    # operator's internal re-distinct (one full edge-list shuffle removed)
+    # operator's internal re-distinct (one full edge-list shuffle removed).
+    # broadcast_ranks: the ~16k-node rank vector rides as a broadcast, so
+    # the cached 1.2M-edge list is probed map-side and never re-shuffled.
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s:"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
+        )
+    )
     return (
-        pagerank(edges, iterations=3, edges_distinct=True)
+        pagerank(edges, iterations=3, edges_distinct=True, broadcast_ranks=True)
+        .select(label.alias("node"), "score_q")
         .orderBy(F.desc("score_q"), "node")
         .limit(20)
     )
