@@ -1392,7 +1392,12 @@ class Engine:
         )
         added = 0
         if live:
-            tbl.add_files(src.meta.data_dir, paths=[f.path for f in live])
+            # metadata-only: the live entries already carry footer stats
+            # and bloom sidecars from their source commits — re-deriving
+            # them (add_files' schema probe + stats scan + bloom build)
+            # would rescan every data file for information the source
+            # manifests already hold
+            tbl.register_data_files(live)
             added = len(live)
         return self.spark.sql(
             f"SELECT CAST({added} AS INT) AS added_files_count"

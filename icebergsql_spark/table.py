@@ -870,6 +870,39 @@ class ManagedTable:
             extra_summary={"added-files-by-import": str(len(added))},
         )
 
+    def register_data_files(self, files: list[DataFile]) -> Snapshot:
+        """Metadata-only import of PREBUILT ``DataFile`` entries — the
+        shallow-clone fast path. The entries' stats, bloom sidecars and
+        partition values were already collected when the files were first
+        committed to their source table, so re-deriving them from the
+        footers (``add_files``'s schema probe + stats scan + bloom build
+        are Spark jobs over every file) is pure recompute; at scale it is
+        the difference between a metadata operation and a data rescan.
+        Entries are re-stamped with THIS table's current schema id and a
+        fresh data sequence (``_commit_snapshot`` derives it); the caller
+        is responsible for schema compatibility — the CREATE TABLE LIKE
+        path validates a single matching era before calling."""
+        import dataclasses
+
+        self.refresh()
+        parent = self.meta.current_snapshot()
+        added = [
+            dataclasses.replace(
+                f, schema_id=self.meta.current_schema_id, seq=0
+            )
+            for f in files
+        ]
+        return self._commit_snapshot(
+            parent,
+            added,
+            [],
+            operation="append",
+            # imported files are NOT ours to delete on a failed commit —
+            # same rule as add_files
+            cleanup_on_failure=False,
+            extra_summary={"added-files-by-import": str(len(added))},
+        )
+
     def repair_table(self) -> "Snapshot | None":
         """``MSCK REPAIR TABLE`` (reference TestTables.scala:72 — the one
         reference-test statement with no prior spelling here): discover
