@@ -3674,28 +3674,33 @@ class ManagedTable:
         o = old_df.withColumn("__fp", fp).alias("o")
         n = new_df.withColumn("__fp", fp).alias("n")
         j = o.join(n, key_cols, "full_outer")
-        ins = j.filter(F.col("o.__fp").isNull()).select(
-            *key_cols, *[F.col(f"n.{c}").alias(c) for c in payload],
-            F.lit("insert").alias("_change_type"),
+        # all four change types emitted in ONE pass over the join: a
+        # 4-way unionAll of filtered selects re-references the join (and
+        # the churned-file reads feeding it) once per branch — 4x the IO
+        # and the join work. A full-outer row is instead mapped to 0-2
+        # output structs (insert | delete | update pre+post | unchanged)
+        # and exploded; explode drops the NULL (unchanged) rows. Row set
+        # and schema are identical to the union formulation.
+        def _img(side: str, label: str):
+            return F.struct(
+                *[F.col(f"{side}.{c}").alias(c) for c in payload],
+                F.lit(label).alias("_change_type"),
+            )
+
+        events = (
+            F.when(F.col("o.__fp").isNull(), F.array(_img("n", "insert")))
+            .when(F.col("n.__fp").isNull(), F.array(_img("o", "delete")))
+            .when(
+                F.col("o.__fp") != F.col("n.__fp"),
+                F.array(
+                    _img("o", "update_preimage"),
+                    _img("n", "update_postimage"),
+                ),
+            )
         )
-        del_ = j.filter(F.col("n.__fp").isNull()).select(
-            *key_cols, *[F.col(f"o.{c}").alias(c) for c in payload],
-            F.lit("delete").alias("_change_type"),
-        )
-        upd = j.filter(
-            F.col("o.__fp").isNotNull()
-            & F.col("n.__fp").isNotNull()
-            & (F.col("o.__fp") != F.col("n.__fp"))
-        )
-        pre = upd.select(
-            *key_cols, *[F.col(f"o.{c}").alias(c) for c in payload],
-            F.lit("update_preimage").alias("_change_type"),
-        )
-        post = upd.select(
-            *key_cols, *[F.col(f"n.{c}").alias(c) for c in payload],
-            F.lit("update_postimage").alias("_change_type"),
-        )
-        return ins.unionAll(del_).unionAll(pre).unionAll(post)
+        return j.select(
+            *key_cols, F.explode(events).alias("__ev")
+        ).select(*key_cols, "__ev.*")
 
     def snapshots_df(self) -> DataFrame:
         """The `<table>$snapshots` view: the reference's exact 6-column
