@@ -1185,8 +1185,12 @@ class ManagedTable:
             )
         spark = self.spark
         df = self.read_files(affected, with_pos=True)
-        seq_map = spark.createDataFrame(
-            [(f.path, f.seq) for f in affected], "__fp string, __fseq long"
+        # VALUES LocalRelation, not a Python-RDD createDataFrame: this
+        # broadcast build side would otherwise launch a 32-partition
+        # Python-runner job per maintenance call (the r10 lesson)
+        seq_map = _values_local_df(
+            spark, [(f.path, f.seq) for f in affected],
+            "__fp string, __fseq long",
         )
         df = df.join(F.broadcast(seq_map), "__fp", "left")
         by_keycols: dict[tuple, list] = {}
@@ -2514,8 +2518,12 @@ class ManagedTable:
         ``max_eq_seq <= file_seq`` survivors. SQL equality: NULL keys
         never match (CDC keys are non-null by construction)."""
         spark = self.spark
-        seq_map = spark.createDataFrame(
-            [(f.path, f.seq) for f in files], "__fp string, __fseq long"
+        # VALUES LocalRelation (see convert_equality_deletes note): this
+        # runs on EVERY masked read with eq entries — a Python-RDD local
+        # frame here costs a Python-runner broadcast job per action
+        seq_map = _values_local_df(
+            spark, [(f.path, f.seq) for f in files],
+            "__fp string, __fseq long",
         )
         df = df.join(F.broadcast(seq_map), "__fp", "left")
         by_keycols: dict[tuple, list] = {}
