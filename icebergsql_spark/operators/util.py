@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 # Iterative operators (pagerank, kmeans) persist loop-invariant frames so a
@@ -83,3 +85,57 @@ def ensure_parallelism(df: DataFrame, min_rows_per_split: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+@contextmanager
+def stream_partitions(spark, *src_dirs: str, target_bytes: int = 32 << 20):
+    """Scale a streaming query's shuffle/state partitions with SOURCE SIZE.
+
+    Streaming micro-batches do not get AQE partition coalescing, so every
+    stateful operator pays a fixed per-partition cost (state-store open +
+    commit per micro-batch, 2-4 stores per partition for joins/dedup) at
+    whatever ``spark.sql.shuffle.partitions`` the session was built with.
+    That cost is right when state is large and catastrophic when state is
+    small: the stream-stream attribution join measured 8 s at 32
+    partitions vs 2.7 s at 8 on the same data (the state is KB-sized).
+
+    The partition count is derived from the on-disk byte size of the
+    stream's source dirs (one partition per ``target_bytes`` of input,
+    ~32 MB) and CAPPED at the session's configured value, so at cluster
+    scale the setting is a no-op (size/32 MB exceeds the cap and the
+    session value wins) while bounded local fixtures collapse to a
+    handful of state stores.  Scale-adaptive per the same rule as
+    ``ensure_parallelism`` — derived from data, not hard-coded for any
+    one machine.
+
+    Use as a context manager around ``start()`` + ``awaitTermination()``:
+    the conf is pinned into the stream at start and restored after, so
+    surrounding batch queries are unaffected.
+
+    NOT for Python-stateful streams (``applyInPandasWithState``): there
+    the partition count is the Python-worker parallelism and the
+    per-group compute dominates the store commits (events_stream_cep
+    measured 5.7 s at 32 partitions vs 14 s at 1).  JVM-stateful
+    operators only: stream-stream joins, dropDuplicates*, windowed
+    aggregations.
+    """
+    import math
+    import os
+
+    total = 0
+    for d in src_dirs:
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.startswith((".", "_")):
+                    continue
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    n = min(int(old), max(1, math.ceil(total / target_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

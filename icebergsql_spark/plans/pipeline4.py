@@ -485,6 +485,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
+    from icebergsql_spark.operators.util import stream_partitions
     from icebergsql_spark.plans.registry import events_ts_to_nanos
 
     ev = events_ts_to_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -503,21 +504,27 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the batch-2 duplicates are still in state — at real scale the
     # delay is the transport's redelivery bound (minutes), keeping state
     # proportional to the window, not the stream.
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .withColumn(
-            "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # state partitions sized by source bytes (util.stream_partitions)
+    with stream_partitions(spark, src):
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn(
+                "event_time",
+                F.timestamp_micros((F.col("ts") / 1000).cast("long")),
+            )
+            .withWatermark("event_time", "365 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.foreachBatch(absorb)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="icebergsql-sdck-"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .withWatermark("event_time", "365 days")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .writeStream.foreachBatch(absorb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-sdck-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .groupBy("event_type")

@@ -1185,6 +1185,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
+    from icebergsql_spark.operators.util import stream_partitions
     from icebergsql_spark.plans.registry import events_ts_to_nanos
     from icebergsql_spark.streaming.ops import click_purchase_join
 
@@ -1205,13 +1206,17 @@ def events_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFram
     def absorb(batch_df, _bid):
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        joined.writeStream.foreachBatch(absorb)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-attr-ck-"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized by source bytes (stream state is KB-sized
+    # here; the per-partition store-commit floor dominated at the
+    # session default — see operators/util.stream_partitions)
+    with stream_partitions(spark, c_dir, p_dir):
+        q = (
+            joined.writeStream.foreachBatch(absorb)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-attr-ck-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .groupBy("user_id")
