@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from icebergsql_spark.operators import sketch
 from icebergsql_spark.plans.pipeline3 import _REG_SQL, _RHO_SQL
 from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
-from icebergsql_spark.plans.registry import load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
 
 
 # ------------------------------------------------------- sliding HLL --
@@ -516,7 +516,7 @@ def events_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-tssrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-tsout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -702,7 +702,7 @@ def sketch_stream_hll_sliding(
     src = tempfile.mkdtemp(prefix="icebergsql-shsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-shout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -854,7 +854,7 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-pssrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-psout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

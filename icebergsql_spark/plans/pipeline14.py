@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
 
 
 # --------------------------------------------- Mann-Kendall trend --
@@ -1498,7 +1498,7 @@ def events_stream_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-sbayessrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sbayesout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -2175,7 +2175,7 @@ def events_stream_mann_kendall(
     src = tempfile.mkdtemp(prefix="icebergsql-smksrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-smkout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -3489,7 +3489,7 @@ def events_stream_holt_winters(
     src = tempfile.mkdtemp(prefix="icebergsql-shwsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-shwout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity)
 
-from icebergsql_spark.plans.registry import nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, nonempty, register
 
 
 # ------------------------------------------------ Haar wavelet energy --
@@ -1068,7 +1068,7 @@ def events_stream_page_hinkley(
     src = tempfile.mkdtemp(prefix="icebergsql-sphsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sphout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1149,7 +1149,7 @@ def sketch_stream_bloom_sliding(
     du_out = tempfile.mkdtemp(prefix="icebergsql-sbldu-")
     cnt_out = tempfile.mkdtemp(prefix="icebergsql-sblcnt-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -2484,7 +2484,7 @@ def events_stream_dau_stickiness(
     src = tempfile.mkdtemp(prefix="icebergsql-sdausrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sdauout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

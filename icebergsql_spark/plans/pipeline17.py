@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import events_min_day, register
 
 
 def _stream_cms_change_oracle() -> str:
@@ -54,7 +54,7 @@ def sketch_stream_cms_heavy_change(
     cnt_out = tempfile.mkdtemp(prefix="icebergsql-scmscnt-")
     usr_out = tempfile.mkdtemp(prefix="icebergsql-scmsusr-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, nonempty, register
 
 
 # ------------------------------------------- ALTER TABLE RENAME COLUMN --
@@ -153,7 +153,7 @@ def events_stream_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-upsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-upout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -903,7 +903,7 @@ def events_stream_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-ssrmtsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-ssrmtout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import register
+from icebergsql_spark.plans.registry import events_min_day, register
 
 # ---------------------------------------- leave-one-out kNN eval --
 
@@ -255,7 +255,7 @@ def events_stream_kruskal_wallis(
     src = tempfile.mkdtemp(prefix="icebergsql-kwsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-kwout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

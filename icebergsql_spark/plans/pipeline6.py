@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
 
 
 @register(
@@ -1535,7 +1535,7 @@ def events_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three CHRONOLOGICAL chunks -> three micro-batches; per-user order
     # across batches is preserved because the chunks split on event time
     day = F.expr("ts DIV 86400000000000")
-    d0 = ev.agg(F.min(day).alias("d")).collect()[0]["d"]
+    d0 = events_min_day(f"{sf_dir}/events.parquet")
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

@@ -104,6 +104,43 @@ def events_ts_to_nanos(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.expr(_EPOCH_NS_EXPR))
 
 
+def events_min_day(events_path: str) -> int:
+    """Smallest epoch-day of ``events.ts``, answered from the parquet
+    FOOTER statistics — no Spark job.
+
+    Thirty streaming-fixture gates anchor their chronological chunk
+    split at ``min(ts) DIV 86400000000000`` and each ran a full
+    scan+aggregate job just to learn that constant.  Row-group stats on
+    the INT64 timestamp column are exact, and the footer min is
+    microsecond-truncated at worst, which cannot move the floor-day
+    (truncation shaves < 1 us and day boundaries sit on whole seconds).
+    Parity with the Spark-computed value is locked per SF in
+    tests/test_opt_r14_min_day.py.  No memoization: every call re-reads
+    the footer (~1 ms), so no state is carried between bench runs.
+    """
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(events_path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    idx = names.index("ts")
+    best: int | None = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError(f"no ts min/max stats in {events_path}")
+        v = st.min
+        if not isinstance(v, datetime):
+            raise ValueError(f"unexpected ts stat type {type(v)!r}")
+        delta = v.replace(tzinfo=None) - datetime(1970, 1, 1)
+        ns = (delta.days * 86400 + delta.seconds) * 1_000_000_000 \
+            + delta.microseconds * 1_000
+        best = ns if best is None else min(best, ns)
+    assert best is not None and best >= 0
+    return best // 86_400_000_000_000
+
+
 def nonempty(df: DataFrame, label: str = "wave") -> DataFrame:
     """Assert a fixture wave selects at least one row, then return it.
 
