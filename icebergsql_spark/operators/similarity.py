@@ -829,7 +829,12 @@ def mmr_select(
         out_rows.append(
             (len(selected), cid, rel[cid], ms, lam * rel[cid] - inv * ms)
         )
-    return df.sparkSession.createDataFrame(
+    # bounded greedy result as a VALUES LocalRelation, not a Python-RDD
+    # local frame (the r10 lesson applied to operator returns)
+    from icebergsql_spark.table import _values_local_df
+
+    return _values_local_df(
+        df.sparkSession,
         out_rows,
         f"rank int, {id_col} long, rel_nano long, maxsim_nano long, "
         "mmr_nano long",
@@ -926,7 +931,11 @@ def facility_location_select(
         out_rows.append(
             (len(selected), cid, int(gain), int(sum(covered.values())))
         )
-    return df.sparkSession.createDataFrame(
+    # VALUES LocalRelation for the bounded greedy result (see mmr_select)
+    from icebergsql_spark.table import _values_local_df
+
+    return _values_local_df(
+        df.sparkSession,
         out_rows,
         f"rank int, {id_col} long, coverage_gain long, coverage_total long",
     )

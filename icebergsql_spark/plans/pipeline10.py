@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
 
 
 @register(
@@ -724,7 +724,7 @@ def emb_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"whitened cov[{i},{j}]={cov} is not {target}"
             )
             out.append((i, j, int(round(cov * 1_000_000))))
-    return spark.createDataFrame(out, "i int, j int, cov_ppm long").orderBy(
+    return local_result(spark, out, "i int, j int, cov_ppm long").orderBy(
         "i", "j"
     )
 

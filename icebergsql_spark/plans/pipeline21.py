@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, local_result, nonempty, register
 
 
 # ------------------------------------------- WAP publish by wap.id --
@@ -567,4 +567,4 @@ def emb_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql("WITH " + _SIL_TAIL_SQL.lstrip())
     rows = out.collect()
     release_caches()
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)

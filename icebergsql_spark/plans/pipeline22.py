@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import nonempty, register
+from icebergsql_spark.plans.registry import local_result, nonempty, register
 
 
 # ------------------------------------------- AS OF VERSION clone --
@@ -245,7 +245,7 @@ def emb_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     release_caches()
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 # ----------------------------------------- lead-lag regression --

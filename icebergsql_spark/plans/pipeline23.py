@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import nonempty, register
+from icebergsql_spark.plans.registry import local_result, nonempty, register
 
 
 # ------------------------------------------ changelog view (CDC SQL) --
@@ -204,7 +204,7 @@ def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.sql("WITH " + _DB_TAIL_SQL.lstrip())
     rows = out.collect()
     release_caches()
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 # ------------------------------------------------ Kruskal-Wallis --

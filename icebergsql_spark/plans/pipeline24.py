@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, register
+from icebergsql_spark.plans.registry import events_min_day, local_result, register
 
 # ---------------------------------------- leave-one-out kNN eval --
 
@@ -216,7 +216,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     release_caches()
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 # ------------------------------- Kruskal-Wallis streaming twin --

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, register
+from icebergsql_spark.plans.registry import events_min_day, local_result, register
 
 # ------------------------------------------- adjusted Rand index --
 
@@ -108,7 +108,7 @@ def emb_adjusted_rand_index(
     out = spark.sql("WITH " + _ARI_TAIL_SQL.lstrip())
     rows = out.collect()
     release_caches()
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 # ------------------------------------------------ Page trend test --

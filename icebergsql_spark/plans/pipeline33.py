@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import nonempty, register
+from icebergsql_spark.plans.registry import local_result, nonempty, register
 
 # --------------------------------------- IDENTIFIER FIELDS DDL --
 
@@ -105,7 +105,7 @@ def managed_identifier_fields(
         ).collect()
     }
     assert kinds == {"delete", "insert"}, kinds
-    return spark.createDataFrame(rows, out.schema)
+    return local_result(spark, rows, out.schema)
 
 
 # ------------------------------- audio peak-normalization gain --

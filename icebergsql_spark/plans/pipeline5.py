@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import load_tables, nonempty, register
+from icebergsql_spark.plans.registry import load_tables, local_result, nonempty, register
 
 # ±6 h in epoch micros — the nearest-match tolerance
 _NEAR_TOL_US = 21_600_000_000
@@ -316,7 +316,7 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert rs is not None and rs.operation == "replace"
     assert not tbl.meta.current_snapshot().dv_manifest_paths
     return (
-        spark.createDataFrame(mor_rows, mor.schema)
+        local_result(spark, mor_rows, mor.schema)
         .unionByName(agg("rewritten"))
         .orderBy("stage", "l_returnflag")
     )
@@ -623,7 +623,7 @@ def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert not tbl.meta.current_snapshot().eq_manifest_paths
     assert tbl.scan().count_from_stats() == tbl.to_df().count()
     return (
-        spark.createDataFrame(eq_rows, eq_stage.schema)
+        local_result(spark, eq_rows, eq_stage.schema)
         .unionByName(agg("converted"))
         .orderBy("stage", "o_orderstatus")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
 
 
 @register(
@@ -132,7 +132,7 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clean = agg("clean")
     return (
-        spark.createDataFrame(churn_rows, clean.schema)
+        local_result(spark, churn_rows, clean.schema)
         .unionByName(clean)
         .orderBy("stage", "l_returnflag")
     )

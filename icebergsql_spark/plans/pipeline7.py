@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
 
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -861,7 +861,7 @@ def managed_delete_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("live_after_maintenance", int(live_after)),
         ("delete_files_after", int(n_view_after)),
     ]
-    return spark.createDataFrame(rows, "label string, rows bigint").orderBy(
+    return local_result(spark, rows, "label string, rows bigint").orderBy(
         "label"
     )
 

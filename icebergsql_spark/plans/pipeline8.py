@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
 
 # DuckDB spelling of operators/curation.md5_bucket
 _MD5_BUCKET = "CAST('0x' || substr(md5({expr}), 1, 6) AS BIGINT) % {m}"
@@ -470,7 +470,7 @@ def managed_all_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("entries_added_records", int(added_rec)),
         ("live_rows", int(tbl.live_row_count())),
     ]
-    return spark.createDataFrame(rows, "label string, val bigint").orderBy(
+    return local_result(spark, rows, "label string, val bigint").orderBy(
         "label"
     )
 
@@ -580,8 +580,8 @@ def managed_snapshot_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows.append(("t5_live", int(tbl.live_row_count()), 0,
                  int(hist[-1]["total_equality_deletes"])))
-    return spark.createDataFrame(
-        rows,
+    return local_result(
+        spark, rows,
         "label string, total_records bigint, pos_deletes bigint, "
         "eq_deletes bigint",
     ).orderBy("label")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
 
 
 @register(
@@ -833,8 +833,8 @@ def managed_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         tuple(main_before),
     ]
-    return spark.createDataFrame(
-        rows, "phase string, n bigint, total double"
+    return local_result(
+        spark, rows, "phase string, n bigint, total double"
     ).orderBy("phase")
 
 

@@ -104,6 +104,35 @@ def events_ts_to_nanos(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.expr(_EPOCH_NS_EXPR))
 
 
+def local_result(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-computed result rows as a JVM ``VALUES`` LocalRelation.
+
+    The r10 lesson, applied to gate RETURN frames: ``spark.
+    createDataFrame(rows)`` plans a Python-RDD scan with
+    defaultParallelism partitions, so a 6-row label/value result costs a
+    32-slice Python-runner job plus a shuffle for its ORDER BY (measured
+    0.56 s vs 0.10 s for the VALUES form at local[32]).  ``schema`` may
+    be a DDL string or a ``StructType`` (e.g. ``out.schema`` from the
+    collect-then-rewrap pattern scenario gates use around mid-query
+    table mutations); non-scalar or exotic columns fall back to
+    ``createDataFrame`` unchanged, so rows are identical either way.
+    """
+    from icebergsql_spark.table import _values_local_df
+
+    if isinstance(schema, str):
+        return _values_local_df(spark, rows, schema)
+    scalars = {
+        "long", "bigint", "int", "integer", "string", "boolean",
+        "double", "float",
+    }
+    if all(f.dataType.simpleString() in scalars for f in schema.fields):
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        return _values_local_df(spark, rows, ddl)
+    return spark.createDataFrame(rows, schema)
+
+
 def events_min_day(events_path: str) -> int:
     """Smallest epoch-day of ``events.ts``, answered from the parquet
     FOOTER statistics — no Spark job.

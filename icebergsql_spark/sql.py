@@ -39,7 +39,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from icebergsql_spark.table import Catalog, ManagedTable
+from icebergsql_spark.table import Catalog, ManagedTable, _empty_typed_df
 
 _AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
@@ -782,11 +782,12 @@ class Engine:
             # MoR-aware: subtract DV counts / fall back to a masked count
             # so deleted_rows never overstates on a table with deletes
             before = tbl.live_row_count()
-            tbl.insert(
-                self.spark.createDataFrame([], tbl.schema), overwrite=True
-            )
-            return self.spark.createDataFrame(
-                [(before,)], "deleted_rows long"
+            # empty JVM relation + OneRowRelation result: the Python-RDD
+            # empty frame scheduled a defaultParallelism-task no-op write
+            # and the result frame a Python-runner scan (r10 lesson)
+            tbl.insert(_empty_typed_df(self.spark, tbl.schema), overwrite=True)
+            return self.spark.sql(
+                f"SELECT CAST({int(before)} AS BIGINT) AS deleted_rows"
             )
 
         dl = _DELETE_RE.match(text)
@@ -798,12 +799,12 @@ class Engine:
                 tbl.delete_where(pred)
                 if pred
                 else tbl.insert(
-                    self.spark.createDataFrame([], tbl.schema), overwrite=True
+                    _empty_typed_df(self.spark, tbl.schema), overwrite=True
                 )
             )
             after = tbl.live_row_count(snap)
-            return self.spark.createDataFrame(
-                [(before - after,)], "deleted_rows long"
+            return self.spark.sql(
+                f"SELECT CAST({int(before - after)} AS BIGINT) AS deleted_rows"
             )
 
         up = _UPDATE_RE.match(text)
@@ -813,9 +814,10 @@ class Engine:
                 _parse_assignments(up.group("sets")),
                 (up.group("pred") or "").strip() or None,
             )
-            return self.spark.createDataFrame(
-                [(snap.num_added_files, snap.num_deleted_files)],
-                "files_rewritten int, files_replaced int",
+            return self.spark.sql(
+                f"SELECT CAST({int(snap.num_added_files)} AS INT) AS "
+                "files_rewritten, "
+                f"CAST({int(snap.num_deleted_files)} AS INT) AS files_replaced"
             )
 
         mg = _MERGE_RE.match(text)

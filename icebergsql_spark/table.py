@@ -4364,6 +4364,23 @@ _VALUES_SQL_TYPES = {
 }
 
 
+def _empty_typed_df(spark, schema):
+    """Zero-row JVM relation carrying ``schema``'s columns.
+
+    ``createDataFrame([], schema)`` plans a Python-RDD scan with
+    defaultParallelism EMPTY slices, so inserting it (TRUNCATE's
+    implementation is an overwrite with an empty frame) schedules a
+    32-task distributed write that writes nothing; a filtered
+    OneRowRelation is a single empty task. ``insert`` re-casts every
+    column to the table type, so the relaxed nullability here is
+    invisible."""
+    sel = ", ".join(
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for f in schema.fields
+    )
+    return spark.sql(f"SELECT {sel} WHERE 1 = 0")
+
+
 def _values_local_df(spark, rows, schema: str):
     """Bounded metadata rows as a JVM-side ``VALUES`` LocalRelation.
 
@@ -4402,6 +4419,10 @@ def _values_local_df(spark, rows, schema: str):
                 # inf/nan have no SQL literal form; ValueError routes
                 # the whole frame to the createDataFrame fallback below
                 raise ValueError(f"non-finite float literal: {f!r}")
+            if f == 0.0 and math.copysign(1.0, f) < 0:
+                # the SQL parser folds the numeric literal -0.0 to +0.0;
+                # a string cast preserves the sign bit
+                return "CAST('-0.0' AS DOUBLE)"
             return repr(f)
         s = str(v).replace("\\", "\\\\").replace("'", "''")
         return f"'{s}'"
