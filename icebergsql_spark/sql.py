@@ -39,7 +39,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from icebergsql_spark.table import Catalog, ManagedTable, _empty_typed_df
+from icebergsql_spark.table import (
+    Catalog,
+    ManagedTable,
+    _empty_typed_df,
+    _values_local_df,
+)
 
 _AS_OF_RE = re.compile(r"^\s*as\s+of\s+'([^']+)'\s*(.*)$", re.IGNORECASE | re.DOTALL)
 _SNAPSHOTS_RE = re.compile(r"`([A-Za-z_][A-Za-z0-9_]*)\$snapshots`")
@@ -450,6 +455,24 @@ class Engine:
 
     # ------------------------------------------------------------ helpers --
 
+    def _status_df(self, rows, schema: str) -> DataFrame:
+        """DDL/CALL status rows as a JVM ``VALUES`` LocalRelation.
+
+        ``spark.createDataFrame(rows, schema)`` plans a Python-RDD scan
+        with defaultParallelism partitions, so every DDL/CALL result a
+        gate consumed cost one Python-runner job (~0.4-0.5 s at
+        local[32], and one per invocation at any scale).  The r14
+        change-11 class, finished: all status frames route through
+        ``_values_local_df`` (single-partition LocalTableScan, zero
+        Python workers; empty rows become a typed zero-row relation)."""
+        return _values_local_df(self.spark, rows, schema)
+
+    def _no_rows_df(self) -> DataFrame:
+        """Zero-column, zero-row JVM relation for DDL with no result set
+        (``createDataFrame([], StructType([]))`` is a Scan ExistingRDD
+        with defaultParallelism empty slices)."""
+        return self.spark.sql("SELECT 1 WHERE 1 = 0").select()
+
     def _referenced_managed(self, text: str) -> list[str]:
         names = []
         for name in self.catalog.list_tables():
@@ -697,9 +720,9 @@ class Engine:
             if self.catalog.table_exists(name):
                 self.catalog.drop_table(name)
                 self.spark.catalog.dropTempView(name)
-                return self.spark.createDataFrame([], T.StructType([]))
+                return self._no_rows_df()
             if dm.group("if_exists") and not self.spark.catalog.tableExists(name):
-                return self.spark.createDataFrame([], T.StructType([]))
+                return self._no_rows_df()
             return self.spark.sql(text)
 
         im = _INSERT_RE.match(text)
@@ -763,7 +786,7 @@ class Engine:
                 }
             )
             if not parts:
-                return self.spark.createDataFrame([], "partition string")
+                return self._status_df([], "partition string")
             values = ", ".join(
                 "('" + p.replace("'", "''") + "')" for p in parts
             )
@@ -836,7 +859,7 @@ class Engine:
                 tbl.rename_column(acm.group("old"), acm.group("new"))
             else:
                 tbl.alter_column_type(acm.group("altname"), acm.group("alttype"))
-            return self.spark.createDataFrame([], T.StructType([]))
+            return self._no_rows_df()
 
         am = _ALTER_REF_RE.match(text)
         if am and self.catalog.table_exists(am.group("name").strip("`")):
@@ -884,7 +907,7 @@ class Engine:
                     )
             else:
                 tbl.drop_ref(am.group("ref"))
-            return self.spark.createDataFrame([], T.StructType([]))
+            return self._no_rows_df()
 
         rtm = _RENAME_TABLE_RE.match(text)
         if rtm and self.catalog.table_exists(rtm.group("name").strip("`")):
@@ -895,7 +918,7 @@ class Engine:
             # a stale temp view registered for the old name must not
             # keep answering SELECTs after the identifier is gone
             self.spark.catalog.dropTempView(old)
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(old, new)], "old_name string, new_name string"
             )
 
@@ -905,7 +928,7 @@ class Engine:
             # main at the audited branch head (Iceberg fast_forward proc)
             tbl = self.catalog.load_table(fm.group("name").strip("`"))
             snap = tbl.fast_forward(fm.group("branch"))
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(fm.group("branch"), snap.snapshot_id)],
                 "branch string, snapshotId long",
             )
@@ -921,7 +944,7 @@ class Engine:
                 zorder_by=cols(om.group("zcols")) or None,
                 where=om.group("where"),
             )
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [
                     (
                         snap is not None,
@@ -973,7 +996,7 @@ class Engine:
                     )
                 order = ",".join(cols)
                 tbl.set_properties({"sort.order": order})
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(order,)], "sort_order string"
             )
 
@@ -1029,7 +1052,7 @@ class Engine:
                 tbl.set_properties({"identifier.fields": ",".join(new)})
             else:
                 tbl.set_properties(unset=["identifier.fields"])
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(",".join(new),)], "identifier_fields string"
             )
 
@@ -1044,7 +1067,7 @@ class Engine:
             if not props:
                 raise ValueError("SET TBLPROPERTIES needs 'k'='v' pairs")
             merged = tbl.set_properties(props)
-            return self.spark.createDataFrame(
+            return self._status_df(
                 sorted(merged.items()), "key string, value string"
             )
 
@@ -1055,7 +1078,7 @@ class Engine:
             if not keys:
                 raise ValueError("UNSET TBLPROPERTIES needs 'k' names")
             merged = tbl.set_properties(unset=keys)
-            return self.spark.createDataFrame(
+            return self._status_df(
                 sorted(merged.items()) or [("", "")],
                 "key string, value string",
             )
@@ -1068,7 +1091,7 @@ class Engine:
             hours = vom.group("h")
             kwargs = {"older_than_s": int(hours) * 3600} if hours else {}
             removed = tbl.remove_orphan_files(**kwargs)
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(removed,)], "deleted_orphan_files int"
             )
 
@@ -1078,7 +1101,7 @@ class Engine:
             # expire_snapshots(); defaults to keeping only the current state
             tbl = self.catalog.load_table(vm.group("name").strip("`"))
             res = tbl.expire_snapshots(retain_last=int(vm.group("n") or 1))
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(res["expired_snapshots"], res["deleted_data_files"], res["deleted_manifests"])],
                 "expired_snapshots int, deleted_data_files int, deleted_manifests int",
             )
@@ -1101,7 +1124,7 @@ class Engine:
                     )
                 spec.remove(col)
             tbl.alter_partition_spec(spec)
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(", ".join(spec),)], "partition_spec string"
             )
 
@@ -1118,7 +1141,7 @@ class Engine:
 
         sm = re.match(r"^\s*show\s+tables\s*$", text, re.IGNORECASE)
         if sm:
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(n,) for n in self.catalog.list_tables()], "tableName string"
             )
         scm = re.match(
@@ -1152,7 +1175,7 @@ class Engine:
                 stmt += "\nTBLPROPERTIES (" + ", ".join(
                     f"'{k}'='{v}'" for k, v in props.items()
                 ) + ")"
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(stmt,)], "createtab_stmt string"
             )
 
@@ -1164,7 +1187,7 @@ class Engine:
         if stp and self.catalog.table_exists(stp.group("name")):
             tbl = self.catalog.load_table(stp.group("name"))
             rows = sorted(tbl.meta.properties.items())
-            return self.spark.createDataFrame(
+            return self._status_df(
                 rows or [("", "")], "key string, value string"
             )
 
@@ -1181,7 +1204,7 @@ class Engine:
                     for f in (snap.live_files() if snap else [])
                 }
             )
-            return self.spark.createDataFrame(
+            return self._status_df(
                 [(p,) for p in parts], "partition string"
             )
         dm2 = re.match(
@@ -1194,7 +1217,7 @@ class Engine:
                 (f.name, f.dataType.simpleString(), f.name in part_set)
                 for f in tbl.schema.fields
             ]
-            return self.spark.createDataFrame(
+            return self._status_df(
                 rows, "col_name string, data_type string, is_partition boolean"
             )
 
@@ -1258,7 +1281,7 @@ class Engine:
         )
         if ctas:
             tbl.insert(self.spark.sql(ctas))
-        return self.spark.createDataFrame([], T.StructType([]))
+        return self._no_rows_df()
 
     def _create_like(self, lk: re.Match) -> DataFrame:
         """``CREATE TABLE <t> LIKE <src> [WITH DATA]`` — clone the source
@@ -1545,7 +1568,7 @@ class Engine:
             not_matched_by_source_clauses=nmbs_clauses or None,
             schema_evolution=bool(mg.group("evolve")),
         )
-        return self.spark.createDataFrame(
+        return self._status_df(
             [(snap.num_added_files, snap.num_deleted_files)],
             "files_written int, files_replaced int",
         )
@@ -1578,7 +1601,7 @@ class Engine:
             dynamic=dynamic,
             branch=branch,
         )
-        return self.spark.createDataFrame([], T.StructType([]))
+        return self._no_rows_df()
 
     # ------------------------------------------------- python-level access --
 
@@ -1599,7 +1622,7 @@ class Engine:
             t = tbl(args)
             prev = t.meta.current_snapshot_id
             snap = t.rollback_to(int(args["snapshot_id"]))
-            return spark.createDataFrame(
+            return self._status_df(
                 [(prev, snap.snapshot_id)],
                 "previous_snapshot_id long, current_snapshot_id long",
             )
@@ -1612,7 +1635,7 @@ class Engine:
                 raise ValueError(f"no snapshot at or before {args['timestamp']}")
             prev = t.meta.current_snapshot_id
             snap = t.rollback_to(target.snapshot_id)
-            return spark.createDataFrame(
+            return self._status_df(
                 [(prev, snap.snapshot_id)],
                 "previous_snapshot_id long, current_snapshot_id long",
             )
@@ -1621,7 +1644,7 @@ class Engine:
             res = tbl(args).expire_snapshots(
                 retain_last=int(args.get("retain_last", 1))
             )
-            return spark.createDataFrame(
+            return self._status_df(
                 [
                     (
                         res["expired_snapshots"],
@@ -1642,7 +1665,7 @@ class Engine:
             if args.get("distributed", "").lower() == "true":
                 kwargs["distributed"] = True
             removed = tbl(args).remove_orphan_files(**kwargs)
-            return spark.createDataFrame(
+            return self._status_df(
                 [(removed,)], "orphan_file_count int"
             )
         if proc == "rewrite_data_files":
@@ -1661,7 +1684,7 @@ class Engine:
             if "where" in args:
                 kwargs["where"] = args["where"]
             snap = tbl(args).compact(**kwargs)
-            return spark.createDataFrame(
+            return self._status_df(
                 [
                     (
                         snap.num_deleted_files if snap else 0,
@@ -1673,7 +1696,7 @@ class Engine:
         if proc == "rewrite_position_deletes":
             args = _parse_call_args(argtext, ["table"])
             snap = tbl(args).rewrite_position_deletes()
-            return spark.createDataFrame(
+            return self._status_df(
                 [
                     (
                         snap.num_deleted_files if snap else 0,
@@ -1692,7 +1715,7 @@ class Engine:
             snap = tbl(args).add_files(
                 args["source_dir"].strip("'\""), **kwargs
             )
-            return spark.createDataFrame(
+            return self._status_df(
                 [
                     (
                         snap.num_added_files,
@@ -1704,7 +1727,7 @@ class Engine:
         if proc == "rewrite_manifests":
             args = _parse_call_args(argtext, ["table"])
             res = tbl(args).rewrite_manifests()
-            return spark.createDataFrame(
+            return self._status_df(
                 [(res["rewritten_manifests"], res["added_manifests"])],
                 "rewritten_manifests_count int, added_manifests_count int",
             )
@@ -1713,7 +1736,7 @@ class Engine:
             t = tbl(args)
             prev = t.meta.current_snapshot_id
             snap = t.fast_forward(args["branch"])
-            return spark.createDataFrame(
+            return self._status_df(
                 [(args["branch"], prev, snap.snapshot_id)],
                 "branch_updated string, previous_ref long, updated_ref long",
             )
@@ -1721,7 +1744,7 @@ class Engine:
             args = _parse_call_args(argtext, ["table", "snapshot_id"])
             t = tbl(args)
             snap = t.cherrypick_snapshot(int(args["snapshot_id"]))
-            return spark.createDataFrame(
+            return self._status_df(
                 [(int(args["snapshot_id"]), snap.snapshot_id)],
                 "source_snapshot_id long, current_snapshot_id long",
             )
@@ -1817,7 +1840,7 @@ class Engine:
                 staged[0].snapshot_id,
                 extra_summary={"published-wap-id": wid},
             )
-            return spark.createDataFrame(
+            return self._status_df(
                 [(staged[0].snapshot_id, snap.snapshot_id)],
                 "source_snapshot_id long, current_snapshot_id long",
             )
@@ -1836,7 +1859,7 @@ class Engine:
                     "required"
                 )
             t = self.catalog.register_table(name, loc)
-            return spark.createDataFrame(
+            return self._status_df(
                 [(name, t.meta.location, t.meta.current_snapshot_id)],
                 "table string, location string, current_snapshot_id long",
             )
@@ -1857,7 +1880,7 @@ class Engine:
                     break
                 rows.append((s.snapshot_id, s.timestamp_ms))
                 sid = s.parent_id
-            return spark.createDataFrame(
+            return self._status_df(
                 rows, "snapshot_id long, timestamp long"
             )
         raise ValueError(f"unknown procedure {proc!r}")

@@ -4392,10 +4392,13 @@ def _values_local_df(spark, rows, schema: str):
     the managed_metadata_count lesson, in join form (measured 20s for a
     ~10-row metadata compare at round 10).  A ``VALUES`` list folds to
     a single-partition LocalTableScan: broadcastable, re-referenceable,
-    zero Python workers.  Falls back to ``createDataFrame`` for empty
-    input (VALUES needs a row) or any value outside the scalar types
-    the renderer handles; every column is CAST to the declared type so
-    all-NULL columns keep their schema."""
+    zero Python workers.  Falls back to ``createDataFrame`` for any
+    value outside the scalar types the renderer handles; every column
+    is CAST to the declared type so all-NULL columns keep their schema.
+    Empty input (VALUES needs a row) becomes a typed zero-row filtered
+    OneRowRelation — the createDataFrame fallback planned a Python-RDD
+    scan with defaultParallelism EMPTY slices, one Python-runner job
+    per consumer action."""
     cols = []
     for part in schema.split(","):
         name, typ = part.strip().rsplit(" ", 1)
@@ -4403,7 +4406,10 @@ def _values_local_df(spark, rows, schema: str):
         if sql_t is None:
             return spark.createDataFrame(rows, schema)
         cols.append((name.strip(), sql_t))
-    if not rows or len(rows) > 4000:
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS `{n}`" for n, t in cols)
+        return spark.sql(f"SELECT {sel} WHERE 1 = 0")
+    if len(rows) > 4000:
         return spark.createDataFrame(rows, schema)
 
     def lit(v, t):
