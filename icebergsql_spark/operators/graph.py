@@ -39,6 +39,7 @@ def pagerank(
     redistribute_dangling: bool = False,
     edges_distinct: bool = False,
     broadcast_ranks: bool = False,
+    broadcast_max_nodes: int = 10_000_000,
 ) -> DataFrame:
     """Integer-quantized PageRank over an edge list.
 
@@ -66,6 +67,16 @@ def pagerank(
     derived in ONE pass over the edges (explode src/dst with an
     out-marker, one groupBy) instead of a union-distinct plus a second
     groupBy. Same integer recurrence, bit-identical scores.
+
+    ``broadcast_max_nodes``: the broadcast path is an executor-memory
+    assertion, so it is VERIFIED, not trusted — a bounded count over the
+    cached node frame (which every iteration probes anyway, so the count
+    doubles as the cache warm-up) degrades to the distributed iteration
+    body when the node set exceeds the cap, instead of OOMing the
+    broadcast build. 10M nodes ≈ 300 MB built hash relation — inside the
+    "few hundred MB is fine" broadcast envelope and far from the 8 GB /
+    512M-row hard cap. Scores are bit-identical on either body (locked
+    in tests/test_opt_r14_pagerank.py / test_opt_r15_pagerank_guard.py).
     """
     # Loop-invariant frames (edge list, node list, out-degrees) are
     # referenced by every iteration of the lazy DAG; without persistence
@@ -83,9 +94,6 @@ def pagerank(
         # (distinct-of-distinct is the identity — same rows either way)
         e = e.distinct()
     e = track_cache(e)
-    # identity wrapper when ranks stay distributed; broadcast hint when the
-    # caller asserts the node set is executor-memory sized
-    bcast = F.broadcast if broadcast_ranks else (lambda df: df)
     if broadcast_ranks:
         # node list + out-degrees in ONE shuffle: explode each edge into
         # (src, 1) and (dst, 0) markers, sum per node — od = 0 marks sinks
@@ -106,6 +114,16 @@ def pagerank(
         outdeg = nd.filter(F.col("od") > 0).select(
             F.col("node").alias("src"), "od"
         )
+        # size guard (see docstring): one bounded job over the cached node
+        # frame; above the cap the iteration body degrades to distributed
+        # joins (bit-identical recurrence). The known count also replaces
+        # the n_row broadcast-aggregate subtree with a folded literal.
+        n_nodes = nd.count()
+        if n_nodes > broadcast_max_nodes:
+            broadcast_ranks = False
+        base = nodes.select(
+            "node", F.lit(n_nodes).cast("bigint").alias("n")
+        )
     else:
         nodes = track_cache(
             e.select(F.col("src").alias("node"))
@@ -113,11 +131,13 @@ def pagerank(
             .distinct()
         )
         outdeg = track_cache(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
-    # N as a broadcast 1-row aggregate column — no driver action; the same
-    # lazy DAG carries the constant through every iteration.
-    n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
-
-    base = nodes.crossJoin(F.broadcast(n_row))
+        # N as a broadcast 1-row aggregate column — no driver action; the
+        # same lazy DAG carries the constant through every iteration.
+        n_row = nodes.agg(F.count(F.lit(1)).alias("n"))
+        base = nodes.crossJoin(F.broadcast(n_row))
+    # identity wrapper when ranks stay distributed; broadcast hint when the
+    # (verified) node set is executor-memory sized
+    bcast = F.broadcast if broadcast_ranks else (lambda df: df)
     scores = base.select("node", F.expr(f"{SCALE} DIV n").alias("q"))
     if early_stop_tol_q is not None:
         scores = scores.localCheckpoint()
