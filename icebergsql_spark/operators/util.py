@@ -116,8 +116,17 @@ def stream_partitions(spark, *src_dirs: str, target_bytes: int = 32 << 20):
     the partition count is the Python-worker parallelism and the
     per-group compute dominates the store commits (events_stream_cep
     measured 5.7 s at 32 partitions vs 14 s at 1).  JVM-stateful
-    operators only: stream-stream joins, dropDuplicates*, windowed
-    aggregations.
+    operators (stream-stream joins, dropDuplicates*, windowed
+    aggregations) and stateless foreachBatch partial sinks (no AQE in
+    micro-batches either — see plans/registry.run_partial_stream).
+
+    SINGLE-THREADED assumption (round-14 ADVICE): this mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the stream's
+    duration, so any query planned concurrently on the same session
+    (a second thread, parallel gates) would silently inherit the
+    reduced parallelism.  The bench and the driver run gates
+    sequentially; a concurrent harness must scope the setting
+    per-query instead.
     """
     import math
     import os

@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    local_result,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 @register(
@@ -1053,7 +1060,7 @@ def sketch_stream_sample_quantiles(
     src = tempfile.mkdtemp(prefix="icebergsql-sqsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sqout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1071,19 +1078,7 @@ def sketch_stream_sample_quantiles(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-sqck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-sqck-")
     sample = spark.read.parquet(out)
     qs = (25, 50, 75, 90, 99)
     q_arr = ", ".join(f"CAST({p} AS DOUBLE) / 100.0" for p in qs)

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 from icebergsql_spark.operators import sketch
 from icebergsql_spark.plans.pipeline3 import _REG_SQL, _RHO_SQL
 from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------------------- sliding HLL --
@@ -516,7 +522,7 @@ def events_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-tssrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-tsout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -531,19 +537,7 @@ def events_stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-tsck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-tsck-")
     daily = (
         spark.read.parquet(out)
         .groupBy(F.col("day").alias("x"))
@@ -702,7 +696,7 @@ def sketch_stream_hll_sliding(
     src = tempfile.mkdtemp(prefix="icebergsql-shsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-shout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -721,19 +715,7 @@ def sketch_stream_hll_sliding(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-shck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-shck-")
     daily = (
         spark.read.parquet(out)
         .groupBy("day", "reg")
@@ -854,7 +836,7 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-pssrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-psout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -874,19 +856,7 @@ def events_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-psck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-psck-")
     sink = spark.read.parquet(out)
     mind = sink.agg(F.min("day").alias("d0"))
     cnt = (

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 from icebergsql_spark.plans.pipeline9 import _EDGE_SQL
 from icebergsql_spark.plans.pipeline11 import _SEED_LBL_SQL, _token_half_edges
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------------- Louvain 2-round trace --
@@ -832,7 +838,7 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-cupsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-cupout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -865,19 +871,7 @@ def events_stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-cupck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-cupck-")
     (
         spark.read.parquet(out)
         .groupBy("user_id")

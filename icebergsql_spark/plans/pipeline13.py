@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------- Hive-layout add_files --
@@ -1640,7 +1646,7 @@ def events_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-ssrmsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-ssrmout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1660,19 +1666,7 @@ def events_stream_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-ssrmck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-ssrmck-")
     spark.read.parquet(out).distinct().createOrReplaceTempView("ssrm_du")
     return spark.sql("""
         WITH counts AS (

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, load_tables, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # --------------------------------------------- Mann-Kendall trend --
@@ -1498,7 +1504,7 @@ def events_stream_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-sbayessrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sbayesout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1517,19 +1523,7 @@ def events_stream_bayesian_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-sbayesck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-sbayesck-")
     spark.read.parquet(out).createOrReplaceTempView("sbayes_sink")
     return spark.sql(_BAYES_STREAM_TMPL.format(pu=_BAYES_PU_SINK))
 
@@ -2175,7 +2169,7 @@ def events_stream_mann_kendall(
     src = tempfile.mkdtemp(prefix="icebergsql-smksrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-smkout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -2189,19 +2183,7 @@ def events_stream_mann_kendall(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-smkck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-smkck-")
     spark.read.parquet(out).createOrReplaceTempView("smk_sink")
     return spark.sql(
         """
@@ -3489,7 +3471,7 @@ def events_stream_holt_winters(
     src = tempfile.mkdtemp(prefix="icebergsql-shwsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-shwout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -3505,19 +3487,7 @@ def events_stream_holt_winters(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-shwck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-shwck-")
     daily = (
         spark.read.parquet(out)
         .groupBy("event_type", "day")

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (kept for parity)
 
-from icebergsql_spark.plans.registry import events_min_day, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------------ Haar wavelet energy --
@@ -1068,7 +1073,7 @@ def events_stream_page_hinkley(
     src = tempfile.mkdtemp(prefix="icebergsql-sphsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sphout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1083,19 +1088,7 @@ def events_stream_page_hinkley(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-sphck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-sphck-")
     daily = (
         spark.read.parquet(out)
         .groupBy("event_type", "day")
@@ -1149,7 +1142,7 @@ def sketch_stream_bloom_sliding(
     du_out = tempfile.mkdtemp(prefix="icebergsql-sbldu-")
     cnt_out = tempfile.mkdtemp(prefix="icebergsql-sblcnt-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -1165,19 +1158,7 @@ def sketch_stream_bloom_sliding(
             F.count(F.lit(1)).cast("bigint").alias("cnt")
         ).write.mode("append").parquet(cnt_out)
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-sblck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-sblck-")
     daily = (
         spark.read.parquet(bits_out)
         .groupBy("day", "word_idx")
@@ -2372,7 +2353,10 @@ def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from icebergsql_spark.operators import sketch
-    from icebergsql_spark.plans.registry import events_ts_to_nanos
+    from icebergsql_spark.plans.registry import (
+        events_min_day,
+        events_ts_to_nanos,
+    )
 
     ev = events_ts_to_nanos(
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2381,7 +2365,9 @@ def sketch_cms_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("ts DIV 86400000000000").alias("day"),
     )
-    d0 = ev.agg(F.min("day").alias("d")).collect()[0]["d"]
+    # scan-for-a-constant removed (r14 change-10 class): the month-half
+    # anchor day comes from the parquet footer, not a full scan+agg job
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     evh = ev.withColumn(
         "half", F.when(F.col("day") < d0 + 15, 1).otherwise(2)
     ).localCheckpoint()
@@ -2484,7 +2470,7 @@ def events_stream_dau_stickiness(
     src = tempfile.mkdtemp(prefix="icebergsql-sdausrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-sdauout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -2499,19 +2485,7 @@ def events_stream_dau_stickiness(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-sdauck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-sdauck-")
     spark.read.parquet(out).distinct().createOrReplaceTempView(
         "sdau_sink"
     )

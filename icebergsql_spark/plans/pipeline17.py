@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    register,
+    run_partial_stream,
+)
 
 
 def _stream_cms_change_oracle() -> str:
@@ -54,7 +58,7 @@ def sketch_stream_cms_heavy_change(
     cnt_out = tempfile.mkdtemp(prefix="icebergsql-scmscnt-")
     usr_out = tempfile.mkdtemp(prefix="icebergsql-scmsusr-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -81,19 +85,7 @@ def sketch_stream_cms_heavy_change(
             .parquet(usr_out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-scmsck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-scmsck-")
     counters = (
         spark.read.parquet(cnt_out)
         .groupBy("half", "depth", "bucket")

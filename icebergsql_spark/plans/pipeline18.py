@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    nonempty,
+    parquet_date_min_year,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------- ALTER TABLE RENAME COLUMN --
@@ -104,7 +110,9 @@ def managed_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "renamed-column predicate failed to prune via old footer stats"
     )
     # (3) the renamed partition column still partition-prunes
-    a_year = orders.agg(F.min("o_year")).collect()[0][0]
+    # (scan-for-a-constant removed, r14 change-10 class: min year comes
+    # from the o_orderdate footer stat — year is monotone in the date)
+    a_year = parquet_date_min_year(f"{sf_dir}/orders.parquet", "o_orderdate")
     part_scan = tbl.scan(where=f"year = {a_year}")
     assert part_scan.files_scanned < total_files, (
         "renamed partition column failed to prune"
@@ -153,7 +161,7 @@ def events_stream_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-upsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-upout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -186,19 +194,7 @@ def events_stream_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-upck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-upck-")
     (
         spark.read.parquet(out)
         .groupBy("user_id")
@@ -903,7 +899,7 @@ def events_stream_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="icebergsql-ssrmtsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-ssrmtout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -921,19 +917,7 @@ def events_stream_srm_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-ssrmtck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-ssrmtck-")
     (
         spark.read.parquet(out)
         .groupBy("event_type", "user_id")

@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, local_result, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    local_result,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------- WAP publish by wap.id --
@@ -362,7 +368,7 @@ def events_stream_capture_recapture(
     src = tempfile.mkdtemp(prefix="icebergsql-crssrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-crsout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -379,19 +385,7 @@ def events_stream_capture_recapture(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-crsck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-crsck-")
     (
         spark.read.parquet(out)
         .distinct()

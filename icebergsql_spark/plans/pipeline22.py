@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import local_result, nonempty, register
+from icebergsql_spark.plans.registry import (
+    local_result,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 
 # ------------------------------------------- AS OF VERSION clone --
@@ -444,19 +449,7 @@ def sketch_stream_countsketch(
             .parquet(out_ctr)
         )
 
-    q = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-cskck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, docs.schema, fold, "icebergsql-cskck-")
     spark.read.parquet(out_tok).createOrReplaceTempView("csk_tok_parts")
     spark.read.parquet(out_ctr).createOrReplaceTempView("csk_ctr_parts")
     return spark.sql(

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, local_result, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    local_result,
+    register,
+    run_partial_stream,
+)
 
 # ---------------------------------------- leave-one-out kNN eval --
 
@@ -255,7 +260,7 @@ def events_stream_kruskal_wallis(
     src = tempfile.mkdtemp(prefix="icebergsql-kwsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-kwout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -271,19 +276,7 @@ def events_stream_kruskal_wallis(
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="icebergsql-kwck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-kwck-")
     spark.read.parquet(out).createOrReplaceTempView("kw_partials")
     return spark.sql(
         """

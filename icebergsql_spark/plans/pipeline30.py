@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icebergsql_spark.plans.registry import events_min_day, local_result, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    local_result,
+    register,
+    run_partial_stream,
+)
 
 # ------------------------------------------- adjusted Rand index --
 
@@ -267,7 +272,7 @@ def _partial_stream(
     src = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}src-")
     out = tempfile.mkdtemp(prefix=f"icebergsql-{prefix}out-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -287,19 +292,9 @@ def _partial_stream(
                 .parquet(out)
             )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix=f"icebergsql-{prefix}ck-"),
-        )
-        .trigger(availableNow=True)
-        .start()
+    run_partial_stream(
+        spark, src, ev.schema, fold, f"icebergsql-{prefix}ck-"
     )
-    q.awaitTermination()
     merged = spark.read.parquet(out)
     if distinct_markers:
         merged.distinct().createOrReplaceTempView(f"{prefix}_{suffix}")

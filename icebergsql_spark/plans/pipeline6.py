@@ -120,7 +120,11 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     churn_rows = agg("churn").collect()  # materialize BEFORE maintenance
-    live = tbl.to_df().count()
+    # the churn aggregate already visited every live row, so the live
+    # count is the sum of its group counts — the second full masked
+    # read (10 jobs / ~2.5 s) bought nothing (r15: guide §1.2, don't
+    # compute things twice)
+    live = sum(r["n"] for r in churn_rows)
 
     # -- maintenance restores the metadata fast path exactly --
     tbl.convert_equality_deletes()
@@ -1535,7 +1539,7 @@ def events_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three CHRONOLOGICAL chunks -> three micro-batches; per-user order
     # across batches is preserved because the chunks split on event time
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)

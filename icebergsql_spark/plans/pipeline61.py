@@ -285,20 +285,58 @@ _IDG_SQL = """
 def emb_intrinsic_dim_global(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from icebergsql_spark.operators.util import ensure_parallelism
-    from icebergsql_spark.plans.registry import load_tables
+    # r15: the dimension-exploded pair join evaluated 64M (pair, dim)
+    # rows through two shuffles (measured 4.4 s at sf0.1). The universe
+    # is CAPPED at 1000 vectors by the gate's own contract, so the
+    # n²×64 distance work is a bounded driver numpy pass: quantization
+    # stays in Spark SQL (round() semantics must be the engine's, not
+    # numpy's banker's rounding), int64 GEMM distances are EXACT
+    # (|q| ≤ ~1e4 → D ≤ ~1e10, far under int64), and the (d, j)
+    # tie-broken top-2 replicates ROW_NUMBER ... ORDER BY d, j. The
+    # ln/millinat tail runs unchanged in Spark SQL over the same exact
+    # integers — bit-identical end to end (oracle replays the full SQL).
+    import numpy as np
 
-    ensure_parallelism(
-        load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    ).createOrReplaceTempView("embeddings")
+    from icebergsql_spark.plans.registry import load_tables, local_result
+
+    load_tables(spark, sf_dir, ("embeddings",))
+    rows = spark.sql(
+        "SELECT vec_id AS vid, transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv "
+        f"FROM embeddings WHERE vec_id < {_IDG_CAP}"
+    ).collect()  # bounded by the cap constant, not by corpus size
+    vids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    q = np.array([r["qv"] for r in rows], dtype=np.int64)
+    sq = (q * q).sum(axis=1)
+    dmat = sq[:, None] + sq[None, :] - 2 * (q @ q.T)
+    piv = []
+    for a in range(len(vids)):
+        d_row = dmat[a]
+        order = np.lexsort((vids, d_row))
+        picks = [b for b in order if b != a][:2]
+        r1 = int(d_row[picks[0]]) if len(picks) > 0 else None
+        r2 = int(d_row[picks[1]]) if len(picks) > 1 else None
+        piv.append((int(vids[a]), r1, r2))
+    local_result(
+        spark, piv, "i bigint, r1sq bigint, r2sq bigint"
+    ).createOrReplaceTempView("idg_piv")
     return spark.sql(
-        _IDG_SQL.format(
-            emb_i="CAST(element_at(embedding, CAST(i AS INT))"
-            " AS DOUBLE)",
-            spine="CROSS JOIN (SELECT explode(sequence(1, 64))"
-            " AS i) g",
-            cap=_IDG_CAP,
+        """
+        WITH terms AS (
+          SELECT i, r1sq, r2sq,
+                 CAST(ROUND(500.0 * ln(CAST(r2sq AS DOUBLE)
+                      / CAST(r1sq AS DOUBLE))) AS BIGINT) AS t_mnat
+          FROM idg_piv
+          WHERE r1sq > 0 AND r2sq IS NOT NULL
         )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(t_mnat) AS BIGINT) AS sum_lnmu_mnat,
+               CASE WHEN SUM(t_mnat) > 0
+                    THEN CAST(1000 * COUNT(*) AS DOUBLE)
+                         / CAST(SUM(t_mnat) AS DOUBLE)
+               END AS id_2nn
+        FROM terms
+        """
     )
 
 

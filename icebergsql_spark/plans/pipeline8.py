@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from icebergsql_spark.operators.util import mark_setup_done
-from icebergsql_spark.plans.registry import events_min_day, load_tables, local_result, nonempty, register
+from icebergsql_spark.plans.registry import (
+    events_min_day,
+    load_tables,
+    local_result,
+    nonempty,
+    register,
+    run_partial_stream,
+)
 
 # DuckDB spelling of operators/curation.md5_bucket
 _MD5_BUCKET = "CAST('0x' || substr(md5({expr}), 1, 6) AS BIGINT) % {m}"
@@ -606,7 +613,7 @@ def _stream_daily_counts(spark, sf_dir: str):
     src = tempfile.mkdtemp(prefix="icebergsql-dcsrc-")
     out = tempfile.mkdtemp(prefix="icebergsql-dcout-")
     day = F.expr("ts DIV 86400000000000")
-    d0 = events_min_day(f"{sf_dir}/events.parquet")
+    d0 = events_min_day(f"{sf_dir}/events.parquet", spark)
     for lo, hi in ((0, 10), (10, 20), (20, 1 << 40)):
         chunk = ev.filter((day >= d0 + lo) & (day < d0 + hi))
         chunk.coalesce(1).write.mode("append").parquet(src)
@@ -622,18 +629,7 @@ def _stream_daily_counts(spark, sf_dir: str):
             .parquet(out)
         )
 
-    q = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .writeStream.foreachBatch(fold)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="icebergsql-dcck-")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_partial_stream(spark, src, ev.schema, fold, "icebergsql-dcck-")
     return (
         spark.read.parquet(out)
         .groupBy("event_type", "day")

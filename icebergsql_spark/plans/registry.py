@@ -133,7 +133,7 @@ def local_result(spark: SparkSession, rows, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def events_min_day(events_path: str) -> int:
+def events_min_day(events_path: str, spark: SparkSession | None = None) -> int:
     """Smallest epoch-day of ``events.ts``, answered from the parquet
     FOOTER statistics — no Spark job.
 
@@ -146,28 +146,107 @@ def events_min_day(events_path: str) -> int:
     Parity with the Spark-computed value is locked per SF in
     tests/test_opt_r14_min_day.py.  No memoization: every call re-reads
     the footer (~1 ms), so no state is carried between bench runs.
+
+    The footer path assumes a single local parquet FILE with datetime
+    stats on ``ts`` (true of every current fixture); when ``spark`` is
+    given, any footer failure (multi-file directory, regenerated
+    fixture without stats) degrades to the old Spark ``min(day)``
+    aggregate instead of breaking 30 streaming gates at once
+    (round-14 ADVICE).
     """
     from datetime import datetime
 
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(events_path).metadata
+    try:
+        md = pq.ParquetFile(events_path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = names.index("ts")
+        best: int | None = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no ts min/max stats in {events_path}")
+            v = st.min
+            if not isinstance(v, datetime):
+                raise ValueError(f"unexpected ts stat type {type(v)!r}")
+            delta = v.replace(tzinfo=None) - datetime(1970, 1, 1)
+            ns = (delta.days * 86400 + delta.seconds) * 1_000_000_000 \
+                + delta.microseconds * 1_000
+            best = ns if best is None else min(best, ns)
+        assert best is not None and best >= 0
+        return best // 86_400_000_000_000
+    except (ValueError, OSError):
+        if spark is None:
+            raise
+        ev = events_ts_to_nanos(spark.read.parquet(events_path))
+        return int(
+            ev.selectExpr("min(ts DIV 86400000000000) AS d")
+            .collect()[0]["d"]
+        )
+
+
+def parquet_date_min_year(path: str, col: str) -> int:
+    """Smallest ``year(col)`` of a parquet DATE column, from FOOTER
+    statistics — no Spark job (the events_min_day sibling for the
+    orders table).  ``year`` is monotone non-decreasing in the date, so
+    ``year(min(col))`` IS ``min(year(col))``; date32 footer stats are
+    exact (no truncation class at all)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
     names = [md.schema.column(i).name for i in range(md.num_columns)]
-    idx = names.index("ts")
-    best: int | None = None
+    idx = names.index(col)
+    best: _dt.date | None = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
-            raise ValueError(f"no ts min/max stats in {events_path}")
+            raise ValueError(f"no {col} min/max stats in {path}")
         v = st.min
-        if not isinstance(v, datetime):
-            raise ValueError(f"unexpected ts stat type {type(v)!r}")
-        delta = v.replace(tzinfo=None) - datetime(1970, 1, 1)
-        ns = (delta.days * 86400 + delta.seconds) * 1_000_000_000 \
-            + delta.microseconds * 1_000
-        best = ns if best is None else min(best, ns)
-    assert best is not None and best >= 0
-    return best // 86_400_000_000_000
+        if not isinstance(v, _dt.date):
+            raise ValueError(f"unexpected {col} stat type {type(v)!r}")
+        best = v if best is None else min(best, v)
+    assert best is not None
+    return best.year
+
+
+def run_partial_stream(
+    spark: SparkSession, src: str, schema, fold, ck_prefix: str
+) -> None:
+    """Run the standard stateless foreachBatch fixture stream
+    (time-split parquet source, maxFilesPerTrigger=1, availableNow)
+    with scale-adaptive shuffle partitions.
+
+    Streaming micro-batches get no AQE coalescing, so each batch's
+    fold ran its partial-aggregate shuffle at the full session
+    partition count (32 tasks for KB-sized partials, once per batch).
+    ``stream_partitions`` sizes the count from the SOURCE bytes and
+    caps it at the session conf — a no-op at cluster scale, a
+    single-task shuffle on the bounded local fixture (guide §2).
+    Partials are SUM/set-mergeable by contract, so the partition count
+    cannot change any merged value.  Extracted in round 15 so the ~29
+    stateless stream gates share one code site (the r14 fixture-
+    unification rule)."""
+    import tempfile
+
+    from icebergsql_spark.operators.util import stream_partitions
+
+    with stream_partitions(spark, src):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fold)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=ck_prefix),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def nonempty(df: DataFrame, label: str = "wave") -> DataFrame:
