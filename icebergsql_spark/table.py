@@ -881,9 +881,26 @@ class ManagedTable:
         Entries are re-stamped with THIS table's current schema id and a
         fresh data sequence (``_commit_snapshot`` derives it); the caller
         is responsible for schema compatibility — the CREATE TABLE LIKE
-        path validates a single matching era before calling."""
+        path validates a single matching era before calling.  Misuse
+        fails loudly AT COMMIT TIME (round-14 ADVICE): every entry's
+        path must exist on disk, and all entries must share ONE source
+        schema era — mismatched entries would silently poison
+        count_from_stats and bloom pruning."""
         import dataclasses
 
+        missing = [f.path for f in files if not os.path.exists(f.path)]
+        if missing:
+            raise TableValidationError(
+                f"register_data_files: {len(missing)} entry path(s) do "
+                f"not exist, e.g. {missing[0]!r}"
+            )
+        eras = {f.schema_id for f in files}
+        if len(eras) > 1:
+            raise TableValidationError(
+                "register_data_files: entries span several source schema "
+                f"eras {sorted(eras)}; stats/bloom columns are only "
+                "trustworthy within one era"
+            )
         self.refresh()
         parent = self.meta.current_snapshot()
         added = [
@@ -3248,11 +3265,18 @@ class ManagedTable:
         dead_manifests = {
             p for s in expired for p in s.manifest_paths if p not in kept_manifests
         }
+        # GC only deletes files WE own (under this table's data dir):
+        # files adopted zero-copy via add_files/register_data_files live
+        # in the SOURCE table's tree (or out-of-tree), so a clone-side
+        # overwrite + expire must never os.remove the source's live data
+        # — the cleanup_on_failure=False rule, applied to GC (r14 ADVICE)
+        own = os.path.join(os.path.realpath(meta.data_dir), "")
         dead_data = {
             f.path
             for p in dead_manifests
             for f in Manifest(p).files()
             if f.path not in kept_data
+            and os.path.realpath(f.path).startswith(own)
         }
 
         # merge-on-read debris GC: DV/eq MANIFESTS referenced only by
