@@ -69,7 +69,13 @@ def dot_expr(va: str, vb: str) -> Column:
 def signbit_bucket(vec_col: str, n_bits: int = 6) -> Column:
     """LSH bucket id from the signs of the first n_bits dimensions —
     axis-aligned random projection (dims are i.i.d., so leading dims are as
-    good as random hyperplanes and need no shared random state)."""
+    good as random hyperplanes and need no shared random state).
+
+    ``n_bits=0`` is the degenerate single-bucket id (every row maps to
+    0) — it turns the bucketed BLAS scorer into a global all-pairs
+    candidate generator for the small-n exact baselines."""
+    if n_bits == 0:
+        return F.lit(0).cast("int")
     bit_terms = [
         F.when(F.expr(f"element_at({vec_col}, {i + 1})") >= 0, 2**i).otherwise(0)
         for i in range(n_bits)

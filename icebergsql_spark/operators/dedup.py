@@ -547,11 +547,33 @@ def embedding_neardup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter: str = "blas",
 ) -> DataFrame:
     """All-pairs cosine near-dup (a < b, cos >= threshold). Quadratic: the
     small-n verification baseline for embedding_neardup_pairs_lsh, which is
-    the headline (bucketed, equi-join) path at scale. Norms precompute per
-    row (see with_double_vec_and_norm)."""
+    the headline (bucketed, equi-join) path at scale.
+
+    ``prefilter='blas'`` (default, r15): the n² candidate scoring runs as
+    ONE numpy GEMM (``bucketed_scores_blas`` with the degenerate
+    single-bucket id), with a 1e-9 margin so no true pair is lost to
+    summation-order noise, and only survivors are re-scored with the
+    oracle-exact sequential fold — same output bits as the all-JVM
+    nested-loop fold, which evaluated the 64-element interpreted lambda
+    once per PAIR (measured 4.5 s for 2M pairs at sf0.1). The single
+    group is executor-side and bounded by the baseline's own quadratic
+    small-n contract. ``prefilter='fold'`` keeps the pure-JVM plan."""
+    if prefilter == "blas":
+        from icebergsql_spark.operators import similarity
+
+        cand = similarity.bucketed_scores_blas(
+            df, n_bits=0, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, pairs="lt",
+        ).select("a", "b")
+        return (
+            similarity.exact_rescore(cand, df, id_col=id_col, vec_col=vec_col)
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", F.round("cos", 4).alias("cos"))
+        )
     base = with_double_vec_and_norm(df, vec_col)
     a = base.select(F.col(id_col).alias("a"), F.col("vd").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col(id_col).alias("b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"))
