@@ -181,13 +181,21 @@ _EIG_CAP = 500
 # ONCE per round.  The Rayleigh quotient v1'Cv1 / v1'v1 is a pure
 # double ratio.  An ORACLED principal-component gate — the rows-only
 # emb_whitening_audit's hash-checked sibling.
-_EIG_SQL = """
+# Split at the xq and cov/w1 CTE boundaries (the r13/r14 head/tail
+# discipline): the composed _EIG_SQL stays character-identical, so the
+# ORACLE string is unchanged, while the Spark side can run the xq
+# quantization (the only part that touches data, with ENGINE round()
+# semantics) once and hand the bounded rest to the driver (see
+# emb_top_eigvec).
+_EIG_XQ_SQL = """
         WITH xq AS (
           SELECT vec_id AS vid, i AS pos,
                  CAST(round({emb_i} * 1000) AS BIGINT) + 2000 AS q
           FROM embeddings {spine}
           WHERE vec_id < {cap}
-        ),
+        ),"""
+
+_EIG_HEAD_SQL = _EIG_XQ_SQL + """
         s AS (
           SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
                  CAST(SUM(q) AS BIGINT) AS sq
@@ -202,7 +210,9 @@ _EIG_SQL = """
                  CAST(SUM(a.d * b.d) AS BIGINT) AS c
           FROM dev a JOIN dev b ON b.vid = a.vid
           GROUP BY 1, 2
-        ),
+        ),"""
+
+_EIG_TAIL_SQL = """
         w1 AS (
           SELECT j, {fold1} AS w FROM cov GROUP BY j
         ),
@@ -245,8 +255,13 @@ _EIG_SQL = """
         ORDER BY pos
 """
 
+# composed template — character-identical to the pre-split string, so the
+# registered oracle is unchanged (worktree string-identity proof, r14
+# lesson 1)
+_EIG_SQL = _EIG_HEAD_SQL + _EIG_TAIL_SQL
 
-def _eig_sql(engine: str) -> str:
+
+def _eig_params(engine: str) -> dict:
     if engine == "duck":
         fold1 = "list_sum(list(CAST(c AS DOUBLE) * 1000.0 ORDER BY i))"
         fold2 = (
@@ -287,7 +302,7 @@ def _eig_sql(engine: str) -> str:
         )
         emb_i = "CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)"
         spine = "CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) g"
-    return _EIG_SQL.format(
+    return dict(
         fold1=fold1,
         fold2=fold2,
         fold4=fold4,
@@ -296,6 +311,92 @@ def _eig_sql(engine: str) -> str:
         spine=spine,
         cap=_EIG_CAP,
     )
+
+
+def _eig_sql(engine: str) -> str:
+    return _EIG_SQL.format(**_eig_params(engine))
+
+
+def _eig_driver_tail(xq_rows) -> list[tuple]:
+    """Bit-exact driver replica of the _EIG_TAIL_SQL chain over the
+    collected xq quantization (r15, the VERDICT item-7 / intrinsic-dim
+    shape: the whole chain is 64×64-bounded by construction, but as
+    Spark SQL it planned ~28 tiny stages — scalar subqueries, fold
+    aggregates, self-join replays — each paying a scheduling floor).
+
+    Exactness argument, op by op against the SQL text:
+      - s/dev/cov are pure int64 arithmetic (numpy int64 GEMM; the
+        worst-case |C| bound is asserted against 2^62 before trusting
+        it — coarse 1e3 q-space keeps it ~2000× under the ceiling);
+      - every fold is ``aggregate(array_sort(...struct(i, term)...))``
+        = a SEQUENTIAL double sum in ascending dimension order —
+        replayed as an ascending Python loop over the same IEEE ops
+        (int64→double casts, double mult/add are bit-identical);
+      - ``CAST(ROUND(x) AS BIGINT)`` on DOUBLE is BigDecimal-of-
+        shortest-repr HALF_UP in Spark — replicated with
+        Decimal(repr(x)).quantize(HALF_UP), verified on 210 probes
+        including the 0.49999999999999994 / ±.5 hard cases and locked
+        by the old-vs-new frame-identity test
+        (tests/test_opt_r15_eig_driver.py);
+      - rayleigh = num / CAST(den AS DOUBLE): double division,
+        bit-identical.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def rhu(x: float) -> int:
+        return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    vids = sorted({r["vid"] for r in xq_rows})
+    poss = sorted({r["pos"] for r in xq_rows})
+    vidx = {v: k for k, v in enumerate(vids)}
+    pidx = {p: k for k, p in enumerate(poss)}
+    n_v, n_p = len(vids), len(poss)
+    Q = np.zeros((n_v, n_p), dtype=np.int64)
+    for r in xq_rows:
+        Q[vidx[r["vid"]], pidx[r["pos"]]] = r["q"]
+    # s: every (vid, pos) cell exists (the spine is a cross join), so
+    # n = n_v for every pos and sq is the column sum
+    sq = Q.sum(axis=0, dtype=np.int64)
+    D = n_v * Q - sq  # dev: s.n * q - s.sq, exact int64
+    dmax = int(np.abs(D).max())
+    assert dmax * dmax * n_v < (1 << 62), "covariance would overflow int64"
+    C = D.T @ D  # exact int64 GEMM (bound asserted above)
+    # w1: per j, sequential fold over ascending i of c*1000.0
+    w1 = [
+        sum_fold(float(C[i, j]) * 1000.0 for i in range(n_p)) for j in range(n_p)
+    ]
+    m1 = max(abs(w) for w in w1)
+    assert m1 > 0.0
+    v1 = [rhu(1000.0 * w / m1) for w in w1]
+    w2 = [
+        sum_fold(float(C[i, j]) * float(v1[i]) for i in range(n_p))
+        for j in range(n_p)
+    ]
+    m2 = max(abs(w) for w in w2)
+    assert m2 > 0.0
+    v2 = [rhu(1000000.0 * w / m2) for w in w2]
+    w3 = [
+        sum_fold(float(C[i, j]) * float(v2[i]) for i in range(n_p))
+        for j in range(n_p)
+    ]
+    num = sum_fold(float(v2[j]) * w3[j] for j in range(n_p))
+    den = sum(v * v for v in v2)  # exact int
+    ray = num / float(den)
+    return [
+        (poss[j], int(C[j, j]), v1[j], v2[j], ray) for j in range(n_p)
+    ]
+
+
+def sum_fold(terms) -> float:
+    """Sequential IEEE double sum from 0.0 — the exact op order of the
+    SQL ``aggregate(array_sort(...), 0.0D, (acc, x) -> acc + x.term)``
+    fold when ``terms`` is supplied in ascending sort-key order."""
+    acc = 0.0
+    for t in terms:
+        acc += t
+    return acc
 
 
 @register(
@@ -324,9 +425,26 @@ def _eig_sql(engine: str) -> str:
 )
 def emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergsql_spark.operators.util import ensure_parallelism
-    from icebergsql_spark.plans.registry import load_tables
+    from icebergsql_spark.plans.registry import load_tables, local_result
 
     ensure_parallelism(
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ).createOrReplaceTempView("embeddings")
-    return spark.sql(_eig_sql("spark"))
+    # r15 (guide §5 multiple-reference replay + the VERDICT item-7 shape):
+    # as one SQL statement the tail referenced `cov` FOUR times and
+    # planned ~28 tiny stages (7.2 s warm at sf0.1 for a 64×64-bounded
+    # computation). Now the ONLY Spark work is the xq quantization (the
+    # part that touches data, with engine round() semantics); the
+    # bounded dev/cov/power-iteration chain runs driver-side as a
+    # bit-exact replica (see _eig_driver_tail) and the result returns as
+    # a VALUES LocalRelation. The oracle string is the identical
+    # composed template, untouched.
+    p = _eig_params("spark")
+    xq = _EIG_XQ_SQL.format(**p).rstrip().rstrip(",")
+    rows = spark.sql(xq + "\n        SELECT vid, pos, q FROM xq").collect()
+    out = _eig_driver_tail(rows)
+    return local_result(
+        spark,
+        out,
+        "pos int, var_n2 bigint, v1_q bigint, v2_q bigint, rayleigh double",
+    ).orderBy("pos")
