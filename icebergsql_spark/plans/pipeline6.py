@@ -85,10 +85,21 @@ def managed_mor_churn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert dv_n >= 4 * n_files, f"expected per-file-per-commit DVs, got {dv_n}"
 
     # -- plus 3 equality-delete commits (zero read-before-write CDC) --
+    # r15 (guide §1.2, don't compute things you throw away): keys come
+    # from the CDC SIDE (the source feed `li`, one pruned column), not a
+    # masked self-read of the table — each self-read re-materialized
+    # every DV/eq broadcast build (~5 broadcast-future jobs per action).
+    # The key SET may now include keys whose rows the %101 DV churn
+    # already masked; equality masking is idempotent on dead rows, so
+    # the live rowset, the emitted aggregate, and the oracle contract
+    # are identical (delete_by_keys stays zero read-before-write — this
+    # IS the CDC shape: the feed names keys, the table never pre-reads).
     for i in range(3):
         keys = (
-            tbl.to_df()
-            .filter(F.col("l_orderkey") % 97 == i)
+            li.filter(
+                (F.col("l_orderkey") % 3 == 0)
+                & (F.col("l_orderkey") % 97 == i)
+            )
             .select("l_orderkey")
             .distinct()
         )

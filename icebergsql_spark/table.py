@@ -63,6 +63,12 @@ from icebergsql_spark.expressions import (
 )
 
 PART_PREFIX = "__p_"
+
+# _commit_dv_rowset: per-file DV counts ride the write action as observed
+# metrics (one conditional count per candidate file) up to this many
+# files; beyond it the expression list would bloat codegen and the count
+# falls back to a groupBy job over the written rowset.
+_DV_OBSERVE_MAX_FILES = 128
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -1277,21 +1283,47 @@ class ManagedTable:
         dv_dir = os.path.join(
             self.meta.metadata_dir, f"dv-data-{uuid.uuid4().hex[:12]}"
         )
-        (
-            matched.select(
-                F.col("__fp").alias("path"), F.col("__pos").alias("pos")
+        out = matched.select(
+            F.col("__fp").alias("path"), F.col("__pos").alias("pos")
+        ).repartition(F.col("path"))
+        # r15 (guide §1.2, pass elimination): the per-file counts used to
+        # come from a SECOND Spark job re-reading the just-written rowset
+        # (~0.3-1.0 s per DV commit locally; a full re-read of the delete
+        # rowset per commit at scale). Fold them into the write action as
+        # observed metrics — one count(when(path = f)) per candidate file,
+        # placed ABOVE the repartition exchange so the metrics aggregate
+        # in the RESULT stage (exactly-once accumulator semantics; a
+        # metric below an exchange could double-count under stage retry).
+        # Bounded: above _DV_OBSERVE_MAX_FILES the expression list would
+        # bloat codegen, so the old count job remains as the fallback.
+        use_obs = len(files) <= _DV_OBSERVE_MAX_FILES
+        if use_obs:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                *[
+                    F.count(F.when(F.col("path") == f.path, 1)).alias(
+                        f"c{k}"
+                    )
+                    for k, f in enumerate(files)
+                ],
             )
-            .repartition(F.col("path"))
-            .write.mode("errorifexists")
-            .parquet(dv_dir)
-        )
-        counts = {
-            r["path"]: r["n"]
-            for r in self.spark.read.parquet(dv_dir)
-            .groupBy("path")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        out.write.mode("errorifexists").parquet(dv_dir)
+        if use_obs:
+            got = obs.get
+            counts = {
+                f.path: got[f"c{k}"] for k, f in enumerate(files)
+            }
+        else:
+            counts = {
+                r["path"]: r["n"]
+                for r in self.spark.read.parquet(dv_dir)
+                .groupBy("path")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         return [
             DeleteVectorEntry(
                 data_path=f.path, dv_path=dv_dir, count=int(counts[f.path])
