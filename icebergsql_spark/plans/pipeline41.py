@@ -153,9 +153,127 @@ def emb_gap_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parallelism(
         load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ).createOrReplaceTempView("embeddings")
-    return spark.sql(
-        _gap_chain(_GAP_HX_SPARK, "DIV", "").format(
-            emb_i="CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)",
-            spine="CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) g",
-        )
+    # r15 (the VERDICT item-7 / emb_top_eigvec shape): as one SQL
+    # statement the chain referenced xq FIVE times (the md5 reference
+    # generation replayed per reference) and planned ~35 tiny stages —
+    # 4.7 s warm at sf0.1 for a universe the gate itself caps at 500
+    # vectors x 64 dims x 3 datasets. Now the only Spark work is the dq0
+    # quantization (engine round() semantics); the md5 reference draws
+    # and the three 2-round integer k-means chains run driver-side as a
+    # bit-exact replica (_gap_driver_tail: pure int64 numpy + Python
+    # ints, DIV on non-negative operands == //, the argmin's
+    # MIN(dq*100+cell)%100 encoding replayed literally; the ONLY float
+    # op is the final ratio with the same operand order). The oracle
+    # string is untouched; old-vs-new frame identity is locked in
+    # tests/test_opt_r15_gap_driver.py.
+    dq0_sql = _GAP_DQ0_SQL.format(
+        emb_i="CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE)",
+        spine="CROSS JOIN (SELECT explode(sequence(1, 64)) AS i) g",
+        cap=_GAP_CAP,
     )
+    rows = spark.sql(dq0_sql).collect()
+    out = _gap_driver_tail(rows)
+    from icebergsql_spark.plans.registry import local_result
+
+    return local_result(
+        spark,
+        [out],
+        "n bigint, w_data bigint, w_ref1 bigint, w_ref2 bigint, "
+        "dispersion_ratio_sq double",
+    )
+
+
+_GAP_DQ0_SQL = """
+        SELECT vec_id AS vid, i AS pos,
+               CAST(round({emb_i} * 1000) AS BIGINT) + 2000 AS q
+        FROM embeddings {spine}
+        WHERE vec_id < {cap}
+"""
+
+
+def _gap_driver_tail(dq0_rows) -> tuple:
+    """Bit-exact driver replica of the gap-statistic chain over the
+    collected dq0 quantization.
+
+    Exactness, op by op against the SQL template (_gap_chain):
+      - box/refs/kmeans rounds are ALL integer arithmetic; Spark ``DIV``
+        truncates and every operand is non-negative (q >= ~1000), so
+        Python ``//`` is identical;
+      - the md5 reference draw replays ``conv(substring(md5(...),1,13),
+        16,10) % (qhi-qlo+1)`` with hashlib (bit-identical md5, the
+        standing oracle contract);
+      - the argmin is the literal ``MIN(dq*100 + cell) % 100`` encoding;
+      - the only float is the final ratio, composed in the template's
+        operand order (w_ref1 * w_ref2) / (w_data * w_data).
+    """
+    import hashlib
+
+    import numpy as np
+
+    vids = sorted({r["vid"] for r in dq0_rows})
+    poss = sorted({r["pos"] for r in dq0_rows})
+    vidx = {v: k for k, v in enumerate(vids)}
+    pidx = {p: k for k, p in enumerate(poss)}
+    n_v, n_p = len(vids), len(poss)
+    data = np.zeros((n_v, n_p), dtype=np.int64)
+    for r in dq0_rows:
+        data[vidx[r["vid"]], pidx[r["pos"]]] = r["q"]
+    qlo = data.min(axis=0)
+    qhi = data.max(axis=0)
+    span = qhi - qlo + 1
+    dsets = {0: data}
+    for b in range(1, _GAP_B + 1):
+        ref = np.zeros((n_v, n_p), dtype=np.int64)
+        for vi, vid in enumerate(vids):
+            for pi, pos in enumerate(poss):
+                hx = int(
+                    hashlib.md5(
+                        f"gap:{b}:{vid}:{pos}".encode()
+                    ).hexdigest()[:13],
+                    16,
+                )
+                ref[vi, pi] = qlo[pi] + hx % span[pi]
+        dsets[b] = ref
+    w = {}
+    for ds, X in sorted(dsets.items()):
+        # c0: initial centroids = the rows with vid < _GAP_K
+        cent = {
+            vid: X[vidx[vid]].copy() for vid in vids if vid < _GAP_K
+        }
+        for _ in range(2):
+            # d/a: per vid, argmin cell by MIN(dq*100 + cell) % 100
+            assign = {}
+            for vi, vid in enumerate(vids):
+                best = None
+                for cell, cq in cent.items():
+                    d = X[vi] - cq
+                    dq = int((d * d).sum())
+                    enc = dq * 100 + cell
+                    if best is None or enc < best:
+                        best = enc
+                assign[vid] = best % 100
+            # c: per (cell, pos), SUM(q) DIV COUNT (non-negative //)
+            new_cent = {}
+            members: dict[int, list[int]] = {}
+            for vid, cell in assign.items():
+                members.setdefault(cell, []).append(vidx[vid])
+            for cell, idxs in members.items():
+                s = X[idxs].sum(axis=0, dtype=np.int64)
+                new_cent[cell] = s // len(idxs)
+            cent = new_cent
+        # dfin/wmin: min over FINAL centroids, no assignment encoding
+        wq = 0
+        for vi in range(n_v):
+            d2 = min(
+                int(((X[vi] - cq) * (X[vi] - cq)).sum())
+                for cq in cent.values()
+            )
+            wq += d2
+        w[ds] = (n_v, wq)
+    n, w_data = w[0]
+    w_ref1 = w[1][1]
+    w_ref2 = w[2][1]
+    ratio = (float(w_ref1) * float(w_ref2)) / (
+        float(w_data) * float(w_data)
+    )
+    return (n, w_data, w_ref1, w_ref2, ratio)
