@@ -2866,73 +2866,71 @@ def _band_sweep_oracle() -> str:
 def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icebergsql_spark.functions.hashing import combine_hash
     from icebergsql_spark.operators import dedup
+    from icebergsql_spark.operators.util import track_cache
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     k = dedup.MINHASH_K
     sigs = dedup.minhash_signatures(docs).localCheckpoint()
-    outs = []
+    # r15 restructure (guide §2.4 — one pass, not 12): the old plan built
+    # 12 per-(bands, band) subtrees (3 tiny aggregates + a bucket self-
+    # join each) and cross-joined them into 4 rows — 102 broadcast-future
+    # stages. The SAME counts come from ONE unpivoted (bands, bb, key)
+    # frame: n_band_keys = distinct (bb, key) per bands, hot = those with
+    # sz > cap, candidate pairs = the bucket self-join keyed on (bands,
+    # bb, key) deduped per bands — the UNION-across-bands dedup of the
+    # oracle, verbatim. Counting semantics unchanged (oracle untouched,
+    # MATCH re-verified at 3 SFs).
+    structs = []
     for b in (1, 2, 3, 6):
         rows = k // b
-        banded = sigs.select(
-            "doc_id",
-            *[
-                combine_hash(
-                    [F.col(f"sig_{bb * rows + r}") for r in range(rows)]
-                ).alias(f"b{bb}")
-                for bb in range(b)
-            ],
-        )
-        keys = None
-        hot = None
-        pairs = None
         for bb in range(b):
-            sizes = banded.groupBy(f"b{bb}").agg(
-                F.count(F.lit(1)).alias("sz")
-            )
-            kk = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
-            keys = kk if keys is None else keys.unionByName(kk)
-            hh = sizes.filter(F.col("sz") > _SWEEP_CAP).agg(
-                F.count(F.lit(1)).cast("bigint").alias("nh")
-            )
-            hot = hh if hot is None else hot.unionByName(hh)
-            ok = sizes.filter(F.col("sz") <= _SWEEP_CAP).select(f"b{bb}")
-            x = (
-                banded.select("doc_id", f"b{bb}")
-                .join(ok, f"b{bb}", "left_semi")
-                .alias("x")
-            )
-            y = (
-                banded.select("doc_id", f"b{bb}")
-                .join(ok, f"b{bb}", "left_semi")
-                .alias("y")
-            )
-            p = x.join(
-                y,
-                (F.col(f"x.b{bb}") == F.col(f"y.b{bb}"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            ).select(
-                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-            )
-            pairs = p if pairs is None else pairs.unionByName(p)
-        outs.append(
-            keys.agg(F.sum("nk").cast("bigint").alias("n_band_keys"))
-            .crossJoin(
-                hot.agg(F.sum("nh").cast("bigint").alias("n_hot_buckets"))
-            )
-            .crossJoin(
-                pairs.distinct().agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+            structs.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(bb).alias("bb"),
+                    combine_hash(
+                        [F.col(f"sig_{bb * rows + r}") for r in range(rows)]
+                    ).alias("key"),
                 )
             )
-            .select(
-                F.lit(b).alias("bands"),
-                F.lit(rows).alias("rows_per_band"),
-                "n_band_keys",
-                "n_hot_buckets",
-                "n_candidate_pairs",
-            )
+    long = sigs.select(
+        "doc_id", F.explode(F.array(*structs)).alias("x")
+    ).select("doc_id", "x.bands", "x.bb", "x.key")
+    sizes = track_cache(
+        long.groupBy("bands", "bb", "key").agg(
+            F.count(F.lit(1)).alias("sz")
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res.orderBy("bands")
+    )
+    stats = sizes.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_band_keys"),
+        F.sum((F.col("sz") > _SWEEP_CAP).cast("bigint"))
+        .cast("bigint")
+        .alias("n_hot_buckets"),
+    )
+    ok = sizes.filter(F.col("sz") <= _SWEEP_CAP).select("bands", "bb", "key")
+    member = long.join(ok, ["bands", "bb", "key"], "left_semi")
+    x = member.alias("x")
+    y = member.select(
+        "bands", "bb", "key", F.col("doc_id").alias("doc_b")
+    ).alias("y")
+    pair_counts = (
+        x.join(y, ["bands", "bb", "key"])
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select("bands", "doc_id", "doc_b")
+        .distinct()
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+    )
+    return (
+        stats.join(pair_counts, "bands", "left")
+        .select(
+            "bands",
+            (F.lit(k) / F.col("bands")).cast("int").alias("rows_per_band"),
+            "n_band_keys",
+            "n_hot_buckets",
+            F.coalesce(
+                "n_candidate_pairs", F.lit(0).cast("bigint")
+            ).alias("n_candidate_pairs"),
+        )
+        .orderBy("bands")
+    )
