@@ -3044,9 +3044,22 @@ class ManagedTable:
                 keys = [_zvalue_column(zorder_by, _stat_ranges(to_rewrite, zorder_by))]
             else:
                 keys = [F.col(c) for c in sort_by]
-            write_df = write_df.sortWithinPartitions(
-                *[F.col(PART_PREFIX + pc) for pc in part_cols], *keys
-            )
+            if zorder_by:
+                # r15 (guide §1.2 per-task work): sorting by the ~16·k-term
+                # Morton EXPRESSION makes SortExec re-evaluate it per row
+                # (measured 4.8 s vs 1.0 s on a 1.35M-row rewrite at
+                # local[32]); project it to a column first, sort on the
+                # column, drop it before the write — row order, file
+                # boundaries and contents are identical.
+                write_df = write_df.withColumn("__zsort", keys[0])
+                write_df = write_df.sortWithinPartitions(
+                    *[F.col(PART_PREFIX + pc) for pc in part_cols],
+                    F.col("__zsort"),
+                ).drop("__zsort")
+            else:
+                write_df = write_df.sortWithinPartitions(
+                    *[F.col(PART_PREFIX + pc) for pc in part_cols], *keys
+                )
         writer = write_df.write.mode("errorifexists").partitionBy(
             *[PART_PREFIX + pc for pc in part_cols]
         )
