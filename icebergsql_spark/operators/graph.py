@@ -121,9 +121,18 @@ def pagerank(
         n_nodes = nd.count()
         if n_nodes > broadcast_max_nodes:
             broadcast_ranks = False
-        base = nodes.select(
-            "node", F.lit(n_nodes).cast("bigint").alias("n")
-        )
+            base = nodes.select(
+                "node", F.lit(n_nodes).cast("bigint").alias("n")
+            )
+        else:
+            # r15: carry od INSIDE the rank frame so the per-iteration
+            # share is a projection of the broadcast build, not a
+            # node-sized join — one broadcast build per iteration
+            # instead of two (outdeg + pre-joined share), and the
+            # dangling sum becomes a filter. Same integer recurrence.
+            base = nd.select(
+                "node", "od", F.lit(n_nodes).cast("bigint").alias("n")
+            )
     else:
         nodes = track_cache(
             e.select(F.col("src").alias("node"))
@@ -138,7 +147,8 @@ def pagerank(
     # identity wrapper when ranks stay distributed; broadcast hint when the
     # (verified) node set is executor-memory sized
     bcast = F.broadcast if broadcast_ranks else (lambda df: df)
-    scores = base.select("node", F.expr(f"{SCALE} DIV n").alias("q"))
+    rank_cols = ["node", "od"] if broadcast_ranks else ["node"]
+    scores = base.select(*rank_cols, F.expr(f"{SCALE} DIV n").alias("q"))
     if early_stop_tol_q is not None:
         scores = scores.localCheckpoint()
     teleport = f"((({SCALE} DIV n) * {100 - damping_pct}) DIV 100)"
@@ -147,20 +157,21 @@ def pagerank(
         # and the new frame rebuilds from the cached node list — lineage
         # stays linear in `iterations` instead of doubling per round.
         if broadcast_ranks:
-            # pre-join the two node-sized frames, broadcast the per-source
-            # share — the cached edge list is probed map-side, never
-            # re-shuffled; the groupBy partial-aggregates map-side so the
-            # only exchange carries O(tasks × nodes) rows, not O(edges)
+            # broadcast the per-source share — the cached edge list is
+            # probed map-side, never re-shuffled; the groupBy partial-
+            # aggregates map-side so the only exchange carries
+            # O(tasks × nodes) rows, not O(edges). od rides in the rank
+            # frame (see base), so the share is a pure projection of the
+            # broadcast build: ONE broadcast build per iteration. Sinks
+            # (od = 0) project a NULL share and match no edge.
             contrib = e.join(
                 F.broadcast(
                     scores.select(
-                        F.col("node").alias("src"), F.col("q").alias("src_q")
+                        F.col("node").alias("src"),
+                        F.expr(
+                            "CASE WHEN od > 0 THEN q DIV od END"
+                        ).alias("share"),
                     )
-                    # outdeg is node-sized and loop-invariant — broadcast it
-                    # here too or this pre-join plans as a SortMergeJoin
-                    # with two exchanges per iteration
-                    .join(F.broadcast(outdeg), "src")
-                    .select("src", F.expr("src_q DIV od").alias("share"))
                 ),
                 "src",
             ).select("dst", "share")
@@ -181,11 +192,20 @@ def pagerank(
         )
         if redistribute_dangling:
             # mass parked on sink nodes, as a 1-row broadcast aggregate —
-            # stays inside the lazy DAG, no driver action
-            dang = (
-                scores.join(bcast(outdeg), scores.node == outdeg.src, "left_anti")
-                .agg(F.sum("q").alias("dangq"))
-            )
+            # stays inside the lazy DAG, no driver action (on the
+            # broadcast path od rides in the rank frame, so "dangling"
+            # is a filter, not an anti-join)
+            if broadcast_ranks:
+                dang = scores.filter(F.col("od") == 0).agg(
+                    F.sum("q").alias("dangq")
+                )
+            else:
+                dang = (
+                    scores.join(
+                        bcast(outdeg), scores.node == outdeg.src, "left_anti"
+                    )
+                    .agg(F.sum("q").alias("dangq"))
+                )
             nxt = nxt.crossJoin(F.broadcast(dang))
             share_expr = (
                 f"coalesce(s, CAST(0 AS BIGINT))"
@@ -195,7 +215,7 @@ def pagerank(
             share_expr = "coalesce(s, CAST(0 AS BIGINT))"
         new_q = f"{teleport} + (({damping_pct} * ({share_expr})) DIV 100)"
         if early_stop_tol_q is None:
-            scores = nxt.select("node", F.expr(new_q).alias("q"))
+            scores = nxt.select(*rank_cols, F.expr(new_q).alias("q"))
             continue
         # fused moved-flag (same pattern as connected_components): the
         # convergence signal rides in the checkpointed frame, so the check
@@ -210,7 +230,7 @@ def pagerank(
                 F.col("node") == F.col("node2"),
             )
             .select(
-                "node",
+                *rank_cols,
                 F.expr(new_q).alias("q"),
                 (F.abs(F.expr(new_q) - F.col("q_old")) > early_stop_tol_q).alias(
                     "moved"
@@ -218,7 +238,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-        scores = stepped.select("node", "q")
+        scores = stepped.select(*rank_cols, "q")
         if stepped.filter(F.col("moved")).isEmpty():
             break
     return scores.select("node", F.col("q").alias("score_q"))
