@@ -294,8 +294,6 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert snap.num_added_files == 0, "MoR delete must not write data files"
     assert {f.path for f in snap.live_files()} == before
     assert snap.dv_manifest_paths, "straddling MoR delete must record a DV"
-    # metadata-only COUNT subtracts DV counts exactly (zero Spark jobs)
-    assert tbl.scan().count_from_stats() == tbl.to_df().count()
 
     def agg(stage: str) -> DataFrame:
         return (
@@ -312,6 +310,10 @@ def managed_rewrite_predicate_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mor = agg("mor")
     mor_rows = mor.collect()  # materialize BEFORE the layout rewrite
+    # metadata-only COUNT subtracts DV counts exactly (zero Spark jobs);
+    # the mor aggregate just visited every live row — its group counts
+    # ARE the true masked count, so no second full read (r15, §1.2)
+    assert tbl.scan().count_from_stats() == sum(r["n"] for r in mor_rows)
     rs = tbl.rewrite_position_deletes()
     assert rs is not None and rs.operation == "replace"
     assert not tbl.meta.current_snapshot().dv_manifest_paths
@@ -621,7 +623,11 @@ def managed_eq_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = tbl.convert_equality_deletes()
     assert cs is not None and cs.operation == "replace"
     assert not tbl.meta.current_snapshot().eq_manifest_paths
-    assert tbl.scan().count_from_stats() == tbl.to_df().count()
+    # the eq-stage aggregate already visited every live row, and
+    # conversion preserves the live rowset (the returned 'converted'
+    # aggregate hash-checks that against the oracle) — reuse its group
+    # counts instead of a second full masked count (r15, guide §1.2)
+    assert tbl.scan().count_from_stats() == sum(r["n"] for r in eq_rows)
     return (
         local_result(spark, eq_rows, eq_stage.schema)
         .unionByName(agg("converted"))
