@@ -259,7 +259,11 @@ def bloom_may_contain(b64: str, value_str: str) -> bool:
 
 
 def collect_blooms(
-    spark, paths: list[str], cols: list[str], m_bits: int = BLOOM_M_BITS
+    spark,
+    paths: list[str],
+    cols: list[str],
+    m_bits: int = BLOOM_M_BITS,
+    schema=None,
 ) -> dict[str, dict[str, str]]:
     """ONE distributed pass over the written files (bloom columns only,
     column-pruned scan) building a Bloom filter per (file, column).
@@ -281,7 +285,12 @@ def collect_blooms(
 
     if not paths or not cols:
         return {}
-    df = spark.read.parquet(*paths).select(
+    # a caller that just WROTE the files (so their physical types are
+    # known exactly) passes `schema` — a pruned StructType of the bloom
+    # columns — which skips the footer-sampling schema-inference job;
+    # imported/external files keep the inferred read
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(*paths).select(
         F.input_file_name().alias("__f"), *cols
     )
 

@@ -71,6 +71,12 @@ PART_PREFIX = "__p_"
 _DV_OBSERVE_MAX_FILES = 128
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# DV rowsets are always written as (path string, pos long) — reading them
+# back with the schema pinned skips the footer-sampling schema-inference
+# job Spark otherwise runs per untyped parquet read (one job per masked
+# read / DV commit; pure overhead at any scale).
+_DV_ROWSET_SCHEMA = "path string, pos long"
+
 
 class TableAlreadyExistsError(ValueError):
     """SaveMode.ErrorIfExists target already has data
@@ -1077,8 +1083,21 @@ class ManagedTable:
         eq_dir = os.path.join(
             self.meta.metadata_dir, f"eq-data-{uuid.uuid4().hex[:12]}"
         )
+        # keys are CAST to the table schema's types at write time: the mask
+        # join compares them against table columns anyway (same coercion),
+        # and a type-normalized payload lets every reader pin its schema
+        # (no footer-sampling inference job per masked read). A later
+        # lossless widening of a key column still reads fine — Spark's
+        # parquet reader promotes int32→long / float→double under an
+        # explicit schema.
+        tschema = self.schema
         (
-            keys_df.select(*key_cols)
+            keys_df.select(
+                *[
+                    F.col(c).cast(tschema[c].dataType).alias(c)
+                    for c in key_cols
+                ]
+            )
             .distinct()
             .write.mode("errorifexists")
             .parquet(eq_dir)
@@ -1220,9 +1239,15 @@ class ManagedTable:
         for e in eqs:
             by_keycols.setdefault(tuple(e.key_cols), []).append(e)
         masked_parts = []
+        cur_schema = self.schema
         for key_cols, entries in sorted(by_keycols.items()):
+            # pinned read schema (current-era types; key renames/drops are
+            # guarded, widenings promote) — skips the per-entry
+            # schema-inference job
+            eq_schema = T.StructType([cur_schema[c] for c in key_cols])
             parts = [
-                spark.read.parquet(e.eq_path)
+                spark.read.schema(eq_schema)
+                .parquet(e.eq_path)
                 .select(*key_cols)
                 .withColumn("__eqseq", F.lit(e.seq).cast("long"))
                 for e in entries
@@ -1271,9 +1296,11 @@ class ManagedTable:
             if e.data_path in {f.path for f in files}
         ]
         if prior:
-            prior_df = self.spark.read.parquet(
-                *sorted({e.dv_path for e in prior})
-            ).select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            prior_df = (
+                self.spark.read.schema(_DV_ROWSET_SCHEMA)
+                .parquet(*sorted({e.dv_path for e in prior}))
+                .select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            )
             matched = matched.join(prior_df, ["__fp", "__pos"], "left_anti")
         # dedupe HERE, not at call sites: a duplicate (file, pos) — e.g.
         # merge(cardinality_check=False) with duplicate source keys —
@@ -1319,7 +1346,8 @@ class ManagedTable:
         else:
             counts = {
                 r["path"]: r["n"]
-                for r in self.spark.read.parquet(dv_dir)
+                for r in self.spark.read.schema(_DV_ROWSET_SCHEMA)
+                .parquet(dv_dir)
                 .groupBy("path")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
@@ -1857,14 +1885,20 @@ class ManagedTable:
             from icebergsql_spark.catalog.stats import collect_blooms
 
             # columns may not exist in every era; only build for current
-            present = {f.name for f in self.schema.fields}
+            cur_schema = self.schema
+            present = {f.name for f in cur_schema.fields}
+            build_cols = [c for c in bloom_cols if c in present]
             m_bits = int(
                 self.meta.properties.get("bloom.filter.bits", 0)
             ) or None
             blooms = collect_blooms(
                 self.spark,
                 paths,
-                [c for c in bloom_cols if c in present],
+                build_cols,
+                # files just written by _distributed_write carry exactly
+                # the current schema's types — pin the (pruned) read
+                # schema to skip the inference job per write
+                schema=T.StructType([cur_schema[c] for c in build_cols]),
                 **({"m_bits": m_bits} if m_bits else {}),
             )
             for p, by_col in blooms.items():
@@ -2548,9 +2582,11 @@ class ManagedTable:
         # only when position DVs actually apply
         df = self.read_files(files, with_pos=bool(dvs), with_fp=True)
         if dvs:
-            dv_df = self.spark.read.parquet(
-                *sorted({e.dv_path for e in dvs})
-            ).select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            dv_df = (
+                self.spark.read.schema(_DV_ROWSET_SCHEMA)
+                .parquet(*sorted({e.dv_path for e in dvs}))
+                .select(F.col("path").alias("__fp"), F.col("pos").alias("__pos"))
+            )
             df = df.join(dv_df, ["__fp", "__pos"], "left_anti")
         if eqs:
             df = self._apply_eq_deletes(df, files, eqs)
@@ -2578,9 +2614,15 @@ class ManagedTable:
         by_keycols: dict[tuple, list] = {}
         for e in eqs:
             by_keycols.setdefault(tuple(e.key_cols), []).append(e)
+        cur_schema = self.schema
         for key_cols, entries in sorted(by_keycols.items()):
+            # pinned read schema — see convert_equality_deletes; this path
+            # runs on EVERY masked read with eq entries, so the inference
+            # job it skips repeated per entry per action
+            eq_schema = T.StructType([cur_schema[c] for c in key_cols])
             parts = [
-                spark.read.parquet(e.eq_path)
+                spark.read.schema(eq_schema)
+                .parquet(e.eq_path)
                 .select(*key_cols)
                 .withColumn("__eqseq", F.lit(e.seq).cast("long"))
                 for e in entries
